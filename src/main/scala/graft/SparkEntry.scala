@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.Analytics
+import graft.queries.{Analytics, PipelineQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 + §7. */
 object SparkEntry {
@@ -10,13 +10,15 @@ object SparkEntry {
     Analytics.q10_pricing_summary(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q10_pricing_summary" -> (Analytics.q10_pricing_summary _)
-  )
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    PipelineQueries.queries ++ Map(
+      "q10_pricing_summary" -> (Analytics.q10_pricing_summary _)
+    )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map(
-    "q10_pricing_summary" -> Analytics.q10_oracle
-  )
+  def oracleSql: Map[String, String] =
+    PipelineQueries.oracles ++ Map(
+      "q10_pricing_summary" -> Analytics.q10_oracle
+    )
 }

@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.expr
 
 /** Loads the driver-generated testdata tables (see TESTDATA.md).
   *
@@ -14,7 +15,15 @@ object Tables {
     "orders", "lineitem", "events", "documents", "embeddings")
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    if (name == "events") {
+      // events.ts is parquet TIMESTAMP(NANOS), which Spark 4 rejects
+      // outright (PARQUET_TYPE_ILLEGAL). Read nanos as long and floor-
+      // divide to micros — the same truncation DuckDB applies when it
+      // loads nanosecond parquet into its microsecond TIMESTAMP.
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.read.parquet(s"$dir/$name.parquet")
+        .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+    } else spark.read.parquet(s"$dir/$name.parquet")
 
   /** Register every table as a temp view for SQL access. */
   def registerAll(spark: SparkSession, dir: String): Unit =

@@ -1,0 +1,267 @@
+package graft.meta
+
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+
+/** Declarative pipeline metadata model.
+  *
+  * Mirrors the reference's metadata contract
+  * (reference config/metadata_motor.json; parsed in
+  * pipeline/runner.py:140-§ff): a pipeline is `dataflows[]`, each with
+  * `sources[]`, `transformations[]`, `sinks[]`, plus an optional
+  * `consolidation` block and batch config. Parsing is strict: unknown
+  * transform types / malformed rules fail fast at load time, before any
+  * cluster resources are spent.
+  */
+final case class FieldDef(name: String, dataType: String, nullable: Boolean)
+
+final case class SchemaDef(fields: Seq[FieldDef])
+
+final case class SourceDef(
+    name: String,
+    path: String,
+    format: String,
+    required: Boolean,
+    schema: Option[SchemaDef],
+    schemaEnforced: Boolean,
+    options: Map[String, String])
+
+/** A validation rule. Simple rules carry no parameter
+  * (reference pipeline/validator.py SIMPLE_RULES); parameterized rules
+  * carry one (PARAMETERIZED_RULES).
+  */
+sealed trait RuleDef
+case object NotNullRule extends RuleDef
+case object NotEmptyRule extends RuleDef
+final case class RegexRule(pattern: String) extends RuleDef
+final case class MinValueRule(min: Double) extends RuleDef
+
+final case class ValidationDef(field: String, rules: Seq[RuleDef])
+
+sealed trait TransformDef { def name: String; def input: String }
+final case class AddFieldsDef(
+    name: String,
+    input: String,
+    fields: Seq[(String, String)] // (column name, function name)
+) extends TransformDef
+final case class ValidateFieldsDef(
+    name: String,
+    input: String,
+    validations: Seq[ValidationDef]
+) extends TransformDef
+
+final case class SinkDef(
+    input: String,
+    name: String,
+    path: String,
+    format: String,
+    saveMode: String,
+    partitionBy: Seq[String])
+
+final case class DedupDef(
+    enabled: Boolean,
+    keyColumn: String,
+    orderBy: String,
+    orderDirection: String)
+
+final case class ConsolidationDef(
+    enabled: Boolean,
+    inputPattern: String,
+    outputPath: String,
+    dedup: DedupDef)
+
+final case class DataflowDef(
+    name: String,
+    sources: Seq[SourceDef],
+    transformations: Seq[TransformDef],
+    sinks: Seq[SinkDef])
+
+final case class PipelineMeta(
+    processingMode: String,
+    dataflows: Seq[DataflowDef],
+    consolidation: Option[ConsolidationDef])
+
+class MetadataError(msg: String) extends RuntimeException(msg)
+
+object Metadata {
+
+  def parse(json: String): PipelineMeta = parseAst(JsonMethods.parse(json))
+
+  private def fail(msg: String): Nothing = throw new MetadataError(msg)
+
+  private def str(v: JValue, what: String): String = v match {
+    case JString(s) => s
+    case other      => fail(s"$what must be a string, got $other")
+  }
+
+  private def optStr(o: JObject, key: String): Option[String] =
+    o.obj.collectFirst { case (`key`, JString(s)) => s }
+
+  private def field(o: JObject, key: String): Option[JValue] =
+    o.obj.collectFirst { case (`key`, v) if v != JNothing && v != JNull => v }
+
+  private def arr(v: JValue, what: String): Seq[JValue] = v match {
+    case JArray(xs) => xs
+    case other      => fail(s"$what must be an array, got $other")
+  }
+
+  private def obj(v: JValue, what: String): JObject = v match {
+    case o: JObject => o
+    case other      => fail(s"$what must be an object, got $other")
+  }
+
+  private def parseAst(root: JValue): PipelineMeta = {
+    val r = obj(root, "metadata root")
+    val mode = optStr(r, "processing_mode").getOrElse("full")
+    val flows = field(r, "dataflows")
+      .map(v => arr(v, "dataflows").map(f => parseDataflow(obj(f, "dataflow"))))
+      .getOrElse(fail("metadata missing 'dataflows'"))
+    val consolidation = field(r, "consolidation")
+      .map(c => parseConsolidation(obj(c, "consolidation")))
+    PipelineMeta(mode, flows, consolidation)
+  }
+
+  private def parseDataflow(o: JObject): DataflowDef = DataflowDef(
+    name = optStr(o, "name").getOrElse(fail("dataflow missing 'name'")),
+    sources = field(o, "sources")
+      .map(v => arr(v, "sources").map(s => parseSource(obj(s, "source"))))
+      .getOrElse(Seq.empty),
+    transformations = field(o, "transformations")
+      .map(v => arr(v, "transformations").map(t => parseTransform(obj(t, "transformation"))))
+      .getOrElse(Seq.empty),
+    sinks = field(o, "sinks")
+      .map(v => arr(v, "sinks").map(s => parseSink(obj(s, "sink"))))
+      .getOrElse(Seq.empty))
+
+  private def parseSource(o: JObject): SourceDef = {
+    val name = optStr(o, "name").getOrElse(fail("source missing 'name'"))
+    val schema = field(o, "schema").map(s => parseSchema(obj(s, s"source '$name' schema")))
+    val enforced = field(o, "schema_enforcement").exists {
+      case e: JObject => field(e, "enabled").contains(JBool(true))
+      case _          => false
+    }
+    if (enforced && schema.isEmpty)
+      fail(s"source '$name' enables schema_enforcement but defines no schema")
+    SourceDef(
+      name = name,
+      path = optStr(o, "path").getOrElse(fail(s"source '$name' missing 'path'")),
+      format = optStr(o, "format").getOrElse("json"),
+      required = field(o, "required").forall(_ == JBool(true)),
+      schema = schema,
+      schemaEnforced = enforced,
+      options = field(o, "options").map {
+        case opts: JObject => opts.obj.map {
+          case (k, JString(v)) => k -> v
+          case (k, JBool(v))   => k -> v.toString
+          case (k, JInt(v))    => k -> v.toString
+          case (k, v)          => fail(s"source '$name' option '$k' has unsupported value $v")
+        }.toMap
+        case other => fail(s"source '$name' options must be an object, got $other")
+      }.getOrElse(Map.empty))
+  }
+
+  /** Schema definition as in reference pipeline/schema_enforcer.py:44
+    * (build_spark_schema): strict struct with name/type/nullable fields.
+    */
+  private def parseSchema(o: JObject): SchemaDef = {
+    if (!optStr(o, "type").contains("struct"))
+      fail(s"schema type must be 'struct', got '${optStr(o, "type").orNull}'")
+    val fields = field(o, "fields")
+      .map(v => arr(v, "schema fields"))
+      .getOrElse(fail("schema definition missing 'fields'"))
+    if (fields.isEmpty) fail("schema must define at least one field")
+    SchemaDef(fields.map { f =>
+      val fo = obj(f, "schema field")
+      val name = optStr(fo, "name").getOrElse(fail("schema field missing 'name'"))
+      val tpe = optStr(fo, "type").getOrElse(fail(s"field '$name' missing 'type'"))
+      val nullable = field(fo, "nullable") match {
+        case Some(JBool(b)) => b
+        case Some(other)    => fail(s"field '$name' nullable must be boolean, got $other")
+        case None           => fail(s"field '$name' missing 'nullable'")
+      }
+      FieldDef(name, tpe, nullable)
+    })
+  }
+
+  private def parseTransform(o: JObject): TransformDef = {
+    val name = optStr(o, "name").getOrElse(fail("transformation missing 'name'"))
+    val tpe = optStr(o, "type").getOrElse(fail(s"transformation '$name' missing 'type'"))
+    val params = field(o, "params").map(p => obj(p, s"transformation '$name' params"))
+      .getOrElse(fail(s"transformation '$name' missing 'params'"))
+    val input = optStr(params, "input").getOrElse(fail(s"transformation '$name' missing params.input"))
+    tpe match {
+      case "add_fields" =>
+        val fields = field(params, "addFields")
+          .map(v => arr(v, "addFields")).getOrElse(fail(s"add_fields '$name' missing 'addFields'"))
+        AddFieldsDef(name, input, fields.map { f =>
+          val fo = obj(f, "addFields entry")
+          (optStr(fo, "name").getOrElse(fail("addFields entry missing 'name'")),
+           optStr(fo, "function").getOrElse(fail("addFields entry missing 'function'")))
+        })
+      case "validate_fields" =>
+        val validations = field(params, "validations")
+          .map(v => arr(v, "validations")).getOrElse(fail(s"validate_fields '$name' missing 'validations'"))
+        ValidateFieldsDef(name, input, validations.map(v => parseValidation(obj(v, "validation"))))
+      case other =>
+        fail(s"Unsupported transformation type '$other' for '$name'. " +
+          "Supported types: [add_fields, validate_fields]")
+    }
+  }
+
+  private def parseValidation(o: JObject): ValidationDef = {
+    val fieldName = optStr(o, "field").getOrElse(fail("validation missing 'field'"))
+    val rules = field(o, "rules").map(v => arr(v, "rules"))
+      .getOrElse(fail(s"validation for '$fieldName' missing 'rules'"))
+    ValidationDef(fieldName, rules.map {
+      case JString("notNull")  => NotNullRule
+      case JString("notEmpty") => NotEmptyRule
+      case JString(other) =>
+        fail(s"Unsupported validation rule for field '$fieldName': '$other'. " +
+          "Supported simple rules: [notEmpty, notNull]")
+      case ro: JObject =>
+        val rname = optStr(ro, "name").getOrElse(fail(s"rule object for '$fieldName' missing 'name'"))
+        val params = field(ro, "params").getOrElse(fail(s"rule '$rname' for '$fieldName' missing 'params'"))
+        rname match {
+          case "regex" => RegexRule(str(params, "regex params"))
+          case "minValue" => params match {
+            case JInt(i)     => MinValueRule(i.toDouble)
+            case JDouble(d)  => MinValueRule(d)
+            case JDecimal(d) => MinValueRule(d.toDouble)
+            case JLong(l)    => MinValueRule(l.toDouble)
+            case other       => fail(s"minValue params must be numeric, got $other")
+          }
+          case other =>
+            fail(s"Unsupported validation rule for field '$fieldName': '$other'. " +
+              "Supported parameterized rules: [minValue, regex]")
+        }
+      case other => fail(s"Invalid validation rule configuration for field '$fieldName': $other")
+    })
+  }
+
+  private def parseSink(o: JObject): SinkDef = SinkDef(
+    input = optStr(o, "input").getOrElse(fail("sink missing 'input'")),
+    name = optStr(o, "name").getOrElse(fail("sink missing 'name'")),
+    path = optStr(o, "path").orElse(
+      field(o, "paths").flatMap(v => arr(v, "paths").headOption).map(s => str(s, "sink path"))
+    ).getOrElse(fail("sink missing 'path'")),
+    format = optStr(o, "format").getOrElse("json"),
+    saveMode = optStr(o, "saveMode").getOrElse("overwrite"),
+    partitionBy = field(o, "partitionBy")
+      .map(v => arr(v, "partitionBy").map(s => str(s, "partitionBy entry")))
+      .getOrElse(Seq.empty))
+
+  private def parseConsolidation(o: JObject): ConsolidationDef = {
+    val enabled = field(o, "enabled").contains(JBool(true))
+    val ok = field(o, "ok_records").map(v => obj(v, "ok_records"))
+    val dedup = ok.flatMap(field(_, "deduplication")).map(v => obj(v, "deduplication"))
+    ConsolidationDef(
+      enabled = enabled,
+      inputPattern = ok.flatMap(optStr(_, "input_pattern")).getOrElse(""),
+      outputPath = ok.flatMap(optStr(_, "output_path")).getOrElse(""),
+      dedup = DedupDef(
+        enabled = dedup.exists(d => field(d, "enabled").contains(JBool(true))),
+        keyColumn = dedup.flatMap(optStr(_, "key_column")).getOrElse("id"),
+        orderBy = dedup.flatMap(optStr(_, "order_by")).getOrElse("batch_date"),
+        orderDirection = dedup.flatMap(optStr(_, "order_direction")).getOrElse("DESC")))
+  }
+}

@@ -1,0 +1,52 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Keep-newest-per-key deduplication.
+  *
+  * Semantics of reference pipeline/consolidator.py:32-57
+  * (ROW_NUMBER() OVER (PARTITION BY key ORDER BY ord DESC) = 1), but
+  * implemented as `max_by` over a deterministic ordering struct instead
+  * of a window:
+  *
+  *   - a window must shuffle EVERY row to its key's partition, sort,
+  *     and only then discard losers;
+  *   - `max_by` is a declarative aggregate, so Spark runs a map-side
+  *     partial aggregate first — at 100 TB with duplicate-heavy keys
+  *     the shuffle carries at most one row per key per map task.
+  *
+  * A tie-breaker column is required so "newest" is total and the result
+  * deterministic (the reference's bare ROW_NUMBER is
+  * partition-order-dependent on ties).
+  */
+object Dedup {
+
+  /** One surviving row per `key`: the row with the greatest
+    * (orderBy, tieBreaker) — or smallest, when `descending=false`.
+    */
+  def keepNewest(
+      df: DataFrame,
+      key: Column,
+      orderBy: Column,
+      tieBreaker: Column,
+      descending: Boolean = true): DataFrame = {
+    val payload = struct(df.columns.map(col): _*)
+    val ord = struct(orderBy, tieBreaker)
+    val pick = if (descending) max_by(payload, ord) else min_by(payload, ord)
+    df.groupBy(key.as("__dedup_key"))
+      .agg(pick.as("__winner"))
+      .select(col("__winner.*"))
+  }
+
+  /** Exact duplicate removal: one representative row (minimum id) per
+    * distinct value of `on`. Hash-groupBy with partial aggregation —
+    * the canonical exact-dedup for LLM corpora.
+    */
+  def exact(df: DataFrame, on: Column, idCol: Column): DataFrame = {
+    val payload = struct(df.columns.map(col): _*)
+    df.groupBy(on.as("__dedup_on"))
+      .agg(min_by(payload, idCol).as("__winner"))
+      .select(col("__winner.*"))
+  }
+}

@@ -1,0 +1,80 @@
+package graft.operators
+
+import graft.meta._
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Rule-based row validation with error provenance.
+  *
+  * Same semantics as reference pipeline/validator.py: every rule for
+  * every field is evaluated independently, all failures are collected
+  * per field, a field absent from the input yields the automatic
+  * `fieldMissing` error, and the input splits into an OK set (original
+  * columns only) and a KO set (original columns +
+  * `validation_errors: map<string, array<string>>`).
+  *
+  * Spark-first: rules compile to `Column` expressions (whole-stage
+  * codegen, no UDFs), so validation is a narrow map over the scan with
+  * zero shuffles — at 100 TB this runs at full scan throughput and the
+  * OK/KO predicates are pushed into the same generated code as the
+  * reads.
+  */
+object Validator {
+
+  /** Error label expression for one rule over one field: the error
+    * string when the rule fails, else NULL. Labels match the
+    * reference's (validator.py:_*_rule).
+    */
+  def ruleError(c: Column, rule: RuleDef): Column = rule match {
+    case NotNullRule => when(c.isNull, lit("notNull"))
+    case NotEmptyRule =>
+      when(c.isNotNull && trim(c.cast("string")) === "", lit("notEmpty"))
+    case RegexRule(p) =>
+      when(c.isNotNull && !c.cast("string").rlike(p), lit(s"regex: $p"))
+    case MinValueRule(m) =>
+      when(c.isNotNull && c.cast("double") < m, lit(s"minValue: ${fmtNum(m)}"))
+  }
+
+  /** Render the numeric parameter the way the metadata wrote it
+    * (18 stays "18", 18.5 stays "18.5") so error labels are stable.
+    */
+  private def fmtNum(d: Double): String =
+    if (d == d.floor && !d.isInfinite && math.abs(d) < 1e15) d.toLong.toString
+    else d.toString
+
+  /** Collected error array for one field: NULL when the field passes
+    * all rules; `array('fieldMissing')` when the column is absent.
+    */
+  def fieldErrors(columns: Seq[String], v: ValidationDef): Column = {
+    if (!columns.contains(v.field)) array(lit("fieldMissing"))
+    else {
+      val errs = array(v.rules.map(r => ruleError(col(v.field), r)): _*)
+      nullif(array_compact(errs), array())
+    }
+  }
+
+  final case class Validated(
+      ok: DataFrame,
+      ko: DataFrame,
+      errorCondition: Column)
+
+  /** Split `df` into OK/KO by `validations`. Both outputs derive from a
+    * single annotated plan; Catalyst prunes the error expressions out of
+    * the OK branch entirely.
+    */
+  def validate(df: DataFrame, validations: Seq[ValidationDef]): Validated = {
+    require(validations.nonEmpty, "validate_fields requires at least one validation")
+    val cols = df.columns.toSeq
+    val errCols = validations.map(v => v.field -> fieldErrors(cols, v))
+    val anyError = errCols.map(_._2.isNotNull).reduce(_ || _)
+
+    val ok = df.filter(!coalesce(anyError, lit(false)))
+    val errMap = map_filter(
+      map(errCols.flatMap { case (f, e) => Seq(lit(f), e) }: _*),
+      (_, v) => v.isNotNull)
+    val ko = df
+      .filter(coalesce(anyError, lit(false)))
+      .withColumn("validation_errors", errMap)
+    Validated(ok, ko, anyError)
+  }
+}

@@ -1,0 +1,336 @@
+package graft.queries
+
+import graft.Tables
+import graft.io.BatchDiscovery
+import graft.meta._
+import graft.operators.{AddFields, Consolidator, Dedup, Validator}
+import graft.pipeline.Runner
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Metadata-driven ETL operators as driver-checkable queries
+  * (SURVEY §2 #1–#9).
+  *
+  * Each query has a DuckDB oracle; validation-rule SQL is *generated*
+  * from the same `ValidationDef`s the Spark side executes, so both
+  * engines share one definition of the semantics.
+  */
+object PipelineQueries {
+
+  // ---------- shared rule → DuckDB SQL generation ----------
+
+  private def ruleCondSql(f: String, r: RuleDef): (String, String) = r match {
+    case NotNullRule  => (s"($f IS NULL)", "notNull")
+    case NotEmptyRule => (s"($f IS NOT NULL AND trim(CAST($f AS VARCHAR)) = '')", "notEmpty")
+    case RegexRule(p) =>
+      (s"($f IS NOT NULL AND NOT regexp_matches(CAST($f AS VARCHAR), '${p.replace("'", "''")}'))",
+       s"regex: $p")
+    case MinValueRule(m) =>
+      val ms = if (m == m.floor && math.abs(m) < 1e15) m.toLong.toString else m.toString
+      (s"($f IS NOT NULL AND CAST($f AS DOUBLE) < $ms)", s"minValue: $ms")
+  }
+
+  /** DuckDB boolean: this field has at least one error. */
+  private def fieldErrSql(columns: Seq[String], v: ValidationDef): String =
+    if (!columns.contains(v.field)) "TRUE"
+    else v.rules.map(r => ruleCondSql(v.field, r)._1).mkString("(", " OR ", ")")
+
+  /** DuckDB expression: comma-joined error labels for one field, NULL
+    * when the field passes (concat_ws skips NULL branches in both
+    * engines).
+    */
+  private def fieldErrStrSql(columns: Seq[String], v: ValidationDef): String =
+    if (!columns.contains(v.field)) "'fieldMissing'"
+    else {
+      val cases = v.rules.map { r =>
+        val (cond, label) = ruleCondSql(v.field, r)
+        s"CASE WHEN $cond THEN '${label.replace("'", "''")}' END"
+      }
+      s"NULLIF(concat_ws(',', ${cases.mkString(", ")}), '')"
+    }
+
+  private def anyErrSql(columns: Seq[String], vs: Seq[ValidationDef]): String =
+    vs.map(fieldErrSql(columns, _)).mkString("(", " OR ", ")")
+
+  /** Spark twin of [[fieldErrStrSql]]: flatten the validator's error
+    * array to the same comma-joined string.
+    */
+  private def fieldErrStrCol(columns: Seq[String], v: ValidationDef): Column =
+    array_join(Validator.fieldErrors(columns, v), ",")
+
+  // ---------- q01: schema enforcement ----------
+
+  /** JSON metadata schema → StructType → typed parquet read. The
+    * declared 4-column schema prunes the scan (ReadSchema shows only
+    * these columns).
+    */
+  private val eventsSchemaJson =
+    """{"type":"struct","fields":[
+      |{"name":"event_id","type":"long","nullable":false},
+      |{"name":"user_id","type":"long","nullable":true},
+      |{"name":"event_type","type":"string","nullable":true},
+      |{"name":"value","type":"double","nullable":true}]}""".stripMargin
+
+  def q01_schema_enforce(spark: SparkSession, dir: String): DataFrame = {
+    val meta = Metadata.parse(
+      s"""{"dataflows":[{"name":"f","sources":[{
+         |"name":"events","path":"$dir/events.parquet","format":"parquet",
+         |"schema":$eventsSchemaJson,"schema_enforcement":{"enabled":true}
+         |}]}]}""".stripMargin)
+    val flow = meta.dataflows.head
+    val result = Runner.runFlow(spark, flow,
+      Runner.RunContext(None, None, Map.empty), writeSinks = false)
+    result.catalog("events").orderBy("event_id")
+  }
+
+  val q01_oracle: String =
+    "SELECT event_id, user_id, event_type, value FROM events ORDER BY event_id"
+
+  // ---------- q02: add_fields ----------
+
+  def q02_add_fields(spark: SparkSession, dir: String): DataFrame = {
+    val ctx = AddFields.BatchContext(Some("2025-12-01"), Some("run-001"))
+    AddFields(
+      Tables.load(spark, dir, "orders").select("o_orderkey", "o_totalprice"),
+      Seq(
+        "source_batch" -> "batch_id",
+        "batch_date" -> "batch_date",
+        "processed_run_id" -> "run_id"),
+      ctx)
+      .withColumn("batch_date", date_format(col("batch_date"), "yyyy-MM-dd"))
+      .orderBy("o_orderkey")
+  }
+
+  val q02_oracle: String =
+    """SELECT o_orderkey, o_totalprice,
+      |  '2025-12-01' AS source_batch,
+      |  '2025-12-01' AS batch_date,
+      |  'run-001' AS processed_run_id
+      |FROM orders ORDER BY o_orderkey""".stripMargin
+
+  // ---------- q03/q04: validate_fields OK / KO ----------
+
+  private val eventValidations = Seq(
+    ValidationDef("user_id", Seq(NotNullRule)),
+    ValidationDef("event_type", Seq(NotNullRule, NotEmptyRule, RegexRule("^[a-z_]+$"))),
+    ValidationDef("value", Seq(NotNullRule, MinValueRule(10))),
+    ValidationDef("props", Seq(NotNullRule, NotEmptyRule)))
+
+  private val eventCols =
+    Seq("event_id", "ts", "user_id", "event_type", "value", "props")
+
+  def q03_validate_ok(spark: SparkSession, dir: String): DataFrame = {
+    val v = Validator.validate(Tables.load(spark, dir, "events"), eventValidations)
+    v.ok.select("event_id", "user_id", "event_type", "value").orderBy("event_id")
+  }
+
+  def q03OracleSql: String =
+    s"""SELECT event_id, user_id, event_type, value FROM events
+       |WHERE NOT ${anyErrSql(eventCols, eventValidations)}
+       |ORDER BY event_id""".stripMargin
+
+  def q04_validate_ko(spark: SparkSession, dir: String): DataFrame = {
+    val df = Tables.load(spark, dir, "events")
+    val v = Validator.validate(df, eventValidations)
+    val errCols = eventValidations.map(vd =>
+      fieldErrStrCol(df.columns.toSeq, vd).as(s"${vd.field}_errors"))
+    v.ko.select(col("event_id") +: errCols: _*).orderBy("event_id")
+  }
+
+  def q04OracleSql: String = {
+    val errSelects = eventValidations.map(v =>
+      s"${fieldErrStrSql(eventCols, v)} AS ${v.field}_errors")
+    s"""SELECT event_id, ${errSelects.mkString(", ")} FROM events
+       |WHERE ${anyErrSql(eventCols, eventValidations)}
+       |ORDER BY event_id""".stripMargin
+  }
+
+  // ---------- q05: fieldMissing ----------
+
+  private val missingValidation = Seq(
+    ValidationDef("doc_id", Seq(NotNullRule)),
+    ValidationDef("plate_number", Seq(NotNullRule, RegexRule("^[A-Z0-9-]+$"))))
+
+  def q05_validate_fieldmissing(spark: SparkSession, dir: String): DataFrame = {
+    val df = Tables.load(spark, dir, "documents")
+    val v = Validator.validate(df, missingValidation)
+    val errCols = missingValidation.map(vd =>
+      fieldErrStrCol(df.columns.toSeq, vd).as(s"${vd.field}_errors"))
+    v.ko.select(col("doc_id") +: errCols: _*).orderBy("doc_id")
+  }
+
+  private val docCols = Seq("doc_id", "text", "lang", "source", "n_chars")
+
+  def q05OracleSql: String = {
+    val errSelects = missingValidation.map(v =>
+      s"${fieldErrStrSql(docCols, v)} AS ${v.field}_errors")
+    s"""SELECT doc_id, ${errSelects.mkString(", ")} FROM documents
+       |WHERE ${anyErrSql(docCols, missingValidation)}
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  // ---------- q06: keep-newest dedup ----------
+
+  def q06_dedup_keep_latest(spark: SparkSession, dir: String): DataFrame =
+    Dedup.keepNewest(
+      Tables.load(spark, dir, "orders"),
+      key = col("o_custkey"),
+      orderBy = col("o_orderdate"),
+      tieBreaker = col("o_orderkey"))
+      .select(
+        col("o_custkey"), col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("latest_order_date"),
+        col("o_totalprice"))
+      .orderBy("o_custkey")
+
+  val q06_oracle: String =
+    """SELECT o_custkey, o_orderkey,
+      |  strftime(o_orderdate, '%Y-%m-%d') AS latest_order_date, o_totalprice
+      |FROM (
+      |  SELECT *, ROW_NUMBER() OVER (
+      |    PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+      |  FROM orders)
+      |WHERE rn = 1 ORDER BY o_custkey""".stripMargin
+
+  // ---------- q07: incremental consolidation ----------
+
+  /** Simulates the reference's incremental flow: the pre-1998 orders
+    * were consolidated previously; orders from 1998 on arrive as new
+    * batches; incremental consolidation unions and re-dedups. The
+    * oracle is the semantic invariant: the result equals keep-newest
+    * over ALL orders.
+    */
+  def q07_consolidate_incremental(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.load(spark, dir, "orders")
+    val cutoff = to_timestamp(lit("1998-01-01 00:00:00"))
+    val cfg = ConsolidationDef(
+      enabled = true, inputPattern = "", outputPath = "",
+      dedup = DedupDef(enabled = true, keyColumn = "o_custkey",
+        orderBy = "o_orderdate", orderDirection = "DESC"))
+    val existing = Consolidator.dedup(orders.filter(col("o_orderdate") < cutoff), cfg, "o_orderkey")
+    val incoming = orders.filter(col("o_orderdate") >= cutoff)
+    Consolidator.consolidate(incoming, Some(existing), cfg, "o_orderkey").df
+      .select(
+        col("o_custkey"), col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("latest_order_date"))
+      .orderBy("o_custkey")
+  }
+
+  val q07_oracle: String =
+    """SELECT o_custkey, o_orderkey,
+      |  strftime(o_orderdate, '%Y-%m-%d') AS latest_order_date
+      |FROM (
+      |  SELECT *, ROW_NUMBER() OVER (
+      |    PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+      |  FROM orders)
+      |WHERE rn = 1 ORDER BY o_custkey""".stripMargin
+
+  // ---------- q08: incremental batch filtering ----------
+
+  /** Manifest watermark semantics: event days are the "batches";
+    * only days strictly after the watermark are processed. The distinct
+    * day list is driver-side metadata (a few hundred values at most,
+    * same as the reference's bucket listing) — the heavy filter runs
+    * distributed via IN over that list.
+    */
+  def q08_batch_filter(spark: SparkSession, dir: String): DataFrame = {
+    val events = Tables.load(spark, dir, "events")
+    val watermark = "2024-01-10"
+    val day = date_format(col("ts"), "yyyy-MM-dd")
+    val allBatches = events.select(day.as("d")).distinct()
+      .collect().map(_.getString(0)).toSeq.sorted
+    val newBatches = BatchDiscovery.filterNew(allBatches, Some(watermark))
+    events
+      .withColumn("batch_day", day)
+      .filter(col("batch_day").isin(newBatches: _*))
+      .groupBy("batch_day")
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .orderBy("batch_day")
+  }
+
+  val q08_oracle: String =
+    """SELECT strftime(ts, '%Y-%m-%d') AS batch_day,
+      |  count(*) AS n_events,
+      |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM events
+      |WHERE strftime(ts, '%Y-%m-%d') > '2024-01-10'
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---------- q09: full metadata-driven flow ----------
+
+  private val docValidations = Seq(
+    ValidationDef("text", Seq(NotNullRule, NotEmptyRule)),
+    ValidationDef("n_chars", Seq(NotNullRule, MinValueRule(100))),
+    ValidationDef("lang", Seq(NotNullRule, RegexRule("^(en|de|fr)$"))))
+
+  private def e2eMetaJson(dir: String): String =
+    s"""{
+       |"processing_mode": "incremental",
+       |"dataflows": [{
+       |  "name": "doc-ingestion",
+       |  "sources": [{
+       |    "name": "docs", "path": "$dir/documents.parquet",
+       |    "format": "parquet", "required": true
+       |  }],
+       |  "transformations": [
+       |    {"name": "with_batch_meta", "type": "add_fields", "params": {
+       |      "input": "docs",
+       |      "addFields": [
+       |        {"name": "source_batch", "function": "batch_id"},
+       |        {"name": "processed_run_id", "function": "run_id"}]}},
+       |    {"name": "validation", "type": "validate_fields", "params": {
+       |      "input": "with_batch_meta",
+       |      "validations": [
+       |        {"field": "text", "rules": ["notNull", "notEmpty"]},
+       |        {"field": "n_chars", "rules": ["notNull", {"name": "minValue", "params": 100}]},
+       |        {"field": "lang", "rules": ["notNull", {"name": "regex", "params": "^(en|de|fr)$$"}]}]}}
+       |  ],
+       |  "sinks": []
+       |}]}""".stripMargin
+
+  def q09_pipeline_e2e(spark: SparkSession, dir: String): DataFrame = {
+    val meta = Metadata.parse(e2eMetaJson(dir))
+    val result = Runner.runFlow(
+      spark, meta.dataflows.head,
+      Runner.RunContext(Some("2025-12-01"), Some("run-001"), Map.empty),
+      writeSinks = false)
+    result.catalog("validation_ok")
+      .select("doc_id", "lang", "n_chars", "source_batch", "processed_run_id")
+      .orderBy("doc_id")
+  }
+
+  private val docMetaCols = docCols ++ Seq("source_batch", "processed_run_id")
+
+  def q09OracleSql: String =
+    s"""SELECT doc_id, lang, n_chars,
+       |  '2025-12-01' AS source_batch, 'run-001' AS processed_run_id
+       |FROM documents
+       |WHERE NOT ${anyErrSql(docMetaCols, docValidations)}
+       |ORDER BY doc_id""".stripMargin
+
+  // ---------- registry ----------
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_schema_enforce" -> (q01_schema_enforce _),
+    "q02_add_fields" -> (q02_add_fields _),
+    "q03_validate_ok" -> (q03_validate_ok _),
+    "q04_validate_ko" -> (q04_validate_ko _),
+    "q05_validate_fieldmissing" -> (q05_validate_fieldmissing _),
+    "q06_dedup_keep_latest" -> (q06_dedup_keep_latest _),
+    "q07_consolidate_incremental" -> (q07_consolidate_incremental _),
+    "q08_batch_filter" -> (q08_batch_filter _),
+    "q09_pipeline_e2e" -> (q09_pipeline_e2e _))
+
+  val oracles: Map[String, String] = Map(
+    "q01_schema_enforce" -> q01_oracle,
+    "q02_add_fields" -> q02_oracle,
+    "q03_validate_ok" -> q03OracleSql,
+    "q04_validate_ko" -> q04OracleSql,
+    "q05_validate_fieldmissing" -> q05OracleSql,
+    "q06_dedup_keep_latest" -> q06_oracle,
+    "q07_consolidate_incremental" -> q07_oracle,
+    "q08_batch_filter" -> q08_oracle,
+    "q09_pipeline_e2e" -> q09OracleSql)
+}

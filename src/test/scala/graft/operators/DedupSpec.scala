@@ -1,0 +1,43 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+
+  test("keepNewest keeps the greatest (orderBy, tieBreaker) row per key") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      ("k1", "2024-01-01", 1L, "old"),
+      ("k1", "2024-01-03", 2L, "new"),
+      ("k1", "2024-01-03", 3L, "newer-tie"),
+      ("k2", "2024-02-01", 4L, "only")
+    ).toDF("k", "d", "id", "tag")
+    val out = Dedup.keepNewest(df, col("k"), col("d"), col("id"))
+      .select("k", "tag").collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(out == Map("k1" -> "newer-tie", "k2" -> "only"))
+  }
+
+  test("keepNewest uses partial aggregation, not a window sort") {
+    val df = graft.Tables.load(spark, sf(), "orders")
+    val plan = Dedup.keepNewest(df, col("o_custkey"), col("o_orderdate"), col("o_orderkey"))
+      .queryExecution.executedPlan.toString
+    // the map-side partial aggregate is what bounds the shuffle to one
+    // row per key per task — it must appear below the Exchange
+    val exchangeAt = plan.indexOf("Exchange")
+    val partialAt = plan.indexOf("partial_max_by")
+    assert(partialAt > exchangeAt && exchangeAt >= 0,
+      s"expected partial_max_by below the Exchange:\n$plan")
+    assert(!plan.contains("Window"), s"window-based dedup would shuffle all rows:\n$plan")
+  }
+
+  test("exact dedup keeps min-id representative") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((3L, "same"), (1L, "same"), (2L, "other")).toDF("id", "text")
+    val out = Dedup.exact(df, col("text"), col("id"))
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(out == Set(1L, 2L))
+  }
+}
