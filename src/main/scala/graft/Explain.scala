@@ -1,0 +1,40 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Plan-inspection utility: prints the formatted executed plan of one
+  * or all SparkEntry queries. Used for the explain-audit loop
+  * (SURVEY §5): verify pushdown (PushedFilters/ReadSchema), join
+  * strategies (BroadcastHashJoin vs SortMergeJoin), and codegen spans.
+  *
+  * Usage: graft.Explain <sfDir> [queryName] [--run]
+  */
+object Explain {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val which = args.drop(1).filterNot(_.startsWith("--")).headOption
+    val run = args.contains("--run")
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", 4)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", false)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val targets = SparkEntry.queries
+      .filter { case (n, _) => which.forall(_ == n) }.toSeq.sortBy(_._1)
+    targets.foreach { case (name, fn) =>
+      val df = fn(spark, sfDir)
+      if (run) df.write.format("noop").mode("overwrite").save()
+      val plan = df.queryExecution.executedPlan.toString
+      def n(pat: String) = pat.r.findAllIn(plan).size
+      println(s"== $name ==")
+      println(s"  exchanges=${n("Exchange")} broadcastJoins=${n("BroadcastHashJoin")} " +
+        s"smj=${n("SortMergeJoin")} bnlj=${n("BroadcastNestedLoopJoin")} " +
+        s"cartesian=${n("CartesianProduct")} window=${n("Window")} " +
+        s"wholestagecodegen=${n("WholeStageCodegen")}")
+      if (which.isDefined) println(plan)
+    }
+    spark.stop()
+  }
+}

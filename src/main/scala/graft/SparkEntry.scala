@@ -11,14 +11,10 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    PipelineQueries.queries ++ Map(
-      "q10_pricing_summary" -> (Analytics.q10_pricing_summary _)
-    )
+    PipelineQueries.queries ++ Analytics.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    PipelineQueries.oracles ++ Map(
-      "q10_pricing_summary" -> Analytics.q10_oracle
-    )
+    PipelineQueries.oracles ++ Analytics.oracles
 }

@@ -57,4 +57,260 @@ object Analytics {
       |WHERE l_shipdate < TIMESTAMP '1998-09-03 00:00:00'
       |GROUP BY l_returnflag, l_linestatus
       |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  // ---------- q11: star join + aggregate ----------
+
+  /** Star-schema join: fact `orders` joined through `customer` to the
+    * `nation`/`region` dims. All three dims are broadcast (explicitly —
+    * at 100 TB autoBroadcastJoinThreshold can misestimate post-filter
+    * sizes), so the fact side never shuffles for the join; the only
+    * exchange is the final per-group aggregate of pre-combined rows.
+    */
+  def q11_join_agg(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.load(spark, dir, "orders")
+    val customer = Tables.load(spark, dir, "customer")
+    val nation = Tables.load(spark, dir, "nation")
+    val region = Tables.load(spark, dir, "region")
+    orders
+      .join(broadcast(customer), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast(dec18)).cast("double").as("revenue"),
+        countDistinct(col("o_custkey")).as("n_customers"))
+      .orderBy("r_name", "n_name")
+  }
+
+  val q11_oracle: String =
+    """SELECT r_name, n_name, count(*) AS n_orders,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+      |  count(DISTINCT o_custkey) AS n_customers
+      |FROM orders
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin
+
+  // ---------- q12: window top-N per group ----------
+
+  def q12_window_topn(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    Tables.load(spark, dir, "orders")
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select("o_custkey", "rk", "o_orderkey", "o_totalprice")
+      .orderBy("o_custkey", "rk")
+  }
+
+  val q12_oracle: String =
+    """SELECT o_custkey, rk, o_orderkey, o_totalprice FROM (
+      |  SELECT *, ROW_NUMBER() OVER (
+      |    PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
+      |  FROM orders)
+      |WHERE rk <= 3 ORDER BY o_custkey, rk""".stripMargin
+
+  // ---------- q13: distinct + conditional aggregates ----------
+
+  def q13_agg_distinct(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "orders")
+      .groupBy("o_orderpriority")
+      .agg(
+        countDistinct(col("o_custkey")).as("n_customers"),
+        count(lit(1)).as("n_orders"),
+        count(when(col("o_orderstatus") === "F", 1)).as("n_finished"),
+        sum(when(col("o_orderstatus") === "F", col("o_totalprice").cast(dec18))
+          .otherwise(lit(0).cast(dec18))).cast("double").as("finished_revenue"))
+      .orderBy("o_orderpriority")
+
+  val q13_oracle: String =
+    """SELECT o_orderpriority,
+      |  count(DISTINCT o_custkey) AS n_customers,
+      |  count(*) AS n_orders,
+      |  count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS n_finished,
+      |  CAST(sum(CASE WHEN o_orderstatus = 'F' THEN CAST(o_totalprice AS DECIMAL(18,2)) ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS finished_revenue
+      |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  // ---------- q14: rollup ----------
+
+  /** Multi-level aggregate via ROLLUP. Subtotal rows surface as NULL
+    * group keys in both engines; coalesced to 'ALL' so the comparison
+    * (and downstream consumers) need no NULL-ordering convention.
+    */
+  def q14_rollup(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "orders")
+      .rollup("o_orderstatus", "o_orderpriority")
+      .agg(
+        count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast(dec18)).cast("double").as("revenue"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("n_orders"), col("revenue"))
+      .orderBy("status", "priority")
+
+  val q14_oracle: String =
+    """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+      |  coalesce(o_orderpriority, 'ALL') AS priority,
+      |  count(*) AS n_orders,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+      |ORDER BY status, priority""".stripMargin
+
+  // ---------- q15: pivot ----------
+
+  private val priorities =
+    Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+
+  /** Pivot with an explicit value list — the implicit-values form would
+    * need an extra distinct scan AND make the output schema data-
+    * dependent, which breaks at scale and in streaming.
+    */
+  def q15_pivot(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "orders")
+      .groupBy("o_orderstatus")
+      .pivot("o_orderpriority", priorities)
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .orderBy("o_orderstatus")
+
+  val q15_oracle: String = {
+    val cols = priorities.map(p =>
+      s"""count(CASE WHEN o_orderpriority = '$p' THEN 1 END) AS "$p"""")
+    s"""SELECT o_orderstatus, ${cols.mkString(", ")}
+       |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+  }
+
+  // ---------- q16: as-of join ----------
+
+  /** As-of join: for every purchase event, the user's most recent
+    * strictly-earlier click. Spark has no ASOF JOIN; the scalable
+    * encoding is union-the-streams + one window pass — a single shuffle
+    * by user_id, O(n log n) in each partition, versus an
+    * inequality-join which Spark would execute as a broadcast
+    * nested-loop (O(n·m) per user). Timestamps are collision-free in
+    * this dataset (checked), so strict '<' is well-defined; the oracle
+    * uses DuckDB's native ASOF JOIN as an independent implementation.
+    */
+  def q16_asof_join(spark: SparkSession, dir: String): DataFrame = {
+    val events = Tables.load(spark, dir, "events")
+      .filter(col("event_type").isin("click", "purchase"))
+      .select("event_id", "user_id", "event_type", "ts", "value")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id")
+      .orderBy("ts")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    events
+      .withColumn("last_click_ts",
+        last(when(col("event_type") === "click", col("ts")), ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(
+        col("event_id"), col("user_id"), col("value"),
+        date_format(col("last_click_ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("last_click_at"))
+      .orderBy("event_id")
+  }
+
+  val q16_oracle: String =
+    """SELECT p.event_id, p.user_id, p.value,
+      |  strftime(c.ts, '%Y-%m-%d %H:%M:%S.%f') AS last_click_at
+      |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      |  ON p.user_id = c.user_id AND c.ts < p.ts
+      |ORDER BY p.event_id""".stripMargin
+
+  // ---------- q17: tumbling time-window aggregate ----------
+
+  /** Batch twin of the Structured Streaming windowed aggregation
+    * (same `window()` call works under readStream + watermark; see
+    * streaming.EventsStreaming).
+    */
+  def q17_events_tumbling(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "events")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast(dec18)).cast("double").as("total_value"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm").as("hour_start"),
+        col("event_type"), col("n_events"), col("total_value"))
+      .orderBy("hour_start", "event_type")
+
+  val q17_oracle: String =
+    """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS hour_start,
+      |  event_type, count(*) AS n_events,
+      |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  // ---------- q18: sessionization ----------
+
+  /** Gap-based sessionization (30 min): a session break is a row whose
+    * gap to the previous event exceeds the timeout; the running sum of
+    * breaks is the session index. One shuffle by user_id; both window
+    * passes share the same partitioning so Catalyst plans a single
+    * exchange. Batch twin of flatMapGroupsWithState sessionization.
+    */
+  def q18_sessionize(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy("user_id").orderBy("ts")
+    val gapMin = 30 * 60L
+    Tables.load(spark, dir, "events")
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("is_break",
+        when(col("prev_ts").isNull ||
+          unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts")) > gapMin, 1L)
+          .otherwise(0L))
+      .withColumn("session_id", sum(col("is_break")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "session_id")
+      .agg(
+        count(lit(1)).as("n_events"),
+        date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+        date_format(max(col("ts")), "yyyy-MM-dd HH:mm:ss").as("session_end"),
+        sum(col("value").cast(dec18)).cast("double").as("session_value"))
+      .orderBy("user_id", "session_id")
+  }
+
+  val q18_oracle: String =
+    """SELECT user_id, session_id, count(*) AS n_events,
+      |  strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+      |  strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
+      |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value
+      |FROM (
+      |  SELECT *, sum(is_break) OVER (
+      |    PARTITION BY user_id ORDER BY ts
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      |  FROM (
+      |    SELECT *, CASE WHEN prev_ts IS NULL
+      |        OR epoch(ts) - epoch(prev_ts) > 1800 THEN 1 ELSE 0 END AS is_break
+      |    FROM (
+      |      SELECT *, lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+      |      FROM events)))
+      |GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin
+
+  // ---------- registry ----------
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q10_pricing_summary" -> (q10_pricing_summary _),
+    "q11_join_agg" -> (q11_join_agg _),
+    "q12_window_topn" -> (q12_window_topn _),
+    "q13_agg_distinct" -> (q13_agg_distinct _),
+    "q14_rollup" -> (q14_rollup _),
+    "q15_pivot" -> (q15_pivot _),
+    "q16_asof_join" -> (q16_asof_join _),
+    "q17_events_tumbling" -> (q17_events_tumbling _),
+    "q18_sessionize" -> (q18_sessionize _))
+
+  val oracles: Map[String, String] = Map(
+    "q10_pricing_summary" -> q10_oracle,
+    "q11_join_agg" -> q11_oracle,
+    "q12_window_topn" -> q12_oracle,
+    "q13_agg_distinct" -> q13_oracle,
+    "q14_rollup" -> q14_oracle,
+    "q15_pivot" -> q15_oracle,
+    "q16_asof_join" -> q16_oracle,
+    "q17_events_tumbling" -> q17_oracle,
+    "q18_sessionize" -> q18_oracle)
 }
