@@ -1,0 +1,78 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** MinHash + SimHash primitives for near-duplicate detection at corpus
+  * scale (SURVEY §2 #24–#27).
+  *
+  * All hashing is md5-based so Spark and DuckDB agree exactly; MinHash
+  * "permutations" are the lexicographic order of salted md5 hex
+  * strings (a uniform-ish total order is all MinHash needs).
+  *
+  * Scale design: signatures/bands are narrow per-row expressions; the
+  * only shuffle in LSH candidate generation is the band-bucket
+  * self-join — never an O(n²) cross product.
+  */
+object HashFunctions {
+
+  /** 3-token shingles (w-shingling with w=3). */
+  def shingles(toks: Column): Column =
+    transform(
+      sequence(lit(0), size(toks) - 3),
+      i => concat_ws(" ",
+        element_at(toks, i + 1), element_at(toks, i + 2), element_at(toks, i + 3)))
+
+  def shinglesSql(toksSql: String): String =
+    s"[array_to_string(($toksSql)[i:i+2], ' ') for i in range(1, len($toksSql)-1)]"
+
+  /** MinHash component i: lexicographic min of salted md5 over the
+    * shingle set. NULL for docs with no shingles.
+    */
+  def minhash(sh: Column, i: Int): Column =
+    array_min(transform(sh, s => md5(concat(lit(s"$i|"), s))))
+
+  def minhashSql(shSql: String, i: Int): String =
+    s"list_min([md5(concat('$i|', s)) for s in $shSql])"
+
+  /** LSH band bucket: hash of `rows` consecutive signature components.
+    * Equal buckets in a band ⇒ candidate pair.
+    */
+  def bandBucket(sig: Seq[Column], band: Int, rows: Int): Column =
+    md5(concat_ws("|", sig.slice(band * rows, band * rows + rows): _*))
+
+  def bandBucketSql(sigSql: Seq[String], band: Int, rows: Int): String =
+    s"md5(concat_ws('|', ${sigSql.slice(band * rows, band * rows + rows).mkString(", ")}))"
+
+  // ---------- SimHash ----------
+
+  /** 16-bit SimHash: per token, 16 bits are drawn from the first four
+    * md5 hex digits; each bit votes ±1; the sign of the total vote is
+    * the fingerprint bit. Near-duplicates land within small Hamming
+    * distance. Emitted as one SQL expression string in either dialect
+    * (spark=true → Spark SQL for expr(), false → DuckDB).
+    */
+  def simhash16Sql(toksSql: String, spark: Boolean): String = {
+    val posFn = if (spark) "instr" else "strpos"
+    def shr(x: String, n: Int) = if (spark) s"shiftright($x, $n)" else s"($x >> $n)"
+    val bits = (0 until 16).map { b =>
+      val digit = s"($posFn('0123456789abcdef', substring(md5(t), ${1 + b / 4}, 1)) - 1)"
+      val bit = s"(${shr(digit, b % 4)} & 1)"
+      // vote_b over all tokens: sum of (2*bit - 1)
+      val votes =
+        if (spark) s"aggregate($toksSql, 0L, (acc, t) -> acc + (2 * $bit - 1))"
+        else s"list_sum([2 * $bit - 1 for t in $toksSql])"
+      s"(CASE WHEN $votes > 0 THEN ${1 << b} ELSE 0 END)"
+    }
+    bits.mkString("(", " + ", ")")
+  }
+
+  /** Hamming distance between two 16-bit simhashes, as a dialect-paired
+    * SQL expression (popcount of xor).
+    */
+  def hamming16Sql(a: String, b: String, spark: Boolean): String = {
+    val xor = if (spark) s"($a ^ $b)" else s"xor($a, $b)"
+    def shr(e: String, n: Int) = if (spark) s"shiftright($e, $n)" else s"($e >> $n)"
+    (0 until 16).map(i => s"(${shr(xor, i)} & 1)").mkString("(", " + ", ")")
+  }
+}

@@ -1,0 +1,70 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Embedding-vector primitives (SURVEY §2 #28–#30).
+  *
+  * Cosine is computed as a strict left-to-right double fold so both
+  * engines produce bit-identical values (floats are cast to double
+  * BEFORE any arithmetic — mixed float/double accumulation would
+  * diverge between engines).
+  *
+  * Random-hyperplane LSH uses md5-derived ±1 planes — deterministic,
+  * seedless, identical across engines and across cluster runs.
+  */
+object VectorFunctions {
+
+  /** Cast a float array column to double element-wise. */
+  def asDouble(v: Column): Column = transform(v, x => x.cast("double"))
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** DuckDB twin: identical fold shape (list_sum of element products
+    * starting from the first element equals the 0.0-seeded fold
+    * bit-for-bit, since 0.0 + x == x in IEEE754).
+    */
+  def dotSql(a: String, b: String): String =
+    s"list_sum(list_apply(range(1, len($a)+1), i -> ($a)[i]*($b)[i]))"
+
+  def cosineSql(a: String, b: String): String =
+    s"(${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)})))"
+
+  // ---------- random-hyperplane LSH ----------
+
+  /** Plane component (j,i) ∈ {-1.0, +1.0}, derived from one md5 hex
+    * digit's low bit. Materialized as literal arrays so both engines
+    * embed the identical constants.
+    */
+  private def planeComponent(j: Int, i: Int): Double = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"plane-$j|$i".getBytes("UTF-8"))
+    if ((hex(0) & 1) == 1) 1.0 else -1.0
+  }
+
+  def planes(nPlanes: Int, dim: Int): Seq[Seq[Double]] =
+    (0 until nPlanes).map(j => (0 until dim).map(i => planeComponent(j, i)))
+
+  /** LSH bucket id: sign bits of the vector's dot products with the
+    * planes, packed into an int. Signed components are ±1 so the dot
+    * product is an exact signed sum — no float-order sensitivity in
+    * the bucket assignment beyond the double sum itself (identical
+    * fold both engines).
+    */
+  def lshBucket(v: Column, ps: Seq[Seq[Double]]): Column =
+    ps.zipWithIndex.map { case (p, j) =>
+      val planeLit = array(p.map(lit): _*)
+      when(dot(v, planeLit) > 0, lit(1 << j)).otherwise(lit(0))
+    }.reduce(_ + _)
+
+  def lshBucketSql(vSql: String, ps: Seq[Seq[Double]]): String =
+    ps.zipWithIndex.map { case (p, j) =>
+      val arr = p.map(x => if (x > 0) "1.0" else "-1.0").mkString("[", ", ", "]")
+      s"(CASE WHEN ${dotSql(vSql, arr)} > 0 THEN ${1 << j} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+}

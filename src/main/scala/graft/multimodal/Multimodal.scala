@@ -1,0 +1,97 @@
+package graft.multimodal
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing (SURVEY §2 #31).
+  *
+  * Design: media payloads are opaque `binary` columns carried next to
+  * a typed metadata struct; decode/feature-extract runs per-partition
+  * over iterator batches so a real decoder (JNI image lib, ffmpeg
+  * subprocess, ONNX runtime) amortizes init per partition, not per
+  * row. The decoders themselves are STUBBED with deterministic fakes
+  * (no media libs in this environment — the stub boundary is
+  * [[StubDecoders]]); schema, partitioning, batch shape, and the
+  * expression-level metadata path are real.
+  */
+object Multimodal {
+
+  /** Typed record for the partition-level decode path. */
+  final case class MediaRecord(doc_id: Long, payload: Array[Byte], mime: String)
+  final case class DecodedRecord(
+      doc_id: Long, n_bytes: Int, width: Int, height: Int, feature0: Double)
+
+  /** STUB — stands in for a real image decoder. Deterministic on the
+    * payload bytes so tests and the oracle can verify the plumbing.
+    */
+  object StubDecoders {
+    def decodeImage(payload: Array[Byte]): (Int, Int, Double) = {
+      val n = payload.length
+      // fake "dimensions" and a fake first feature derived from content
+      val w = 64 + (n % 64)
+      val h = 64 + ((n / 64) % 64)
+      val f0 = payload.foldLeft(0L)((a, b) => (a * 31 + (b & 0xff)) % 1000003L).toDouble / 1000003.0
+      (w, h, f0)
+    }
+  }
+
+  /** Build a media table from `documents`: the text bytes stand in for
+    * an image payload; metadata travels as a typed struct column.
+    */
+  def mediaTable(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "documents")
+      .select(
+        col("doc_id"),
+        col("text").cast("binary").as("payload"),
+        struct(
+          lit("image/fake").as("mime"),
+          col("source").as("origin"),
+          col("n_chars").as("declared_size")).as("media_meta"))
+
+  /** Partition-level decode: one `mapPartitions` pass, decoder state
+    * initialized once per partition. This is the pattern a real
+    * decoder plugs into; only StubDecoders.decodeImage is fake.
+    */
+  def decodeImages(spark: SparkSession, media: DataFrame): Dataset[DecodedRecord] = {
+    import spark.implicits._
+    media.select(col("doc_id"), col("payload"), col("media_meta.mime").as("mime"))
+      .as[MediaRecord]
+      .mapPartitions { it =>
+        // per-partition decoder init would go here
+        it.map { r =>
+          val (w, h, f0) = StubDecoders.decodeImage(r.payload)
+          DecodedRecord(r.doc_id, r.payload.length, w, h, f0)
+        }
+      }
+  }
+
+  /** Oracle-checkable metadata-extraction query: everything here is
+    * expression-level (octet_length, metadata fields, content hash) —
+    * the decode stub itself is validated by MultimodalSpec instead,
+    * since a fake decoder has no meaningful SQL oracle.
+    */
+  def q31_multimodal_extract(spark: SparkSession, dir: String): DataFrame =
+    mediaTable(spark, dir)
+      .select(
+        col("doc_id"),
+        length(col("payload")).as("n_bytes"),
+        col("media_meta.mime").as("mime"),
+        col("media_meta.origin").as("origin"),
+        col("media_meta.declared_size").as("declared_size"),
+        md5(col("payload")).as("payload_md5"),
+        (lit(64) + pmod(length(col("payload")), lit(64))).as("stub_width"),
+        (lit(64) + pmod(floor(length(col("payload")) / lit(64)).cast("long"), lit(64))).as("stub_height"))
+      .orderBy("doc_id")
+
+  val q31_oracle: String =
+    """SELECT doc_id,
+      |  octet_length(CAST(text AS BLOB)) AS n_bytes,
+      |  'image/fake' AS mime,
+      |  source AS origin,
+      |  n_chars AS declared_size,
+      |  md5(text) AS payload_md5,
+      |  64 + octet_length(CAST(text AS BLOB)) % 64 AS stub_width,
+      |  64 + CAST(floor(octet_length(CAST(text AS BLOB)) / 64) AS BIGINT) % 64 AS stub_height
+      |FROM documents ORDER BY doc_id""".stripMargin
+}

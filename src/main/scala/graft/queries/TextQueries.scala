@@ -1,0 +1,265 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.{HashFunctions => H, TextFunctions => T}
+import graft.operators.Dedup
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis and near-dup operators over `documents`
+  * (SURVEY §2 #19–#27). All per-document work is narrow expressions;
+  * only candidate-pair generation shuffles, and only by LSH bucket.
+  */
+object TextQueries {
+
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "documents")
+
+  // ---------- q19: token counting ----------
+
+  def q19_token_count(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(
+        col("doc_id"),
+        size(T.tokens(col("text"))).as("n_ws_tokens"),
+        T.bpeTokenCount(col("text")).as("n_bpe_tokens"),
+        length(col("text")).as("n_text_chars"))
+      .orderBy("doc_id")
+
+  val q19_oracle: String =
+    s"""SELECT doc_id,
+       |  len(${T.tokensSql("text")}) AS n_ws_tokens,
+       |  ${T.bpeTokenCountSql("text")} AS n_bpe_tokens,
+       |  length(text) AS n_text_chars
+       |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ---------- q20: language identification ----------
+
+  def q20_lang_id(spark: SparkSession, dir: String): DataFrame = {
+    val toks = T.tokens(col("text"))
+    docs(spark, dir)
+      .select(
+        col("doc_id"), col("lang").as("declared_lang"),
+        T.langId(toks).as("detected_lang"),
+        T.stopwordCount(toks, T.stopwords.head._2).as("en_stopwords"))
+      .orderBy("doc_id")
+  }
+
+  val q20_oracle: String = {
+    val toks = T.tokensSql("text")
+    s"""SELECT doc_id, lang AS declared_lang,
+       |  ${T.langIdSql(toks)} AS detected_lang,
+       |  ${T.stopwordCountSql(toks, T.stopwords.head._2)} AS en_stopwords
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
+  // ---------- q21: quality scoring ----------
+
+  def q21_quality_score(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(col("doc_id"), T.qualityScore(col("text")).as("quality"))
+      .filter(col("quality") > 0.4)
+      .orderBy("doc_id")
+
+  val q21_oracle: String =
+    s"""SELECT doc_id, ${T.qualityScoreSql("text")} AS quality
+       |FROM documents
+       |WHERE ${T.qualityScoreSql("text")} > 0.4
+       |ORDER BY doc_id""".stripMargin
+
+  // ---------- q22: document fingerprint ----------
+
+  def q22_fingerprint(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(
+        col("doc_id"),
+        T.fingerprint(col("text")).as("fp"),
+        md5(col("text")).as("content_md5"))
+      .orderBy("doc_id")
+
+  val q22_oracle: String =
+    s"""SELECT doc_id, ${T.fingerprintSql("text")} AS fp, md5(text) AS content_md5
+       |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ---------- q23: exact dedup ----------
+
+  /** Exact dedup by content hash: one representative (min doc_id) per
+    * distinct text. Hash-groupBy with partial aggregation — the
+    * canonical first pass of any corpus dedup at 100 TB (group by
+    * md5, not by the full text, so the shuffle carries 32-byte keys).
+    */
+  def q23_dedup_exact(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .groupBy(md5(col("text")).as("content_md5"))
+      .agg(
+        min(col("doc_id")).as("rep_doc_id"),
+        count(lit(1)).as("n_copies"))
+      .orderBy("rep_doc_id")
+
+  val q23_oracle: String =
+    """SELECT md5(text) AS content_md5, min(doc_id) AS rep_doc_id,
+      |  count(*) AS n_copies
+      |FROM documents GROUP BY md5(text) ORDER BY rep_doc_id""".stripMargin
+
+  // ---------- q24: MinHash signatures ----------
+
+  val minhashK = 12
+  val lshBands = 3
+  val lshRows = 4 // minhashK / lshBands
+
+  def q24_minhash_sig(spark: SparkSession, dir: String): DataFrame = {
+    val withShingles = docs(spark, dir)
+      .select(col("doc_id"), H.shingles(T.tokens(col("text"))).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val sigCols = (0 until minhashK).map(i =>
+      H.minhash(col("sh"), i).as(f"mh$i%02d"))
+    withShingles.select(col("doc_id") +: sigCols: _*).orderBy("doc_id")
+  }
+
+  val q24_oracle: String = {
+    val sh = H.shinglesSql(T.tokensSql("text"))
+    val sigSelects = (0 until minhashK).map(i => s"${H.minhashSql("sh", i)} AS " + f"mh$i%02d")
+    s"""SELECT doc_id, ${sigSelects.mkString(", ")}
+       |FROM (SELECT doc_id, $sh AS sh FROM documents)
+       |WHERE len(sh) > 0 ORDER BY doc_id""".stripMargin
+  }
+
+  // ---------- q25: MinHash-LSH candidate pairs + Jaccard verify ----------
+
+  /** LSH banding: equal band-bucket ⇒ candidate; candidates are then
+    * verified with true shingle-set Jaccard. The self-join is on
+    * (band, bucket) — at corpus scale each bucket holds a handful of
+    * docs, so the join output is near-linear, not quadratic.
+    */
+  def q25_minhash_lsh_pairs(spark: SparkSession, dir: String): DataFrame = {
+    val base = docs(spark, dir)
+      .select(col("doc_id"), H.shingles(T.tokens(col("text"))).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .withColumn("shd", array_distinct(col("sh")))
+    val sig = (0 until minhashK).map(i => H.minhash(col("sh"), i))
+    val withBuckets = base.select(
+      Seq(col("doc_id"), col("shd")) ++
+        (0 until lshBands).map(b => H.bandBucket(sig, b, lshRows).as(s"bucket$b")): _*)
+
+    val bands = (0 until lshBands).map { b =>
+      withBuckets.select(col("doc_id"), col("shd"), lit(b).as("band"),
+        col(s"bucket$b").as("bucket"))
+    }.reduce(_ unionByName _)
+
+    val a = bands.select(col("band"), col("bucket"),
+      col("doc_id").as("a_id"), col("shd").as("a_sh"))
+    val b = bands.select(col("band"), col("bucket"),
+      col("doc_id").as("b_id"), col("shd").as("b_sh"))
+    val inter = size(array_intersect(col("a_sh"), col("b_sh"))).cast("double")
+    val uni = (size(col("a_sh")) + size(col("b_sh"))).cast("double") - inter
+    a.join(b, Seq("band", "bucket"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"), (inter / uni).as("jaccard"))
+      .distinct()
+      .filter(col("jaccard") >= 0.8)
+      .orderBy("a_id", "b_id")
+  }
+
+  val q25_oracle: String = {
+    val sh = H.shinglesSql(T.tokensSql("text"))
+    val sigSql = (0 until minhashK).map(i => H.minhashSql("sh", i))
+    val buckets = (0 until lshBands).map(b =>
+      s"${H.bandBucketSql(sigSql, b, lshRows)} AS bucket$b")
+    val bandUnion = (0 until lshBands).map(b =>
+      s"SELECT doc_id, shd, $b AS band, bucket$b AS bucket FROM base")
+      .mkString(" UNION ALL ")
+    s"""WITH base AS (
+       |  SELECT doc_id, list_distinct(sh) AS shd, ${buckets.mkString(", ")}
+       |  FROM (SELECT doc_id, $sh AS sh FROM documents)
+       |  WHERE len(sh) > 0),
+       |bands AS ($bandUnion)
+       |SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+       |  CAST(len(list_intersect(a.shd, b.shd)) AS DOUBLE) /
+       |   (CAST(len(a.shd) + len(b.shd) AS DOUBLE) - CAST(len(list_intersect(a.shd, b.shd)) AS DOUBLE)) AS jaccard
+       |FROM bands a JOIN bands b
+       |  ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+       |WHERE CAST(len(list_intersect(a.shd, b.shd)) AS DOUBLE) /
+       |   (CAST(len(a.shd) + len(b.shd) AS DOUBLE) - CAST(len(list_intersect(a.shd, b.shd)) AS DOUBLE)) >= 0.8
+       |ORDER BY a_id, b_id""".stripMargin
+  }
+
+  // ---------- q26: n-gram Jaccard similarity ----------
+
+  /** True pairwise bigram-Jaccard on a bounded slice (doc_id < 200 ⇒
+    * ≤19.9k pairs) — the exact baseline the LSH path approximates.
+    * Bounded on purpose: the all-pairs form is O(n²) and exists to
+    * validate, not to run at corpus scale (that's q25's job).
+    */
+  def q26_ngram_jaccard(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+      .filter(col("doc_id") < 200)
+      .select(col("doc_id"),
+        array_distinct(H.shingles(T.tokens(col("text")))).as("sh"))
+    val a = d.select(col("doc_id").as("a_id"), col("sh").as("a_sh"))
+    val b = d.select(col("doc_id").as("b_id"), col("sh").as("b_sh"))
+    val inter = size(array_intersect(col("a_sh"), col("b_sh"))).cast("double")
+    val uni = (size(col("a_sh")) + size(col("b_sh"))).cast("double") - inter
+    a.crossJoin(b)
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"), (inter / uni).as("jaccard"))
+      .filter(col("jaccard") >= 0.2)
+      .orderBy("a_id", "b_id")
+  }
+
+  val q26_oracle: String = {
+    val sh = H.shinglesSql(T.tokensSql("text"))
+    val j = "CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / " +
+      "(CAST(len(a.sh) + len(b.sh) AS DOUBLE) - CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE))"
+    s"""WITH d AS (
+       |  SELECT doc_id, list_distinct($sh) AS sh FROM documents WHERE doc_id < 200)
+       |SELECT a.doc_id AS a_id, b.doc_id AS b_id, $j AS jaccard
+       |FROM d a, d b
+       |WHERE a.doc_id < b.doc_id AND $j >= 0.2
+       |ORDER BY a_id, b_id""".stripMargin
+  }
+
+  // ---------- q27: SimHash near-dup buckets ----------
+
+  def q27_simhash(spark: SparkSession, dir: String): DataFrame = {
+    val toksSql = "filter(split(trim(text), '\\\\s+'), t -> t != '')"
+    docs(spark, dir)
+      .withColumn("simhash",
+        expr(H.simhash16Sql(toksSql, spark = true)))
+      .groupBy("simhash")
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("rep_doc_id"))
+      .filter(col("n_docs") >= 2)
+      .orderBy("simhash")
+  }
+
+  val q27_oracle: String = {
+    val toks = T.tokensSql("text")
+    s"""SELECT simhash, count(*) AS n_docs, min(doc_id) AS rep_doc_id
+       |FROM (SELECT doc_id, ${H.simhash16Sql(toks, spark = false)} AS simhash
+       |      FROM documents)
+       |GROUP BY simhash HAVING count(*) >= 2 ORDER BY simhash""".stripMargin
+  }
+
+  // ---------- registry ----------
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q19_token_count" -> (q19_token_count _),
+    "q20_lang_id" -> (q20_lang_id _),
+    "q21_quality_score" -> (q21_quality_score _),
+    "q22_fingerprint" -> (q22_fingerprint _),
+    "q23_dedup_exact" -> (q23_dedup_exact _),
+    "q24_minhash_sig" -> (q24_minhash_sig _),
+    "q25_minhash_lsh_pairs" -> (q25_minhash_lsh_pairs _),
+    "q26_ngram_jaccard" -> (q26_ngram_jaccard _),
+    "q27_simhash" -> (q27_simhash _))
+
+  val oracles: Map[String, String] = Map(
+    "q19_token_count" -> q19_oracle,
+    "q20_lang_id" -> q20_oracle,
+    "q21_quality_score" -> q21_oracle,
+    "q22_fingerprint" -> q22_oracle,
+    "q23_dedup_exact" -> q23_oracle,
+    "q24_minhash_sig" -> q24_oracle,
+    "q25_minhash_lsh_pairs" -> q25_oracle,
+    "q26_ngram_jaccard" -> q26_oracle,
+    "q27_simhash" -> q27_oracle)
+}

@@ -1,0 +1,155 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.{VectorFunctions => V}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Embedding similarity-search and near-dup operators
+  * (SURVEY §2 #28–#30).
+  */
+object VectorQueries {
+
+  val nPlanes = 8
+  val dim = 64
+  lazy val planes: Seq[Seq[Double]] = V.planes(nPlanes, dim)
+
+  private def emb(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"), col("label"), V.asDouble(col("embedding")).as("v"))
+
+  // ---------- q28: brute-force cosine top-k ----------
+
+  /** Exact top-5 cosine neighbors for a bounded query set (vec_id<50).
+    * Brute force is the *baseline*: O(|Q|·N) — fine for |Q| small and
+    * the validation path for q29's approximate index. The corpus side
+    * streams once; the query side is broadcast.
+    */
+  def q28_knn_bruteforce(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    val q = e.filter(col("vec_id") < 50)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val c = e.select(col("vec_id").as("n_id"), col("v").as("nv"))
+    val cos = V.cosine(col("qv"), col("nv"))
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id").asc)
+    broadcast(q).join(c, col("q_id") =!= col("n_id"))
+      .select(col("q_id"), col("n_id"), cos.as("cos"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5)
+      .select("q_id", "rk", "n_id", "cos")
+      .orderBy("q_id", "rk")
+  }
+
+  val q28_oracle: String = {
+    val cos = V.cosineSql("qv", "nv")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+       |scored AS (
+       |  SELECT q.vec_id AS q_id, c.vec_id AS n_id, $cos AS cos
+       |  FROM (SELECT vec_id, v AS qv FROM e WHERE vec_id < 50) q,
+       |       (SELECT vec_id, v AS nv FROM e) c
+       |  WHERE q.vec_id <> c.vec_id)
+       |SELECT q_id, rk, n_id, cos FROM (
+       |  SELECT *, ROW_NUMBER() OVER (
+       |    PARTITION BY q_id ORDER BY cos DESC, n_id ASC) AS rk
+       |  FROM scored)
+       |WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin
+  }
+
+  // ---------- q29: random-hyperplane LSH ANN ----------
+
+  /** Approximate NN via hyperplane-LSH buckets: vectors only compare
+    * within their bucket, so the join is bucket-equi (shuffle by
+    * bucket id) instead of all-pairs. With 8 planes the corpus splits
+    * into ≤256 buckets; at 100 TB you'd raise nPlanes so bucket size
+    * stays bounded and add multi-probe for recall.
+    */
+  def q29_knn_lsh(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+      .withColumn("bucket", V.lshBucket(col("v"), planes))
+    val q = e.filter(col("vec_id") < 50)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("bucket"))
+    val c = e.select(col("vec_id").as("n_id"), col("v").as("nv"), col("bucket"))
+    val cos = V.cosine(col("qv"), col("nv"))
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id").asc)
+    q.join(c, Seq("bucket"))
+      .filter(col("q_id") =!= col("n_id"))
+      .select(col("q_id"), col("bucket"), col("n_id"), cos.as("cos"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select("q_id", "bucket", "rk", "n_id", "cos")
+      .orderBy("q_id", "rk")
+  }
+
+  val q29_oracle: String = {
+    val cos = V.cosineSql("qv", "nv")
+    val bucket = V.lshBucketSql("v", planes)
+    s"""WITH e AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+       |b AS (SELECT vec_id, v, $bucket AS bucket FROM e),
+       |scored AS (
+       |  SELECT q.vec_id AS q_id, q.bucket, c.vec_id AS n_id, $cos AS cos
+       |  FROM (SELECT vec_id, v AS qv, bucket FROM b WHERE vec_id < 50) q
+       |  JOIN (SELECT vec_id, v AS nv, bucket FROM b) c USING (bucket)
+       |  WHERE q.vec_id <> c.vec_id)
+       |SELECT q_id, bucket, rk, n_id, cos FROM (
+       |  SELECT *, ROW_NUMBER() OVER (
+       |    PARTITION BY q_id ORDER BY cos DESC, n_id ASC) AS rk
+       |  FROM scored)
+       |WHERE rk <= 3 ORDER BY q_id, rk""".stripMargin
+  }
+
+  // ---------- q30: embedding-cosine near-dup ----------
+
+  /** Near-duplicate pairs: same LSH bucket AND cosine above threshold;
+    * each duplicate group keeps its minimum vec_id as representative.
+    * The bucket pre-filter is what makes this near-linear — the
+    * threshold filter alone would still need all pairs.
+    */
+  val nearDupThreshold = 0.35
+
+  def q30_embedding_dedup(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+      .withColumn("bucket", V.lshBucket(col("v"), planes))
+    val a = e.select(col("vec_id").as("a_id"), col("v").as("qv"), col("bucket"))
+    val b = e.select(col("vec_id").as("b_id"), col("v").as("nv"), col("bucket"))
+    val cos = V.cosine(col("qv"), col("nv"))
+    a.join(b, Seq("bucket"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"), cos.as("cos"))
+      .filter(col("cos") > nearDupThreshold)
+      .groupBy(col("b_id"))
+      .agg(min(col("a_id")).as("keep_id"), count(lit(1)).as("n_matches"),
+        max(col("cos")).as("max_cos"))
+      .withColumnRenamed("b_id", "dup_id")
+      .orderBy("dup_id")
+  }
+
+  val q30_oracle: String = {
+    val cos = V.cosineSql("qv", "nv")
+    val bucket = V.lshBucketSql("v", planes)
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+       |b AS (SELECT vec_id, v, $bucket AS bucket FROM e),
+       |pairs AS (
+       |  SELECT a.vec_id AS a_id, c.vec_id AS b_id, $cos AS cos
+       |  FROM (SELECT vec_id, v AS qv, bucket FROM b) a
+       |  JOIN (SELECT vec_id, v AS nv, bucket FROM b) c USING (bucket)
+       |  WHERE a.vec_id < c.vec_id)
+       |SELECT b_id AS dup_id, min(a_id) AS keep_id, count(*) AS n_matches,
+       |  max(cos) AS max_cos
+       |FROM pairs WHERE cos > $nearDupThreshold
+       |GROUP BY b_id ORDER BY dup_id""".stripMargin
+  }
+
+  // ---------- registry ----------
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q28_knn_bruteforce" -> (q28_knn_bruteforce _),
+    "q29_knn_lsh" -> (q29_knn_lsh _),
+    "q30_embedding_dedup" -> (q30_embedding_dedup _))
+
+  val oracles: Map[String, String] = Map(
+    "q28_knn_bruteforce" -> q28_oracle,
+    "q29_knn_lsh" -> q29_oracle,
+    "q30_embedding_dedup" -> q30_oracle)
+}
