@@ -28,12 +28,34 @@ object HashFunctions {
 
   /** MinHash component i: lexicographic min of salted md5 over the
     * shingle set. NULL for docs with no shingles.
+    *
+    * Simple form — one md5 per (component, shingle). Prefer the
+    * saltedHashes/minhashFromHashes pair below in pipelines: k
+    * components there cost ceil(k/6) md5 per shingle instead of k,
+    * which cut the sf0.1 signature stage ~6x.
     */
   def minhash(sh: Column, i: Int): Column =
     array_min(transform(sh, s => md5(concat(lit(s"$i|"), s))))
 
   def minhashSql(shSql: String, i: Int): String =
     s"list_min([md5(concat('$i|', s)) for s in $shSql])"
+
+  /** One salted md5 per shingle; six disjoint 5-hex-digit slices of
+    * each digest serve as six independent 20-bit hash functions
+    * (disjoint bit ranges of one md5 are independent uniform values).
+    */
+  def saltedHashes(sh: Column, salt: Int): Column =
+    transform(sh, s => md5(concat(lit(s"$salt|"), s)))
+
+  def saltedHashesSql(shSql: String, salt: Int): String =
+    s"[md5(concat('$salt|', s)) for s in $shSql]"
+
+  /** MinHash from precomputed digests: min of slice `slice` (0..5). */
+  def minhashFromHashes(hs: Column, slice: Int): Column =
+    array_min(transform(hs, h => substring(h, 1 + slice * 5, 5)))
+
+  def minhashFromHashesSql(hsSql: String, slice: Int): String =
+    s"list_min([substring(h, ${1 + slice * 5}, 5) for h in $hsSql])"
 
   /** LSH band bucket: hash of `rows` consecutive signature components.
     * Equal buckets in a band ⇒ candidate pair.
@@ -53,15 +75,41 @@ object HashFunctions {
     * (spark=true → Spark SQL for expr(), false → DuckDB).
     */
   def simhash16Sql(toksSql: String, spark: Boolean): String = {
+    val md5s =
+      if (spark) s"transform($toksSql, t -> md5(t))"
+      else s"[md5(t) for t in $toksSql]"
+    simhash16FromHashesSql(md5s, spark)
+  }
+
+  /** Single-pass Spark form: one aggregate over the digest array with a
+    * 16-element vote accumulator, instead of 16 separate aggregate
+    * traversals. Integer arithmetic, so it matches the 16-pass DuckDB
+    * oracle exactly.
+    */
+  val simhash16SinglePassSpark: String =
+    """aggregate(
+      |  zip_with(
+      |    aggregate(hs, array_repeat(CAST(0 AS BIGINT), 16),
+      |      (acc, h) -> zip_with(acc, transform(sequence(0, 15), b ->
+      |        CAST(2 * (shiftright(instr('0123456789abcdef', substring(h, 1 + (b div 4), 1)) - 1, b % 4) & 1) - 1 AS BIGINT)),
+      |        (a, v) -> a + v)),
+      |    sequence(0, 15),
+      |    (v, b) -> CASE WHEN v > 0 THEN shiftleft(1, b) ELSE 0 END),
+      |  0, (acc, x) -> acc + x)""".stripMargin
+
+  /** SimHash from a precomputed per-token digest array column — md5
+    * runs once per token, not once per (token, bit).
+    */
+  def simhash16FromHashesSql(hsSql: String, spark: Boolean): String = {
     val posFn = if (spark) "instr" else "strpos"
     def shr(x: String, n: Int) = if (spark) s"shiftright($x, $n)" else s"($x >> $n)"
     val bits = (0 until 16).map { b =>
-      val digit = s"($posFn('0123456789abcdef', substring(md5(t), ${1 + b / 4}, 1)) - 1)"
+      val digit = s"($posFn('0123456789abcdef', substring(h, ${1 + b / 4}, 1)) - 1)"
       val bit = s"(${shr(digit, b % 4)} & 1)"
       // vote_b over all tokens: sum of (2*bit - 1)
       val votes =
-        if (spark) s"aggregate($toksSql, 0L, (acc, t) -> acc + (2 * $bit - 1))"
-        else s"list_sum([2 * $bit - 1 for t in $toksSql])"
+        if (spark) s"aggregate($hsSql, 0L, (acc, h) -> acc + (2 * $bit - 1))"
+        else s"list_sum([2 * $bit - 1 for h in $hsSql])"
       s"(CASE WHEN $votes > 0 THEN ${1 << b} ELSE 0 END)"
     }
     bits.mkString("(", " + ", ")")

@@ -35,15 +35,14 @@ object TextQueries {
 
   // ---------- q20: language identification ----------
 
-  def q20_lang_id(spark: SparkSession, dir: String): DataFrame = {
-    val toks = T.tokens(col("text"))
+  def q20_lang_id(spark: SparkSession, dir: String): DataFrame =
     docs(spark, dir)
+      .withColumn("toks", T.tokens(col("text")))
       .select(
         col("doc_id"), col("lang").as("declared_lang"),
-        T.langId(toks).as("detected_lang"),
-        T.stopwordCount(toks, T.stopwords.head._2).as("en_stopwords"))
+        T.langId(col("toks")).as("detected_lang"),
+        T.stopwordCount(col("toks"), T.stopwords.head._2).as("en_stopwords"))
       .orderBy("doc_id")
-  }
 
   val q20_oracle: String = {
     val toks = T.tokensSql("text")
@@ -107,21 +106,47 @@ object TextQueries {
   val lshBands = 3
   val lshRows = 4 // minhashK / lshBands
 
-  def q24_minhash_sig(spark: SparkSession, dir: String): DataFrame = {
-    val withShingles = docs(spark, dir)
-      .select(col("doc_id"), H.shingles(T.tokens(col("text"))).as("sh"))
-      .filter(size(col("sh")) > 0)
+  /** Signature table builder shared by q24/q25: shingles → two salted
+    * digests per shingle → k=12 signature components as digest slices.
+    * Two md5 passes total, not twelve.
+    */
+  private def sigTable(spark: SparkSession, dir: String): DataFrame = {
+    // toks and sh materialize as separate projections: element_at in the
+    // shingle lambda must index a real array column — inlining the
+    // tokenizer expression there re-tokenizes per shingle position
+    // (quadratic in tokens; measured 2x on the sf0.1 signature stage)
+    val base = docs(spark, dir)
+      .withColumn("toks", T.tokens(col("text")))
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"), H.shingles(col("toks")).as("sh"))
+      .withColumn("hs0", H.saltedHashes(col("sh"), 0))
+      .withColumn("hs1", H.saltedHashes(col("sh"), 1))
     val sigCols = (0 until minhashK).map(i =>
-      H.minhash(col("sh"), i).as(f"mh$i%02d"))
-    withShingles.select(col("doc_id") +: sigCols: _*).orderBy("doc_id")
+      H.minhashFromHashes(col(s"hs${i / 6}"), i % 6).as(f"mh$i%02d"))
+    base.select(Seq(col("doc_id"), col("sh")) ++ sigCols: _*)
   }
 
-  val q24_oracle: String = {
+  /** DuckDB twin of [[sigTable]] (FROM-clause fragment ending in an
+    * aliased subquery named sig).
+    */
+  private def sigTableSql: String = {
     val sh = H.shinglesSql(T.tokensSql("text"))
-    val sigSelects = (0 until minhashK).map(i => s"${H.minhashSql("sh", i)} AS " + f"mh$i%02d")
-    s"""SELECT doc_id, ${sigSelects.mkString(", ")}
-       |FROM (SELECT doc_id, $sh AS sh FROM documents)
-       |WHERE len(sh) > 0 ORDER BY doc_id""".stripMargin
+    val sigSelects = (0 until minhashK).map(i =>
+      s"${H.minhashFromHashesSql(s"hs${i / 6}", i % 6)} AS " + f"mh$i%02d")
+    s"""(SELECT doc_id, sh, ${sigSelects.mkString(", ")}
+       | FROM (SELECT doc_id, sh,
+       |         ${H.saltedHashesSql("sh", 0)} AS hs0,
+       |         ${H.saltedHashesSql("sh", 1)} AS hs1
+       |       FROM (SELECT doc_id, $sh AS sh FROM documents)
+       |       WHERE len(sh) > 0)) sig""".stripMargin
+  }
+
+  def q24_minhash_sig(spark: SparkSession, dir: String): DataFrame =
+    sigTable(spark, dir).drop("sh").orderBy("doc_id")
+
+  val q24_oracle: String = {
+    val cols = (0 until minhashK).map(i => f"mh$i%02d").mkString(", ")
+    s"SELECT doc_id, $cols FROM $sigTableSql ORDER BY doc_id"
   }
 
   // ---------- q25: MinHash-LSH candidate pairs + Jaccard verify ----------
@@ -132,19 +157,18 @@ object TextQueries {
     * docs, so the join output is near-linear, not quadratic.
     */
   def q25_minhash_lsh_pairs(spark: SparkSession, dir: String): DataFrame = {
-    val base = docs(spark, dir)
-      .select(col("doc_id"), H.shingles(T.tokens(col("text"))).as("sh"))
-      .filter(size(col("sh")) > 0)
+    val sig = (0 until minhashK).map(i => col(f"mh$i%02d"))
+    // one pass computes all band buckets; posexplode fans them out
+    // without re-reading the source (a 3-way union would recompute the
+    // whole signature pipeline per band)
+    val bands = sigTable(spark, dir)
       .withColumn("shd", array_distinct(col("sh")))
-    val sig = (0 until minhashK).map(i => H.minhash(col("sh"), i))
-    val withBuckets = base.select(
-      Seq(col("doc_id"), col("shd")) ++
-        (0 until lshBands).map(b => H.bandBucket(sig, b, lshRows).as(s"bucket$b")): _*)
-
-    val bands = (0 until lshBands).map { b =>
-      withBuckets.select(col("doc_id"), col("shd"), lit(b).as("band"),
-        col(s"bucket$b").as("bucket"))
-    }.reduce(_ unionByName _)
+      .select(col("doc_id"), col("shd"),
+        posexplode(array((0 until lshBands).map(b => H.bandBucket(sig, b, lshRows)): _*))
+          .as(Seq("band", "bucket")))
+      // small per-doc table reused by both self-join sides; at cluster
+      // scale this would be written to storage instead of cached
+      .persist()
 
     val a = bands.select(col("band"), col("bucket"),
       col("doc_id").as("a_id"), col("shd").as("a_sh"))
@@ -161,8 +185,7 @@ object TextQueries {
   }
 
   val q25_oracle: String = {
-    val sh = H.shinglesSql(T.tokensSql("text"))
-    val sigSql = (0 until minhashK).map(i => H.minhashSql("sh", i))
+    val sigSql = (0 until minhashK).map(i => f"mh$i%02d")
     val buckets = (0 until lshBands).map(b =>
       s"${H.bandBucketSql(sigSql, b, lshRows)} AS bucket$b")
     val bandUnion = (0 until lshBands).map(b =>
@@ -170,8 +193,7 @@ object TextQueries {
       .mkString(" UNION ALL ")
     s"""WITH base AS (
        |  SELECT doc_id, list_distinct(sh) AS shd, ${buckets.mkString(", ")}
-       |  FROM (SELECT doc_id, $sh AS sh FROM documents)
-       |  WHERE len(sh) > 0),
+       |  FROM $sigTableSql),
        |bands AS ($bandUnion)
        |SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
        |  CAST(len(list_intersect(a.shd, b.shd)) AS DOUBLE) /
@@ -220,22 +242,20 @@ object TextQueries {
 
   // ---------- q27: SimHash near-dup buckets ----------
 
-  def q27_simhash(spark: SparkSession, dir: String): DataFrame = {
-    val toksSql = "filter(split(trim(text), '\\\\s+'), t -> t != '')"
+  def q27_simhash(spark: SparkSession, dir: String): DataFrame =
     docs(spark, dir)
-      .withColumn("simhash",
-        expr(H.simhash16Sql(toksSql, spark = true)))
+      .withColumn("hs", transform(T.tokens(col("text")), t => md5(t)))
+      .withColumn("simhash", expr(H.simhash16SinglePassSpark))
       .groupBy("simhash")
       .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("rep_doc_id"))
       .filter(col("n_docs") >= 2)
       .orderBy("simhash")
-  }
 
   val q27_oracle: String = {
     val toks = T.tokensSql("text")
     s"""SELECT simhash, count(*) AS n_docs, min(doc_id) AS rep_doc_id
-       |FROM (SELECT doc_id, ${H.simhash16Sql(toks, spark = false)} AS simhash
-       |      FROM documents)
+       |FROM (SELECT doc_id, ${H.simhash16FromHashesSql("hs", spark = false)} AS simhash
+       |      FROM (SELECT doc_id, [md5(t) for t in $toks] AS hs FROM documents))
        |GROUP BY simhash HAVING count(*) >= 2 ORDER BY simhash""".stripMargin
   }
 
