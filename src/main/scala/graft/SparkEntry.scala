@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.multimodal.Multimodal
-import graft.queries.{Analytics, PipelineQueries, TextQueries, VectorQueries}
+import graft.queries.{Analytics, CorpusQueries, PipelineQueries, TextQueries, VectorQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 + §7. */
 object SparkEntry {
@@ -13,13 +13,13 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     PipelineQueries.queries ++ Analytics.queries ++
-      TextQueries.queries ++ VectorQueries.queries ++
+      TextQueries.queries ++ VectorQueries.queries ++ CorpusQueries.queries ++
       Map("q31_multimodal_extract" -> (Multimodal.q31_multimodal_extract _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     PipelineQueries.oracles ++ Analytics.oracles ++
-      TextQueries.oracles ++ VectorQueries.oracles ++
+      TextQueries.oracles ++ VectorQueries.oracles ++ CorpusQueries.oracles ++
       Map("q31_multimodal_extract" -> Multimodal.q31_oracle)
 }

@@ -1,0 +1,205 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.{TextFunctions => T}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Additional corpus/statistics operators (SURVEY §2 #32–#35).
+  */
+object CorpusQueries {
+
+  // ---------- q32: exact per-group quantiles ----------
+
+  /** Exact discrete quantiles per group via rank arithmetic (value at
+    * row ceil(q·n)) — engine-portable, unlike each engine's built-in
+    * interpolating quantile. One shuffle by group; the sort is the
+    * dominant cost, as with any exact quantile at scale (the
+    * approximate path would be approx_percentile / t-digest).
+    */
+  def q32_quantiles(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("event_type").orderBy(col("value").asc, col("event_id").asc)
+    val ranked = Tables.load(spark, dir, "events")
+      .withColumn("rk", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("event_type")))
+    val qs = Seq(0.5, 0.95, 0.99)
+    val exprs = qs.map(q =>
+      max(when(col("rk") === ceil(lit(q) * col("n")), col("value")))
+        .as(s"p${(q * 100).toInt}"))
+    ranked.groupBy("event_type")
+      .agg(exprs.head, exprs.tail: _*)
+      .orderBy("event_type")
+  }
+
+  val q32_oracle: String = {
+    val qs = Seq(0.5, 0.95, 0.99)
+    val cols = qs.map(q =>
+      s"max(CASE WHEN rk = ceil($q * n) THEN value END) AS p${(q * 100).toInt}")
+    s"""SELECT event_type, ${cols.mkString(", ")}
+       |FROM (
+       |  SELECT event_type, value,
+       |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value ASC, event_id ASC) AS rk,
+       |    count(*) OVER (PARTITION BY event_type) AS n
+       |  FROM events)
+       |GROUP BY event_type ORDER BY event_type""".stripMargin
+  }
+
+  // ---------- q33: deterministic corpus sampling ----------
+
+  /** Reproducible ~1/16 sample via content hashing: a row is sampled
+    * iff the first hex digit of md5(salt|id) is '0'. No RNG state, no
+    * seed coordination across executors or engines — the sample is a
+    * pure function of the data, which is what makes corpus subsampling
+    * auditable at 100 TB (and is how dataset ablations stay
+    * reproducible across reruns).
+    */
+  def q33_deterministic_sample(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "documents")
+      .filter(substring(md5(concat(lit("sample-1|"), col("doc_id").cast("string"))), 1, 1) === "0")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_sampled"), min(col("doc_id")).as("first_doc"))
+      .orderBy("source")
+
+  val q33_oracle: String =
+    """SELECT source, count(*) AS n_sampled, min(doc_id) AS first_doc
+      |FROM documents
+      |WHERE substring(md5(concat('sample-1|', CAST(doc_id AS VARCHAR))), 1, 1) = '0'
+      |GROUP BY source ORDER BY source""".stripMargin
+
+  // ---------- q34: text normalization ----------
+
+  /** Canonical text normalization for dedup keys: lowercase, strip
+    * non-alphanumerics (keeping spaces), collapse whitespace, trim —
+    * then the content hash of the normalized form. Narrow, codegen'd.
+    */
+  def q34_normalize(spark: SparkSession, dir: String): DataFrame = {
+    val norm = trim(regexp_replace(
+      regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), " +", " "))
+    Tables.load(spark, dir, "documents")
+      .select(
+        col("doc_id"),
+        length(norm).as("n_norm_chars"),
+        md5(norm).as("norm_md5"))
+      .orderBy("doc_id")
+  }
+
+  val q34_oracle: String =
+    """SELECT doc_id,
+      |  length(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS n_norm_chars,
+      |  md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS norm_md5
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ---------- q35: vocabulary / token frequencies ----------
+
+  /** Corpus vocabulary with document frequencies: explode tokens,
+    * aggregate (count, docs, first-seen doc). Partial aggregation
+    * makes the shuffle carry one row per (task, token) — vocabulary
+    * building is the canonical map-side-combine workload.
+    */
+  def q35_vocabulary(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), explode(T.tokens(col("text"))).as("token"))
+      .groupBy("token")
+      .agg(
+        count(lit(1)).as("n_occurrences"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        min(col("doc_id")).as("first_doc"))
+      .orderBy("token")
+
+  val q35_oracle: String =
+    s"""SELECT token, count(*) AS n_occurrences,
+       |  count(DISTINCT doc_id) AS n_docs, min(doc_id) AS first_doc
+       |FROM (SELECT doc_id, unnest(${T.tokensSql("text")}) AS token FROM documents)
+       |GROUP BY token ORDER BY token""".stripMargin
+
+  // ---------- q36: mixture-weighted sampling ----------
+
+  /** Per-source mixture weighting: each source keeps a different
+    * fraction of its documents — the knob used to re-balance a training
+    * mixture. Fractions are sixteenths, decided by the first hex digit
+    * of a salted content hash: seedless, reproducible, and exact (no
+    * float thresholds), so the mixture is auditable at any scale.
+    */
+  val mixtureWeights: Seq[(String, Int)] = Seq( // source -> keep k/16
+    "src0" -> 8, "src1" -> 4, "src2" -> 2, "src3" -> 1)
+
+  def q36_mixture_sample(spark: SparkSession, dir: String): DataFrame = {
+    val digit = substring(md5(concat(lit("mix-1|"), col("doc_id").cast("string"))), 1, 1)
+    val keep = mixtureWeights.foldLeft(lit(0)) { case (acc, (src, k)) =>
+      when(col("source") === src, lit(k)).otherwise(acc)
+    }
+    val digitVal = (instr(lit("0123456789abcdef"), digit) - 1)
+    Tables.load(spark, dir, "documents")
+      .filter(digitVal < keep)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_kept"), min(col("doc_id")).as("first_doc"))
+      .orderBy("source")
+  }
+
+  val q36_oracle: String = {
+    val keepCase = mixtureWeights
+      .map { case (s, k) => s"WHEN source = '$s' THEN $k" }
+      .mkString("CASE ", " ", " ELSE 0 END")
+    s"""SELECT source, count(*) AS n_kept, min(doc_id) AS first_doc
+       |FROM documents
+       |WHERE (strpos('0123456789abcdef',
+       |         substring(md5(concat('mix-1|', CAST(doc_id AS VARCHAR))), 1, 1)) - 1)
+       |      < ($keepCase)
+       |GROUP BY source ORDER BY source""".stripMargin
+  }
+
+  // ---------- q37: benchmark decontamination ----------
+
+  /** Contamination check: flag documents whose shingle set overlaps a
+    * benchmark n-gram list (the eval-set leak scan every training
+    * pipeline needs). The benchmark list is a broadcast-sized literal;
+    * the scan is narrow — at 100 TB this runs at read throughput with
+    * zero shuffle before the final count.
+    */
+  val benchmarkShingles: Seq[String] = Seq(
+    "the fast key", "spark group query", "join a filter",
+    "window big merge", "hash value window")
+
+  def q37_contamination(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.{HashFunctions => H}
+    val bench = array(benchmarkShingles.map(lit): _*)
+    Tables.load(spark, dir, "documents")
+      .withColumn("toks", T.tokens(col("text")))
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"), col("source"), H.shingles(col("toks")).as("sh"))
+      .withColumn("n_hits", size(array_intersect(array_distinct(col("sh")), bench)))
+      .filter(col("n_hits") > 0)
+      .select("doc_id", "source", "n_hits")
+      .orderBy("doc_id")
+  }
+
+  val q37_oracle: String = {
+    import graft.functions.{HashFunctions => H}
+    val sh = H.shinglesSql(T.tokensSql("text"))
+    val bench = benchmarkShingles.map(s => s"'$s'").mkString("[", ", ", "]")
+    s"""SELECT doc_id, source,
+       |  len(list_intersect(list_distinct(sh), $bench)) AS n_hits
+       |FROM (SELECT doc_id, source, $sh AS sh FROM documents)
+       |WHERE len(sh) > 0 AND len(list_intersect(list_distinct(sh), $bench)) > 0
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  // ---------- registry ----------
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q32_quantiles" -> (q32_quantiles _),
+    "q33_deterministic_sample" -> (q33_deterministic_sample _),
+    "q34_normalize" -> (q34_normalize _),
+    "q35_vocabulary" -> (q35_vocabulary _),
+    "q36_mixture_sample" -> (q36_mixture_sample _),
+    "q37_contamination" -> (q37_contamination _))
+
+  val oracles: Map[String, String] = Map(
+    "q32_quantiles" -> q32_oracle,
+    "q33_deterministic_sample" -> q33_oracle,
+    "q34_normalize" -> q34_oracle,
+    "q35_vocabulary" -> q35_oracle,
+    "q36_mixture_sample" -> q36_oracle,
+    "q37_contamination" -> q37_oracle)
+}

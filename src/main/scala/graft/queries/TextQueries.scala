@@ -207,36 +207,48 @@ object TextQueries {
 
   // ---------- q26: n-gram Jaccard similarity ----------
 
-  /** True pairwise bigram-Jaccard on a bounded slice (doc_id < 200 ⇒
-    * ≤19.9k pairs) — the exact baseline the LSH path approximates.
+  /** True pairwise bigram-Jaccard on a bounded slice (doc_id < 500 ⇒
+    * ≤125k pairs) — the exact baseline the LSH path approximates.
     * Bounded on purpose: the all-pairs form is O(n²) and exists to
     * validate, not to run at corpus scale (that's q25's job).
     */
   def q26_ngram_jaccard(spark: SparkSession, dir: String): DataFrame = {
     val d = docs(spark, dir)
-      .filter(col("doc_id") < 200)
+      .filter(col("doc_id") < 500)
+      .withColumn("toks", T.tokens(col("text")))
       .select(col("doc_id"),
-        array_distinct(H.shingles(T.tokens(col("text")))).as("sh"))
-    val a = d.select(col("doc_id").as("a_id"), col("sh").as("a_sh"))
+        array_distinct(H.shingles(col("toks"))).as("sh"))
+      // tiny bounded table, read by both cross-join sides
+      .persist()
+    // the bounded slice reads as ONE parquet split -> the pair loop
+    // would run on a single core; spread the streamed side first
+    val nPart = spark.sparkContext.defaultParallelism
+    val a = d.repartition(nPart, col("doc_id"))
+      .select(col("doc_id").as("a_id"), col("sh").as("a_sh"))
     val b = d.select(col("doc_id").as("b_id"), col("sh").as("b_sh"))
-    val inter = size(array_intersect(col("a_sh"), col("b_sh"))).cast("double")
-    val uni = (size(col("a_sh")) + size(col("b_sh"))).cast("double") - inter
+    val inter = size(array_intersect(col("a_sh"), col("b_sh")))
+    val uni = size(col("a_sh")) + size(col("b_sh")) - inter
     a.crossJoin(b)
       .filter(col("a_id") < col("b_id"))
-      .select(col("a_id"), col("b_id"), (inter / uni).as("jaccard"))
-      .filter(col("jaccard") >= 0.2)
+      // threshold in exact integer form (j >= 1/5 <=> 5*inter >= union):
+      // the pushed-down predicate stays integral and the double jaccard
+      // is only materialized for surviving pairs
+      .filter(inter * 5 >= uni)
+      .select(col("a_id"), col("b_id"),
+        (inter.cast("double") / uni.cast("double")).as("jaccard"))
       .orderBy("a_id", "b_id")
   }
 
   val q26_oracle: String = {
     val sh = H.shinglesSql(T.tokensSql("text"))
-    val j = "CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / " +
-      "(CAST(len(a.sh) + len(b.sh) AS DOUBLE) - CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE))"
+    val inter = "len(list_intersect(a.sh, b.sh))"
+    val uni = s"(len(a.sh) + len(b.sh) - $inter)"
     s"""WITH d AS (
-       |  SELECT doc_id, list_distinct($sh) AS sh FROM documents WHERE doc_id < 200)
-       |SELECT a.doc_id AS a_id, b.doc_id AS b_id, $j AS jaccard
+       |  SELECT doc_id, list_distinct($sh) AS sh FROM documents WHERE doc_id < 500)
+       |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+       |  CAST($inter AS DOUBLE) / CAST($uni AS DOUBLE) AS jaccard
        |FROM d a, d b
-       |WHERE a.doc_id < b.doc_id AND $j >= 0.2
+       |WHERE a.doc_id < b.doc_id AND $inter * 5 >= $uni
        |ORDER BY a_id, b_id""".stripMargin
   }
 
