@@ -213,29 +213,33 @@ object TextQueries {
     * validate, not to run at corpus scale (that's q25's job).
     */
   def q26_ngram_jaccard(spark: SparkSession, dir: String): DataFrame = {
+    // inverted-index (posting-list) all-pairs similarity: explode
+    // shingles, equi-join on the shingle, count co-occurrences per
+    // pair. Pairs with zero overlap never materialize, the join
+    // shuffles by shingle (no cross product), and the same shape keeps
+    // working on an unbounded corpus — the doc_id bound here only
+    // matches the oracle's scope.
     val d = docs(spark, dir)
       .filter(col("doc_id") < 500)
       .withColumn("toks", T.tokens(col("text")))
       .select(col("doc_id"),
         array_distinct(H.shingles(col("toks"))).as("sh"))
-      // tiny bounded table, read by both cross-join sides
       .persist()
-    // the bounded slice reads as ONE parquet split -> the pair loop
-    // would run on a single core; spread the streamed side first
-    val nPart = spark.sparkContext.defaultParallelism
-    val a = d.repartition(nPart, col("doc_id"))
-      .select(col("doc_id").as("a_id"), col("sh").as("a_sh"))
-    val b = d.select(col("doc_id").as("b_id"), col("sh").as("b_sh"))
-    val inter = size(array_intersect(col("a_sh"), col("b_sh")))
-    val uni = size(col("a_sh")) + size(col("b_sh")) - inter
-    a.crossJoin(b)
+    val sizes = d.select(col("doc_id"), size(col("sh")).as("n"))
+    val posting = d.select(col("doc_id"), explode(col("sh")).as("s"))
+    val pairs = posting.select(col("doc_id").as("a_id"), col("s"))
+      .join(posting.select(col("doc_id").as("b_id"), col("s")), Seq("s"))
       .filter(col("a_id") < col("b_id"))
-      // threshold in exact integer form (j >= 1/5 <=> 5*inter >= union):
-      // the pushed-down predicate stays integral and the double jaccard
-      // is only materialized for surviving pairs
-      .filter(inter * 5 >= uni)
+      .groupBy("a_id", "b_id")
+      .agg(count(lit(1)).as("inter"))
+    val uni = col("a_n") + col("b_n") - col("inter")
+    pairs
+      .join(broadcast(sizes.withColumnRenamed("doc_id", "a_id").withColumnRenamed("n", "a_n")), "a_id")
+      .join(broadcast(sizes.withColumnRenamed("doc_id", "b_id").withColumnRenamed("n", "b_n")), "b_id")
+      // threshold in exact integer form: j >= 1/5 <=> 5*inter >= union
+      .filter(col("inter") * 5 >= uni)
       .select(col("a_id"), col("b_id"),
-        (inter.cast("double") / uni.cast("double")).as("jaccard"))
+        (col("inter").cast("double") / uni.cast("double")).as("jaccard"))
       .orderBy("a_id", "b_id")
   }
 
