@@ -31,8 +31,8 @@ object Explain {
       println(s"== $name ==")
       println(s"  exchanges=${n("Exchange")} broadcastJoins=${n("BroadcastHashJoin")} " +
         s"smj=${n("SortMergeJoin")} bnlj=${n("BroadcastNestedLoopJoin")} " +
-        s"cartesian=${n("CartesianProduct")} window=${n("Window")} " +
-        s"wholestagecodegen=${n("WholeStageCodegen")}")
+        s"cartesian=${n("CartesianProduct")} window=${n("Window ")} " +
+        s"codegenSpans=${n("\\*\\(\\d+\\)")}")
       if (which.isDefined) println(plan)
     }
     spark.stop()

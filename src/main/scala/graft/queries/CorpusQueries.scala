@@ -190,6 +190,62 @@ object CorpusQueries {
        |ORDER BY doc_id""".stripMargin
   }
 
+  // ---------- q38: range join ----------
+
+  /** Irregular value bands joined to events via the binned range-join
+    * operator (equi-join on quantized bins + exact predicate — no
+    * nested loop; see operators.RangeJoin). The oracle is DuckDB's
+    * native inequality join, an independent implementation.
+    */
+  val valueBands: Seq[(String, Double, Double)] = Seq(
+    ("micro", 0.0, 10.0), ("small", 10.0, 50.0),
+    ("mid", 50.0, 200.0), ("large", 200.0, 1000.0))
+
+  def q38_range_join(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.operators.RangeJoin
+    val bands = valueBands.toDF("band", "lo", "hi")
+    val events = Tables.load(spark, dir, "events")
+    RangeJoin.binned(events, col("value"), RangeJoin.Intervals(bands, "lo", "hi"), 25.0)
+      .groupBy("band")
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
+      .orderBy("band")
+  }
+
+  val q38_oracle: String = {
+    val bandRows = valueBands.map { case (n, lo, hi) => s"('$n', $lo, $hi)" }.mkString(", ")
+    s"""SELECT band, count(*) AS n_events,
+       |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+       |FROM events e
+       |JOIN (VALUES $bandRows) AS b(band, lo, hi)
+       |  ON e.value >= b.lo AND e.value < b.hi
+       |GROUP BY band ORDER BY band""".stripMargin
+  }
+
+  // ---------- q39: sliding (hopping) window aggregation ----------
+
+  /** 1-hour windows sliding every 30 minutes: every event lands in
+    * exactly two windows. Spark's window() handles this natively (and
+    * identically under readStream); the oracle reconstructs the window
+    * assignment with epoch arithmetic.
+    */
+  def q39_sliding_window(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "events")
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm").as("window_start"),
+        col("event_type"), col("n_events"))
+      .orderBy("window_start", "event_type")
+
+  val q39_oracle: String =
+    """SELECT strftime(to_timestamp((CAST(floor(epoch(ts) / 1800) AS BIGINT) - i) * 1800), '%Y-%m-%d %H:%M') AS window_start,
+      |  event_type, count(*) AS n_events
+      |FROM events, unnest([0, 1]) AS t(i)
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   // ---------- registry ----------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -198,7 +254,9 @@ object CorpusQueries {
     "q34_normalize" -> (q34_normalize _),
     "q35_vocabulary" -> (q35_vocabulary _),
     "q36_mixture_sample" -> (q36_mixture_sample _),
-    "q37_contamination" -> (q37_contamination _))
+    "q37_contamination" -> (q37_contamination _),
+    "q38_range_join" -> (q38_range_join _),
+    "q39_sliding_window" -> (q39_sliding_window _))
 
   val oracles: Map[String, String] = Map(
     "q32_quantiles" -> q32_oracle,
@@ -206,5 +264,7 @@ object CorpusQueries {
     "q34_normalize" -> q34_oracle,
     "q35_vocabulary" -> q35_oracle,
     "q36_mixture_sample" -> q36_oracle,
-    "q37_contamination" -> q37_oracle)
+    "q37_contamination" -> q37_oracle,
+    "q38_range_join" -> q38_oracle,
+    "q39_sliding_window" -> q39_oracle)
 }
