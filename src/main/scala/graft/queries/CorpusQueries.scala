@@ -246,6 +246,71 @@ object CorpusQueries {
       |FROM events, unnest([0, 1]) AS t(i)
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // ---------- q40: TF-IDF term weighting ----------
+
+  /** Top-3 salient terms per document by a TF·(N/df) weight — the
+    * rational form of TF-IDF (no logarithm: libm log differs in the
+    * last ulp across engines, while tf·N/df is a ratio of exact
+    * integers, bit-identical everywhere). Two aggregations (term
+    * stats, per-doc scores) + one broadcast join of the df table.
+    */
+  def q40_tfidf(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.load(spark, dir, "documents")
+    val nDocs = d.count() // driver-side scalar, one tiny job
+    val terms = d
+      .select(col("doc_id"), explode(T.tokens(col("text"))).as("term"))
+      .groupBy("doc_id", "term")
+      .agg(count(lit(1)).as("tf"))
+    val df_ = terms.groupBy("term")
+      .agg(countDistinct(col("doc_id")).as("df"))
+    val scored = terms
+      .join(broadcast(df_), "term")
+      .withColumn("weight",
+        col("tf").cast("double") * lit(nDocs.toDouble) / col("df").cast("double"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id")
+      .orderBy(col("weight").desc, col("term").asc)
+    scored
+      .filter(col("doc_id") < 100)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select("doc_id", "rk", "term", "tf", "df", "weight")
+      .orderBy("doc_id", "rk")
+  }
+
+  val q40_oracle: String =
+    s"""WITH terms AS (
+       |  SELECT doc_id, unnest(${T.tokensSql("text")}) AS term FROM documents),
+       |tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY 1, 2),
+       |df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY 1),
+       |n AS (SELECT count(*) AS n_docs FROM documents),
+       |scored AS (
+       |  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+       |    CAST(tf.tf AS DOUBLE) * CAST(n.n_docs AS DOUBLE) / CAST(df.df AS DOUBLE) AS weight
+       |  FROM tf JOIN df USING (term) CROSS JOIN n)
+       |SELECT doc_id, rk, term, tf, df, weight FROM (
+       |  SELECT *, ROW_NUMBER() OVER (
+       |    PARTITION BY doc_id ORDER BY weight DESC, term ASC) AS rk
+       |  FROM scored WHERE doc_id < 100)
+       |WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin
+
+  // ---------- q41: sketch-based approximate aggregates ----------
+
+  /** HyperLogLog distinct counts + t-digest quantiles per event type —
+    * the sketches any 100 TB pipeline uses instead of exact
+    * distinct/sort. Sketch internals are engine-specific, so this is
+    * deliberately a rows-only check (no oracleSql entry): the spec
+    * asserts the approximations against exact values instead.
+    */
+  def q41_approx_stats(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "events")
+      .groupBy("event_type")
+      .agg(
+        approx_count_distinct(col("user_id"), rsd = 0.02).as("approx_users"),
+        percentile_approx(col("value"), lit(0.5), lit(10000)).as("approx_p50"),
+        count(lit(1)).as("n_events"))
+      .orderBy("event_type")
+
   // ---------- registry ----------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -256,7 +321,9 @@ object CorpusQueries {
     "q36_mixture_sample" -> (q36_mixture_sample _),
     "q37_contamination" -> (q37_contamination _),
     "q38_range_join" -> (q38_range_join _),
-    "q39_sliding_window" -> (q39_sliding_window _))
+    "q39_sliding_window" -> (q39_sliding_window _),
+    "q40_tfidf" -> (q40_tfidf _),
+    "q41_approx_stats" -> (q41_approx_stats _))
 
   val oracles: Map[String, String] = Map(
     "q32_quantiles" -> q32_oracle,
@@ -266,5 +333,9 @@ object CorpusQueries {
     "q36_mixture_sample" -> q36_oracle,
     "q37_contamination" -> q37_oracle,
     "q38_range_join" -> q38_oracle,
-    "q39_sliding_window" -> q39_oracle)
+    "q39_sliding_window" -> q39_oracle,
+    // q41_approx_stats intentionally absent: sketches are
+    // engine-specific; the driver records a rows-only check and
+    // CorpusQueriesSpec bounds the error against exact values
+    "q40_tfidf" -> q40_oracle)
 }
