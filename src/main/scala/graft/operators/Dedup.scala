@@ -31,7 +31,7 @@ object Dedup {
       orderBy: Column,
       tieBreaker: Column,
       descending: Boolean = true): DataFrame = {
-    val payload = struct(df.columns.map(col): _*)
+    val payload = struct(df.columns.toSeq.map(col): _*)
     val ord = struct(orderBy, tieBreaker)
     val pick = if (descending) max_by(payload, ord) else min_by(payload, ord)
     df.groupBy(key.as("__dedup_key"))
@@ -44,7 +44,7 @@ object Dedup {
     * the canonical exact-dedup for LLM corpora.
     */
   def exact(df: DataFrame, on: Column, idCol: Column): DataFrame = {
-    val payload = struct(df.columns.map(col): _*)
+    val payload = struct(df.columns.toSeq.map(col): _*)
     df.groupBy(on.as("__dedup_on"))
       .agg(min_by(payload, idCol).as("__winner"))
       .select(col("__winner.*"))
