@@ -141,12 +141,43 @@ object VectorQueries {
        |GROUP BY b_id ORDER BY dup_id""".stripMargin
   }
 
+  // ---------- q42: IVF ANN ----------
+
+  /** Trained-quantizer ANN: k-means cells + 4-probe search, the IVF
+    * counterpart of q29's LSH. Rows-only driver check (k-means floats
+    * are engine-specific, so no SQL oracle); IvfIndexSpec bounds
+    * recall against the exact brute force instead.
+    */
+  def q42_knn_ivf(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    val model = graft.similarity.IvfIndex.train(e, "v", k = 16)
+    val corpusCells = e
+      .withColumn("cell", model.cell(col("v")))
+      .select(col("vec_id").as("n_id"), col("v").as("nv"), col("cell"))
+    val queries = e.filter(col("vec_id") < 50)
+      .withColumn("probe_cells", model.probeCells(col("v"), nProbe = 4))
+      .select(col("vec_id").as("q_id"), col("v").as("qv"),
+        explode(col("probe_cells")).as("cell"))
+    val cos = V.cosine(col("qv"), col("nv"))
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id").asc)
+    queries.join(corpusCells, Seq("cell"))
+      .filter(col("q_id") =!= col("n_id"))
+      .select(col("q_id"), col("n_id"), cos.as("cos"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select("q_id", "rk", "n_id", "cos")
+      .orderBy("q_id", "rk")
+  }
+
   // ---------- registry ----------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q28_knn_bruteforce" -> (q28_knn_bruteforce _),
     "q29_knn_lsh" -> (q29_knn_lsh _),
-    "q30_embedding_dedup" -> (q30_embedding_dedup _))
+    "q30_embedding_dedup" -> (q30_embedding_dedup _),
+    // q42 has no oracle on purpose: k-means training is engine-
+    // specific; IvfIndexSpec bounds recall against brute force
+    "q42_knn_ivf" -> (q42_knn_ivf _))
 
   val oracles: Map[String, String] = Map(
     "q28_knn_bruteforce" -> q28_oracle,
