@@ -311,6 +311,83 @@ object CorpusQueries {
         count(lit(1)).as("n_events"))
       .orderBy("event_type")
 
+  // ---------- q43: semi-structured JSON extraction ----------
+
+  /** JSON-column extraction: pull a typed field out of the `props`
+    * JSON string and aggregate on it — the schema-on-read path every
+    * event pipeline needs. get_json_object is codegen'd; for hot
+    * fields at 100 TB you'd promote them to real columns at ingest
+    * (the metadata framework's add_fields covers that).
+    */
+  def q43_json_extract(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "events")
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+      .groupBy("event_type")
+      .agg(
+        count(col("k")).as("n_with_k"),
+        min(col("k")).as("min_k"),
+        max(col("k")).as("max_k"),
+        sum(col("k").cast("long")).as("sum_k"))
+      .orderBy("event_type")
+
+  val q43_oracle: String =
+    """SELECT event_type,
+      |  count(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS n_with_k,
+      |  min(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS min_k,
+      |  max(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS max_k,
+      |  sum(CAST(CAST(json_extract_string(props, '$.k') AS INTEGER) AS BIGINT)) AS sum_k
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  // ---------- q44: edit-distance fuzzy matching ----------
+
+  /** Levenshtein verification of near-dup candidates: the character-
+    * level complement of shingle Jaccard (catches transpositions and
+    * small edits that n-grams punish). Candidates come from the exact
+    * same inverted-index shape as q26 — edit distance only runs on
+    * pairs that already share a shingle, never all pairs.
+    */
+  def q44_fuzzy_match(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.{HashFunctions => H}
+    val d = Tables.load(spark, dir, "documents")
+      .filter(col("doc_id") < 500)
+      .withColumn("toks", T.tokens(col("text")))
+      .select(col("doc_id"), col("text"), H.shingles(col("toks")).as("sh"))
+      .persist()
+    val posting = d.select(col("doc_id"), explode(array_distinct(col("sh"))).as("s"))
+    val candidates = posting.select(col("doc_id").as("a_id"), col("s"))
+      .join(posting.select(col("doc_id").as("b_id"), col("s")), Seq("s"))
+      .filter(col("a_id") < col("b_id"))
+      .groupBy("a_id", "b_id")
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= 20)
+    val texts = d.select(col("doc_id"), col("text"))
+    candidates
+      .join(texts.withColumnRenamed("doc_id", "a_id").withColumnRenamed("text", "a_text"), "a_id")
+      .join(texts.withColumnRenamed("doc_id", "b_id").withColumnRenamed("text", "b_text"), "b_id")
+      .select(col("a_id"), col("b_id"),
+        levenshtein(col("a_text"), col("b_text")).as("edit_distance"))
+      .filter(col("edit_distance") <= 10)
+      .orderBy("a_id", "b_id")
+  }
+
+  val q44_oracle: String = {
+    import graft.functions.{HashFunctions => H}
+    val sh = H.shinglesSql(T.tokensSql("text"))
+    s"""WITH d AS (
+       |  SELECT doc_id, text, list_distinct($sh) AS sh
+       |  FROM documents WHERE doc_id < 500),
+       |posting AS (SELECT doc_id, unnest(sh) AS s FROM d),
+       |cand AS (
+       |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS shared
+       |  FROM posting a JOIN posting b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2 HAVING count(*) >= 20)
+       |SELECT a_id, b_id, levenshtein(da.text, db.text) AS edit_distance
+       |FROM cand JOIN d da ON cand.a_id = da.doc_id
+       |          JOIN d db ON cand.b_id = db.doc_id
+       |WHERE levenshtein(da.text, db.text) <= 10
+       |ORDER BY a_id, b_id""".stripMargin
+  }
+
   // ---------- registry ----------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -323,7 +400,9 @@ object CorpusQueries {
     "q38_range_join" -> (q38_range_join _),
     "q39_sliding_window" -> (q39_sliding_window _),
     "q40_tfidf" -> (q40_tfidf _),
-    "q41_approx_stats" -> (q41_approx_stats _))
+    "q41_approx_stats" -> (q41_approx_stats _),
+    "q43_json_extract" -> (q43_json_extract _),
+    "q44_fuzzy_match" -> (q44_fuzzy_match _))
 
   val oracles: Map[String, String] = Map(
     "q32_quantiles" -> q32_oracle,
@@ -337,5 +416,7 @@ object CorpusQueries {
     // q41_approx_stats intentionally absent: sketches are
     // engine-specific; the driver records a rows-only check and
     // CorpusQueriesSpec bounds the error against exact values
-    "q40_tfidf" -> q40_oracle)
+    "q40_tfidf" -> q40_oracle,
+    "q43_json_extract" -> q43_oracle,
+    "q44_fuzzy_match" -> q44_oracle)
 }
