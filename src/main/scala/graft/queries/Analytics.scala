@@ -290,6 +290,67 @@ object Analytics {
       |      FROM events)))
       |GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin
 
+  // ---------- q45: semi/anti joins ----------
+
+  /** Existence joins: per nation, how many customers have orders
+    * (semi) vs none (anti). Both plan as existence joins — no
+    * materialized join output, the probe side short-circuits on first
+    * match; at 100 TB this is the only sane encoding of
+    * EXISTS/NOT EXISTS (a join+distinct would shuffle the full match
+    * multiplicity).
+    */
+  def q45_semi_anti(spark: SparkSession, dir: String): DataFrame = {
+    val customer = Tables.load(spark, dir, "customer")
+    val orders = Tables.load(spark, dir, "orders").select("o_custkey")
+    val active = customer.join(orders, col("c_custkey") === col("o_custkey"), "left_semi")
+      .groupBy("c_nationkey").agg(count(lit(1)).as("n_active"))
+    val inactive = customer.join(orders, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy("c_nationkey").agg(count(lit(1)).as("n_inactive"))
+    active.join(inactive, Seq("c_nationkey"), "full_outer")
+      .select(
+        col("c_nationkey"),
+        coalesce(col("n_active"), lit(0L)).as("n_active"),
+        coalesce(col("n_inactive"), lit(0L)).as("n_inactive"))
+      .orderBy("c_nationkey")
+  }
+
+  val q45_oracle: String =
+    """WITH a AS (
+      |  SELECT c_nationkey, count(*) AS n_active FROM customer
+      |  WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |  GROUP BY c_nationkey),
+      |i AS (
+      |  SELECT c_nationkey, count(*) AS n_inactive FROM customer
+      |  WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |  GROUP BY c_nationkey)
+      |SELECT coalesce(a.c_nationkey, i.c_nationkey) AS c_nationkey,
+      |  coalesce(n_active, 0) AS n_active,
+      |  coalesce(n_inactive, 0) AS n_inactive
+      |FROM a FULL OUTER JOIN i ON a.c_nationkey = i.c_nationkey
+      |ORDER BY c_nationkey""".stripMargin
+
+  // ---------- q46: CUBE multi-dimensional aggregate ----------
+
+  def q46_cube(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "lineitem")
+      .cube("l_returnflag", "l_linestatus")
+      .agg(
+        count(lit(1)).as("n_items"),
+        sum(col("l_quantity").cast(dec18)).cast("double").as("sum_qty"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+        col("n_items"), col("sum_qty"))
+      .orderBy("returnflag", "linestatus")
+
+  val q46_oracle: String =
+    """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+      |  coalesce(l_linestatus, 'ALL') AS linestatus,
+      |  count(*) AS n_items,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+      |ORDER BY returnflag, linestatus""".stripMargin
+
   // ---------- registry ----------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -301,7 +362,9 @@ object Analytics {
     "q15_pivot" -> (q15_pivot _),
     "q16_asof_join" -> (q16_asof_join _),
     "q17_events_tumbling" -> (q17_events_tumbling _),
-    "q18_sessionize" -> (q18_sessionize _))
+    "q18_sessionize" -> (q18_sessionize _),
+    "q45_semi_anti" -> (q45_semi_anti _),
+    "q46_cube" -> (q46_cube _))
 
   val oracles: Map[String, String] = Map(
     "q10_pricing_summary" -> q10_oracle,
@@ -312,5 +375,7 @@ object Analytics {
     "q15_pivot" -> q15_oracle,
     "q16_asof_join" -> q16_oracle,
     "q17_events_tumbling" -> q17_oracle,
-    "q18_sessionize" -> q18_oracle)
+    "q18_sessionize" -> q18_oracle,
+    "q45_semi_anti" -> q45_oracle,
+    "q46_cube" -> q46_oracle)
 }
