@@ -60,6 +60,16 @@ def main():
         oracles = json.load(f)
 
     failures = 0
+    # rows-only check for queries that (by design) ship no oracle SQL
+    all_outputs = {p.split("/")[-1] for p in glob.glob(f"{out_dir}/q*") if "." not in p.split("/")[-1]}
+    for name in sorted(all_outputs - set(oracles)):
+        files = glob.glob(f"{out_dir}/{name}/*.parquet")
+        n = sum(len(pd.read_parquet(p)) for p in files) if files else 0
+        if n > 0:
+            print(f"OK   {name}: {n} rows (rows-only)")
+        else:
+            print(f"FAIL {name}: no rows (rows-only)")
+            failures += 1
     for name in sorted(oracles):
         files = glob.glob(f"{out_dir}/{name}/*.parquet")
         if not files:
