@@ -279,9 +279,9 @@ object Analytics {
       |  strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
       |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value
       |FROM (
-      |  SELECT *, sum(is_break) OVER (
+      |  SELECT *, CAST(sum(is_break) OVER (
       |    PARTITION BY user_id ORDER BY ts
-      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
       |  FROM (
       |    SELECT *, CASE WHEN prev_ts IS NULL
       |        OR epoch(ts) - epoch(prev_ts) > 1800 THEN 1 ELSE 0 END AS is_break

@@ -335,7 +335,7 @@ object CorpusQueries {
       |  count(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS n_with_k,
       |  min(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS min_k,
       |  max(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS max_k,
-      |  sum(CAST(CAST(json_extract_string(props, '$.k') AS INTEGER) AS BIGINT)) AS sum_k
+      |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
   // ---------- q44: edit-distance fuzzy matching ----------

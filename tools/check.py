@@ -91,6 +91,17 @@ def main():
             print(f"FAIL {name}: rows {len(spark_df)} vs {len(duck_df)}")
             failures += 1
             continue
+        # dtype-kind parity: the driver hash-compares formatted values, so
+        # a DuckDB HUGEINT (-> float64/object in pandas) vs Spark int64
+        # mismatches there ("5.0" vs "5") even when Python == says equal.
+        # int32 vs int64 is fine (both format as "5").
+        dt = [(c, str(spark_df[c].dtype), str(duck_df[c].dtype))
+              for c in spark_df.columns
+              if spark_df[c].dtype.kind != duck_df[c].dtype.kind]
+        if dt:
+            print(f"FAIL {name}: dtype mismatch {dt}")
+            failures += 1
+            continue
         bad = []
         for c in spark_df.columns:
             for i, (a, b) in enumerate(zip(spark_df[c], duck_df[c])):
