@@ -20,9 +20,19 @@ object Tables {
       // outright (PARQUET_TYPE_ILLEGAL). Read nanos as long and floor-
       // divide to micros — the same truncation DuckDB applies when it
       // loads nanosecond parquet into its microsecond TIMESTAMP.
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$dir/$name.parquet")
-        .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+      // The conf is consulted only during eager schema inference in
+      // load(), so it can be restored immediately after — later reads
+      // in the same session keep their own semantics.
+      val key = "spark.sql.legacy.parquet.nanosAsLong"
+      val prev = spark.conf.getOption(key)
+      spark.conf.set(key, "true")
+      try
+        spark.read.parquet(s"$dir/$name.parquet")
+          .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+      finally prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None    => spark.conf.unset(key)
+      }
     } else spark.read.parquet(s"$dir/$name.parquet")
 
   /** Register every table as a temp view for SQL access. */

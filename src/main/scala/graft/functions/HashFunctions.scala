@@ -16,12 +16,18 @@ import org.apache.spark.sql.functions._
   */
 object HashFunctions {
 
-  /** 3-token shingles (w-shingling with w=3). */
+  /** 3-token shingles (w-shingling with w=3). Total: docs with fewer
+    * than 3 tokens yield an empty array (sequence(0, size-3) would
+    * descend there and element_at(_, 0) is a runtime error), matching
+    * the DuckDB twin where range(1, len-1) is already empty.
+    */
   def shingles(toks: Column): Column =
-    transform(
-      sequence(lit(0), size(toks) - 3),
-      i => concat_ws(" ",
-        element_at(toks, i + 1), element_at(toks, i + 2), element_at(toks, i + 3)))
+    when(size(toks) >= 3,
+      transform(
+        sequence(lit(0), size(toks) - 3),
+        i => concat_ws(" ",
+          element_at(toks, i + 1), element_at(toks, i + 2), element_at(toks, i + 3))))
+      .otherwise(array().cast("array<string>"))
 
   def shinglesSql(toksSql: String): String =
     s"[array_to_string(($toksSql)[i:i+2], ' ') for i in range(1, len($toksSql)-1)]"

@@ -62,7 +62,11 @@ final case class DedupDef(
     enabled: Boolean,
     keyColumn: String,
     orderBy: String,
-    orderDirection: String)
+    orderDirection: String,
+    // unique column resolving orderBy ties so keep-newest is total
+    // (deterministic across engines/reruns); when absent, ties are
+    // broken arbitrarily — the reference's ROW_NUMBER behavior
+    tieBreaker: Option[String] = None)
 
 final case class ConsolidationDef(
     enabled: Boolean,
@@ -262,6 +266,7 @@ object Metadata {
         enabled = dedup.exists(d => field(d, "enabled").contains(JBool(true))),
         keyColumn = dedup.flatMap(optStr(_, "key_column")).getOrElse("id"),
         orderBy = dedup.flatMap(optStr(_, "order_by")).getOrElse("batch_date"),
-        orderDirection = dedup.flatMap(optStr(_, "order_direction")).getOrElse("DESC")))
+        orderDirection = dedup.flatMap(optStr(_, "order_direction")).getOrElse("DESC"),
+        tieBreaker = dedup.flatMap(optStr(_, "tie_breaker"))))
   }
 }

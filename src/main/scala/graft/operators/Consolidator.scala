@@ -53,11 +53,17 @@ object Consolidator {
       format: String,
       tieBreaker: String): Result = {
     val batches = spark.read.format(format).option("mode", "PERMISSIVE").load(cfg.inputPattern)
+    // only a genuinely absent output means "first run" — a transient
+    // read error must propagate, or incremental consolidation silently
+    // degrades to new-batches-only and overwrites the existing dataset
+    val outPath = new org.apache.hadoop.fs.Path(cfg.outputPath)
+    val fs = outPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val existing =
-      try {
+      if (!fs.exists(outPath)) None
+      else {
         val df = spark.read.format(format).option("mode", "PERMISSIVE").load(cfg.outputPath)
         if (df.isEmpty) None else Some(df)
-      } catch { case _: Exception => None }
+      }
     consolidate(batches, existing, cfg, tieBreaker)
   }
 }

@@ -58,19 +58,39 @@ object IncrementalPipeline {
 
     val consolidated = meta.consolidation.filter(_.enabled).map { c =>
       val subs = SourceReader.Substitutions(config.substitutions)
+      // orderBy ties resolve by the metadata tie_breaker when given;
+      // falling back to the key column means arbitrary tie order (the
+      // reference's ROW_NUMBER behavior) — declare tie_breaker for
+      // deterministic consolidation
       val result = Consolidator.consolidateFromPaths(
         spark, c.copy(inputPattern = subs(c.inputPattern), outputPath = subs(c.outputPath)),
-        format = "parquet", tieBreaker = c.dedup.keyColumn)
+        format = "parquet", tieBreaker = c.dedup.tieBreaker.getOrElse(c.dedup.keyColumn))
       val out = subs(c.outputPath)
       // overwrite-in-place would read and clobber the same path; write
       // via a temp dir then swap (same pattern as the reference's
-      // consolidated bucket rewrite, made atomic-ish for Hadoop FS)
-      val tmp = out + "_tmp"
-      result.df.write.mode("overwrite").parquet(tmp)
-      val fs = new org.apache.hadoop.fs.Path(out)
-        .getFileSystem(spark.sparkContext.hadoopConfiguration)
-      fs.delete(new org.apache.hadoop.fs.Path(out), true)
-      fs.rename(new org.apache.hadoop.fs.Path(tmp), new org.apache.hadoop.fs.Path(out))
+      // consolidated bucket rewrite, made atomic-ish for Hadoop FS).
+      // Hadoop rename/delete report failure as `false`, not by
+      // throwing — the old output is moved aside first and only
+      // deleted once the promote succeeded, so no failure mode loses
+      // both copies.
+      import org.apache.hadoop.fs.Path
+      val tmp = new Path(out + "_tmp")
+      val dst = new Path(out)
+      val old = new Path(out + "_old")
+      result.df.write.mode("overwrite").parquet(tmp.toString)
+      val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      def must(ok: Boolean, what: String): Unit =
+        if (!ok) throw new java.io.IOException(s"consolidation swap failed: $what")
+      if (fs.exists(old)) must(fs.delete(old, true), s"delete stale $old")
+      val hadPrev = fs.exists(dst)
+      if (hadPrev) must(fs.rename(dst, old), s"move $dst aside to $old")
+      try must(fs.rename(tmp, dst), s"promote $tmp to $dst")
+      catch {
+        case e: Exception =>
+          if (hadPrev && !fs.exists(dst)) fs.rename(old, dst) // restore
+          throw e
+      }
+      if (hadPrev) must(fs.delete(old, true), s"delete previous $old")
       s"${result.mode} -> $out"
     }
 

@@ -51,6 +51,15 @@ class TextFunctionsSpec extends SparkSpec {
     assert(sh.toList == List("a b c", "b c d"))
   }
 
+  test("shingles are total: short and empty docs yield empty arrays") {
+    for (text <- Seq("", "a", "a b", "a b c")) {
+      val sh = one(HashFunctions.shingles(TextFunctions.tokens(col("text"))), text)
+        .asInstanceOf[scala.collection.Seq[String]]
+      assert(sh.toList == (if (text == "a b c") List("a b c") else Nil),
+        s"for input '$text'")
+    }
+  }
+
   test("minhash: identical docs share signatures; disjoint docs differ") {
     val s = spark
     import s.implicits._

@@ -36,7 +36,8 @@ class MetadataSpec extends AnyFunSuite {
       |    "input_pattern": "/out/batch-*/part*",
       |    "output_path": "/consolidated",
       |    "deduplication": {"enabled": true, "key_column": "id",
-      |      "order_by": "batch_date", "order_direction": "DESC"}}}
+      |      "order_by": "batch_date", "order_direction": "DESC",
+      |      "tie_breaker": "record_id"}}}
       |}""".stripMargin
 
   test("parses a full metadata document") {
@@ -53,6 +54,7 @@ class MetadataSpec extends AnyFunSuite {
     assert(flow.sinks.head.saveMode == "overwrite")
     val c = meta.consolidation.get
     assert(c.enabled && c.dedup.keyColumn == "id" && c.dedup.orderDirection == "DESC")
+    assert(c.dedup.tieBreaker.contains("record_id"))
   }
 
   test("rejects unknown transformation type") {
