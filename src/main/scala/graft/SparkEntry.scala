@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.multimodal.Multimodal
-import graft.queries.{Analytics, CorpusQueries, PipelineQueries, TextQueries, VectorQueries}
+import graft.queries.{Analytics, CorpusQueries, ExtendedAnalytics, GraphQueries, PipelineQueries, ScrubQueries, TextQueries, VectorQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 + §7. */
 object SparkEntry {
@@ -14,6 +14,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     PipelineQueries.queries ++ Analytics.queries ++
       TextQueries.queries ++ VectorQueries.queries ++ CorpusQueries.queries ++
+      GraphQueries.queries ++ ScrubQueries.queries ++ ExtendedAnalytics.queries ++
       Map("q31_multimodal_extract" -> (Multimodal.q31_multimodal_extract _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -21,5 +22,6 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     PipelineQueries.oracles ++ Analytics.oracles ++
       TextQueries.oracles ++ VectorQueries.oracles ++ CorpusQueries.oracles ++
+      GraphQueries.oracles ++ ScrubQueries.oracles ++ ExtendedAnalytics.oracles ++
       Map("q31_multimodal_extract" -> Multimodal.q31_oracle)
 }

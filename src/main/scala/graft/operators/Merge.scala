@@ -1,0 +1,41 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** MERGE-style upsert: apply a batch of source rows onto a target
+  * snapshot by key — matched keys take the source row, unmatched
+  * target rows survive, unmatched source rows are inserted. The
+  * lakehouse MERGE INTO semantics (and the general form of the
+  * reference's incremental consolidation, which is MERGE where
+  * "matched" resolves by newest order column).
+  *
+  * Plan shape: one full-outer join co-partitioned on the key — at
+  * 100 TB that is a single key shuffle of both sides, or no shuffle
+  * at all when both are bucketed by the key; when the source batch is
+  * small relative to the snapshot it broadcasts and the snapshot is
+  * never shuffled. Row-level match resolution is a projection, not a
+  * second pass.
+  */
+object Merge {
+
+  /** Source-wins upsert. Target and source must share a schema.
+    * A matched row takes every source column (including legitimate
+    * source NULLs — matching is by a presence flag, not per-column
+    * coalesce).
+    */
+  def upsert(target: DataFrame, source: DataFrame, keys: Seq[String]): DataFrame = {
+    require(target.columns.sameElements(source.columns),
+      s"schema mismatch: ${target.columns.mkString(",")} vs ${source.columns.mkString(",")}")
+    val t = target.alias("t")
+    val s = source.select(source.columns.toSeq.map(col) :+ lit(true).as("_from_source"): _*)
+      .alias("s")
+    val cond = keys.map(k => col(s"t.$k") <=> col(s"s.$k")).reduce(_ && _)
+    val merged = t.join(s, cond, "full_outer")
+    val outCols = target.columns.map { c =>
+      if (keys.contains(c)) coalesce(col(s"s.$c"), col(s"t.$c")).as(c)
+      else when(col("_from_source"), col(s"s.$c")).otherwise(col(s"t.$c")).as(c)
+    }
+    merged.select(outCols.toSeq: _*)
+  }
+}

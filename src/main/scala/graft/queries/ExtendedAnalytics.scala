@@ -1,0 +1,132 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** GROUPING SETS, set operators, and SCD2 history
+  * (SURVEY §2 #53–#55).
+  */
+object ExtendedAnalytics {
+
+  private val dec18 = DecimalType(18, 2)
+
+  // ---------- q53: GROUPING SETS ----------
+
+  /** Arbitrary grouping-set list ((rf,ls),(ls),()) — the general form
+    * of which q14 ROLLUP / q46 CUBE are special cases, one shared
+    * shuffle for all sets via the Expand operator (not one scan per
+    * set).
+    */
+  def q53_grouping_sets(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "lineitem")
+      .groupingSets(
+        Seq(
+          Seq(col("l_returnflag"), col("l_linestatus")),
+          Seq(col("l_linestatus")),
+          Seq()),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        count(lit(1)).as("n_items"),
+        sum(col("l_quantity").cast(dec18)).cast("double").as("sum_qty"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+        col("n_items"), col("sum_qty"))
+      .orderBy("returnflag", "linestatus")
+
+  val q53_oracle: String =
+    """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+      |  coalesce(l_linestatus, 'ALL') AS linestatus,
+      |  count(*) AS n_items,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      |FROM lineitem
+      |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus), ())
+      |ORDER BY returnflag, linestatus""".stripMargin
+
+  // ---------- q54: set operators (INTERSECT / EXCEPT) ----------
+
+  /** Cohort retention via set algebra: customers ordering in 1997 who
+    * returned in 1998 (INTERSECT) vs churned (EXCEPT). Both plan as
+    * existence joins over the distinct key sets — never a full
+    * materialized join.
+    */
+  def q54_set_ops(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.load(spark, dir, "orders")
+    def custsIn(fromTs: String, toTs: String): DataFrame = orders
+      .filter(col("o_orderdate") >= to_timestamp(lit(fromTs)) &&
+        col("o_orderdate") < to_timestamp(lit(toTs)))
+      .select("o_custkey").distinct()
+    val c97 = custsIn("1997-01-01 00:00:00", "1998-01-01 00:00:00")
+    val c98 = custsIn("1998-01-01 00:00:00", "1999-01-01 00:00:00")
+    c97.intersect(c98).withColumn("cohort", lit("retained"))
+      .union(c97.except(c98).withColumn("cohort", lit("churned")))
+      .select("cohort", "o_custkey")
+      .orderBy("cohort", "o_custkey")
+  }
+
+  val q54_oracle: String =
+    """WITH c97 AS (SELECT DISTINCT o_custkey FROM orders
+      |  WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      |    AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'),
+      |c98 AS (SELECT DISTINCT o_custkey FROM orders
+      |  WHERE o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'
+      |    AND o_orderdate < TIMESTAMP '1999-01-01 00:00:00')
+      |SELECT 'retained' AS cohort, o_custkey
+      |FROM (SELECT o_custkey FROM c97 INTERSECT SELECT o_custkey FROM c98)
+      |UNION ALL
+      |SELECT 'churned' AS cohort, o_custkey
+      |FROM (SELECT o_custkey FROM c97 EXCEPT SELECT o_custkey FROM c98)
+      |ORDER BY cohort, o_custkey""".stripMargin
+
+  // ---------- q55: SCD2 history build ----------
+
+  /** Slowly-changing-dimension type 2: each order opens a validity
+    * interval per customer, closed by the next order (half-open
+    * [valid_from, valid_to)); the open interval is the current row.
+    * The history-preserving alternative to keep-newest consolidation
+    * (q06) — one shuffle by entity key, per-partition sort, lead().
+    */
+  def q55_scd2(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+    Tables.load(spark, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        col("o_totalprice"))
+      .withColumn("valid_to_ts", lead(col("o_orderdate"), 1).over(w))
+      .select(
+        col("o_custkey"), col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("valid_from"),
+        date_format(col("valid_to_ts"), "yyyy-MM-dd").as("valid_to"),
+        col("valid_to_ts").isNull.as("is_current"),
+        col("o_totalprice"))
+      .orderBy("o_custkey", "valid_from", "o_orderkey")
+  }
+
+  val q55_oracle: String =
+    """SELECT o_custkey, o_orderkey,
+      |  strftime(o_orderdate, '%Y-%m-%d') AS valid_from,
+      |  strftime(lead(o_orderdate) OVER (
+      |    PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC),
+      |    '%Y-%m-%d') AS valid_to,
+      |  (lead(o_orderdate) OVER (
+      |    PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)
+      |    IS NULL) AS is_current,
+      |  o_totalprice
+      |FROM orders
+      |ORDER BY o_custkey, valid_from, o_orderkey""".stripMargin
+
+  // ---------- registry ----------
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q53_grouping_sets" -> (q53_grouping_sets _),
+    "q54_set_ops" -> (q54_set_ops _),
+    "q55_scd2" -> (q55_scd2 _))
+
+  val oracles: Map[String, String] = Map(
+    "q53_grouping_sets" -> q53_oracle,
+    "q54_set_ops" -> q54_oracle,
+    "q55_scd2" -> q55_oracle)
+}

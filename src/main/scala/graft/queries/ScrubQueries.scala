@@ -1,0 +1,163 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.{TextFunctions => T}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Text-scrubbing operators a training-data pipeline runs before
+  * anything else sees the corpus: PII redaction, URL normalization,
+  * within-document repetition stats (SURVEY §2 #50–#52).
+  *
+  * All three are narrow, shuffle-free-per-row expression pipelines
+  * (repetition adds one token-level aggregation); regexes are kept to
+  * the syntax subset Java and RE2 evaluate identically.
+  *
+  * The synthetic corpus carries no organic PII/URLs, so q50/q51
+  * append a deterministic PII/URL suffix in-query (same expression in
+  * both engines) — the oracle then proves the scrub logic, not the
+  * corpus content.
+  */
+object ScrubQueries {
+
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "documents")
+
+  // ---------- q50: PII redaction ----------
+
+  private val emailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  private val phoneRe = "\\+[0-9][0-9-]{6,}[0-9]"
+  private val ipRe = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+
+  /** Regex PII scrub: count and redact emails, phone numbers, and
+    * IPv4 addresses, emitting the redacted content hash. Pure codegen
+    * per-row work — at 100 TB cost is read bandwidth only.
+    */
+  def q50_pii_redact(spark: SparkSession, dir: String): DataFrame = {
+    val piiText = concat(col("text"),
+      lit(" contact user"), col("doc_id").cast("string"),
+      lit("@mail-"), col("source"), lit(".com or +1-555-0"),
+      col("doc_id").cast("string"),
+      lit(" from 10.0."), (col("doc_id") % 256).cast("string"),
+      lit("."), (col("doc_id") % 100).cast("string"))
+    def nMatches(c: Column, re: String): Column =
+      size(regexp_extract_all(c, lit(re), lit(0)))
+    val redacted =
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(piiText, emailRe, "<EMAIL>"),
+          phoneRe, "<PHONE>"),
+        ipRe, "<IP>")
+    docs(spark, dir)
+      .select(
+        col("doc_id"),
+        nMatches(piiText, emailRe).as("n_emails"),
+        nMatches(piiText, phoneRe).as("n_phones"),
+        nMatches(piiText, ipRe).as("n_ips"),
+        length(redacted).as("n_red_chars"),
+        md5(redacted).as("redacted_md5"))
+      .orderBy("doc_id")
+  }
+
+  val q50_oracle: String = {
+    val pii = "concat(text, ' contact user', CAST(doc_id AS VARCHAR), " +
+      "'@mail-', source, '.com or +1-555-0', CAST(doc_id AS VARCHAR), " +
+      "' from 10.0.', CAST(doc_id % 256 AS VARCHAR), '.', CAST(doc_id % 100 AS VARCHAR))"
+    val red = s"regexp_replace(regexp_replace(regexp_replace($pii, " +
+      s"'$emailRe', '<EMAIL>', 'g'), '$phoneRe', '<PHONE>', 'g'), '$ipRe', '<IP>', 'g')"
+    s"""SELECT doc_id,
+       |  len(regexp_extract_all($pii, '$emailRe')) AS n_emails,
+       |  len(regexp_extract_all($pii, '$phoneRe')) AS n_phones,
+       |  len(regexp_extract_all($pii, '$ipRe')) AS n_ips,
+       |  length($red) AS n_red_chars,
+       |  md5($red) AS redacted_md5
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
+  // ---------- q51: URL parsing / domain extraction ----------
+
+  /** URL decomposition (host / path / query param) via anchored
+    * regexes identical in both engines, aggregated to a per-domain
+    * profile — the link-analysis shape of web-corpus curation (domain
+    * allow/deny lists, per-domain quality priors).
+    */
+  def q51_url_extract(spark: SparkSession, dir: String): DataFrame = {
+    val url = concat(lit("https://"), col("source"), lit(".example.com/docs/"),
+      col("doc_id").cast("string"), lit("?lang="), col("lang"))
+    docs(spark, dir)
+      .select(
+        regexp_extract(url, "https://([^/]+)/", 1).as("host"),
+        regexp_extract(url, "[?]lang=([a-z]+)", 1).as("lang_param"),
+        col("n_chars"))
+      .groupBy("host", "lang_param")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
+      .orderBy("host", "lang_param")
+  }
+
+  val q51_oracle: String = {
+    val url = "concat('https://', source, '.example.com/docs/', " +
+      "CAST(doc_id AS VARCHAR), '?lang=', lang)"
+    s"""SELECT regexp_extract($url, 'https://([^/]+)/', 1) AS host,
+       |  regexp_extract($url, '[?]lang=([a-z]+)', 1) AS lang_param,
+       |  count(*) AS n_docs,
+       |  CAST(sum(n_chars) AS BIGINT) AS total_chars
+       |FROM documents GROUP BY 1, 2 ORDER BY host, lang_param""".stripMargin
+  }
+
+  // ---------- q52: within-document repetition ----------
+
+  /** Repetition profile per document: token multiplicity stats and the
+    * dominant token — the within-doc analogue of corpus dedup (high
+    * repeated-token ratio flags boilerplate/spam for quality
+    * filtering). Explode → count per (doc, token) → windowed per-doc
+    * stats; the only shuffle is by doc_id, and partial aggregation
+    * bounds it at the distinct-token level.
+    */
+  def q52_repetition(spark: SparkSession, dir: String): DataFrame = {
+    val counts = docs(spark, dir)
+      .select(col("doc_id"), explode(T.tokens(col("text"))).as("tok"))
+      .groupBy("doc_id", "tok")
+      .agg(count(lit(1)).as("cnt"))
+    val byDoc = Window.partitionBy("doc_id")
+    val rank = Window.partitionBy("doc_id").orderBy(col("cnt").desc, col("tok").desc)
+    counts
+      .withColumn("rk", row_number().over(rank))
+      .withColumn("n_tokens", sum(col("cnt")).over(byDoc))
+      .withColumn("n_distinct", count(lit(1)).over(byDoc))
+      .filter(col("rk") === 1)
+      .select(
+        col("doc_id"), col("tok").as("top_token"), col("cnt").as("top_freq"),
+        col("n_tokens"), col("n_distinct"),
+        ((col("n_tokens") - col("n_distinct")).cast("double") /
+          col("n_tokens").cast("double")).as("rep_ratio"))
+      .orderBy("doc_id")
+  }
+
+  val q52_oracle: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(${T.tokensSql("text")}) AS tok FROM documents),
+       |counts AS (
+       |  SELECT doc_id, tok, count(*) AS cnt FROM toks GROUP BY doc_id, tok),
+       |ranked AS (
+       |  SELECT *,
+       |    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY cnt DESC, tok DESC) AS rk,
+       |    CAST(sum(cnt) OVER (PARTITION BY doc_id) AS BIGINT) AS n_tokens,
+       |    count(*) OVER (PARTITION BY doc_id) AS n_distinct
+       |  FROM counts)
+       |SELECT doc_id, tok AS top_token, cnt AS top_freq, n_tokens, n_distinct,
+       |  CAST(n_tokens - n_distinct AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS rep_ratio
+       |FROM ranked WHERE rk = 1 ORDER BY doc_id""".stripMargin
+
+  // ---------- registry ----------
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q50_pii_redact" -> (q50_pii_redact _),
+    "q51_url_extract" -> (q51_url_extract _),
+    "q52_repetition" -> (q52_repetition _))
+
+  val oracles: Map[String, String] = Map(
+    "q50_pii_redact" -> q50_oracle,
+    "q51_url_extract" -> q51_oracle,
+    "q52_repetition" -> q52_oracle)
+}

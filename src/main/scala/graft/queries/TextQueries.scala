@@ -155,8 +155,10 @@ object TextQueries {
     * verified with true shingle-set Jaccard. The self-join is on
     * (band, bucket) — at corpus scale each bucket holds a handful of
     * docs, so the join output is near-linear, not quadratic.
+    *
+    * Un-ordered pair table shared with q47's cluster resolution.
     */
-  def q25_minhash_lsh_pairs(spark: SparkSession, dir: String): DataFrame = {
+  private[queries] def lshPairs(spark: SparkSession, dir: String): DataFrame = {
     val sig = (0 until minhashK).map(i => col(f"mh$i%02d"))
     // one pass computes all band buckets; posexplode fans them out
     // without re-reading the source (a 3-way union would recompute the
@@ -181,10 +183,13 @@ object TextQueries {
       .select(col("a_id"), col("b_id"), (inter / uni).as("jaccard"))
       .distinct()
       .filter(col("jaccard") >= 0.8)
-      .orderBy("a_id", "b_id")
   }
 
-  val q25_oracle: String = {
+  def q25_minhash_lsh_pairs(spark: SparkSession, dir: String): DataFrame =
+    lshPairs(spark, dir).orderBy("a_id", "b_id")
+
+  /** DuckDB twin of [[lshPairs]] (no ORDER BY — embeddable as a CTE). */
+  private[queries] val lshPairsSql: String = {
     val sigSql = (0 until minhashK).map(i => f"mh$i%02d")
     val buckets = (0 until lshBands).map(b =>
       s"${H.bandBucketSql(sigSql, b, lshRows)} AS bucket$b")
@@ -201,9 +206,10 @@ object TextQueries {
        |FROM bands a JOIN bands b
        |  ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
        |WHERE CAST(len(list_intersect(a.shd, b.shd)) AS DOUBLE) /
-       |   (CAST(len(a.shd) + len(b.shd) AS DOUBLE) - CAST(len(list_intersect(a.shd, b.shd)) AS DOUBLE)) >= 0.8
-       |ORDER BY a_id, b_id""".stripMargin
+       |   (CAST(len(a.shd) + len(b.shd) AS DOUBLE) - CAST(len(list_intersect(a.shd, b.shd)) AS DOUBLE)) >= 0.8""".stripMargin
   }
+
+  val q25_oracle: String = s"$lshPairsSql\nORDER BY a_id, b_id"
 
   // ---------- q26: n-gram Jaccard similarity ----------
 
