@@ -24,6 +24,12 @@ object Dedup {
 
   /** One surviving row per `key`: the row with the greatest
     * (orderBy, tieBreaker) — or smallest, when `descending=false`.
+    *
+    * When `key` is a plain column of `df`, the output reuses the
+    * GROUPING attribute for it (equal by definition to the winner's
+    * key) instead of re-projecting it out of the winner struct — that
+    * keeps the aggregation's hashpartitioning visible downstream, so a
+    * later join/agg on the key elides its Exchange entirely.
     */
   def keepNewest(
       df: DataFrame,
@@ -34,9 +40,13 @@ object Dedup {
     val payload = struct(df.columns.toSeq.map(col): _*)
     val ord = struct(orderBy, tieBreaker)
     val pick = if (descending) max_by(payload, ord) else min_by(payload, ord)
+    val keyName = key.toString
+    val outCols = df.columns.toSeq.map { c =>
+      if (c == keyName) col("__dedup_key").as(c) else col(s"__winner.$c")
+    }
     df.groupBy(key.as("__dedup_key"))
       .agg(pick.as("__winner"))
-      .select(col("__winner.*"))
+      .select(outCols: _*)
   }
 
   /** Exact duplicate removal: one representative row (minimum id) per

@@ -23,6 +23,12 @@ object Merge {
     * A matched row takes every source column (including legitimate
     * source NULLs — matching is by a presence flag, not per-column
     * coalesce).
+    *
+    * Matching uses plain equality, the SQL MERGE convention: NULL-key
+    * rows never match (they survive/insert as unmatched). Plain `=` is
+    * also what lets the join reuse an upstream hashpartitioning on the
+    * key — a null-safe `<=>` rewrites the join key to
+    * (coalesce(k), isnull(k)) and forces both sides to re-shuffle.
     */
   def upsert(target: DataFrame, source: DataFrame, keys: Seq[String]): DataFrame = {
     require(target.columns.sameElements(source.columns),
@@ -30,7 +36,7 @@ object Merge {
     val t = target.alias("t")
     val s = source.select(source.columns.toSeq.map(col) :+ lit(true).as("_from_source"): _*)
       .alias("s")
-    val cond = keys.map(k => col(s"t.$k") <=> col(s"s.$k")).reduce(_ && _)
+    val cond = keys.map(k => col(s"t.$k") === col(s"s.$k")).reduce(_ && _)
     val merged = t.join(s, cond, "full_outer")
     val outCols = target.columns.map { c =>
       if (keys.contains(c)) coalesce(col(s"s.$c"), col(s"t.$c")).as(c)

@@ -25,7 +25,11 @@ object GraphQueries {
     * finish the job at any scale.
     */
   def q47_dup_clusters(spark: SparkSession, dir: String): DataFrame = {
+    // materialize the pair table once: label propagation issues one
+    // action per round, and without this each round would re-run the
+    // whole LSH pipeline (measured 6x the query cost at sf0.1)
     val pairs = TextQueries.lshPairs(spark, dir)
+      .select("a_id", "b_id").localCheckpoint()
     val cc = ConnectedComponents.run(pairs, "a_id", "b_id")
     val sizes = cc.groupBy(col("component").as("comp"))
       .agg(count(lit(1)).as("cluster_size"))
@@ -113,7 +117,11 @@ object GraphQueries {
     val supp = Tables.load(spark, dir, "supplier")
       .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
       .select(col("s_suppkey").cast("long").as("s_suppkey"))
-    val bloom = supp.stat.bloomFilter("s_suppkey", 10000L, 0.01)
+    // stat.bloomFilter NPEs on an empty input; an empty dim side means
+    // "prune everything", which an item-less filter encodes correctly
+    val bloom =
+      if (supp.isEmpty) org.apache.spark.util.sketch.BloomFilter.create(1, 0.01)
+      else supp.stat.bloomFilter("s_suppkey", 10000L, 0.01)
     val bloomBc = spark.sparkContext.broadcast(bloom)
     val mightContain = udf((k: Long) => bloomBc.value.mightContain(k))
     Tables.load(spark, dir, "lineitem")
