@@ -25,6 +25,17 @@ object VectorFunctions {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
+  /** Cosine with per-row precomputed norms. Bit-identical to
+    * [[cosine]] (same operations in the same order — the norms are
+    * merely cached), but the per-pair cost drops from three array
+    * folds to one: each side's norm is computed once per ROW in its
+    * pre-join projection and arrives at the pair expression as a
+    * plain attribute (a Project below a Join is never inlined across
+    * it, so Catalyst cannot re-expand the fold per pair).
+    */
+  def cosineWithNorms(a: Column, b: Column, normA: Column, normB: Column): Column =
+    dot(a, b) / (normA * normB)
+
   /** DuckDB twin: identical fold shape (list_sum of element products
     * starting from the first element equals the 0.0-seeded fold
     * bit-for-bit, since 0.0 + x == x in IEEE754).

@@ -29,9 +29,9 @@ object VectorQueries {
   def q28_knn_bruteforce(spark: SparkSession, dir: String): DataFrame = {
     val e = emb(spark, dir)
     val q = e.filter(col("vec_id") < 50)
-      .select(col("vec_id").as("q_id"), col("v").as("qv"))
-    val c = e.select(col("vec_id").as("n_id"), col("v").as("nv"))
-    val cos = V.cosine(col("qv"), col("nv"))
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), V.norm(col("v")).as("q_nrm"))
+    val c = e.select(col("vec_id").as("n_id"), col("v").as("nv"), V.norm(col("v")).as("n_nrm"))
+    val cos = V.cosineWithNorms(col("qv"), col("nv"), col("q_nrm"), col("n_nrm"))
     val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id").asc)
     broadcast(q).join(c, col("q_id") =!= col("n_id"))
       .select(col("q_id"), col("n_id"), cos.as("cos"))
@@ -68,9 +68,11 @@ object VectorQueries {
     val e = emb(spark, dir)
       .withColumn("bucket", V.lshBucket(col("v"), planes))
     val q = e.filter(col("vec_id") < 50)
-      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("bucket"))
-    val c = e.select(col("vec_id").as("n_id"), col("v").as("nv"), col("bucket"))
-    val cos = V.cosine(col("qv"), col("nv"))
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("bucket"),
+        V.norm(col("v")).as("q_nrm"))
+    val c = e.select(col("vec_id").as("n_id"), col("v").as("nv"), col("bucket"),
+      V.norm(col("v")).as("n_nrm"))
+    val cos = V.cosineWithNorms(col("qv"), col("nv"), col("q_nrm"), col("n_nrm"))
     val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id").asc)
     q.join(c, Seq("bucket"))
       .filter(col("q_id") =!= col("n_id"))
@@ -111,9 +113,11 @@ object VectorQueries {
   def q30_embedding_dedup(spark: SparkSession, dir: String): DataFrame = {
     val e = emb(spark, dir)
       .withColumn("bucket", V.lshBucket(col("v"), planes))
-    val a = e.select(col("vec_id").as("a_id"), col("v").as("qv"), col("bucket"))
-    val b = e.select(col("vec_id").as("b_id"), col("v").as("nv"), col("bucket"))
-    val cos = V.cosine(col("qv"), col("nv"))
+    val a = e.select(col("vec_id").as("a_id"), col("v").as("qv"), col("bucket"),
+      V.norm(col("v")).as("q_nrm"))
+    val b = e.select(col("vec_id").as("b_id"), col("v").as("nv"), col("bucket"),
+      V.norm(col("v")).as("n_nrm"))
+    val cos = V.cosineWithNorms(col("qv"), col("nv"), col("q_nrm"), col("n_nrm"))
     a.join(b, Seq("bucket"))
       .filter(col("a_id") < col("b_id"))
       .select(col("a_id"), col("b_id"), cos.as("cos"))
@@ -153,12 +157,13 @@ object VectorQueries {
     val model = graft.similarity.IvfIndex.train(e, "v", k = 16)
     val corpusCells = e
       .withColumn("cell", model.cell(col("v")))
-      .select(col("vec_id").as("n_id"), col("v").as("nv"), col("cell"))
+      .select(col("vec_id").as("n_id"), col("v").as("nv"), col("cell"),
+        V.norm(col("v")).as("n_nrm"))
     val queries = e.filter(col("vec_id") < 50)
       .withColumn("probe_cells", model.probeCells(col("v"), nProbe = 4))
       .select(col("vec_id").as("q_id"), col("v").as("qv"),
-        explode(col("probe_cells")).as("cell"))
-    val cos = V.cosine(col("qv"), col("nv"))
+        explode(col("probe_cells")).as("cell"), V.norm(col("v")).as("q_nrm"))
+    val cos = V.cosineWithNorms(col("qv"), col("nv"), col("q_nrm"), col("n_nrm"))
     val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id").asc)
     queries.join(corpusCells, Seq("cell"))
       .filter(col("q_id") =!= col("n_id"))
