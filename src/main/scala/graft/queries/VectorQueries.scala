@@ -154,7 +154,8 @@ object VectorQueries {
     */
   def q42_knn_ivf(spark: SparkSession, dir: String): DataFrame = {
     val e = emb(spark, dir)
-    val model = graft.similarity.IvfIndex.train(e, "v", k = 16)
+    val model = graft.similarity.IvfIndex.train(e, "v", k = 16,
+      sampleIdCol = Some("vec_id"))
     val corpusCells = e
       .withColumn("cell", model.cell(col("v")))
       .select(col("vec_id").as("n_id"), col("v").as("nv"), col("cell"),

@@ -46,11 +46,24 @@ object IvfIndex {
   }
 
   /** Train the coarse quantizer. Deterministic for a fixed seed and
-    * dataset; at 100 TB you train on a deterministic sample (see
-    * q33's content-hash sampling), not the full corpus.
+    * dataset. When `sampleIdCol` is given, training runs on a
+    * deterministic content-hash quarter of the corpus (q33's sampling
+    * pattern) — the 100 TB posture: centroid quality needs a sample,
+    * not the corpus, and the sample is reproducible across engines
+    * and reruns with no RNG coordination.
     */
-  def train(vectors: DataFrame, vCol: String, k: Int, seed: Long = 42L): Model = {
-    val assembled = vectors.select(array_to_vector(col(vCol)).as("features"))
+  def train(
+      vectors: DataFrame,
+      vCol: String,
+      k: Int,
+      seed: Long = 42L,
+      sampleIdCol: Option[String] = None): Model = {
+    val trainSet = sampleIdCol.fold(vectors) { id =>
+      vectors.filter(
+        substring(md5(concat(lit("ivf-train|"), col(id).cast("string"))), 1, 1)
+          .isin("0", "1", "2", "3"))
+    }
+    val assembled = trainSet.select(array_to_vector(col(vCol)).as("features"))
     val model = new KMeans().setK(k).setSeed(seed).setMaxIter(20).fit(assembled)
     Model(model.clusterCenters.map(_.toArray.toSeq).toSeq)
   }
