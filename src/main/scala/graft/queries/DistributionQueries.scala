@@ -1,0 +1,152 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Distribution / window-frame analytics (SURVEY §2 #56–#59).
+  */
+object DistributionQueries {
+
+  private val dec18 = DecimalType(18, 2)
+
+  // ---------- q56: fixed-width histogram ----------
+
+  /** Value histogram per event type (bin width 50): the profile scan
+    * behind any data-quality dashboard. floor() on doubles is exact in
+    * both engines; min/max are order-insensitive, so the whole row is
+    * deterministic with no decimal detour. One partial-agg shuffle of
+    * |types|·|bins| rows.
+    */
+  def q56_histogram(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "events")
+      .withColumn("bin", floor(col("value") / 50).cast("int"))
+      .groupBy("event_type", "bin")
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col("value")).as("bin_min"),
+        max(col("value")).as("bin_max"))
+      .orderBy("event_type", "bin")
+
+  val q56_oracle: String =
+    """SELECT event_type, CAST(floor(value / 50) AS INTEGER) AS bin,
+      |  count(*) AS n_events, min(value) AS bin_min, max(value) AS bin_max
+      |FROM events GROUP BY 1, 2 ORDER BY event_type, bin""".stripMargin
+
+  // ---------- q57: rolling window frame ----------
+
+  /** Rolling 4-event aggregate per user (ROWS BETWEEN 3 PRECEDING AND
+    * CURRENT ROW) — the physical-frame complement of q39's time-hop
+    * windows. The frame sum runs in DECIMAL so partial order can't
+    * perturb it; the average divides the exact sum by the exact frame
+    * count as the last (double) step.
+    */
+  def q57_rolling(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts").asc, col("event_id").asc)
+      .rowsBetween(-3, Window.currentRow)
+    Tables.load(spark, dir, "events")
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      .withColumn("roll_sum", sum(col("value").cast(dec18)).over(w))
+      .withColumn("roll_n", count(lit(1)).over(w))
+      .select(
+        col("user_id"), col("event_id"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_s"),
+        col("roll_sum").cast("double").as("roll_sum"),
+        (col("roll_sum").cast("double") / col("roll_n").cast("double")).as("roll_avg"))
+      .orderBy("user_id", "event_id")
+  }
+
+  val q57_oracle: String =
+    """SELECT user_id, event_id,
+      |  strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+      |  CAST(roll_sum_dec AS DOUBLE) AS roll_sum,
+      |  CAST(roll_sum_dec AS DOUBLE) / CAST(roll_n AS DOUBLE) AS roll_avg
+      |FROM (
+      |  SELECT user_id, event_id, ts,
+      |    sum(CAST(value AS DECIMAL(18,2))) OVER w AS roll_sum_dec,
+      |    count(*) OVER w AS roll_n
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+      |    ROWS BETWEEN 3 PRECEDING AND CURRENT ROW))
+      |ORDER BY user_id, event_id""".stripMargin
+
+  // ---------- q58: ntile deciles ----------
+
+  /** Customer-spend deciles via ntile(10) over exact decimal totals —
+    * ordering is (spend, custkey), a total order, so tile assignment
+    * is deterministic; per-decile aggregates are exact.
+    */
+  def q58_ntile(spark: SparkSession, dir: String): DataFrame = {
+    val spend = Tables.load(spark, dir, "orders")
+      .groupBy("o_custkey")
+      .agg(sum(col("o_totalprice").cast(dec18)).as("spend"))
+    val w = Window.orderBy(col("spend").asc, col("o_custkey").asc)
+    spend.withColumn("decile", ntile(10).over(w))
+      .groupBy("decile")
+      .agg(
+        count(lit(1)).as("n_customers"),
+        min(col("spend")).cast("double").as("min_spend"),
+        max(col("spend")).cast("double").as("max_spend"))
+      .orderBy("decile")
+  }
+
+  val q58_oracle: String =
+    """SELECT decile, count(*) AS n_customers,
+      |  CAST(min(spend) AS DOUBLE) AS min_spend,
+      |  CAST(max(spend) AS DOUBLE) AS max_spend
+      |FROM (
+      |  SELECT o_custkey, spend,
+      |    ntile(10) OVER (ORDER BY spend ASC, o_custkey ASC) AS decile
+      |  FROM (
+      |    SELECT o_custkey, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS spend
+      |    FROM orders GROUP BY o_custkey))
+      |GROUP BY decile ORDER BY decile""".stripMargin
+
+  // ---------- q59: correlated aggregate ----------
+
+  /** Orders above the customer's own average: the correlated-subquery
+    * shape, planned as one window pass instead of a per-row rescan.
+    * The predicate is price · n > total — multiplication instead of an
+    * avg division keeps the comparison in exact decimal arithmetic, so
+    * both engines agree bit-for-bit.
+    */
+  def q59_correlated(spark: SparkSession, dir: String): DataFrame = {
+    val byCust = Window.partitionBy("o_custkey")
+    Tables.load(spark, dir, "orders")
+      .select(col("o_custkey"), col("o_totalprice").cast(dec18).as("price"))
+      .withColumn("total", sum(col("price")).over(byCust))
+      .withColumn("n", count(lit(1)).over(byCust))
+      .groupBy("o_custkey")
+      .agg(
+        max(col("n")).as("n_orders"),
+        count(when(col("price") * col("n") > col("total"), 1)).as("n_above_avg"))
+      .orderBy("o_custkey")
+  }
+
+  val q59_oracle: String =
+    """SELECT o_custkey, max(n) AS n_orders,
+      |  count(CASE WHEN price * n > total THEN 1 END) AS n_above_avg
+      |FROM (
+      |  SELECT o_custkey, CAST(o_totalprice AS DECIMAL(18,2)) AS price,
+      |    sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (PARTITION BY o_custkey) AS total,
+      |    count(*) OVER (PARTITION BY o_custkey) AS n
+      |  FROM orders)
+      |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin
+
+  // ---------- registry ----------
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q56_histogram" -> (q56_histogram _),
+    "q57_rolling" -> (q57_rolling _),
+    "q58_ntile" -> (q58_ntile _),
+    "q59_correlated" -> (q59_correlated _))
+
+  val oracles: Map[String, String] = Map(
+    "q56_histogram" -> q56_oracle,
+    "q57_rolling" -> q57_oracle,
+    "q58_ntile" -> q58_oracle,
+    "q59_correlated" -> q59_oracle)
+}
