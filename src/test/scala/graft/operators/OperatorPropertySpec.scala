@@ -1,0 +1,86 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Property-style checks: core operators vs independent reference
+  * implementations on generated data. Samples are drawn with fixed
+  * seeds (deterministic across runs) and driven through real Spark
+  * plans — generator bugs aside, any divergence is an operator bug.
+  */
+class OperatorPropertySpec extends SparkSpec {
+
+  private def samples[A](gen: Gen[A], n: Int): Seq[A] =
+    (0 until n).map(i => gen.pureApply(Gen.Parameters.default, Seed(42L + i)))
+
+  test("keepNewest equals the window ROW_NUMBER formulation on random data") {
+    val s = spark
+    import s.implicits._
+    val rowGen = for {
+      key <- Gen.choose(0, 5)
+      ord <- Gen.choose(0, 3)
+    } yield (key, ord)
+    val dataGen = Gen.listOfN(60, rowGen)
+    for (data0 <- samples(dataGen, 8)) {
+      val data = data0.zipWithIndex.map { case ((k, o), id) => (k, o, id.toLong) }
+      val df = data.toDF("k", "o", "id")
+      val got = Dedup.keepNewest(df, col("k"), col("o"), col("id"))
+        .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2))).toSet
+      val w = Window.partitionBy("k").orderBy(col("o").desc, col("id").desc)
+      val want = df.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1).drop("rn")
+        .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2))).toSet
+      assert(got == want)
+    }
+  }
+
+  test("upsert result = source rows for source keys + target rows for the rest") {
+    val s = spark
+    import s.implicits._
+    val keysGen = Gen.listOfN(12, Gen.choose(0L, 9L)).map(_.distinct)
+    for (seed <- 0 until 8) {
+      val tKeys = keysGen.pureApply(Gen.Parameters.default, Seed(100L + seed))
+      val sKeys = keysGen.pureApply(Gen.Parameters.default, Seed(200L + seed))
+      val target = tKeys.map(k => (k, s"t$k")).toDF("k", "v")
+      val source = sKeys.map(k => (k, s"s$k")).toDF("k", "v")
+      val got = Merge.upsert(target, source, Seq("k"))
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      val want = tKeys.map(k => k -> s"t$k").toMap ++ sKeys.map(k => k -> s"s$k").toMap
+      assert(got == want)
+    }
+  }
+
+  test("connected components equal a union-find reference on random graphs") {
+    val s = spark
+    import s.implicits._
+    val edgeGen = for {
+      a <- Gen.choose(0L, 14L)
+      b <- Gen.choose(0L, 14L)
+      if a != b
+    } yield (a, b)
+    val graphGen = Gen.listOfN(12, edgeGen)
+    for (edges0 <- samples(graphGen, 8) if edges0.nonEmpty) {
+      val edges = edges0.distinct
+      // union-find reference
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val verts = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      // path-compress fully, then min-relabel per component
+      val byRoot = verts.groupBy(find)
+      val want = byRoot.flatMap { case (_, vs) => vs.map(_ -> vs.min) }.toMap
+      val got = ConnectedComponents.run(edges.toDF("a", "b"), "a", "b")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == want, s"edges=$edges")
+    }
+  }
+}
