@@ -33,6 +33,34 @@ object TokenCountRule extends Rule[LogicalPlan] {
     }
 }
 
+/** Optimizer rule: rewrite the declarative Rabin-Karp fingerprint fold
+  * `aggregate(split(c, ""), 0L, (h, ch) -> pmod(h*31 + ascii(ch), 2^31-1))`
+  * into the native codegen'd [[PolyHash]] code-point scan (no
+  * per-character UTF8String materialization).
+  */
+object PolyHashRule extends Rule[LogicalPlan] {
+
+  private val empty = UTF8String.fromString("")
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.transformAllExpressions {
+      case ArrayAggregate(
+            StringSplit(c, Literal(pat: UTF8String, _), Literal(-1, _)),
+            Literal(0L, _),
+            LambdaFunction(
+              Pmod(
+                Add(
+                  Multiply(h: NamedLambdaVariable, Literal(31L, _), _),
+                  Cast(Ascii(ch: NamedLambdaVariable), _, _, _), _),
+                Literal(2147483647L, _), _),
+              Seq(h2: NamedLambdaVariable, ch2: NamedLambdaVariable), _),
+            LambdaFunction(fin: NamedLambdaVariable, Seq(fin2: NamedLambdaVariable), _))
+          if pat == empty && h.exprId == h2.exprId && ch.exprId == ch2.exprId &&
+            fin.exprId == fin2.exprId =>
+        PolyHash(c)
+    }
+}
+
 /** Session extension wiring: the optimizer rule plus a `token_count`
   * SQL function. Enable with
   * `spark.sql.extensions=graft.plans.GraftExtensions`.
@@ -40,10 +68,16 @@ object TokenCountRule extends Rule[LogicalPlan] {
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => TokenCountRule)
+    ext.injectOptimizerRule(_ => PolyHashRule)
     ext.injectFunction((
       new FunctionIdentifier("token_count"),
       new ExpressionInfo(classOf[TokenCount].getName, "token_count"),
       (children: Seq[Expression]) =>
         TokenCount(Cast(children.head, org.apache.spark.sql.types.StringType))))
+    ext.injectFunction((
+      new FunctionIdentifier("poly_hash"),
+      new ExpressionInfo(classOf[PolyHash].getName, "poly_hash"),
+      (children: Seq[Expression]) =>
+        PolyHash(Cast(children.head, org.apache.spark.sql.types.StringType))))
   }
 }
