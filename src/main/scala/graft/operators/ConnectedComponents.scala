@@ -56,6 +56,13 @@ object ConnectedComponents {
       iter += 1
     }
     und.unpersist()
+    // an unconverged result is silently WRONG (split clusters → under-
+    // deduplication downstream), never return it
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"connected components did not converge in $maxIter rounds " +
+          "(graph diameter exceeds maxIter); raise maxIter or use " +
+          "star-contraction for long-chain graphs")
     labels
   }
 }

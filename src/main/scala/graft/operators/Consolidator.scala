@@ -53,17 +53,24 @@ object Consolidator {
       format: String,
       tieBreaker: String): Result = {
     val batches = spark.read.format(format).option("mode", "PERMISSIVE").load(cfg.inputPattern)
-    // only a genuinely absent output means "first run" — a transient
-    // read error must propagate, or incremental consolidation silently
-    // degrades to new-batches-only and overwrites the existing dataset
+    // only a genuinely absent/empty output means "first run" — a
+    // transient read error must propagate, or incremental
+    // consolidation silently degrades to new-batches-only and
+    // overwrites the existing dataset. A pre-created-but-empty dir
+    // (mkdir -p, lone _SUCCESS) fails schema inference and IS a first
+    // run; restore any snapshot stranded by a crashed swap first.
     val outPath = new org.apache.hadoop.fs.Path(cfg.outputPath)
     val fs = outPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    graft.io.SnapshotSwap.recover(fs, outPath)
     val existing =
       if (!fs.exists(outPath)) None
-      else {
-        val df = spark.read.format(format).option("mode", "PERMISSIVE").load(cfg.outputPath)
-        if (df.isEmpty) None else Some(df)
-      }
+      else
+        try {
+          val df = spark.read.format(format).option("mode", "PERMISSIVE").load(cfg.outputPath)
+          if (df.isEmpty) None else Some(df)
+        } catch {
+          case _: org.apache.spark.sql.AnalysisException => None // no data files
+        }
     consolidate(batches, existing, cfg, tieBreaker)
   }
 }

@@ -22,6 +22,10 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  // backtick-quote a column name so dots stay literal (metadata-driven
+  // schemas are arbitrary; col("a.b") would parse as nested access)
+  private def qcol(c: String): Column = col(s"`${c.replace("`", "``")}`")
+
   /** One surviving row per `key`: the row with the greatest
     * (orderBy, tieBreaker) — or smallest, when `descending=false`.
     *
@@ -37,12 +41,13 @@ object Dedup {
       orderBy: Column,
       tieBreaker: Column,
       descending: Boolean = true): DataFrame = {
-    val payload = struct(df.columns.toSeq.map(col): _*)
+    val payload = struct(df.columns.toSeq.map(qcol): _*)
     val ord = struct(orderBy, tieBreaker)
     val pick = if (descending) max_by(payload, ord) else min_by(payload, ord)
     val keyName = key.toString
     val outCols = df.columns.toSeq.map { c =>
-      if (c == keyName) col("__dedup_key").as(c) else col(s"__winner.$c")
+      if (c == keyName) col("__dedup_key").as(c)
+      else col(s"__winner.`${c.replace("`", "``")}`").as(c)
     }
     df.groupBy(key.as("__dedup_key"))
       .agg(pick.as("__winner"))
@@ -54,7 +59,7 @@ object Dedup {
     * the canonical exact-dedup for LLM corpora.
     */
   def exact(df: DataFrame, on: Column, idCol: Column): DataFrame = {
-    val payload = struct(df.columns.toSeq.map(col): _*)
+    val payload = struct(df.columns.toSeq.map(qcol): _*)
     df.groupBy(on.as("__dedup_on"))
       .agg(min_by(payload, idCol).as("__winner"))
       .select(col("__winner.*"))

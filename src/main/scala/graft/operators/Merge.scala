@@ -33,6 +33,8 @@ object Merge {
   def upsert(target: DataFrame, source: DataFrame, keys: Seq[String]): DataFrame = {
     require(target.columns.sameElements(source.columns),
       s"schema mismatch: ${target.columns.mkString(",")} vs ${source.columns.mkString(",")}")
+    require(!target.columns.contains("_from_source"),
+      "column name _from_source is reserved by Merge.upsert")
     val t = target.alias("t")
     val s = source.select(source.columns.toSeq.map(col) :+ lit(true).as("_from_source"): _*)
       .alias("s")

@@ -68,29 +68,15 @@ object IncrementalPipeline {
       val out = subs(c.outputPath)
       // overwrite-in-place would read and clobber the same path; write
       // via a temp dir then swap (same pattern as the reference's
-      // consolidated bucket rewrite, made atomic-ish for Hadoop FS).
-      // Hadoop rename/delete report failure as `false`, not by
-      // throwing — the old output is moved aside first and only
-      // deleted once the promote succeeded, so no failure mode loses
-      // both copies.
+      // consolidated bucket rewrite, made atomic-ish for Hadoop FS) —
+      // see SnapshotSwap for the crash-window guarantees. The matching
+      // SnapshotSwap.recover runs inside consolidateFromPaths, before
+      // the existing snapshot is read.
       import org.apache.hadoop.fs.Path
-      val tmp = new Path(out + "_tmp")
       val dst = new Path(out)
-      val old = new Path(out + "_old")
-      result.df.write.mode("overwrite").parquet(tmp.toString)
       val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      def must(ok: Boolean, what: String): Unit =
-        if (!ok) throw new java.io.IOException(s"consolidation swap failed: $what")
-      if (fs.exists(old)) must(fs.delete(old, true), s"delete stale $old")
-      val hadPrev = fs.exists(dst)
-      if (hadPrev) must(fs.rename(dst, old), s"move $dst aside to $old")
-      try must(fs.rename(tmp, dst), s"promote $tmp to $dst")
-      catch {
-        case e: Exception =>
-          if (hadPrev && !fs.exists(dst)) fs.rename(old, dst) // restore
-          throw e
-      }
-      if (hadPrev) must(fs.delete(old, true), s"delete previous $old")
+      result.df.write.mode("overwrite").parquet(graft.io.SnapshotSwap.tmpPath(dst).toString)
+      graft.io.SnapshotSwap.promote(fs, dst)
       s"${result.mode} -> $out"
     }
 

@@ -35,12 +35,16 @@ object ScrubQueries {
     * per-row work — at 100 TB cost is read bandwidth only.
     */
   def q50_pii_redact(spark: SparkSession, dir: String): DataFrame = {
-    val piiText = concat(col("text"),
-      lit(" contact user"), col("doc_id").cast("string"),
-      lit("@mail-"), col("source"), lit(".com or +1-555-0"),
-      col("doc_id").cast("string"),
-      lit(" from 10.0."), (col("doc_id") % 256).cast("string"),
-      lit("."), (col("doc_id") % 100).cast("string"))
+    // coalesce every nullable input: Spark's concat NULL-propagates
+    // while DuckDB's skips NULLs — without this a single NULL source
+    // row would silently diverge from the oracle
+    def nn(c: Column): Column = coalesce(c, lit(""))
+    val piiText = concat(nn(col("text")),
+      lit(" contact user"), nn(col("doc_id").cast("string")),
+      lit("@mail-"), nn(col("source")), lit(".com or +1-555-0"),
+      nn(col("doc_id").cast("string")),
+      lit(" from 10.0."), nn((col("doc_id") % 256).cast("string")),
+      lit("."), nn((col("doc_id") % 100).cast("string")))
     def nMatches(c: Column, re: String): Column =
       size(regexp_extract_all(c, lit(re), lit(0)))
     val redacted =
@@ -61,9 +65,11 @@ object ScrubQueries {
   }
 
   val q50_oracle: String = {
-    val pii = "concat(text, ' contact user', CAST(doc_id AS VARCHAR), " +
-      "'@mail-', source, '.com or +1-555-0', CAST(doc_id AS VARCHAR), " +
-      "' from 10.0.', CAST(doc_id % 256 AS VARCHAR), '.', CAST(doc_id % 100 AS VARCHAR))"
+    // DuckDB concat skips NULLs (== concat of coalesce'd inputs);
+    // written explicitly to mirror the Spark side
+    val pii = "concat(coalesce(text, ''), ' contact user', coalesce(CAST(doc_id AS VARCHAR), ''), " +
+      "'@mail-', coalesce(source, ''), '.com or +1-555-0', coalesce(CAST(doc_id AS VARCHAR), ''), " +
+      "' from 10.0.', coalesce(CAST(doc_id % 256 AS VARCHAR), ''), '.', coalesce(CAST(doc_id % 100 AS VARCHAR), ''))"
     val red = s"regexp_replace(regexp_replace(regexp_replace($pii, " +
       s"'$emailRe', '<EMAIL>', 'g'), '$phoneRe', '<PHONE>', 'g'), '$ipRe', '<IP>', 'g')"
     s"""SELECT doc_id,
@@ -83,8 +89,10 @@ object ScrubQueries {
     * allow/deny lists, per-domain quality priors).
     */
   def q51_url_extract(spark: SparkSession, dir: String): DataFrame = {
-    val url = concat(lit("https://"), col("source"), lit(".example.com/docs/"),
-      col("doc_id").cast("string"), lit("?lang="), col("lang"))
+    val url = concat(lit("https://"), coalesce(col("source"), lit("")),
+      lit(".example.com/docs/"),
+      coalesce(col("doc_id").cast("string"), lit("")),
+      lit("?lang="), coalesce(col("lang"), lit("")))
     docs(spark, dir)
       .select(
         regexp_extract(url, "https://([^/]+)/", 1).as("host"),
@@ -96,8 +104,8 @@ object ScrubQueries {
   }
 
   val q51_oracle: String = {
-    val url = "concat('https://', source, '.example.com/docs/', " +
-      "CAST(doc_id AS VARCHAR), '?lang=', lang)"
+    val url = "concat('https://', coalesce(source, ''), '.example.com/docs/', " +
+      "coalesce(CAST(doc_id AS VARCHAR), ''), '?lang=', coalesce(lang, ''))"
     s"""SELECT regexp_extract($url, 'https://([^/]+)/', 1) AS host,
        |  regexp_extract($url, '[?]lang=([a-z]+)', 1) AS lang_param,
        |  count(*) AS n_docs,

@@ -46,9 +46,13 @@ object StreamingConsolidation {
     val spark = batch.sparkSession
     val newest = Dedup.keepNewest(
       batch, col(keyCol), col(orderByCol), col(tieBreakerCol))
-    val fs = new org.apache.hadoop.fs.Path(snapshotPath)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val dst = new org.apache.hadoop.fs.Path(snapshotPath)
+    val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // a crash between move-aside and promote leaves the snapshot in
+    // _old; restore it BEFORE the exists/read, or the replayed
+    // micro-batch rebuilds from itself alone and the promote then
+    // deletes the only full copy
+    graft.io.SnapshotSwap.recover(fs, dst)
     val merged =
       if (!fs.exists(dst)) newest
       else {
@@ -59,21 +63,9 @@ object StreamingConsolidation {
           existing.unionByName(newest),
           col(keyCol), col(orderByCol), col(tieBreakerCol))
       }
-    val tmp = new org.apache.hadoop.fs.Path(snapshotPath + "_tmp")
-    val old = new org.apache.hadoop.fs.Path(snapshotPath + "_old")
-    merged.write.mode("overwrite").parquet(tmp.toString)
-    def must(ok: Boolean, what: String): Unit =
-      if (!ok) throw new java.io.IOException(s"snapshot swap failed: $what")
-    if (fs.exists(old)) must(fs.delete(old, true), s"delete stale $old")
-    val hadPrev = fs.exists(dst)
-    if (hadPrev) must(fs.rename(dst, old), s"move $dst aside")
-    try must(fs.rename(tmp, dst), s"promote $tmp")
-    catch {
-      case e: Exception =>
-        if (hadPrev && !fs.exists(dst)) fs.rename(old, dst)
-        throw e
-    }
-    if (hadPrev) must(fs.delete(old, true), s"delete previous $old")
+    merged.write.mode("overwrite")
+      .parquet(graft.io.SnapshotSwap.tmpPath(dst).toString)
+    graft.io.SnapshotSwap.promote(fs, dst)
   }
 
   // Merge is used by the batch path; the union+keepNewest form above is

@@ -19,6 +19,15 @@ class ConnectedComponentsSpec extends SparkSpec {
       10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L))
   }
 
+  test("refuses to return unconverged labels when maxIter is too small") {
+    val s = spark
+    import s.implicits._
+    // chain 0-1-2-3-4: min label needs 4 rounds to reach vertex 4
+    val chain = (0L until 4L).map(i => (i, i + 1)).toDF("a", "b")
+    intercept[IllegalStateException](
+      ConnectedComponents.run(chain, "a", "b", maxIter = 2))
+  }
+
   test("label table only carries pair vertices, never non-pair ids") {
     val s = spark
     import s.implicits._

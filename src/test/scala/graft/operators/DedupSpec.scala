@@ -19,6 +19,16 @@ class DedupSpec extends SparkSpec {
     assert(out == Map("k1" -> "newer-tie", "k2" -> "only"))
   }
 
+  test("keepNewest handles column names containing dots") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(("k1", 1, "x"), ("k1", 2, "y"))
+      .toDF("k", "ord", "a.b") // dotted name must stay a literal column
+    val out = Dedup.keepNewest(df, col("k"), col("ord"), col("ord"))
+      .select(col("`a.b`")).collect().map(_.getString(0)).toSeq
+    assert(out == Seq("y"))
+  }
+
   test("keepNewest uses partial aggregation, not a window sort") {
     val df = graft.Tables.load(spark, sf(), "orders")
     val plan = Dedup.keepNewest(df, col("o_custkey"), col("o_orderdate"), col("o_orderkey"))
