@@ -89,6 +89,16 @@ object EventsStreaming {
     all.map(s => toUpdate(userId, s)).iterator
   }
 
+  /** Stream-static enrichment: join the event stream against a static
+    * dimension snapshot. Plans as a broadcast join per micro-batch —
+    * the stream is never shuffled and carries no state; the dimension
+    * is re-broadcast only when its underlying snapshot changes (for a
+    * continuously-updated dim, the streaming consolidation snapshot is
+    * exactly what this would read).
+    */
+  def enrich(events: DataFrame, dim: DataFrame, key: String): DataFrame =
+    events.join(broadcast(dim), Seq(key), "left")
+
   private def toUpdate(userId: Long, s: List[Event]): SessionUpdate =
     SessionUpdate(userId, s.head.ts, s.length, s.map(_.value).sum)
 }
