@@ -64,7 +64,9 @@ object IvfIndex {
           .isin("0", "1", "2", "3"))
     }
     val assembled = trainSet.select(array_to_vector(col(vCol)).as("features"))
-    val model = new KMeans().setK(k).setSeed(seed).setMaxIter(20).fit(assembled)
+    // a COARSE quantizer needs rough cells, not converged centroids —
+    // 10 rounds is plenty (recall@3 is spec-bounded either way)
+    val model = new KMeans().setK(k).setSeed(seed).setMaxIter(10).fit(assembled)
     Model(model.clusterCenters.map(_.toArray.toSeq).toSeq)
   }
 }
