@@ -18,6 +18,9 @@ object Explain {
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", 4)
       .config("spark.sql.session.timeZone", "UTC")
+      // same extensions as Bench — without them the audit would print
+      // the declarative plans, not the rule-rewritten ones benchmarked
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.ui.enabled", false)
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")

@@ -65,12 +65,23 @@ object HashFunctions {
 
   /** LSH band bucket: hash of `rows` consecutive signature components.
     * Equal buckets in a band ⇒ candidate pair.
+    *
+    * NULL components (a doc with no shingles) PROPAGATE to a NULL
+    * bucket, which an equi-join never matches — concat_ws would
+    * silently skip them instead, collapsing every degenerate doc into
+    * one md5('') mega-bucket (an O(n²) pair blowup plus false
+    * near-dup clusters). Both dialects use null-propagating
+    * concatenation; for non-null inputs the bytes hashed are identical
+    * to the previous concat_ws form.
     */
-  def bandBucket(sig: Seq[Column], band: Int, rows: Int): Column =
-    md5(concat_ws("|", sig.slice(band * rows, band * rows + rows): _*))
+  def bandBucket(sig: Seq[Column], band: Int, rows: Int): Column = {
+    val parts = sig.slice(band * rows, band * rows + rows)
+    val interleaved = parts.head +: parts.tail.flatMap(c => Seq(lit("|"), c))
+    md5(concat(interleaved: _*))
+  }
 
   def bandBucketSql(sigSql: Seq[String], band: Int, rows: Int): String =
-    s"md5(concat_ws('|', ${sigSql.slice(band * rows, band * rows + rows).mkString(", ")}))"
+    s"md5(${sigSql.slice(band * rows, band * rows + rows).mkString(" || '|' || ")})"
 
   // ---------- SimHash ----------
 

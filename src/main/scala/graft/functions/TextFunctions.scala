@@ -118,8 +118,12 @@ object TextFunctions {
       lit(0L),
       (h, ch) => pmod(h * 31 + ascii(ch), lit(2147483647L)))
 
+  // greatest(unicode(x), 0): DuckDB's unicode('') is -1 where Spark's
+  // ascii('') is 0 — split('','') yields [''] in both engines, so an
+  // empty (non-null) document would otherwise hash to -1 here and 0 in
+  // Spark. Real characters are unaffected (unicode >= 1).
   def fingerprintSql(c: String): String =
     s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
-       | [CAST(unicode(x) AS BIGINT) for x in split($c, '')]),
+       | [CAST(greatest(unicode(x), 0) AS BIGINT) for x in split($c, '')]),
        | (h, x) -> (h*31 + x) % 2147483647)""".stripMargin.replace("\n", "")
 }

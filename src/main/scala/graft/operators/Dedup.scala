@@ -42,7 +42,14 @@ object Dedup {
       tieBreaker: Column,
       descending: Boolean = true): DataFrame = {
     val payload = struct(df.columns.toSeq.map(qcol): _*)
-    val ord = struct(orderBy, tieBreaker)
+    // NULL orderBy rows must LOSE in both directions (the reference's
+    // ROW_NUMBER semantics under NULLS LAST, and DuckDB's default).
+    // Spark struct comparison is nulls-first, so without the leading
+    // rank a NULL row would win the ascending (min_by) case.
+    val nullRank =
+      if (descending) when(orderBy.isNull, 0).otherwise(1) // max_by: non-null wins
+      else when(orderBy.isNull, 1).otherwise(0)            // min_by: non-null wins
+    val ord = struct(nullRank, orderBy, tieBreaker)
     val pick = if (descending) max_by(payload, ord) else min_by(payload, ord)
     val keyName = key.toString
     val outCols = df.columns.toSeq.map { c =>

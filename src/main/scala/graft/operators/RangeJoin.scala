@@ -25,10 +25,18 @@ object RangeJoin {
     points.join(broadcast(ivs.df), v >= col(ivs.lo) && v < col(ivs.hi))
 
   def binned(points: DataFrame, v: Column, ivs: Intervals, binWidth: Double): DataFrame = {
+    // end bin is floor(hi/binWidth) with NO epsilon: an epsilon
+    // under-shoots when hi sits just above a bin boundary and silently
+    // drops true matches in the last bin; the exact predicate below
+    // already discards the at-most-one extra near-miss bin. Degenerate
+    // intervals (hi <= lo) must yield NO bins — Spark's sequence()
+    // steps -1 when start > stop and would explode a huge descending
+    // bin list from corrupt data.
+    val startBin = floor(col(ivs.lo) / binWidth).cast("long")
+    val endBin = floor(col(ivs.hi) / binWidth).cast("long")
     val binnedIvs = ivs.df
-      .withColumn("__bin", explode(sequence(
-        floor(col(ivs.lo) / binWidth).cast("long"),
-        floor((col(ivs.hi) - lit(1e-9)) / binWidth).cast("long"))))
+      .filter(col(ivs.hi) > col(ivs.lo))
+      .withColumn("__bin", explode(sequence(startBin, endBin)))
     points
       .withColumn("__bin", floor(v / binWidth).cast("long"))
       .join(binnedIvs, "__bin")

@@ -78,6 +78,14 @@ object DistributionQueries {
   /** Customer-spend deciles via ntile(10) over exact decimal totals —
     * ordering is (spend, custkey), a total order, so tile assignment
     * is deterministic; per-decile aggregates are exact.
+    *
+    * SCALE CAVEAT: an unpartitioned ntile window funnels every
+    * per-customer aggregate through ONE task — fine for |customers|
+    * rows after aggregation, a cliff if the tiled set itself is
+    * corpus-sized. The scalable form computes the 9 decile boundaries
+    * first (exact rank arithmetic as in q32, or approx_percentile)
+    * and assigns tiles with a broadcast range lookup — same result,
+    * no global sort.
     */
   def q58_ntile(spark: SparkSession, dir: String): DataFrame = {
     val spend = Tables.load(spark, dir, "orders")

@@ -19,6 +19,19 @@ class DedupSpec extends SparkSpec {
     assert(out == Map("k1" -> "newer-tie", "k2" -> "only"))
   }
 
+  test("NULL orderBy rows lose in both directions (NULLS LAST semantics)") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      ("k", Option("2024-01-02"), 1L),
+      ("k", Option.empty[String], 2L)).toDF("k", "d", "id")
+    def winner(descending: Boolean): Long =
+      Dedup.keepNewest(df, col("k"), col("d"), col("id"), descending)
+        .select("id").collect().head.getLong(0)
+    assert(winner(descending = true) == 1L)
+    assert(winner(descending = false) == 1L) // null would win without the rank guard
+  }
+
   test("keepNewest handles column names containing dots") {
     val s = spark
     import s.implicits._

@@ -24,6 +24,28 @@ class RangeJoinSpec extends SparkSpec {
     assert(reference.nonEmpty)
   }
 
+  test("hi just above a bin boundary still matches points in the last bin") {
+    val s = spark
+    import s.implicits._
+    // hi = 50.0000000005: the former epsilon form capped the bin list
+    // at bin 1 and silently dropped the true match at v = 50.0000000002
+    val iv = RangeJoin.Intervals(
+      Seq(("x", 0.0, 50.0000000005)).toDF("band", "lo", "hi"), "lo", "hi")
+    val pts = Seq((1L, 50.0000000002), (2L, 50.0000000009)).toDF("id", "v")
+    val got = RangeJoin.binned(pts, col("v"), iv, 25.0)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(got == Set(1L))
+  }
+
+  test("degenerate intervals (hi <= lo) produce no bins, not a descending explosion") {
+    val s = spark
+    import s.implicits._
+    val iv = RangeJoin.Intervals(
+      Seq(("bad", 1000000.0, 0.0)).toDF("band", "lo", "hi"), "lo", "hi")
+    val pts = Seq((1L, 5.0)).toDF("id", "v")
+    assert(RangeJoin.binned(pts, col("v"), iv, 1.0).count() == 0)
+  }
+
   test("binned range join plans as a hash join, not a nested loop") {
     val events = graft.Tables.load(spark, sf(), "events")
     val plan = RangeJoin.binned(events, col("value"), ivs, 25.0)
