@@ -26,6 +26,41 @@ class SkewAndBucketingSpec extends SparkSpec {
     assert(phase1.count() == 16)
   }
 
+  test("AQE splits a skewed join partition at runtime") {
+    val keys = Seq(
+      "spark.sql.adaptive.enabled",
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.enabled",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor")
+    val saved = keys.map(k => k -> spark.conf.getOption(k))
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      // thresholds scaled down so the local hot partition counts as skewed
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64KB")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1")
+      // ~95% of fact rows share key 0, with a wide payload
+      val fact = spark.range(0, 50000).select(
+        when(col("id") % 20 =!= 0, lit(0L)).otherwise(col("id")).as("k"),
+        concat(lit("x" * 200), col("id")).as("payload"))
+      val dim = spark.range(0, 100).select(col("id").as("k"), col("id").as("attr"))
+      val joined = fact.join(dim, "k")
+      // collect() drives THIS Dataset's queryExecution (a write would
+      // plan a separate one and leave this plan isFinalPlan=false)
+      joined.collect()
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"AQE did not mark the hot partition as skewed:\n${plan.take(3000)}")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   test("bucketed tables co-locate: join plans without a shuffle") {
     val wh = java.nio.file.Files.createTempDirectory("graft-bucketed").toString
     val orders = graft.Tables.load(spark, sf(), "orders")

@@ -48,4 +48,39 @@ class StreamingConsolidationSpec extends SparkSpec {
       2L -> (5L, 50.0), // batch-2 newer row won
       3L -> (6L, 60.0)))
   }
+
+  test("a crash between move-aside and promote does not lose the snapshot") {
+    val s = spark
+    import s.implicits._
+    implicit val sql = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("consolcrash").toString
+    val snapshot = s"$dir/snapshot"
+
+    val stream = MemoryStream[EventsStreaming.Event]
+    def runAvailable(): Unit = {
+      val q = StreamingConsolidation.sink(
+        stream.toDF(), snapshot,
+        keyCol = "user_id", orderByCol = "ts", tieBreakerCol = "event_id").start()
+      try q.processAllAvailable() finally q.stop()
+    }
+
+    stream.addData(ev(1, "2024-01-01 10:00:00", 1, 10.0))
+    runAvailable()
+
+    // simulate the crash window: the previous snapshot was moved aside
+    // but the promote never happened
+    val fs = new org.apache.hadoop.fs.Path(snapshot)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(
+      new org.apache.hadoop.fs.Path(snapshot),
+      new org.apache.hadoop.fs.Path(snapshot + "_old")))
+
+    // the replayed/next micro-batch must first recover user 1's state
+    stream.addData(ev(2, "2024-01-01 11:00:00", 2, 20.0))
+    runAvailable()
+
+    val users = spark.read.parquet(snapshot)
+      .select("user_id").collect().map(_.getLong(0)).toSet
+    assert(users == Set(1L, 2L)) // user 1 survived the crash window
+  }
 }
