@@ -32,7 +32,10 @@ object Validator {
     case RegexRule(p) =>
       when(c.isNotNull && !c.cast("string").rlike(p), lit(s"regex: $p"))
     case MinValueRule(m) =>
-      when(c.isNotNull && c.cast("double") < m, lit(s"minValue: ${fmtNum(m)}"))
+      // try_cast: the reference's non-ANSI cast yields NULL for
+      // non-numeric values (rule passes); a plain cast under Spark 4's
+      // default ANSI mode would CRASH the whole job on one bad cell
+      when(c.isNotNull && c.try_cast("double") < m, lit(s"minValue: ${fmtNum(m)}"))
   }
 
   /** Render the numeric parameter the way the metadata wrote it

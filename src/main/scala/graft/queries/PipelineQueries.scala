@@ -192,6 +192,30 @@ object PipelineQueries {
       |  FROM orders)
       |WHERE rn = 1 ORDER BY o_custkey""".stripMargin
 
+  // ---------- q62: window-function dedup (comparison twin of q06) ----------
+
+  /** The reference's literal formulation — ROW_NUMBER() OVER
+    * (PARTITION BY key ORDER BY ...) = 1 — kept as a benchmarked
+    * counterpoint to q06's max_by form. Same rows, same oracle; the
+    * plan difference is the point: the window shuffles and sorts EVERY
+    * input row before discarding losers, while max_by's map-side
+    * partial aggregation ships at most one row per key per task.
+    * BENCH_r{N} shows the two side by side.
+    */
+  def q62_dedup_window(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+    Tables.load(spark, dir, "orders")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(
+        col("o_custkey"), col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("latest_order_date"),
+        col("o_totalprice"))
+      .orderBy("o_custkey")
+  }
+
   // ---------- q07: incremental consolidation ----------
 
   /** Simulates the reference's incremental flow: the pre-1998 orders
@@ -321,7 +345,8 @@ object PipelineQueries {
     "q06_dedup_keep_latest" -> (q06_dedup_keep_latest _),
     "q07_consolidate_incremental" -> (q07_consolidate_incremental _),
     "q08_batch_filter" -> (q08_batch_filter _),
-    "q09_pipeline_e2e" -> (q09_pipeline_e2e _))
+    "q09_pipeline_e2e" -> (q09_pipeline_e2e _),
+    "q62_dedup_window" -> (q62_dedup_window _))
 
   val oracles: Map[String, String] = Map(
     "q01_schema_enforce" -> q01_oracle,
@@ -332,5 +357,7 @@ object PipelineQueries {
     "q06_dedup_keep_latest" -> q06_oracle,
     "q07_consolidate_incremental" -> q07_oracle,
     "q08_batch_filter" -> q08_oracle,
-    "q09_pipeline_e2e" -> q09OracleSql)
+    "q09_pipeline_e2e" -> q09OracleSql,
+    // identical result to q06 by design — the formulations must agree
+    "q62_dedup_window" -> q06_oracle)
 }

@@ -53,6 +53,40 @@ class OperatorPropertySpec extends SparkSpec {
     }
   }
 
+  test("validator matches a per-row Scala reference on random rows/rules") {
+    val s = spark
+    import s.implicits._
+    import graft.meta._
+    val valGen = for {
+      rules <- Gen.someOf(Seq[RuleDef](
+        NotNullRule, NotEmptyRule, RegexRule("^[a-z]+$"), MinValueRule(10)))
+      if rules.nonEmpty
+    } yield ValidationDef("v", rules.toSeq)
+    val cellGen = Gen.oneOf[Option[String]](
+      None, Some(""), Some("  "), Some("abc"), Some("ABC"), Some("5"), Some("42"))
+    for (seed <- 0 until 8) {
+      val vdef = valGen.pureApply(Gen.Parameters.default, Seed(300L + seed))
+      val cells = Gen.listOfN(30, cellGen)
+        .pureApply(Gen.Parameters.default, Seed(400L + seed))
+      val df = cells.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("id", "v")
+      val out = Validator.validate(df, Seq(vdef))
+      val koIds = out.ko.select("id").as[Long].collect().toSet
+      val okIds = out.ok.select("id").as[Long].collect().toSet
+      // independent reference: a rule fails per the reference semantics
+      def fails(v: Option[String], r: RuleDef): Boolean = r match {
+        case NotNullRule      => v.isEmpty
+        case NotEmptyRule     => v.exists(_.trim == "")
+        case RegexRule(p)     => v.exists(x => !p.r.matches(x))
+        case MinValueRule(m)  => v.exists(x => scala.util.Try(x.toDouble).toOption.exists(_ < m))
+      }
+      val wantKo = cells.zipWithIndex
+        .filter { case (v, _) => vdef.rules.exists(r => fails(v, r)) }
+        .map(_._2.toLong).toSet
+      assert(koIds == wantKo, s"rules=${vdef.rules} seed=$seed")
+      assert(okIds == (cells.indices.map(_.toLong).toSet -- wantKo))
+    }
+  }
+
   test("connected components equal a union-find reference on random graphs") {
     val s = spark
     import s.implicits._
