@@ -197,10 +197,18 @@ object PipelineQueries {
   /** The reference's literal formulation — ROW_NUMBER() OVER
     * (PARTITION BY key ORDER BY ...) = 1 — kept as a benchmarked
     * counterpoint to q06's max_by form. Same rows, same oracle; the
-    * plan difference is the point: the window shuffles and sorts EVERY
-    * input row before discarding losers, while max_by's map-side
-    * partial aggregation ships at most one row per key per task.
-    * BENCH_r{N} shows the two side by side.
+    * plan difference is the point: the window shuffles EVERY input row
+    * before discarding losers, while max_by's map-side partial
+    * aggregation ships at most one row per key per task.
+    *
+    * Measured honestly: at sf0.1 on local[32] the window form is
+    * actually the faster of the two (~0.9 s vs ~1.3 s) — a local
+    * shuffle is a memory copy, so shuffle VOLUME is free and the
+    * window's single sort beats the hash-agg's per-row struct
+    * building. The max_by advantage is a network-bound-cluster
+    * property (tens of GB vs the full fact table over the wire), not
+    * a single-node one — which is exactly why both formulations stay
+    * in the bench.
     */
   def q62_dedup_window(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
