@@ -86,13 +86,104 @@ object CurationQueries {
        |ORDER BY doc_id""".stripMargin
   }
 
+  // ---------- q63: token-budget sampling ----------
+
+  /** Deterministic token-budget sampling: each source contributes
+    * documents in content-hash order until its token budget is
+    * exhausted — "give me ~N tokens per source, reproducibly" is the
+    * unit of every data-mixture spec. Window cumulative sum per
+    * source; a doc is kept while the budget is not yet exceeded
+    * INCLUDING itself, so the output slightly overshoots rather than
+    * undershoots (matching how mixture builders round). One shuffle by
+    * source; hash order makes the sample a pure function of the data.
+    */
+  val tokenBudget = 2000L
+
+  def q63_token_budget(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("source")
+      .orderBy(col("h").asc, col("doc_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.load(spark, dir, "documents")
+      .select(col("source"), col("doc_id"),
+        size(T.tokens(col("text"))).cast("long").as("n_toks"),
+        md5(concat(lit("budget|"), col("doc_id").cast("string"))).as("h"))
+      .withColumn("cum_toks", sum(col("n_toks")).over(w))
+      .filter(col("cum_toks") - col("n_toks") < tokenBudget)
+      .select("source", "doc_id", "n_toks", "cum_toks")
+      .orderBy("source", "cum_toks")
+  }
+
+  val q63_oracle: String =
+    s"""SELECT source, doc_id, n_toks, cum_toks
+       |FROM (
+       |  SELECT source, doc_id, n_toks,
+       |    CAST(sum(n_toks) OVER (PARTITION BY source ORDER BY h ASC, doc_id ASC
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_toks
+       |  FROM (
+       |    SELECT source, doc_id,
+       |      CAST(len(${T.tokensSql("text")}) AS BIGINT) AS n_toks,
+       |      md5(concat('budget|', CAST(doc_id AS VARCHAR))) AS h
+       |    FROM documents))
+       |WHERE cum_toks - n_toks < $tokenBudget
+       |ORDER BY source, cum_toks""".stripMargin
+
+  // ---------- q64: vocabulary coverage / OOV rate ----------
+
+  /** Out-of-vocabulary rate per source against the corpus's top-K
+    * token vocabulary — the coverage check run after building any
+    * tokenizer vocab. Vocabulary selection is exact and total-ordered
+    * (count desc, token asc); counts are integers and the rate is one
+    * final double division, so both engines agree bitwise.
+    */
+  val vocabK = 20
+
+  def q64_oov_rate(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = Tables.load(spark, dir, "documents")
+      .select(col("source"), explode(T.tokens(col("text"))).as("tok"))
+    val vocab = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("cnt").desc, col("tok").asc)))
+      .filter(col("rk") <= vocabK)
+      .select(col("tok").as("v_tok"))
+    toks.join(broadcast(vocab), col("tok") === col("v_tok"), "left")
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_occurrences"),
+        count(when(col("v_tok").isNull, 1)).as("n_oov"))
+      .select(col("source"), col("n_occurrences"), col("n_oov"),
+        (col("n_oov").cast("double") / col("n_occurrences").cast("double"))
+          .as("oov_rate"))
+      .orderBy("source")
+  }
+
+  val q64_oracle: String =
+    s"""WITH toks AS (
+       |  SELECT source, unnest(${T.tokensSql("text")}) AS tok FROM documents),
+       |vocab AS (
+       |  SELECT tok AS v_tok FROM (
+       |    SELECT tok, ROW_NUMBER() OVER (ORDER BY count(*) DESC, tok ASC) AS rk
+       |    FROM toks GROUP BY tok)
+       |  WHERE rk <= $vocabK)
+       |SELECT source, count(*) AS n_occurrences,
+       |  count(CASE WHEN v_tok IS NULL THEN 1 END) AS n_oov,
+       |  CAST(count(CASE WHEN v_tok IS NULL THEN 1 END) AS DOUBLE) /
+       |    CAST(count(*) AS DOUBLE) AS oov_rate
+       |FROM toks LEFT JOIN vocab ON tok = v_tok
+       |GROUP BY source ORDER BY source""".stripMargin
+
   // ---------- registry ----------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q60_dedup_apply" -> (q60_dedup_apply _),
-    "q61_quality_filter" -> (q61_quality_filter _))
+    "q61_quality_filter" -> (q61_quality_filter _),
+    "q63_token_budget" -> (q63_token_budget _),
+    "q64_oov_rate" -> (q64_oov_rate _))
 
   val oracles: Map[String, String] = Map(
     "q60_dedup_apply" -> q60_oracle,
-    "q61_quality_filter" -> q61_oracle)
+    "q61_quality_filter" -> q61_oracle,
+    "q63_token_budget" -> q63_oracle,
+    "q64_oov_rate" -> q64_oracle)
 }
