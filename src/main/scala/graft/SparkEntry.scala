@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.multimodal.Multimodal
-import graft.queries.{Analytics, CorpusQueries, CurationQueries, DistributionQueries, ExtendedAnalytics, GraphQueries, PipelineQueries, ScrubQueries, TextQueries, VectorQueries}
+import graft.queries.{Analytics, CorpusQueries, CurationQueries, DistributionQueries, EventQueries, ExtendedAnalytics, GraphQueries, PipelineQueries, ScrubQueries, TextQueries, VectorQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 + §7. */
 object SparkEntry {
@@ -16,6 +16,7 @@ object SparkEntry {
       TextQueries.queries ++ VectorQueries.queries ++ CorpusQueries.queries ++
       GraphQueries.queries ++ ScrubQueries.queries ++ ExtendedAnalytics.queries ++
       DistributionQueries.queries ++ CurationQueries.queries ++
+      EventQueries.queries ++
       Map("q31_multimodal_extract" -> (Multimodal.q31_multimodal_extract _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -25,5 +26,6 @@ object SparkEntry {
       TextQueries.oracles ++ VectorQueries.oracles ++ CorpusQueries.oracles ++
       GraphQueries.oracles ++ ScrubQueries.oracles ++ ExtendedAnalytics.oracles ++
       DistributionQueries.oracles ++ CurationQueries.oracles ++
+      EventQueries.oracles ++
       Map("q31_multimodal_extract" -> Multimodal.q31_oracle)
 }

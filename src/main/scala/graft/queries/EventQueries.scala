@@ -1,0 +1,106 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Event-sequence analytics (SURVEY §2 #65–#66): funnel conversion and
+  * cohort retention — the two canonical product-analytics queries over
+  * an event stream.
+  */
+object EventQueries {
+
+  // ---------- q65: funnel conversion ----------
+
+  /** Ordered funnel view → click → purchase: a user advances a stage
+    * only with an event at-or-after their previous stage's first
+    * event. Three aggregations keyed by user — all shuffles share the
+    * user_id partitioning, so the chained joins add no exchanges.
+    * min() timestamps make every stage deterministic regardless of
+    * event order.
+    */
+  def q65_funnel(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(spark, dir, "events")
+      .select(col("user_id"), col("event_type"), col("ts"))
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("ts").as("t_view"))
+    val c = ev.filter(col("event_type") === "click")
+      .join(v, "user_id").filter(col("ts") >= col("t_view"))
+      .groupBy("user_id").agg(min("ts").as("t_click"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .join(c, "user_id").filter(col("ts") >= col("t_click"))
+      .groupBy("user_id").agg(min("ts").as("t_purchase"))
+    def stage(df: DataFrame, name: String): DataFrame =
+      df.agg(count(lit(1)).as("n_users")).select(lit(name).as("stage"), col("n_users"))
+    stage(v, "1_view").union(stage(c, "2_click")).union(stage(p, "3_purchase"))
+      .orderBy("stage")
+  }
+
+  val q65_oracle: String =
+    """WITH v AS (
+      |  SELECT user_id, min(ts) AS t_view FROM events
+      |  WHERE event_type = 'view' GROUP BY user_id),
+      |c AS (
+      |  SELECT e.user_id, min(e.ts) AS t_click
+      |  FROM events e JOIN v ON e.user_id = v.user_id
+      |  WHERE e.event_type = 'click' AND e.ts >= v.t_view
+      |  GROUP BY e.user_id),
+      |p AS (
+      |  SELECT e.user_id, min(e.ts) AS t_purchase
+      |  FROM events e JOIN c ON e.user_id = c.user_id
+      |  WHERE e.event_type = 'purchase' AND e.ts >= c.t_click
+      |  GROUP BY e.user_id)
+      |SELECT stage, n_users FROM (
+      |  SELECT '1_view' AS stage, count(*) AS n_users FROM v
+      |  UNION ALL SELECT '2_click', count(*) FROM c
+      |  UNION ALL SELECT '3_purchase', count(*) FROM p)
+      |ORDER BY stage""".stripMargin
+
+  // ---------- q66: cohort retention ----------
+
+  /** Weekly cohort retention: users grouped by the week of their first
+    * event; for each later week, how many of that cohort were active.
+    * Both engines truncate weeks to Monday and the week delta is exact
+    * integer arithmetic on day counts (always a multiple of 7 after
+    * truncation). Shuffles: one by user (first-seen), one by
+    * (cohort, week) for the matrix — both bounded by user/week
+    * cardinality, not events.
+    */
+  def q66_retention(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(spark, dir, "events")
+      .select(col("user_id"), date_trunc("week", col("ts")).cast("date").as("week"))
+      .distinct()
+    val cohorts = ev.groupBy("user_id").agg(min(col("week")).as("cohort_week"))
+    ev.join(cohorts, "user_id")
+      .withColumn("weeks_since",
+        (datediff(col("week"), col("cohort_week")) / 7).cast("int"))
+      .groupBy("cohort_week", "weeks_since")
+      .agg(count(lit(1)).as("n_active"))
+      .select(
+        date_format(col("cohort_week"), "yyyy-MM-dd").as("cohort_week"),
+        col("weeks_since"), col("n_active"))
+      .orderBy("cohort_week", "weeks_since")
+  }
+
+  val q66_oracle: String =
+    """WITH uw AS (
+      |  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS week
+      |  FROM events),
+      |cohorts AS (
+      |  SELECT user_id, min(week) AS cohort_week FROM uw GROUP BY user_id)
+      |SELECT strftime(cohort_week, '%Y-%m-%d') AS cohort_week,
+      |  CAST(date_diff('day', cohort_week, week) / 7 AS INT) AS weeks_since,
+      |  count(*) AS n_active
+      |FROM uw JOIN cohorts USING (user_id)
+      |GROUP BY 1, 2 ORDER BY cohort_week, weeks_since""".stripMargin
+
+  // ---------- registry ----------
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q65_funnel" -> (q65_funnel _),
+    "q66_retention" -> (q66_retention _))
+
+  val oracles: Map[String, String] = Map(
+    "q65_funnel" -> q65_oracle,
+    "q66_retention" -> q66_oracle)
+}
