@@ -14,10 +14,14 @@ object EventQueries {
 
   /** Ordered funnel view → click → purchase: a user advances a stage
     * only with an event at-or-after their previous stage's first
-    * event. Three aggregations keyed by user — all shuffles share the
-    * user_id partitioning, so the chained joins add no exchanges.
-    * min() timestamps make every stage deterministic regardless of
-    * event order.
+    * event. Each stage's user set shrinks monotonically, so the
+    * previous stage broadcasts into the next stage's event filter and
+    * the raw events are never shuffled for a join — only each stage's
+    * own per-user aggregation shuffles, bounded by its user count. If
+    * a stage set ever outgrew broadcast, the joins would SMJ on
+    * user_id and reuse the aggregations' partitioning. min()
+    * timestamps make every stage deterministic regardless of event
+    * order.
     */
   def q65_funnel(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.load(spark, dir, "events")
