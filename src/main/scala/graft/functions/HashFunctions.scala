@@ -76,6 +76,8 @@ object HashFunctions {
     */
   def bandBucket(sig: Seq[Column], band: Int, rows: Int): Column = {
     val parts = sig.slice(band * rows, band * rows + rows)
+    require(parts.nonEmpty,
+      s"band $band x $rows rows is outside the ${sig.length}-component signature")
     val interleaved = parts.head +: parts.tail.flatMap(c => Seq(lit("|"), c))
     md5(concat(interleaved: _*))
   }

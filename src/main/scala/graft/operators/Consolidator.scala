@@ -69,7 +69,13 @@ object Consolidator {
           val df = spark.read.format(format).option("mode", "PERMISSIVE").load(cfg.outputPath)
           if (df.isEmpty) None else Some(df)
         } catch {
-          case _: org.apache.spark.sql.AnalysisException => None // no data files
+          // ONLY the no-data-files condition means first run; any other
+          // analysis failure (wrong format, corrupt snapshot) must
+          // fail loudly — degrading would consolidate new batches
+          // alone and the caller's swap would delete the real snapshot
+          case e: org.apache.spark.sql.AnalysisException
+              if Option(e.getCondition).exists(_.startsWith("UNABLE_TO_INFER_SCHEMA")) =>
+            None
         }
     consolidate(batches, existing, cfg, tieBreaker)
   }

@@ -22,9 +22,7 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  // backtick-quote a column name so dots stay literal (metadata-driven
-  // schemas are arbitrary; col("a.b") would parse as nested access)
-  private def qcol(c: String): Column = col(s"`${c.replace("`", "``")}`")
+  import Quoting.qcol
 
   /** One surviving row per `key`: the row with the greatest
     * (orderBy, tieBreaker) — or smallest, when `descending=false`.
@@ -42,19 +40,20 @@ object Dedup {
       tieBreaker: Column,
       descending: Boolean = true): DataFrame = {
     val payload = struct(df.columns.toSeq.map(qcol): _*)
-    // NULL orderBy rows must LOSE in both directions (the reference's
-    // ROW_NUMBER semantics under NULLS LAST, and DuckDB's default).
-    // Spark struct comparison is nulls-first, so without the leading
-    // rank a NULL row would win the ascending (min_by) case.
-    val nullRank =
-      if (descending) when(orderBy.isNull, 0).otherwise(1) // max_by: non-null wins
-      else when(orderBy.isNull, 1).otherwise(0)            // min_by: non-null wins
-    val ord = struct(nullRank, orderBy, tieBreaker)
+    // NULL ordering values must LOSE in both directions (the
+    // reference's ROW_NUMBER semantics under NULLS LAST, and DuckDB's
+    // default) — for the tie-breaker too, not just orderBy. Spark
+    // struct comparison is nulls-first, so without the rank terms a
+    // NULL row would win the ascending (min_by) case.
+    def loses(c: Column) =
+      if (descending) when(c.isNull, 0).otherwise(1) // max_by: non-null wins
+      else when(c.isNull, 1).otherwise(0)            // min_by: non-null wins
+    val ord = struct(loses(orderBy), orderBy, loses(tieBreaker), tieBreaker)
     val pick = if (descending) max_by(payload, ord) else min_by(payload, ord)
     val keyName = key.toString
     val outCols = df.columns.toSeq.map { c =>
       if (c == keyName) col("__dedup_key").as(c)
-      else col(s"__winner.`${c.replace("`", "``")}`").as(c)
+      else Quoting.ref("__winner", c).as(c)
     }
     df.groupBy(key.as("__dedup_key"))
       .agg(pick.as("__winner"))

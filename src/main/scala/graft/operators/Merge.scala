@@ -35,19 +35,16 @@ object Merge {
       s"schema mismatch: ${target.columns.mkString(",")} vs ${source.columns.mkString(",")}")
     require(!target.columns.contains("_from_source"),
       "column name _from_source is reserved by Merge.upsert")
-    // backtick-quote column access so dots in metadata-driven column
-    // names stay literal (same hardening as Dedup.qcol)
-    def q(side: String, c: String) = col(s"$side.`${c.replace("`", "``")}`")
+    import Quoting.{qcol, ref}
     val t = target.alias("t")
     val s = source.select(
-      source.columns.toSeq.map(c => col(s"`${c.replace("`", "``")}`")) :+
-        lit(true).as("_from_source"): _*)
+      source.columns.toSeq.map(qcol) :+ lit(true).as("_from_source"): _*)
       .alias("s")
-    val cond = keys.map(k => q("t", k) === q("s", k)).reduce(_ && _)
+    val cond = keys.map(k => ref("t", k) === ref("s", k)).reduce(_ && _)
     val merged = t.join(s, cond, "full_outer")
     val outCols = target.columns.map { c =>
-      if (keys.contains(c)) coalesce(q("s", c), q("t", c)).as(c)
-      else when(col("_from_source"), q("s", c)).otherwise(q("t", c)).as(c)
+      if (keys.contains(c)) coalesce(ref("s", c), ref("t", c)).as(c)
+      else when(col("_from_source"), ref("s", c)).otherwise(ref("t", c)).as(c)
     }
     merged.select(outCols.toSeq: _*)
   }

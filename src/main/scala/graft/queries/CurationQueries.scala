@@ -89,13 +89,14 @@ object CurationQueries {
   // ---------- q63: token-budget sampling ----------
 
   /** Deterministic token-budget sampling: each source contributes
-    * documents in content-hash order until its token budget is
-    * exhausted — "give me ~N tokens per source, reproducibly" is the
-    * unit of every data-mixture spec. Window cumulative sum per
-    * source; a doc is kept while the budget is not yet exceeded
-    * INCLUDING itself, so the output slightly overshoots rather than
-    * undershoots (matching how mixture builders round). One shuffle by
-    * source; hash order makes the sample a pure function of the data.
+    * documents in id-hash order until its token budget is exhausted —
+    * "give me ~N tokens per source, reproducibly" is the unit of every
+    * data-mixture spec. Window cumulative sum per source; a doc is
+    * kept while the budget is not yet exceeded INCLUDING itself, so
+    * the output slightly overshoots rather than undershoots (matching
+    * how mixture builders round). One shuffle by source; the md5 of
+    * the doc id gives a uniform, seedless order (hash the TEXT instead
+    * if the sample must also survive re-identification of the corpus).
     */
   val tokenBudget = 2000L
 
@@ -111,7 +112,9 @@ object CurationQueries {
       .withColumn("cum_toks", sum(col("n_toks")).over(w))
       .filter(col("cum_toks") - col("n_toks") < tokenBudget)
       .select("source", "doc_id", "n_toks", "cum_toks")
-      .orderBy("source", "cum_toks")
+      // doc_id tiebreak: zero-token docs share cum_toks with their
+      // predecessor and would otherwise order engine-dependently
+      .orderBy("source", "cum_toks", "doc_id")
   }
 
   val q63_oracle: String =
@@ -126,7 +129,7 @@ object CurationQueries {
        |      md5(concat('budget|', CAST(doc_id AS VARCHAR))) AS h
        |    FROM documents))
        |WHERE cum_toks - n_toks < $tokenBudget
-       |ORDER BY source, cum_toks""".stripMargin
+       |ORDER BY source, cum_toks, doc_id""".stripMargin
 
   // ---------- q64: vocabulary coverage / OOV rate ----------
 
@@ -140,8 +143,12 @@ object CurationQueries {
 
   def q64_oov_rate(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // persisted: referenced by both the vocab aggregation and the
+    // coverage join — without this the scan+tokenize+explode lineage
+    // runs twice (same pattern as lshPairs' band table)
     val toks = Tables.load(spark, dir, "documents")
       .select(col("source"), explode(T.tokens(col("text"))).as("tok"))
+      .persist()
     val vocab = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
       .withColumn("rk", row_number().over(
         Window.orderBy(col("cnt").desc, col("tok").asc)))

@@ -32,6 +32,19 @@ class DedupSpec extends SparkSpec {
     assert(winner(descending = false) == 1L) // null would win without the rank guard
   }
 
+  test("NULL tieBreaker rows lose on orderBy ties, in both directions") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      ("k", "2024-01-02", Option(1L), "real"),
+      ("k", "2024-01-02", Option.empty[Long], "null-tie")).toDF("k", "d", "tb", "tag")
+    def winner(descending: Boolean): String =
+      Dedup.keepNewest(df, col("k"), col("d"), col("tb"), descending)
+        .select("tag").collect().head.getString(0)
+    assert(winner(descending = true) == "real")
+    assert(winner(descending = false) == "real")
+  }
+
   test("keepNewest handles column names containing dots") {
     val s = spark
     import s.implicits._
