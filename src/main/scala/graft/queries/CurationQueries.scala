@@ -180,17 +180,93 @@ object CurationQueries {
        |FROM toks LEFT JOIN vocab ON tok = v_tok
        |GROUP BY source ORDER BY source""".stripMargin
 
+  // ---------- q67: decontamination applied ----------
+
+  /** The apply-form of q37's contamination scan: the corpus with every
+    * benchmark-overlapping document REMOVED (left-anti against the
+    * flagged set) — what the pipeline actually ships to training.
+    * Summarized per source so the oracle stays small; the anti-join
+    * streams the full-text side once.
+    */
+  def q67_decontaminate(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.{HashFunctions => H}
+    import spark.implicits._
+    val bench = CorpusQueries.benchmarkShingles.toDF("s")
+    val flagged = Tables.load(spark, dir, "documents")
+      .withColumn("toks", T.tokens(col("text")))
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"), explode(H.shingles(col("toks"))).as("s"))
+      .join(broadcast(bench), "s")
+      .select(col("doc_id").as("bad_id")).distinct()
+    Tables.load(spark, dir, "documents")
+      .join(flagged, col("doc_id") === col("bad_id"), "left_anti")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).cast("long").as("total_chars"))
+      .orderBy("source")
+  }
+
+  val q67_oracle: String = {
+    import graft.functions.{HashFunctions => H}
+    val sh = H.shinglesSql(T.tokensSql("text"))
+    val bench = CorpusQueries.benchmarkShingles.map(s => s"'$s'").mkString("[", ", ", "]")
+    s"""SELECT source, count(*) AS n_docs,
+       |  CAST(sum(n_chars) AS BIGINT) AS total_chars
+       |FROM documents
+       |WHERE doc_id NOT IN (
+       |  SELECT doc_id FROM (SELECT doc_id, $sh AS sh FROM documents)
+       |  WHERE len(list_intersect(list_distinct(sh), $bench)) > 0)
+       |GROUP BY source ORDER BY source""".stripMargin
+  }
+
+  // ---------- q68: cross-source duplication overlap ----------
+
+  /** Which sources duplicate each other: the LSH near-dup pairs (q25)
+    * joined back to document metadata and aggregated to a source×source
+    * overlap matrix — the curation view that decides which source to
+    * keep when mixtures overlap (e.g. a web crawl duplicating a books
+    * corpus). Pair count is near-linear (LSH), the metadata join is
+    * broadcast-sized.
+    */
+  def q68_source_overlap(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents").select("doc_id", "source")
+    val pairs = TextQueries.lshPairs(spark, dir)
+    pairs
+      .join(docs.withColumnRenamed("doc_id", "a_id").withColumnRenamed("source", "a_source"), "a_id")
+      .join(docs.withColumnRenamed("doc_id", "b_id").withColumnRenamed("source", "b_source"), "b_id")
+      .select(
+        least(col("a_source"), col("b_source")).as("source_x"),
+        greatest(col("a_source"), col("b_source")).as("source_y"))
+      .groupBy("source_x", "source_y")
+      .agg(count(lit(1)).as("n_dup_pairs"))
+      .orderBy("source_x", "source_y")
+  }
+
+  val q68_oracle: String =
+    s"""WITH pairs AS (${TextQueries.lshPairsSql})
+       |SELECT least(da.source, db.source) AS source_x,
+       |  greatest(da.source, db.source) AS source_y,
+       |  count(*) AS n_dup_pairs
+       |FROM pairs
+       |JOIN documents da ON pairs.a_id = da.doc_id
+       |JOIN documents db ON pairs.b_id = db.doc_id
+       |GROUP BY 1, 2 ORDER BY source_x, source_y""".stripMargin
+
   // ---------- registry ----------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q60_dedup_apply" -> (q60_dedup_apply _),
     "q61_quality_filter" -> (q61_quality_filter _),
     "q63_token_budget" -> (q63_token_budget _),
-    "q64_oov_rate" -> (q64_oov_rate _))
+    "q64_oov_rate" -> (q64_oov_rate _),
+    "q67_decontaminate" -> (q67_decontaminate _),
+    "q68_source_overlap" -> (q68_source_overlap _))
 
   val oracles: Map[String, String] = Map(
     "q60_dedup_apply" -> q60_oracle,
     "q61_quality_filter" -> q61_oracle,
     "q63_token_budget" -> q63_oracle,
-    "q64_oov_rate" -> q64_oracle)
+    "q64_oov_rate" -> q64_oracle,
+    "q67_decontaminate" -> q67_oracle,
+    "q68_source_overlap" -> q68_oracle)
 }
