@@ -15,6 +15,14 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   *     [[recover]] before reading the snapshot, or a replayed run
   *     reads "no snapshot" and rebuilds from the current batch alone
   *     while the only full copy sits in _old awaiting deletion.
+  *
+  * The crash-window analysis above assumes O(1) atomic directory
+  * rename — true on HDFS and local filesystems, FALSE on object
+  * stores (S3A rename is a non-atomic server-side copy + delete, so a
+  * crash mid-rename can leave a partially-copied dst that [[recover]]
+  * would treat as healthy). [[promote]] rejects known object-store
+  * schemes; on such stores use a table format with a metadata-pointer
+  * commit instead of directory swaps.
   */
 object SnapshotSwap {
 
@@ -38,7 +46,13 @@ object SnapshotSwap {
     * [[tmpPath]](dst). Checks every Hadoop rename/delete boolean
     * (they report failure as false, not by throwing).
     */
+  private val nonAtomicRenameSchemes = Set("s3", "s3a", "s3n", "gs", "wasb", "wasbs", "abfs", "abfss")
+
   def promote(fs: FileSystem, dst: Path): Unit = {
+    val scheme = Option(fs.getUri.getScheme).map(_.toLowerCase).getOrElse("file")
+    require(!nonAtomicRenameSchemes.contains(scheme),
+      s"SnapshotSwap requires atomic directory rename; '$scheme' renames by copy+delete " +
+        "and a mid-rename crash can leave a partial snapshot that recover() cannot detect")
     val tmp = tmpPath(dst)
     val old = oldPath(dst)
     if (fs.exists(old)) must(fs.delete(old, true), s"delete stale $old")

@@ -39,6 +39,9 @@ object Dedup {
       orderBy: Column,
       tieBreaker: Column,
       descending: Boolean = true): DataFrame = {
+    Seq("__dedup_key", "__winner").foreach { r =>
+      require(!df.columns.contains(r), s"column name $r is reserved by Dedup.keepNewest")
+    }
     val payload = struct(df.columns.toSeq.map(qcol): _*)
     // NULL ordering values must LOSE in both directions (the
     // reference's ROW_NUMBER semantics under NULLS LAST, and DuckDB's
@@ -65,6 +68,9 @@ object Dedup {
     * the canonical exact-dedup for LLM corpora.
     */
   def exact(df: DataFrame, on: Column, idCol: Column): DataFrame = {
+    Seq("__dedup_on", "__winner").foreach { r =>
+      require(!df.columns.contains(r), s"column name $r is reserved by Dedup.exact")
+    }
     val payload = struct(df.columns.toSeq.map(qcol): _*)
     df.groupBy(on.as("__dedup_on"))
       .agg(min_by(payload, idCol).as("__winner"))

@@ -24,18 +24,40 @@ object Merge {
     * source NULLs — matching is by a presence flag, not per-column
     * coalesce).
     *
+    * '''Precondition''': each side must be unique per `keys`. SQL MERGE
+    * errors when multiple source rows match one target row; a full-outer
+    * join instead silently fans out (m×n rows per duplicated key). All
+    * in-repo callers dedup first (q48, StreamingConsolidation run
+    * [[Dedup.keepNewest]] upstream). Pass `assertUniqueKeys = true` to
+    * pay one aggregation per side and fail fast instead — off by
+    * default because the check is a full shuffle of both inputs.
+    *
     * Matching uses plain equality, the SQL MERGE convention: NULL-key
     * rows never match (they survive/insert as unmatched). Plain `=` is
     * also what lets the join reuse an upstream hashpartitioning on the
     * key — a null-safe `<=>` rewrites the join key to
     * (coalesce(k), isnull(k)) and forces both sides to re-shuffle.
     */
-  def upsert(target: DataFrame, source: DataFrame, keys: Seq[String]): DataFrame = {
+  def upsert(
+      target: DataFrame,
+      source: DataFrame,
+      keys: Seq[String],
+      assertUniqueKeys: Boolean = false): DataFrame = {
     require(target.columns.sameElements(source.columns),
       s"schema mismatch: ${target.columns.mkString(",")} vs ${source.columns.mkString(",")}")
     require(!target.columns.contains("_from_source"),
       "column name _from_source is reserved by Merge.upsert")
     import Quoting.{qcol, ref}
+    if (assertUniqueKeys) {
+      def check(df: DataFrame, side: String): Unit = {
+        val dup = df.groupBy(keys.map(qcol): _*).count()
+          .filter(col("count") > 1).limit(1).collect()
+        require(dup.isEmpty,
+          s"$side has multiple rows for key ${dup.head.toSeq.init.mkString(",")} — " +
+            "MERGE requires unique keys per side (dedup first)")
+      }
+      check(target, "target"); check(source, "source")
+    }
     val t = target.alias("t")
     val s = source.select(
       source.columns.toSeq.map(qcol) :+ lit(true).as("_from_source"): _*)

@@ -143,26 +143,36 @@ object CurationQueries {
 
   def q64_oov_rate(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    // persisted: referenced by both the vocab aggregation and the
-    // coverage join — without this the scan+tokenize+explode lineage
-    // runs twice (same pattern as lshPairs' band table)
-    val toks = Tables.load(spark, dir, "documents")
+    // Aggregate to per-(source, token) counts FIRST, then persist only
+    // that: it is |sources|·|vocab| rows — independent of corpus
+    // length — where persisting the exploded token table would cache
+    // the corpus×tokens blowup. Both the vocabulary selection and the
+    // coverage join derive from these counts (occurrence totals are
+    // sums of cnt), so the scan+tokenize lineage still runs once.
+    val counts = Tables.load(spark, dir, "documents")
       .select(col("source"), explode(T.tokens(col("text"))).as("tok"))
+      .groupBy("source", "tok").agg(count(lit(1)).as("cnt"))
       .persist()
-    val vocab = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
-      .withColumn("rk", row_number().over(
-        Window.orderBy(col("cnt").desc, col("tok").asc)))
-      .filter(col("rk") <= vocabK)
-      .select(col("tok").as("v_tok"))
-    toks.join(broadcast(vocab), col("tok") === col("v_tok"), "left")
-      .groupBy("source")
-      .agg(
-        count(lit(1)).as("n_occurrences"),
-        count(when(col("v_tok").isNull, 1)).as("n_oov"))
-      .select(col("source"), col("n_occurrences"), col("n_oov"),
-        (col("n_oov").cast("double") / col("n_occurrences").cast("double"))
-          .as("oov_rate"))
-      .orderBy("source")
+    try {
+      val vocab = counts.groupBy("tok").agg(sum(col("cnt")).as("tot"))
+        .withColumn("rk", row_number().over(
+          Window.orderBy(col("tot").desc, col("tok").asc)))
+        .filter(col("rk") <= vocabK)
+        .select(col("tok").as("v_tok"))
+      counts.join(broadcast(vocab), col("tok") === col("v_tok"), "left")
+        .groupBy("source")
+        .agg(
+          sum(col("cnt")).as("n_occurrences"),
+          coalesce(sum(when(col("v_tok").isNull, col("cnt"))), lit(0L)).as("n_oov"))
+        .select(col("source"), col("n_occurrences"), col("n_oov"),
+          (col("n_oov").cast("double") / col("n_occurrences").cast("double"))
+            .as("oov_rate"))
+        .orderBy("source")
+        // eager: the result is a handful of per-source rows, so
+        // materializing here lets the finally release the cache instead
+        // of leaking it into the rest of a Verify/Bench run
+        .localCheckpoint()
+    } finally counts.unpersist()
   }
 
   val q64_oracle: String =

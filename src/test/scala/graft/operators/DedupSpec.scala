@@ -76,4 +76,15 @@ class DedupSpec extends SparkSpec {
       .select("id").collect().map(_.getLong(0)).toSet
     assert(out == Set(1L, 2L))
   }
+
+  test("reserved intermediate names are rejected instead of silently misbehaving") {
+    val s = spark
+    import s.implicits._
+    val clash = Seq((1L, 2L)).toDF("__winner", "o")
+    intercept[IllegalArgumentException](
+      Dedup.keepNewest(clash, col("__winner"), col("o"), col("o")))
+    val clash2 = Seq((1L, 2L)).toDF("__dedup_on", "id")
+    intercept[IllegalArgumentException](
+      Dedup.exact(clash2, col("__dedup_on"), col("id")))
+  }
 }

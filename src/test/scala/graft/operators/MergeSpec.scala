@@ -28,4 +28,18 @@ class MergeSpec extends SparkSpec {
     val source = Seq((1L, "a")).toDF("k", "y")
     intercept[IllegalArgumentException](Merge.upsert(target, source, Seq("k")))
   }
+
+  test("assertUniqueKeys fails fast on a duplicated source key instead of fanning out") {
+    val s = spark
+    import s.implicits._
+    val target = Seq((1L, "t")).toDF("k", "v")
+    val dupSource = Seq((1L, "s1"), (1L, "s2")).toDF("k", "v")
+    intercept[IllegalArgumentException](
+      Merge.upsert(target, dupSource, Seq("k"), assertUniqueKeys = true))
+    // unique keys pass the guard with the same result as the default path
+    val okSource = Seq((1L, "s1"), (2L, "s2")).toDF("k", "v")
+    val out = Merge.upsert(target, okSource, Seq("k"), assertUniqueKeys = true)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(1L -> "s1", 2L -> "s2"))
+  }
 }
