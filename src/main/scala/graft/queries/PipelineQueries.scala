@@ -260,21 +260,23 @@ object PipelineQueries {
   // ---------- q08: incremental batch filtering ----------
 
   /** Manifest watermark semantics: event days are the "batches";
-    * only days strictly after the watermark are processed. The distinct
-    * day list is driver-side metadata (a few hundred values at most,
-    * same as the reference's bucket listing) — the heavy filter runs
-    * distributed via IN over that list.
+    * only days strictly after the watermark are processed. The
+    * watermark is pushed as a predicate straight into the distributed
+    * scan — ISO dates compare as strings, so `batch_day > watermark`
+    * IS the strictly-greater rule of [[BatchDiscovery.filterNew]],
+    * with no pass over the data to enumerate batch days first. (When
+    * batches are physical, the real pipeline derives the list from FS
+    * metadata via [[BatchDiscovery.discover]] — the storage layout
+    * already knows the days; scanning 100 TB to learn them is never
+    * right.)
     */
   def q08_batch_filter(spark: SparkSession, dir: String): DataFrame = {
     val events = Tables.load(spark, dir, "events")
     val watermark = "2024-01-10"
     val day = date_format(col("ts"), "yyyy-MM-dd")
-    val allBatches = events.select(day.as("d")).distinct()
-      .collect().map(_.getString(0)).toSeq.sorted
-    val newBatches = BatchDiscovery.filterNew(allBatches, Some(watermark))
     events
       .withColumn("batch_day", day)
-      .filter(col("batch_day").isin(newBatches: _*))
+      .filter(col("batch_day") > lit(watermark))
       .groupBy("batch_day")
       .agg(
         count(lit(1)).as("n_events"),
@@ -289,6 +291,53 @@ object PipelineQueries {
       |FROM events
       |WHERE strftime(ts, '%Y-%m-%d') > '2024-01-10'
       |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---------- q71: streaming consolidation ≡ batch consolidation ----------
+
+  /** Batch-equivalence harness for the streaming path: q07's two batch
+    * splits (pre-/post-cutoff orders) are staged as files, streamed
+    * through [[graft.streaming.StreamingConsolidation]] one file per
+    * micro-batch, and the final snapshot is projected exactly like
+    * q07 — so the DuckDB oracle for q07 (keep-newest over ALL orders)
+    * gates the STREAMING engine, not just its specs. Works because the
+    * sink's union+keepNewest merge is order-aware: any batch split of
+    * the same rows converges to the same snapshot.
+    */
+  def q71_stream_consolidate(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val work = java.nio.file.Files.createTempDirectory("graft-q71-").toString
+    val watchDir = s"$work/incoming"
+    val snapshot = s"$work/snapshot"
+    val fs = new Path(work).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    try {
+      val orders = Tables.load(spark, dir, "orders")
+      val cutoff = to_timestamp(lit("1998-01-01 00:00:00"))
+      // stage q07's batches as single files the stream can pick up
+      // one-at-a-time (coalesce(1) is harness plumbing, not the operator)
+      fs.mkdirs(new Path(watchDir))
+      Seq(
+        "b0" -> orders.filter(col("o_orderdate") < cutoff),
+        "b1" -> orders.filter(col("o_orderdate") >= cutoff)
+      ).foreach { case (name, batch) =>
+        batch.coalesce(1).write.parquet(s"$work/$name")
+        val part = fs.globStatus(new Path(s"$work/$name/part-*.parquet")).head.getPath
+        fs.rename(part, new Path(s"$watchDir/$name.parquet"))
+      }
+      val schema = spark.read.parquet(s"$watchDir/b0.parquet").schema
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(watchDir)
+      val query = graft.streaming.StreamingConsolidation
+        .sink(stream, snapshot, "o_custkey", "o_orderdate", "o_orderkey")
+        .start()
+      query.awaitTermination() // AvailableNow: returns once both files are consumed
+      spark.read.parquet(snapshot)
+        .select(
+          col("o_custkey"), col("o_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("latest_order_date"))
+        .orderBy("o_custkey")
+        .localCheckpoint() // materialize before the work dir is deleted
+    } finally fs.delete(new Path(work), true)
+  }
 
   // ---------- q09: full metadata-driven flow ----------
 
@@ -354,6 +403,7 @@ object PipelineQueries {
     "q07_consolidate_incremental" -> (q07_consolidate_incremental _),
     "q08_batch_filter" -> (q08_batch_filter _),
     "q09_pipeline_e2e" -> (q09_pipeline_e2e _),
+    "q71_stream_consolidate" -> (q71_stream_consolidate _),
     "q62_dedup_window" -> (q62_dedup_window _))
 
   val oracles: Map[String, String] = Map(
@@ -366,6 +416,9 @@ object PipelineQueries {
     "q07_consolidate_incremental" -> q07_oracle,
     "q08_batch_filter" -> q08_oracle,
     "q09_pipeline_e2e" -> q09OracleSql,
+    // the streaming path must reproduce the BATCH consolidation
+    // invariant — q07's oracle applies verbatim
+    "q71_stream_consolidate" -> q07_oracle,
     // identical result to q06 by design — the formulations must agree
     "q62_dedup_window" -> q06_oracle)
 }
