@@ -281,6 +281,95 @@ object TextQueries {
        |GROUP BY simhash HAVING count(*) >= 2 ORDER BY simhash""".stripMargin
   }
 
+  // ---------- q69: SimHash with Hamming-adjacent probing ----------
+
+  /** SimHash near-dup detection that actually catches near-dups: q27
+    * groups docs on EXACT simhash equality, so two documents whose
+    * 16-bit fingerprints differ in a single bit — precisely the
+    * near-miss SimHash exists to find — are never candidates. Here
+    * every document probes its own fingerprint plus all 16 one-bit
+    * flips; a candidate pair is (probe of a) = (exact simhash of b),
+    * i.e. Hamming distance ≤ 1, and candidates are then verified with
+    * true shingle-set Jaccard exactly like the MinHash path (q25).
+    *
+    * Scale shape: the probe fan-out is 17 narrow rows (id + two ints)
+    * per doc — the shingle arrays do NOT ride through it; they are
+    * joined back by doc id only for the surviving candidates. The
+    * probe join shuffles by fingerprint value, so candidate volume is
+    * governed by bucket occupancy (grow the fingerprint width to keep
+    * it bounded as the corpus grows), never all-pairs.
+    */
+  /** (doc_id, shd, simhash) for every doc with ≥3 tokens (the Jaccard
+    * verify needs a non-empty shingle set). */
+  private[queries] def simhashTable(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .withColumn("toks", T.tokens(col("text")))
+      .filter(size(col("toks")) >= 3)
+      .withColumn("hs", transform(col("toks"), t => md5(t)))
+      .select(col("doc_id"),
+        array_distinct(H.shingles(col("toks"))).as("shd"),
+        expr(H.simhash16SinglePassSpark).as("simhash"))
+
+  /** Candidate pairs at Hamming distance ≤ 1: each unordered pair
+    * matches exactly once — b sits in one bucket, a's 17 probes are
+    * distinct, and the a_id < b_id orientation drops the mirrored
+    * (b probes → a exact) match.
+    */
+  private[queries] def simhashProbePairs(base: DataFrame): DataFrame = {
+    val probes = base.select(col("doc_id").as("a_id"), col("simhash").as("a_sim"),
+      explode(array(col("simhash") +:
+        (0 until 16).map(b => col("simhash").bitwiseXOR(lit(1 << b))): _*)).as("probe"))
+    val exact = base.select(col("doc_id").as("b_id"), col("simhash").as("b_sim"),
+      col("simhash").as("probe"))
+    probes.join(exact, Seq("probe"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        expr(H.hamming16Sql("a_sim", "b_sim", spark = true)).as("hamming"))
+  }
+
+  def q69_simhash_probe(spark: SparkSession, dir: String): DataFrame = {
+    // reused three times (probe side, exact side, two verify joins);
+    // at cluster scale this would be written to storage instead
+    val base = simhashTable(spark, dir).persist()
+    val cand = simhashProbePairs(base)
+    val sh = base.select(col("doc_id"), col("shd"))
+    val inter = size(array_intersect(col("a_sh"), col("b_sh"))).cast("double")
+    val uni = (size(col("a_sh")) + size(col("b_sh"))).cast("double") - inter
+    cand
+      .join(sh.select(col("doc_id").as("a_id"), col("shd").as("a_sh")), "a_id")
+      .join(sh.select(col("doc_id").as("b_id"), col("shd").as("b_sh")), "b_id")
+      .select(col("a_id"), col("b_id"), col("hamming"), (inter / uni).as("jaccard"))
+      .filter(col("jaccard") >= 0.8)
+      .orderBy("a_id", "b_id")
+  }
+
+  val q69_oracle: String = {
+    val toks = T.tokensSql("text")
+    val sh = H.shinglesSql("toks")
+    val inter = "len(list_intersect(a.shd, b.shd))"
+    val uni = s"(len(a.shd) + len(b.shd) - $inter)"
+    s"""WITH base AS (
+       |  SELECT doc_id, list_distinct($sh) AS shd,
+       |    ${H.simhash16FromHashesSql("[md5(t) for t in toks]", spark = false)} AS simhash
+       |  FROM (SELECT doc_id, $toks AS toks FROM documents)
+       |  WHERE len(toks) >= 3),
+       |probes AS (
+       |  SELECT doc_id AS a_id, simhash AS a_sim,
+       |    unnest([simhash] || [xor(simhash, 1 << b) for b in range(0, 16)]) AS probe
+       |  FROM base),
+       |cand AS (
+       |  SELECT p.a_id, e.doc_id AS b_id,
+       |    ${H.hamming16Sql("p.a_sim", "e.simhash", spark = false)} AS hamming
+       |  FROM probes p JOIN base e ON p.probe = e.simhash AND p.a_id < e.doc_id)
+       |SELECT cand.a_id, cand.b_id, hamming,
+       |  CAST($inter AS DOUBLE) / CAST($uni AS DOUBLE) AS jaccard
+       |FROM cand
+       |JOIN base a ON cand.a_id = a.doc_id
+       |JOIN base b ON cand.b_id = b.doc_id
+       |WHERE CAST($inter AS DOUBLE) / CAST($uni AS DOUBLE) >= 0.8
+       |ORDER BY a_id, b_id""".stripMargin
+  }
+
   // ---------- registry ----------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -292,7 +381,8 @@ object TextQueries {
     "q24_minhash_sig" -> (q24_minhash_sig _),
     "q25_minhash_lsh_pairs" -> (q25_minhash_lsh_pairs _),
     "q26_ngram_jaccard" -> (q26_ngram_jaccard _),
-    "q27_simhash" -> (q27_simhash _))
+    "q27_simhash" -> (q27_simhash _),
+    "q69_simhash_probe" -> (q69_simhash_probe _))
 
   val oracles: Map[String, String] = Map(
     "q19_token_count" -> q19_oracle,
@@ -303,5 +393,6 @@ object TextQueries {
     "q24_minhash_sig" -> q24_oracle,
     "q25_minhash_lsh_pairs" -> q25_oracle,
     "q26_ngram_jaccard" -> q26_oracle,
-    "q27_simhash" -> q27_oracle)
+    "q27_simhash" -> q27_oracle,
+    "q69_simhash_probe" -> q69_oracle)
 }
