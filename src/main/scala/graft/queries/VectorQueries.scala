@@ -145,6 +145,73 @@ object VectorQueries {
        |GROUP BY b_id ORDER BY dup_id""".stripMargin
   }
 
+  // ---------- q70: multi-probe hyperplane LSH ----------
+
+  /** Multi-probe LSH: each query searches its own bucket PLUS the
+    * nPlanes buckets whose code differs by one flipped plane — the
+    * same probing idea q42 applies to IVF cells, applied to q29's
+    * hyperplane codes. A neighbor missed because it landed just across
+    * one hyperplane (the dominant LSH failure mode) becomes a
+    * candidate again.
+    *
+    * The probe budget pays for finer codes rather than more scanning:
+    * with 12 planes the corpus splits into 4096 buckets and a query
+    * scans 13 of them — an expected 13/4096 ≈ 0.3% of the corpus,
+    * LESS than single-probe q29's 1/256 ≈ 0.4%, at strictly better
+    * recall (bounded in LshMultiProbeSpec against exact q28). That is
+    * the scale posture for 100 TB: recall comes from probing, cost
+    * stays bounded by code width.
+    *
+    * Corpus vectors are hashed to exactly one bucket and query probes
+    * are distinct, so each (query, neighbor) pair is scored at most
+    * once — no dedup step.
+    */
+  val nPlanesMulti = 12
+  lazy val planesMulti: Seq[Seq[Double]] = V.planes(nPlanesMulti, dim)
+
+  def q70_knn_lsh_multiprobe(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+      .withColumn("bucket", V.lshBucket(col("v"), planesMulti))
+    val q = e.filter(col("vec_id") < 50)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), V.norm(col("v")).as("q_nrm"),
+        explode(array(col("bucket") +:
+          (0 until nPlanesMulti).map(j => col("bucket").bitwiseXOR(lit(1 << j))): _*))
+          .as("probe"))
+    val c = e.select(col("vec_id").as("n_id"), col("v").as("nv"),
+      col("bucket").as("probe"), V.norm(col("v")).as("n_nrm"))
+    val cos = V.cosineWithNorms(col("qv"), col("nv"), col("q_nrm"), col("n_nrm"))
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id").asc)
+    q.join(c, Seq("probe"))
+      .filter(col("q_id") =!= col("n_id"))
+      .select(col("q_id"), col("n_id"), cos.as("cos"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select("q_id", "rk", "n_id", "cos")
+      .orderBy("q_id", "rk")
+  }
+
+  val q70_oracle: String = {
+    val cos = V.cosineSql("qv", "nv")
+    val bucket = V.lshBucketSql("v", planesMulti)
+    s"""WITH e AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+       |b AS (SELECT vec_id, v, $bucket AS bucket FROM e),
+       |probes AS (
+       |  SELECT vec_id, v, unnest([bucket] ||
+       |    [xor(bucket, 1 << j) for j in range(0, $nPlanesMulti)]) AS probe
+       |  FROM b WHERE vec_id < 50),
+       |scored AS (
+       |  SELECT q.vec_id AS q_id, c.vec_id AS n_id, $cos AS cos
+       |  FROM (SELECT vec_id, v AS qv, probe FROM probes) q
+       |  JOIN (SELECT vec_id, v AS nv, bucket AS probe FROM b) c USING (probe)
+       |  WHERE q.vec_id <> c.vec_id)
+       |SELECT q_id, rk, n_id, cos FROM (
+       |  SELECT *, ROW_NUMBER() OVER (
+       |    PARTITION BY q_id ORDER BY cos DESC, n_id ASC) AS rk
+       |  FROM scored)
+       |WHERE rk <= 3 ORDER BY q_id, rk""".stripMargin
+  }
+
   // ---------- q42: IVF ANN ----------
 
   /** Trained-quantizer ANN: k-means cells + 4-probe search, the IVF
@@ -183,10 +250,12 @@ object VectorQueries {
     "q30_embedding_dedup" -> (q30_embedding_dedup _),
     // q42 has no oracle on purpose: k-means training is engine-
     // specific; IvfIndexSpec bounds recall against brute force
-    "q42_knn_ivf" -> (q42_knn_ivf _))
+    "q42_knn_ivf" -> (q42_knn_ivf _),
+    "q70_knn_lsh_multiprobe" -> (q70_knn_lsh_multiprobe _))
 
   val oracles: Map[String, String] = Map(
     "q28_knn_bruteforce" -> q28_oracle,
     "q29_knn_lsh" -> q29_oracle,
-    "q30_embedding_dedup" -> q30_oracle)
+    "q30_embedding_dedup" -> q30_oracle,
+    "q70_knn_lsh_multiprobe" -> q70_oracle)
 }
