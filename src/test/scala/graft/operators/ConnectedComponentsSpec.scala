@@ -19,13 +19,37 @@ class ConnectedComponentsSpec extends SparkSpec {
       10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L))
   }
 
-  test("refuses to return unconverged labels when maxIter is too small") {
+  test("falls back to star contraction when propagation exceeds maxIter") {
     val s = spark
     import s.implicits._
-    // chain 0-1-2-3-4: min label needs 4 rounds to reach vertex 4
+    // chain 0-1-2-3-4: min label needs 4 propagation rounds; with
+    // maxIter=2 the result must come from the contraction fallback,
+    // never from unconverged labels
     val chain = (0L until 4L).map(i => (i, i + 1)).toDF("a", "b")
-    intercept[IllegalStateException](
-      ConnectedComponents.run(chain, "a", "b", maxIter = 2))
+    val out = ConnectedComponents.run(chain, "a", "b", maxIter = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == (0L to 4L).map(_ -> 0L).toMap)
+  }
+
+  test("star contraction directly resolves chains, pairs and isolated pairs") {
+    val s = spark
+    import s.implicits._
+    val edges = Seq((2L, 1L), (2L, 3L), (3L, 4L), (10L, 11L), (21L, 20L))
+      .toDF("a", "b")
+    val out = ConnectedComponents.starContract(edges, "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(
+      1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L))
+  }
+
+  test("star contraction handles self-loops and duplicate edges") {
+    val s = spark
+    import s.implicits._
+    val edges = Seq((1L, 1L), (2L, 3L), (3L, 2L), (2L, 3L)).toDF("a", "b")
+    val out = ConnectedComponents.starContract(edges, "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 1L, 2L -> 2L, 3L -> 2L))
   }
 
   test("label table only carries pair vertices, never non-pair ids") {

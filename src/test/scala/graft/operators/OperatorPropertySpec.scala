@@ -115,6 +115,25 @@ class OperatorPropertySpec extends SparkSpec {
       val got = ConnectedComponents.run(edges.toDF("a", "b"), "a", "b")
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       assert(got == want, s"edges=$edges")
+      val gotStar = ConnectedComponents.starContract(edges.toDF("a", "b"), "a", "b")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(gotStar == want, s"starContract edges=$edges")
     }
+  }
+
+  test("10k-vertex path graph converges via the star-contraction fallback") {
+    val s = spark
+    import s.implicits._
+    // diameter 10_000: label propagation would need 10_000 rounds, the
+    // alternating large-star/small-star contraction needs O(log n).
+    // run() hits its propagation budget and must hand off — the
+    // adversarial-graph case that previously threw.
+    val n = 10000L
+    val chain = (0L until n).map(i => (i, i + 1)).toDF("a", "b")
+      .repartition(4)
+    val out = ConnectedComponents.run(chain, "a", "b", maxIter = 3)
+    val distinctComponents = out.select("component").distinct().collect()
+    assert(distinctComponents.map(_.getLong(0)).toSeq == Seq(0L))
+    assert(out.count() == n + 1)
   }
 }
