@@ -79,5 +79,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[PolyHash].getName, "poly_hash"),
       (children: Seq[Expression]) =>
         PolyHash(Cast(children.head, org.apache.spark.sql.types.StringType))))
+    // bloom_might_contain(serialized_bloom, long_key): Spark's own
+    // codegen'd BloomFilterMightContain (the expression behind AQE's
+    // runtime row-level bloom), exposed for EXPLICIT bloom pruning —
+    // a scan-side membership test stays inside whole-stage codegen
+    // instead of dropping to a per-row Scala UDF call
+    ext.injectFunction((
+      new FunctionIdentifier("bloom_might_contain"),
+      new ExpressionInfo(classOf[BloomFilterMightContain].getName, "bloom_might_contain"),
+      (children: Seq[Expression]) =>
+        BloomFilterMightContain(
+          children.head,
+          Cast(children(1), org.apache.spark.sql.types.LongType))))
   }
 }

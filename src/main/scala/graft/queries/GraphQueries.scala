@@ -108,9 +108,10 @@ object GraphQueries {
     * Spark's AQE runtime bloom (spark.sql.optimizer.runtime
     * .bloomFilter.enabled) injects the same filter automatically when
     * thresholds allow — this is the explicit form for when it can't.
-    * The membership test is the one deliberate non-codegen expression
-    * in the repo: a cheap per-row check traded for a large IO/shuffle
-    * reduction.
+    * The membership test is Spark's own codegen'd
+    * BloomFilterMightContain (injected as `bloom_might_contain` by
+    * GraftExtensions), so the fact scan stays one whole-stage-codegen
+    * span — no per-row UDF call on the hot path.
     */
   def q49_bloom_prune(spark: SparkSession, dir: String): DataFrame = {
     val nat = Tables.load(spark, dir, "nation").filter(col("n_name") === "NATION_7")
@@ -122,11 +123,15 @@ object GraphQueries {
     val bloom =
       if (supp.isEmpty) org.apache.spark.util.sketch.BloomFilter.create(1, 0.01)
       else supp.stat.bloomFilter("s_suppkey", 10000L, 0.01)
-    val bloomBc = spark.sparkContext.broadcast(bloom)
-    val mightContain = udf((k: Long) => bloomBc.value.mightContain(k))
+    val bloomBytes = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bloom.writeTo(bos)
+      bos.toByteArray
+    }
     Tables.load(spark, dir, "lineitem")
       .select(col("l_suppkey"), col("l_extendedprice"))
-      .filter(mightContain(col("l_suppkey").cast("long")))
+      .filter(call_function("bloom_might_contain",
+        lit(bloomBytes), col("l_suppkey").cast("long")))
       .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
       .groupBy("s_suppkey")
       .agg(
