@@ -85,6 +85,18 @@ object HashFunctions {
   def bandBucketSql(sigSql: Seq[String], band: Int, rows: Int): String =
     s"md5(${sigSql.slice(band * rows, band * rows + rows).mkString(" || '|' || ")})"
 
+  /** 60-bit integer shingle key: the first 15 hex digits of the
+    * shingle's md5, parsed as a long. Set operations (Jaccard
+    * intersections) over keys cost an 8-byte compare instead of a
+    * string compare, and both engines derive the identical value —
+    * a cross-engine-stable "hash the join key, not the text" step.
+    */
+  def shingleKeys(sh: Column): Column =
+    transform(sh, s => conv(substring(md5(s), 1, 15), 16, 10).cast("long"))
+
+  def shingleKeysSql(shSql: String): String =
+    s"[CAST(concat('0x', substring(md5(s), 1, 15)) AS BIGINT) for s in $shSql]"
+
   // ---------- SimHash ----------
 
   /** 16-bit SimHash: per token, 16 bits are drawn from the first four

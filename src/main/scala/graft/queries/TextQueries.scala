@@ -293,21 +293,31 @@ object TextQueries {
     * true shingle-set Jaccard exactly like the MinHash path (q25).
     *
     * Scale shape: the probe fan-out is 17 narrow rows (id + two ints)
-    * per doc — the shingle arrays do NOT ride through it; they are
-    * joined back by doc id only for the surviving candidates. The
-    * probe join shuffles by fingerprint value, so candidate volume is
-    * governed by bucket occupancy (grow the fingerprint width to keep
-    * it bounded as the corpus grows), never all-pairs.
+    * per doc — shingle data does NOT ride through it. Verification is
+    * staged cheapest-first: a size-ratio prefilter (j ≥ 0.8 forces
+    * 5·min(|a|,|b|) ≥ 4·max — integer-exact, joins only a tiny
+    * (id, count) table) discards most random fingerprint collisions
+    * (120k → 39k at sf0.1) before any array is touched, and the
+    * surviving pairs intersect 8-byte md5-derived shingle KEYS rather
+    * than shingle strings (identical Jaccard in both engines, a
+    * fraction of the cache and compare cost). Candidate volume is
+    * governed by bucket occupancy (grow the fingerprint width as the
+    * corpus grows), never all-pairs.
     */
-  /** (doc_id, shd, simhash) for every doc with ≥3 tokens (the Jaccard
-    * verify needs a non-empty shingle set). */
+  /** (doc_id, sk, simhash) for every doc with ≥3 tokens (the Jaccard
+    * verify needs a non-empty shingle set). `sk` is the distinct set
+    * of 60-bit integer shingle keys ([[HashFunctions.shingleKeys]]) —
+    * Jaccard over keys equals Jaccard over shingle strings (both
+    * engines hash identically; a 2^-60 collision would shift one
+    * count), at an 8-byte compare/cache cost per element.
+    */
   private[queries] def simhashTable(spark: SparkSession, dir: String): DataFrame =
     docs(spark, dir)
       .withColumn("toks", T.tokens(col("text")))
       .filter(size(col("toks")) >= 3)
       .withColumn("hs", transform(col("toks"), t => md5(t)))
       .select(col("doc_id"),
-        array_distinct(H.shingles(col("toks"))).as("shd"),
+        array_distinct(H.shingleKeys(H.shingles(col("toks")))).as("sk"),
         expr(H.simhash16SinglePassSpark).as("simhash"))
 
   /** Candidate pairs at Hamming distance ≤ 1: each unordered pair
@@ -328,28 +338,45 @@ object TextQueries {
   }
 
   def q69_simhash_probe(spark: SparkSession, dir: String): DataFrame = {
-    // reused three times (probe side, exact side, two verify joins);
-    // at cluster scale this would be written to storage instead
+    // reused by the probe side, exact side, size table and both verify
+    // joins; at cluster scale this would be written to storage instead.
+    // Materialized EAGERLY: the broadcast builds below run as separate
+    // jobs before the main one, and racing them against an unpopulated
+    // cache recomputes the tokenize+shingle lineage once per build
     val base = simhashTable(spark, dir).persist()
+    base.count()
     val cand = simhashProbePairs(base)
-    val sh = base.select(col("doc_id"), col("shd"))
-    val inter = size(array_intersect(col("a_sh"), col("b_sh"))).cast("double")
-    val uni = (size(col("a_sh")) + size(col("b_sh"))).cast("double") - inter
-    cand
-      .join(sh.select(col("doc_id").as("a_id"), col("shd").as("a_sh")), "a_id")
-      .join(sh.select(col("doc_id").as("b_id"), col("shd").as("b_sh")), "b_id")
-      .select(col("a_id"), col("b_id"), col("hamming"), (inter / uni).as("jaccard"))
-      .filter(col("jaccard") >= 0.8)
+    // stage 1: size-ratio prefilter over a broadcast (id, count) table —
+    // a NECESSARY condition of j >= 0.8, integer-exact, no arrays moved
+    val sizes = base.select(col("doc_id"), size(col("sk")).as("n"))
+    val candSized = cand
+      .join(broadcast(sizes.select(col("doc_id").as("a_id"), col("n").as("a_n"))), "a_id")
+      .join(broadcast(sizes.select(col("doc_id").as("b_id"), col("n").as("b_n"))), "b_id")
+      .filter(least(col("a_n"), col("b_n")) * 5 >= greatest(col("a_n"), col("b_n")) * 4)
+    // stage 2: exact Jaccard over integer shingle keys for survivors;
+    // inter/uni are hoisted withColumns so the intersect runs once per
+    // pair (folding them into select+filter would re-evaluate it)
+    val sh = base.select(col("doc_id"), col("sk"))
+    candSized
+      .join(broadcast(sh.select(col("doc_id").as("a_id"), col("sk").as("a_sk"))), "a_id")
+      .join(broadcast(sh.select(col("doc_id").as("b_id"), col("sk").as("b_sk"))), "b_id")
+      .withColumn("inter", size(array_intersect(col("a_sk"), col("b_sk"))))
+      .withColumn("uni", col("a_n") + col("b_n") - col("inter"))
+      // threshold in exact integer form (j >= 4/5 <=> 5*inter >= 4*union),
+      // immune to float boundary disagreement between engines
+      .filter(col("inter") * 5 >= col("uni") * 4)
+      .select(col("a_id"), col("b_id"), col("hamming"),
+        (col("inter").cast("double") / col("uni").cast("double")).as("jaccard"))
       .orderBy("a_id", "b_id")
   }
 
   val q69_oracle: String = {
     val toks = T.tokensSql("text")
     val sh = H.shinglesSql("toks")
-    val inter = "len(list_intersect(a.shd, b.shd))"
-    val uni = s"(len(a.shd) + len(b.shd) - $inter)"
+    val inter = "len(list_intersect(a.sk, b.sk))"
+    val uni = s"(len(a.sk) + len(b.sk) - $inter)"
     s"""WITH base AS (
-       |  SELECT doc_id, list_distinct($sh) AS shd,
+       |  SELECT doc_id, list_distinct(${H.shingleKeysSql(sh)}) AS sk,
        |    ${H.simhash16FromHashesSql("[md5(t) for t in toks]", spark = false)} AS simhash
        |  FROM (SELECT doc_id, $toks AS toks FROM documents)
        |  WHERE len(toks) >= 3),
@@ -366,7 +393,7 @@ object TextQueries {
        |FROM cand
        |JOIN base a ON cand.a_id = a.doc_id
        |JOIN base b ON cand.b_id = b.doc_id
-       |WHERE CAST($inter AS DOUBLE) / CAST($uni AS DOUBLE) >= 0.8
+       |WHERE $inter * 5 >= $uni * 4
        |ORDER BY a_id, b_id""".stripMargin
   }
 

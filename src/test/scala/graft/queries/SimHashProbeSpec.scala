@@ -36,11 +36,12 @@ class SimHashProbeSpec extends SparkSpec {
   test("q69 verified output keeps only jaccard>=0.8 pairs and includes hamming-1 finds") {
     val out = TextQueries.q69_simhash_probe(spark, sf()).collect()
     assert(out.nonEmpty)
-    assert(out.forall(_.getDouble(3) >= 0.8))
+    // threshold is integer-exact (5*inter >= 4*union); the reported
+    // double can sit within one ulp of 0.8
+    assert(out.forall(_.getDouble(3) >= 0.8 - 1e-9))
     assert(out.forall(r => r.getInt(2) == 0 || r.getInt(2) == 1))
     // the operator's reason to exist: true near-dups at hamming 1
-    // (6 of 23 verified pairs at sf0.001) that exact-collision q27
-    // can never emit
+    // that exact-collision q27 can never emit
     assert(out.count(_.getInt(2) == 1) > 0)
   }
 }
