@@ -56,7 +56,11 @@ final case class SinkDef(
     path: String,
     format: String,
     saveMode: String,
-    partitionBy: Seq[String])
+    partitionBy: Seq[String],
+    // small-file compaction: bin-pack output so each written file
+    // lands near this size (None = write whatever the upstream
+    // partitioning produced)
+    targetFileMB: Option[Int] = None)
 
 final case class DedupDef(
     enabled: Boolean,
@@ -252,7 +256,11 @@ object Metadata {
     saveMode = optStr(o, "saveMode").getOrElse("overwrite"),
     partitionBy = field(o, "partitionBy")
       .map(v => arr(v, "partitionBy").map(s => str(s, "partitionBy entry")))
-      .getOrElse(Seq.empty))
+      .getOrElse(Seq.empty),
+    targetFileMB = field(o, "targetFileMB").map {
+      case JInt(i) if i > 0 => i.toInt
+      case other            => fail(s"targetFileMB must be a positive integer, got $other")
+    })
 
   private def parseConsolidation(o: JObject): ConsolidationDef = {
     val enabled = field(o, "enabled").contains(JBool(true))
