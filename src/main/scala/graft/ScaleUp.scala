@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-up harness: writes a `factor`× replica of a testdata
+  * directory for measured (not argued) scaling runs —
+  * `ScaleUp <srcDir> <dstDir> [factor]`, then point Bench at dstDir.
+  *
+  * Naive row duplication would NOT measure scaling: 10 identical
+  * copies of every document make every doc an exact+near dup of 9
+  * others, so candidate-pair operators (q25/q47/q60/q68/q69, q30)
+  * would be timed on a pathological corpus where pair count grows
+  * ~factor² inside every duplicate group. Each replica is instead
+  * perturbed to look like "more data of the same character":
+  *
+  *   - keys interleave (`id*factor + k`), so per-replica joins stay
+  *     consistent and the bounded query sets (doc_id<500, vec_id<50)
+  *     keep their SIZE while the corpus grows 10× under them;
+  *   - dimension tables (region/nation) do not scale — as in life;
+  *   - documents pass through a per-replica letter-substitution
+  *     cipher: token/shingle structure, lengths and within-replica
+  *     duplicate groups are preserved exactly, but no shingle ever
+  *     matches across replicas;
+  *   - embeddings are multiplied by a per-replica random ±1 diagonal
+  *     (an isometry: every within-replica cosine/norm/bucket identical
+  *     in distribution) which decorrelates vectors across replicas;
+  *   - events keep their time range and 10× the user population, so
+  *     windows hold ~10× sessions of the same length. ts is written
+  *     back as int64 nanoseconds, matching the driver's layout that
+  *     [[Tables.load]] expects.
+  */
+object ScaleUp {
+
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 2, "usage: ScaleUp <srcDir> <dstDir> [factor]")
+    val (src, dst) = (args(0), args(1))
+    val factor = if (args.length > 2) args(2).toInt else 10
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", false)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def off(c: String): Column = col(c) * factor // + k added per replica
+
+    def replicate(table: String)(perturb: (DataFrame, Int) => DataFrame): Unit = {
+      val b = Tables.load(spark, src, table)
+      (0 until factor).map(k => perturb(b, k)).reduce(_ unionByName _)
+        .write.mode("overwrite").parquet(s"$dst/$table.parquet")
+      println(s"scaled $table x$factor")
+    }
+
+    Seq("region", "nation").foreach { t =>
+      Tables.load(spark, src, t).write.mode("overwrite").parquet(s"$dst/$t.parquet")
+    }
+    replicate("customer")((df, k) => df.withColumn("c_custkey", off("c_custkey") + k))
+    replicate("supplier")((df, k) => df.withColumn("s_suppkey", off("s_suppkey") + k))
+    replicate("part")((df, k) => df.withColumn("p_partkey", off("p_partkey") + k))
+    replicate("orders")((df, k) => df
+      .withColumn("o_orderkey", off("o_orderkey") + k)
+      .withColumn("o_custkey", off("o_custkey") + k))
+    replicate("lineitem")((df, k) => df
+      .withColumn("l_orderkey", off("l_orderkey") + k)
+      .withColumn("l_partkey", off("l_partkey") + k)
+      .withColumn("l_suppkey", off("l_suppkey") + k))
+    replicate("events")((df, k) => df
+      .withColumn("event_id", off("event_id") + k)
+      .withColumn("user_id", off("user_id") + k)
+      .withColumn("ts", expr("unix_micros(ts) * 1000L")))
+    val lower = ('a' to 'z').mkString
+    val upper = ('A' to 'Z').mkString
+    def rot(s: String, k: Int) = s.indices.map(i => s((i + k) % 26)).mkString
+    replicate("documents")((df, k) => df
+      .withColumn("doc_id", off("doc_id") + k)
+      .withColumn("text", translate(col("text"), lower + upper, rot(lower, k) + rot(upper, k))))
+    def flips(k: Int): Seq[Double] = (0 until 64).map { i =>
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"flip-$k|$i".getBytes("UTF-8"))
+      if ((d(0) & 1) == 1) 1.0 else -1.0
+    }
+    replicate("embeddings")((df, k) => df
+      .withColumn("vec_id", off("vec_id") + k)
+      .withColumn("embedding",
+        zip_with(col("embedding"), array(flips(k).map(lit): _*),
+          (x, s) => x * s).cast("array<float>")))
+
+    spark.stop()
+  }
+}
