@@ -36,6 +36,10 @@ object ScaleUp {
     require(args.length >= 2, "usage: ScaleUp <srcDir> <dstDir> [factor]")
     val (src, dst) = (args(0), args(1))
     val factor = if (args.length > 2) args(2).toInt else 10
+    // the document cipher is a 26-letter rotation: factor > 26 would
+    // wrap and silently recreate the exact-duplicate corpus this
+    // harness exists to avoid
+    require(factor >= 1 && factor <= 26, s"factor must be in [1, 26], got $factor")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -77,11 +81,8 @@ object ScaleUp {
     replicate("documents")((df, k) => df
       .withColumn("doc_id", off("doc_id") + k)
       .withColumn("text", translate(col("text"), lower + upper, rot(lower, k) + rot(upper, k))))
-    def flips(k: Int): Seq[Double] = (0 until 64).map { i =>
-      val d = java.security.MessageDigest.getInstance("MD5")
-        .digest(s"flip-$k|$i".getBytes("UTF-8"))
-      if ((d(0) & 1) == 1) 1.0 else -1.0
-    }
+    def flips(k: Int): Seq[Double] =
+      (0 until 64).map(i => graft.functions.VectorFunctions.signFromMd5(s"flip-$k|$i"))
     replicate("embeddings")((df, k) => df
       .withColumn("vec_id", off("vec_id") + k)
       .withColumn("embedding",

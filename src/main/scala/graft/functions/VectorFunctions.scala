@@ -48,15 +48,20 @@ object VectorFunctions {
 
   // ---------- random-hyperplane LSH ----------
 
-  /** Plane component (j,i) ∈ {-1.0, +1.0}, derived from one md5 hex
-    * digit's low bit. Materialized as literal arrays so both engines
-    * embed the identical constants.
+  /** Deterministic ±1.0 from the low bit of md5(tag) — the one shared
+    * derivation behind LSH plane components and ScaleUp's replica
+    * isometries, so the two can never silently diverge.
     */
-  private def planeComponent(j: Int, i: Int): Double = {
+  def signFromMd5(tag: String): Double = {
     val hex = java.security.MessageDigest.getInstance("MD5")
-      .digest(s"plane-$j|$i".getBytes("UTF-8"))
+      .digest(tag.getBytes("UTF-8"))
     if ((hex(0) & 1) == 1) 1.0 else -1.0
   }
+
+  /** Plane component (j,i) ∈ {-1.0, +1.0}. Materialized as literal
+    * arrays so both engines embed the identical constants.
+    */
+  private def planeComponent(j: Int, i: Int): Double = signFromMd5(s"plane-$j|$i")
 
   def planes(nPlanes: Int, dim: Int): Seq[Seq[Double]] =
     (0 until nPlanes).map(j => (0 until dim).map(i => planeComponent(j, i)))

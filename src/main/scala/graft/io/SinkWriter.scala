@@ -62,7 +62,9 @@ object SinkWriter {
             greatest(lit(1L), ceil(col("__part_bytes") / targetBytes).cast("long"))
               .as("__bins"): _*)
         .localCheckpoint() // tiny (one row per partition value); sized twice below
-      val totalBins = sz.agg(sum(col("__bins"))).head().getLong(0)
+      // coalesce: an empty input (routine for incremental runs with no
+      // new data) must write an empty sink, not NPE on a null sum
+      val totalBins = sz.agg(coalesce(sum(col("__bins")), lit(0L))).head().getLong(0)
       // null-safe: NULL partition values still get their directory
       val cond = partitionBy.map(c => col(c) <=> col(s"__k_$c")).reduce(_ && _)
       df.join(broadcast(sz), cond)

@@ -49,9 +49,14 @@ object Merge {
       "column name _from_source is reserved by Merge.upsert")
     import Quoting.{qcol, ref}
     if (assertUniqueKeys) {
+      require(!target.columns.contains("__merge_cnt"),
+        "column name __merge_cnt is reserved by Merge.upsert(assertUniqueKeys)")
       def check(df: DataFrame, side: String): Unit = {
-        val dup = df.groupBy(keys.map(qcol): _*).count()
-          .filter(col("count") > 1).limit(1).collect()
+        // aliased aggregate, not .count(): a key column named "count"
+        // would make the bare col("count") reference ambiguous
+        val dup = df.groupBy(keys.map(qcol): _*)
+          .agg(count(lit(1)).as("__merge_cnt"))
+          .filter(col("__merge_cnt") > 1).limit(1).collect()
         require(dup.isEmpty,
           s"$side has multiple rows for key ${dup.head.toSeq.init.mkString(",")} — " +
             "MERGE requires unique keys per side (dedup first)")

@@ -321,7 +321,10 @@ object PipelineQueries {
       ).foreach { case (name, batch) =>
         batch.coalesce(1).write.parquet(s"$work/$name")
         val part = fs.globStatus(new Path(s"$work/$name/part-*.parquet")).head.getPath
-        fs.rename(part, new Path(s"$watchDir/$name.parquet"))
+        // Hadoop rename reports failure as false, not by throwing — a
+        // silently missing batch would surface only as a wrong snapshot
+        require(fs.rename(part, new Path(s"$watchDir/$name.parquet")),
+          s"failed to stage $part into $watchDir")
       }
       val schema = spark.read.parquet(s"$watchDir/b0.parquet").schema
       val stream = spark.readStream.schema(schema)

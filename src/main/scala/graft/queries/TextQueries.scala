@@ -342,9 +342,17 @@ object TextQueries {
     // joins; at cluster scale this would be written to storage instead.
     // Materialized EAGERLY: the broadcast builds below run as separate
     // jobs before the main one, and racing them against an unpopulated
-    // cache recomputes the tokenize+shingle lineage once per build
+    // cache recomputes the tokenize+shingle lineage once per build.
+    // Released in the finally (the small verified-pair result is
+    // checkpointed first) so the corpus-linear cache never outlives
+    // the query — same discipline as q64.
     val base = simhashTable(spark, dir).persist()
     base.count()
+    try q69Verify(base)
+    finally base.unpersist()
+  }
+
+  private def q69Verify(base: DataFrame): DataFrame = {
     val cand = simhashProbePairs(base)
     // stage 1: size-ratio prefilter over a broadcast (id, count) table —
     // a NECESSARY condition of j >= 0.8, integer-exact, no arrays moved
@@ -368,6 +376,7 @@ object TextQueries {
       .select(col("a_id"), col("b_id"), col("hamming"),
         (col("inter").cast("double") / col("uni").cast("double")).as("jaccard"))
       .orderBy("a_id", "b_id")
+      .localCheckpoint() // eager: survives the base.unpersist in the caller
   }
 
   val q69_oracle: String = {

@@ -51,6 +51,22 @@ class SinkCompactionSpec extends SparkSpec {
     }
   }
 
+  test("compacted write of an EMPTY input succeeds (incremental runs with no new data)") {
+    val work = java.nio.file.Files.createTempDirectory("graft-compact-empty-").toString
+    try {
+      SinkWriter.write(
+        skewed.filter(org.apache.spark.sql.functions.lit(false)),
+        graft.meta.SinkDef("in", "out", s"$work/empty", "parquet", "overwrite",
+          Seq("day"), Some(4)),
+        SourceReader.Substitutions(Map.empty))
+      // the write must complete (pre-fix: NPE on the null bins sum);
+      // an empty partitioned write emits no data files to read back
+      assert(new java.io.File(s"$work/empty").exists())
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(work))
+    }
+  }
+
   test("targetFileMB parses from sink metadata and rejects non-positive values") {
     val meta = Metadata.parse(
       """{"processing_mode": "batch", "dataflows": [{
