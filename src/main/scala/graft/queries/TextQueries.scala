@@ -406,6 +406,66 @@ object TextQueries {
        |ORDER BY a_id, b_id""".stripMargin
   }
 
+  // ---------- q72: df-cutoff similarity join (hot-shingle pruning) ----------
+
+  /** Whole-corpus similarity join on the inverted index with a
+    * document-frequency cutoff: only shingles appearing in ≤ dfCut
+    * documents participate, and a pair is emitted when it shares at
+    * least minSharedRare such rare shingles.
+    *
+    * This is the ssjoin answer to posting-list skew: an unpruned
+    * index join costs Σ df(s)² — one boilerplate shingle shared by
+    * 1% of a 100 TB corpus dominates everything. With the cutoff,
+    * every shingle contributes ≤ dfCut² pairs, so the join output is
+    * ≤ dfCut · |rare postings| — linear, knob-bounded, and by
+    * construction the shared shingles are the DISCRIMINATIVE ones
+    * (common boilerplate can't vote two docs together). q26 runs the
+    * exact unpruned form on a bounded slice; this is the form that
+    * runs unbounded.
+    */
+  val dfCut = 5
+  val minSharedRare = 3
+
+  def q72_rare_shingle_pairs(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // df via a window over the posting table: one shuffle by shingle
+    // gives each posting its shingle's document frequency (a groupBy +
+    // self-join would shuffle the same data twice)
+    val rare = docs(spark, dir)
+      .withColumn("toks", T.tokens(col("text")))
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"), explode(array_distinct(H.shingles(col("toks")))).as("s"))
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("s")))
+      .filter(col("df") <= dfCut)
+      .select("doc_id", "s")
+      .persist() // both self-join sides read it; released below
+    try {
+      rare
+        .select(col("doc_id").as("a_id"), col("s"))
+        .join(rare.select(col("doc_id").as("b_id"), col("s")), "s")
+        .filter(col("a_id") < col("b_id"))
+        .groupBy("a_id", "b_id")
+        .agg(count(lit(1)).as("n_shared_rare"))
+        .filter(col("n_shared_rare") >= minSharedRare)
+        .orderBy("a_id", "b_id")
+        .localCheckpoint() // small pair list; survives the unpersist
+    } finally rare.unpersist()
+  }
+
+  val q72_oracle: String = {
+    val toks = T.tokensSql("text")
+    val sh = H.shinglesSql("toks")
+    s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),
+       |sh AS (SELECT doc_id, unnest(list_distinct($sh)) AS s
+       |       FROM t WHERE len(toks) >= 3),
+       |wdf AS (SELECT doc_id, s, count(*) OVER (PARTITION BY s) AS df FROM sh),
+       |rare AS (SELECT doc_id, s FROM wdf WHERE df <= $dfCut)
+       |SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n_shared_rare
+       |FROM rare a JOIN rare b ON a.s = b.s AND a.doc_id < b.doc_id
+       |GROUP BY 1, 2 HAVING count(*) >= $minSharedRare
+       |ORDER BY a_id, b_id""".stripMargin
+  }
+
   // ---------- registry ----------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -418,7 +478,8 @@ object TextQueries {
     "q25_minhash_lsh_pairs" -> (q25_minhash_lsh_pairs _),
     "q26_ngram_jaccard" -> (q26_ngram_jaccard _),
     "q27_simhash" -> (q27_simhash _),
-    "q69_simhash_probe" -> (q69_simhash_probe _))
+    "q69_simhash_probe" -> (q69_simhash_probe _),
+    "q72_rare_shingle_pairs" -> (q72_rare_shingle_pairs _))
 
   val oracles: Map[String, String] = Map(
     "q19_token_count" -> q19_oracle,
@@ -430,5 +491,6 @@ object TextQueries {
     "q25_minhash_lsh_pairs" -> q25_oracle,
     "q26_ngram_jaccard" -> q26_oracle,
     "q27_simhash" -> q27_oracle,
-    "q69_simhash_probe" -> q69_oracle)
+    "q69_simhash_probe" -> q69_oracle,
+    "q72_rare_shingle_pairs" -> q72_oracle)
 }
