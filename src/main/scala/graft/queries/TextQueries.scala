@@ -158,19 +158,24 @@ object TextQueries {
     *
     * Un-ordered pair table shared with q47's cluster resolution.
     */
-  private[queries] def lshPairs(spark: SparkSession, dir: String): DataFrame = {
+  /** (doc_id, shd, band, bucket) — one row per document per LSH band.
+    * One pass computes all band buckets; posexplode fans them out
+    * without re-reading the source (a 3-way union would recompute the
+    * whole signature pipeline per band).
+    */
+  private[queries] def bandTable(spark: SparkSession, dir: String): DataFrame = {
     val sig = (0 until minhashK).map(i => col(f"mh$i%02d"))
-    // one pass computes all band buckets; posexplode fans them out
-    // without re-reading the source (a 3-way union would recompute the
-    // whole signature pipeline per band)
-    val bands = sigTable(spark, dir)
+    sigTable(spark, dir)
       .withColumn("shd", array_distinct(col("sh")))
       .select(col("doc_id"), col("shd"),
         posexplode(array((0 until lshBands).map(b => H.bandBucket(sig, b, lshRows)): _*))
           .as(Seq("band", "bucket")))
-      // small per-doc table reused by both self-join sides; at cluster
-      // scale this would be written to storage instead of cached
-      .persist()
+  }
+
+  private[queries] def lshPairs(spark: SparkSession, dir: String): DataFrame = {
+    // small per-doc table reused by both self-join sides; at cluster
+    // scale this would be written to storage instead of cached
+    val bands = bandTable(spark, dir).persist()
 
     val a = bands.select(col("band"), col("bucket"),
       col("doc_id").as("a_id"), col("shd").as("a_sh"))
@@ -406,6 +411,74 @@ object TextQueries {
        |ORDER BY a_id, b_id""".stripMargin
   }
 
+  // ---------- q73: incremental near-dup against the existing corpus ----------
+
+  /** The APPLY-form every growing corpus actually runs: a new batch of
+    * documents is checked for near-duplicates against the EXISTING
+    * corpus before ingestion (batch-vs-corpus, not corpus-vs-corpus —
+    * re-deduplicating 100 TB per arriving batch is never an option).
+    * Output: per batch document, how many existing docs it duplicates,
+    * the minimum matching existing id, and the best Jaccard.
+    *
+    * Scale shape: the batch side of the band-bucket join is batch-
+    * sized; the corpus side's band table is the precomputed per-doc
+    * index a real deployment keeps on storage and never rebuilds. Work
+    * is O(batch × bucket occupancy), independent of corpus size. The
+    * "batch" here is a deterministic content-hash eighth of the
+    * documents table (the harness has one table, not an ingest feed).
+    */
+  def q73_incremental_neardup(spark: SparkSession, dir: String): DataFrame = {
+    val bands = bandTable(spark, dir).persist()
+    try {
+      val isBatch =
+        substring(md5(concat(lit("b73|"), col("doc_id").cast("string"))), 1, 1)
+          .isin("0", "1")
+      val b = bands.filter(isBatch).select(col("band"), col("bucket"),
+        col("doc_id").as("batch_id"), col("shd").as("b_sh"))
+      val e = bands.filter(!isBatch).select(col("band"), col("bucket"),
+        col("doc_id").as("match_id"), col("shd").as("e_sh"))
+      val inter = size(array_intersect(col("b_sh"), col("e_sh"))).cast("double")
+      val uni = (size(col("b_sh")) + size(col("e_sh"))).cast("double") - inter
+      b.join(e, Seq("band", "bucket"))
+        .select(col("batch_id"), col("match_id"), (inter / uni).as("jaccard"))
+        .distinct() // a pair can collide in multiple bands
+        .filter(col("jaccard") >= 0.8)
+        .groupBy("batch_id")
+        .agg(
+          count(lit(1)).as("n_matches"),
+          min(col("match_id")).as("min_match_id"),
+          max(col("jaccard")).as("max_jaccard"))
+        .orderBy("batch_id")
+        .localCheckpoint() // small; survives the unpersist
+    } finally bands.unpersist()
+  }
+
+  val q73_oracle: String = {
+    val sigSql = (0 until minhashK).map(i => f"mh$i%02d")
+    val buckets = (0 until lshBands).map(b =>
+      s"${H.bandBucketSql(sigSql, b, lshRows)} AS bucket$b")
+    val bandUnion = (0 until lshBands).map(b =>
+      s"SELECT doc_id, shd, $b AS band, bucket$b AS bucket, is_batch FROM base")
+      .mkString(" UNION ALL ")
+    val inter = "len(list_intersect(b.shd, e.shd))"
+    val uni = s"(len(b.shd) + len(e.shd) - $inter)"
+    s"""WITH base AS (
+       |  SELECT doc_id, list_distinct(sh) AS shd, ${buckets.mkString(", ")},
+       |    substring(md5(concat('b73|', CAST(doc_id AS VARCHAR))), 1, 1)
+       |      IN ('0', '1') AS is_batch
+       |  FROM $sigTableSql),
+       |bands AS ($bandUnion),
+       |pairs AS (
+       |  SELECT DISTINCT b.doc_id AS batch_id, e.doc_id AS match_id,
+       |    CAST($inter AS DOUBLE) / CAST($uni AS DOUBLE) AS jaccard
+       |  FROM bands b JOIN bands e ON b.band = e.band AND b.bucket = e.bucket
+       |  WHERE b.is_batch AND NOT e.is_batch)
+       |SELECT batch_id, count(*) AS n_matches, min(match_id) AS min_match_id,
+       |  max(jaccard) AS max_jaccard
+       |FROM pairs WHERE jaccard >= 0.8
+       |GROUP BY batch_id ORDER BY batch_id""".stripMargin
+  }
+
   // ---------- q72: df-cutoff similarity join (hot-shingle pruning) ----------
 
   /** Whole-corpus similarity join on the inverted index with a
@@ -479,7 +552,8 @@ object TextQueries {
     "q26_ngram_jaccard" -> (q26_ngram_jaccard _),
     "q27_simhash" -> (q27_simhash _),
     "q69_simhash_probe" -> (q69_simhash_probe _),
-    "q72_rare_shingle_pairs" -> (q72_rare_shingle_pairs _))
+    "q72_rare_shingle_pairs" -> (q72_rare_shingle_pairs _),
+    "q73_incremental_neardup" -> (q73_incremental_neardup _))
 
   val oracles: Map[String, String] = Map(
     "q19_token_count" -> q19_oracle,
@@ -492,5 +566,6 @@ object TextQueries {
     "q26_ngram_jaccard" -> q26_oracle,
     "q27_simhash" -> q27_oracle,
     "q69_simhash_probe" -> q69_oracle,
-    "q72_rare_shingle_pairs" -> q72_oracle)
+    "q72_rare_shingle_pairs" -> q72_oracle,
+    "q73_incremental_neardup" -> q73_oracle)
 }
