@@ -43,8 +43,12 @@ object Bench {
       val dt = (System.nanoTime() - t0) / 1e9
       // per-query isolation: drop caches a query persisted for its own
       // reuse (LSH bands, CC labels) so later queries aren't measured
-      // under the accumulated memory/GC pressure of earlier ones
+      // under the accumulated memory/GC pressure of earlier ones.
+      // clearCache only covers Dataset persist — localCheckpoint RDDs
+      // (CC label rounds, checkpointed results) are separate blocks
+      // and would otherwise accumulate across the whole run
       spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
       System.gc()
       name -> dt
     }

@@ -3,7 +3,7 @@ package graft.queries
 import graft.Tables
 import graft.functions.{HashFunctions => H, TextFunctions => T}
 import graft.operators.Dedup
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis and near-dup operators over `documents`
@@ -151,17 +151,12 @@ object TextQueries {
 
   // ---------- q25: MinHash-LSH candidate pairs + Jaccard verify ----------
 
-  /** LSH banding: equal band-bucket ⇒ candidate; candidates are then
-    * verified with true shingle-set Jaccard. The self-join is on
-    * (band, bucket) — at corpus scale each bucket holds a handful of
-    * docs, so the join output is near-linear, not quadratic.
-    *
-    * Un-ordered pair table shared with q47's cluster resolution.
-    */
   /** (doc_id, shd, band, bucket) — one row per document per LSH band.
     * One pass computes all band buckets; posexplode fans them out
     * without re-reading the source (a 3-way union would recompute the
-    * whole signature pipeline per band).
+    * whole signature pipeline per band). Shared index definition for
+    * the corpus self-join (q25/q47/q60/q68) and the batch-vs-corpus
+    * join (q73).
     */
   private[queries] def bandTable(spark: SparkSession, dir: String): DataFrame = {
     val sig = (0 until minhashK).map(i => col(f"mh$i%02d"))
@@ -172,6 +167,24 @@ object TextQueries {
           .as(Seq("band", "bucket")))
   }
 
+  /** Shingle-set Jaccard in the exact operation order both engines
+    * share bit-for-bit (ints sized, cast to double, one division) —
+    * the ONE definition every verify stage uses; a drifted copy would
+    * silently break the DuckDB hash-match of whichever query kept it.
+    */
+  private def shingleJaccard(aSh: Column, bSh: Column): Column = {
+    val inter = size(array_intersect(aSh, bSh)).cast("double")
+    val uni = (size(aSh) + size(bSh)).cast("double") - inter
+    inter / uni
+  }
+
+  /** LSH banding: equal band-bucket ⇒ candidate; candidates are then
+    * verified with true shingle-set Jaccard. The self-join is on
+    * (band, bucket) — at corpus scale each bucket holds a handful of
+    * docs, so the join output is near-linear, not quadratic.
+    *
+    * Un-ordered pair table shared with q47's cluster resolution.
+    */
   private[queries] def lshPairs(spark: SparkSession, dir: String): DataFrame = {
     // small per-doc table reused by both self-join sides; at cluster
     // scale this would be written to storage instead of cached
@@ -181,11 +194,10 @@ object TextQueries {
       col("doc_id").as("a_id"), col("shd").as("a_sh"))
     val b = bands.select(col("band"), col("bucket"),
       col("doc_id").as("b_id"), col("shd").as("b_sh"))
-    val inter = size(array_intersect(col("a_sh"), col("b_sh"))).cast("double")
-    val uni = (size(col("a_sh")) + size(col("b_sh"))).cast("double") - inter
     a.join(b, Seq("band", "bucket"))
       .filter(col("a_id") < col("b_id"))
-      .select(col("a_id"), col("b_id"), (inter / uni).as("jaccard"))
+      .select(col("a_id"), col("b_id"),
+        shingleJaccard(col("a_sh"), col("b_sh")).as("jaccard"))
       .distinct()
       .filter(col("jaccard") >= 0.8)
   }
@@ -193,26 +205,41 @@ object TextQueries {
   def q25_minhash_lsh_pairs(spark: SparkSession, dir: String): DataFrame =
     lshPairs(spark, dir).orderBy("a_id", "b_id")
 
-  /** DuckDB twin of [[lshPairs]] (no ORDER BY — embeddable as a CTE). */
-  private[queries] val lshPairsSql: String = {
+  /** DuckDB twin of [[shingleJaccard]] over table aliases a/b with a
+    * `shd` column — the same operation order, so both engines agree
+    * bit-for-bit.
+    */
+  private def shingleJaccardSql(a: String, b: String): String =
+    s"""CAST(len(list_intersect($a.shd, $b.shd)) AS DOUBLE) /
+       |   (CAST(len($a.shd) + len($b.shd) AS DOUBLE) - CAST(len(list_intersect($a.shd, $b.shd)) AS DOUBLE))""".stripMargin
+
+  /** `base AS (…), bands AS (…)` CTE prefix shared by every band-join
+    * oracle; `extraCol` appends one computed column (expr, name) —
+    * e.g. q73's batch flag — to both CTEs.
+    */
+  private def bandsCteSql(extraCol: Option[(String, String)]): String = {
     val sigSql = (0 until minhashK).map(i => f"mh$i%02d")
     val buckets = (0 until lshBands).map(b =>
       s"${H.bandBucketSql(sigSql, b, lshRows)} AS bucket$b")
+    val extraDef = extraCol.map { case (e, n) => s", $e AS $n" }.getOrElse("")
+    val extraRef = extraCol.map { case (_, n) => s", $n" }.getOrElse("")
     val bandUnion = (0 until lshBands).map(b =>
-      s"SELECT doc_id, shd, $b AS band, bucket$b AS bucket FROM base")
+      s"SELECT doc_id, shd, $b AS band, bucket$b AS bucket$extraRef FROM base")
       .mkString(" UNION ALL ")
-    s"""WITH base AS (
-       |  SELECT doc_id, list_distinct(sh) AS shd, ${buckets.mkString(", ")}
+    s"""base AS (
+       |  SELECT doc_id, list_distinct(sh) AS shd, ${buckets.mkString(", ")}$extraDef
        |  FROM $sigTableSql),
-       |bands AS ($bandUnion)
+       |bands AS ($bandUnion)""".stripMargin
+  }
+
+  /** DuckDB twin of [[lshPairs]] (no ORDER BY — embeddable as a CTE). */
+  private[queries] val lshPairsSql: String =
+    s"""WITH ${bandsCteSql(None)}
        |SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
-       |  CAST(len(list_intersect(a.shd, b.shd)) AS DOUBLE) /
-       |   (CAST(len(a.shd) + len(b.shd) AS DOUBLE) - CAST(len(list_intersect(a.shd, b.shd)) AS DOUBLE)) AS jaccard
+       |  ${shingleJaccardSql("a", "b")} AS jaccard
        |FROM bands a JOIN bands b
        |  ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
-       |WHERE CAST(len(list_intersect(a.shd, b.shd)) AS DOUBLE) /
-       |   (CAST(len(a.shd) + len(b.shd) AS DOUBLE) - CAST(len(list_intersect(a.shd, b.shd)) AS DOUBLE)) >= 0.8""".stripMargin
-  }
+       |WHERE ${shingleJaccardSql("a", "b")} >= 0.8""".stripMargin
 
   val q25_oracle: String = s"$lshPairsSql\nORDER BY a_id, b_id"
 
@@ -428,7 +455,10 @@ object TextQueries {
     * documents table (the harness has one table, not an ingest feed).
     */
   def q73_incremental_neardup(spark: SparkSession, dir: String): DataFrame = {
+    // eager: both join sides scan the cache concurrently; racing an
+    // unpopulated cache recomputes the signature lineage per side
     val bands = bandTable(spark, dir).persist()
+    bands.count()
     try {
       val isBatch =
         substring(md5(concat(lit("b73|"), col("doc_id").cast("string"))), 1, 1)
@@ -437,10 +467,9 @@ object TextQueries {
         col("doc_id").as("batch_id"), col("shd").as("b_sh"))
       val e = bands.filter(!isBatch).select(col("band"), col("bucket"),
         col("doc_id").as("match_id"), col("shd").as("e_sh"))
-      val inter = size(array_intersect(col("b_sh"), col("e_sh"))).cast("double")
-      val uni = (size(col("b_sh")) + size(col("e_sh"))).cast("double") - inter
       b.join(e, Seq("band", "bucket"))
-        .select(col("batch_id"), col("match_id"), (inter / uni).as("jaccard"))
+        .select(col("batch_id"), col("match_id"),
+          shingleJaccard(col("b_sh"), col("e_sh")).as("jaccard"))
         .distinct() // a pair can collide in multiple bands
         .filter(col("jaccard") >= 0.8)
         .groupBy("batch_id")
@@ -454,23 +483,12 @@ object TextQueries {
   }
 
   val q73_oracle: String = {
-    val sigSql = (0 until minhashK).map(i => f"mh$i%02d")
-    val buckets = (0 until lshBands).map(b =>
-      s"${H.bandBucketSql(sigSql, b, lshRows)} AS bucket$b")
-    val bandUnion = (0 until lshBands).map(b =>
-      s"SELECT doc_id, shd, $b AS band, bucket$b AS bucket, is_batch FROM base")
-      .mkString(" UNION ALL ")
-    val inter = "len(list_intersect(b.shd, e.shd))"
-    val uni = s"(len(b.shd) + len(e.shd) - $inter)"
-    s"""WITH base AS (
-       |  SELECT doc_id, list_distinct(sh) AS shd, ${buckets.mkString(", ")},
-       |    substring(md5(concat('b73|', CAST(doc_id AS VARCHAR))), 1, 1)
-       |      IN ('0', '1') AS is_batch
-       |  FROM $sigTableSql),
-       |bands AS ($bandUnion),
+    val batchFlag =
+      "substring(md5(concat('b73|', CAST(doc_id AS VARCHAR))), 1, 1) IN ('0', '1')"
+    s"""WITH ${bandsCteSql(Some(batchFlag -> "is_batch"))},
        |pairs AS (
        |  SELECT DISTINCT b.doc_id AS batch_id, e.doc_id AS match_id,
-       |    CAST($inter AS DOUBLE) / CAST($uni AS DOUBLE) AS jaccard
+       |    ${shingleJaccardSql("b", "e")} AS jaccard
        |  FROM bands b JOIN bands e ON b.band = e.band AND b.bucket = e.bucket
        |  WHERE b.is_batch AND NOT e.is_batch)
        |SELECT batch_id, count(*) AS n_matches, min(match_id) AS min_match_id,
@@ -500,18 +518,26 @@ object TextQueries {
   val minSharedRare = 3
 
   def q72_rare_shingle_pairs(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    // df via a window over the posting table: one shuffle by shingle
-    // gives each posting its shingle's document frequency (a groupBy +
-    // self-join would shuffle the same data twice)
-    val rare = docs(spark, dir)
+    val posting = docs(spark, dir)
       .withColumn("toks", T.tokens(col("text")))
       .filter(size(col("toks")) >= 3)
       .select(col("doc_id"), explode(array_distinct(H.shingles(col("toks")))).as("s"))
-      .withColumn("df", count(lit(1)).over(Window.partitionBy("s")))
-      .filter(col("df") <= dfCut)
-      .select("doc_id", "s")
+    // the HOT set (df > cutoff) is tiny by definition — common
+    // shingles are few, rare ones are the many — so it broadcasts and
+    // the posting table is pruned with an anti-join. Crucially the df
+    // aggregation is a partial-agg groupBy: a boilerplate shingle's
+    // millions of postings collapse to one (s, count) per map task
+    // BEFORE any shuffle. (A window partitioned by shingle would
+    // instead funnel the hottest posting list into a single task —
+    // recreating the very skew the cutoff exists to remove; and
+    // broadcasting the RARE set would ship most of the vocabulary.)
+    val hot = posting.groupBy("s").agg(count(lit(1)).as("df"))
+      .filter(col("df") > dfCut)
+      .select("s")
+    val rare = posting
+      .join(broadcast(hot), Seq("s"), "left_anti")
       .persist() // both self-join sides read it; released below
+    rare.count() // eager — concurrent sides must not race the cache
     try {
       rare
         .select(col("doc_id").as("a_id"), col("s"))

@@ -33,6 +33,7 @@ class LayoutSpec extends SparkSpec {
       // over every file — nothing can be skipped
       events.repartition(4).write.parquet(s"$work/plain")
       val plain = fileRanges(s"$work/plain").sorted
+      assert(plain.size >= 2, s"expected multiple plain files, got $plain")
       assert(plain.sliding(2).exists { case Seq((_, hi), (lo, _)) => hi > lo },
         s"expected overlapping ranges in the unclustered layout: $plain")
     } finally {
