@@ -121,6 +121,31 @@ class OperatorPropertySpec extends SparkSpec {
     }
   }
 
+  test("star contraction equals union-find on a sparse 300-vertex random graph") {
+    val s = spark
+    import s.implicits._
+    // sparse (|E| < |V|) random graphs have many components and long
+    // tendrils — the regime between the tiny seeded graphs above and
+    // the pure path below, where subtle contraction bugs would hide
+    val rng = new scala.util.Random(4242L)
+    val edges = Seq.fill(280)((rng.nextInt(300).toLong, rng.nextInt(300).toLong))
+      .filter { case (a, b) => a != b }.distinct
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val verts = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    val want = verts.groupBy(find).flatMap { case (_, vs) => vs.map(_ -> vs.min) }.toMap
+    val got = ConnectedComponents.starContract(edges.toDF("a", "b"), "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == want)
+  }
+
   test("10k-vertex path graph converges via the star-contraction fallback") {
     val s = spark
     import s.implicits._
