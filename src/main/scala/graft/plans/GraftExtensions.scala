@@ -79,6 +79,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[PolyHash].getName, "poly_hash"),
       (children: Seq[Expression]) =>
         PolyHash(Cast(children.head, org.apache.spark.sql.types.StringType))))
+    // minhash_sig(shingle_array): one-pass 12-component MinHash
+    // signature — the fused form of the salted-md5 slice scheme. Used
+    // directly (not via an optimizer rule): the declarative pattern
+    // spans twelve sibling projection columns sharing two digest
+    // arrays, which is not a single-expression rewrite; MinHashSigSpec
+    // pins value equality with the declarative form instead.
+    ext.injectFunction((
+      new FunctionIdentifier("minhash_sig"),
+      new ExpressionInfo(classOf[MinHashSig].getName, "minhash_sig"),
+      (children: Seq[Expression]) =>
+        MinHashSig(Cast(children.head,
+          org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.StringType)))))
     // bloom_might_contain(serialized_bloom, long_key): Spark's own
     // codegen'd BloomFilterMightContain (the expression behind AQE's
     // runtime row-level bloom), exposed for EXPLICIT bloom pruning —

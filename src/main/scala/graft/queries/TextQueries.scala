@@ -106,23 +106,25 @@ object TextQueries {
   val lshBands = 3
   val lshRows = 4 // minhashK / lshBands
 
-  /** Signature table builder shared by q24/q25: shingles → two salted
-    * digests per shingle → k=12 signature components as digest slices.
-    * Two md5 passes total, not twelve.
+  /** Signature table builder shared by q24/q25/q47/q60/q68/q73:
+    * shingles → k=12 signature components, computed by the native
+    * one-pass [[graft.plans.MinHashSig]] expression (same salted-md5
+    * slice values as the declarative
+    * `saltedHashes`/`minhashFromHashes` composition — MinHashSigSpec
+    * pins the equality; the DuckDB oracles still speak the
+    * declarative form). toks/sh/sig materialize as separate
+    * projections: sig is referenced twelve times and a non-cheap
+    * multi-referenced alias must stay its own column or Catalyst
+    * would re-evaluate it per reference.
     */
   private def sigTable(spark: SparkSession, dir: String): DataFrame = {
-    // toks and sh materialize as separate projections: element_at in the
-    // shingle lambda must index a real array column — inlining the
-    // tokenizer expression there re-tokenizes per shingle position
-    // (quadratic in tokens; measured 2x on the sf0.1 signature stage)
     val base = docs(spark, dir)
       .withColumn("toks", T.tokens(col("text")))
       .filter(size(col("toks")) >= 3)
       .select(col("doc_id"), H.shingles(col("toks")).as("sh"))
-      .withColumn("hs0", H.saltedHashes(col("sh"), 0))
-      .withColumn("hs1", H.saltedHashes(col("sh"), 1))
+      .withColumn("sig", call_function("minhash_sig", col("sh")))
     val sigCols = (0 until minhashK).map(i =>
-      H.minhashFromHashes(col(s"hs${i / 6}"), i % 6).as(f"mh$i%02d"))
+      element_at(col("sig"), i + 1).as(f"mh$i%02d"))
     base.select(Seq(col("doc_id"), col("sh")) ++ sigCols: _*)
   }
 
