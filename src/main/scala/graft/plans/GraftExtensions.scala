@@ -91,6 +91,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) =>
         MinHashSig(Cast(children.head,
           org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.StringType)))))
+    // shingles3(text): fused text-to-shingle-array scan. Direct-call
+    // like minhash_sig (the declarative pattern spans a filter and a
+    // transform lambda over a separately-projected token column — not
+    // a single-expression rewrite); ShingleTextSpec pins value
+    // equality with the declarative form.
+    ext.injectFunction((
+      new FunctionIdentifier("shingles3"),
+      new ExpressionInfo(classOf[ShingleText].getName, "shingles3"),
+      (children: Seq[Expression]) =>
+        ShingleText(Cast(children.head, org.apache.spark.sql.types.StringType))))
     // bloom_might_contain(serialized_bloom, long_key): Spark's own
     // codegen'd BloomFilterMightContain (the expression behind AQE's
     // runtime row-level bloom), exposed for EXPLICIT bloom pruning —

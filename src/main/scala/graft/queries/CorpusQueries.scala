@@ -170,9 +170,8 @@ object CorpusQueries {
     // join scans shingles once and clean docs drop out in the join
     val bench = benchmarkShingles.toDF("s")
     Tables.load(spark, dir, "documents")
-      .withColumn("toks", T.tokens(col("text")))
-      .filter(size(col("toks")) >= 3)
-      .select(col("doc_id"), col("source"), explode(H.shingles(col("toks"))).as("s"))
+      .select(col("doc_id"), col("source"),
+        explode(call_function("shingles3", col("text"))).as("s"))
       .join(broadcast(bench), "s")
       .groupBy("doc_id", "source")
       .agg(countDistinct(col("s")).as("n_hits"))
@@ -350,8 +349,8 @@ object CorpusQueries {
     import graft.functions.{HashFunctions => H}
     val d = Tables.load(spark, dir, "documents")
       .filter(col("doc_id") < 500)
-      .withColumn("toks", T.tokens(col("text")))
-      .select(col("doc_id"), col("text"), H.shingles(col("toks")).as("sh"))
+      .select(col("doc_id"), col("text"),
+        call_function("shingles3", col("text")).as("sh"))
       .persist()
     val posting = d.select(col("doc_id"), explode(array_distinct(col("sh"))).as("s"))
     val candidates = posting.select(col("doc_id").as("a_id"), col("s"))

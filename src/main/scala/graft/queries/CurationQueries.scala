@@ -203,9 +203,8 @@ object CurationQueries {
     import spark.implicits._
     val bench = CorpusQueries.benchmarkShingles.toDF("s")
     val flagged = Tables.load(spark, dir, "documents")
-      .withColumn("toks", T.tokens(col("text")))
-      .filter(size(col("toks")) >= 3)
-      .select(col("doc_id"), explode(H.shingles(col("toks"))).as("s"))
+      .select(col("doc_id"),
+        explode(call_function("shingles3", col("text"))).as("s"))
       .join(broadcast(bench), "s")
       .select(col("doc_id").as("bad_id")).distinct()
     Tables.load(spark, dir, "documents")

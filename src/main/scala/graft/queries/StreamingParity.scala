@@ -1,0 +1,194 @@
+package graft.queries
+
+import java.sql.Timestamp
+
+import graft.Tables
+import graft.streaming.EventsStreaming
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode, Trigger}
+
+/** Batch-equivalence harness entries for the two stateful streaming
+  * operators (q74/q75) — the same pattern q71 established for the
+  * consolidation sink: stage the input as files, stream them through
+  * the REAL streaming operator one file per micro-batch, and gate the
+  * final output with the batch query's DuckDB oracle. Streaming
+  * aggregation and flatMapGroupsWithState sessionization become
+  * driver-visible rows/schema/hash checks instead of spec-only paths.
+  *
+  * Both stage the event batches in timestamp order (split at a fixed
+  * cutoff), which is the arrival pattern watermarks assume; the
+  * splits' contents still interleave freely per key within a batch.
+  * A trailing sentinel batch plays the role "one more event arrives"
+  * has in production: it advances the watermark past every real
+  * window (q74) and past every open session gap (q75), so the
+  * streams' final emitted state covers exactly the batch answer.
+  * Sentinels themselves stay open/unclosed and are never emitted.
+  */
+object StreamingParity {
+
+  private val cutoff = "2024-01-15 00:00:00" // mid-corpus: both splits non-empty
+
+  /** Write each batch as a single parquet file into watchDir with
+    * strictly increasing modification times — the file source picks
+    * files up oldest-first, so arrival order is deterministic
+    * (coalesce(1) is harness plumbing, not the operator).
+    */
+  private def stageBatches(
+      fs: FileSystem, work: String, watchDir: String,
+      batches: Seq[(String, DataFrame)]): Unit = {
+    fs.mkdirs(new Path(watchDir))
+    val t0 = System.currentTimeMillis()
+    batches.zipWithIndex.foreach { case ((name, batch), i) =>
+      batch.coalesce(1).write.parquet(s"$work/$name")
+      val part = fs.globStatus(new Path(s"$work/$name/part-*.parquet")).head.getPath
+      val staged = new Path(s"$watchDir/$name.parquet")
+      // Hadoop rename reports failure as false, not by throwing
+      require(fs.rename(part, staged), s"failed to stage $part into $watchDir")
+      fs.setTimes(staged, t0 + i * 1000L, -1)
+    }
+  }
+
+  private def eventCols(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "events")
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+
+  // ---------- q74: streaming tumbling-window agg ≡ batch q17 ----------
+
+  /** Watermarked Append-mode windowed aggregation, gated by q17's
+    * oracle. The sentinel event sits 4 h past the corpus max, so the
+    * 2 h watermark ends above every real window's end and Append mode
+    * finalizes them all; the ts-ordered staging keeps every real row
+    * above the watermark (batch 1 starts at the cutoff, which is past
+    * batch 0's max minus 2 h), so nothing is dropped as late. This is
+    * the strict-mode check — Complete mode would bypass watermark
+    * semantics entirely.
+    */
+  def q74_stream_tumbling(spark: SparkSession, dir: String): DataFrame = {
+    val work = java.nio.file.Files.createTempDirectory("graft-q74-").toString
+    val watchDir = s"$work/incoming"
+    val fs = new Path(work).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    try {
+      val events = eventCols(spark, dir)
+      val maxTs = events.agg(max(col("ts"))).head().getTimestamp(0)
+      val sentinel = spark.range(1).select(
+        lit(-1L).as("event_id"),
+        lit(new Timestamp(maxTs.getTime + 4 * 3600 * 1000L)).as("ts"),
+        lit(-1L).as("user_id"),
+        lit("__sentinel__").as("event_type"),
+        lit(0.0).as("value"))
+      stageBatches(fs, work, watchDir, Seq(
+        "b0" -> events.filter(col("ts") < lit(cutoff).cast("timestamp")),
+        "b1" -> events.filter(col("ts") >= lit(cutoff).cast("timestamp")),
+        "b2" -> sentinel))
+      val schema = spark.read.parquet(s"$watchDir/b0.parquet").schema
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(watchDir)
+      val query = EventsStreaming.tumblingCounts(stream)
+        .writeStream
+        .trigger(Trigger.AvailableNow())
+        .outputMode(OutputMode.Append())
+        .format("parquet")
+        .option("path", s"$work/out")
+        .option("checkpointLocation", s"$work/ckpt")
+        .start()
+      query.awaitTermination()
+      spark.read.parquet(s"$work/out")
+        .filter(col("event_type") =!= "__sentinel__") // open forever; defensive
+        .select(
+          date_format(col("hour_start"), "yyyy-MM-dd HH:mm").as("hour_start"),
+          col("event_type"), col("n_events"), col("total_value"))
+        .orderBy("hour_start", "event_type")
+        .localCheckpoint() // materialize before the work dir is deleted
+    } finally fs.delete(new Path(work), true)
+  }
+
+  val q74_oracle: String = Analytics.q17_oracle
+
+  // ---------- q75: streaming sessionization ≡ batch q18 ----------
+
+  /** flatMapGroupsWithState sessionization, gated by q18's session
+    * boundaries: one sentinel per user 1 h past the corpus max (> the
+    * 30 min gap from any last event) closes every open session, so
+    * the stream's emitted sessions are exactly the batch sessions.
+    * session_id is recovered as the per-user rank by start time —
+    * identical to q18's running break count. session_value is omitted
+    * on purpose: the stream sums raw doubles in event order while the
+    * batch sums decimal(18,2) — boundary and count parity is the
+    * sessionization semantics; summing is q17/q18's job.
+    */
+  def q75_stream_sessionize(spark: SparkSession, dir: String): DataFrame = {
+    val work = java.nio.file.Files.createTempDirectory("graft-q75-").toString
+    val watchDir = s"$work/incoming"
+    val fs = new Path(work).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    try {
+      val events = eventCols(spark, dir)
+      val maxTs = events.agg(max(col("ts"))).head().getTimestamp(0)
+      val sentinels = events.select(col("user_id")).distinct()
+        .select(
+          lit(-1L).as("event_id"),
+          lit(new Timestamp(maxTs.getTime + 3600 * 1000L)).as("ts"),
+          col("user_id"),
+          lit("__sentinel__").as("event_type"),
+          lit(0.0).as("value"))
+      stageBatches(fs, work, watchDir, Seq(
+        "b0" -> events.filter(col("ts") < lit(cutoff).cast("timestamp")),
+        "b1" -> events.filter(col("ts") >= lit(cutoff).cast("timestamp")),
+        "b2" -> sentinels))
+      val schema = spark.read.parquet(s"$watchDir/b0.parquet").schema
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(watchDir)
+        .as[EventsStreaming.Event](org.apache.spark.sql.Encoders.product)
+      val query = EventsStreaming
+        .sessionize(spark, stream, GroupStateTimeout.NoTimeout)
+        .toDF()
+        .writeStream
+        .trigger(Trigger.AvailableNow())
+        .outputMode(OutputMode.Append())
+        .format("parquet")
+        .option("path", s"$work/out")
+        .option("checkpointLocation", s"$work/ckpt")
+        .start()
+      query.awaitTermination()
+      val byStart = Window.partitionBy("user_id").orderBy("session_start")
+      spark.read.parquet(s"$work/out")
+        .withColumn("session_id", row_number().over(byStart).cast("long"))
+        .select(
+          col("user_id"), col("session_id"),
+          col("n_events").cast("long").as("n_events"),
+          date_format(col("session_start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+          date_format(col("session_end"), "yyyy-MM-dd HH:mm:ss").as("session_end"))
+        .orderBy("user_id", "session_id")
+        .localCheckpoint()
+    } finally fs.delete(new Path(work), true)
+  }
+
+  /** q18's session derivation with the value column dropped (see
+    * [[q75_stream_sessionize]] for why).
+    */
+  val q75_oracle: String =
+    """SELECT user_id, session_id, count(*) AS n_events,
+      |  strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+      |  strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end
+      |FROM (
+      |  SELECT *, CAST(sum(is_break) OVER (
+      |    PARTITION BY user_id ORDER BY ts
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+      |  FROM (
+      |    SELECT *, CASE WHEN prev_ts IS NULL
+      |        OR epoch(ts) - epoch(prev_ts) > 1800 THEN 1 ELSE 0 END AS is_break
+      |    FROM (
+      |      SELECT *, lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+      |      FROM events)))
+      |GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q74_stream_tumbling" -> (q74_stream_tumbling _),
+    "q75_stream_sessionize" -> (q75_stream_sessionize _))
+
+  val oracles: Map[String, String] = Map(
+    "q74_stream_tumbling" -> q74_oracle,
+    "q75_stream_sessionize" -> q75_oracle)
+}

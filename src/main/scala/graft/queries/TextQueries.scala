@@ -118,10 +118,13 @@ object TextQueries {
     * would re-evaluate it per reference.
     */
   private def sigTable(spark: SparkSession, dir: String): DataFrame = {
+    // shingles3 fuses tokenize+shingle (non-empty shingles ⟺ ≥3
+    // tokens, so the degenerate-doc filter moves onto sh); with
+    // minhash_sig also native, the whole signature stage runs inside
+    // whole-stage codegen — no token array, no lambda interpretation
     val base = docs(spark, dir)
-      .withColumn("toks", T.tokens(col("text")))
-      .filter(size(col("toks")) >= 3)
-      .select(col("doc_id"), H.shingles(col("toks")).as("sh"))
+      .select(col("doc_id"), call_function("shingles3", col("text")).as("sh"))
+      .filter(size(col("sh")) > 0)
       .withColumn("sig", call_function("minhash_sig", col("sh")))
     val sigCols = (0 until minhashK).map(i =>
       element_at(col("sig"), i + 1).as(f"mh$i%02d"))
@@ -261,9 +264,8 @@ object TextQueries {
     // matches the oracle's scope.
     val d = docs(spark, dir)
       .filter(col("doc_id") < 500)
-      .withColumn("toks", T.tokens(col("text")))
       .select(col("doc_id"),
-        array_distinct(H.shingles(col("toks"))).as("sh"))
+        array_distinct(call_function("shingles3", col("text"))).as("sh"))
       .persist()
     val sizes = d.select(col("doc_id"), size(col("sh")).as("n"))
     val posting = d.select(col("doc_id"), explode(col("sh")).as("s"))
@@ -351,7 +353,8 @@ object TextQueries {
       .filter(size(col("toks")) >= 3)
       .withColumn("hs", transform(col("toks"), t => md5(t)))
       .select(col("doc_id"),
-        array_distinct(H.shingleKeys(H.shingles(col("toks")))).as("sk"),
+        array_distinct(
+          H.shingleKeys(call_function("shingles3", col("text")))).as("sk"),
         expr(H.simhash16SinglePassSpark).as("simhash"))
 
   /** Candidate pairs at Hamming distance ≤ 1: each unordered pair
@@ -520,10 +523,11 @@ object TextQueries {
   val minSharedRare = 3
 
   def q72_rare_shingle_pairs(spark: SparkSession, dir: String): DataFrame = {
+    // explode of the empty shingle array emits nothing, so the fused
+    // shingler subsumes the old ≥3-token filter
     val posting = docs(spark, dir)
-      .withColumn("toks", T.tokens(col("text")))
-      .filter(size(col("toks")) >= 3)
-      .select(col("doc_id"), explode(array_distinct(H.shingles(col("toks")))).as("s"))
+      .select(col("doc_id"),
+        explode(array_distinct(call_function("shingles3", col("text")))).as("s"))
     // the HOT set (df > cutoff) is tiny by definition — common
     // shingles are few, rare ones are the many — so it broadcasts and
     // the posting table is pruned with an anti-join. Crucially the df

@@ -19,7 +19,7 @@ object EventsStreaming {
 
   final case class SessionUpdate(
       user_id: Long, session_start: java.sql.Timestamp,
-      n_events: Int, total_value: Double)
+      session_end: java.sql.Timestamp, n_events: Int, total_value: Double)
 
   /** Watermarked tumbling-window counts — identical aggregation
     * expression to the batch q17; only the source/sink differ.
@@ -100,5 +100,5 @@ object EventsStreaming {
     events.join(broadcast(dim), Seq(key), "left")
 
   private def toUpdate(userId: Long, s: List[Event]): SessionUpdate =
-    SessionUpdate(userId, s.head.ts, s.length, s.map(_.value).sum)
+    SessionUpdate(userId, s.head.ts, s.last.ts, s.length, s.map(_.value).sum)
 }

@@ -63,7 +63,7 @@ class EventsStreamingSpec extends SparkSpec {
     try { q.processAllAvailable() } finally { q.stop() }
 
     val closed = spark.table("sessions")
-      .collect().map(r => (r.getLong(0), r.getInt(2), r.getDouble(3)))
+      .collect().map(r => (r.getLong(0), r.getInt(3), r.getDouble(4)))
     // only the first session is closed (the 12:30 one is open in state)
     assert(closed.toSeq == Seq((1L, 2, 3.0)))
   }
