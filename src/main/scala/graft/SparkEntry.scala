@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.multimodal.Multimodal
-import graft.queries.{Analytics, CorpusQueries, CurationQueries, DistributionQueries, EventQueries, ExtendedAnalytics, GraphQueries, PipelineQueries, ScrubQueries, TextQueries, VectorQueries}
+import graft.queries.{Analytics, CorpusQueries, CurationQueries, DistributionQueries, EventQueries, ExtendedAnalytics, GraphQueries, PipelineQueries, ScrubQueries, StreamingParity, TextQueries, VectorQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 + §7. */
 object SparkEntry {
@@ -16,7 +16,7 @@ object SparkEntry {
       TextQueries.queries ++ VectorQueries.queries ++ CorpusQueries.queries ++
       GraphQueries.queries ++ ScrubQueries.queries ++ ExtendedAnalytics.queries ++
       DistributionQueries.queries ++ CurationQueries.queries ++
-      EventQueries.queries ++
+      EventQueries.queries ++ StreamingParity.queries ++
       Map("q31_multimodal_extract" -> (Multimodal.q31_multimodal_extract _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -26,6 +26,6 @@ object SparkEntry {
       TextQueries.oracles ++ VectorQueries.oracles ++ CorpusQueries.oracles ++
       GraphQueries.oracles ++ ScrubQueries.oracles ++ ExtendedAnalytics.oracles ++
       DistributionQueries.oracles ++ CurationQueries.oracles ++
-      EventQueries.oracles ++
+      EventQueries.oracles ++ StreamingParity.oracles ++
       Map("q31_multimodal_extract" -> Multimodal.q31_oracle)
 }

@@ -99,59 +99,78 @@ object HashFunctions {
 
   // ---------- SimHash ----------
 
-  /** 16-bit SimHash: per token, 16 bits are drawn from the first four
-    * md5 hex digits; each bit votes ±1; the sign of the total vote is
-    * the fingerprint bit. Near-duplicates land within small Hamming
+  /** Default fingerprint width in bits. This is THE bucket-occupancy
+    * knob of the simhash family: expected exact-collision candidates
+    * scale ~ n²/2^width, so the width must grow with the corpus
+    * (16 bits is sized for the sf test corpora; a 100 TB corpus wants
+    * 48–62). Any width in [1, 62] works — bit b is drawn from md5 hex
+    * digit b/4 (32 digits = 128 bits available) and fingerprints pack
+    * into a BIGINT.
+    */
+  val simhashDefaultWidth = 16
+
+  private def checkWidth(width: Int): Unit =
+    require(width >= 1 && width <= 62, s"simhash width must be in [1, 62], got $width")
+
+  /** width-bit SimHash: per token, bits are drawn from the md5 hex
+    * digits; each bit votes ±1; the sign of the total vote is the
+    * fingerprint bit. Near-duplicates land within small Hamming
     * distance. Emitted as one SQL expression string in either dialect
     * (spark=true → Spark SQL for expr(), false → DuckDB).
     */
-  def simhash16Sql(toksSql: String, spark: Boolean): String = {
+  def simhashSql(toksSql: String, spark: Boolean, width: Int = simhashDefaultWidth): String = {
     val md5s =
       if (spark) s"transform($toksSql, t -> md5(t))"
       else s"[md5(t) for t in $toksSql]"
-    simhash16FromHashesSql(md5s, spark)
+    simhashFromHashesSql(md5s, spark, width)
   }
 
-  /** Single-pass Spark form: one aggregate over the digest array with a
-    * 16-element vote accumulator, instead of 16 separate aggregate
-    * traversals. Integer arithmetic, so it matches the 16-pass DuckDB
-    * oracle exactly.
+  /** Single-pass Spark form: one aggregate over the digest array (`hs`
+    * column) with a width-element vote accumulator, instead of width
+    * separate aggregate traversals. Integer arithmetic, so it matches
+    * the per-bit DuckDB oracle exactly.
     */
-  val simhash16SinglePassSpark: String =
-    """aggregate(
-      |  zip_with(
-      |    aggregate(hs, array_repeat(CAST(0 AS BIGINT), 16),
-      |      (acc, h) -> zip_with(acc, transform(sequence(0, 15), b ->
-      |        CAST(2 * (shiftright(instr('0123456789abcdef', substring(h, 1 + (b div 4), 1)) - 1, b % 4) & 1) - 1 AS BIGINT)),
-      |        (a, v) -> a + v)),
-      |    sequence(0, 15),
-      |    (v, b) -> CASE WHEN v > 0 THEN shiftleft(1, b) ELSE 0 END),
-      |  0, (acc, x) -> acc + x)""".stripMargin
+  def simhashSinglePassSpark(width: Int = simhashDefaultWidth): String = {
+    checkWidth(width)
+    s"""aggregate(
+       |  zip_with(
+       |    aggregate(hs, array_repeat(CAST(0 AS BIGINT), $width),
+       |      (acc, h) -> zip_with(acc, transform(sequence(0, ${width - 1}), b ->
+       |        CAST(2 * (shiftright(instr('0123456789abcdef', substring(h, 1 + (b div 4), 1)) - 1, b % 4) & 1) - 1 AS BIGINT)),
+       |        (a, v) -> a + v)),
+       |    sequence(0, ${width - 1}),
+       |    (v, b) -> CASE WHEN v > 0 THEN shiftleft(CAST(1 AS BIGINT), b) ELSE CAST(0 AS BIGINT) END),
+       |  CAST(0 AS BIGINT), (acc, x) -> acc + x)""".stripMargin
+  }
 
   /** SimHash from a precomputed per-token digest array column — md5
     * runs once per token, not once per (token, bit).
     */
-  def simhash16FromHashesSql(hsSql: String, spark: Boolean): String = {
+  def simhashFromHashesSql(hsSql: String, spark: Boolean,
+      width: Int = simhashDefaultWidth): String = {
+    checkWidth(width)
     val posFn = if (spark) "instr" else "strpos"
     def shr(x: String, n: Int) = if (spark) s"shiftright($x, $n)" else s"($x >> $n)"
-    val bits = (0 until 16).map { b =>
+    val bits = (0 until width).map { b =>
       val digit = s"($posFn('0123456789abcdef', substring(h, ${1 + b / 4}, 1)) - 1)"
       val bit = s"(${shr(digit, b % 4)} & 1)"
       // vote_b over all tokens: sum of (2*bit - 1)
       val votes =
         if (spark) s"aggregate($hsSql, 0L, (acc, h) -> acc + (2 * $bit - 1))"
         else s"list_sum([2 * $bit - 1 for h in $hsSql])"
-      s"(CASE WHEN $votes > 0 THEN ${1 << b} ELSE 0 END)"
+      s"(CASE WHEN $votes > 0 THEN ${1L << b} ELSE 0 END)"
     }
     bits.mkString("(", " + ", ")")
   }
 
-  /** Hamming distance between two 16-bit simhashes, as a dialect-paired
-    * SQL expression (popcount of xor).
+  /** Hamming distance between two width-bit simhashes, as a
+    * dialect-paired SQL expression (popcount of xor).
     */
-  def hamming16Sql(a: String, b: String, spark: Boolean): String = {
+  def hammingSql(a: String, b: String, spark: Boolean,
+      width: Int = simhashDefaultWidth): String = {
+    checkWidth(width)
     val xor = if (spark) s"($a ^ $b)" else s"xor($a, $b)"
     def shr(e: String, n: Int) = if (spark) s"shiftright($e, $n)" else s"($e >> $n)"
-    (0 until 16).map(i => s"(${shr(xor, i)} & 1)").mkString("(", " + ", ")")
+    (0 until width).map(i => s"(${shr(xor, i)} & 1)").mkString("(", " + ", ")")
   }
 }
