@@ -14,6 +14,10 @@ object Explain {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
     val which = args.drop(1).filterNot(_.startsWith("--")).headOption
     val run = args.contains("--run")
+    // disable the perf-only localCheckpoint lineage cuts so the audit
+    // sees the full plan beneath them (correctness-critical checkpoints
+    // in the streaming/temp-dir queries stay on; see [[Lineage]])
+    System.setProperty("graft.keepLineage", "true")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", 4)

@@ -23,7 +23,7 @@ object CurationQueries {
     */
   def q60_dedup_apply(spark: SparkSession, dir: String): DataFrame = {
     val pairs = TextQueries.lshPairs(spark, dir)
-      .select("a_id", "b_id").localCheckpoint()
+      .select("a_id", "b_id").transform(graft.Lineage.cut)
     val cc = ConnectedComponents.run(pairs, "a_id", "b_id")
     val drop = cc.filter(col("id") =!= col("component")).select(col("id"))
     Tables.load(spark, dir, "documents")
@@ -170,8 +170,8 @@ object CurationQueries {
         .orderBy("source")
         // eager: the result is a handful of per-source rows, so
         // materializing here lets the finally release the cache instead
-        // of leaking it into the rest of a Verify/Bench run
-        .localCheckpoint()
+        // of leaking it into the rest of a Verify/Bench run ([[Lineage]])
+        .transform(graft.Lineage.cut)
     } finally counts.unpersist()
   }
 

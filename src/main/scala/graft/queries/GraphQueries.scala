@@ -29,7 +29,7 @@ object GraphQueries {
     // action per round, and without this each round would re-run the
     // whole LSH pipeline (measured 6x the query cost at sf0.1)
     val pairs = TextQueries.lshPairs(spark, dir)
-      .select("a_id", "b_id").localCheckpoint()
+      .select("a_id", "b_id").transform(graft.Lineage.cut)
     val cc = ConnectedComponents.run(pairs, "a_id", "b_id")
     val sizes = cc.groupBy(col("component").as("comp"))
       .agg(count(lit(1)).as("cluster_size"))

@@ -303,7 +303,7 @@ object TextQueries {
   def q27_simhash(spark: SparkSession, dir: String): DataFrame =
     docs(spark, dir)
       .withColumn("hs", transform(T.tokens(col("text")), t => md5(t)))
-      .withColumn("simhash", expr(H.simhash16SinglePassSpark))
+      .withColumn("simhash", expr(H.simhashSinglePassSpark()))
       .groupBy("simhash")
       .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("rep_doc_id"))
       .filter(col("n_docs") >= 2)
@@ -312,7 +312,7 @@ object TextQueries {
   val q27_oracle: String = {
     val toks = T.tokensSql("text")
     s"""SELECT simhash, count(*) AS n_docs, min(doc_id) AS rep_doc_id
-       |FROM (SELECT doc_id, ${H.simhash16FromHashesSql("hs", spark = false)} AS simhash
+       |FROM (SELECT doc_id, ${H.simhashFromHashesSql("hs", spark = false)} AS simhash
        |      FROM (SELECT doc_id, [md5(t) for t in $toks] AS hs FROM documents))
        |GROUP BY simhash HAVING count(*) >= 2 ORDER BY simhash""".stripMargin
   }
@@ -321,15 +321,19 @@ object TextQueries {
 
   /** SimHash near-dup detection that actually catches near-dups: q27
     * groups docs on EXACT simhash equality, so two documents whose
-    * 16-bit fingerprints differ in a single bit — precisely the
+    * fingerprints differ in a single bit — precisely the
     * near-miss SimHash exists to find — are never candidates. Here
-    * every document probes its own fingerprint plus all 16 one-bit
+    * every document probes its own fingerprint plus all `width` one-bit
     * flips; a candidate pair is (probe of a) = (exact simhash of b),
     * i.e. Hamming distance ≤ 1, and candidates are then verified with
     * true shingle-set Jaccard exactly like the MinHash path (q25).
     *
-    * Scale shape: the probe fan-out is 17 narrow rows (id + two ints)
-    * per doc — shingle data does NOT ride through it. Verification is
+    * Scale shape: the probe fan-out is width+1 narrow rows (id + two
+    * longs) per doc — shingle data does NOT ride through it. The
+    * fingerprint width is a single constant ([[q69Width]]) consumed by
+    * the Spark fingerprint, the probe fan-out, the Hamming distance AND
+    * the DuckDB oracle, so growing it for a larger corpus cannot
+    * desynchronize them. Verification is
     * staged cheapest-first: a size-ratio prefilter (j ≥ 0.8 forces
     * 5·min(|a|,|b|) ≥ 4·max — integer-exact, joins only a tiny
     * (id, count) table) discards most random fingerprint collisions
@@ -347,6 +351,15 @@ object TextQueries {
     * engines hash identically; a 2^-60 collision would shift one
     * count), at an 8-byte compare/cache cost per element.
     */
+  /** Fingerprint width for q69 (bits). THE bucket-occupancy knob:
+    * expected exact-collision candidates scale ~ n²/2^width, so this
+    * must grow with the corpus (16 fits the sf test corpora; a 100 TB
+    * corpus wants 48–62). Every consumer below — Spark fingerprint,
+    * probe fan-out, Hamming, DuckDB oracle — derives from this one
+    * value.
+    */
+  private[queries] val q69Width: Int = H.simhashDefaultWidth
+
   private[queries] def simhashTable(spark: SparkSession, dir: String): DataFrame =
     docs(spark, dir)
       .withColumn("toks", T.tokens(col("text")))
@@ -355,7 +368,7 @@ object TextQueries {
       .select(col("doc_id"),
         array_distinct(
           H.shingleKeys(call_function("shingles3", col("text")))).as("sk"),
-        expr(H.simhash16SinglePassSpark).as("simhash"))
+        expr(H.simhashSinglePassSpark(q69Width)).as("simhash"))
 
   /** Candidate pairs at Hamming distance ≤ 1: each unordered pair
     * matches exactly once — b sits in one bucket, a's 17 probes are
@@ -365,13 +378,13 @@ object TextQueries {
   private[queries] def simhashProbePairs(base: DataFrame): DataFrame = {
     val probes = base.select(col("doc_id").as("a_id"), col("simhash").as("a_sim"),
       explode(array(col("simhash") +:
-        (0 until 16).map(b => col("simhash").bitwiseXOR(lit(1 << b))): _*)).as("probe"))
+        (0 until q69Width).map(b => col("simhash").bitwiseXOR(lit(1L << b))): _*)).as("probe"))
     val exact = base.select(col("doc_id").as("b_id"), col("simhash").as("b_sim"),
       col("simhash").as("probe"))
     probes.join(exact, Seq("probe"))
       .filter(col("a_id") < col("b_id"))
       .select(col("a_id"), col("b_id"),
-        expr(H.hamming16Sql("a_sim", "b_sim", spark = true)).as("hamming"))
+        expr(H.hammingSql("a_sim", "b_sim", spark = true, q69Width)).as("hamming"))
   }
 
   def q69_simhash_probe(spark: SparkSession, dir: String): DataFrame = {
@@ -391,20 +404,26 @@ object TextQueries {
 
   private def q69Verify(base: DataFrame): DataFrame = {
     val cand = simhashProbePairs(base)
-    // stage 1: size-ratio prefilter over a broadcast (id, count) table —
-    // a NECESSARY condition of j >= 0.8, integer-exact, no arrays moved
+    // stage 1: size-ratio prefilter over a narrow (id, count) table —
+    // a NECESSARY condition of j >= 0.8, integer-exact, no arrays moved.
+    // NO broadcast hints anywhere in the verify: sizes and sh are
+    // corpus-linear, and a static broadcast of a corpus-linear table is
+    // a driver OOM at cluster scale. These are plain shuffle joins on
+    // the id keys; AQE is free to broadcast the candidate side at
+    // runtime when it measures small — the candidate volume is the
+    // occupancy-governed (width knob) bounded side, never the corpus.
     val sizes = base.select(col("doc_id"), size(col("sk")).as("n"))
     val candSized = cand
-      .join(broadcast(sizes.select(col("doc_id").as("a_id"), col("n").as("a_n"))), "a_id")
-      .join(broadcast(sizes.select(col("doc_id").as("b_id"), col("n").as("b_n"))), "b_id")
+      .join(sizes.select(col("doc_id").as("a_id"), col("n").as("a_n")), "a_id")
+      .join(sizes.select(col("doc_id").as("b_id"), col("n").as("b_n")), "b_id")
       .filter(least(col("a_n"), col("b_n")) * 5 >= greatest(col("a_n"), col("b_n")) * 4)
     // stage 2: exact Jaccard over integer shingle keys for survivors;
     // inter/uni are hoisted withColumns so the intersect runs once per
     // pair (folding them into select+filter would re-evaluate it)
     val sh = base.select(col("doc_id"), col("sk"))
     candSized
-      .join(broadcast(sh.select(col("doc_id").as("a_id"), col("sk").as("a_sk"))), "a_id")
-      .join(broadcast(sh.select(col("doc_id").as("b_id"), col("sk").as("b_sk"))), "b_id")
+      .join(sh.select(col("doc_id").as("a_id"), col("sk").as("a_sk")), "a_id")
+      .join(sh.select(col("doc_id").as("b_id"), col("sk").as("b_sk")), "b_id")
       .withColumn("inter", size(array_intersect(col("a_sk"), col("b_sk"))))
       .withColumn("uni", col("a_n") + col("b_n") - col("inter"))
       // threshold in exact integer form (j >= 4/5 <=> 5*inter >= 4*union),
@@ -413,7 +432,8 @@ object TextQueries {
       .select(col("a_id"), col("b_id"), col("hamming"),
         (col("inter").cast("double") / col("uni").cast("double")).as("jaccard"))
       .orderBy("a_id", "b_id")
-      .localCheckpoint() // eager: survives the base.unpersist in the caller
+      // eager: survives the base.unpersist in the caller ([[Lineage]])
+      .transform(graft.Lineage.cut)
   }
 
   val q69_oracle: String = {
@@ -423,16 +443,16 @@ object TextQueries {
     val uni = s"(len(a.sk) + len(b.sk) - $inter)"
     s"""WITH base AS (
        |  SELECT doc_id, list_distinct(${H.shingleKeysSql(sh)}) AS sk,
-       |    ${H.simhash16FromHashesSql("[md5(t) for t in toks]", spark = false)} AS simhash
+       |    ${H.simhashFromHashesSql("[md5(t) for t in toks]", spark = false, q69Width)} AS simhash
        |  FROM (SELECT doc_id, $toks AS toks FROM documents)
        |  WHERE len(toks) >= 3),
        |probes AS (
        |  SELECT doc_id AS a_id, simhash AS a_sim,
-       |    unnest([simhash] || [xor(simhash, 1 << b) for b in range(0, 16)]) AS probe
+       |    unnest([simhash] || [xor(simhash, CAST(1 AS BIGINT) << b) for b in range(0, $q69Width)]) AS probe
        |  FROM base),
        |cand AS (
        |  SELECT p.a_id, e.doc_id AS b_id,
-       |    ${H.hamming16Sql("p.a_sim", "e.simhash", spark = false)} AS hamming
+       |    ${H.hammingSql("p.a_sim", "e.simhash", spark = false, q69Width)} AS hamming
        |  FROM probes p JOIN base e ON p.probe = e.simhash AND p.a_id < e.doc_id)
        |SELECT cand.a_id, cand.b_id, hamming,
        |  CAST($inter AS DOUBLE) / CAST($uni AS DOUBLE) AS jaccard
@@ -483,7 +503,8 @@ object TextQueries {
           min(col("match_id")).as("min_match_id"),
           max(col("jaccard")).as("max_jaccard"))
         .orderBy("batch_id")
-        .localCheckpoint() // small; survives the unpersist
+        // small; survives the unpersist ([[Lineage]])
+        .transform(graft.Lineage.cut)
     } finally bands.unpersist()
   }
 
@@ -553,7 +574,8 @@ object TextQueries {
         .agg(count(lit(1)).as("n_shared_rare"))
         .filter(col("n_shared_rare") >= minSharedRare)
         .orderBy("a_id", "b_id")
-        .localCheckpoint() // small pair list; survives the unpersist
+        // small pair list; survives the unpersist ([[Lineage]])
+        .transform(graft.Lineage.cut)
     } finally rare.unpersist()
   }
 
@@ -571,6 +593,85 @@ object TextQueries {
        |ORDER BY a_id, b_id""".stripMargin
   }
 
+  // ---------- q76: persisted signature index, reused without re-shingling ----------
+
+  /** The MinHash signature index as a STORED artifact. Every other
+    * query in the family ([[sigTable]] consumers q24/q25/q47/q60/q68/
+    * q73) rebuilds signatures from raw text per run — fine at test SF,
+    * wrong at corpus scale, where the index is built ONCE, written to
+    * columnar storage, and every dedup/overlap/incremental query reads
+    * the index instead of re-tokenizing 100 TB of text. This query IS
+    * that lifecycle end-to-end: build index → write parquet → reopen →
+    * compute q25's near-dup pairs purely from stored columns (band
+    * buckets from the stored signature, Jaccard verify from the stored
+    * shingle-key sets — the raw `text` column is never touched after
+    * the build).
+    *
+    * The stored shingle sets are 60-bit integer keys
+    * ([[HashFunctions.shingleKeys]]), not strings: 8 bytes per element
+    * on disk and in the verify join, with identical Jaccard in both
+    * engines (same rule as q69). On a cluster the write would also
+    * bucket by doc_id so downstream joins skip the shuffle; the
+    * lifecycle (write → reopen → query) is the part under test here.
+    */
+  def q76_sig_index_persist(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val work = java.nio.file.Files.createTempDirectory("graft-q76-").toString
+    val fs = new Path(work).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    try {
+      sigTable(spark, dir)
+        .withColumn("skd", array_distinct(H.shingleKeys(col("sh"))))
+        .drop("sh")
+        .write.parquet(s"$work/sig_index")
+      // reopen: everything below sees only the stored index schema
+      val stored = spark.read.parquet(s"$work/sig_index")
+      val sig = (0 until minhashK).map(i => col(f"mh$i%02d"))
+      val bands = stored.select(col("doc_id"), col("skd"),
+        posexplode(array((0 until lshBands).map(b => H.bandBucket(sig, b, lshRows)): _*))
+          .as(Seq("band", "bucket")))
+      val a = bands.select(col("band"), col("bucket"),
+        col("doc_id").as("a_id"), col("skd").as("a_sk"))
+      val b = bands.select(col("band"), col("bucket"),
+        col("doc_id").as("b_id"), col("skd").as("b_sk"))
+      // same operation order as [[shingleJaccard]], over keys
+      val inter = size(array_intersect(col("a_sk"), col("b_sk"))).cast("double")
+      val uni = (size(col("a_sk")) + size(col("b_sk"))).cast("double") - inter
+      a.join(b, Seq("band", "bucket"))
+        .filter(col("a_id") < col("b_id"))
+        .select(col("a_id"), col("b_id"), (inter / uni).as("jaccard"))
+        .distinct()
+        .filter(col("jaccard") >= 0.8)
+        .orderBy("a_id", "b_id")
+        .localCheckpoint() // materialize before the work dir is deleted
+    } finally fs.delete(new Path(work), true)
+  }
+
+  /** q25's oracle re-derived over shingle KEYS (the stored form):
+    * identical pair set and bit-identical jaccard — pinning that the
+    * persisted index loses nothing vs recomputing from text.
+    */
+  val q76_oracle: String = {
+    val sigSql = (0 until minhashK).map(i => f"mh$i%02d")
+    val buckets = (0 until lshBands).map(b =>
+      s"${H.bandBucketSql(sigSql, b, lshRows)} AS bucket$b")
+    val bandUnion = (0 until lshBands).map(b =>
+      s"SELECT doc_id, skd, $b AS band, bucket$b AS bucket FROM base")
+      .mkString(" UNION ALL ")
+    val interSql = "CAST(len(list_intersect(a.skd, b.skd)) AS DOUBLE)"
+    val jac =
+      s"$interSql /\n   (CAST(len(a.skd) + len(b.skd) AS DOUBLE) - $interSql)"
+    s"""WITH base AS (
+       |  SELECT doc_id, list_distinct(${H.shingleKeysSql("sh")}) AS skd,
+       |    ${buckets.mkString(", ")}
+       |  FROM $sigTableSql),
+       |bands AS ($bandUnion)
+       |SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id, $jac AS jaccard
+       |FROM bands a JOIN bands b
+       |  ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+       |WHERE $jac >= 0.8
+       |ORDER BY a_id, b_id""".stripMargin
+  }
+
   // ---------- registry ----------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -585,7 +686,8 @@ object TextQueries {
     "q27_simhash" -> (q27_simhash _),
     "q69_simhash_probe" -> (q69_simhash_probe _),
     "q72_rare_shingle_pairs" -> (q72_rare_shingle_pairs _),
-    "q73_incremental_neardup" -> (q73_incremental_neardup _))
+    "q73_incremental_neardup" -> (q73_incremental_neardup _),
+    "q76_sig_index_persist" -> (q76_sig_index_persist _))
 
   val oracles: Map[String, String] = Map(
     "q19_token_count" -> q19_oracle,
@@ -599,5 +701,6 @@ object TextQueries {
     "q27_simhash" -> q27_oracle,
     "q69_simhash_probe" -> q69_oracle,
     "q72_rare_shingle_pairs" -> q72_oracle,
-    "q73_incremental_neardup" -> q73_oracle)
+    "q73_incremental_neardup" -> q73_oracle,
+    "q76_sig_index_persist" -> q76_oracle)
 }

@@ -13,14 +13,14 @@ class SimHashProbeSpec extends SparkSpec {
     val base = TextQueries.simhashTable(spark, sf()).persist()
     try {
       val cand = TextQueries.simhashProbePairs(base)
-        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
 
       // independent reference: per-doc simhash, all pairs by brute force
       val sims = base.select(col("doc_id"), col("simhash"))
-        .collect().map(r => r.getLong(0) -> r.getInt(1))
+        .collect().map(r => r.getLong(0) -> r.getLong(1))
       val wantByHamming = (for {
         (a, sa) <- sims; (b, sb) <- sims if a < b
-        h = Integer.bitCount(sa ^ sb) if h <= 1
+        h = java.lang.Long.bitCount(sa ^ sb).toLong if h <= 1
       } yield (a, b) -> h).toMap
 
       assert(cand == wantByHamming)
@@ -39,9 +39,9 @@ class SimHashProbeSpec extends SparkSpec {
     // threshold is integer-exact (5*inter >= 4*union); the reported
     // double can sit within one ulp of 0.8
     assert(out.forall(_.getDouble(3) >= 0.8 - 1e-9))
-    assert(out.forall(r => r.getInt(2) == 0 || r.getInt(2) == 1))
+    assert(out.forall(r => r.getLong(2) == 0L || r.getLong(2) == 1L))
     // the operator's reason to exist: true near-dups at hamming 1
     // that exact-collision q27 can never emit
-    assert(out.count(_.getInt(2) == 1) > 0)
+    assert(out.count(_.getLong(2) == 1L) > 0)
   }
 }
