@@ -42,9 +42,9 @@ object ConnectedComponents {
     var labels = und.select(col("u").as("id")).distinct()
       .withColumn("component", col("id"))
       .localCheckpoint()
-    var changed = 1L
+    var changed = true
     var iter = 0
-    while (changed > 0 && iter < maxIter) {
+    while (changed && iter < maxIter) {
       val nbrMin = und.join(labels, und("v") === labels("id"))
         .groupBy(col("u"))
         .agg(min("component").as("nbr_min"))
@@ -53,7 +53,11 @@ object ConnectedComponents {
           least(col("component"), coalesce(col("nbr_min"), col("component")))
             .as("next_component"))
         .localCheckpoint()
-      changed = next.filter(col("next_component") =!= col("component")).count()
+      // convergence needs EXISTENCE of a changed label, not its count:
+      // isEmpty is a limit-1 probe over the just-checkpointed blocks,
+      // so the common (non-converged) round stops at the first changed
+      // row instead of scanning the whole label table per round
+      changed = !next.filter(col("next_component") =!= col("component")).isEmpty
       labels = next.select(col("id"), col("next_component").as("component"))
       iter += 1
     }
@@ -61,7 +65,7 @@ object ConnectedComponents {
     // an unconverged result is silently WRONG (split clusters → under-
     // deduplication downstream) — finish with the O(log n) contraction
     // instead of either failing or returning it
-    if (changed > 0) starContract(edges, src, dst)
+    if (changed) starContract(edges, src, dst)
     else labels
   }
 
@@ -114,7 +118,8 @@ object ConnectedComponents {
       val next = hubEdges.union(nbrEdges).distinct().localCheckpoint()
       val nextCount = next.count()
       // canonical distinct sets: equal iff same size and no new edges
-      converged = nextCount == eCount && next.except(e).count() == 0
+      // (isEmpty = limit-1 probe, early-exits on the first new edge)
+      converged = nextCount == eCount && next.except(e).isEmpty
       e = next
       eCount = nextCount
       round += 1

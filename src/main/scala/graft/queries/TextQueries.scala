@@ -360,7 +360,8 @@ object TextQueries {
     */
   private[queries] val q69Width: Int = H.simhashDefaultWidth
 
-  private[queries] def simhashTable(spark: SparkSession, dir: String): DataFrame =
+  private[queries] def simhashTable(spark: SparkSession, dir: String,
+      width: Int = q69Width): DataFrame =
     docs(spark, dir)
       .withColumn("toks", T.tokens(col("text")))
       .filter(size(col("toks")) >= 3)
@@ -368,23 +369,24 @@ object TextQueries {
       .select(col("doc_id"),
         array_distinct(
           H.shingleKeys(call_function("shingles3", col("text")))).as("sk"),
-        expr(H.simhashSinglePassSpark(q69Width)).as("simhash"))
+        expr(H.simhashSinglePassSpark(width)).as("simhash"))
 
   /** Candidate pairs at Hamming distance ≤ 1: each unordered pair
     * matches exactly once — b sits in one bucket, a's 17 probes are
     * distinct, and the a_id < b_id orientation drops the mirrored
     * (b probes → a exact) match.
     */
-  private[queries] def simhashProbePairs(base: DataFrame): DataFrame = {
+  private[queries] def simhashProbePairs(base: DataFrame,
+      width: Int = q69Width): DataFrame = {
     val probes = base.select(col("doc_id").as("a_id"), col("simhash").as("a_sim"),
       explode(array(col("simhash") +:
-        (0 until q69Width).map(b => col("simhash").bitwiseXOR(lit(1L << b))): _*)).as("probe"))
+        (0 until width).map(b => col("simhash").bitwiseXOR(lit(1L << b))): _*)).as("probe"))
     val exact = base.select(col("doc_id").as("b_id"), col("simhash").as("b_sim"),
       col("simhash").as("probe"))
     probes.join(exact, Seq("probe"))
       .filter(col("a_id") < col("b_id"))
       .select(col("a_id"), col("b_id"),
-        expr(H.hammingSql("a_sim", "b_sim", spark = true, q69Width)).as("hamming"))
+        expr(H.hammingSql("a_sim", "b_sim", spark = true, width)).as("hamming"))
   }
 
   def q69_simhash_probe(spark: SparkSession, dir: String): DataFrame = {
