@@ -261,9 +261,68 @@ object CurationQueries {
        |JOIN documents db ON pairs.b_id = db.doc_id
        |GROUP BY 1, 2 ORDER BY source_x, source_y""".stripMargin
 
+  // ---------- q77: sequence packing (concat-and-chunk) ----------
+
+  /** Context-window packing plan — the step between a curated corpus
+    * and a pretraining token stream: documents are concatenated in a
+    * deterministic order and chunked into fixed token-budget windows
+    * (GPT-style concat-and-chunk; each doc is assigned to the window
+    * where its first token lands). Output is the packing MANIFEST —
+    * (source, shard, window) → doc span + token count — which is what
+    * a tokenizer fleet consumes to build the actual token files.
+    *
+    * Scale shape: a single corpus-wide running token sum would
+    * serialize the scan, so packing runs within SHARDS of
+    * [[packShardDocs]] documents (windows never cross a shard
+    * boundary — the same deal real pipelines make by packing within
+    * file-sized units). Each (source, shard) partition is bounded, so
+    * the window-function sort is bounded and every shard packs in
+    * parallel; one shuffle by (source, shard), then a partial-agg
+    * rollup to windows. Token counts come from the native
+    * `token_count` expression (q19 pins its DuckDB twin).
+    */
+  val packBudget = 2048 // tokens per context window
+  val packShardDocs = 1000L // docs per packing shard (boundary unit)
+
+  def q77_sequence_pack(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val shard = expr(s"doc_id div $packShardDocs")
+    val w = Window.partitionBy(col("source"), col("shard"))
+      .orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.load(spark, dir, "documents")
+      .select(col("source"), col("doc_id"), shard.as("shard"),
+        size(T.tokens(col("text"))).cast("long").as("tok"))
+      .withColumn("start_tok", sum(col("tok")).over(w) - col("tok"))
+      .withColumn("window_id", expr(s"start_tok div $packBudget"))
+      .groupBy("source", "shard", "window_id")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("tok")).as("n_tokens"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+      .orderBy("source", "shard", "window_id")
+  }
+
+  val q77_oracle: String =
+    s"""SELECT source, shard, window_id, count(*) AS n_docs,
+       |  CAST(sum(tok) AS BIGINT) AS n_tokens,
+       |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+       |FROM (
+       |  SELECT source, doc_id, shard, tok,
+       |    CAST((sum(tok) OVER (PARTITION BY source, shard ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - tok)
+       |      // $packBudget AS BIGINT) AS window_id
+       |  FROM (
+       |    SELECT source, doc_id, doc_id // $packShardDocs AS shard,
+       |      len(${T.tokensSql("text")}) AS tok
+       |    FROM documents))
+       |GROUP BY 1, 2, 3 ORDER BY source, shard, window_id""".stripMargin
+
   // ---------- registry ----------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q77_sequence_pack" -> (q77_sequence_pack _),
     "q60_dedup_apply" -> (q60_dedup_apply _),
     "q61_quality_filter" -> (q61_quality_filter _),
     "q63_token_budget" -> (q63_token_budget _),
@@ -272,6 +331,7 @@ object CurationQueries {
     "q68_source_overlap" -> (q68_source_overlap _))
 
   val oracles: Map[String, String] = Map(
+    "q77_sequence_pack" -> q77_oracle,
     "q60_dedup_apply" -> q60_oracle,
     "q61_quality_filter" -> q61_oracle,
     "q63_token_budget" -> q63_oracle,
