@@ -387,9 +387,59 @@ object CorpusQueries {
        |ORDER BY a_id, b_id""".stripMargin
   }
 
+  // ---------- q78: stratified train/val/test split ----------
+
+  /** Deterministic heldout carving: every document is assigned
+    * train/val/test by two hex digits of a salted content hash
+    * (256ths: 204/26/26 ≈ 80/10/10) — the same seedless idiom as
+    * q33/q36, so the split is a pure function of the data: stable
+    * across reruns, engines and cluster layouts, with no RNG state to
+    * coordinate at 100 TB. Assignment is per-document WITHIN each
+    * source (stratified), so every source contributes ~proportionally
+    * to each split. Output is the split manifest a training run
+    * consumes: per (source, split) document and token counts.
+    *
+    * Thresholds are exact integers over the hash bucket (no float
+    * boundaries); near-dups should be removed BEFORE splitting (q60)
+    * or leakage re-enters through duplicates — composition order is
+    * the pipeline's contract, not this operator's.
+    */
+  val splitBuckets: Seq[(String, Int)] = // cumulative /256 upper bounds
+    Seq("1_train" -> 204, "2_val" -> 230, "3_test" -> 256)
+
+  def q78_stratified_split(spark: SparkSession, dir: String): DataFrame = {
+    val h2 = substring(md5(concat(lit("split-1|"), col("doc_id").cast("string"))), 1, 2)
+    val bucket = (instr(lit("0123456789abcdef"), substring(h2, 1, 1)) - 1) * 16 +
+      (instr(lit("0123456789abcdef"), substring(h2, 2, 1)) - 1)
+    val split = splitBuckets.reverse.foldLeft(lit(null).cast("string")) {
+      case (acc, (name, ub)) => when(bucket < ub, lit(name)).otherwise(acc)
+    }
+    Tables.load(spark, dir, "documents")
+      .select(col("source"), split.as("split"),
+        size(T.tokens(col("text"))).cast("long").as("tok"))
+      .groupBy("source", "split")
+      .agg(count(lit(1)).as("n_docs"), sum(col("tok")).as("n_tokens"))
+      .orderBy("source", "split")
+  }
+
+  val q78_oracle: String = {
+    val bucket =
+      """((strpos('0123456789abcdef', substring(md5(concat('split-1|', CAST(doc_id AS VARCHAR))), 1, 1)) - 1) * 16
+        | + (strpos('0123456789abcdef', substring(md5(concat('split-1|', CAST(doc_id AS VARCHAR))), 2, 1)) - 1))""".stripMargin
+    val cases = splitBuckets
+      .map { case (name, ub) => s"WHEN $bucket < $ub THEN '$name'" }
+      .mkString("CASE ", " ", " END")
+    s"""SELECT source, $cases AS split,
+       |  count(*) AS n_docs,
+       |  CAST(sum(len(${T.tokensSql("text")})) AS BIGINT) AS n_tokens
+       |FROM documents
+       |GROUP BY 1, 2 ORDER BY source, split""".stripMargin
+  }
+
   // ---------- registry ----------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q78_stratified_split" -> (q78_stratified_split _),
     "q32_quantiles" -> (q32_quantiles _),
     "q33_deterministic_sample" -> (q33_deterministic_sample _),
     "q34_normalize" -> (q34_normalize _),
@@ -404,6 +454,7 @@ object CorpusQueries {
     "q44_fuzzy_match" -> (q44_fuzzy_match _))
 
   val oracles: Map[String, String] = Map(
+    "q78_stratified_split" -> q78_oracle,
     "q32_quantiles" -> q32_oracle,
     "q33_deterministic_sample" -> q33_oracle,
     "q34_normalize" -> q34_oracle,

@@ -242,9 +242,66 @@ object VectorQueries {
       .orderBy("q_id", "rk")
   }
 
+  // ---------- q79: int8-quantized similarity scoring ----------
+
+  /** Scalar int8 quantization of the embedding index — the standard
+    * storage/bandwidth answer for ANN at corpus scale (4 bytes → 1
+    * byte per component; the scan that dominates brute-force and
+    * bucket-verify stages moves 4× less memory). Each vector is
+    * quantized against its own max-abs scale q_i = round(127·x_i/s),
+    * and candidates are ranked by the integer dot product of
+    * quantized codes — exact integer arithmetic, so both engines rank
+    * identically with no float-order caveats at all (the one scoring
+    * path in the suite with that property). Same bounded query set as
+    * q28 (|Q|·N baseline shape); QuantizedKnnSpec measures its recall
+    * against q28's exact ranking. round() is spelled floor(x + 0.5)
+    * explicitly because the engines' round() tie rules differ.
+    */
+  def q79_knn_quantized(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+      .withColumn("s", aggregate(col("v"), lit(0.0), (acc, x) => greatest(acc, abs(x))))
+      .withColumn("qv", transform(col("v"), x =>
+        when(col("s") === 0.0, lit(0L))
+          .otherwise(floor(x * 127 / col("s") + 0.5).cast("long"))))
+      .select(col("vec_id"), col("qv"))
+    val q = e.filter(col("vec_id") < 50)
+      .select(col("vec_id").as("q_id"), col("qv").as("qa"))
+    val c = e.select(col("vec_id").as("n_id"), col("qv").as("qb"))
+    val qscore = aggregate(
+      zip_with(col("qa"), col("qb"), (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+    val w = Window.partitionBy("q_id").orderBy(col("qscore").desc, col("n_id").asc)
+    broadcast(q).join(c, col("q_id") =!= col("n_id"))
+      .select(col("q_id"), col("n_id"), qscore.as("qscore"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5)
+      .select("q_id", "rk", "n_id", "qscore")
+      .orderBy("q_id", "rk")
+  }
+
+  val q79_oracle: String =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+       |sc AS (SELECT vec_id, v, list_max(list_apply(v, x -> abs(x))) AS s FROM e),
+       |qz AS (
+       |  SELECT vec_id, list_apply(v, x -> CASE WHEN s = 0 THEN 0
+       |    ELSE CAST(floor(x * 127 / s + 0.5) AS BIGINT) END) AS qv
+       |  FROM sc),
+       |scored AS (
+       |  SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+       |    CAST(list_sum(list_apply(range(1, len(q.qv)+1),
+       |      i -> (q.qv)[i]*(c.qv)[i])) AS BIGINT) AS qscore
+       |  FROM (SELECT vec_id, qv FROM qz WHERE vec_id < 50) q,
+       |       (SELECT vec_id, qv FROM qz) c
+       |  WHERE q.vec_id <> c.vec_id)
+       |SELECT q_id, rk, n_id, qscore FROM (
+       |  SELECT *, ROW_NUMBER() OVER (
+       |    PARTITION BY q_id ORDER BY qscore DESC, n_id ASC) AS rk
+       |  FROM scored)
+       |WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin
+
   // ---------- registry ----------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q79_knn_quantized" -> (q79_knn_quantized _),
     "q28_knn_bruteforce" -> (q28_knn_bruteforce _),
     "q29_knn_lsh" -> (q29_knn_lsh _),
     "q30_embedding_dedup" -> (q30_embedding_dedup _),
@@ -254,6 +311,7 @@ object VectorQueries {
     "q70_knn_lsh_multiprobe" -> (q70_knn_lsh_multiprobe _))
 
   val oracles: Map[String, String] = Map(
+    "q79_knn_quantized" -> q79_oracle,
     "q28_knn_bruteforce" -> q28_oracle,
     "q29_knn_lsh" -> q29_oracle,
     "q30_embedding_dedup" -> q30_oracle,
