@@ -101,6 +101,24 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[ShingleText].getName, "shingles3"),
       (children: Seq[Expression]) =>
         ShingleText(Cast(children.head, org.apache.spark.sql.types.StringType))))
+    // simhash_sig(token_array, width): one-pass width-bit SimHash
+    // fingerprint — md5 + vote accumulation fused per token. Direct-
+    // call like minhash_sig (the declarative pattern is a three-deep
+    // nested lambda aggregate — not a practical rewrite target);
+    // SimHashSigSpec pins value equality with the declarative form.
+    ext.injectFunction((
+      new FunctionIdentifier("simhash_sig"),
+      new ExpressionInfo(classOf[SimHashSig].getName, "simhash_sig"),
+      (children: Seq[Expression]) =>
+        SimHashSig(
+          Cast(children.head,
+            org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.StringType)),
+          children(1).eval() match {
+            case i: Int => i
+            case l: Long => l.toInt
+            case other => throw new IllegalArgumentException(
+              s"simhash_sig width must be an integer literal, got $other")
+          })))
     // bloom_might_contain(serialized_bloom, long_key): Spark's own
     // codegen'd BloomFilterMightContain (the expression behind AQE's
     // runtime row-level bloom), exposed for EXPLICIT bloom pruning —

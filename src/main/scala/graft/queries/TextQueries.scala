@@ -302,8 +302,11 @@ object TextQueries {
 
   def q27_simhash(spark: SparkSession, dir: String): DataFrame =
     docs(spark, dir)
-      .withColumn("hs", transform(T.tokens(col("text")), t => md5(t)))
-      .withColumn("simhash", expr(H.simhashSinglePassSpark()))
+      // native one-pass fingerprint ([[graft.plans.SimHashSig]]);
+      // SimHashSigSpec pins equality with the declarative
+      // H.simhashSinglePassSpark form the DuckDB oracle still speaks
+      .withColumn("simhash",
+        call_function("simhash_sig", T.tokens(col("text")), lit(H.simhashDefaultWidth)))
       .groupBy("simhash")
       .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("rep_doc_id"))
       .filter(col("n_docs") >= 2)
@@ -365,11 +368,10 @@ object TextQueries {
     docs(spark, dir)
       .withColumn("toks", T.tokens(col("text")))
       .filter(size(col("toks")) >= 3)
-      .withColumn("hs", transform(col("toks"), t => md5(t)))
       .select(col("doc_id"),
         array_distinct(
           H.shingleKeys(call_function("shingles3", col("text")))).as("sk"),
-        expr(H.simhashSinglePassSpark(width)).as("simhash"))
+        call_function("simhash_sig", col("toks"), lit(width)).as("simhash"))
 
   /** Candidate pairs at Hamming distance ≤ 1: each unordered pair
     * matches exactly once — b sits in one bucket, a's 17 probes are
