@@ -118,15 +118,46 @@ object ExtendedAnalytics {
       |FROM orders
       |ORDER BY o_custkey, valid_from, o_orderkey""".stripMargin
 
+  // ---------- q80: skew-resilient salted aggregation ----------
+
+  /** The two-phase salted aggregation ([[graft.operators.Skew]])
+    * driver-gated against a plain GROUP BY oracle. events.event_type
+    * has a handful of distinct values over the whole table — exactly
+    * the hot-key shape where a plain groupBy funnels each key's every
+    * row into one reducer and a viral key stalls the stage at 100 TB.
+    * Salting splits each key into 16 content-hashed sub-groups
+    * aggregated in parallel; the second-phase combine touches one row
+    * per (key, salt). The oracle equality IS the correctness claim:
+    * decomposed two-phase results match the single-phase aggregation
+    * exactly (count → sum of counts; decimal-exact sums per the §4
+    * parity policy, so no float-order drift between the phases).
+    */
+  def q80_skew_agg(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Skew.countAndSum(
+      Tables.load(spark, dir, "events"),
+      key = col("event_type"),
+      saltSource = col("event_id"),
+      valueCol = col("value").cast(dec18))
+      .select(col("key").as("event_type"), col("n").as("n_events"),
+        col("total").cast("double").as("total_value"))
+      .orderBy("event_type")
+
+  val q80_oracle: String =
+    """SELECT event_type, count(*) AS n_events,
+      |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   // ---------- registry ----------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q53_grouping_sets" -> (q53_grouping_sets _),
     "q54_set_ops" -> (q54_set_ops _),
-    "q55_scd2" -> (q55_scd2 _))
+    "q55_scd2" -> (q55_scd2 _),
+    "q80_skew_agg" -> (q80_skew_agg _))
 
   val oracles: Map[String, String] = Map(
     "q53_grouping_sets" -> q53_oracle,
     "q54_set_ops" -> q54_oracle,
-    "q55_scd2" -> q55_oracle)
+    "q55_scd2" -> q55_oracle,
+    "q80_skew_agg" -> q80_oracle)
 }
