@@ -18,6 +18,14 @@ import org.apache.spark.sql.DataFrame
   * materialized before a temp work dir is deleted
   * (PipelineQueries/StreamingParity) — call `localCheckpoint()`
   * directly and are never disabled.
+  *
+  * Fault-tolerance trade at cluster scale: `localCheckpoint` DROPS the
+  * RDD lineage, so losing an executor that holds checkpoint blocks
+  * fails the job instead of recomputing. On a real cluster, sites
+  * motivated by re-execution cost (rather than lineage depth) should
+  * prefer `persist(StorageLevel.DISK_ONLY)` + `unpersist`, which keeps
+  * lineage for recovery; local[32] has no executor loss, so the
+  * cheaper cut is the right harness default.
   */
 object Lineage {
   def keepLineage: Boolean = java.lang.Boolean.getBoolean("graft.keepLineage")

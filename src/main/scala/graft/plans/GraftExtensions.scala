@@ -113,9 +113,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         SimHashSig(
           Cast(children.head,
             org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.StringType)),
-          children(1).eval() match {
-            case i: Int => i
-            case l: Long => l.toInt
+          children(1) match {
+            // match Literal explicitly: eval() on a non-foldable
+            // (e.g. column) argument would surface as an opaque
+            // UnsupportedOperationException instead of this error
+            case Literal(i: Int, _) => i
+            case Literal(l: Long, _) => l.toInt
             case other => throw new IllegalArgumentException(
               s"simhash_sig width must be an integer literal, got $other")
           })))

@@ -58,9 +58,14 @@ object MinHashSig {
     * method. NULL input elements follow the declarative semantics
     * (md5(concat(salt, NULL)) is NULL, and array_min skips NULLs).
     */
+  // one digest per executor thread, reset per use: getInstance does a
+  // provider lookup + allocation, too heavy for the per-row hot path
+  private val mdLocal: ThreadLocal[java.security.MessageDigest] =
+    ThreadLocal.withInitial(() => java.security.MessageDigest.getInstance("MD5"))
+
   def compute(sh: ArrayData): ArrayData = {
     val mins = new Array[Array[Byte]](components)
-    val md = java.security.MessageDigest.getInstance("MD5")
+    val md = mdLocal.get()
     var i = 0
     while (i < sh.numElements()) {
       if (!sh.isNullAt(i)) {

@@ -48,9 +48,14 @@ object SimHashSig {
     * the final `CASE WHEN NULL > 0` contributes 0 for every bit — so
     * the whole fingerprint collapses to 0 (not NULL).
     */
+  // one digest per executor thread, reset per row: getInstance does a
+  // provider lookup + allocation, too heavy for the per-row hot path
+  private val mdLocal: ThreadLocal[java.security.MessageDigest] =
+    ThreadLocal.withInitial(() => java.security.MessageDigest.getInstance("MD5"))
+
   def compute(toks: ArrayData, width: Int): Long = {
     val votes = new Array[Int](width)
-    val md = java.security.MessageDigest.getInstance("MD5")
+    val md = mdLocal.get()
     val n = toks.numElements()
     var i = 0
     while (i < n) {

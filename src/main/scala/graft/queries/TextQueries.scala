@@ -374,8 +374,8 @@ object TextQueries {
         call_function("simhash_sig", col("toks"), lit(width)).as("simhash"))
 
   /** Candidate pairs at Hamming distance ≤ 1: each unordered pair
-    * matches exactly once — b sits in one bucket, a's 17 probes are
-    * distinct, and the a_id < b_id orientation drops the mirrored
+    * matches exactly once — b sits in one bucket, a's width+1 probes
+    * are distinct, and the a_id < b_id orientation drops the mirrored
     * (b probes → a exact) match.
     */
   private[queries] def simhashProbePairs(base: DataFrame,

@@ -32,12 +32,15 @@ class SequencePackSpec extends SparkSpec {
           assert(a.getLong(6) < b.getLong(5), "doc spans must not overlap") // a.last < b.first
         case _ =>
       }
-      // a window holds more than one doc only if it has budget room:
-      // every doc after the first STARTS inside the window, so a
-      // multi-doc window's token count before its last doc is < budget
+      // budget arithmetic: a window's id is its first doc's start
+      // offset div budget, and that offset is the running token sum
+      // of all earlier windows in the shard (windows partition docs
+      // in order) — this pins the concat-and-chunk assignment itself
+      var running = 0L
       sorted.foreach { r =>
-        val nDocs = r.getLong(3)
-        if (nDocs > 1) assert(r.getLong(4) > 0)
+        assert(running / B == r.getLong(2),
+          s"window_id ${r.getLong(2)} != first-doc start $running div $B")
+        running += r.getLong(4) // n_tokens
       }
     }
     assert(out.count() > 0)
