@@ -1,0 +1,253 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.{HashFunctions => H, TextFunctions => T}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Round-6 corpus operators: span-granular exact dedup, corpus-level
+  * boilerplate profiling, and ranked (BM25) retrieval — the three
+  * remaining text-pipeline capabilities between "document-level dedup"
+  * (q23/q25) and "a corpus you can actually search".
+  *
+  * All three follow the repo determinism policy (SURVEY §4): md5 for
+  * cross-engine hashing, integer/decimal-exact arithmetic only (BM25
+  * scores are scaled-integer rationals, never summed doubles), and
+  * oracle SQL generated from the same Scala constants.
+  */
+object RetrievalQueries {
+
+  // ---------- q81: span-level exact dedup ----------
+
+  /** Tokens per dedup span. Chunking (stride = spanLen) rather than a
+    * sliding window keeps the span count at n/k instead of n — the
+    * hash-window approximation of suffix-array exact-substring dedup
+    * (Lee et al. 2021): a duplicated passage ≥ 2k tokens long is
+    * guaranteed to cover at least one aligned chunk.
+    */
+  val spanLen = 8
+
+  /** Duplicated-SPAN detection — finer-grained than document dedup:
+    * documents are chunked into consecutive [[spanLen]]-token spans,
+    * each span md5-hashed, and a span is "duplicated" when it appears
+    * in ≥ 2 distinct documents. Output is the per-document span
+    * profile plus the keep/drop verdict (drop when more than half the
+    * doc's spans are duplicated elsewhere) — the operator that catches
+    * stitched/quoted corpora document-level MinHash misses.
+    *
+    * Scale shape: span hashing is a narrow map (no text retained past
+    * the md5); corpus span-frequency is one partial-agg shuffle on the
+    * 16-byte hash; only spans with df ≥ 2 (a small set by definition
+    * on a mostly-unique corpus) join back against the per-doc span
+    * stream. No stage carries more than (doc_id, hash) pairs.
+    */
+  def q81_span_dedup(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val spans = docs
+      .select(col("doc_id"), T.tokens(col("text")).as("tk"))
+      .select(col("doc_id"),
+        explode(
+          when(size(col("tk")) >= spanLen,
+            transform(expr(s"sequence(0, size(tk) div $spanLen - 1)"),
+              i => md5(concat_ws(" ", slice(col("tk"), i * spanLen + 1, lit(spanLen))))))
+            .otherwise(array().cast("array<string>"))).as("h"))
+    val dupSpans = spans.groupBy("h")
+      .agg(count_distinct(col("doc_id")).as("span_df"))
+      .filter(col("span_df") >= 2)
+      .select("h")
+    val perDoc = spans.groupBy("doc_id").agg(count(lit(1)).as("n_spans"))
+    val perDocDup = spans.join(dupSpans, "h")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_dup_spans"))
+    docs.select(col("doc_id"), col("source"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .join(perDocDup, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_spans", "n_dup_spans"))
+      .withColumn("keep", col("n_dup_spans") * 2 <= col("n_spans"))
+      .orderBy("doc_id")
+  }
+
+  val q81_oracle: String = {
+    val tk = T.tokensSql("text")
+    s"""WITH t AS (SELECT doc_id, source, $tk AS tk FROM documents),
+       |sp AS (SELECT doc_id,
+       |  unnest([md5(array_to_string(tk[(i*$spanLen+1):(i*$spanLen+$spanLen)], ' '))
+       |          for i in range(0, len(tk)//$spanLen)]) AS h FROM t),
+       |dup AS (SELECT h FROM sp GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+       |per AS (SELECT doc_id, count(*) AS n_spans FROM sp GROUP BY 1),
+       |perdup AS (SELECT sp.doc_id, count(*) AS n_dup_spans
+       |           FROM sp JOIN dup USING (h) GROUP BY 1)
+       |SELECT t.doc_id, t.source,
+       |  COALESCE(per.n_spans, 0) AS n_spans,
+       |  COALESCE(perdup.n_dup_spans, 0) AS n_dup_spans,
+       |  COALESCE(perdup.n_dup_spans, 0) * 2 <= COALESCE(per.n_spans, 0) AS keep
+       |FROM t LEFT JOIN per USING (doc_id) LEFT JOIN perdup USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  // ---------- q82: boilerplate n-gram profile ----------
+
+  /** Boilerplate threshold: a 3-gram is boilerplate when it appears in
+    * ≥ [[boilerPct]]% of documents. Relative (not absolute) so the
+    * heavy-hitter set stays bounded as the corpus grows — the high-DF
+    * complement of q72's rare-shingle cutoff.
+    */
+  val boilerPct = 1
+
+  /** Corpus boilerplate profile: which sources are dominated by
+    * high-document-frequency n-grams (navigation chrome, license
+    * headers, templated text). Per source: total 3-gram occurrences,
+    * occurrences that are corpus-boilerplate, and how many distinct
+    * boilerplate n-grams the source carries — the signal a mixture
+    * builder uses to down-weight templated sources before training.
+    *
+    * Scale shape: DF is one partial-agg shuffle over (gram, doc_id)
+    * pairs; the corpus total is a 1-row aggregate cross-joined in (a
+    * broadcast, never a driver collect); the heavy set (≥1% of docs by
+    * definition ≤ 100/boilerPct × vocab growth) joins back against the
+    * occurrence stream as the small side.
+    */
+  def q82_boilerplate(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val sh = docs
+      .select(col("doc_id"), col("source"), T.tokens(col("text")).as("tk"))
+      .select(col("doc_id"), col("source"), explode(H.shingles(col("tk"))).as("g"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val heavy = sh.groupBy("g").agg(count_distinct(col("doc_id")).as("df"))
+      .crossJoin(broadcast(nDocs))
+      .filter(col("df") * 100 >= col("n_docs") * boilerPct)
+      .select(col("g"), lit(1L).as("is_b"))
+    sh.join(heavy, Seq("g"), "left")
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_shingles"),
+        sum(coalesce(col("is_b"), lit(0L))).as("n_boiler"),
+        count_distinct(when(col("is_b") === 1L, col("g"))).as("n_boiler_grams"))
+      .orderBy("source")
+  }
+
+  val q82_oracle: String = {
+    val tk = T.tokensSql("text")
+    s"""WITH t AS (SELECT doc_id, source, $tk AS tk FROM documents),
+       |sh AS (SELECT doc_id, source,
+       |  unnest(${H.shinglesSql("tk")}) AS g FROM t),
+       |n AS (SELECT count(*) AS n_docs FROM documents),
+       |heavy AS (SELECT g FROM sh, n GROUP BY g, n_docs
+       |          HAVING count(DISTINCT doc_id) * 100 >= n_docs * $boilerPct)
+       |SELECT source, count(*) AS n_shingles,
+       |  CAST(sum(CASE WHEN heavy.g IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler,
+       |  count(DISTINCT CASE WHEN heavy.g IS NOT NULL THEN sh.g END) AS n_boiler_grams
+       |FROM sh LEFT JOIN heavy ON sh.g = heavy.g
+       |GROUP BY source ORDER BY source""".stripMargin
+  }
+
+  // ---------- q83: BM25 ranked retrieval ----------
+
+  /** BM25 constants as exact rationals: k1 = 6/5 (1.2), b = 3/4
+    * (0.75) — the standard Robertson defaults. Scores are computed as
+    * scaled integers (see [[bm25Scale]]) so partial-aggregation order
+    * can never change a result: with idf = (2N−2df+1)/(2df+1) and
+    * avgdl floored to adl = L div N, the per-term score
+    *   idf · tf(k1+1) / (tf + k1(1 − b + b·dl/adl))
+    * multiplies out to the all-integer rational
+    *   (2N−2df+1) · 22·adl·tf  /  (2df+1) · (10·adl·tf + 3·adl + 9·dl),
+    * and each term contributes floor(scale · num / den). Magnitudes:
+    * scale·2N·22·adl·tf ≈ 1.5e15 at a 50k-doc test corpus — 6000× of
+    * BIGINT headroom; at true cluster scale the same plan runs with
+    * DECIMAL(38,0) or double scoring (ranking, not parity, is the goal
+    * there).
+    */
+  val bm25Scale = 100000L
+  val bm25TopK = 5
+
+  /** The benchmark query set: one rare discriminative term (`dup`
+    * marks the planted near-duplicates), one mid-frequency triple, one
+    * longer mixed query — fixed literals shared verbatim with the
+    * oracle, the bounded-query-set pattern of q28.
+    */
+  val bm25Queries: Seq[(Int, Seq[String])] = Seq(
+    0 -> Seq("dup", "merge", "batch"),
+    1 -> Seq("spark", "join", "table"),
+    2 -> Seq("window", "scan", "filter", "sort"))
+
+  /** BM25 top-k retrieval — the ranked-search operator over the
+    * curated corpus: tokenize → (term, doc) postings with tf and
+    * doc-length → document frequencies → scaled-integer BM25 per
+    * (query, term, doc) → exact integer sum per (query, doc) → top-k
+    * per query (score desc, doc_id tiebreak).
+    *
+    * Scale shape: the postings build is the q35 vocabulary shuffle;
+    * the tiny literal query set broadcast-joins against postings so
+    * only matching terms' postings flow; df joins on term (vocab-
+    * bounded); the 1-row corpus stats cross-join is a broadcast. Final
+    * top-k windows over |queries| × matched-docs, never the corpus.
+    */
+  def q83_bm25(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.load(spark, dir, "documents")
+    val terms = docs
+      .select(col("doc_id"), T.tokens(col("text")).as("tk"))
+      .select(col("doc_id"), size(col("tk")).cast("long").as("dl"),
+        explode(col("tk")).as("term"))
+    val tf = terms.groupBy("doc_id", "term")
+      .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
+    val dft = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val stats = docs.agg(count(lit(1)).as("n"))
+      .crossJoin(terms.agg(count(lit(1)).as("l")))
+      .withColumn("adl", expr("l div n"))
+    val queryTerms = bm25Queries
+      .flatMap { case (qid, ts) => ts.map(t => (qid, t)) }
+      .toDF("query_id", "term")
+    val scored = broadcast(queryTerms)
+      .join(tf, "term")
+      .join(dft, "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("contrib",
+        expr(s"($bm25Scale * (2*n - 2*df + 1) * 22 * adl * tf) div " +
+          s"((2*df + 1) * (10 * adl * tf + 3 * adl + 9 * dl))"))
+      .groupBy("query_id", "doc_id")
+      .agg(sum(col("contrib")).as("score"))
+    scored
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("score").desc, col("doc_id"))))
+      .filter(col("rnk") <= bm25TopK)
+      .select("query_id", "doc_id", "score", "rnk")
+      .orderBy("query_id", "rnk")
+  }
+
+  val q83_oracle: String = {
+    val tk = T.tokensSql("text")
+    val values = bm25Queries
+      .flatMap { case (qid, ts) => ts.map(t => s"($qid, '$t')") }
+      .mkString(", ")
+    s"""WITH q AS (SELECT * FROM (VALUES $values) AS v(query_id, term)),
+       |t AS (SELECT doc_id, $tk AS tk FROM documents),
+       |terms AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS dl, unnest(tk) AS term FROM t),
+       |tf AS (SELECT doc_id, term, count(*) AS tf, max(dl) AS dl
+       |       FROM terms GROUP BY 1, 2),
+       |dft AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+       |st AS (SELECT (SELECT count(*) FROM t) AS n,
+       |              (SELECT count(*) FROM terms) AS l),
+       |sc AS (SELECT q.query_id, tf.doc_id,
+       |  CAST(sum(($bm25Scale * (2*n - 2*df + 1) * 22 * (l // n) * tf) //
+       |           ((2*df + 1) * (10 * (l // n) * tf + 3 * (l // n) + 9 * dl))) AS BIGINT) AS score
+       |  FROM q JOIN tf USING (term) JOIN dft USING (term) CROSS JOIN st
+       |  GROUP BY 1, 2)
+       |SELECT query_id, doc_id, score, rnk FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY score DESC, doc_id) AS rnk FROM sc)
+       |WHERE rnk <= $bm25TopK ORDER BY query_id, rnk""".stripMargin
+  }
+
+  // ---------- registry ----------
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q81_span_dedup" -> (q81_span_dedup _),
+    "q82_boilerplate" -> (q82_boilerplate _),
+    "q83_bm25" -> (q83_bm25 _))
+
+  val oracles: Map[String, String] = Map(
+    "q81_span_dedup" -> q81_oracle,
+    "q82_boilerplate" -> q82_oracle,
+    "q83_bm25" -> q83_oracle)
+}
