@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.multimodal.Multimodal
-import graft.queries.{Analytics, CorpusQueries, CurationQueries, DistributionQueries, EventQueries, ExtendedAnalytics, GraphQueries, PipelineQueries, RetrievalQueries, ScrubQueries, StreamingParity, TextQueries, VectorQueries}
+import graft.queries.{Analytics, ChangeCapture, CorpusQueries, CurationQueries, DistributionQueries, EventQueries, ExtendedAnalytics, GraphQueries, PipelineQueries, RetrievalQueries, ScrubQueries, StreamingParity, TextQueries, VectorQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 + §7. */
 object SparkEntry {
@@ -17,7 +17,7 @@ object SparkEntry {
       GraphQueries.queries ++ ScrubQueries.queries ++ ExtendedAnalytics.queries ++
       DistributionQueries.queries ++ CurationQueries.queries ++
       EventQueries.queries ++ StreamingParity.queries ++
-      RetrievalQueries.queries ++
+      RetrievalQueries.queries ++ ChangeCapture.queries ++
       Map("q31_multimodal_extract" -> (Multimodal.q31_multimodal_extract _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -28,6 +28,6 @@ object SparkEntry {
       GraphQueries.oracles ++ ScrubQueries.oracles ++ ExtendedAnalytics.oracles ++
       DistributionQueries.oracles ++ CurationQueries.oracles ++
       EventQueries.oracles ++ StreamingParity.oracles ++
-      RetrievalQueries.oracles ++
+      RetrievalQueries.oracles ++ ChangeCapture.oracles ++
       Map("q31_multimodal_extract" -> Multimodal.q31_oracle)
 }

@@ -1,0 +1,108 @@
+package graft.queries
+
+import graft.Tables
+import graft.meta.{ConsolidationDef, DedupDef}
+import graft.operators.Consolidator
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Change-data-capture between consolidated snapshots (round 6).
+  *
+  * The reference pipeline's consolidation
+  * (/root/reference/pipeline/consolidator.py:37-88) produces
+  * keep-newest snapshots per run but offers no way to ask "what did
+  * this run CHANGE?" — the changelog a downstream incremental consumer
+  * (index refresh, cache invalidation, replication) actually wants.
+  * q85 derives that changelog declaratively from two snapshot
+  * versions, the lakehouse CDF operation expressed as one
+  * key-equi full-outer join.
+  */
+object ChangeCapture {
+
+  /** Snapshot diff → changelog: consolidate the pre-1998 orders
+    * (snapshot v1 — same split as q07), consolidate all orders
+    * (snapshot v2 = v1 + the 1998+ ingest), and emit one row per
+    * changed key with op ∈ {insert, update, delete}: `insert` = key
+    * only in v2, `delete` = key only in v1 (structurally possible for
+    * a retention-pruning consolidation, empty for this append-only
+    * flow — the oracle pins that emptiness rather than assuming it),
+    * `update` = key in both with any tracked column changed.
+    * Unchanged keys are filtered out before the sort, so the output is
+    * proportional to the DELTA, not the snapshot.
+    *
+    * Scale shape: both snapshots are keep-newest aggregations
+    * partitioned by the same key, and the diff is a key-equi
+    * full-outer join — on a cluster with snapshots bucketed by key
+    * (io/Layout), v1 reuses its partitioning and the join is
+    * zero-exchange. Nothing here scans more than the two snapshots
+    * once; no driver-side state.
+    */
+  def q85_cdc_changelog(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.load(spark, dir, "orders")
+    val cutoff = to_timestamp(lit("1998-01-01 00:00:00"))
+    val cfg = ConsolidationDef(
+      enabled = true, inputPattern = "", outputPath = "",
+      dedup = DedupDef(enabled = true, keyColumn = "o_custkey",
+        orderBy = "o_orderdate", orderDirection = "DESC"))
+    def snap(df: DataFrame): DataFrame =
+      Consolidator.dedup(df, cfg, "o_orderkey")
+        .select(col("o_custkey"), col("o_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"),
+          col("o_totalprice"))
+    val v1 = snap(orders.filter(col("o_orderdate") < cutoff))
+      .select(col("o_custkey"), col("o_orderkey").as("old_orderkey"),
+        col("order_date").as("old_date"), col("o_totalprice").as("old_price"))
+    val v2 = snap(orders)
+      .select(col("o_custkey"), col("o_orderkey").as("new_orderkey"),
+        col("order_date").as("new_date"), col("o_totalprice").as("new_price"))
+    v1.join(v2, Seq("o_custkey"), "full_outer")
+      .withColumn("op",
+        when(col("old_orderkey").isNull, "insert")
+          .when(col("new_orderkey").isNull, "delete")
+          .when(col("old_orderkey") =!= col("new_orderkey") ||
+            col("old_date") =!= col("new_date") ||
+            col("old_price") =!= col("new_price"), "update"))
+      .filter(col("op").isNotNull)
+      .select("op", "o_custkey", "old_orderkey", "new_orderkey",
+        "old_date", "new_date", "old_price", "new_price")
+      .orderBy("o_custkey")
+  }
+
+  val q85_oracle: String =
+    """WITH v1 AS (
+      |  SELECT o_custkey, o_orderkey AS old_orderkey,
+      |    strftime(o_orderdate, '%Y-%m-%d') AS old_date,
+      |    o_totalprice AS old_price
+      |  FROM (
+      |    SELECT *, ROW_NUMBER() OVER (
+      |      PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+      |    FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01 00:00:00')
+      |  WHERE rn = 1),
+      |v2 AS (
+      |  SELECT o_custkey, o_orderkey AS new_orderkey,
+      |    strftime(o_orderdate, '%Y-%m-%d') AS new_date,
+      |    o_totalprice AS new_price
+      |  FROM (
+      |    SELECT *, ROW_NUMBER() OVER (
+      |      PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+      |    FROM orders)
+      |  WHERE rn = 1),
+      |diff AS (
+      |  SELECT COALESCE(v1.o_custkey, v2.o_custkey) AS o_custkey,
+      |    old_orderkey, new_orderkey, old_date, new_date, old_price, new_price,
+      |    CASE WHEN old_orderkey IS NULL THEN 'insert'
+      |         WHEN new_orderkey IS NULL THEN 'delete'
+      |         WHEN old_orderkey <> new_orderkey OR old_date <> new_date
+      |              OR old_price <> new_price THEN 'update' END AS op
+      |  FROM v1 FULL OUTER JOIN v2 ON v1.o_custkey = v2.o_custkey)
+      |SELECT op, o_custkey, old_orderkey, new_orderkey,
+      |  old_date, new_date, old_price, new_price
+      |FROM diff WHERE op IS NOT NULL
+      |ORDER BY o_custkey""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q85_cdc_changelog" -> (q85_cdc_changelog _))
+
+  val oracles: Map[String, String] = Map(
+    "q85_cdc_changelog" -> q85_oracle)
+}

@@ -319,9 +319,127 @@ object CurationQueries {
        |    FROM documents))
        |GROUP BY 1, 2, 3 ORDER BY source, shard, window_id""".stripMargin
 
+  // ---------- q86: the curation pipeline end-to-end ----------
+
+  /** The full training-data curation pipeline as ONE composed
+    * dataflow — the corpus-side analog of q09's metadata-ETL e2e.
+    * Every stage reuses the exact operator the suite verifies in
+    * isolation, chained in the order a real pipeline runs them:
+    *
+    *   raw → exact dedup (q23's min-id representatives)
+    *       → near-dup cluster removal (q60's CC drop set)
+    *       → quality filter (q61's verdict rules)
+    *       → benchmark decontamination (q67's flagged set)
+    *
+    * and the output is the per-source FUNNEL — how many documents
+    * survive each stage and the final token yield — the one-page
+    * answer to "what would this corpus contribute to a training run?".
+    *
+    * Scale shape: stage memberships are computed as independent
+    * bounded-size keep/drop sets (content-hash agg, CC over LSH pairs,
+    * narrow scans) and LEFT-JOINED onto one pass over the corpus —
+    * the full-text table streams exactly once, and the final rollup
+    * is a partial agg on source. No stage feeds its survivor SET
+    * into the next stage's computation (memberships compose as
+    * conjunctions), so the stages also run in parallel rather than as
+    * a serial chain of materializations.
+    */
+  def q86_curation_e2e(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.load(spark, dir, "documents")
+    // stage-1 membership: exact-dedup representatives (q23 semantics)
+    val exactKeep = docs
+      .groupBy(md5(col("text")).as("h"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"), lit(1L).as("s_exact"))
+    // stage-2 membership: near-dup cluster non-representatives (q60)
+    val pairs = TextQueries.lshPairs(spark, dir)
+      .select("a_id", "b_id").transform(graft.Lineage.cut)
+    val nearDrop = ConnectedComponents.run(pairs, "a_id", "b_id")
+      .filter(col("id") =!= col("component"))
+      .select(col("id").as("doc_id"), lit(1L).as("near_dropped"))
+    // stage-4 membership: benchmark-contaminated docs (q67)
+    val bench = CorpusQueries.benchmarkShingles.toDF("s")
+    val contaminated = docs
+      .select(col("doc_id"), explode(call_function("shingles3", col("text"))).as("s"))
+      .join(broadcast(bench), "s")
+      .select("doc_id").distinct()
+      .withColumn("contam", lit(1L))
+    docs
+      .withColumn("toks", T.tokens(col("text")))
+      .withColumn("n_toks", size(col("toks")).cast("long"))
+      // stage-3 membership: q61's keep verdict, inlined (same rules)
+      .withColumn("q_keep", !(col("n_toks") < 10 || col("n_toks") > 1000 ||
+        T.langId(col("toks")) === "und" || T.qualityScore(col("text")) < 0.4))
+      .join(exactKeep, Seq("doc_id"), "left")
+      .join(nearDrop, Seq("doc_id"), "left")
+      .join(contaminated, Seq("doc_id"), "left")
+      .withColumn("s1", col("s_exact").isNotNull)
+      .withColumn("s2", col("s1") && col("near_dropped").isNull)
+      .withColumn("s3", col("s2") && col("q_keep"))
+      .withColumn("s4", col("s3") && col("contam").isNull)
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_raw"),
+        count(when(col("s1"), 1)).as("n_exact"),
+        count(when(col("s2"), 1)).as("n_neardup"),
+        count(when(col("s3"), 1)).as("n_quality"),
+        count(when(col("s4"), 1)).as("n_final"),
+        sum(when(col("s4"), col("n_toks")).otherwise(0L)).as("tokens_final"))
+      .orderBy("source")
+  }
+
+  val q86_oracle: String = {
+    import graft.functions.{HashFunctions => H}
+    val tk = T.tokensSql("text")
+    val sh = H.shinglesSql(tk)
+    val bench = CorpusQueries.benchmarkShingles.map(s => s"'$s'").mkString("[", ", ", "]")
+    s"""WITH RECURSIVE pairs AS (${TextQueries.lshPairsSql}),
+       |edges AS (SELECT a_id AS u, b_id AS v FROM pairs
+       |          UNION SELECT b_id, a_id FROM pairs),
+       |reach AS (
+       |  SELECT u AS id, u AS r FROM (SELECT DISTINCT u FROM edges)
+       |  UNION
+       |  SELECT e.u AS id, reach.r FROM edges e JOIN reach ON e.v = reach.id),
+       |lab AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id),
+       |exact AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+       |neardrop AS (SELECT id AS doc_id FROM lab WHERE id <> cluster_id),
+       |contam AS (
+       |  SELECT doc_id FROM (SELECT doc_id, $sh AS sh FROM documents)
+       |  WHERE len(list_intersect(list_distinct(sh), $bench)) > 0),
+       |d AS (
+       |  SELECT doc_id, source, n_toks,
+       |    NOT (n_toks < 10 OR n_toks > 1000 OR lang_det = 'und' OR quality < 0.4)
+       |      AS q_keep
+       |  FROM (
+       |    SELECT doc_id, source, len($tk) AS n_toks,
+       |      ${T.langIdSql(tk)} AS lang_det,
+       |      ${T.qualityScoreSql("text")} AS quality
+       |    FROM documents)),
+       |s AS (
+       |  SELECT d.*,
+       |    (exact.doc_id IS NOT NULL) AS s1,
+       |    (exact.doc_id IS NOT NULL AND neardrop.doc_id IS NULL) AS s2,
+       |    (exact.doc_id IS NOT NULL AND neardrop.doc_id IS NULL AND q_keep) AS s3,
+       |    (exact.doc_id IS NOT NULL AND neardrop.doc_id IS NULL AND q_keep
+       |      AND contam.doc_id IS NULL) AS s4
+       |  FROM d
+       |  LEFT JOIN exact ON d.doc_id = exact.doc_id
+       |  LEFT JOIN neardrop ON d.doc_id = neardrop.doc_id
+       |  LEFT JOIN contam ON d.doc_id = contam.doc_id)
+       |SELECT source, count(*) AS n_raw,
+       |  count(CASE WHEN s1 THEN 1 END) AS n_exact,
+       |  count(CASE WHEN s2 THEN 1 END) AS n_neardup,
+       |  count(CASE WHEN s3 THEN 1 END) AS n_quality,
+       |  count(CASE WHEN s4 THEN 1 END) AS n_final,
+       |  CAST(sum(CASE WHEN s4 THEN n_toks ELSE 0 END) AS BIGINT) AS tokens_final
+       |FROM s GROUP BY source ORDER BY source""".stripMargin
+  }
+
   // ---------- registry ----------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q86_curation_e2e" -> (q86_curation_e2e _),
     "q77_sequence_pack" -> (q77_sequence_pack _),
     "q60_dedup_apply" -> (q60_dedup_apply _),
     "q61_quality_filter" -> (q61_quality_filter _),
@@ -331,6 +449,7 @@ object CurationQueries {
     "q68_source_overlap" -> (q68_source_overlap _))
 
   val oracles: Map[String, String] = Map(
+    "q86_curation_e2e" -> q86_oracle,
     "q77_sequence_pack" -> q77_oracle,
     "q60_dedup_apply" -> q60_oracle,
     "q61_quality_filter" -> q61_oracle,

@@ -239,15 +239,92 @@ object RetrievalQueries {
        |WHERE rnk <= $bm25TopK ORDER BY query_id, rnk""".stripMargin
   }
 
+  // ---------- q84: persisted inverted index, queried without re-tokenizing ----------
+
+  /** The BM25 inverted index as a STORED artifact — the retrieval
+    * counterpart of q76's stored MinHash index. q83 rebuilds postings
+    * from raw text per query set; at corpus scale the index is built
+    * ONCE (postings + document frequencies + corpus stats written to
+    * columnar storage) and every query runs against the index, never
+    * the text. This query is that lifecycle end-to-end: build → write
+    * parquet → reopen → score q83's query set purely from stored
+    * columns, with the oracle pinning that the persisted index ranks
+    * bit-identically to the from-text build.
+    *
+    * The artifact is three tables: `postings` (term, doc_id, tf, dl —
+    * one row per distinct term-doc), `df` (term, df — vocab-sized),
+    * `stats` (one row: N docs, total corpus length). On a cluster the
+    * postings write would bucket by term so a query's broadcast-join
+    * probe touches only matching buckets; df and stats are
+    * vocab-bounded and O(1) respectively, and incremental ingest
+    * appends postings partitions and re-aggregates df — corpus-size
+    * work never re-runs per query.
+    */
+  def q84_bm25_index_persist(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val work = java.nio.file.Files.createTempDirectory("graft-q84-").toString
+    val fs = new Path(work).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    try {
+      val docs = Tables.load(spark, dir, "documents")
+      val terms = docs
+        .select(col("doc_id"), T.tokens(col("text")).as("tk"))
+        .select(col("doc_id"), size(col("tk")).cast("long").as("dl"),
+          explode(col("tk")).as("term"))
+      terms.groupBy("term", "doc_id")
+        .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
+        .write.parquet(s"$work/postings")
+      spark.read.parquet(s"$work/postings")
+        .groupBy("term").agg(count(lit(1)).as("df"))
+        .write.parquet(s"$work/df")
+      docs.agg(count(lit(1)).as("n"))
+        .crossJoin(terms.agg(count(lit(1)).as("l")))
+        .write.parquet(s"$work/stats")
+      // reopen: everything below sees only the stored index schema —
+      // the raw text column is never touched again
+      val tf = spark.read.parquet(s"$work/postings")
+      val dft = spark.read.parquet(s"$work/df")
+      val stats = spark.read.parquet(s"$work/stats")
+        .withColumn("adl", expr("l div n"))
+      val queryTerms = bm25Queries
+        .flatMap { case (qid, ts) => ts.map(t => (qid, t)) }
+        .toDF("query_id", "term")
+      val scored = broadcast(queryTerms)
+        .join(tf, "term")
+        .join(dft, "term")
+        .crossJoin(broadcast(stats))
+        .withColumn("contrib",
+          expr(s"($bm25Scale * (2*n - 2*df + 1) * 22 * adl * tf) div " +
+            s"((2*df + 1) * (10 * adl * tf + 3 * adl + 9 * dl))"))
+        .groupBy("query_id", "doc_id")
+        .agg(sum(col("contrib")).as("score"))
+      scored
+        .withColumn("rnk", row_number().over(
+          Window.partitionBy("query_id").orderBy(col("score").desc, col("doc_id"))))
+        .filter(col("rnk") <= bm25TopK)
+        .select("query_id", "doc_id", "score", "rnk")
+        .orderBy("query_id", "rnk")
+        .localCheckpoint() // materialize before the work dir is deleted
+    } finally fs.delete(new Path(work), true)
+  }
+
+  /** Identical to [[q83_oracle]] on purpose: the stored index must
+    * reproduce the from-text ranking bit-for-bit.
+    */
+  val q84_oracle: String = q83_oracle
+
   // ---------- registry ----------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q81_span_dedup" -> (q81_span_dedup _),
     "q82_boilerplate" -> (q82_boilerplate _),
-    "q83_bm25" -> (q83_bm25 _))
+    "q83_bm25" -> (q83_bm25 _),
+    "q84_bm25_index_persist" -> (q84_bm25_index_persist _))
 
   val oracles: Map[String, String] = Map(
     "q81_span_dedup" -> q81_oracle,
     "q82_boilerplate" -> q82_oracle,
-    "q83_bm25" -> q83_oracle)
+    "q83_bm25" -> q83_oracle,
+    "q84_bm25_index_persist" -> q84_oracle)
 }

@@ -298,9 +298,52 @@ object VectorQueries {
        |  FROM scored)
        |WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin
 
+  // ---------- q87: cluster-scoped semantic dedup (SemDeDup) ----------
+
+  /** Semantic dedup via trained clusters — the SemDeDup recipe (Abbas
+    * et al. 2023, arXiv:2303.09540): k-means-cluster the embedding
+    * space, then look for near-duplicate pairs ONLY within each
+    * cluster, keeping the min-id representative per duplicate found.
+    * The trained complement of q30's hyperplane-LSH near-dup: LSH
+    * bounds candidates with data-oblivious random cuts, SemDeDup with
+    * data-adaptive cells — at 100 TB the adaptive partition is what
+    * keeps semantically dense regions (the place near-dups live) in
+    * the SAME cell, so recall holds while candidate count stays
+    * ~Σ|cell|²/2 ≪ N²/2. Same verify arithmetic and threshold as q30,
+    * so the two operators differ ONLY in candidate generation —
+    * SemDedupSpec measures the overlap of their verdicts.
+    *
+    * k-means floats are engine-specific → rows-only driver check
+    * (same rationale as q42); SemDedupSpec pins recall ≥ 0.7 against
+    * q30's LSH-bounded pairs and the candidate-bound invariant.
+    */
+  val semDedupCells = 8
+
+  def q87_semdedup(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    val model = graft.similarity.IvfIndex.train(e, "v", k = semDedupCells,
+      sampleIdCol = Some("vec_id"))
+    val cells = e.withColumn("cell", model.cell(col("v")))
+    val a = cells.select(col("cell"), col("vec_id").as("a_id"),
+      col("v").as("qv"), V.norm(col("v")).as("q_nrm"))
+    val b = cells.select(col("cell"), col("vec_id").as("b_id"),
+      col("v").as("nv"), V.norm(col("v")).as("n_nrm"))
+    val cos = V.cosineWithNorms(col("qv"), col("nv"), col("q_nrm"), col("n_nrm"))
+    a.join(b, Seq("cell"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"), cos.as("cos"))
+      .filter(col("cos") > nearDupThreshold)
+      .groupBy(col("b_id"))
+      .agg(min(col("a_id")).as("keep_id"), count(lit(1)).as("n_matches"),
+        max(col("cos")).as("max_cos"))
+      .withColumnRenamed("b_id", "dup_id")
+      .orderBy("dup_id")
+  }
+
   // ---------- registry ----------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q87_semdedup" -> (q87_semdedup _),
     "q79_knn_quantized" -> (q79_knn_quantized _),
     "q28_knn_bruteforce" -> (q28_knn_bruteforce _),
     "q29_knn_lsh" -> (q29_knn_lsh _),
