@@ -18,7 +18,7 @@ object SparkEntry {
       DistributionQueries.queries ++ CurationQueries.queries ++
       EventQueries.queries ++ StreamingParity.queries ++
       RetrievalQueries.queries ++ ChangeCapture.queries ++
-      Map("q31_multimodal_extract" -> (Multimodal.q31_multimodal_extract _))
+      Multimodal.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -29,5 +29,5 @@ object SparkEntry {
       DistributionQueries.oracles ++ CurationQueries.oracles ++
       EventQueries.oracles ++ StreamingParity.oracles ++
       RetrievalQueries.oracles ++ ChangeCapture.oracles ++
-      Map("q31_multimodal_extract" -> Multimodal.q31_oracle)
+      Multimodal.oracles
 }

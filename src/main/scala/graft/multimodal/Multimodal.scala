@@ -94,4 +94,61 @@ object Multimodal {
       |  64 + octet_length(CAST(text AS BLOB)) % 64 AS stub_width,
       |  64 + CAST(floor(octet_length(CAST(text AS BLOB)) / 64) AS BIGINT) % 64 AS stub_height
       |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ---------- q89: frame-sampling manifest ----------
+
+  /** Chars per fake "frame" — stands in for a decoded frame's byte
+    * extent in the payload.
+    */
+  val frameLen = 128
+  /** Sample every 4th frame — the fixed-stride policy a video
+    * pipeline uses when full decode is too expensive.
+    */
+  val frameStride = 4
+
+  /** Video-style frame sampling over the opaque payload: each
+    * document's payload is treated as `n_frames` fixed-extent frames,
+    * a fixed-stride subset is selected, and each sampled frame emits
+    * one manifest row with a content hash of its extent — the
+    * (doc, frame) → extent/hash manifest a frame-decode fleet
+    * consumes, produced without decoding anything. The real decoder
+    * plugs into [[decodeImages]]'s `mapPartitions` path per manifest
+    * row; this query is the planning half that must stay declarative.
+    *
+    * Scale shape: a narrow scan with a bounded explode — fan-out is
+    * n_frames/stride per doc (≈ payload_bytes / (frameLen·stride)),
+    * proportional to input size like any decode manifest; no shuffle
+    * at all until the final presentation sort.
+    */
+  def q89_frame_sample(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("text"),
+        expr(s"(length(text) + ${frameLen - 1}) div $frameLen")
+          .cast("long").as("n_frames"))
+      .filter(col("n_frames") > 0)
+      .select(col("doc_id"), col("n_frames"), col("text"),
+        explode(sequence(lit(0L), col("n_frames") - 1, lit(frameStride.toLong)))
+          .as("frame_idx"))
+      .select(col("doc_id"), col("n_frames"), col("frame_idx"),
+        md5(expr(s"substring(text, cast(frame_idx * $frameLen + 1 as int), $frameLen)"))
+          .as("frame_md5"))
+      .orderBy("doc_id", "frame_idx")
+
+  val q89_oracle: String =
+    s"""SELECT doc_id, n_frames, frame_idx,
+       |  md5(substr(text, CAST(frame_idx * $frameLen + 1 AS BIGINT), $frameLen)) AS frame_md5
+       |FROM (
+       |  SELECT doc_id, text, (len(text) + ${frameLen - 1}) // $frameLen AS n_frames
+       |  FROM documents),
+       |  LATERAL unnest(range(0, n_frames, $frameStride)) AS f(frame_idx)
+       |WHERE n_frames > 0
+       |ORDER BY doc_id, frame_idx""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q31_multimodal_extract" -> (q31_multimodal_extract _),
+    "q89_frame_sample" -> (q89_frame_sample _))
+
+  val oracles: Map[String, String] = Map(
+    "q31_multimodal_extract" -> q31_oracle,
+    "q89_frame_sample" -> q89_oracle)
 }

@@ -184,11 +184,79 @@ object StreamingParity {
       |      FROM events)))
       |GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin
 
+  // ---------- q88: streaming exact dedup under at-least-once delivery ----------
+
+  /** `dropDuplicatesWithinWatermark` gated against the batch corpus —
+    * the streaming twin of exact dedup q23, driven under the failure
+    * mode it exists for: AT-LEAST-ONCE redelivery. Batch 1 re-delivers
+    * the tail of batch 0 (every event in the hour before the cutoff —
+    * exactly the rows a retried upstream write would duplicate), and
+    * the operator must emit every source event exactly once.
+    *
+    * The redelivered window (1 h) sits inside the 2 h dedup watermark
+    * by construction, so the duplicate drop is GUARANTEED by state
+    * matching, not by late-row filtering: after batch 0 the watermark
+    * is max(b0.ts) − 2 h, which is both below the redelivered rows'
+    * event times (they are not late) and early enough that their
+    * dedup state is still live (state expires at ts + 2 h). The
+    * oracle is the whole events table — unlike q74/q75 no sentinel is
+    * needed because dedup is a stateful FILTER: rows emit on arrival,
+    * nothing waits for the watermark to close.
+    *
+    * Scale shape: state is bounded by the watermark window (2 h of
+    * event ids), not the stream; at 100 TB/day this is the only
+    * streaming-dedup posture that survives — an unbounded
+    * dropDuplicates grows state forever.
+    */
+  def q88_stream_dedup(spark: SparkSession, dir: String): DataFrame = {
+    val work = java.nio.file.Files.createTempDirectory("graft-q88-").toString
+    val watchDir = s"$work/incoming"
+    val fs = new Path(work).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    try {
+      val events = eventCols(spark, dir)
+      val cutoffTs = lit(cutoff).cast("timestamp")
+      val b0 = events.filter(col("ts") < cutoffTs)
+      val redelivered = b0.filter(
+        col("ts") >= cutoffTs - expr("INTERVAL 1 HOUR"))
+      stageBatches(fs, work, watchDir, Seq(
+        "b0" -> b0,
+        "b1" -> events.filter(col("ts") >= cutoffTs).unionAll(redelivered)))
+      val schema = spark.read.parquet(s"$watchDir/b0.parquet").schema
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(watchDir)
+      val query = stream
+        .withWatermark("ts", "2 hours")
+        .dropDuplicatesWithinWatermark("event_id")
+        .writeStream
+        .trigger(Trigger.AvailableNow())
+        .outputMode(OutputMode.Append())
+        .format("parquet")
+        .option("path", s"$work/out")
+        .option("checkpointLocation", s"$work/ckpt")
+        .start()
+      query.awaitTermination()
+      spark.read.parquet(s"$work/out")
+        .select(col("event_id"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts"),
+          col("user_id"), col("event_type"), col("value"))
+        .orderBy("event_id")
+        .localCheckpoint() // materialize before the work dir is deleted
+    } finally fs.delete(new Path(work), true)
+  }
+
+  /** Every source event exactly once — redeliveries invisible. */
+  val q88_oracle: String =
+    """SELECT event_id, strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts,
+      |  user_id, event_type, value
+      |FROM events ORDER BY event_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q74_stream_tumbling" -> (q74_stream_tumbling _),
-    "q75_stream_sessionize" -> (q75_stream_sessionize _))
+    "q75_stream_sessionize" -> (q75_stream_sessionize _),
+    "q88_stream_dedup" -> (q88_stream_dedup _))
 
   val oracles: Map[String, String] = Map(
     "q74_stream_tumbling" -> q74_oracle,
-    "q75_stream_sessionize" -> q75_oracle)
+    "q75_stream_sessionize" -> q75_oracle,
+    "q88_stream_dedup" -> q88_oracle)
 }

@@ -316,12 +316,22 @@ object VectorQueries {
     * k-means floats are engine-specific → rows-only driver check
     * (same rationale as q42); SemDedupSpec pins recall ≥ 0.7 against
     * q30's LSH-bounded pairs and the candidate-bound invariant.
+    *
+    * The cell count GROWS with the corpus (one cell per
+    * [[semDedupTargetCell]] vectors, floor [[semDedupCells]]): with a
+    * fixed k, within-cell pair work is N²/k — measured 7× wall at 10×
+    * data with k=8 — while N/target cells hold per-cell size constant
+    * so total pair work stays ~N·target/2, linear in the corpus. The
+    * row count() feeding k is parquet-metadata-cheap, the same cost
+    * class as the training sample.
     */
   val semDedupCells = 8
+  val semDedupTargetCell = 500L
 
   def q87_semdedup(spark: SparkSession, dir: String): DataFrame = {
     val e = emb(spark, dir)
-    val model = graft.similarity.IvfIndex.train(e, "v", k = semDedupCells,
+    val k = math.max(semDedupCells, (e.count() / semDedupTargetCell).toInt)
+    val model = graft.similarity.IvfIndex.train(e, "v", k = k,
       sampleIdCol = Some("vec_id"))
     val cells = e.withColumn("cell", model.cell(col("v")))
     val a = cells.select(col("cell"), col("vec_id").as("a_id"),

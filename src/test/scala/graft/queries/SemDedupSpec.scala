@@ -53,8 +53,10 @@ class SemDedupSpec extends SparkSpec {
     // small fraction of all-pairs (the reason this scales at all)
     val e = graft.Tables.load(spark, dir, "embeddings")
       .select(col("vec_id"), V.asDouble(col("embedding")).as("v"))
-    val model = graft.similarity.IvfIndex.train(e, "v",
-      k = VectorQueries.semDedupCells, sampleIdCol = Some("vec_id"))
+    val k = math.max(VectorQueries.semDedupCells,
+      (e.count() / VectorQueries.semDedupTargetCell).toInt)
+    val model = graft.similarity.IvfIndex.train(e, "v", k = k,
+      sampleIdCol = Some("vec_id"))
     val cells = e.withColumn("cell", model.cell(col("v")))
       .groupBy("cell").agg(count(lit(1)).as("n"))
       .collect().map(_.getLong(1))
