@@ -100,9 +100,50 @@ object ChangeCapture {
       |FROM diff WHERE op IS NOT NULL
       |ORDER BY o_custkey""".stripMargin
 
+  // ---------- q90: range-clustered layout, pruned range scan ----------
+
+  /** The storage-layout lifecycle driver-gated — [[graft.io.Layout]]'s
+    * range clustering exercised end-to-end: write the corpus
+    * range-clustered on doc_id (each parquet file owns a disjoint
+    * doc_id range with tight min/max stats), reopen, and answer a
+    * range query. The oracle is the plain filtered aggregate — the
+    * layout must be semantically TRANSPARENT (same q49 rule for bloom
+    * pruning); what the clustering buys is that the range predicate
+    * prunes to the ~1 file in 8 whose range intersects, which at
+    * 100 TB is the difference between scanning 12.5 TB and 100 TB.
+    * LayoutSpec pins the disjoint-ranges property itself; here the
+    * read path (footer-stats row-group skipping under a pushed range
+    * predicate) runs against the real written artifact.
+    */
+  def q90_layout_prune(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val work = java.nio.file.Files.createTempDirectory("graft-q90-").toString
+    val fs = new Path(work).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    try {
+      graft.io.Layout.writeRangeClustered(
+        Tables.load(spark, dir, "documents").select("doc_id", "source", "n_chars"),
+        s"$work/docs", numFiles = 8, "doc_id")
+      spark.read.parquet(s"$work/docs")
+        .filter(col("doc_id") >= 100 && col("doc_id") < 200)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).cast("long").as("total_chars"))
+        .orderBy("source")
+        .localCheckpoint() // materialize before the work dir is deleted
+    } finally fs.delete(new Path(work), true)
+  }
+
+  val q90_oracle: String =
+    """SELECT source, count(*) AS n_docs,
+      |  CAST(sum(n_chars) AS BIGINT) AS total_chars
+      |FROM documents WHERE doc_id >= 100 AND doc_id < 200
+      |GROUP BY source ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q85_cdc_changelog" -> (q85_cdc_changelog _))
+    "q85_cdc_changelog" -> (q85_cdc_changelog _),
+    "q90_layout_prune" -> (q90_layout_prune _))
 
   val oracles: Map[String, String] = Map(
-    "q85_cdc_changelog" -> q85_oracle)
+    "q85_cdc_changelog" -> q85_oracle,
+    "q90_layout_prune" -> q90_oracle)
 }

@@ -76,6 +76,27 @@ class Round6OpsSpec extends SparkSpec {
     assert(r.getString(3) == hex)
   }
 
+  test("q90: range predicate reaches the clustered scan as a pushed filter") {
+    val dir = sf("sf0.001")
+    val work = java.nio.file.Files.createTempDirectory("graft-q90spec-").toString
+    try {
+      graft.io.Layout.writeRangeClustered(
+        graft.Tables.load(spark, dir, "documents").select("doc_id", "source", "n_chars"),
+        s"$work/docs", numFiles = 8, "doc_id")
+      val plan = spark.read.parquet(s"$work/docs")
+        .filter(col("doc_id") >= 100 && col("doc_id") < 200)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("PushedFilters") &&
+        plan.contains("GreaterThanOrEqual(doc_id,100)") &&
+        plan.contains("LessThan(doc_id,200)"),
+        s"range predicate not pushed to the parquet scan:\n$plan")
+    } finally {
+      import org.apache.hadoop.fs.Path
+      new Path(work).getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(new Path(work), true)
+    }
+  }
+
   test("q86: funnel is monotone and stages agree with the standalone operators") {
     val dir = sf("sf0.01")
     val f = CurationQueries.q86_curation_e2e(spark, dir).collect()
