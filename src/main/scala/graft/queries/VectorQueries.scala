@@ -314,8 +314,10 @@ object VectorQueries {
     * SemDedupSpec measures the overlap of their verdicts.
     *
     * k-means floats are engine-specific → rows-only driver check
-    * (same rationale as q42); SemDedupSpec pins recall ≥ 0.7 against
-    * q30's LSH-bounded pairs and the candidate-bound invariant.
+    * (same rationale as q42); SemDedupSpec pins recall ≥ 0.4 against
+    * the exact all-pairs truth (measured 0.49, vs 0.03 for q30's LSH
+    * cut), that trained cells beat the LSH cut on the same truth, and
+    * the candidate-bound invariant.
     *
     * The cell count GROWS with the corpus (one cell per
     * [[semDedupTargetCell]] vectors, floor [[semDedupCells]]): with a
