@@ -108,9 +108,12 @@ object RetrievalQueries {
     */
   def q82_boilerplate(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.load(spark, dir, "documents")
+    // shingles3 fuses tokenize+shingle natively (ShingleText, codegen)
+    // — no intermediate token array; same values as
+    // shingles(tokens(text)), pinned by ShingleTextSpec
     val sh = docs
-      .select(col("doc_id"), col("source"), T.tokens(col("text")).as("tk"))
-      .select(col("doc_id"), col("source"), explode(H.shingles(col("tk"))).as("g"))
+      .select(col("doc_id"), col("source"),
+        explode(call_function("shingles3", col("text"))).as("g"))
     val nDocs = docs.agg(count(lit(1)).as("n_docs"))
     val heavy = sh.groupBy("g").agg(count_distinct(col("doc_id")).as("df"))
       .crossJoin(broadcast(nDocs))
