@@ -317,17 +317,76 @@ object RetrievalQueries {
     */
   val q84_oracle: String = q83_oracle
 
+  // ---------- q91: hybrid retrieval (lexical recall → semantic rerank) ----------
+
+  /** Two-stage retrieval — the standard production shape: a cheap
+    * lexical stage (q83's BM25 top-k over the inverted-index join)
+    * nominates candidates, then a dense stage re-ranks ONLY those
+    * candidates by embedding cosine against the query's vector. Each
+    * benchmark query is paired with the embedding whose vec_id equals
+    * its query_id (the corpus aligns doc_id and vec_id). Output keeps
+    * both orderings side by side — bm25_rnk in, cos_rnk out — which
+    * is the agreement signal a retrieval evaluation reads.
+    *
+    * Scale shape: the expensive vector math runs on |queries|·topK
+    * rows (15 here), never the corpus — that is the entire point of
+    * the cascade; the dense join probes the (bucketed, q84-persisted
+    * at scale) embedding table by id. Cosine uses the suite's
+    * bit-identical left-fold dot product (q28's rule), so ranks are
+    * engine-stable.
+    */
+  def q91_hybrid_rerank(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.{VectorFunctions => V}
+    import org.apache.spark.sql.expressions.Window
+    val cand = q83_bm25(spark, dir)
+    val e = Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"), V.asDouble(col("embedding")).as("v"))
+    val docVec = e.select(col("vec_id").as("doc_id"), col("v").as("nv"),
+      V.norm(col("v")).as("n_nrm"))
+    val qVec = e.select(col("vec_id").cast("int").as("query_id"),
+      col("v").as("qv"), V.norm(col("v")).as("q_nrm"))
+    val cos = V.cosineWithNorms(col("qv"), col("nv"), col("q_nrm"), col("n_nrm"))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("doc_id"))
+    cand
+      .join(docVec, "doc_id")
+      .join(broadcast(qVec), "query_id")
+      .select(col("query_id"), col("doc_id"),
+        col("rnk").as("bm25_rnk"), cos.as("cos"))
+      .withColumn("cos_rnk", row_number().over(w))
+      .select("query_id", "doc_id", "bm25_rnk", "cos_rnk", "cos")
+      .orderBy("query_id", "cos_rnk")
+  }
+
+  val q91_oracle: String = {
+    import graft.functions.{VectorFunctions => V}
+    val cos = V.cosineSql("qv", "nv")
+    s"""WITH bm25 AS (${q83_oracle.replace("ORDER BY query_id, rnk", "")}),
+       |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+       |j AS (
+       |  SELECT bm25.query_id, bm25.doc_id, bm25.rnk AS bm25_rnk, $cos AS cos
+       |  FROM bm25
+       |  JOIN (SELECT vec_id, v AS nv FROM e) d ON bm25.doc_id = d.vec_id
+       |  JOIN (SELECT CAST(vec_id AS INT) AS query_id, v AS qv FROM e) q
+       |    USING (query_id))
+       |SELECT query_id, doc_id, bm25_rnk,
+       |  ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, doc_id)
+       |    AS cos_rnk, cos
+       |FROM j ORDER BY query_id, cos_rnk""".stripMargin
+  }
+
   // ---------- registry ----------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q81_span_dedup" -> (q81_span_dedup _),
     "q82_boilerplate" -> (q82_boilerplate _),
     "q83_bm25" -> (q83_bm25 _),
-    "q84_bm25_index_persist" -> (q84_bm25_index_persist _))
+    "q84_bm25_index_persist" -> (q84_bm25_index_persist _),
+    "q91_hybrid_rerank" -> (q91_hybrid_rerank _))
 
   val oracles: Map[String, String] = Map(
     "q81_span_dedup" -> q81_oracle,
     "q82_boilerplate" -> q82_oracle,
     "q83_bm25" -> q83_oracle,
-    "q84_bm25_index_persist" -> q84_oracle)
+    "q84_bm25_index_persist" -> q84_oracle,
+    "q91_hybrid_rerank" -> q91_oracle)
 }

@@ -76,6 +76,19 @@ class Round6OpsSpec extends SparkSpec {
     assert(r.getString(3) == hex)
   }
 
+  test("q91: rerank permutes exactly the BM25 candidate set") {
+    val dir = sf("sf0.01")
+    val bm25 = RetrievalQueries.q83_bm25(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getLong(1))).toSet
+    val rr = RetrievalQueries.q91_hybrid_rerank(spark, dir).collect()
+    // same (query, doc) pairs — the dense stage may only REORDER
+    assert(rr.map(r => (r.getInt(0), r.getLong(1))).toSet == bm25)
+    // cos_rnk is a clean 1..n permutation per query
+    rr.groupBy(_.getInt(0)).values.foreach { qs =>
+      assert(qs.map(_.getInt(3)).sorted.toSeq == (1 to qs.length))
+    }
+  }
+
   test("q90: range predicate reaches the clustered scan as a pushed filter") {
     val dir = sf("sf0.001")
     val work = java.nio.file.Files.createTempDirectory("graft-q90spec-").toString
