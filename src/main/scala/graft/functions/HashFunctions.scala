@@ -173,4 +173,53 @@ object HashFunctions {
     def shr(e: String, n: Int) = if (spark) s"shiftright($e, $n)" else s"($e >> $n)"
     (0 until width).map(i => s"(${shr(xor, i)} & 1)").mkString("(", " + ", ")")
   }
+
+  /** Hamming via native popcount — width-independent (fingerprints
+    * occupy the low `width` bits of a BIGINT, the rest xor to zero),
+    * so it keeps working when the width is decided at runtime. Cast
+    * to BIGINT in both dialects (Spark bit_count → INT, DuckDB →
+    * TINYINT) so the compared schemas agree.
+    */
+  def hammingCountSql(a: String, b: String, spark: Boolean): String =
+    if (spark) s"CAST(bit_count($a ^ $b) AS BIGINT)"
+    else s"CAST(bit_count(xor($a, $b)) AS BIGINT)"
+
+  // ---------- corpus-adaptive width ----------
+
+  /** `(threshold, width)` steps of the adaptive-width policy: expected
+    * exact-collision candidates scale ~ n²/2^width, so occupancy stays
+    * flat by adding 2 bits per corpus doubling past 1000 docs
+    * (n ≤ 1000 → 16, ≤ 2000 → 18, … capped at 62 so fingerprints stay
+    * in a BIGINT). ONE table renders both the Scala step function and
+    * the DuckDB CASE, so the engines cannot disagree at a boundary.
+    */
+  private val widthSteps: Seq[(Long, Int)] = {
+    var t = 1000L
+    (simhashDefaultWidth to 60 by 2).map { w => val step = (t, w); t *= 2; step }
+  }
+
+  /** Adaptive fingerprint width for an n-doc corpus (Spark side). */
+  def simhashWidthFor(n: Long): Int =
+    widthSteps.collectFirst { case (t, w) if n <= t => w }.getOrElse(62)
+
+  /** The same policy as [[simhashWidthFor]], as a DuckDB CASE over a
+    * row-count expression — the oracle derives its width from the
+    * corpus exactly like the Spark plan does.
+    */
+  def simhashWidthCaseSql(nSql: String): String =
+    widthSteps.map { case (t, w) => s"WHEN $nSql <= $t THEN $w" }
+      .mkString("(CASE ", " ", " ELSE 62 END)")
+
+  /** Dynamic-width DuckDB simhash: identical bit/vote arithmetic to
+    * [[simhashFromHashesSql]] but with the unrolled per-bit terms
+    * replaced by a list comprehension over range(0, widthSql), so the
+    * width can come from a SQL value (e.g. the CASE above) instead of
+    * being baked into the rendered text. Bit/vote arithmetic is
+    * byte-for-byte the static form's; the driver's DuckDB oracle run
+    * (any sf) exercises it against the Spark fingerprint end-to-end.
+    */
+  def simhashFromHashesDynSql(hsSql: String, widthSql: String): String =
+    // outer CAST: DuckDB list_sum over BIGINTs yields HUGEINT; the
+    // fingerprint must stay a BIGINT for the probe xor and equi-join
+    s"""CAST(list_sum([CASE WHEN list_sum([2 * (((strpos('0123456789abcdef', substring(h, 1 + (b // 4), 1)) - 1) >> (b % 4)) & 1) - 1 for h in $hsSql]) > 0 THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END for b in range(0, $widthSql)]) AS BIGINT)"""
 }

@@ -354,12 +354,15 @@ object TextQueries {
     * engines hash identically; a 2^-60 collision would shift one
     * count), at an 8-byte compare/cache cost per element.
     */
-  /** Fingerprint width for q69 (bits). THE bucket-occupancy knob:
-    * expected exact-collision candidates scale ~ n²/2^width, so this
-    * must grow with the corpus (16 fits the sf test corpora; a 100 TB
-    * corpus wants 48–62). Every consumer below — Spark fingerprint,
-    * probe fan-out, Hamming, DuckDB oracle — derives from this one
-    * value.
+  /** Floor fingerprint width for q69 (bits) — the default that
+    * [[simhashTable]]/[[simhashProbePairs]] use when no width is
+    * passed (specs, tiny corpora). The REAL width is corpus-adaptive:
+    * [[q69_simhash_probe]] derives it from the documents row count via
+    * [[graft.functions.HashFunctions.simhashWidthFor]] (+2 bits per
+    * corpus doubling past 1000 docs, so candidate volume ~ n²/2^width
+    * stays flat), and the DuckDB oracle computes the SAME step
+    * function in SQL from count(*) — the two engines render from one
+    * thresholds table and cannot desynchronize.
     */
   private[queries] val q69Width: Int = H.simhashDefaultWidth
 
@@ -388,10 +391,15 @@ object TextQueries {
     probes.join(exact, Seq("probe"))
       .filter(col("a_id") < col("b_id"))
       .select(col("a_id"), col("b_id"),
-        expr(H.hammingSql("a_sim", "b_sim", spark = true, width)).as("hamming"))
+        expr(H.hammingCountSql("a_sim", "b_sim", spark = true)).as("hamming"))
   }
 
   def q69_simhash_probe(spark: SparkSession, dir: String): DataFrame = {
+    // corpus-adaptive width: a metadata-only parquet row count (no
+    // column data read) picks the occupancy-flat fingerprint width
+    // before the plan is built — the 100 TB posture, where a fixed
+    // width is a quadratic candidate blowup.
+    val width = H.simhashWidthFor(docs(spark, dir).count())
     // reused by the probe side, exact side, size table and both verify
     // joins; at cluster scale this would be written to storage instead.
     // Materialized EAGERLY: the broadcast builds below run as separate
@@ -400,14 +408,14 @@ object TextQueries {
     // Released in the finally (the small verified-pair result is
     // checkpointed first) so the corpus-linear cache never outlives
     // the query — same discipline as q64.
-    val base = simhashTable(spark, dir).persist()
+    val base = simhashTable(spark, dir, width).persist()
     base.count()
-    try q69Verify(base)
+    try q69Verify(base, width)
     finally base.unpersist()
   }
 
-  private def q69Verify(base: DataFrame): DataFrame = {
-    val cand = simhashProbePairs(base)
+  private def q69Verify(base: DataFrame, width: Int = q69Width): DataFrame = {
+    val cand = simhashProbePairs(base, width)
     // stage 1: size-ratio prefilter over a narrow (id, count) table —
     // a NECESSARY condition of j >= 0.8, integer-exact, no arrays moved.
     // NO broadcast hints anywhere in the verify: sizes and sh are
@@ -445,18 +453,22 @@ object TextQueries {
     val sh = H.shinglesSql("toks")
     val inter = "len(list_intersect(a.sk, b.sk))"
     val uni = s"(len(a.sk) + len(b.sk) - $inter)"
-    s"""WITH base AS (
+    // `w` computes the SAME corpus-adaptive width the Spark plan picks
+    // (one thresholds table renders both — HashFunctions.widthSteps),
+    // so the oracle stays valid at ANY scale factor the driver runs.
+    s"""WITH w AS (SELECT ${H.simhashWidthCaseSql("count(*)")} AS wd FROM documents),
+       |base AS (
        |  SELECT doc_id, list_distinct(${H.shingleKeysSql(sh)}) AS sk,
-       |    ${H.simhashFromHashesSql("[md5(t) for t in toks]", spark = false, q69Width)} AS simhash
-       |  FROM (SELECT doc_id, $toks AS toks FROM documents)
+       |    ${H.simhashFromHashesDynSql("[md5(t) for t in toks]", "wd")} AS simhash
+       |  FROM (SELECT doc_id, $toks AS toks FROM documents), w
        |  WHERE len(toks) >= 3),
        |probes AS (
        |  SELECT doc_id AS a_id, simhash AS a_sim,
-       |    unnest([simhash] || [xor(simhash, CAST(1 AS BIGINT) << b) for b in range(0, $q69Width)]) AS probe
-       |  FROM base),
+       |    unnest([simhash] || [xor(simhash, CAST(1 AS BIGINT) << b) for b in range(0, wd)]) AS probe
+       |  FROM base, w),
        |cand AS (
        |  SELECT p.a_id, e.doc_id AS b_id,
-       |    ${H.hammingSql("p.a_sim", "e.simhash", spark = false, q69Width)} AS hamming
+       |    ${H.hammingCountSql("p.a_sim", "e.simhash", spark = false)} AS hamming
        |  FROM probes p JOIN base e ON p.probe = e.simhash AND p.a_id < e.doc_id)
        |SELECT cand.a_id, cand.b_id, hamming,
        |  CAST($inter AS DOUBLE) / CAST($uni AS DOUBLE) AS jaccard
