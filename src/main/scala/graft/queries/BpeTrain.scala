@@ -50,6 +50,22 @@ object BpeTrain {
       .select(explode(T.tokens(col("text"))).as("w"))
       .groupBy("w").agg(count(lit(1)).as("freq"))
 
+  /** Initial symbolization: one symbol per Unicode CODE POINT.
+    * `w.map(_.toString)` would split UTF-16 surrogate pairs, turning
+    * any supplementary character (emoji, rare CJK) into two invalid
+    * lone-surrogate symbols no BPE scheme would ever produce.
+    */
+  private[queries] def symbolize(w: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    var i = 0
+    while (i < w.length) {
+      val cp = w.codePointAt(i)
+      out += new String(Character.toChars(cp))
+      i += Character.charCount(cp)
+    }
+    out.result()
+  }
+
   /** Weighted adjacent-pair counts over a symbolized vocab table. */
   private[queries] def pairCounts(table: Dataset[(Seq[String], Long)]): DataFrame = {
     val spark = table.sparkSession
@@ -69,7 +85,7 @@ object BpeTrain {
     import spark.implicits._
     var table: Dataset[(Seq[String], Long)] = wordFreq(spark, dir)
       .as[(String, Long)]
-      .map { case (w, f) => (w.map(_.toString): Seq[String], f) }
+      .map { case (w, f) => (symbolize(w), f) }
       .persist()
     val merges = Seq.newBuilder[(Int, String, String, Long)]
     try {

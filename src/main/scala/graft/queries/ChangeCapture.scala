@@ -55,18 +55,33 @@ object ChangeCapture {
     val v2 = snap(orders)
       .select(col("o_custkey"), col("o_orderkey").as("new_orderkey"),
         col("order_date").as("new_date"), col("o_totalprice").as("new_price"))
-    v1.join(v2, Seq("o_custkey"), "full_outer")
-      .withColumn("op",
-        when(col("old_orderkey").isNull, "insert")
-          .when(col("new_orderkey").isNull, "delete")
-          .when(col("old_orderkey") =!= col("new_orderkey") ||
-            col("old_date") =!= col("new_date") ||
-            col("old_price") =!= col("new_price"), "update"))
-      .filter(col("op").isNotNull)
+    snapshotDiff(v1, v2, "o_custkey", "old_orderkey", "new_orderkey",
+      Seq("old_orderkey" -> "new_orderkey", "old_date" -> "new_date",
+        "old_price" -> "new_price"))
       .select("op", "o_custkey", "old_orderkey", "new_orderkey",
         "old_date", "new_date", "old_price", "new_price")
       .orderBy("o_custkey")
   }
+
+  /** The CDC core, factored so a spec can drive it with NULL-bearing
+    * fixtures: full-outer join on `key`, presence decided by the
+    * guaranteed-non-null `oldPresent`/`newPresent` columns, and change
+    * detection with NULL-SAFE inequality (`!(a <=> b)`) — a tracked
+    * column transitioning NULL→value or value→NULL IS an update. The
+    * plain `=!=` form would yield a NULL predicate there and silently
+    * drop the row from the changelog (CdcNullSpec pins both
+    * transitions; the oracle's IS DISTINCT FROM is the DuckDB twin).
+    */
+  private[queries] def snapshotDiff(v1: DataFrame, v2: DataFrame,
+      key: String, oldPresent: String, newPresent: String,
+      tracked: Seq[(String, String)]): DataFrame =
+    v1.join(v2, Seq(key), "full_outer")
+      .withColumn("op",
+        when(col(oldPresent).isNull, "insert")
+          .when(col(newPresent).isNull, "delete")
+          .when(tracked.map { case (o, n) => !(col(o) <=> col(n)) }
+            .reduce(_ || _), "update"))
+      .filter(col("op").isNotNull)
 
   val q85_oracle: String =
     """WITH v1 AS (
@@ -92,8 +107,9 @@ object ChangeCapture {
       |    old_orderkey, new_orderkey, old_date, new_date, old_price, new_price,
       |    CASE WHEN old_orderkey IS NULL THEN 'insert'
       |         WHEN new_orderkey IS NULL THEN 'delete'
-      |         WHEN old_orderkey <> new_orderkey OR old_date <> new_date
-      |              OR old_price <> new_price THEN 'update' END AS op
+      |         WHEN old_orderkey IS DISTINCT FROM new_orderkey
+      |              OR old_date IS DISTINCT FROM new_date
+      |              OR old_price IS DISTINCT FROM new_price THEN 'update' END AS op
       |  FROM v1 FULL OUTER JOIN v2 ON v1.o_custkey = v2.o_custkey)
       |SELECT op, o_custkey, old_orderkey, new_orderkey,
       |  old_date, new_date, old_price, new_price

@@ -3,7 +3,7 @@ package graft.queries
 import graft.Tables
 import graft.functions.{TextFunctions => T}
 import graft.operators.ConnectedComponents
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** End-to-end corpus curation outputs (SURVEY §2 #60–#61): the
@@ -48,6 +48,35 @@ object CurationQueries {
 
   // ---------- q61: composite quality filter verdict ----------
 
+  /** q61's quality rules as ONE ordered (reason, Spark predicate,
+    * DuckDB predicate) table over columns (n_toks, lang_det, quality) —
+    * the single source for q61's verdict, q86's stage-3 keep, and both
+    * oracle renderings, so the funnel's quality stage can never drift
+    * from the standalone operator.
+    */
+  private[queries] val qualityRules: Seq[(String, Column, String)] = Seq(
+    ("too_short", col("n_toks") < 10, "n_toks < 10"),
+    ("too_long", col("n_toks") > 1000, "n_toks > 1000"),
+    ("unknown_lang", col("lang_det") === "und", "lang_det = 'und'"),
+    ("low_quality", col("quality") < 0.4, "quality < 0.4"))
+
+  /** First failing rule's reason, else "keep". */
+  private[queries] def qualityVerdict: Column =
+    qualityRules.foldRight(lit("keep")) {
+      case ((reason, p, _), rest) => when(p, reason).otherwise(rest)
+    }
+
+  /** The boolean keep decision (no rule fails) — q86's stage 3. */
+  private[queries] def qualityKeep: Column =
+    !qualityRules.map(_._2).reduce(_ || _)
+
+  private[queries] def qualityVerdictSql: String =
+    qualityRules.map { case (reason, _, p) => s"WHEN $p THEN '$reason'" }
+      .mkString("CASE ", " ", " ELSE 'keep' END")
+
+  private[queries] def qualityKeepSql: String =
+    qualityRules.map(_._3).mkString("NOT (", " OR ", ")")
+
   /** C4-style keep/drop verdict with the first failing rule as the
     * reason: length bounds, language detectability, composite quality
     * threshold. One narrow codegen'd pass over the corpus — the
@@ -60,12 +89,7 @@ object CurationQueries {
       .withColumn("n_toks", size(col("toks")))
       .withColumn("lang_det", T.langId(col("toks")))
       .withColumn("quality", T.qualityScore(col("text")))
-      .withColumn("verdict",
-        when(col("n_toks") < 10, "too_short")
-          .when(col("n_toks") > 1000, "too_long")
-          .when(col("lang_det") === "und", "unknown_lang")
-          .when(col("quality") < 0.4, "low_quality")
-          .otherwise("keep"))
+      .withColumn("verdict", qualityVerdict)
       .select(col("doc_id"), col("n_toks"), col("lang_det"),
         col("quality"), col("verdict"))
       .orderBy("doc_id")
@@ -73,11 +97,7 @@ object CurationQueries {
   val q61_oracle: String = {
     val toks = T.tokensSql("text")
     s"""SELECT doc_id, n_toks, lang_det, quality,
-       |  CASE WHEN n_toks < 10 THEN 'too_short'
-       |       WHEN n_toks > 1000 THEN 'too_long'
-       |       WHEN lang_det = 'und' THEN 'unknown_lang'
-       |       WHEN quality < 0.4 THEN 'low_quality'
-       |       ELSE 'keep' END AS verdict
+       |  $qualityVerdictSql AS verdict
        |FROM (
        |  SELECT doc_id, len($toks) AS n_toks,
        |    ${T.langIdSql(toks)} AS lang_det,
@@ -368,9 +388,10 @@ object CurationQueries {
     docs
       .withColumn("toks", T.tokens(col("text")))
       .withColumn("n_toks", size(col("toks")).cast("long"))
-      // stage-3 membership: q61's keep verdict, inlined (same rules)
-      .withColumn("q_keep", !(col("n_toks") < 10 || col("n_toks") > 1000 ||
-        T.langId(col("toks")) === "und" || T.qualityScore(col("text")) < 0.4))
+      .withColumn("lang_det", T.langId(col("toks")))
+      .withColumn("quality", T.qualityScore(col("text")))
+      // stage-3 membership: q61's keep verdict, the SHARED predicate
+      .withColumn("q_keep", qualityKeep)
       .join(exactKeep, Seq("doc_id"), "left")
       .join(nearDrop, Seq("doc_id"), "left")
       .join(contaminated, Seq("doc_id"), "left")
@@ -409,7 +430,7 @@ object CurationQueries {
        |  WHERE len(list_intersect(list_distinct(sh), $bench)) > 0),
        |d AS (
        |  SELECT doc_id, source, n_toks,
-       |    NOT (n_toks < 10 OR n_toks > 1000 OR lang_det = 'und' OR quality < 0.4)
+       |    $qualityKeepSql
        |      AS q_keep
        |  FROM (
        |    SELECT doc_id, source, len($tk) AS n_toks,

@@ -218,7 +218,10 @@ object RetrievalQueries {
       .orderBy("query_id", "rnk")
   }
 
-  val q83_oracle: String = {
+  /** q83's oracle WITHOUT the trailing ORDER BY — the embeddable body
+    * q91's CTE composes directly (no text surgery on finished SQL).
+    */
+  private val bm25OracleBody: String = {
     val tk = T.tokensSql("text")
     val values = bm25Queries
       .flatMap { case (qid, ts) => ts.map(t => s"($qid, '$t')") }
@@ -239,8 +242,10 @@ object RetrievalQueries {
        |SELECT query_id, doc_id, score, rnk FROM (
        |  SELECT *, row_number() OVER (PARTITION BY query_id
        |    ORDER BY score DESC, doc_id) AS rnk FROM sc)
-       |WHERE rnk <= $bm25TopK ORDER BY query_id, rnk""".stripMargin
+       |WHERE rnk <= $bm25TopK""".stripMargin
   }
+
+  val q83_oracle: String = s"$bm25OracleBody ORDER BY query_id, rnk"
 
   // ---------- q84: persisted inverted index, queried without re-tokenizing ----------
 
@@ -360,7 +365,7 @@ object RetrievalQueries {
   val q91_oracle: String = {
     import graft.functions.{VectorFunctions => V}
     val cos = V.cosineSql("qv", "nv")
-    s"""WITH bm25 AS (${q83_oracle.replace("ORDER BY query_id, rnk", "")}),
+    s"""WITH bm25 AS ($bm25OracleBody),
        |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
        |j AS (
        |  SELECT bm25.query_id, bm25.doc_id, bm25.rnk AS bm25_rnk, $cos AS cos

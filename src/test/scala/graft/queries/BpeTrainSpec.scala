@@ -18,6 +18,41 @@ class BpeTrainSpec extends SparkSpec {
     assert(mergePair(Seq.empty, "a", "b") == Seq.empty)
   }
 
+  test("mergePair property: agrees with an independent recursive reference on random runs") {
+    import BpeTrain.mergePair
+    // independent leftmost-first semantics, written structurally
+    // differently (pattern-matching recursion vs index loop)
+    def ref(syms: List[String], a: String, b: String): List[String] = syms match {
+      case s0 :: s1 :: rest if s0 == a && s1 == b => (a + b) :: ref(rest, a, b)
+      case s0 :: rest => s0 :: ref(rest, a, b)
+      case Nil => Nil
+    }
+    val rnd = new scala.util.Random(92)
+    val alphabet = Vector("a", "b", "c", "aa", "ab")
+    for (_ <- 1 to 500) {
+      val syms = List.fill(rnd.nextInt(12))(alphabet(rnd.nextInt(alphabet.length)))
+      val a = alphabet(rnd.nextInt(alphabet.length))
+      val b = alphabet(rnd.nextInt(alphabet.length))
+      assert(mergePair(syms, a, b) == ref(syms, a, b),
+        s"syms=$syms merge=($a,$b)")
+      // conservation: flattening the result reproduces the input text
+      assert(mergePair(syms, a, b).mkString == syms.mkString)
+    }
+  }
+
+  test("symbolize splits by code point, never through a surrogate pair") {
+    import BpeTrain.symbolize
+    assert(symbolize("the") == Seq("t", "h", "e"))
+    assert(symbolize("") == Seq.empty)
+    val emoji = new String(Character.toChars(0x1F600)) // supplementary plane
+    assert(symbolize(s"a${emoji}b") == Seq("a", emoji, "b"))
+    // every symbol is a well-formed single code point
+    symbolize(s"$emoji$emoji").foreach { s =>
+      assert(s.codePointCount(0, s.length) == 1)
+      assert(!Character.isSurrogate(s.charAt(0)) || s.length == 2)
+    }
+  }
+
   test("q92: first merge is the true weighted bigram argmax; counts non-increasing; deterministic") {
     val dir = sf("sf0.01")
     val out = BpeTrain.q92_bpe_train(spark, dir).collect()
