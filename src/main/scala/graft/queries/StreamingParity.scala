@@ -31,22 +31,79 @@ object StreamingParity {
 
   private val cutoff = "2024-01-15 00:00:00" // mid-corpus: both splits non-empty
 
-  /** Write each batch as a single parquet file into watchDir with
-    * strictly increasing modification times — the file source picks
-    * files up oldest-first, so arrival order is deterministic
-    * (coalesce(1) is harness plumbing, not the operator).
+  /** All batch files the three replay harnesses need, prebuilt ONCE
+    * per corpus dir (session-lifetime memo, same lifecycle as the LSH
+    * SigIndex): the ts-split halves, q88's redelivery batch, and both
+    * sentinel batches. The per-query staging then degenerates to pure
+    * filesystem copies — no Spark job per batch per query — which is
+    * what made q74's wall time a harness-I/O lottery (5.6/7.3/13.8 s
+    * across three runs of identical operator code).
+    */
+  private object StagedSplits {
+    private val built = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+    def path(spark: SparkSession, dir: String): String =
+      built.computeIfAbsent(dir, _ => {
+        val work = java.nio.file.Files.createTempDirectory("graft-evsplit-").toString
+        val fs = new Path(work).getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val events = eventCols(spark, dir)
+        val cutoffTs = lit(cutoff).cast("timestamp")
+        val maxTs = events.agg(max(col("ts"))).head().getTimestamp(0)
+        def sentinel(offsetMs: Long, users: DataFrame) = users.select(
+          lit(-1L).as("event_id"),
+          lit(new Timestamp(maxTs.getTime + offsetMs)).as("ts"),
+          col("user_id"),
+          lit("__sentinel__").as("event_type"),
+          lit(0.0).as("value"))
+        val b0 = events.filter(col("ts") < cutoffTs)
+        val b1 = events.filter(col("ts") >= cutoffTs)
+        // q88's at-least-once batch: the post-cutoff events PLUS the
+        // redelivered pre-cutoff tail in the SAME file — the
+        // redelivery must share its micro-batch with the new data or
+        // the advanced watermark would drop it as late instead of the
+        // dedup state matching it
+        val redelivered = b0.filter(col("ts") >= cutoffTs - expr("INTERVAL 1 HOUR"))
+        Seq(
+          "b0" -> b0,
+          "b1" -> b1,
+          "b1_redelivered" -> b1.unionAll(redelivered),
+          "sent_tumbling" -> sentinel(4 * 3600 * 1000L,
+            spark.range(1).select(lit(-1L).as("user_id"))),
+          "sent_sessions" -> sentinel(3600 * 1000L,
+            events.select(col("user_id")).distinct()))
+          .foreach { case (name, df) =>
+            df.coalesce(1).write.parquet(s"$work/$name")
+            val part = fs.globStatus(new Path(s"$work/$name/part-*.parquet")).head.getPath
+            require(fs.rename(part, new Path(s"$work/$name.parquet")),
+              s"failed to finalize staged split $name")
+            fs.delete(new Path(s"$work/$name"), true)
+          }
+        sys.addShutdownHook {
+          val p = new Path(work)
+          try p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+          catch { case _: Throwable => () }
+        }
+        work
+      })
+  }
+
+  /** Stage prebuilt batch files into watchDir with strictly increasing
+    * modification times — the file source picks files up oldest-first,
+    * so arrival order is deterministic. Pure FS copies of the
+    * session's [[StagedSplits]]; no Spark job runs here.
     */
   private def stageBatches(
-      fs: FileSystem, work: String, watchDir: String,
-      batches: Seq[(String, DataFrame)]): Unit = {
+      spark: SparkSession, dir: String,
+      fs: FileSystem, watchDir: String,
+      batches: Seq[String]): Unit = {
+    val splits = StagedSplits.path(spark, dir)
+    val conf = spark.sparkContext.hadoopConfiguration
     fs.mkdirs(new Path(watchDir))
     val t0 = System.currentTimeMillis()
-    batches.zipWithIndex.foreach { case ((name, batch), i) =>
-      batch.coalesce(1).write.parquet(s"$work/$name")
-      val part = fs.globStatus(new Path(s"$work/$name/part-*.parquet")).head.getPath
-      val staged = new Path(s"$watchDir/$name.parquet")
-      // Hadoop rename reports failure as false, not by throwing
-      require(fs.rename(part, staged), s"failed to stage $part into $watchDir")
+    batches.zipWithIndex.foreach { case (name, i) =>
+      val staged = new Path(s"$watchDir/b$i.parquet")
+      org.apache.hadoop.fs.FileUtil.copy(
+        fs, new Path(s"$splits/$name.parquet"), fs, staged, false, conf)
       fs.setTimes(staged, t0 + i * 1000L, -1)
     }
   }
@@ -71,18 +128,8 @@ object StreamingParity {
     val watchDir = s"$work/incoming"
     val fs = new Path(work).getFileSystem(spark.sparkContext.hadoopConfiguration)
     try {
-      val events = eventCols(spark, dir)
-      val maxTs = events.agg(max(col("ts"))).head().getTimestamp(0)
-      val sentinel = spark.range(1).select(
-        lit(-1L).as("event_id"),
-        lit(new Timestamp(maxTs.getTime + 4 * 3600 * 1000L)).as("ts"),
-        lit(-1L).as("user_id"),
-        lit("__sentinel__").as("event_type"),
-        lit(0.0).as("value"))
-      stageBatches(fs, work, watchDir, Seq(
-        "b0" -> events.filter(col("ts") < lit(cutoff).cast("timestamp")),
-        "b1" -> events.filter(col("ts") >= lit(cutoff).cast("timestamp")),
-        "b2" -> sentinel))
+      stageBatches(spark, dir, fs, watchDir,
+        Seq("b0", "b1", "sent_tumbling"))
       val schema = spark.read.parquet(s"$watchDir/b0.parquet").schema
       val stream = spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1).parquet(watchDir)
@@ -124,19 +171,8 @@ object StreamingParity {
     val watchDir = s"$work/incoming"
     val fs = new Path(work).getFileSystem(spark.sparkContext.hadoopConfiguration)
     try {
-      val events = eventCols(spark, dir)
-      val maxTs = events.agg(max(col("ts"))).head().getTimestamp(0)
-      val sentinels = events.select(col("user_id")).distinct()
-        .select(
-          lit(-1L).as("event_id"),
-          lit(new Timestamp(maxTs.getTime + 3600 * 1000L)).as("ts"),
-          col("user_id"),
-          lit("__sentinel__").as("event_type"),
-          lit(0.0).as("value"))
-      stageBatches(fs, work, watchDir, Seq(
-        "b0" -> events.filter(col("ts") < lit(cutoff).cast("timestamp")),
-        "b1" -> events.filter(col("ts") >= lit(cutoff).cast("timestamp")),
-        "b2" -> sentinels))
+      stageBatches(spark, dir, fs, watchDir,
+        Seq("b0", "b1", "sent_sessions"))
       val schema = spark.read.parquet(s"$watchDir/b0.parquet").schema
       val stream = spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1).parquet(watchDir)
@@ -213,14 +249,8 @@ object StreamingParity {
     val watchDir = s"$work/incoming"
     val fs = new Path(work).getFileSystem(spark.sparkContext.hadoopConfiguration)
     try {
-      val events = eventCols(spark, dir)
-      val cutoffTs = lit(cutoff).cast("timestamp")
-      val b0 = events.filter(col("ts") < cutoffTs)
-      val redelivered = b0.filter(
-        col("ts") >= cutoffTs - expr("INTERVAL 1 HOUR"))
-      stageBatches(fs, work, watchDir, Seq(
-        "b0" -> b0,
-        "b1" -> events.filter(col("ts") >= cutoffTs).unionAll(redelivered)))
+      stageBatches(spark, dir, fs, watchDir,
+        Seq("b0", "b1_redelivered"))
       val schema = spark.read.parquet(s"$watchDir/b0.parquet").schema
       val stream = spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1).parquet(watchDir)
