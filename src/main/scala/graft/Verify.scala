@@ -10,9 +10,15 @@ object Verify {
     val only: Option[Set[String]] =
       if (args.length > 2) Some(args(2).split(",").toSet) else None
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+    // SPARK_GRAFT_CONF: optional declarative runtime config (master,
+    // shuffle partitions, raw conf) — one jar across environments;
+    // the env-var defaults below are the no-config behavior
+    val base = sys.env.get("SPARK_GRAFT_CONF")
+      .map(p => graft.pipeline.RuntimeConfig.load(p).sessionBuilder())
+      .getOrElse(SparkSession.builder()
+        .master(s"local[$cpus]")
+        .config("spark.sql.shuffle.partitions", cpus))
+    val spark = base
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.ui.enabled", "false")

@@ -87,6 +87,20 @@ object StreamingParity {
       })
   }
 
+  /** Stateful replay queries commit one state-store delta per shuffle
+    * partition per micro-batch; at the harness's row counts 32
+    * partitions are pure checkpoint-fsync overhead. Pin the stream to
+    * a few partitions and restore the session conf after — the
+    * operator's semantics are partition-count-free (that is exactly
+    * what the DuckDB gate proves).
+    */
+  private def withShufflePartitions[T](spark: SparkSession, n: Int)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val old = spark.conf.get(key)
+    spark.conf.set(key, n.toString)
+    try body finally spark.conf.set(key, old)
+  }
+
   /** Stage prebuilt batch files into watchDir with strictly increasing
     * modification times — the file source picks files up oldest-first,
     * so arrival order is deterministic. Pure FS copies of the
@@ -131,17 +145,19 @@ object StreamingParity {
       stageBatches(spark, dir, fs, watchDir,
         Seq("b0", "b1", "sent_tumbling"))
       val schema = spark.read.parquet(s"$watchDir/b0.parquet").schema
-      val stream = spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 1).parquet(watchDir)
-      val query = EventsStreaming.tumblingCounts(stream)
-        .writeStream
-        .trigger(Trigger.AvailableNow())
-        .outputMode(OutputMode.Append())
-        .format("parquet")
-        .option("path", s"$work/out")
-        .option("checkpointLocation", s"$work/ckpt")
-        .start()
-      query.awaitTermination()
+      withShufflePartitions(spark, 8) {
+        val stream = spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", 1).parquet(watchDir)
+        val query = EventsStreaming.tumblingCounts(stream)
+          .writeStream
+          .trigger(Trigger.AvailableNow())
+          .outputMode(OutputMode.Append())
+          .format("parquet")
+          .option("path", s"$work/out")
+          .option("checkpointLocation", s"$work/ckpt")
+          .start()
+        query.awaitTermination()
+      }
       spark.read.parquet(s"$work/out")
         .filter(col("event_type") =!= "__sentinel__") // open forever; defensive
         .select(
@@ -174,20 +190,22 @@ object StreamingParity {
       stageBatches(spark, dir, fs, watchDir,
         Seq("b0", "b1", "sent_sessions"))
       val schema = spark.read.parquet(s"$watchDir/b0.parquet").schema
-      val stream = spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 1).parquet(watchDir)
-        .as[EventsStreaming.Event](org.apache.spark.sql.Encoders.product)
-      val query = EventsStreaming
-        .sessionize(spark, stream, GroupStateTimeout.NoTimeout)
-        .toDF()
-        .writeStream
-        .trigger(Trigger.AvailableNow())
-        .outputMode(OutputMode.Append())
-        .format("parquet")
-        .option("path", s"$work/out")
-        .option("checkpointLocation", s"$work/ckpt")
-        .start()
-      query.awaitTermination()
+      withShufflePartitions(spark, 8) {
+        val stream = spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", 1).parquet(watchDir)
+          .as[EventsStreaming.Event](org.apache.spark.sql.Encoders.product)
+        val query = EventsStreaming
+          .sessionize(spark, stream, GroupStateTimeout.NoTimeout)
+          .toDF()
+          .writeStream
+          .trigger(Trigger.AvailableNow())
+          .outputMode(OutputMode.Append())
+          .format("parquet")
+          .option("path", s"$work/out")
+          .option("checkpointLocation", s"$work/ckpt")
+          .start()
+        query.awaitTermination()
+      }
       val byStart = Window.partitionBy("user_id").orderBy("session_start")
       spark.read.parquet(s"$work/out")
         .withColumn("session_id", row_number().over(byStart).cast("long"))
@@ -252,19 +270,21 @@ object StreamingParity {
       stageBatches(spark, dir, fs, watchDir,
         Seq("b0", "b1_redelivered"))
       val schema = spark.read.parquet(s"$watchDir/b0.parquet").schema
-      val stream = spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 1).parquet(watchDir)
-      val query = stream
-        .withWatermark("ts", "2 hours")
-        .dropDuplicatesWithinWatermark("event_id")
-        .writeStream
-        .trigger(Trigger.AvailableNow())
-        .outputMode(OutputMode.Append())
-        .format("parquet")
-        .option("path", s"$work/out")
-        .option("checkpointLocation", s"$work/ckpt")
-        .start()
-      query.awaitTermination()
+      withShufflePartitions(spark, 8) {
+        val stream = spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", 1).parquet(watchDir)
+        val query = stream
+          .withWatermark("ts", "2 hours")
+          .dropDuplicatesWithinWatermark("event_id")
+          .writeStream
+          .trigger(Trigger.AvailableNow())
+          .outputMode(OutputMode.Append())
+          .format("parquet")
+          .option("path", s"$work/out")
+          .option("checkpointLocation", s"$work/ckpt")
+          .start()
+        query.awaitTermination()
+      }
       spark.read.parquet(s"$work/out")
         .select(col("event_id"),
           date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts"),

@@ -103,6 +103,30 @@ class Round6OpsSpec extends SparkSpec {
         plan.contains("GreaterThanOrEqual(doc_id,100)") &&
         plan.contains("LessThan(doc_id,200)"),
         s"range predicate not pushed to the parquet scan:\n$plan")
+      // ...and the pushed predicate actually PRUNES: per-file doc_id
+      // ranges are disjoint and the query range intersects at most one
+      // of the 8 files — a footer-stats reader touches 1 file in 8.
+      // (Pushdown alone passes even on an overlapping layout; this is
+      // the clustering property q90 exists to provide.)
+      import org.apache.hadoop.fs.Path
+      val fs = new Path(work).getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val files = fs.globStatus(new Path(s"$work/docs/part-*.parquet")).map(_.getPath)
+      assert(files.length >= 2, s"need >=2 clustered files, got ${files.length}")
+      val ranges = files.map { p =>
+        val mm = spark.read.parquet(p.toString)
+          .agg(min(col("doc_id")), max(col("doc_id"))).head()
+        (mm.getLong(0), mm.getLong(1))
+      }.sortBy(_._1)
+      ranges.sliding(2).foreach {
+        case Array((_, aMax), (bMin, _)) =>
+          assert(aMax < bMin, s"file ranges overlap: ${ranges.mkString(", ")}")
+        case _ =>
+      }
+      // a probe range inside one file's span intersects exactly that
+      // file — disjointness makes footer-stats pruning effective
+      val (midLo, midHi) = ranges(ranges.length / 2)
+      val touched = ranges.count { case (lo, hi) => hi >= midLo && lo <= midHi }
+      assert(touched == 1, s"probe [$midLo,$midHi] intersects $touched files")
     } finally {
       import org.apache.hadoop.fs.Path
       new Path(work).getFileSystem(spark.sparkContext.hadoopConfiguration)
