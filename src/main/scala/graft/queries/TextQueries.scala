@@ -156,33 +156,6 @@ object TextQueries {
 
   // ---------- q25: MinHash-LSH candidate pairs + Jaccard verify ----------
 
-  /** (doc_id, shd, band, bucket) — one row per document per LSH band.
-    * One pass computes all band buckets; posexplode fans them out
-    * without re-reading the source (a 3-way union would recompute the
-    * whole signature pipeline per band). Shared index definition for
-    * the corpus self-join (q25/q47/q60/q68) and the batch-vs-corpus
-    * join (q73).
-    */
-  private[queries] def bandTable(spark: SparkSession, dir: String): DataFrame = {
-    val sig = (0 until minhashK).map(i => col(f"mh$i%02d"))
-    sigTable(spark, dir)
-      .withColumn("shd", array_distinct(col("sh")))
-      .select(col("doc_id"), col("shd"),
-        posexplode(array((0 until lshBands).map(b => H.bandBucket(sig, b, lshRows)): _*))
-          .as(Seq("band", "bucket")))
-  }
-
-  /** Shingle-set Jaccard in the exact operation order both engines
-    * share bit-for-bit (ints sized, cast to double, one division) —
-    * the ONE definition every verify stage uses; a drifted copy would
-    * silently break the DuckDB hash-match of whichever query kept it.
-    */
-  private def shingleJaccard(aSh: Column, bSh: Column): Column = {
-    val inter = size(array_intersect(aSh, bSh)).cast("double")
-    val uni = (size(aSh) + size(bSh)).cast("double") - inter
-    inter / uni
-  }
-
   /** Session-lifetime STORED signature index — the q76 lifecycle
     * promoted to the family's runtime artifact. The first LSH consumer
     * in a session builds (doc_id, skd, mh00..) once from raw text and
@@ -212,28 +185,44 @@ object TextQueries {
       })
   }
 
-  /** q25's near-dup pairs computed purely from a stored signature
-    * index (band buckets from the stored signature columns, Jaccard
-    * verify over the stored 60-bit shingle-key sets — raw text is
-    * never touched). Key-set Jaccard equals shingle-set Jaccard in
-    * both engines (identical md5-derived keys; q76's oracle pins the
-    * equivalence against the from-text build).
+  /** (doc_id, skd, band, bucket) from a stored signature index — one
+    * row per document per LSH band, shared by the corpus self-join
+    * ([[pairsFromIndex]]) and the batch-vs-corpus join (q73).
     */
-  private def pairsFromIndex(stored: DataFrame): DataFrame = {
+  private def bandsFromIndex(stored: DataFrame): DataFrame = {
     val sig = (0 until minhashK).map(i => col(f"mh$i%02d"))
-    val bands = stored.select(col("doc_id"), col("skd"),
+    stored.select(col("doc_id"), col("skd"),
       posexplode(array((0 until lshBands).map(b => H.bandBucket(sig, b, lshRows)): _*))
         .as(Seq("band", "bucket")))
+  }
+
+  /** Jaccard over stored 60-bit shingle-key sets, in the exact
+    * operation order the DuckDB twin shares bit-for-bit (ints sized,
+    * cast to double, one division). Equals shingle-STRING Jaccard —
+    * identical md5-derived keys in both engines (q76's oracle pins
+    * the equivalence against the from-text build).
+    */
+  private def keyJaccard(aSk: Column, bSk: Column): Column = {
+    val inter = size(array_intersect(aSk, bSk)).cast("double")
+    val uni = (size(aSk) + size(bSk)).cast("double") - inter
+    inter / uni
+  }
+
+  /** q25's near-dup pairs computed purely from a stored signature
+    * index (band buckets from the stored signature columns, Jaccard
+    * verify over the stored shingle-key sets — raw text is never
+    * touched).
+    */
+  private def pairsFromIndex(stored: DataFrame): DataFrame = {
+    val bands = bandsFromIndex(stored)
     val a = bands.select(col("band"), col("bucket"),
       col("doc_id").as("a_id"), col("skd").as("a_sk"))
     val b = bands.select(col("band"), col("bucket"),
       col("doc_id").as("b_id"), col("skd").as("b_sk"))
-    // same operation order as [[shingleJaccard]], over keys
-    val inter = size(array_intersect(col("a_sk"), col("b_sk"))).cast("double")
-    val uni = (size(col("a_sk")) + size(col("b_sk"))).cast("double") - inter
     a.join(b, Seq("band", "bucket"))
       .filter(col("a_id") < col("b_id"))
-      .select(col("a_id"), col("b_id"), (inter / uni).as("jaccard"))
+      .select(col("a_id"), col("b_id"),
+        keyJaccard(col("a_sk"), col("b_sk")).as("jaccard"))
       .distinct()
       .filter(col("jaccard") >= 0.8)
   }
@@ -252,59 +241,48 @@ object TextQueries {
   def q25_minhash_lsh_pairs(spark: SparkSession, dir: String): DataFrame =
     lshPairs(spark, dir).orderBy("a_id", "b_id")
 
-  /** DuckDB twin of [[shingleJaccard]] over table aliases a/b with a
-    * `shd` column — the same operation order, so both engines agree
-    * bit-for-bit.
+  /** `base AS (…), bands AS (…)` CTE prefix over the STORED-index
+    * columns (skd + signature) — the DuckDB twin of
+    * [[bandsFromIndex]]; `extraCol` appends one computed column
+    * (expr, name) — e.g. q73's batch flag — to both CTEs.
     */
-  private def shingleJaccardSql(a: String, b: String): String =
-    s"""CAST(len(list_intersect($a.shd, $b.shd)) AS DOUBLE) /
-       |   (CAST(len($a.shd) + len($b.shd) AS DOUBLE) - CAST(len(list_intersect($a.shd, $b.shd)) AS DOUBLE))""".stripMargin
-
-  /** `base AS (…), bands AS (…)` CTE prefix shared by every band-join
-    * oracle; `extraCol` appends one computed column (expr, name) —
-    * e.g. q73's batch flag — to both CTEs.
-    */
-  private def bandsCteSql(extraCol: Option[(String, String)]): String = {
+  private def indexBandsCteSql(extraCol: Option[(String, String)]): String = {
     val sigSql = (0 until minhashK).map(i => f"mh$i%02d")
     val buckets = (0 until lshBands).map(b =>
       s"${H.bandBucketSql(sigSql, b, lshRows)} AS bucket$b")
     val extraDef = extraCol.map { case (e, n) => s", $e AS $n" }.getOrElse("")
     val extraRef = extraCol.map { case (_, n) => s", $n" }.getOrElse("")
     val bandUnion = (0 until lshBands).map(b =>
-      s"SELECT doc_id, shd, $b AS band, bucket$b AS bucket$extraRef FROM base")
+      s"SELECT doc_id, skd, $b AS band, bucket$b AS bucket$extraRef FROM base")
       .mkString(" UNION ALL ")
     s"""base AS (
-       |  SELECT doc_id, list_distinct(sh) AS shd, ${buckets.mkString(", ")}$extraDef
+       |  SELECT doc_id, list_distinct(${H.shingleKeysSql("sh")}) AS skd,
+       |    ${buckets.mkString(", ")}$extraDef
        |  FROM $sigTableSql),
        |bands AS ($bandUnion)""".stripMargin
   }
 
+  /** DuckDB twin of [[keyJaccard]] over table aliases with a `skd`
+    * column — same operation order, so both engines agree bitwise.
+    */
+  private def keyJaccardSql(a: String, b: String): String = {
+    val inter = s"CAST(len(list_intersect($a.skd, $b.skd)) AS DOUBLE)"
+    s"$inter /\n   (CAST(len($a.skd) + len($b.skd) AS DOUBLE) - $inter)"
+  }
+
   /** DuckDB twin of [[lshPairs]] (no ORDER BY — embeddable as a CTE).
     * Jaccard over 60-bit shingle KEYS, matching the stored-index read
-    * path the Spark side now runs — same pair set and bit-identical
+    * path the Spark side runs — same pair set and bit-identical
     * jaccard as the shingle-string form (q76 pinned the equivalence
     * while both forms coexisted).
     */
-  private[queries] val lshPairsSql: String = {
-    val sigSql = (0 until minhashK).map(i => f"mh$i%02d")
-    val buckets = (0 until lshBands).map(b =>
-      s"${H.bandBucketSql(sigSql, b, lshRows)} AS bucket$b")
-    val bandUnion = (0 until lshBands).map(b =>
-      s"SELECT doc_id, skd, $b AS band, bucket$b AS bucket FROM base")
-      .mkString(" UNION ALL ")
-    val interSql = "CAST(len(list_intersect(a.skd, b.skd)) AS DOUBLE)"
-    val jac =
-      s"$interSql /\n   (CAST(len(a.skd) + len(b.skd) AS DOUBLE) - $interSql)"
-    s"""WITH base AS (
-       |  SELECT doc_id, list_distinct(${H.shingleKeysSql("sh")}) AS skd,
-       |    ${buckets.mkString(", ")}
-       |  FROM $sigTableSql),
-       |bands AS ($bandUnion)
-       |SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id, $jac AS jaccard
+  private[queries] val lshPairsSql: String =
+    s"""WITH ${indexBandsCteSql(None)}
+       |SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+       |  ${keyJaccardSql("a", "b")} AS jaccard
        |FROM bands a JOIN bands b
        |  ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
-       |WHERE $jac >= 0.8""".stripMargin
-  }
+       |WHERE ${keyJaccardSql("a", "b")} >= 0.8""".stripMargin
 
   val q25_oracle: String = s"$lshPairsSql\nORDER BY a_id, b_id"
 
@@ -556,41 +534,38 @@ object TextQueries {
     * documents table (the harness has one table, not an ingest feed).
     */
   def q73_incremental_neardup(spark: SparkSession, dir: String): DataFrame = {
-    // eager: both join sides scan the cache concurrently; racing an
-    // unpopulated cache recomputes the signature lineage per side
-    val bands = bandTable(spark, dir).persist()
-    bands.count()
-    try {
-      val isBatch =
-        substring(md5(concat(lit("b73|"), col("doc_id").cast("string"))), 1, 1)
-          .isin("0", "1")
-      val b = bands.filter(isBatch).select(col("band"), col("bucket"),
-        col("doc_id").as("batch_id"), col("shd").as("b_sh"))
-      val e = bands.filter(!isBatch).select(col("band"), col("bucket"),
-        col("doc_id").as("match_id"), col("shd").as("e_sh"))
-      b.join(e, Seq("band", "bucket"))
-        .select(col("batch_id"), col("match_id"),
-          shingleJaccard(col("b_sh"), col("e_sh")).as("jaccard"))
-        .distinct() // a pair can collide in multiple bands
-        .filter(col("jaccard") >= 0.8)
-        .groupBy("batch_id")
-        .agg(
-          count(lit(1)).as("n_matches"),
-          min(col("match_id")).as("min_match_id"),
-          max(col("jaccard")).as("max_jaccard"))
-        .orderBy("batch_id")
-        // small; survives the unpersist ([[Lineage]])
-        .transform(graft.Lineage.cut)
-    } finally bands.unpersist()
+    // the corpus side is the session's STORED index — the artifact a
+    // real deployment keeps on storage and probes per arriving batch;
+    // no re-shingling, no cache juggling (two columnar scans of the
+    // narrow index are cheaper than materializing it in memory)
+    val bands = bandsFromIndex(spark.read.parquet(SigIndex.path(spark, dir)))
+    val isBatch =
+      substring(md5(concat(lit("b73|"), col("doc_id").cast("string"))), 1, 1)
+        .isin("0", "1")
+    val b = bands.filter(isBatch).select(col("band"), col("bucket"),
+      col("doc_id").as("batch_id"), col("skd").as("b_sk"))
+    val e = bands.filter(!isBatch).select(col("band"), col("bucket"),
+      col("doc_id").as("match_id"), col("skd").as("e_sk"))
+    b.join(e, Seq("band", "bucket"))
+      .select(col("batch_id"), col("match_id"),
+        keyJaccard(col("b_sk"), col("e_sk")).as("jaccard"))
+      .distinct() // a pair can collide in multiple bands
+      .filter(col("jaccard") >= 0.8)
+      .groupBy("batch_id")
+      .agg(
+        count(lit(1)).as("n_matches"),
+        min(col("match_id")).as("min_match_id"),
+        max(col("jaccard")).as("max_jaccard"))
+      .orderBy("batch_id")
   }
 
   val q73_oracle: String = {
     val batchFlag =
       "substring(md5(concat('b73|', CAST(doc_id AS VARCHAR))), 1, 1) IN ('0', '1')"
-    s"""WITH ${bandsCteSql(Some(batchFlag -> "is_batch"))},
+    s"""WITH ${indexBandsCteSql(Some(batchFlag -> "is_batch"))},
        |pairs AS (
        |  SELECT DISTINCT b.doc_id AS batch_id, e.doc_id AS match_id,
-       |    ${shingleJaccardSql("b", "e")} AS jaccard
+       |    ${keyJaccardSql("b", "e")} AS jaccard
        |  FROM bands b JOIN bands e ON b.band = e.band AND b.bucket = e.bucket
        |  WHERE b.is_batch AND NOT e.is_batch)
        |SELECT batch_id, count(*) AS n_matches, min(match_id) AS min_match_id,
