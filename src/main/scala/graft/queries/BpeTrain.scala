@@ -78,10 +78,21 @@ object BpeTrain {
       .groupBy("left", "right").agg(sum(col("f")).as("pair_count"))
   }
 
-  /** Learn the first [[bpeMerges]] merges; output one row per merge:
-    * (rank, left, right, pair_count), rank in learned order.
+  /** The learned merge table, trained once per corpus dir and shared
+    * by q92 (which REPORTS it) and q93 (which APPLIES it) — the
+    * train-once/apply-everywhere lifecycle a tokenizer actually has.
+    * The table is `bpeMerges` tiny rows, so a driver-side memo is the
+    * right storage (the spec pins cross-run determinism, so caching
+    * cannot change answers).
     */
-  def q92_bpe_train(spark: SparkSession, dir: String): DataFrame = {
+  private object Merges {
+    private val built =
+      new java.util.concurrent.ConcurrentHashMap[String, Seq[(Int, String, String, Long)]]()
+    def get(spark: SparkSession, dir: String): Seq[(Int, String, String, Long)] =
+      built.computeIfAbsent(dir, _ => train(spark, dir))
+  }
+
+  private[queries] def train(spark: SparkSession, dir: String): Seq[(Int, String, String, Long)] = {
     import spark.implicits._
     var table: Dataset[(Seq[String], Long)] = wordFreq(spark, dir)
       .as[(String, Long)]
@@ -107,16 +118,70 @@ object BpeTrain {
       }
     } finally table.unpersist()
     merges.result()
+  }
+
+  /** Learn the first [[bpeMerges]] merges; output one row per merge:
+    * (rank, left, right, pair_count), rank in learned order.
+    */
+  def q92_bpe_train(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Merges.get(spark, dir)
       .toDF("rank", "left", "right", "pair_count")
       .orderBy("rank")
   }
 
+  /** Apply the learned merges in rank order to `syms`
+    * (leftmost-first per merge — the standard BPE encode loop).
+    */
+  private[queries] def encode(
+      merges: Seq[(String, String)], w: String): Seq[String] =
+    merges.foldLeft(symbolize(w)) { case (syms, (a, b)) => mergePair(syms, a, b) }
+
+  /** q93: the APPLY form — encode the corpus with the trained merge
+    * table and report the per-source tokenization yield: word count,
+    * code-point symbol count before merging, BPE token count after,
+    * and the compression ratio a tokenizer evaluation reads.
+    *
+    * Scale shape: encoding runs on the DISTINCT-WORD vocabulary
+    * (vocab-bounded typed map — same argument as training), and the
+    * corpus-sized work is one explode + broadcast join of the tiny
+    * (word → counts) map + partial-agg rollup by source. Text streams
+    * once; merges come from the session's trained table (built by the
+    * first of q92/q93 to run).
+    *
+    * rows-only at the driver like q92 (iterative training has no SQL
+    * twin); BpeTrainSpec pins the encode rule on fixed merge tables,
+    * full-coverage accounting, and compression >= 1.
+    */
+  def q93_bpe_apply(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val merges = Merges.get(spark, dir).map { case (_, l, r, _) => (l, r) }
+    val wordCost = wordFreq(spark, dir)
+      .as[(String, Long)]
+      .map { case (w, _) =>
+        (w, symbolize(w).length.toLong, encode(merges, w).length.toLong)
+      }
+      .toDF("w", "n_cp", "n_bpe")
+    Tables.load(spark, dir, "documents")
+      .select(col("source"), explode(T.tokens(col("text"))).as("w"))
+      .join(broadcast(wordCost), "w")
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_words"),
+        sum(col("n_cp")).as("n_symbols"),
+        sum(col("n_bpe")).as("n_tokens"))
+      .withColumn("compression",
+        col("n_symbols").cast("double") / col("n_tokens").cast("double"))
+      .orderBy("source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q92_bpe_train" -> (q92_bpe_train _))
+    "q92_bpe_train" -> (q92_bpe_train _),
+    "q93_bpe_apply" -> (q93_bpe_apply _))
 
   /** rows-only on purpose: per-round argmax inside an iterative loop
     * has no single-statement SQL twin; BpeTrainSpec carries the
-    * correctness weight.
+    * correctness weight for both the trainer and the apply form.
     */
   val oracles: Map[String, String] = Map.empty
 }

@@ -79,8 +79,38 @@ class BpeTrainSpec extends SparkSpec {
     assert(out(0).getString(1) == expected.getString(0))
     assert(out(0).getString(2) == expected.getString(1))
     assert(out(0).getLong(3) == expected.getLong(2))
-    // reproducible end to end
-    val again = BpeTrain.q92_bpe_train(spark, dir).collect()
-    assert(out.toSeq == again.toSeq)
+    // reproducible end to end: a FRESH training run (bypassing the
+    // per-dir merge memo) must reproduce the reported table exactly
+    val again = BpeTrain.train(spark, dir)
+    assert(out.map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+      == again)
+  }
+
+  test("encode applies merges in rank order, leftmost-first per merge") {
+    import BpeTrain.encode
+    assert(encode(Seq("t" -> "h", "th" -> "e"), "the") == Seq("the"))
+    assert(encode(Seq("a" -> "a"), "aaaa") == Seq("aa", "aa"))
+    assert(encode(Seq("a" -> "a"), "aaa") == Seq("aa", "a"))
+    // later merges see the output of earlier ones, not raw symbols
+    assert(encode(Seq("a" -> "b", "ab" -> "ab"), "abab") == Seq("abab"))
+    // zero merges = code-point identity
+    assert(encode(Seq.empty, "the") == Seq("t", "h", "e"))
+  }
+
+  test("q93: full coverage accounting and compression >= 1 per source") {
+    val dir = sf("sf0.01")
+    val out = BpeTrain.q93_bpe_apply(spark, dir).collect()
+    assert(out.nonEmpty)
+    // every corpus token matched the vocabulary (it IS the distinct
+    // tokens), so word accounting must cover the corpus exactly
+    val corpusWords = graft.Tables.load(spark, dir, "documents")
+      .select(explode(graft.functions.TextFunctions.tokens(col("text"))).as("w"))
+      .groupBy(col("w").isNotNull).count().collect().map(_.getLong(1)).sum
+    assert(out.map(_.getLong(1)).sum == corpusWords)
+    out.foreach { r =>
+      // merging can only shrink: n_tokens <= n_symbols, ratio >= 1
+      assert(r.getLong(3) <= r.getLong(2))
+      assert(r.getDouble(4) >= 1.0)
+    }
   }
 }
