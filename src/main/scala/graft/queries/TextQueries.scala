@@ -688,6 +688,126 @@ object TextQueries {
     */
   val q76_oracle: String = s"$lshPairsSql\nORDER BY a_id, b_id"
 
+  // ---------- q94: incremental signature-index update ----------
+
+  /** Index MAINTENANCE — the missing half of q76's build-once story.
+    * A 100 TB corpus doesn't rebuild its signature index per ingest;
+    * it APPENDS the arriving batch's signatures. Here the corpus
+    * splits like q73 (content-hash eighth plays "the batch"): the
+    * index is built from the EXISTING documents only and written,
+    * then the batch's signatures are appended as new parquet files
+    * (mode=append — no existing file is rewritten, the ingest unit a
+    * columnar store actually gives you), and q25's near-dup pairs are
+    * recomputed from the MERGED stored index. The oracle is q25's
+    * full-corpus oracle verbatim: incremental maintenance must be
+    * indistinguishable from a from-scratch build. Signature rows are
+    * per-document and the banding is stateless, so append IS the
+    * correct merge — no global rebuild, no read-modify-write;
+    * SigIndexPersistSpec additionally pins that BOTH the existing and
+    * the appended partition are non-empty (an empty side would make
+    * the equality trivial).
+    */
+  def q94_sig_index_update(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val work = java.nio.file.Files.createTempDirectory("graft-q94-").toString
+    val fs = new Path(work).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    try {
+      val isBatch =
+        substring(md5(concat(lit("b73|"), col("doc_id").cast("string"))), 1, 1)
+          .isin("0", "1")
+      def sigs(flag: org.apache.spark.sql.Column) =
+        sigTable(spark, dir)
+          .filter(flag)
+          .withColumn("skd", array_distinct(H.shingleKeys(col("sh"))))
+          .drop("sh")
+      sigs(!isBatch).write.parquet(s"$work/sig_index") // initial build
+      sigs(isBatch).write.mode("append").parquet(s"$work/sig_index") // ingest
+      pairsFromIndex(spark.read.parquet(s"$work/sig_index"))
+        .orderBy("a_id", "b_id")
+        .localCheckpoint() // materialize before the work dir is deleted
+    } finally fs.delete(new Path(work), true)
+  }
+
+  /** q25's oracle again — see [[q94_sig_index_update]]. */
+  val q94_oracle: String = s"$lshPairsSql\nORDER BY a_id, b_id"
+
+  // ---------- q95: content-defined chunking ----------
+
+  /** Boundary-density knob: a boundary falls where a window key ≡ 0
+    * (mod this), so expected chunk length ≈ q95Mod shingle windows.
+    */
+  val q95Mod = 8
+
+  /** Content-defined chunking (the Rabin/FastCDC rule, on token
+    * windows): a chunk boundary falls AFTER token i+2 exactly when
+    * the 3-token window's 60-bit shingle key ≡ 0 (mod [[q95Mod]]).
+    * The rule is purely content-LOCAL, which is the whole point:
+    * editing one passage moves only its own boundaries, where
+    * fixed-size chunking shifts every later chunk after an insertion
+    * — the property dedup storage and RAG splitters chunk by. Output
+    * per document: token count, chunk count, largest chunk, and the
+    * boundary-offset sum (pins the exact boundary SET through the
+    * oracle's hash compare, not just the count).
+    *
+    * Scale shape: one narrow scan — shingle keys are native codegen
+    * (fused shingles3 + md5 key math), the boundary filter is a
+    * per-row array op, and the segment-length window partitions by
+    * doc_id (bounded per-doc work, fully parallel). No joins, no
+    * driver state.
+    */
+  def q95_content_chunks(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = docs(spark, dir)
+      .withColumn("toks", T.tokens(col("text")))
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"), size(col("toks")).cast("long").as("n_toks"),
+        H.shingleKeys(call_function("shingles3", col("text"))).as("sk"))
+    // chunk-start offsets in token space: 0 plus every boundary i+3
+    // (0-based window i ends at token i+2) that is not the doc's end
+    val starts = base.select(col("doc_id"), col("n_toks"),
+      explode(array_sort(array_union(
+        array(lit(0L)),
+        filter(
+          transform(col("sk"), (k, i) =>
+            when(k % q95Mod === 0, (i + 3).cast("long")).otherwise(lit(-1L))),
+          x => x >= 0L && x < col("n_toks"))))).as("start"))
+    val w = Window.partitionBy("doc_id").orderBy("start")
+    starts
+      .withColumn("chunk_toks",
+        coalesce(lead(col("start"), 1).over(w), col("n_toks")) - col("start"))
+      .groupBy("doc_id")
+      .agg(
+        max(col("n_toks")).as("n_toks"),
+        count(lit(1)).as("n_chunks"),
+        max(col("chunk_toks")).as("max_chunk_toks"),
+        sum(col("start")).as("boundary_sum"))
+      .orderBy("doc_id")
+  }
+
+  val q95_oracle: String = {
+    val toks = T.tokensSql("text")
+    val sh = H.shinglesSql("toks")
+    s"""WITH base AS (
+       |  SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_toks,
+       |    ${H.shingleKeysSql(sh)} AS sk
+       |  FROM (SELECT doc_id, $toks AS toks FROM documents)
+       |  WHERE len(toks) >= 3),
+       |st AS (
+       |  SELECT doc_id, n_toks,
+       |    unnest(list_sort(list_prepend(CAST(0 AS BIGINT),
+       |      [CAST(i + 2 AS BIGINT) for i in range(1, len(sk) + 1)
+       |       if sk[i] % $q95Mod = 0 AND i + 2 < n_toks]))) AS start
+       |  FROM base),
+       |seg AS (
+       |  SELECT doc_id, n_toks, start,
+       |    coalesce(lead(start) OVER (PARTITION BY doc_id ORDER BY start), n_toks) - start AS chunk_toks
+       |  FROM st)
+       |SELECT doc_id, max(n_toks) AS n_toks, count(*) AS n_chunks,
+       |  max(chunk_toks) AS max_chunk_toks,
+       |  CAST(sum(start) AS BIGINT) AS boundary_sum
+       |FROM seg GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
   // ---------- registry ----------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -703,7 +823,9 @@ object TextQueries {
     "q69_simhash_probe" -> (q69_simhash_probe _),
     "q72_rare_shingle_pairs" -> (q72_rare_shingle_pairs _),
     "q73_incremental_neardup" -> (q73_incremental_neardup _),
-    "q76_sig_index_persist" -> (q76_sig_index_persist _))
+    "q76_sig_index_persist" -> (q76_sig_index_persist _),
+    "q94_sig_index_update" -> (q94_sig_index_update _),
+    "q95_content_chunks" -> (q95_content_chunks _))
 
   val oracles: Map[String, String] = Map(
     "q19_token_count" -> q19_oracle,
@@ -718,5 +840,7 @@ object TextQueries {
     "q69_simhash_probe" -> q69_oracle,
     "q72_rare_shingle_pairs" -> q72_oracle,
     "q73_incremental_neardup" -> q73_oracle,
-    "q76_sig_index_persist" -> q76_oracle)
+    "q76_sig_index_persist" -> q76_oracle,
+    "q94_sig_index_update" -> q94_oracle,
+    "q95_content_chunks" -> q95_oracle)
 }

@@ -18,4 +18,21 @@ class SigIndexPersistSpec extends SparkSpec {
     fromText.foreach { case (pair, j) => assert(fromIndex(pair) == j, s"pair $pair") }
     assert(fromIndex.nonEmpty)
   }
+
+  test("q94: incrementally maintained index is indistinguishable from a rebuild") {
+    // downstream pairs (the driver gate's view)
+    val updated = TextQueries.q94_sig_index_update(spark, sf())
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val fromText = TextQueries.q25_minhash_lsh_pairs(spark, sf())
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(updated == fromText)
+    assert(updated.nonEmpty)
+    // ...and both the existing and the appended partition contributed
+    // (a split where one side is empty would pass trivially)
+    import org.apache.spark.sql.functions._
+    val flag = substring(md5(concat(lit("b73|"), col("doc_id").cast("string"))), 1, 1)
+      .isin("0", "1")
+    val docs = graft.Tables.load(spark, sf(), "documents")
+    assert(docs.filter(flag).count() > 0 && docs.filter(!flag).count() > 0)
+  }
 }
