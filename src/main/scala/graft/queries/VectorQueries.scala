@@ -242,6 +242,60 @@ object VectorQueries {
       .orderBy("q_id", "rk")
   }
 
+  // ---------- q96: persisted IVF index ----------
+
+  /** The IVF index as a STORED artifact — the vector member of the
+    * persisted-index family (q76/q94 MinHash, q84 BM25): train the
+    * coarse quantizer once, write the index (a k-row centroid table +
+    * the inverted file of cell assignments with precomputed norms),
+    * reopen, and answer q42's ANN queries purely from stored columns.
+    * At 100 TB the quantizer trains once per corpus version and every
+    * query fleet reads the same artifact — re-training per query run
+    * (what q42 does as a self-contained operator) is the part this
+    * lifecycle removes. Rows-only at the driver like q42 (k-means
+    * floats have no SQL twin); IvfPersistSpec pins the stored-index
+    * search equal to the fresh-build search row for row.
+    */
+  def q96_ivf_index_persist(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    import spark.implicits._
+    val work = java.nio.file.Files.createTempDirectory("graft-q96-").toString
+    val fs = new Path(work).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    try {
+      val e = emb(spark, dir)
+      val model = graft.similarity.IvfIndex.train(e, "v", k = 16,
+        sampleIdCol = Some("vec_id"))
+      model.centroids.zipWithIndex.map { case (c, j) => (j, c) }
+        .toDF("cell_id", "centroid")
+        .write.parquet(s"$work/centroids")
+      e.withColumn("cell", model.cell(col("v")))
+        .select(col("vec_id"), col("cell"), col("v"), V.norm(col("v")).as("n_nrm"))
+        .write.parquet(s"$work/postings")
+      // reopen: quantizer and inverted file both come from storage
+      val storedCentroids = spark.read.parquet(s"$work/centroids")
+        .orderBy("cell_id").collect()
+        .map(_.getSeq[Double](1).toSeq).toSeq
+      val stored = graft.similarity.IvfIndex.Model(storedCentroids)
+      val postings = spark.read.parquet(s"$work/postings")
+        .select(col("vec_id").as("n_id"), col("v").as("nv"),
+          col("cell"), col("n_nrm"))
+      val queries = e.filter(col("vec_id") < 50)
+        .withColumn("probe_cells", stored.probeCells(col("v"), nProbe = 4))
+        .select(col("vec_id").as("q_id"), col("v").as("qv"),
+          explode(col("probe_cells")).as("cell"), V.norm(col("v")).as("q_nrm"))
+      val cos = V.cosineWithNorms(col("qv"), col("nv"), col("q_nrm"), col("n_nrm"))
+      val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id").asc)
+      queries.join(postings, Seq("cell"))
+        .filter(col("q_id") =!= col("n_id"))
+        .select(col("q_id"), col("n_id"), cos.as("cos"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select("q_id", "rk", "n_id", "cos")
+        .orderBy("q_id", "rk")
+        .localCheckpoint() // materialize before the work dir is deleted
+    } finally fs.delete(new Path(work), true)
+  }
+
   // ---------- q79: int8-quantized similarity scoring ----------
 
   /** Scalar int8 quantization of the embedding index — the standard
@@ -363,6 +417,9 @@ object VectorQueries {
     // q42 has no oracle on purpose: k-means training is engine-
     // specific; IvfIndexSpec bounds recall against brute force
     "q42_knn_ivf" -> (q42_knn_ivf _),
+    // q96 rows-only for the same reason; IvfPersistSpec pins
+    // stored-index search == fresh-build search row for row
+    "q96_ivf_index_persist" -> (q96_ivf_index_persist _),
     "q70_knn_lsh_multiprobe" -> (q70_knn_lsh_multiprobe _))
 
   val oracles: Map[String, String] = Map(

@@ -1,0 +1,22 @@
+package graft.queries
+
+import graft.SparkSpec
+
+/** q96's claim: the persisted IVF index (stored centroids + inverted
+  * file with precomputed norms) answers ANN queries identically to
+  * q42's self-contained train-and-search — same neighbours, same
+  * ranks, same cosines. Doubles round-trip parquet exactly, so this
+  * is equality, not tolerance.
+  */
+class IvfPersistSpec extends SparkSpec {
+
+  test("stored-index ANN equals the fresh train-and-search, row for row") {
+    val dir = sf("sf0.01")
+    def key(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSeq
+    val fresh = key(VectorQueries.q42_knn_ivf(spark, dir).collect())
+    val stored = key(VectorQueries.q96_ivf_index_persist(spark, dir).collect())
+    assert(fresh.nonEmpty)
+    assert(stored == fresh)
+  }
+}
