@@ -342,6 +342,60 @@ object PipelineQueries {
     } finally fs.delete(new Path(work), true)
   }
 
+  // ---------- q97: schema evolution across batch generations ----------
+
+  /** Schema EVOLUTION — the ingestion reality the reference's strict
+    * schema enforcement (q01) doesn't cover: a long-lived dataset's
+    * producers upgrade, so stored batches disagree on schema (an old
+    * batch lacks the `lang` column a newer producer added). The read
+    * side must merge file schemas (parquet mergeSchema + partition
+    * discovery over batch= directories), surface the missing column
+    * as NULL for old rows, and keep every downstream aggregate
+    * well-defined. The oracle recomputes the same answer from the
+    * unsplit table — the evolution plumbing must be semantically
+    * invisible (the q49/q90 transparency rule).
+    *
+    * Scale shape: schema merge happens at file-footer level (no data
+    * read), partition discovery prunes on batch like any partition
+    * column, and the aggregate is one partial-agg scan. On a 100 TB
+    * lake this is the difference between "re-write every historical
+    * batch on schema change" and "just read it".
+    */
+  def q97_schema_evolution(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val work = java.nio.file.Files.createTempDirectory("graft-q97-").toString
+    val fs = new Path(work).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    try {
+      val docs = Tables.load(spark, dir, "documents")
+      // generation b0: written before the producer knew about `lang`
+      docs.filter(col("doc_id") % 2 === 0)
+        .select("doc_id", "source", "n_chars")
+        .write.parquet(s"$work/in/batch=b0")
+      // generation b1: the schema grew a column
+      docs.filter(col("doc_id") % 2 =!= 0)
+        .select("doc_id", "source", "n_chars", "lang")
+        .write.parquet(s"$work/in/batch=b1")
+      spark.read.option("mergeSchema", "true").parquet(s"$work/in")
+        .select(col("batch"), col("source"),
+          coalesce(col("lang"), lit("unknown")).as("lang"), col("n_chars"))
+        .groupBy("batch", "source", "lang")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).cast("long").as("total_chars"))
+        .orderBy("batch", "source", "lang")
+        .localCheckpoint() // materialize before the work dir is deleted
+    } finally fs.delete(new Path(work), true)
+  }
+
+  val q97_oracle: String =
+    """SELECT CASE WHEN doc_id % 2 = 0 THEN 'b0' ELSE 'b1' END AS batch,
+      |  source,
+      |  CASE WHEN doc_id % 2 = 0 THEN 'unknown' ELSE lang END AS lang,
+      |  count(*) AS n_docs,
+      |  CAST(sum(n_chars) AS BIGINT) AS total_chars
+      |FROM documents
+      |GROUP BY 1, 2, 3 ORDER BY batch, source, lang""".stripMargin
+
   // ---------- q09: full metadata-driven flow ----------
 
   private val docValidations = Seq(
@@ -407,7 +461,8 @@ object PipelineQueries {
     "q08_batch_filter" -> (q08_batch_filter _),
     "q09_pipeline_e2e" -> (q09_pipeline_e2e _),
     "q71_stream_consolidate" -> (q71_stream_consolidate _),
-    "q62_dedup_window" -> (q62_dedup_window _))
+    "q62_dedup_window" -> (q62_dedup_window _),
+    "q97_schema_evolution" -> (q97_schema_evolution _))
 
   val oracles: Map[String, String] = Map(
     "q01_schema_enforce" -> q01_oracle,
@@ -423,5 +478,6 @@ object PipelineQueries {
     // invariant — q07's oracle applies verbatim
     "q71_stream_consolidate" -> q07_oracle,
     // identical result to q06 by design — the formulations must agree
-    "q62_dedup_window" -> q06_oracle)
+    "q62_dedup_window" -> q06_oracle,
+    "q97_schema_evolution" -> q97_oracle)
 }
