@@ -49,6 +49,34 @@ object Skew {
       .agg(agg.combine.head, agg.combine.tail: _*)
       .withColumnRenamed("__key", "key")
 
+  /** Skew-resilient equi-JOIN via salting: the build side (the small
+    * table) is replicated `nSalts` ways and each probe row joins on
+    * (key, its deterministic salt), so a hot key's probe rows fan out
+    * over nSalts reducers instead of funneling into one. Semantically
+    * transparent — the result equals the plain equi-join row for row
+    * (every probe row meets exactly one replica of its key's build
+    * rows).
+    *
+    * When to reach for it: AQE's skew-join split handles skewed
+    * SORT-MERGE joins automatically, but only at plan boundaries it
+    * can see — salting is the explicit form for shuffle-hash paths,
+    * pre-aggregated shapes AQE won't split, or engines/settings
+    * without runtime re-planning. Cost: build side × nSalts rows
+    * shipped (fine for dims; wrong for two large sides — bucket or
+    * range-partition those instead).
+    */
+  def saltedJoin(
+      probe: DataFrame,
+      build: DataFrame,
+      key: String,
+      saltSource: Column,
+      nSalts: Int = 16): DataFrame = {
+    val salted = probe.withColumn("__salt", salt(nSalts, saltSource))
+    val replicated = build.withColumn("__salt",
+      explode(array((0 until nSalts).map(lit): _*)))
+    salted.join(replicated, Seq(key, "__salt")).drop("__salt")
+  }
+
   /** The common count+sum shape. */
   def countAndSum(
       df: DataFrame,

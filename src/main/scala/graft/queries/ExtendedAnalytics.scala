@@ -147,17 +147,62 @@ object ExtendedAnalytics {
       |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  // ---------- q98: skew-resilient salted join ----------
+
+  /** [[graft.operators.Skew.saltedJoin]] driver-gated against the
+    * plain-join oracle — the join-side completion of q80's salted
+    * aggregation. events.user_id is the fact key (users repeat across
+    * the whole table); the per-user dimension (each user's newest
+    * order) is replicated across 16 salts so any viral user's event
+    * rows spread over 16 reducers instead of one. The oracle is the
+    * UNSALTED join + aggregate: salting must be invisible in the
+    * result (every probe row meets exactly one replica), which the
+    * hash-compare proves exactly.
+    */
+  def q98_salted_join(spark: SparkSession, dir: String): DataFrame = {
+    val events = Tables.load(spark, dir, "events")
+      .select(col("user_id"), col("event_id"), col("value").cast(dec18).as("v"))
+    val dim = graft.operators.Dedup.keepNewest(
+      Tables.load(spark, dir, "orders"), col("o_custkey"),
+      col("o_orderdate"), col("o_orderkey"))
+      .select(col("o_custkey").as("user_id"), col("o_orderkey"))
+    // salt by the unique event id: uniform fan-out even when values repeat
+    graft.operators.Skew.saltedJoin(
+      events, dim, key = "user_id", saltSource = col("event_id"), nSalts = 16)
+      .groupBy("user_id")
+      .agg(
+        count(lit(1)).as("n_events"),
+        max(col("o_orderkey")).as("newest_orderkey"),
+        sum(col("v")).cast("double").as("total_value"))
+      .orderBy("user_id")
+  }
+
+  val q98_oracle: String =
+    """WITH dim AS (
+      |  SELECT o_custkey AS user_id, o_orderkey FROM (
+      |    SELECT *, ROW_NUMBER() OVER (
+      |      PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+      |    FROM orders)
+      |  WHERE rn = 1)
+      |SELECT user_id, count(*) AS n_events,
+      |  max(o_orderkey) AS newest_orderkey,
+      |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      |FROM events JOIN dim USING (user_id)
+      |GROUP BY user_id ORDER BY user_id""".stripMargin
+
   // ---------- registry ----------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q53_grouping_sets" -> (q53_grouping_sets _),
     "q54_set_ops" -> (q54_set_ops _),
     "q55_scd2" -> (q55_scd2 _),
-    "q80_skew_agg" -> (q80_skew_agg _))
+    "q80_skew_agg" -> (q80_skew_agg _),
+    "q98_salted_join" -> (q98_salted_join _))
 
   val oracles: Map[String, String] = Map(
     "q53_grouping_sets" -> q53_oracle,
     "q54_set_ops" -> q54_oracle,
     "q55_scd2" -> q55_oracle,
-    "q80_skew_agg" -> q80_oracle)
+    "q80_skew_agg" -> q80_oracle,
+    "q98_salted_join" -> q98_oracle)
 }
