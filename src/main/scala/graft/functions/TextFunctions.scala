@@ -83,8 +83,19 @@ object TextFunctions {
     * non-punctuation share, mean word length. Pure double arithmetic in
     * a fixed operation order, so Spark and DuckDB agree bit-for-bit —
     * no rounding anywhere.
+    *
+    * Runs as the native one-pass [[graft.plans.QualityScore]] scan
+    * (the declarative composite below costs four regex passes per
+    * document); QualityScoreSpec pins value equality between the two,
+    * and the DuckDB twin still speaks the declarative SQL.
     */
-  def qualityScore(text: Column): Column = {
+  def qualityScore(text: Column): Column =
+    call_function("quality_score", text)
+
+  /** The declarative form [[qualityScore]] fuses — kept as the
+    * equality reference (and the shape the SQL twin mirrors).
+    */
+  def qualityScoreDeclarative(text: Column): Column = {
     val toks = tokens(text)
     val nToks = size(toks).cast("double")
     val chars = length(text).cast("double")

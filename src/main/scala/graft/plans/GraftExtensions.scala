@@ -122,6 +122,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             case other => throw new IllegalArgumentException(
               s"simhash_sig width must be an integer literal, got $other")
           })))
+    // quality_score(text): one-pass composite quality score — the
+    // fused form of the four-regex-pass declarative composite. Direct-
+    // call like minhash_sig (the declarative pattern spans least/when
+    // arithmetic over five separately-derived counts — not a practical
+    // rewrite target); QualityScoreSpec pins value equality with the
+    // declarative form, which the DuckDB oracles keep speaking.
+    ext.injectFunction((
+      new FunctionIdentifier("quality_score"),
+      new ExpressionInfo(classOf[QualityScore].getName, "quality_score"),
+      (children: Seq[Expression]) =>
+        QualityScore(Cast(children.head, org.apache.spark.sql.types.StringType))))
     // bloom_might_contain(serialized_bloom, long_key): Spark's own
     // codegen'd BloomFilterMightContain (the expression behind AQE's
     // runtime row-level bloom), exposed for EXPLICIT bloom pruning —
