@@ -214,6 +214,23 @@ object VectorQueries {
 
   // ---------- q42: IVF ANN ----------
 
+  /** The session's coarse quantizer, trained once per corpus dir and
+    * shared by q42 (search) and q96 (persist lifecycle) — training is
+    * deterministic (fixed seed, content-hash sample), so the memo
+    * cannot change answers (IvfPersistSpec pins fresh-train
+    * determinism); it only removes the re-training a real deployment
+    * never does per query. Same lifecycle as TextQueries.SigIndex and
+    * BpeTrain.Merges.
+    */
+  private object IvfModel {
+    private val built =
+      new java.util.concurrent.ConcurrentHashMap[String, graft.similarity.IvfIndex.Model]()
+    def get(spark: SparkSession, dir: String): graft.similarity.IvfIndex.Model =
+      built.computeIfAbsent(dir, _ =>
+        graft.similarity.IvfIndex.train(emb(spark, dir), "v", k = 16,
+          sampleIdCol = Some("vec_id")))
+  }
+
   /** Trained-quantizer ANN: k-means cells + 4-probe search, the IVF
     * counterpart of q29's LSH. Rows-only driver check (k-means floats
     * are engine-specific, so no SQL oracle); IvfIndexSpec bounds
@@ -221,8 +238,7 @@ object VectorQueries {
     */
   def q42_knn_ivf(spark: SparkSession, dir: String): DataFrame = {
     val e = emb(spark, dir)
-    val model = graft.similarity.IvfIndex.train(e, "v", k = 16,
-      sampleIdCol = Some("vec_id"))
+    val model = IvfModel.get(spark, dir)
     val corpusCells = e
       .withColumn("cell", model.cell(col("v")))
       .select(col("vec_id").as("n_id"), col("v").as("nv"), col("cell"),
@@ -263,8 +279,7 @@ object VectorQueries {
     val fs = new Path(work).getFileSystem(spark.sparkContext.hadoopConfiguration)
     try {
       val e = emb(spark, dir)
-      val model = graft.similarity.IvfIndex.train(e, "v", k = 16,
-        sampleIdCol = Some("vec_id"))
+      val model = IvfModel.get(spark, dir)
       model.centroids.zipWithIndex.map { case (c, j) => (j, c) }
         .toDF("cell_id", "centroid")
         .write.parquet(s"$work/centroids")

@@ -19,4 +19,17 @@ class IvfPersistSpec extends SparkSpec {
     assert(fresh.nonEmpty)
     assert(stored == fresh)
   }
+
+  test("quantizer training is deterministic (keeps the shared-model memo honest)") {
+    // q42/q96 share one memoized model per corpus dir; that is only
+    // sound if a fresh training reproduces it exactly
+    val dir = sf("sf0.01")
+    val e = graft.Tables.load(spark, dir, "embeddings")
+      .select(org.apache.spark.sql.functions.col("vec_id"),
+        graft.functions.VectorFunctions.asDouble(
+          org.apache.spark.sql.functions.col("embedding")).as("v"))
+    val a = graft.similarity.IvfIndex.train(e, "v", k = 16, sampleIdCol = Some("vec_id"))
+    val b = graft.similarity.IvfIndex.train(e, "v", k = 16, sampleIdCol = Some("vec_id"))
+    assert(a.centroids == b.centroids)
+  }
 }
