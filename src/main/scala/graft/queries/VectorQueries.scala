@@ -214,20 +214,20 @@ object VectorQueries {
 
   // ---------- q42: IVF ANN ----------
 
-  /** The session's coarse quantizer, trained once per corpus dir and
-    * shared by q42 (search) and q96 (persist lifecycle) — training is
-    * deterministic (fixed seed, content-hash sample), so the memo
-    * cannot change answers (IvfPersistSpec pins fresh-train
-    * determinism); it only removes the re-training a real deployment
-    * never does per query. Same lifecycle as TextQueries.SigIndex and
-    * BpeTrain.Merges.
+  /** The session's coarse quantizers, trained once per (corpus dir,
+    * cell count) and shared across consumers — q42+q96 at k=16, q87
+    * at its corpus-adaptive k. Training is deterministic (fixed seed,
+    * content-hash sample), so the memo cannot change answers
+    * (IvfPersistSpec pins fresh-train determinism); it only removes
+    * the re-training a real deployment never does per query. Same
+    * lifecycle as TextQueries.SigIndex and BpeTrain.Merges.
     */
   private object IvfModel {
     private val built =
       new java.util.concurrent.ConcurrentHashMap[String, graft.similarity.IvfIndex.Model]()
-    def get(spark: SparkSession, dir: String): graft.similarity.IvfIndex.Model =
-      built.computeIfAbsent(dir, _ =>
-        graft.similarity.IvfIndex.train(emb(spark, dir), "v", k = 16,
+    def get(spark: SparkSession, dir: String, k: Int): graft.similarity.IvfIndex.Model =
+      built.computeIfAbsent(s"$dir|$k", _ =>
+        graft.similarity.IvfIndex.train(emb(spark, dir), "v", k = k,
           sampleIdCol = Some("vec_id")))
   }
 
@@ -238,7 +238,7 @@ object VectorQueries {
     */
   def q42_knn_ivf(spark: SparkSession, dir: String): DataFrame = {
     val e = emb(spark, dir)
-    val model = IvfModel.get(spark, dir)
+    val model = IvfModel.get(spark, dir, k = 16)
     val corpusCells = e
       .withColumn("cell", model.cell(col("v")))
       .select(col("vec_id").as("n_id"), col("v").as("nv"), col("cell"),
@@ -279,7 +279,7 @@ object VectorQueries {
     val fs = new Path(work).getFileSystem(spark.sparkContext.hadoopConfiguration)
     try {
       val e = emb(spark, dir)
-      val model = IvfModel.get(spark, dir)
+      val model = IvfModel.get(spark, dir, k = 16)
       model.centroids.zipWithIndex.map { case (c, j) => (j, c) }
         .toDF("cell_id", "centroid")
         .write.parquet(s"$work/centroids")
@@ -402,8 +402,7 @@ object VectorQueries {
   def q87_semdedup(spark: SparkSession, dir: String): DataFrame = {
     val e = emb(spark, dir)
     val k = math.max(semDedupCells, (e.count() / semDedupTargetCell).toInt)
-    val model = graft.similarity.IvfIndex.train(e, "v", k = k,
-      sampleIdCol = Some("vec_id"))
+    val model = IvfModel.get(spark, dir, k)
     val cells = e.withColumn("cell", model.cell(col("v")))
     val a = cells.select(col("cell"), col("vec_id").as("a_id"),
       col("v").as("qv"), V.norm(col("v")).as("q_nrm"))
