@@ -52,8 +52,19 @@ object TextFunctions {
 
   /** Argmax over language scores; ties resolve in declaration order;
     * all-zero → 'und' (ISO undetermined).
+    *
+    * Runs as the native one-pass [[graft.plans.LangId]] array scan
+    * (the declarative form below traverses the array once per
+    * language profile); LangIdSpec pins value equality, and the
+    * DuckDB twin still speaks the declarative SQL.
     */
-  def langId(toks: Column): Column = {
+  def langId(toks: Column): Column =
+    call_function("lang_id", toks)
+
+  /** The declarative form [[langId]] fuses — kept as the equality
+    * reference (and the shape the SQL twin mirrors).
+    */
+  def langIdDeclarative(toks: Column): Column = {
     val scores = stopwords.map { case (l, ws) => l -> stopwordCount(toks, ws) }
     scores.foldRight(lit("und")) { case ((l, s), rest) =>
       val beatsAll = scores.takeWhile(_._1 != l).map(_._2).foldLeft(s > 0: Column) {

@@ -122,6 +122,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             case other => throw new IllegalArgumentException(
               s"simhash_sig width must be an integer literal, got $other")
           })))
+    // lang_id(token_array): one-pass stopword-profile language ID —
+    // the fused form of one filter-traversal per language plus an
+    // argmax tree. Direct-call like minhash_sig; LangIdSpec pins
+    // value equality with the declarative form.
+    ext.injectFunction((
+      new FunctionIdentifier("lang_id"),
+      new ExpressionInfo(classOf[LangId].getName, "lang_id"),
+      (children: Seq[Expression]) =>
+        LangId(Cast(children.head,
+          org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.StringType)))))
     // quality_score(text): one-pass composite quality score — the
     // fused form of the four-regex-pass declarative composite. Direct-
     // call like minhash_sig (the declarative pattern spans least/when
