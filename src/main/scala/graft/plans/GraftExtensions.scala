@@ -122,6 +122,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             case other => throw new IllegalArgumentException(
               s"simhash_sig width must be an integer literal, got $other")
           })))
+    // normalize_text(text): fused canonical normalization — lower()
+    // via UTF8String.toLowerCase (the exact lower() operation) then
+    // one scan replacing two regexp_replace passes + trim. Direct-
+    // call; NormalizeTextSpec pins value equality.
+    ext.injectFunction((
+      new FunctionIdentifier("normalize_text"),
+      new ExpressionInfo(classOf[NormalizeText].getName, "normalize_text"),
+      (children: Seq[Expression]) =>
+        NormalizeText(Cast(children.head, org.apache.spark.sql.types.StringType))))
     // lang_id(token_array): one-pass stopword-profile language ID —
     // the fused form of one filter-traversal per language plus an
     // argmax tree. Direct-call like minhash_sig; LangIdSpec pins

@@ -74,13 +74,17 @@ object CorpusQueries {
     * then the content hash of the normalized form. Narrow, codegen'd.
     */
   def q34_normalize(spark: SparkSession, dir: String): DataFrame = {
-    val norm = trim(regexp_replace(
-      regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), " +", " "))
+    // native fused normalization ([[graft.plans.NormalizeText]] — one
+    // scan instead of two regex passes, and the declarative chain was
+    // evaluated twice, once under length and once under md5);
+    // projected as its own column so the non-cheap expression is
+    // computed once per row, then length/md5 read the column
     Tables.load(spark, dir, "documents")
+      .withColumn("norm", call_function("normalize_text", col("text")))
       .select(
         col("doc_id"),
-        length(norm).as("n_norm_chars"),
-        md5(norm).as("norm_md5"))
+        length(col("norm")).as("n_norm_chars"),
+        md5(col("norm")).as("norm_md5"))
       .orderBy("doc_id")
   }
 
