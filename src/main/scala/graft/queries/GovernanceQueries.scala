@@ -1,0 +1,170 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.Expectations
+import graft.operators.Expectations._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Data-governance operators (round 8): declarative table-level
+  * expectations and one-pass column profiling — the certify-and-
+  * describe layer a metadata-driven pipeline runs over its own
+  * outputs. The reference expresses this contract as a pytest suite
+  * outside the engine (reference tests/test_pipeline_motor.py);
+  * here it is engine metadata like everything else.
+  */
+object GovernanceQueries {
+
+  // ---------- q99: declarative expectations over the warehouse ----------
+
+  /** The expectation catalog evaluated by q99 — a deliberate mix of
+    * passing and failing declarations (a verdict table that can only
+    * ever say "pass" certifies nothing): o_orderkey IS a key while
+    * o_custkey is not (customers reorder), and the declared two-value
+    * order-status domain is violated by every in-flight 'P' row.
+    */
+  private val expectationDefs: Seq[ExpectationDef] = Seq(
+    Unique("e01_unique_orderkey", "orders", "o_orderkey"),
+    Unique("e02_unique_custkey", "orders", "o_custkey"),
+    ForeignKey("e03_fk_orders_customer", "orders", "o_custkey", "customer", "c_custkey"),
+    NotNull("e04_notnull_user", "events", "user_id"),
+    AcceptedValues("e05_domain_status", "orders", "o_orderstatus", Seq("O", "F")),
+    Bounds("e06_bounds_value", "events", "value", min = Some(0.0), max = Some(1000.0)),
+    RowCountMin("e07_rowcount_documents", "documents", 10L),
+    Bounds("e08_bounds_totalprice", "orders", "o_totalprice", min = Some(0.0), max = None))
+
+  /** Evaluate the catalog: one verdict row per expectation. All five
+    * scan-shaped checks on `orders` fuse into ONE aggregate pass over
+    * one scan (Expectations.scanViolations — the property that makes a
+    * 50-expectation contract affordable on a 100 TB table), events and
+    * documents each cost one more scan, and the referential check is a
+    * single LEFT ANTI join with the dimension side broadcast.
+    */
+  def q99_expectations(spark: SparkSession, dir: String): DataFrame =
+    Expectations.evaluate(spark, name => Tables.load(spark, dir, name), expectationDefs)
+
+  val q99_oracle: String =
+    """WITH v AS (
+      |  SELECT 'e01_unique_orderkey' AS expectation_id, 'orders' AS table_name,
+      |    'unique' AS kind, 'o_orderkey' AS column_name,
+      |    CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT) AS violations
+      |  FROM orders
+      |  UNION ALL
+      |  SELECT 'e02_unique_custkey', 'orders', 'unique', 'o_custkey',
+      |    CAST(count(*) - count(DISTINCT o_custkey) AS BIGINT)
+      |  FROM orders
+      |  UNION ALL
+      |  SELECT 'e03_fk_orders_customer', 'orders', 'foreign_key', 'o_custkey',
+      |    CAST((SELECT count(*) FROM orders o
+      |          WHERE o.o_custkey IS NOT NULL
+      |            AND NOT EXISTS (SELECT 1 FROM customer c
+      |                            WHERE c.c_custkey = o.o_custkey)) AS BIGINT)
+      |  UNION ALL
+      |  SELECT 'e04_notnull_user', 'events', 'not_null', 'user_id',
+      |    CAST(count(*) FILTER (WHERE user_id IS NULL) AS BIGINT)
+      |  FROM events
+      |  UNION ALL
+      |  SELECT 'e05_domain_status', 'orders', 'accepted_values', 'o_orderstatus',
+      |    CAST(count(*) FILTER (
+      |      WHERE NOT coalesce(o_orderstatus IN ('O', 'F'), false)) AS BIGINT)
+      |  FROM orders
+      |  UNION ALL
+      |  SELECT 'e06_bounds_value', 'events', 'bounds', 'value',
+      |    CAST(count(*) FILTER (WHERE value < 0.0 OR value > 1000.0) AS BIGINT)
+      |  FROM events
+      |  UNION ALL
+      |  SELECT 'e07_rowcount_documents', 'documents', 'row_count_min', '',
+      |    CAST(greatest(10 - count(*), 0) AS BIGINT)
+      |  FROM documents
+      |  UNION ALL
+      |  SELECT 'e08_bounds_totalprice', 'orders', 'bounds', 'o_totalprice',
+      |    CAST(count(*) FILTER (WHERE o_totalprice < 0.0) AS BIGINT)
+      |  FROM orders)
+      |SELECT expectation_id, table_name, kind, column_name, violations,
+      |  CASE WHEN violations = 0 THEN 'pass' ELSE 'fail' END AS status
+      |FROM v ORDER BY expectation_id""".stripMargin
+
+  // ---------- q100: one-pass column profiling ----------
+
+  /** Whole-table column profile — the `describe`/summary operator a
+    * pipeline runs before writing expectations in the first place:
+    * per column, row/null/distinct counts, numeric min/max (kept
+    * NUMERIC — cross-engine double→string formatting is not stable,
+    * values are), string min/max, and mean string length as an exact
+    * scaled integer (micro-units — q83's rational-arithmetic rule, so
+    * the value is independent of partial-aggregation order).
+    *
+    * Scale shape: ALL metrics for ALL profiled columns compute in ONE
+    * aggregation over ONE scan of the table (25 agg columns here);
+    * the per-column row layout is a 1-row stack — no per-column scans,
+    * no driver loop. Exact distinct counts ride Spark's multi-distinct
+    * Expand; at extreme column counts the documented trade is
+    * approx_count_distinct (q41's sketch family) for one fewer
+    * shuffle round.
+    */
+  def q100_profile(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.load(spark, dir, "orders")
+    val numeric = Seq("o_orderkey", "o_custkey", "o_totalprice")
+    val strings = Seq("o_orderstatus", "o_orderpriority")
+    val aggs = (numeric ++ strings).flatMap { c =>
+      val isNum = numeric.contains(c)
+      Seq(
+        count(col(c)).cast("long").as(s"$c#n_values"),
+        count_if(col(c).isNull).cast("long").as(s"$c#n_nulls"),
+        count_distinct(col(c)).cast("long").as(s"$c#n_distinct"),
+        (if (isNum) min(col(c)).cast("double") else lit(null).cast("double"))
+          .as(s"$c#min_num"),
+        (if (isNum) max(col(c)).cast("double") else lit(null).cast("double"))
+          .as(s"$c#max_num"),
+        (if (isNum) lit(null).cast("string") else min(col(c))).as(s"$c#min_str"),
+        (if (isNum) lit(null).cast("string") else max(col(c))).as(s"$c#max_str"),
+        (if (isNum) lit(null).cast("long")
+         else floor(sum(length(col(c)).cast("long")) * 1000000L / count(col(c))))
+          .cast("long").as(s"$c#avg_len_micro"))
+    }
+    val one = orders.agg(aggs.head, aggs.tail: _*)
+    val metrics = Seq("n_values", "n_nulls", "n_distinct", "min_num",
+      "max_num", "min_str", "max_str", "avg_len_micro")
+    val stackArgs = (numeric ++ strings).map { c =>
+      (s"'$c'" +: metrics.map(m => s"`$c#$m`")).mkString(", ")
+    }.mkString(", ")
+    one.selectExpr(
+      s"stack(${numeric.size + strings.size}, $stackArgs) AS " +
+        s"(column_name, ${metrics.mkString(", ")})")
+      .orderBy("column_name")
+  }
+
+  val q100_oracle: String = {
+    def num(c: String) =
+      s"""SELECT '$c' AS column_name,
+         |  CAST(count($c) AS BIGINT) AS n_values,
+         |  CAST(count(*) FILTER (WHERE $c IS NULL) AS BIGINT) AS n_nulls,
+         |  CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+         |  CAST(min($c) AS DOUBLE) AS min_num,
+         |  CAST(max($c) AS DOUBLE) AS max_num,
+         |  CAST(NULL AS VARCHAR) AS min_str,
+         |  CAST(NULL AS VARCHAR) AS max_str,
+         |  CAST(NULL AS BIGINT) AS avg_len_micro
+         |FROM orders""".stripMargin
+    def str(c: String) =
+      s"""SELECT '$c',
+         |  CAST(count($c) AS BIGINT),
+         |  CAST(count(*) FILTER (WHERE $c IS NULL) AS BIGINT),
+         |  CAST(count(DISTINCT $c) AS BIGINT),
+         |  CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+         |  min($c), max($c),
+         |  CAST(floor(sum(CAST(length($c) AS BIGINT)) * 1000000 / count($c)) AS BIGINT)
+         |FROM orders""".stripMargin
+    (Seq("o_orderkey", "o_custkey", "o_totalprice").map(num) ++
+      Seq("o_orderstatus", "o_orderpriority").map(str))
+      .mkString("", "\nUNION ALL\n", "\nORDER BY column_name")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q99_expectations" -> (q99_expectations _),
+    "q100_profile" -> (q100_profile _))
+
+  val oracles: Map[String, String] = Map(
+    "q99_expectations" -> q99_oracle,
+    "q100_profile" -> q100_oracle)
+}
