@@ -155,11 +155,57 @@ object ChangeCapture {
       |FROM documents WHERE doc_id >= 100 AND doc_id < 200
       |GROUP BY source ORDER BY source""".stripMargin
 
+  // ---------- q101: Z-order layout, two-dimensional pruned scan ----------
+
+  /** The multi-dimensional member of the layout family (round 8):
+    * [[graft.io.Layout.writeZOrdered]] driver-gated end-to-end. q90's
+    * range clustering prunes perfectly on doc_id and not at all on any
+    * other column; here the corpus is written Z-ORDERED on
+    * (doc_id, n_chars) — each parquet file covers one contiguous
+    * Morton-code range, i.e. a small RECTANGLE in (doc_id, n_chars)
+    * space — and a conjunctive band predicate over both dimensions is
+    * answered from the reopened artifact. Same transparency rule as
+    * q49/q90: the oracle is the plain filtered aggregate, because a
+    * storage layout must never change answers; what it changes is that
+    * BOTH halves of the predicate prune files (ZOrderSpec measures the
+    * file-skip effect against a single-column clustering of the same
+    * data). At 100 TB this is the difference between "fast queries on
+    * the one blessed sort column" and "fast queries on every clustered
+    * dimension".
+    */
+  def q101_zorder(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val work = java.nio.file.Files.createTempDirectory("graft-q101-").toString
+    val fs = new Path(work).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    try {
+      graft.io.Layout.writeZOrdered(
+        Tables.load(spark, dir, "documents").select("doc_id", "source", "n_chars"),
+        s"$work/docs", numFiles = 16, "doc_id", "n_chars")
+      spark.read.parquet(s"$work/docs")
+        .filter(col("doc_id") >= 100 && col("doc_id") < 400 &&
+          col("n_chars") >= 150 && col("n_chars") < 300)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).cast("long").as("total_chars"))
+        .orderBy("source")
+        .localCheckpoint() // materialize before the work dir is deleted
+    } finally fs.delete(new Path(work), true)
+  }
+
+  val q101_oracle: String =
+    """SELECT source, count(*) AS n_docs,
+      |  CAST(sum(n_chars) AS BIGINT) AS total_chars
+      |FROM documents
+      |WHERE doc_id >= 100 AND doc_id < 400 AND n_chars >= 150 AND n_chars < 300
+      |GROUP BY source ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q85_cdc_changelog" -> (q85_cdc_changelog _),
-    "q90_layout_prune" -> (q90_layout_prune _))
+    "q90_layout_prune" -> (q90_layout_prune _),
+    "q101_zorder" -> (q101_zorder _))
 
   val oracles: Map[String, String] = Map(
     "q85_cdc_changelog" -> q85_oracle,
-    "q90_layout_prune" -> q90_oracle)
+    "q90_layout_prune" -> q90_oracle,
+    "q101_zorder" -> q101_oracle)
 }
