@@ -300,13 +300,90 @@ object StreamingParity {
       |  user_id, event_type, value
       |FROM events ORDER BY event_id""".stripMargin
 
+  // ---------- q102: stream-stream interval join ≡ batch join ----------
+
+  /** STREAM-STREAM inner join driver-gated — the last Structured
+    * Streaming operator family the suite exercises (q74 covered
+    * stateful aggregation, q75 arbitrary state, q88 stateful
+    * filtering; this is two-sided join state): each click joins every
+    * view by the same user in the preceding hour — the attribution
+    * join — with BOTH sides watermarked at 2 h and the interval
+    * condition `v_ts ∈ [c_ts − 1 h, c_ts]` bounding join state.
+    *
+    * Why no match can be lost to state eviction: batches arrive in ts
+    * order, so when batch 1's clicks (ts ≥ cutoff) are processed the
+    * watermark is max(b0) − 2 h ≈ cutoff − 2 h, and Spark only evicts
+    * view state older than watermark − 1 h (the condition's lower
+    * bound) = cutoff − 3 h — strictly below the oldest view any
+    * batch-1 click can reach (cutoff − 1 h). Inner-join rows emit as
+    * soon as both sides have arrived, so no sentinel is needed.
+    *
+    * Scale shape: join state is bounded by the watermark + interval
+    * (3 h of views, 2 h of clicks per user), never the stream; the
+    * oracle is the plain batch interval join over the whole events
+    * table — streaming and batch must agree row for row.
+    */
+  def q102_stream_join(spark: SparkSession, dir: String): DataFrame = {
+    val work = java.nio.file.Files.createTempDirectory("graft-q102-").toString
+    val watchDir = s"$work/incoming"
+    val fs = new Path(work).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    try {
+      stageBatches(spark, dir, fs, watchDir, Seq("b0", "b1"))
+      val schema = spark.read.parquet(s"$watchDir/b0.parquet").schema
+      withShufflePartitions(spark, 8) {
+        val stream = spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", 1).parquet(watchDir)
+        val views = stream.filter(col("event_type") === "view")
+          .select(col("event_id").as("view_id"), col("ts").as("view_ts"),
+            col("user_id").as("v_user"))
+          .withWatermark("view_ts", "2 hours")
+        val clicks = stream.filter(col("event_type") === "click")
+          .select(col("event_id").as("click_id"), col("ts").as("click_ts"),
+            col("user_id").as("user_id"))
+          .withWatermark("click_ts", "2 hours")
+        val query = views.join(clicks,
+            expr("""v_user = user_id AND
+                    view_ts <= click_ts AND
+                    view_ts >= click_ts - INTERVAL 1 HOUR"""))
+          .select("click_id", "view_id", "user_id", "view_ts", "click_ts")
+          .writeStream
+          .trigger(Trigger.AvailableNow())
+          .outputMode(OutputMode.Append())
+          .format("parquet")
+          .option("path", s"$work/out")
+          .option("checkpointLocation", s"$work/ckpt")
+          .start()
+        query.awaitTermination()
+      }
+      spark.read.parquet(s"$work/out")
+        .select(col("click_id"), col("view_id"), col("user_id"),
+          date_format(col("view_ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("view_ts"),
+          date_format(col("click_ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("click_ts"))
+        .orderBy("click_id", "view_id")
+        .localCheckpoint() // materialize before the work dir is deleted
+    } finally fs.delete(new Path(work), true)
+  }
+
+  /** The batch attribution join — streaming must reproduce it exactly. */
+  val q102_oracle: String =
+    """SELECT c.event_id AS click_id, v.event_id AS view_id, c.user_id,
+      |  strftime(v.ts, '%Y-%m-%d %H:%M:%S.%f') AS view_ts,
+      |  strftime(c.ts, '%Y-%m-%d %H:%M:%S.%f') AS click_ts
+      |FROM events v JOIN events c
+      |  ON v.user_id = c.user_id
+      | AND v.event_type = 'view' AND c.event_type = 'click'
+      | AND v.ts <= c.ts AND v.ts >= c.ts - INTERVAL 1 HOUR
+      |ORDER BY click_id, view_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q74_stream_tumbling" -> (q74_stream_tumbling _),
     "q75_stream_sessionize" -> (q75_stream_sessionize _),
-    "q88_stream_dedup" -> (q88_stream_dedup _))
+    "q88_stream_dedup" -> (q88_stream_dedup _),
+    "q102_stream_join" -> (q102_stream_join _))
 
   val oracles: Map[String, String] = Map(
     "q74_stream_tumbling" -> q74_oracle,
     "q75_stream_sessionize" -> q75_oracle,
-    "q88_stream_dedup" -> q88_oracle)
+    "q88_stream_dedup" -> q88_oracle,
+    "q102_stream_join" -> q102_oracle)
 }
