@@ -160,11 +160,75 @@ object GovernanceQueries {
       .mkString("", "\nUNION ALL\n", "\nORDER BY column_name")
   }
 
+  // ---------- q103: versioned time travel (merge-on-read) ----------
+
+  /** Time travel over [[graft.io.Versioned]] driver-gated: commit the
+    * pre-1998 orders as version 1 and the 1998+ ingest as version 2
+    * (an APPEND — version 1's files are never rewritten), then answer
+    * the same keep-newest-per-customer summary AS OF each version from
+    * the commit log. Version resolution is marker-based, the as-of
+    * read is one multi-path parquet scan, and the current-state squash
+    * is the reader's keep-newest dedup (merge-on-read) — the
+    * reference consolidator's semantics applied at READ time, which is
+    * what makes the write path O(delta) at 100 TB. The oracle
+    * recomputes both versions directly from the unsplit orders table
+    * (the q49/q90/q101 transparency rule: versioning must never change
+    * answers, only which prefix of history produces them).
+    */
+  def q103_time_travel(spark: SparkSession, dir: String): DataFrame = {
+    import graft.io.Versioned
+    import graft.meta.{ConsolidationDef, DedupDef}
+    import graft.operators.Consolidator
+    import org.apache.hadoop.fs.Path
+    val work = java.nio.file.Files.createTempDirectory("graft-q103-").toString
+    val fs = new Path(work).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    try {
+      val table = s"$work/orders_mor"
+      val orders = Tables.load(spark, dir, "orders")
+      val cutoff = to_timestamp(lit("1998-01-01 00:00:00"))
+      val v1 = Versioned.commit(spark, table, orders.filter(col("o_orderdate") < cutoff))
+      val v2 = Versioned.commit(spark, table, orders.filter(col("o_orderdate") >= cutoff))
+      val cfg = ConsolidationDef(
+        enabled = true, inputPattern = "", outputPath = "",
+        dedup = DedupDef(enabled = true, keyColumn = "o_custkey",
+          orderBy = "o_orderdate", orderDirection = "DESC"))
+      def summary(v: Int): DataFrame =
+        Consolidator.dedup(Versioned.readAsOf(spark, table, v), cfg, "o_orderkey")
+          .agg(
+            count(lit(1)).cast("long").as("n_customers"),
+            sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+              .as("latest_total"),
+            date_format(max(col("o_orderdate")), "yyyy-MM-dd").as("max_date"))
+          .select(lit(v).cast("int").as("version"),
+            col("n_customers"), col("latest_total"), col("max_date"))
+      summary(v1).unionAll(summary(v2)).orderBy("version")
+        .localCheckpoint() // materialize before the work dir is deleted
+    } finally fs.delete(new Path(work), true)
+  }
+
+  val q103_oracle: String =
+    """WITH snap AS (
+      |  SELECT v.version, o.o_custkey, o.o_totalprice, o.o_orderdate,
+      |    ROW_NUMBER() OVER (
+      |      PARTITION BY v.version, o.o_custkey
+      |      ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+      |  FROM (SELECT 1 AS version UNION ALL SELECT 2) v
+      |  JOIN orders o
+      |    ON v.version = 2 OR o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00')
+      |SELECT CAST(version AS INTEGER) AS version,
+      |  CAST(count(*) AS BIGINT) AS n_customers,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS latest_total,
+      |  strftime(max(o_orderdate), '%Y-%m-%d') AS max_date
+      |FROM snap WHERE rn = 1
+      |GROUP BY version ORDER BY version""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q99_expectations" -> (q99_expectations _),
-    "q100_profile" -> (q100_profile _))
+    "q100_profile" -> (q100_profile _),
+    "q103_time_travel" -> (q103_time_travel _))
 
   val oracles: Map[String, String] = Map(
     "q99_expectations" -> q99_oracle,
-    "q100_profile" -> q100_oracle)
+    "q100_profile" -> q100_oracle,
+    "q103_time_travel" -> q103_oracle)
 }

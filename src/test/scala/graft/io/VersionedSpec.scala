@@ -1,0 +1,67 @@
+package graft.io
+
+import graft.SparkSpec
+import org.apache.hadoop.fs.Path
+
+/** Commit-log semantics: versions resolve from markers alone, commits
+  * are append-only, as-of reads see exactly the committed prefix.
+  */
+class VersionedSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("as-of reads see exactly the committed prefix of history") {
+    val work = java.nio.file.Files.createTempDirectory("graft-versioned-").toString
+    try {
+      val t = s"$work/t"
+      assert(Versioned.versions(spark, t) === Seq.empty)
+      assert(Versioned.commit(spark, t, Seq((1L, "a")).toDF("id", "v")) === 1)
+      assert(Versioned.commit(spark, t, Seq((2L, "b")).toDF("id", "v")) === 2)
+      assert(Versioned.commit(spark, t, Seq((1L, "c")).toDF("id", "v")) === 3)
+      assert(Versioned.versions(spark, t) === Seq(1, 2, 3))
+      def rows(v: Int) = Versioned.readAsOf(spark, t, v)
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(rows(1) === Set((1L, "a")))
+      assert(rows(2) === Set((1L, "a"), (2L, "b")))
+      assert(rows(3) === Set((1L, "a"), (2L, "b"), (1L, "c"))) // log-structured: both key-1 rows
+      // as-of beyond head = head (markers <= version)
+      assert(rows(99) === rows(3))
+      intercept[IllegalArgumentException](Versioned.readAsOf(spark, t, 0))
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(work))
+    }
+  }
+
+  test("an orphan data directory without a marker is invisible (crash between data and marker)") {
+    val work = java.nio.file.Files.createTempDirectory("graft-versioned-").toString
+    try {
+      val t = s"$work/t"
+      Versioned.commit(spark, t, Seq((1L, "a")).toDF("id", "v"))
+      // simulate a crash: delta dir lands, marker never does
+      Seq((9L, "ghost")).toDF("id", "v").write.parquet(s"$t/delta-00002")
+      assert(Versioned.versions(spark, t) === Seq(1))
+      assert(Versioned.readAsOf(spark, t, 99).count() === 1L)
+      // the next commit vacuums the orphan instead of wedging the table
+      assert(Versioned.commit(spark, t, Seq((2L, "b")).toDF("id", "v")) === 2)
+      assert(Versioned.readAsOf(spark, t, 2)
+        .collect().map(_.getString(1)).toSet === Set("a", "b")) // ghost gone
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(work))
+    }
+  }
+
+  test("commits never touch earlier versions' files (append-only)") {
+    val work = java.nio.file.Files.createTempDirectory("graft-versioned-").toString
+    try {
+      val t = s"$work/t"
+      Versioned.commit(spark, t, Seq((1L, "a")).toDF("id", "v"))
+      val fs = new Path(t).getFileSystem(spark.sparkContext.hadoopConfiguration)
+      def v1Files = fs.listStatus(new Path(s"$t/delta-00001")).toSeq
+        .map(s => (s.getPath.getName, s.getLen, s.getModificationTime)).sortBy(_._1)
+      val before = v1Files
+      Versioned.commit(spark, t, Seq((2L, "b")).toDF("id", "v"))
+      assert(v1Files === before, "version-1 files changed on a later commit")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(work))
+    }
+  }
+}
