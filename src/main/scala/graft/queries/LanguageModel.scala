@@ -1,0 +1,112 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.{TextFunctions => T}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Statistical language-model scoring (round 8): the model-based
+  * quality signal of the CCNet/Gopher curation recipe — score each
+  * document by how predictable its token sequence is under a language
+  * model trained on the corpus itself. Real pipelines use a KenLM
+  * n-gram model; the engine-shaped core of that is exactly this:
+  * one corpus pass trains vocabulary-bounded n-gram statistics, a
+  * second pass scores every document against them via one join.
+  * Floating log-perplexity would never agree across engines, so the
+  * score is kept EXACT: each bigram contributes the scaled integer
+  * `(c(w1,w2) · 10^6) div c(w1·)` — its maximum-likelihood conditional
+  * probability in micro-units, integer-truncated — and a document's
+  * fluency is the integer mean over its bigrams. Repetitive/templated
+  * text scores high, character soup scores near zero, and every value
+  * is independent of aggregation order (q83's rational-arithmetic
+  * rule).
+  */
+object LanguageModel {
+
+  private val scale = 1000000L
+
+  /** Lower-cased whitespace tokens — the LM's vocabulary convention. */
+  private def lmTokens(c: org.apache.spark.sql.Column) = T.tokens(lower(c))
+
+  /** Per-document bigram multiset: doc_id, source, bigram string. */
+  private def bigrams(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), col("source"), lmTokens(col("text")).as("t"))
+      .filter(size(col("t")) >= 2)
+      .select(col("doc_id"), col("source"),
+        explode(zip_with(
+          slice(col("t"), lit(1), size(col("t")) - 1),
+          slice(col("t"), lit(2), size(col("t")) - 1),
+          (a, b) => concat(a, lit(" "), b))).as("bigram"))
+
+  /** Train-and-score core over any (doc_id, source, text) frame —
+    * factored out so LanguageModelSpec can pin the exact rational
+    * arithmetic on hand-computed fixtures.
+    */
+  private[queries] def scoreDocs(docs: DataFrame): DataFrame = {
+    val bg = bigrams(docs)
+    val counts = bg.groupBy("bigram")
+      .agg(count(lit(1)).cast("long").as("c_bigram"))
+    val stats = counts
+      .withColumn("w1", split(col("bigram"), " ").getItem(0))
+      .withColumn("c_prefix",
+        sum(col("c_bigram")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("w1")))
+      .select("bigram", "c_bigram", "c_prefix")
+    bg.join(stats, Seq("bigram"))
+      .withColumn("contrib", expr(s"(c_bigram * $scale) DIV c_prefix"))
+      .groupBy("doc_id", "source")
+      .agg(count(lit(1)).cast("long").as("n_bigrams"),
+        sum(col("contrib")).cast("long").as("contrib_sum"))
+      .withColumn("fluency_micro", expr("contrib_sum DIV n_bigrams"))
+      .select("doc_id", "source", "n_bigrams", "fluency_micro")
+  }
+
+  /** q104: train bigram counts + prefix totals on the corpus, then
+    * score every document.
+    *
+    * Scale shape: the training tables are VOCABULARY-bounded — bigram
+    * counts come from one partial-agg shuffle of the exploded corpus,
+    * and the prefix totals c(w1·) are derived from the count table
+    * itself (vocab-sized work), never a second corpus pass. Scoring is
+    * one shuffle join of the exploded corpus against the stats table
+    * keyed by bigram (AQE skew handling covers hot function-word
+    * bigrams; at broadcast-able vocab sizes the planner ships the
+    * stats instead), followed by a per-doc partial aggregation. Total:
+    * two corpus-sized shuffles, both carrying (id, bigram) pairs —
+    * no floats, no driver state, no iteration.
+    */
+  def q104_bigram_lm(spark: SparkSession, dir: String): DataFrame =
+    scoreDocs(Tables.load(spark, dir, "documents")).orderBy("doc_id")
+
+  val q104_oracle: String = {
+    val toks = T.tokensSql("lower(text)")
+    s"""WITH tk AS (
+       |  SELECT doc_id, source, $toks AS t FROM documents),
+       |bg AS (
+       |  SELECT doc_id, source,
+       |    unnest([t[i] || ' ' || t[i + 1] for i in range(1, len(t))]) AS bigram
+       |  FROM tk WHERE len(t) >= 2),
+       |counts AS (
+       |  SELECT bigram, CAST(count(*) AS BIGINT) AS c_bigram
+       |  FROM bg GROUP BY bigram),
+       |stats AS (
+       |  SELECT bigram, c_bigram,
+       |    CAST(sum(c_bigram) OVER (
+       |      PARTITION BY split_part(bigram, ' ', 1)) AS BIGINT) AS c_prefix
+       |  FROM counts)
+       |SELECT doc_id, source,
+       |  CAST(count(*) AS BIGINT) AS n_bigrams,
+       |  CAST(sum((c_bigram * $scale) // c_prefix) // count(*) AS BIGINT)
+       |    AS fluency_micro
+       |FROM bg JOIN stats USING (bigram)
+       |GROUP BY doc_id, source
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q104_bigram_lm" -> (q104_bigram_lm _))
+
+  val oracles: Map[String, String] = Map(
+    "q104_bigram_lm" -> q104_oracle)
+}
