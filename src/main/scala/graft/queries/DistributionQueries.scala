@@ -146,15 +146,92 @@ object DistributionQueries {
 
   // ---------- registry ----------
 
+  // ---------- q105: exact z-score outlier detection ----------
+
+  /** Statistical outlier detection WITHOUT floats (round 8): flag
+    * events whose value sits more than k=1.5 standard deviations from
+    * their event-type mean. The z-test is algebraically cleared of
+    * divisions and square roots —
+    * `|x − μ| > k·σ  ⟺  4·(n·x − S)² > 9·(n·Q − S²)` for k = 3/2,
+    * with S = Σx, Q = Σx² over the group — so every comparison is
+    * integer arithmetic on value-cents (wide products in
+    * decimal(38,0) / HUGEINT; nothing rounds, nothing depends on
+    * accumulation order, and Spark and DuckDB agree bit-for-bit where
+    * any sqrt-based formulation would drift).
+    *
+    * Scale shape: one partial-agg pass builds the |types|-row moment
+    * table (n, S, Q), which broadcasts back over the scan — two scans
+    * of events total, zero wide shuffles, the same two-pass shape as
+    * any variance computation. The threshold k is the declared knob;
+    * per-key moments make this the grouped form of a data-quality
+    * anomaly monitor.
+    */
+  def q105_anomaly(spark: SparkSession, dir: String): DataFrame =
+    detectOutliers(Tables.load(spark, dir, "events")).orderBy("event_type")
+
+  /** The detection core over any (event_type, event_id, value) frame —
+    * factored out so ZScoreSpec can pin the cleared-form algebra on a
+    * fixture with a planted outlier.
+    */
+  private[queries] def detectOutliers(events: DataFrame): DataFrame = {
+    val dec38 = "decimal(38,0)"
+    val e = events
+      .select(col("event_type"), col("event_id"),
+        round(col("value") * 100).cast("long").as("cents"))
+    val moments = e.groupBy("event_type").agg(
+      count(lit(1)).cast("long").as("n"),
+      sum(col("cents")).cast("long").as("s"),
+      sum(col("cents") * col("cents")).cast("long").as("q"))
+    val dev = (col("n").cast(dec38) * col("cents") - col("s")).cast(dec38)
+    val outlier =
+      dev * dev * 4 >
+        (col("n").cast(dec38) * col("q") - col("s").cast(dec38) * col("s")) * 9
+    e.join(broadcast(moments), Seq("event_type"))
+      .groupBy("event_type")
+      .agg(
+        max(col("n")).as("n_events"),
+        count_if(outlier).cast("long").as("n_outliers"),
+        coalesce(sum(when(outlier, col("event_id"))), lit(0L)).cast("long")
+          .as("outlier_id_sum"))
+  }
+
+  /** outlier_id_sum pins the exact outlier SET through the hash
+    * compare, not just its size.
+    */
+  val q105_oracle: String =
+    """WITH e AS (
+      |  SELECT event_type, event_id,
+      |    CAST(round(value * 100) AS BIGINT) AS cents
+      |  FROM events),
+      |m AS (
+      |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(cents) AS BIGINT) AS s,
+      |    CAST(sum(cents * cents) AS BIGINT) AS q
+      |  FROM e GROUP BY event_type),
+      |flagged AS (
+      |  SELECT e.event_type, e.event_id, m.n,
+      |    4 * (CAST(m.n AS HUGEINT) * e.cents - m.s)
+      |      * (CAST(m.n AS HUGEINT) * e.cents - m.s)
+      |    > 9 * (CAST(m.n AS HUGEINT) * m.q - CAST(m.s AS HUGEINT) * m.s)
+      |      AS is_outlier
+      |  FROM e JOIN m USING (event_type))
+      |SELECT event_type, max(n) AS n_events,
+      |  CAST(count(*) FILTER (WHERE is_outlier) AS BIGINT) AS n_outliers,
+      |  CAST(coalesce(sum(event_id) FILTER (WHERE is_outlier), 0) AS BIGINT)
+      |    AS outlier_id_sum
+      |FROM flagged GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q56_histogram" -> (q56_histogram _),
     "q57_rolling" -> (q57_rolling _),
     "q58_ntile" -> (q58_ntile _),
-    "q59_correlated" -> (q59_correlated _))
+    "q59_correlated" -> (q59_correlated _),
+    "q105_anomaly" -> (q105_anomaly _))
 
   val oracles: Map[String, String] = Map(
     "q56_histogram" -> q56_oracle,
     "q57_rolling" -> q57_oracle,
     "q58_ntile" -> q58_oracle,
-    "q59_correlated" -> q59_oracle)
+    "q59_correlated" -> q59_oracle,
+    "q105_anomaly" -> q105_oracle)
 }
