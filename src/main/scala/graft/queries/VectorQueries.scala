@@ -212,6 +212,74 @@ object VectorQueries {
        |WHERE rk <= 3 ORDER BY q_id, rk""".stripMargin
   }
 
+  // ---------- q106: embedding-space decontamination ----------
+
+  /** Semantic decontamination (round 8): q37/q67 catch benchmark
+    * contamination by n-gram OVERLAP, which paraphrased or lightly
+    * rewritten benchmark material evades; the embedding-space form
+    * flags every training vector whose cosine against ANY benchmark
+    * vector clears the near-dup threshold. The benchmark set is a
+    * deterministic content-hash eighth of the vectors (the q33/q94
+    * sampling rule — reproducible, engine-independent); training
+    * corpus = the rest.
+    *
+    * Scale shape: multi-probe hyperplane LSH with the PROBE fan-out on
+    * the benchmark side — benchmarks are tiny next to a 100 TB corpus,
+    * so the 13× probe explosion rides the small table while every
+    * corpus vector is hashed exactly once into one bucket; the
+    * candidate join is bucket-equi, and the exact-cosine verify only
+    * touches candidates. Corpus-side rows are unique per bucket and
+    * probes are distinct, so no pair is scored twice.
+    */
+  def q106_semantic_decontam(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+      .withColumn("bucket", V.lshBucket(col("v"), planesMulti))
+    val isBench =
+      substring(md5(concat(lit("dc|"), col("vec_id").cast("string"))), 1, 1)
+        .isin("0", "1")
+    val bench = e.filter(isBench)
+      .select(col("vec_id").as("b_id"), col("v").as("qv"),
+        V.norm(col("v")).as("q_nrm"),
+        explode(array(col("bucket") +:
+          (0 until nPlanesMulti).map(j => col("bucket").bitwiseXOR(lit(1 << j))): _*))
+          .as("probe"))
+    val corpus = e.filter(!isBench)
+      .select(col("vec_id"), col("v").as("nv"), col("bucket").as("probe"),
+        V.norm(col("v")).as("n_nrm"))
+    val cos = V.cosineWithNorms(col("qv"), col("nv"), col("q_nrm"), col("n_nrm"))
+    corpus.join(bench, Seq("probe"))
+      .select(col("vec_id"), col("b_id"), cos.as("cos"))
+      .filter(col("cos") > nearDupThreshold)
+      .groupBy("vec_id")
+      .agg(count(lit(1)).cast("long").as("n_bench_matches"),
+        min(col("b_id")).as("min_bench_id"),
+        max(col("cos")).as("max_cos"))
+      .orderBy("vec_id")
+  }
+
+  val q106_oracle: String = {
+    val cos = V.cosineSql("qv", "nv")
+    val bucket = V.lshBucketSql("v", planesMulti)
+    s"""WITH e AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) v,
+       |    substring(md5(concat('dc|', CAST(vec_id AS VARCHAR))), 1, 1)
+       |      IN ('0', '1') AS is_bench
+       |  FROM embeddings),
+       |b AS (SELECT vec_id, v, is_bench, $bucket AS bucket FROM e),
+       |probes AS (
+       |  SELECT vec_id, v, unnest([bucket] ||
+       |    [xor(bucket, 1 << j) for j in range(0, $nPlanesMulti)]) AS probe
+       |  FROM b WHERE is_bench),
+       |scored AS (
+       |  SELECT c.vec_id, q.vec_id AS b_id, $cos AS cos
+       |  FROM (SELECT vec_id, v AS nv, bucket AS probe FROM b WHERE NOT is_bench) c
+       |  JOIN (SELECT vec_id, v AS qv, probe FROM probes) q USING (probe))
+       |SELECT vec_id, CAST(count(*) AS BIGINT) AS n_bench_matches,
+       |  min(b_id) AS min_bench_id, max(cos) AS max_cos
+       |FROM scored WHERE cos > $nearDupThreshold
+       |GROUP BY vec_id ORDER BY vec_id""".stripMargin
+  }
+
   // ---------- q42: IVF ANN ----------
 
   /** The session's coarse quantizers, trained once per (corpus dir,
@@ -434,12 +502,14 @@ object VectorQueries {
     // q96 rows-only for the same reason; IvfPersistSpec pins
     // stored-index search == fresh-build search row for row
     "q96_ivf_index_persist" -> (q96_ivf_index_persist _),
-    "q70_knn_lsh_multiprobe" -> (q70_knn_lsh_multiprobe _))
+    "q70_knn_lsh_multiprobe" -> (q70_knn_lsh_multiprobe _),
+    "q106_semantic_decontam" -> (q106_semantic_decontam _))
 
   val oracles: Map[String, String] = Map(
     "q79_knn_quantized" -> q79_oracle,
     "q28_knn_bruteforce" -> q28_oracle,
     "q29_knn_lsh" -> q29_oracle,
     "q30_embedding_dedup" -> q30_oracle,
-    "q70_knn_lsh_multiprobe" -> q70_oracle)
+    "q70_knn_lsh_multiprobe" -> q70_oracle,
+    "q106_semantic_decontam" -> q106_oracle)
 }
