@@ -222,13 +222,51 @@ object GovernanceQueries {
       |FROM snap WHERE rn = 1
       |GROUP BY version ORDER BY version""".stripMargin
 
+  // ---------- q107: incremental aggregate (materialized-view) maintenance ----------
+
+  /** Incremental-view maintenance driver-gated: the per-priority order
+    * summary is maintained as MERGEABLE PARTIAL STATE
+    * ([[graft.operators.IncrementalAgg]]) — the pre-1998 state is
+    * merged with the 1998+ ingest's state instead of rescanning
+    * history, and the oracle is the full-table aggregate: incremental
+    * must be indistinguishable from rescan (q94's rule, applied to
+    * aggregation). Sums ride exact decimals so merge ORDER can never
+    * change a value; avg is derived once at finish time. Refresh cost
+    * is O(|batch| + |groups|) — the only affordable shape for a
+    * standing aggregate over a growing 100 TB corpus.
+    */
+  def q107_incremental_agg(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.IncrementalAgg
+    val orders = Tables.load(spark, dir, "orders")
+    val cutoff = to_timestamp(lit("1998-01-01 00:00:00"))
+    val keys = Seq("o_orderpriority")
+    val historic = IncrementalAgg.state(
+      orders.filter(col("o_orderdate") < cutoff), keys, "o_totalprice")
+    val ingest = IncrementalAgg.state(
+      orders.filter(col("o_orderdate") >= cutoff), keys, "o_totalprice")
+    IncrementalAgg.finish(IncrementalAgg.merge(Seq(historic, ingest), keys), keys)
+      .orderBy("o_orderpriority")
+  }
+
+  val q107_oracle: String =
+    """SELECT o_orderpriority,
+      |  CAST(count(*) AS BIGINT) AS n_rows,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+      |  CAST(min(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS min_value,
+      |  CAST(max(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS max_value,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / count(*)
+      |    AS avg_value
+      |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q99_expectations" -> (q99_expectations _),
     "q100_profile" -> (q100_profile _),
-    "q103_time_travel" -> (q103_time_travel _))
+    "q103_time_travel" -> (q103_time_travel _),
+    "q107_incremental_agg" -> (q107_incremental_agg _))
 
   val oracles: Map[String, String] = Map(
     "q99_expectations" -> q99_oracle,
     "q100_profile" -> q100_oracle,
-    "q103_time_travel" -> q103_oracle)
+    "q103_time_travel" -> q103_oracle,
+    "q107_incremental_agg" -> q107_oracle)
 }
