@@ -644,6 +644,89 @@ object TextQueries {
        |ORDER BY a_id, b_id""".stripMargin
   }
 
+  // ---------- q108: asymmetric containment (doc-inside-doc) ----------
+
+  /** Containment threshold: the smaller side shares ≥ this fraction of
+    * its shingles with the other side.
+    */
+  val containmentMin = 0.5
+
+  /** Asymmetric CONTAINMENT dedup (round 8): C(A→B) = |A∩B| / |A|
+    * catches a document EMBEDDED in another — the stitched/quoted
+    * corpus failure mode where Jaccard ≈ |A|/|B| vanishes as the host
+    * grows, so MinHash banding (which approximates JACCARD) is
+    * structurally blind to it. Candidates therefore do NOT come from
+    * the band buckets: they come from the rare-shingle posting join
+    * (q72's knob-bounded shape — shared discriminative shingles vote
+    * pairs together regardless of size ratio), and containment is then
+    * verified EXACTLY in both directions from the stored index's
+    * 60-bit shingle-key sets. Output: every candidate pair where
+    * either direction clears [[containmentMin]], with both directed
+    * scores and the Jaccard for contrast.
+    *
+    * Scale shape: postings explode from the STORED index (raw text
+    * never re-read), the hot-shingle cutoff bounds the self-join at
+    * dfCut·|rare postings| (q72's argument), and the exact verify
+    * touches only candidate pairs. All divisions share one operation
+    * order with the DuckDB twin — bit-identical scores.
+    */
+  def q108_containment(spark: SparkSession, dir: String): DataFrame = {
+    val idx = spark.read.parquet(SigIndex.path(spark, dir))
+      .select(col("doc_id"), col("skd"))
+    val posting = idx.select(col("doc_id"), explode(col("skd")).as("s"))
+    val hot = posting.groupBy("s").agg(count(lit(1)).as("df"))
+      .filter(col("df") > dfCut)
+      .select("s")
+    val rare = posting.join(broadcast(hot), Seq("s"), "left_anti")
+    val cand = rare
+      .select(col("doc_id").as("a_id"), col("s"))
+      .join(rare.select(col("doc_id").as("b_id"), col("s")), "s")
+      .filter(col("a_id") < col("b_id"))
+      .groupBy("a_id", "b_id")
+      .agg(count(lit(1)).as("n_shared_rare"))
+      .filter(col("n_shared_rare") >= minSharedRare)
+    val inter = size(array_intersect(col("a_sk"), col("b_sk"))).cast("double")
+    cand
+      .join(idx.select(col("doc_id").as("a_id"), col("skd").as("a_sk")), "a_id")
+      .join(idx.select(col("doc_id").as("b_id"), col("skd").as("b_sk")), "b_id")
+      .select(col("a_id"), col("b_id"), col("n_shared_rare"),
+        (inter / size(col("a_sk")).cast("double")).as("cont_a_in_b"),
+        (inter / size(col("b_sk")).cast("double")).as("cont_b_in_a"),
+        keyJaccard(col("a_sk"), col("b_sk")).as("jaccard"))
+      .filter(greatest(col("cont_a_in_b"), col("cont_b_in_a")) >= containmentMin)
+      .orderBy("a_id", "b_id")
+  }
+
+  val q108_oracle: String = {
+    val toks = T.tokensSql("text")
+    val sh = H.shinglesSql("toks")
+    def cont(num: String, den: String) =
+      s"CAST(len(list_intersect($num, $den)) AS DOUBLE) / CAST(len($num) AS DOUBLE)"
+    s"""WITH d AS (
+       |  SELECT doc_id, list_distinct(${H.shingleKeysSql(sh)}) AS skd
+       |  FROM (SELECT doc_id, $toks AS toks FROM documents)
+       |  WHERE len(toks) >= 3),
+       |p AS (SELECT doc_id, unnest(skd) AS s FROM d),
+       |wdf AS (SELECT doc_id, s, count(*) OVER (PARTITION BY s) AS df FROM p),
+       |rare AS (SELECT doc_id, s FROM wdf WHERE df <= $dfCut),
+       |cand AS (
+       |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n_shared_rare
+       |  FROM rare a JOIN rare b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2 HAVING count(*) >= $minSharedRare)
+       |SELECT a_id, b_id, n_shared_rare,
+       |  ${cont("da.skd", "db.skd")} AS cont_a_in_b,
+       |  ${cont("db.skd", "da.skd")} AS cont_b_in_a,
+       |  CAST(len(list_intersect(da.skd, db.skd)) AS DOUBLE) /
+       |   (CAST(len(da.skd) + len(db.skd) AS DOUBLE)
+       |    - CAST(len(list_intersect(da.skd, db.skd)) AS DOUBLE)) AS jaccard
+       |FROM cand
+       |JOIN d da ON da.doc_id = a_id
+       |JOIN d db ON db.doc_id = b_id
+       |WHERE greatest(${cont("da.skd", "db.skd")}, ${cont("db.skd", "da.skd")})
+       |      >= $containmentMin
+       |ORDER BY a_id, b_id""".stripMargin
+  }
+
   // ---------- q76: persisted signature index, reused without re-shingling ----------
 
   /** The MinHash signature index as a STORED artifact. Every other
@@ -825,7 +908,8 @@ object TextQueries {
     "q73_incremental_neardup" -> (q73_incremental_neardup _),
     "q76_sig_index_persist" -> (q76_sig_index_persist _),
     "q94_sig_index_update" -> (q94_sig_index_update _),
-    "q95_content_chunks" -> (q95_content_chunks _))
+    "q95_content_chunks" -> (q95_content_chunks _),
+    "q108_containment" -> (q108_containment _))
 
   val oracles: Map[String, String] = Map(
     "q19_token_count" -> q19_oracle,
@@ -842,5 +926,6 @@ object TextQueries {
     "q73_incremental_neardup" -> q73_oracle,
     "q76_sig_index_persist" -> q76_oracle,
     "q94_sig_index_update" -> q94_oracle,
-    "q95_content_chunks" -> q95_oracle)
+    "q95_content_chunks" -> q95_oracle,
+    "q108_containment" -> q108_oracle)
 }
