@@ -41,22 +41,37 @@ object Versioned {
   private def deltaDir(table: String, v: Int) =
     new Path(table, f"delta-$v%05d")
 
-  /** Committed versions, ascending — from markers only. */
-  def versions(spark: SparkSession, table: String): Seq[Int] = {
+  /** One committed version: `base = true` means this delta FOLDS all
+    * earlier history (a compaction checkpoint) — readers at or after
+    * it start from this delta instead of replaying from version 1.
+    */
+  final case class Commit(version: Int, base: Boolean)
+
+  /** Committed versions with their base flags, ascending — from
+    * markers only.
+    */
+  def commits(spark: SparkSession, table: String): Seq[Commit] = {
     val dir = markerDir(table)
     val filesystem = fs(spark, dir)
     if (!filesystem.exists(dir)) Seq.empty
     else filesystem.listStatus(dir).toSeq
       .map(_.getPath.getName)
       .filter(_.endsWith(".json"))
-      .map(_.stripSuffix(".json").toInt)
-      .sorted
+      .map { name =>
+        val in = filesystem.open(new Path(dir, name))
+        val json = try new String(in.readAllBytes(), StandardCharsets.UTF_8)
+          finally in.close()
+        Commit(name.stripSuffix(".json").toInt, json.contains(""""base":true"""))
+      }
+      .sortBy(_.version)
   }
 
-  /** Append `df` as the next version's delta and publish its marker.
-    * Returns the committed version number.
-    */
-  def commit(spark: SparkSession, table: String, df: DataFrame): Int = {
+  /** Committed version numbers, ascending. */
+  def versions(spark: SparkSession, table: String): Seq[Int] =
+    commits(spark, table).map(_.version)
+
+  private def publish(spark: SparkSession, table: String, df: DataFrame,
+      base: Boolean): Int = {
     val v = versions(spark, table).lastOption.getOrElse(0) + 1
     val data = deltaDir(table, v)
     val filesystemData = fs(spark, data)
@@ -67,23 +82,51 @@ object Versioned {
     df.write.mode("errorifexists").parquet(data.toString)
     val marker = new Path(markerDir(table), f"$v%05d.json")
     val filesystem = fs(spark, marker)
-    val json = s"""{"version":$v,"dir":"${data.getName}"}"""
+    val json = s"""{"version":$v,"dir":"${data.getName}","base":$base}"""
     val out = filesystem.create(marker, false)
     try out.write(json.getBytes(StandardCharsets.UTF_8))
     finally out.close()
     v
   }
 
-  /** The log-structured rows of the table AS OF `version`: the union
-    * of every committed delta ≤ version. Orphan data directories
-    * without a marker are invisible. Squash to current-state with a
-    * keep-newest dedup (merge-on-read) if the table has a key.
+  /** Append `df` as the next version's delta and publish its marker.
+    * Returns the committed version number.
+    */
+  def commit(spark: SparkSession, table: String, df: DataFrame): Int =
+    publish(spark, table, df, base = false)
+
+  /** Compaction: fold the CURRENT state (per `squash`, e.g. the
+    * reader's keep-newest dedup) into one new BASE version. As-of
+    * reads at or beyond it replay from the base instead of from
+    * version 1 — read cost stops growing with history — while reads
+    * BEFORE it still see the original deltas: compaction never
+    * rewrites or deletes published versions, so time travel survives
+    * it. Same crash safety as commit (data first, marker last).
+    * At 100 TB this is the background job that keeps merge-on-read
+    * amortized; old deltas become retention policy, not correctness.
+    */
+  def compact(spark: SparkSession, table: String,
+      squash: DataFrame => DataFrame): Int = {
+    val head = versions(spark, table).lastOption.getOrElse(
+      throw new IllegalArgumentException(s"nothing to compact under $table"))
+    publish(spark, table, squash(readAsOf(spark, table, head)), base = true)
+  }
+
+  /** The log-structured rows of the table AS OF `version`: the most
+    * recent base ≤ version (if any) plus every later delta ≤ version.
+    * Orphan data directories without a marker are invisible. Squash
+    * to current-state with a keep-newest dedup (merge-on-read) if the
+    * table has a key.
     */
   def readAsOf(spark: SparkSession, table: String, version: Int): DataFrame = {
-    val vs = versions(spark, table).filter(_ <= version)
-    require(vs.nonEmpty, s"no committed version <= $version under $table")
+    val all = commits(spark, table).filter(_.version <= version)
+    require(all.nonEmpty, s"no committed version <= $version under $table")
+    val fromBase = all.lastIndexWhere(_.base) match {
+      case -1 => all
+      case i  => all.drop(i)
+    }
     // one multi-path scan, not a union of plans: file-source scans all
     // delta dirs in a single FileScan with partition-count parallelism
-    spark.read.parquet(vs.map(v => deltaDir(table, v).toString): _*)
+    spark.read.parquet(fromBase.map(c => deltaDir(table, c.version).toString): _*)
   }
 }

@@ -49,6 +49,35 @@ class VersionedSpec extends SparkSpec {
     }
   }
 
+  test("compaction folds history going forward but never rewrites time travel") {
+    val work = java.nio.file.Files.createTempDirectory("graft-versioned-").toString
+    try {
+      val t = s"$work/t"
+      // key-value rows; squash = keep the lexicographically-last value per key
+      Versioned.commit(spark, t, Seq((1L, "a1"), (2L, "b1")).toDF("id", "v"))
+      Versioned.commit(spark, t, Seq((1L, "a2")).toDF("id", "v"))
+      def squash(df: org.apache.spark.sql.DataFrame) =
+        df.groupBy("id").agg(org.apache.spark.sql.functions.max("v").as("v"))
+      val baseV = Versioned.compact(spark, t, squash)
+      assert(baseV === 3)
+      Versioned.commit(spark, t, Seq((3L, "c1")).toDF("id", "v"))
+
+      def state(v: Int) = squash(Versioned.readAsOf(spark, t, v))
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      // current state is identical through the base
+      assert(state(4) === Set((1L, "a2"), (2L, "b1"), (3L, "c1")))
+      // post-base reads replay from the base only: 2 delta dirs, not 4
+      val dirs = Versioned.readAsOf(spark, t, 4).inputFiles
+        .map(f => f.split("/").takeRight(2).head).toSet
+      assert(dirs === Set("delta-00003", "delta-00004"), s"history not folded: $dirs")
+      // time travel BEFORE the base still sees the original log
+      assert(state(1) === Set((1L, "a1"), (2L, "b1")))
+      assert(Versioned.readAsOf(spark, t, 2).count() === 3) // log-structured rows
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(work))
+    }
+  }
+
   test("commits never touch earlier versions' files (append-only)") {
     val work = java.nio.file.Files.createTempDirectory("graft-versioned-").toString
     try {
