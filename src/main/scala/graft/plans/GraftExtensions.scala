@@ -152,6 +152,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[QualityScore].getName, "quality_score"),
       (children: Seq[Expression]) =>
         QualityScore(Cast(children.head, org.apache.spark.sql.types.StringType))))
+    // vec_dot(a, b): native double-array dot product — the fused,
+    // codegen'd form of aggregate(zip_with(a,b,*), 0.0, +) that the
+    // whole vector family scores pairs with. Direct-call via
+    // VectorFunctions.dot; VecDotSpec pins bit-for-bit equality with
+    // the declarative fold (which the DuckDB oracles keep speaking).
+    ext.injectFunction((
+      new FunctionIdentifier("vec_dot"),
+      new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),
+      (children: Seq[Expression]) => {
+        val dbl = org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.DoubleType)
+        VecDot(Cast(children.head, dbl), Cast(children(1), dbl))
+      }))
     // bloom_might_contain(serialized_bloom, long_key): Spark's own
     // codegen'd BloomFilterMightContain (the expression behind AQE's
     // runtime row-level bloom), exposed for EXPLICIT bloom pruning —

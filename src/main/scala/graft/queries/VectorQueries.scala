@@ -477,7 +477,15 @@ object VectorQueries {
     val b = cells.select(col("cell"), col("vec_id").as("b_id"),
       col("v").as("nv"), V.norm(col("v")).as("n_nrm"))
     val cos = V.cosineWithNorms(col("qv"), col("nv"), col("q_nrm"), col("n_nrm"))
-    a.join(b, Seq("cell"))
+    // shuffle_hash hint: the candidate join must be a SHUFFLED join on
+    // cell, not a broadcast — the corpus side grows with N, and the
+    // exchange is also what spreads the O(N·cell) pair loop across
+    // cores (the scan alone has file-count parallelism; measured 2×
+    // on local[32]). Balance is by construction: adaptive k keeps
+    // every cell ~targetCell rows, so no partition drags. Hash beats
+    // sort-merge here — per-cell HashedRelation probes, no sort, and
+    // AQE cannot mis-promote the growing side to a broadcast.
+    a.join(b.hint("shuffle_hash"), Seq("cell"))
       .filter(col("a_id") < col("b_id"))
       .select(col("a_id"), col("b_id"), cos.as("cos"))
       .filter(col("cos") > nearDupThreshold)

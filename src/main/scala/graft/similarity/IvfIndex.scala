@@ -1,8 +1,6 @@
 package graft.similarity
 
 import graft.functions.{VectorFunctions => V}
-import org.apache.spark.ml.clustering.KMeans
-import org.apache.spark.ml.functions.array_to_vector
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -45,12 +43,29 @@ object IvfIndex {
         x => x.getField("j"))
   }
 
-  /** Train the coarse quantizer. Deterministic for a fixed seed and
-    * dataset. When `sampleIdCol` is given, training runs on a
-    * deterministic content-hash quarter of the corpus (q33's sampling
-    * pattern) — the 100 TB posture: centroid quality needs a sample,
-    * not the corpus, and the sample is reproducible across engines
-    * and reruns with no RNG coordination.
+  /** Hard cap on the driver-collected training sample. A coarse
+    * quantizer needs cell-shaped centroids, not the corpus: FAISS
+    * practice is tens-to-hundreds of sample points per centroid, and
+    * our k grows as corpus/500, so 64k samples covers k up to ~1000
+    * with 64+ points per cell. The cap is what makes `train` safe at
+    * 100 TB — the collect is bounded no matter the corpus size.
+    */
+  val trainSampleCap = 65536
+
+  /** Train the coarse quantizer: deterministic content-hash sample
+    * (q33's sampling pattern), capped at [[trainSampleCap]] rows by
+    * hash rank (a top-k, never a full-corpus sort), collected to the
+    * driver, then deterministic Lloyd's iterations locally.
+    *
+    * Why local Lloyd's and not a distributed fit: the sample is
+    * bounded (megabytes), so distributed k-means pays one scheduled
+    * job PER ITERATION to do microseconds of arithmetic — on a
+    * cluster that is pure scheduler latency, locally it was ~0.5 s/
+    * iteration of overhead. The corpus-sized work (sampling scan,
+    * cell assignment, candidate join) all stays distributed.
+    * Deterministic for a fixed dataset: hash sampling, hash-rank
+    * seeding, and a fixed iteration count — IvfPersistSpec pins
+    * train-twice equality, IvfIndexSpec/SemDedupSpec bound recall.
     */
   def train(
       vectors: DataFrame,
@@ -59,16 +74,76 @@ object IvfIndex {
       seed: Long = 42L,
       sampleIdCol: Option[String] = None,
       maxIter: Int = 10): Model = {
-    val trainSet = sampleIdCol.fold(vectors) { id =>
-      vectors.filter(
-        substring(md5(concat(lit("ivf-train|"), col(id).cast("string"))), 1, 1)
-          .isin("0", "1", "2", "3"))
+    val tagged = sampleIdCol match {
+      case Some(id) =>
+        // md5 over a tagged id: engine-independent, order-independent
+        vectors.select(
+          md5(concat(lit("ivf-train|"), col(id).cast("string"))).as("h"),
+          col(vCol).as("v"))
+      case None =>
+        // no id column: hash the vector content itself
+        vectors.select(
+          md5(to_json(struct(col(vCol)))).as("h"), col(vCol).as("v"))
     }
-    val assembled = trainSet.select(array_to_vector(col(vCol)).as("features"))
-    // a COARSE quantizer needs rough cells, not converged centroids —
-    // 10 rounds is plenty; IvfIndexSpec bounds recall@3 so a quantizer
-    // regression fails the suite even though q42 is rows-only checked
-    val model = new KMeans().setK(k).setSeed(seed).setMaxIter(maxIter).fit(assembled)
-    Model(model.clusterCenters.map(_.toArray.toSeq).toSeq)
+    val sample: Array[Array[Double]] = tagged
+      .orderBy("h")
+      .limit(trainSampleCap)
+      .select("v")
+      .collect()
+      .map(_.getSeq[Double](0).toArray)
+    require(sample.nonEmpty, "cannot train on an empty corpus")
+    Model(lloyd(sample, k, maxIter).map(_.toSeq).toSeq)
+  }
+
+  /** Deterministic Lloyd's k-means on the collected sample. Init =
+    * evenly spaced ranks of the hash-ordered sample (hash order is
+    * content-random, so spaced ranks are spread-out seeds with no RNG).
+    * An emptied cell keeps its previous centroid.
+    */
+  private[similarity] def lloyd(
+      sample: Array[Array[Double]], k: Int, maxIter: Int): Array[Array[Double]] = {
+    val n = sample.length
+    val dim = sample.head.length
+    val kk = math.min(k, n)
+    val centroids = Array.tabulate(kk)(j => sample((j.toLong * n / kk).toInt).clone())
+    val sums = Array.ofDim[Double](kk, dim)
+    val counts = new Array[Long](kk)
+    var iter = 0
+    while (iter < maxIter) {
+      java.util.Arrays.fill(counts, 0L)
+      sums.foreach(java.util.Arrays.fill(_, 0.0))
+      var i = 0
+      while (i < n) {
+        val x = sample(i)
+        var best = 0
+        var bestD = Double.MaxValue
+        var j = 0
+        while (j < kk) {
+          val c = centroids(j)
+          var d = 0.0
+          var t = 0
+          while (t < dim) { val diff = x(t) - c(t); d += diff * diff; t += 1 }
+          if (d < bestD) { bestD = d; best = j }
+          j += 1
+        }
+        val s = sums(best)
+        var t = 0
+        while (t < dim) { s(t) += x(t); t += 1 }
+        counts(best) += 1
+        i += 1
+      }
+      var j = 0
+      while (j < kk) {
+        if (counts(j) > 0) {
+          val c = centroids(j)
+          val s = sums(j)
+          var t = 0
+          while (t < dim) { c(t) = s(t) / counts(j); t += 1 }
+        }
+        j += 1
+      }
+      iter += 1
+    }
+    centroids
   }
 }
