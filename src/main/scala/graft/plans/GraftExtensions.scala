@@ -165,6 +165,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           org.apache.spark.sql.types.DoubleType)
         VecDot(Cast(children.head, dbl), Cast(children(1), dbl))
       }))
+    // intersect_count(a, b): native size(array_intersect) for long
+    // arrays — the Jaccard/containment verifies score candidate pairs
+    // with it; ArrayIntersect would build a hash set and a result
+    // array per pair just to take the length. Direct-call;
+    // IntersectCountSpec pins value equality with the declarative
+    // form (which the DuckDB oracles keep speaking via list_intersect).
+    ext.injectFunction((
+      new FunctionIdentifier("intersect_count"),
+      new ExpressionInfo(classOf[IntersectCount].getName, "intersect_count"),
+      (children: Seq[Expression]) => {
+        val lng = org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.LongType)
+        IntersectCount(Cast(children.head, lng), Cast(children(1), lng))
+      }))
     // bloom_might_contain(serialized_bloom, long_key): Spark's own
     // codegen'd BloomFilterMightContain (the expression behind AQE's
     // runtime row-level bloom), exposed for EXPLICIT bloom pruning —

@@ -53,7 +53,7 @@ object SimHashWidthSweep {
       val nVerified = candSized
         .join(sh.select(col("doc_id").as("a_id"), col("sk").as("a_sk")), "a_id")
         .join(sh.select(col("doc_id").as("b_id"), col("sk").as("b_sk")), "b_id")
-        .withColumn("inter", size(array_intersect(col("a_sk"), col("b_sk"))))
+        .withColumn("inter", call_function("intersect_count", col("a_sk"), col("b_sk")))
         .withColumn("uni", col("a_n") + col("b_n") - col("inter"))
         .filter(col("inter") * 5 >= col("uni") * 4)
         .count()

@@ -203,7 +203,7 @@ object TextQueries {
     * the equivalence against the from-text build).
     */
   private def keyJaccard(aSk: Column, bSk: Column): Column = {
-    val inter = size(array_intersect(aSk, bSk)).cast("double")
+    val inter = call_function("intersect_count", aSk, bSk).cast("double")
     val uni = (size(aSk) + size(bSk)).cast("double") - inter
     inter / uni
   }
@@ -474,7 +474,7 @@ object TextQueries {
     candSized
       .join(sh.select(col("doc_id").as("a_id"), col("sk").as("a_sk")), "a_id")
       .join(sh.select(col("doc_id").as("b_id"), col("sk").as("b_sk")), "b_id")
-      .withColumn("inter", size(array_intersect(col("a_sk"), col("b_sk"))))
+      .withColumn("inter", call_function("intersect_count", col("a_sk"), col("b_sk")))
       .withColumn("uni", col("a_n") + col("b_n") - col("inter"))
       // threshold in exact integer form (j >= 4/5 <=> 5*inter >= 4*union),
       // immune to float boundary disagreement between engines
@@ -685,7 +685,7 @@ object TextQueries {
       .groupBy("a_id", "b_id")
       .agg(count(lit(1)).as("n_shared_rare"))
       .filter(col("n_shared_rare") >= minSharedRare)
-    val inter = size(array_intersect(col("a_sk"), col("b_sk"))).cast("double")
+    val inter = call_function("intersect_count", col("a_sk"), col("b_sk")).cast("double")
     cand
       .join(idx.select(col("doc_id").as("a_id"), col("skd").as("a_sk")), "a_id")
       .join(idx.select(col("doc_id").as("b_id"), col("skd").as("b_sk")), "b_id")
