@@ -457,6 +457,57 @@ object CurationQueries {
        |FROM s GROUP BY source ORDER BY source""".stripMargin
   }
 
+  // ---------- q111: weighted deterministic sampling ----------
+
+  /** Importance-weighted corpus sampling: each document keeps with
+    * probability proportional to its OWN quality score — the
+    * per-document generalization of q36's per-source mixture weights
+    * (there the keep fraction is a source-level constant; here every
+    * row carries its weight). The CCNet/quality-pruning recipe:
+    * upsample nothing, but let quality decide how much of each
+    * source's tail survives.
+    *
+    * Determinism is the q33 rule taken to weighted Bernoulli: the
+    * uniform draw is the document's 60-bit content hash, and the
+    * keep test `u · 10⁶ < w_micro · 2⁶⁰` is evaluated in
+    * decimal(38,0) — integer-exact, so no float boundary can ever
+    * disagree between engines, reruns, or cluster sizes. The weight
+    * is the quality score floored to micro-units (the suite's
+    * scaled-integer rule). One narrow scan, one small aggregate; at
+    * 100 TB the sample is a pure function of the data.
+    */
+  def q111_weighted_sample(spark: SparkSession, dir: String): DataFrame = {
+    val two60 = lit("1152921504606846976").cast("decimal(38,0)") // 2^60
+    Tables.load(spark, dir, "documents")
+      .withColumn("w_micro",
+        floor(T.qualityScore(col("text")) * 1000000L).cast("long"))
+      .withColumn("u60",
+        conv(substring(md5(concat(lit("wsample|"), col("doc_id").cast("string"))), 1, 15),
+          16, 10).cast("long"))
+      .filter(
+        col("u60").cast("decimal(38,0)") * 1000000L <
+          col("w_micro").cast("decimal(38,0)") * two60)
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_kept"),
+        sum(col("w_micro")).cast("long").as("w_micro_sum"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+      .orderBy("source")
+  }
+
+  val q111_oracle: String =
+    s"""SELECT source, count(*) AS n_kept,
+       |  CAST(sum(w_micro) AS BIGINT) AS w_micro_sum,
+       |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+       |FROM (
+       |  SELECT source, doc_id,
+       |    CAST(floor(${T.qualityScoreSql("text")} * 1000000) AS BIGINT) AS w_micro,
+       |    CAST(concat('0x', substring(md5(concat('wsample|', CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) AS u60
+       |  FROM documents)
+       |WHERE CAST(u60 AS HUGEINT) * 1000000 < CAST(w_micro AS HUGEINT) * 1152921504606846976
+       |GROUP BY source ORDER BY source""".stripMargin
+
   // ---------- registry ----------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -467,7 +518,8 @@ object CurationQueries {
     "q63_token_budget" -> (q63_token_budget _),
     "q64_oov_rate" -> (q64_oov_rate _),
     "q67_decontaminate" -> (q67_decontaminate _),
-    "q68_source_overlap" -> (q68_source_overlap _))
+    "q68_source_overlap" -> (q68_source_overlap _),
+    "q111_weighted_sample" -> (q111_weighted_sample _))
 
   val oracles: Map[String, String] = Map(
     "q86_curation_e2e" -> q86_oracle,
@@ -477,5 +529,6 @@ object CurationQueries {
     "q63_token_budget" -> q63_oracle,
     "q64_oov_rate" -> q64_oracle,
     "q67_decontaminate" -> q67_oracle,
-    "q68_source_overlap" -> q68_oracle)
+    "q68_source_overlap" -> q68_oracle,
+    "q111_weighted_sample" -> q111_oracle)
 }

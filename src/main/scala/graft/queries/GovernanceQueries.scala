@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.Expectations
+import graft.operators.{Expectations, Masking}
 import graft.operators.Expectations._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -83,6 +83,37 @@ object GovernanceQueries {
       |SELECT expectation_id, table_name, kind, column_name, violations,
       |  CASE WHEN violations = 0 THEN 'pass' ELSE 'fail' END AS status
       |FROM v ORDER BY expectation_id""".stripMargin
+
+  // ---------- q109: declarative column masking ----------
+
+  /** Policy-driven dynamic data masking over customer
+    * ([[graft.operators.Masking]]): the governance read-path rewrite —
+    * hash-pseudonymize the join key-ish segment (salted md5 keeps it
+    * joinable across tables sharing the salt), star all but the last 4
+    * characters of the name, k-anonymity-bucket the balance to 1000s,
+    * null out the nation. One projection, no extra pass, pushdown-
+    * transparent; the whole policy is data, like every other operator
+    * here.
+    */
+  private val maskPolicy: Seq[Masking.MaskDef] = Seq(
+    Masking.PartialMask("c_name", keepLast = 4),
+    Masking.HashMask("c_mktsegment", salt = "mask-v1"),
+    Masking.BucketMask("c_acctbal", width = 1000L),
+    Masking.NullifyMask("c_nationkey"))
+
+  def q109_masking(spark: SparkSession, dir: String): DataFrame =
+    Masking(Tables.load(spark, dir, "customer"), maskPolicy)
+      .orderBy("c_custkey")
+
+  val q109_oracle: String =
+    """SELECT c_custkey,
+      |  CASE WHEN length(c_name) <= 4 THEN c_name
+      |       ELSE repeat('*', length(c_name) - 4) || right(c_name, 4)
+      |  END AS c_name,
+      |  CAST(NULL AS INTEGER) AS c_nationkey,
+      |  CAST(floor(c_acctbal / 1000.0) * 1000 AS BIGINT) AS c_acctbal,
+      |  md5(concat('mask-v1|', c_mktsegment)) AS c_mktsegment
+      |FROM customer ORDER BY c_custkey""".stripMargin
 
   // ---------- q100: one-pass column profiling ----------
 
@@ -281,15 +312,47 @@ object GovernanceQueries {
       |    AS avg_value
       |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
+  // ---------- q110: incremental distinct maintenance (HLL state) ----------
+
+  /** q107's incremental-maintenance contract applied to the one
+    * aggregate that ISN'T algebraic: distinct customers per order
+    * priority, maintained as mergeable HLL sketch state
+    * ([[graft.operators.IncrementalDistinct]]). Same driver-gated
+    * split as q107 (pre-1998 state merged with the 1998+ ingest's
+    * state, never a history rescan); rows-only at the driver —
+    * Datasketches HLL has no DuckDB twin — while
+    * IncrementalDistinctSpec pins the property that makes it
+    * trustworthy: the merged sketch is BIT-IDENTICAL to the
+    * full-rescan sketch (HLL union is register-wise max), and the
+    * estimate lands within the configured standard error of the
+    * exact count.
+    */
+  def q110_incremental_distinct(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.IncrementalDistinct
+    val orders = Tables.load(spark, dir, "orders")
+    val cutoff = to_timestamp(lit("1998-01-01 00:00:00"))
+    val keys = Seq("o_orderpriority")
+    val historic = IncrementalDistinct.state(
+      orders.filter(col("o_orderdate") < cutoff), keys, "o_custkey")
+    val ingest = IncrementalDistinct.state(
+      orders.filter(col("o_orderdate") >= cutoff), keys, "o_custkey")
+    IncrementalDistinct.finish(
+      IncrementalDistinct.merge(Seq(historic, ingest), keys), keys)
+      .orderBy("o_orderpriority")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q110_incremental_distinct" -> (q110_incremental_distinct _),
     "q99_expectations" -> (q99_expectations _),
     "q100_profile" -> (q100_profile _),
+    "q109_masking" -> (q109_masking _),
     "q103_time_travel" -> (q103_time_travel _),
     "q107_incremental_agg" -> (q107_incremental_agg _))
 
   val oracles: Map[String, String] = Map(
     "q99_expectations" -> q99_oracle,
     "q100_profile" -> q100_oracle,
+    "q109_masking" -> q109_oracle,
     "q103_time_travel" -> q103_oracle,
     "q107_incremental_agg" -> q107_oracle)
 }

@@ -496,6 +496,74 @@ object VectorQueries {
       .orderBy("dup_id")
   }
 
+  // ---------- q112: product-quantized ANN (ADC + exact rerank) ----------
+
+  /** The session's PQ codebooks, trained once per corpus dir on the
+    * same bounded sample as the IVF quantizer (deterministic, so the
+    * memo cannot change answers — PqIndexSpec pins fresh-train
+    * determinism).
+    */
+  private object PqModel {
+    private val built =
+      new java.util.concurrent.ConcurrentHashMap[String, graft.similarity.PqIndex.Model]()
+    def get(spark: SparkSession, dir: String): graft.similarity.PqIndex.Model =
+      built.computeIfAbsent(dir, _ =>
+        graft.similarity.PqIndex.train(emb(spark, dir), "v", m = 8, ksub = 16,
+          sampleIdCol = Some("vec_id")))
+  }
+
+  /** Product-quantized ANN ([[graft.similarity.PqIndex]]): the corpus
+    * is reduced to 8 codebook ids per vector (64× smaller than the
+    * float embedding), candidates are ranked by asymmetric-distance
+    * lookup tables that ship WITH each query (m table reads per
+    * candidate, zero per-pair vector arithmetic), and the PQ top-50
+    * is reranked with the exact cosine — the standard ADC+rerank
+    * pipeline, and the missing storage-side member of the ANN family
+    * (q29/q70 LSH and q42/q96 IVF bound the candidate SET; PQ shrinks
+    * the BYTES every candidate costs). Rows-only at the driver like
+    * q42 (trained floats have no SQL twin); PqIndexSpec bounds
+    * ADC+rerank recall@5 against q28's exact ranking.
+    */
+  def q112_knn_ivfpq(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = emb(spark, dir)
+    val model = PqModel.get(spark, dir)
+    // the repartition is load-bearing twice over: (1) the exchange
+    // MATERIALIZES the code arrays, so the ADC join's inner loop
+    // reads a 4-byte-code attribute instead of re-evaluating the
+    // m·ksub argmin encode per (query, vector) pair — whole-stage
+    // codegen defers a stream-side projection into the loop body
+    // (measured 16 s → 1.8 s at sf1); (2) it fans the |Q|·N scoring
+    // loop across cores instead of the scan's file-count parallelism
+    val codes = model.encodeFrom(
+      e.select(col("vec_id").as("n_id"), col("v")), "v", "codes")
+      .select("n_id", "codes")
+      .repartition(spark.sparkContext.defaultParallelism)
+    val qLut = e.filter(col("vec_id") < 50).select("vec_id", "v").collect()
+      .map(r => (r.getLong(0),
+        model.lut(r.getSeq[Double](1).toArray).map(_.toSeq).toSeq))
+      .toSeq.toDF("q_id", "lut")
+    val wAdc = Window.partitionBy("q_id").orderBy(col("adc").desc, col("n_id").asc)
+    val cand = codes.crossJoin(broadcast(qLut))
+      .filter(col("q_id") =!= col("n_id"))
+      .select(col("q_id"), col("n_id"),
+        model.adcScore(col("codes"), col("lut")).as("adc"))
+      .withColumn("rk0", row_number().over(wAdc))
+      .filter(col("rk0") <= 50)
+      .select("q_id", "n_id")
+    val qv = e.filter(col("vec_id") < 50)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), V.norm(col("v")).as("q_nrm"))
+    val nv = e.select(col("vec_id").as("n_id"), col("v").as("nv"), V.norm(col("v")).as("n_nrm"))
+    val cos = V.cosineWithNorms(col("qv"), col("nv"), col("q_nrm"), col("n_nrm"))
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id").asc)
+    cand.join(broadcast(qv), Seq("q_id")).join(nv, Seq("n_id"))
+      .select(col("q_id"), col("n_id"), cos.as("cos"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5)
+      .select("q_id", "rk", "n_id", "cos")
+      .orderBy("q_id", "rk")
+  }
+
   // ---------- registry ----------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -511,7 +579,10 @@ object VectorQueries {
     // stored-index search == fresh-build search row for row
     "q96_ivf_index_persist" -> (q96_ivf_index_persist _),
     "q70_knn_lsh_multiprobe" -> (q70_knn_lsh_multiprobe _),
-    "q106_semantic_decontam" -> (q106_semantic_decontam _))
+    "q106_semantic_decontam" -> (q106_semantic_decontam _),
+    // q112 rows-only like q42/q96: trained floats have no SQL twin;
+    // PqIndexSpec bounds ADC+rerank recall against brute force
+    "q112_knn_ivfpq" -> (q112_knn_ivfpq _))
 
   val oracles: Map[String, String] = Map(
     "q79_knn_quantized" -> q79_oracle,

@@ -74,6 +74,16 @@ object IvfIndex {
       seed: Long = 42L,
       sampleIdCol: Option[String] = None,
       maxIter: Int = 10): Model = {
+    val sample = collectSample(vectors, vCol, sampleIdCol)
+    Model(lloyd(sample, k, maxIter).map(_.toSeq).toSeq)
+  }
+
+  /** The bounded, deterministic training sample both quantizer
+    * families (IVF cells here, PQ codebooks in [[PqIndex]]) train on.
+    */
+  private[similarity] def collectSample(
+      vectors: DataFrame, vCol: String,
+      sampleIdCol: Option[String]): Array[Array[Double]] = {
     val tagged = sampleIdCol match {
       case Some(id) =>
         // md5 over a tagged id: engine-independent, order-independent
@@ -92,7 +102,7 @@ object IvfIndex {
       .collect()
       .map(_.getSeq[Double](0).toArray)
     require(sample.nonEmpty, "cannot train on an empty corpus")
-    Model(lloyd(sample, k, maxIter).map(_.toSeq).toSeq)
+    sample
   }
 
   /** Deterministic Lloyd's k-means on the collected sample. Init =
