@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.functions.{TextFunctions => T}
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** BPE merge-table training (round 6) — the tokenizer-construction
@@ -11,14 +11,13 @@ import org.apache.spark.sql.functions._
   * corpus (Sennrich et al. 2016, arXiv:1508.07909).
   *
   * Scale shape — the reason BPE training is feasible at 100 TB: the
-  * corpus is scanned ONCE to build the word-frequency table, and the
-  * merge loop runs entirely on that weighted vocabulary (rows =
-  * distinct words, not corpus tokens). Each round is one vocab-sized
-  * pair-count shuffle plus a 1-row argmax collect; the re-segmentation
-  * is a typed map over the vocab table (genuine per-row imperative
-  * logic — the adjacent-leftmost-first merge rule — the documented
-  * case for dropping out of expressions). Rounds persist/unpersist so
-  * round r never recomputes rounds 0..r-1.
+  * corpus is scanned ONCE to build the word-frequency table (rows =
+  * distinct words, not corpus tokens), a bounded top-[[bpeVocabCap]]
+  * of it is collected (the standard trainer truncation knob), and
+  * the merge loop runs locally on that weighted vocabulary — the
+  * same bounded-sample-then-local-iterate shape as IvfIndex's
+  * Lloyd's, because a distributed loop pays two scheduled jobs per
+  * round to do milliseconds of vocab-sized arithmetic.
   *
   * Iterative argmax-per-round is not expressible as one SQL statement
   * (aggregation inside recursion), so the driver check is rows-only —
@@ -66,18 +65,6 @@ object BpeTrain {
     out.result()
   }
 
-  /** Weighted adjacent-pair counts over a symbolized vocab table. */
-  private[queries] def pairCounts(table: Dataset[(Seq[String], Long)]): DataFrame = {
-    val spark = table.sparkSession
-    import spark.implicits._
-    table.flatMap { case (syms, f) =>
-        if (syms.length < 2) Iterator.empty
-        else syms.iterator.zip(syms.iterator.drop(1)).map(p => (p._1, p._2, f))
-      }
-      .toDF("left", "right", "f")
-      .groupBy("left", "right").agg(sum(col("f")).as("pair_count"))
-  }
-
   /** The learned merge table, trained once per corpus dir and shared
     * by q92 (which REPORTS it) and q93 (which APPLIES it) — the
     * train-once/apply-everywhere lifecycle a tokenizer actually has.
@@ -92,31 +79,56 @@ object BpeTrain {
       built.computeIfAbsent(dir, _ => train(spark, dir))
   }
 
+  /** Driver-side vocabulary bound for the merge loop — the standard
+    * BPE truncation knob (real tokenizer trainers cut by minimum
+    * frequency / vocabulary size for exactly this reason): the loop's
+    * working set is the top-cap words by (freq desc, word asc), a
+    * deterministic top-k the engine computes as a bounded
+    * TakeOrdered, never a full-vocab driver sort. At every corpus
+    * scale the collect is bounded; on corpora whose vocabulary fits
+    * the cap (all test scales) the result is identical to the
+    * uncapped loop.
+    */
+  val bpeVocabCap = 1 << 20
+
   private[queries] def train(spark: SparkSession, dir: String): Seq[(Int, String, String, Long)] = {
     import spark.implicits._
-    var table: Dataset[(Seq[String], Long)] = wordFreq(spark, dir)
+    // distributed part: ONE corpus scan to weighted word counts, then
+    // a bounded top-k. The merge loop itself runs locally — the
+    // vocab table is megabytes, and a distributed loop paid two
+    // scheduled jobs per round (pair-count shuffle + argmax collect)
+    // to do milliseconds of arithmetic, the same trade as
+    // IvfIndex's local Lloyd's.
+    var table: Array[(Seq[String], Long)] = wordFreq(spark, dir)
+      .orderBy(col("freq").desc, col("w").asc)
+      .limit(bpeVocabCap)
       .as[(String, Long)]
+      .collect()
       .map { case (w, f) => (symbolize(w), f) }
-      .persist()
     val merges = Seq.newBuilder[(Int, String, String, Long)]
-    try {
-      for (r <- 0 until bpeMerges) {
-        val top = pairCounts(table)
-          // ties break lexicographically so the table is reproducible
-          .orderBy(col("pair_count").desc, col("left"), col("right"))
-          .limit(1).collect()
-        if (top.nonEmpty) {
-          val (l, rt, cnt) =
-            (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
-          merges += ((r, l, rt, cnt))
-          val prev = table
-          table = prev.map { case (syms, f) => (mergePair(syms, l, rt), f) }
-            .persist()
-          table.count() // materialize before releasing the parent
-          prev.unpersist()
+    for (r <- 0 until bpeMerges) {
+      val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      table.foreach { case (syms, f) =>
+        var i = 0
+        while (i + 1 < syms.length) {
+          val k = (syms(i), syms(i + 1))
+          counts.update(k, counts.getOrElse(k, 0L) + f)
+          i += 1
         }
       }
-    } finally table.unpersist()
+      if (counts.nonEmpty) {
+        // argmax with lexicographic tie-break — explicit comparator,
+        // independent of hash-map iteration order
+        val ((l, rt), cnt) = counts.reduce { (x, y) =>
+          val ((xa, xb), xc) = x
+          val ((ya, yb), yc) = y
+          if (yc > xc || (yc == xc && (ya < xa || (ya == xa && yb < xb)))) y
+          else x
+        }
+        merges += ((r, l, rt, cnt))
+        table = table.map { case (syms, f) => (mergePair(syms, l, rt), f) }
+      }
+    }
     merges.result()
   }
 
