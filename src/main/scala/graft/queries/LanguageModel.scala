@@ -104,9 +104,90 @@ object LanguageModel {
        |ORDER BY doc_id""".stripMargin
   }
 
+  // ---------- q114: collocation mining (integer-exact lift) ----------
+
+  /** Collocation extraction — the corpus-analysis twin of q104's
+    * fluency score: find bigrams that co-occur far more often than
+    * their unigrams predict. The textbook statistic is PMI =
+    * log P(ab)/(P(a)P(b)); the log is monotone, so ranking by the
+    * LIFT ratio inside it gives the identical ordering with NO
+    * floating point: lift_micro = (c(ab) · N · 10⁶) DIV
+    * (c(a) · c(b)) where N is the corpus token count — every factor
+    * an exact integer (wide products ride decimal(38,0)), every value
+    * independent of aggregation order.
+    *
+    * Scale shape: one exploded-corpus pass for unigram counts, one
+    * for bigram counts (both partial-agg shuffles to vocab-sized
+    * tables); the lift join runs vocab-against-vocab — corpus text
+    * is never joined. Minimum-count floor 5 is the standard
+    * collocation guard (rare pairs have unstable lift and would
+    * dominate any top-k).
+    */
+  val collocationMinCount = 5L
+  val collocationTopK = 50
+
+  def q114_collocations(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val toks = docs.select(explode(lmTokens(col("text"))).as("w"))
+    // persisted because it is read twice (N derivation + both lift
+    // joins) and is vocab-sized; N comes from the count table, not a
+    // second corpus pass
+    val uni = toks.groupBy("w").agg(count(lit(1)).cast("long").as("c_uni")).persist()
+    val nToks = uni.agg(sum(col("c_uni"))).head.getLong(0)
+    val bg = bigrams(docs)
+      .groupBy("bigram").agg(count(lit(1)).cast("long").as("c_bigram"))
+      .filter(col("c_bigram") >= collocationMinCount)
+      .withColumn("w1", split(col("bigram"), " ").getItem(0))
+      .withColumn("w2", split(col("bigram"), " ").getItem(1))
+    val lift = bg
+      .join(uni.select(col("w").as("w1"), col("c_uni").as("c_w1")), "w1")
+      .join(uni.select(col("w").as("w2"), col("c_uni").as("c_w2")), "w2")
+      // DIV (IntegralDivide) on decimal operands is an exact integer
+      // quotient — the q104 rule widened past long range (c·N·10⁶
+      // overflows bigint, so the products ride decimal(38,0))
+      .withColumn("lift_micro", expr(
+        s"(CAST(c_bigram AS DECIMAL(38,0)) * CAST($nToks AS DECIMAL(38,0)) * $scale) " +
+          s"DIV (CAST(c_w1 AS DECIMAL(38,0)) * c_w2)"))
+    try
+      lift
+        .orderBy(col("lift_micro").desc, col("bigram").asc)
+        .limit(collocationTopK)
+        .select("bigram", "c_bigram", "c_w1", "c_w2", "lift_micro")
+        // eager: the 50-row result survives the unpersist below
+        .transform(graft.Lineage.cut)
+    finally uni.unpersist()
+  }
+
+  val q114_oracle: String = {
+    val toks = T.tokensSql("lower(text)")
+    s"""WITH tk AS (
+       |  SELECT doc_id, $toks AS t FROM documents),
+       |uni AS (
+       |  SELECT w, CAST(count(*) AS BIGINT) AS c_uni
+       |  FROM (SELECT unnest(t) AS w FROM tk) GROUP BY w),
+       |n AS (SELECT CAST(sum(c_uni) AS HUGEINT) AS n_toks FROM uni),
+       |bg AS (
+       |  SELECT bigram, CAST(count(*) AS BIGINT) AS c_bigram
+       |  FROM (
+       |    SELECT unnest([t[i] || ' ' || t[i + 1] for i in range(1, len(t))]) AS bigram
+       |    FROM tk WHERE len(t) >= 2)
+       |  GROUP BY bigram HAVING count(*) >= $collocationMinCount)
+       |SELECT bigram, c_bigram,
+       |  u1.c_uni AS c_w1, u2.c_uni AS c_w2,
+       |  CAST(CAST(c_bigram AS HUGEINT) * n.n_toks * $scale
+       |    // (CAST(u1.c_uni AS HUGEINT) * u2.c_uni) AS BIGINT) AS lift_micro
+       |FROM bg, n
+       |JOIN uni u1 ON u1.w = split_part(bigram, ' ', 1)
+       |JOIN uni u2 ON u2.w = split_part(bigram, ' ', 2)
+       |ORDER BY lift_micro DESC, bigram ASC
+       |LIMIT $collocationTopK""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q104_bigram_lm" -> (q104_bigram_lm _))
+    "q104_bigram_lm" -> (q104_bigram_lm _),
+    "q114_collocations" -> (q114_collocations _))
 
   val oracles: Map[String, String] = Map(
-    "q104_bigram_lm" -> q104_oracle)
+    "q104_bigram_lm" -> q104_oracle,
+    "q114_collocations" -> q114_oracle)
 }
