@@ -118,6 +118,17 @@ object Versioned {
     * to current-state with a keep-newest dedup (merge-on-read) if the
     * table has a key.
     */
+  /** The rows of exactly ONE committed version — its delta directory
+    * alone, nothing replayed. This is what makes an O(delta) change
+    * feed possible (ChangeCapture.q115): consumers diff the delta
+    * against prior state instead of materializing two full snapshots.
+    */
+  def readDelta(spark: SparkSession, table: String, version: Int): DataFrame = {
+    require(commits(spark, table).exists(_.version == version),
+      s"version $version is not committed under $table")
+    spark.read.parquet(deltaDir(table, version).toString)
+  }
+
   def readAsOf(spark: SparkSession, table: String, version: Int): DataFrame = {
     val all = commits(spark, table).filter(_.version <= version)
     require(all.nonEmpty, s"no committed version <= $version under $table")

@@ -199,13 +199,92 @@ object ChangeCapture {
       |WHERE doc_id >= 100 AND doc_id < 400 AND n_chars >= 150 AND n_chars < 300
       |GROUP BY source ORDER BY source""".stripMargin
 
+  // ---------- q115: O(delta) change feed from the versioned table ----------
+
+  /** The change feed read the WAY a lakehouse CDF actually computes
+    * it: q85 diffs two full snapshots (O(|v1|+|v2|)); here the same
+    * changelog derives from ONE delta commit of the q103 versioned
+    * table joined against prior state — O(|delta| + touched keys).
+    * Commit pre-1998 orders as version 1 and the 1998+ ingest as
+    * version 2, read version 2's delta directory ALONE
+    * ([[graft.io.Versioned.readDelta]] — nothing replayed), keep-newest
+    * within the delta, and left-join against version 1's consolidated
+    * state: absent key → insert; present and the delta row wins the
+    * keep-newest order (raw-timestamp compare, NOT the formatted
+    * date — intraday ordering matters) with any tracked column
+    * changed → update. Deletes cannot arise from an append-only
+    * delta, and a delta row that LOSES to state emits nothing — both
+    * exactly as the snapshot diff would decide.
+    *
+    * The oracle is BY DESIGN q85's oracle, verbatim (one shared
+    * constant, not a copied string): the O(delta) path must be
+    * indistinguishable from the two-snapshot diff — the q94/q107
+    * incremental-≡-rescan rule applied to change capture.
+    */
+  def q115_version_diff(spark: SparkSession, dir: String): DataFrame = {
+    import graft.io.Versioned
+    import org.apache.hadoop.fs.Path
+    val work = java.nio.file.Files.createTempDirectory("graft-q115-").toString
+    val fs = new Path(work).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    try {
+      val table = s"$work/orders_cdf"
+      val orders = Tables.load(spark, dir, "orders")
+      val cutoff = to_timestamp(lit("1998-01-01 00:00:00"))
+      val v1 = Versioned.commit(spark, table, orders.filter(col("o_orderdate") < cutoff))
+      val v2 = Versioned.commit(spark, table, orders.filter(col("o_orderdate") >= cutoff))
+      val cfg = ConsolidationDef(
+        enabled = true, inputPattern = "", outputPath = "",
+        dedup = DedupDef(enabled = true, keyColumn = "o_custkey",
+          orderBy = "o_orderdate", orderDirection = "DESC"))
+      val state1 = Consolidator.dedup(Versioned.readAsOf(spark, table, v1), cfg, "o_orderkey")
+        .select(col("o_custkey"), col("o_orderkey").as("old_orderkey"),
+          col("o_orderdate").as("old_ts"), col("o_totalprice").as("old_price"))
+      val deltaWin = Consolidator.dedup(Versioned.readDelta(spark, table, v2), cfg, "o_orderkey")
+        .select(col("o_custkey"), col("o_orderkey").as("new_orderkey"),
+          col("o_orderdate").as("new_ts"), col("o_totalprice").as("new_price"))
+      deltaChangelog(state1, deltaWin)
+        .orderBy("o_custkey")
+        .localCheckpoint() // materialize before the work dir is deleted
+    } finally fs.delete(new Path(work), true)
+  }
+
+  /** The O(delta) changelog core, factored so DeltaChangelogSpec can
+    * drive the branch the corpus cannot: a delta row that LOSES the
+    * keep-newest order to prior state must emit nothing (the corpus's
+    * delta is entirely newer than its state). Inputs are the
+    * projected prior-state and delta-winner frames keyed by
+    * o_custkey.
+    */
+  private[queries] def deltaChangelog(state1: DataFrame, deltaWin: DataFrame): DataFrame = {
+    val oldDate = date_format(col("old_ts"), "yyyy-MM-dd")
+    val newDate = date_format(col("new_ts"), "yyyy-MM-dd")
+    deltaWin.join(state1, Seq("o_custkey"), "left_outer")
+      .filter(col("old_orderkey").isNull ||        // new key
+        col("new_ts") > col("old_ts") ||           // delta wins keep-newest
+        (col("new_ts") === col("old_ts") && col("new_orderkey") > col("old_orderkey")))
+      .withColumn("op",
+        when(col("old_orderkey").isNull, "insert")
+          .when(!(col("old_orderkey") <=> col("new_orderkey")) ||
+            !(oldDate <=> newDate) ||
+            !(col("old_price") <=> col("new_price")), "update"))
+      .filter(col("op").isNotNull)
+      .select(col("op"), col("o_custkey"),
+        col("old_orderkey"), col("new_orderkey"),
+        oldDate.as("old_date"), newDate.as("new_date"),
+        col("old_price"), col("new_price"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q85_cdc_changelog" -> (q85_cdc_changelog _),
     "q90_layout_prune" -> (q90_layout_prune _),
-    "q101_zorder" -> (q101_zorder _))
+    "q101_zorder" -> (q101_zorder _),
+    "q115_version_diff" -> (q115_version_diff _))
 
   val oracles: Map[String, String] = Map(
     "q85_cdc_changelog" -> q85_oracle,
     "q90_layout_prune" -> q90_oracle,
-    "q101_zorder" -> q101_oracle)
+    "q101_zorder" -> q101_oracle,
+    // shared constant on purpose (see q115 scaladoc): O(delta) must
+    // equal the two-snapshot diff
+    "q115_version_diff" -> q85_oracle)
 }
