@@ -149,15 +149,112 @@ object GraphQueries {
       |WHERE n_name = 'NATION_7'
       |GROUP BY s_suppkey ORDER BY s_suppkey""".stripMargin
 
+  // ---------- q117: integer-exact PageRank ----------
+
+  private val prIters = 10
+  private val prScale = 1000000000000L // rank fixed point: 10^12
+
+  /** PageRank over the Q1-1995 customer–supplier trade graph
+    * (edges = distinct (o_custkey, l_suppkey) pairs, made undirected
+    * so the bipartite graph has no dangling mass), run for a FIXED 10
+    * iterations in pure integer arithmetic — rank rides a 10¹²
+    * fixed-point BIGINT, per-edge contribution is `pr DIV deg`, and
+    * the damping update is decimal-exact:
+    * pr' = (0.15·10¹²·100 + 85·Σcontrib) DIV 100. No floats anywhere,
+    * so an ITERATIVE GRAPH algorithm hash-matches a DuckDB oracle
+    * (the oracle unrolls the 10 iterations as plain CTEs — recursive
+    * CTEs cannot aggregate in the recursive term).
+    *
+    * Scale shape: the adjacency (src, dst, deg) is repartitioned by
+    * dst ONCE and persisted; each iteration broadcast-joins the
+    * rank table (|nodes| rows — ~1.5% of edge count here) onto it
+    * and the groupBy(dst) reuses the existing hash partitioning, so
+    * NO edge-sized shuffle happens in the loop — per iteration the
+    * only movement is the rank broadcast. On a cluster where ranks
+    * outgrow broadcast, the same loop runs with adjacency bucketed by
+    * src and ranks shuffled to it — edges still never move.
+    */
+  def q117_pagerank(spark: SparkSession, dir: String): DataFrame = {
+    val lo = to_timestamp(lit("1995-01-01 00:00:00"))
+    val hi = to_timestamp(lit("1995-04-01 00:00:00"))
+    val orders = Tables.load(spark, dir, "orders")
+      .filter(col("o_orderdate") >= lo && col("o_orderdate") < hi)
+      .select("o_orderkey", "o_custkey")
+    val li = Tables.load(spark, dir, "lineitem").select("l_orderkey", "l_suppkey")
+    val fwd = orders.join(li, col("o_orderkey") === col("l_orderkey"))
+      .select((col("o_custkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
+      .distinct()
+    val und = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
+    pageRankLoop(und, prIters)
+      .select(
+        when(col("node") % 2 === 0, "customer").otherwise("supplier")
+          .as("node_type"),
+        expr("node DIV 2").as("key"),
+        col("pr").as("rank_scaled"))
+      .orderBy(desc("rank_scaled"), col("key"), col("node_type"))
+  }
+
+  /** The fixed-point iteration core, factored so PageRankSpec can
+    * drive it on hand graphs against an independent local replica of
+    * the same integer recursion. Input is the UNDIRECTED edge list
+    * (both directions present); output (node, pr) is materialized
+    * (localCheckpoint) so the caller holds rows, not a 10-join plan.
+    */
+  private[queries] def pageRankLoop(und: DataFrame, iters: Int): DataFrame = {
+    val deg = und.groupBy("src").agg(count(lit(1)).as("deg"))
+    val adj = und.join(deg, "src").repartition(col("dst")).persist()
+    try {
+      var ranks = deg.select(col("src").as("node"), lit(prScale).as("pr"))
+      for (_ <- 1 to iters) {
+        ranks = adj
+          .join(broadcast(ranks), adj("src") === ranks("node"))
+          .select(col("dst"), expr("pr DIV deg").as("contrib"))
+          .groupBy("dst")
+          .agg(sum("contrib").as("mass"))
+          .select(col("dst").as("node"), expr(
+            s"CAST((CAST(${15 * prScale}L AS DECIMAL(38,0)) " +
+              s"+ 85 * CAST(mass AS DECIMAL(38,0))) DIV 100 AS BIGINT)").as("pr"))
+      }
+      // cut the iters-deep lineage before unpersisting the adjacency
+      ranks.localCheckpoint()
+    } finally adj.unpersist()
+  }
+
+  val q117_oracle: String = {
+    val update = (prev: String) =>
+      s"""SELECT a.dst AS node,
+         |  CAST((CAST(${15 * prScale} AS HUGEINT)
+         |    + 85 * CAST(sum($prev.pr // a.deg) AS HUGEINT)) // 100 AS BIGINT) AS pr
+         |FROM a JOIN $prev ON a.src = $prev.node GROUP BY a.dst""".stripMargin
+    val iters = (1 to prIters)
+      .map(i => s"r$i AS (${update(s"r${i - 1}")})").mkString(",\n")
+    s"""WITH fwd AS (
+       |  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+       |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+       |  WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+       |    AND o_orderdate < TIMESTAMP '1995-04-01 00:00:00'),
+       |e AS (SELECT src, dst FROM fwd UNION ALL SELECT dst, src FROM fwd),
+       |d AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+       |a AS (SELECT e.src, e.dst, d.deg FROM e JOIN d USING (src)),
+       |r0 AS (SELECT src AS node, CAST($prScale AS BIGINT) AS pr FROM d),
+       |$iters
+       |SELECT CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END AS node_type,
+       |  node // 2 AS key, pr AS rank_scaled
+       |FROM r$prIters
+       |ORDER BY rank_scaled DESC, key, node_type""".stripMargin
+  }
+
   // ---------- registry ----------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q47_dup_clusters" -> (q47_dup_clusters _),
     "q48_merge_upsert" -> (q48_merge_upsert _),
-    "q49_bloom_prune" -> (q49_bloom_prune _))
+    "q49_bloom_prune" -> (q49_bloom_prune _),
+    "q117_pagerank" -> (q117_pagerank _))
 
   val oracles: Map[String, String] = Map(
     "q47_dup_clusters" -> q47_oracle,
     "q48_merge_upsert" -> q48_oracle,
-    "q49_bloom_prune" -> q49_oracle)
+    "q49_bloom_prune" -> q49_oracle,
+    "q117_pagerank" -> q117_oracle)
 }

@@ -1,0 +1,244 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.{TextFunctions => T}
+import graft.operators.MisraGries
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Round-8 mining operators: probabilistic record linkage, sketch-based
+  * heavy hitters with exact recount, per-group OLS on exact moments,
+  * and theta-sketch set algebra across sources.
+  */
+object MiningQueries {
+
+  private val dec18 = DecimalType(18, 2)
+
+  // ---------- q116: probabilistic record linkage (Fellegi–Sunter) ----------
+
+  /** Entity resolution over the parts catalog in the Fellegi–Sunter
+    * shape (Fellegi & Sunter 1969): BLOCK on cheap agreement keys so
+    * candidate generation is an equi-join (never N²), then score each
+    * candidate pair with integer log-odds-style agreement weights and
+    * classify by threshold.
+    *
+    * Blocking key = (name noun, brand, size quintile): three
+    * independent attributes, so block size is |table| / (nouns ·
+    * brands · buckets) and the within-block pair loop stays bounded.
+    * At larger corpora the standard move is additional blocking
+    * attributes (finer keys, multiple passes unioned) — the knob is
+    * the key tuple, not the algorithm. The join is a shuffle
+    * hash-join on the composite key; AQE splits any skewed block.
+    *
+    * Weights are integers (no floats to drift cross-engine):
+    * adjective +40/−10, type +30/−20, |Δsize| ≤ 2 +20/−10,
+    * |Δprice| ≤ 5.00 +10/−30 (price compared in DECIMAL(18,2), the
+    * q10 exactness recipe). Match ⟺ score ≥ 60 — at least two strong
+    * agreements or one strong plus both numeric agreements.
+    */
+  def q116_record_linkage(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables.load(spark, dir, "part").select(
+      col("p_partkey").as("key"),
+      split(col("p_name"), " ").getItem(0).as("adj"),
+      split(col("p_name"), " ").getItem(1).as("noun"),
+      col("p_brand").as("brand"),
+      col("p_type").as("ptype"),
+      col("p_size").as("size"),
+      col("p_retailprice").cast(dec18).as("price"))
+    val a = p.columns.foldLeft(p)((d, c) => d.withColumnRenamed(c, s"a_$c"))
+    val b = p.columns.foldLeft(p)((d, c) => d.withColumnRenamed(c, s"b_$c"))
+    a.join(b,
+        col("a_noun") === col("b_noun") &&
+          col("a_brand") === col("b_brand") &&
+          expr("a_size DIV 5") === expr("b_size DIV 5") &&
+          col("a_key") < col("b_key"))
+      .withColumn("score", linkageScore)
+      .filter(col("score") >= 60)
+      .select(col("a_key"), col("b_key"), col("score"))
+      .orderBy("a_key", "b_key")
+  }
+
+  /** The agreement-weight sum over a candidate pair (a_ / b_ columns),
+    * factored so MiningOpsSpec can drive every weight branch on
+    * fixtures — the corpus only exercises the combinations it happens
+    * to contain.
+    */
+  private[queries] def linkageScore: org.apache.spark.sql.Column =
+    when(col("a_adj") === col("b_adj"), 40).otherwise(-10) +
+      when(col("a_ptype") === col("b_ptype"), 30).otherwise(-20) +
+      when(abs(col("a_size") - col("b_size")) <= 2, 20).otherwise(-10) +
+      when(abs(col("a_price") - col("b_price")) <= lit("5.00").cast(dec18), 10)
+        .otherwise(-30)
+
+  val q116_oracle: String =
+    """WITH p AS (
+      |  SELECT p_partkey AS key,
+      |    string_split(p_name, ' ')[1] AS adj,
+      |    string_split(p_name, ' ')[2] AS noun,
+      |    p_brand AS brand, p_type AS ptype, p_size AS size,
+      |    CAST(p_retailprice AS DECIMAL(18,2)) AS price
+      |  FROM part),
+      |cand AS (
+      |  SELECT a.key AS a_key, b.key AS b_key,
+      |    CASE WHEN a.adj = b.adj THEN 40 ELSE -10 END +
+      |    CASE WHEN a.ptype = b.ptype THEN 30 ELSE -20 END +
+      |    CASE WHEN abs(a.size - b.size) <= 2 THEN 20 ELSE -10 END +
+      |    CASE WHEN abs(a.price - b.price) <= CAST('5.00' AS DECIMAL(18,2))
+      |         THEN 10 ELSE -30 END AS score
+      |  FROM p a JOIN p b
+      |    ON a.noun = b.noun AND a.brand = b.brand
+      |   AND a.size // 5 = b.size // 5 AND a.key < b.key)
+      |SELECT a_key, b_key, score FROM cand
+      |WHERE score >= 60 ORDER BY a_key, b_key""".stripMargin
+
+  // ---------- q118: heavy hitters = MG candidates + exact recount ----------
+
+  /** φ-heavy hitters (tokens with frequency > N/64) computed the way
+    * a 100 TB corpus has to: a one-pass Misra–Gries(k=200) summary per
+    * partition ([[graft.operators.MisraGries]]) yields ≤ k·partitions
+    * candidate tokens — a bounded driver collect at ANY corpus size,
+    * because k ≥ 1/φ guarantees the union of per-partition survivors
+    * is a superset of every global heavy hitter (pigeonhole over the
+    * mergeable-summaries bound). A second pass recounts ONLY the
+    * candidates exactly (broadcast hash-set membership, partial-agg
+    * rollup), so the output is EXACT — which is why a sketch-built
+    * operator can still hash-match the DuckDB oracle, the same
+    * candidates-then-exact-verify shape as q25/q69.
+    *
+    * The threshold compare is `freq·64 > N` in integers — no division,
+    * no rounding-mode trap. ppm = freq·10⁶ DIV N rides the q114
+    * integer-ratio recipe.
+    */
+  def q118_heavy_hitters(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val toks = Tables.load(spark, dir, "documents")
+      .select(explode(T.tokens(col("text"))).as("token"))
+    // pass 1 (one scan): per-partition MG survivors + the partition's
+    // token count, so N needs no second corpus pass
+    val pass1: Array[(Seq[String], Long)] =
+      toks.as[String].mapPartitions { it =>
+        var n = 0L
+        val counted = it.map { t => n += 1; t }
+        val cands = MisraGries.candidates(counted, 200).toSeq
+        Iterator.single((cands, n))
+      }.collect()
+    val cand = pass1.iterator.flatMap(_._1).toSeq.distinct
+    val nTotal = pass1.iterator.map(_._2).sum
+    // pass 2: exact recount of candidates only
+    toks.filter(col("token").isin(cand: _*))
+      .groupBy("token").agg(count(lit(1)).as("freq"))
+      .filter(col("freq") * 64 > nTotal)
+      .select(col("token"), col("freq"),
+        expr(s"(freq * 1000000) DIV ${nTotal}L").as("ppm"))
+      .orderBy(desc("freq"), col("token"))
+  }
+
+  val q118_oracle: String = {
+    val toks = T.tokensSql("text")
+    s"""WITH t AS (
+       |  SELECT unnest($toks) AS token FROM documents),
+       |n AS (SELECT count(*) AS n_total FROM t)
+       |SELECT token, count(*) AS freq,
+       |  CAST(count(*) * 1000000 // n.n_total AS BIGINT) AS ppm
+       |FROM t, n
+       |GROUP BY token, n.n_total
+       |HAVING count(*) * 64 > n.n_total
+       |ORDER BY freq DESC, token""".stripMargin
+  }
+
+  // ---------- q119: per-group OLS on exact moments ----------
+
+  /** Per-group least-squares fit of extendedprice on quantity — the
+    * grouped-regression operator — computed from five DECIMAL-exact
+    * moments (n, Σx, Σy, Σxy, Σx²) in ONE hash-aggregate pass (the
+    * textbook closed form; moments are algebraic, so map-side partial
+    * aggregation applies and the shuffle is |groups| rows per task).
+    *
+    * slope = (n·Σxy − Σx·Σy) / (n·Σx² − Σx²), intercept =
+    * (Σy·Σx² − Σx·Σxy) / same. Both are emitted as ·10⁶-scaled
+    * integer quotients of exact decimals (q114's DIV recipe) — no
+    * float division, so the result is bit-identical across engines
+    * and partition orders. Spark DIV and DuckDB `//` both truncate
+    * toward zero, which keeps negative intercepts exact too.
+    */
+  def q119_regression(spark: SparkSession, dir: String): DataFrame = {
+    val x = col("l_quantity").cast(dec18)
+    val y = col("l_extendedprice").cast(dec18)
+    Tables.load(spark, dir, "lineitem")
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(x).as("sx"), sum(y).as("sy"),
+        sum(x * y).as("sxy"), sum(x * x).as("sxx"))
+      .withColumn("det",
+        expr("CAST(n AS DECIMAL(20,0)) * sxx - sx * sx"))
+      .withColumn("slope_micro", expr(
+        "CAST(((CAST(n AS DECIMAL(20,0)) * sxy - sx * sy) * 1000000) DIV det AS BIGINT)"))
+      .withColumn("intercept_micro", expr(
+        "CAST(((sy * sxx - sx * sxy) * 1000000) DIV det AS BIGINT)"))
+      .select(col("l_returnflag"), col("l_linestatus"), col("n"),
+        col("slope_micro"), col("intercept_micro"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  val q119_oracle: String =
+    """WITH m AS (
+      |  SELECT l_returnflag, l_linestatus,
+      |    CAST(count(*) AS HUGEINT) AS n,
+      |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) * 100 AS HUGEINT) AS sx_c,
+      |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) * 100 AS HUGEINT) AS sy_c,
+      |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) * 10000 AS HUGEINT) AS sxy_c,
+      |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) * 10000 AS HUGEINT) AS sxx_c
+      |  FROM lineitem GROUP BY l_returnflag, l_linestatus)
+      |SELECT l_returnflag, l_linestatus, CAST(n AS BIGINT) AS n,
+      |  CAST((n * sxy_c - sx_c * sy_c) * 1000000 // (n * sxx_c - sx_c * sx_c) AS BIGINT) AS slope_micro,
+      |  CAST((sy_c * sxx_c - sx_c * sxy_c) * 1000000 // ((n * sxx_c - sx_c * sx_c) * 100) AS BIGINT) AS intercept_micro
+      |FROM m ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  // ---------- q120: theta-sketch set algebra across sources ----------
+
+  /** Distinct-token set RELATIONSHIPS between source pairs via theta
+    * sketches (Dasgupta et al. 2016) — the sketch family that, unlike
+    * HLL (q110), supports INTERSECTION and DIFFERENCE, not just
+    * union. One pass builds a per-source sketch (tiny: ≤ 4096
+    * retained hashes each, regardless of vocabulary); the pair join
+    * is sources × sources — sketch-sized, never corpus-sized. The
+    * sketch build is deterministic (fixed Murmur seed, no sampling),
+    * so rows are stable run to run; cross-engine float parity is not
+    * (DuckDB has no theta sketch), hence rows-only with
+    * ThetaOverlapSpec bounding estimate error against exact set
+    * algebra.
+    */
+  def q120_sketch_overlap(spark: SparkSession, dir: String): DataFrame = {
+    val sk = Tables.load(spark, dir, "documents")
+      .select(col("source"), explode(T.tokens(col("text"))).as("token"))
+      .groupBy("source")
+      .agg(theta_sketch_agg(col("token")).as("sk"))
+    val a = sk.select(col("source").as("source_a"), col("sk").as("sk_a"))
+    val b = sk.select(col("source").as("source_b"), col("sk").as("sk_b"))
+    a.join(b, col("source_a") < col("source_b"))
+      .select(
+        col("source_a"), col("source_b"),
+        theta_sketch_estimate(col("sk_a")).as("est_a"),
+        theta_sketch_estimate(col("sk_b")).as("est_b"),
+        theta_sketch_estimate(theta_union(col("sk_a"), col("sk_b")))
+          .as("est_union"),
+        theta_sketch_estimate(theta_intersection(col("sk_a"), col("sk_b")))
+          .as("est_intersect"),
+        theta_sketch_estimate(theta_difference(col("sk_a"), col("sk_b")))
+          .as("est_only_a"))
+      .orderBy("source_a", "source_b")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q116_record_linkage" -> (q116_record_linkage _),
+    "q118_heavy_hitters" -> (q118_heavy_hitters _),
+    "q119_regression" -> (q119_regression _),
+    "q120_sketch_overlap" -> (q120_sketch_overlap _))
+
+  val oracles: Map[String, String] = Map(
+    "q116_record_linkage" -> q116_oracle,
+    "q118_heavy_hitters" -> q118_oracle,
+    "q119_regression" -> q119_oracle)
+}
