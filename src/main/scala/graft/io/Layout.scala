@@ -68,12 +68,21 @@ object Layout {
     val boundAggs = cols.flatMap(c =>
       Seq(min(col(c)).cast("long"), max(col(c)).cast("long")))
     val bounds = df.agg(boundAggs.head, boundAggs.tail: _*).head()
+    cols.zipWithIndex.foreach { case (c, i) =>
+      // min/max of an empty input or an all-NULL column are NULL; a
+      // raw getLong would NPE and per-row NULLs would produce NULL
+      // Morton codes that silently collapse into one range partition
+      require(!bounds.isNullAt(2 * i) && !bounds.isNullAt(2 * i + 1),
+        s"cannot z-order on '$c': empty input or all-NULL clustering column")
+    }
     val scaled = cols.zipWithIndex.map { case (c, i) =>
       val (mn, mx) = (bounds.getLong(2 * i), bounds.getLong(2 * i + 1))
       // power-of-two cell width: drop just enough low bits that the
       // scaled value fits zBits — pure integer ops, nothing overflows
       val dropBits = math.max(0, 64 - java.lang.Long.numberOfLeadingZeros(mx - mn) - zBits)
-      shiftright(col(c).cast("long") - lit(mn), dropBits)
+      // per-row NULL keys are explicitly bucketed at the min cell (a
+      // NULL would otherwise poison the whole interleaved code)
+      shiftright(coalesce(col(c).cast("long"), lit(mn)) - lit(mn), dropBits)
     }
     df.withColumn("__z", zCode(scaled))
       .repartitionByRange(numFiles, col("__z"))

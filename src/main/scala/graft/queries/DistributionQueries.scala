@@ -178,10 +178,15 @@ object DistributionQueries {
     val e = events
       .select(col("event_type"), col("event_id"),
         round(col("value") * 100).cast("long").as("cents"))
+    // Σcents² is summed in decimal(38,0), not LongType: cents² is
+    // ~1e10 for 4-digit values, so a LongType sum overflows around
+    // 1e9 rows per group — the 100 TB posture needs the moment table
+    // itself overflow-safe, not just the comparison (the oracle's
+    // HUGEINT sum is the same widening)
     val moments = e.groupBy("event_type").agg(
       count(lit(1)).cast("long").as("n"),
       sum(col("cents")).cast("long").as("s"),
-      sum(col("cents") * col("cents")).cast("long").as("q"))
+      sum(col("cents").cast(dec38) * col("cents")).as("q"))
     val dev = (col("n").cast(dec38) * col("cents") - col("s")).cast(dec38)
     val outlier =
       dev * dev * 4 >
@@ -206,7 +211,7 @@ object DistributionQueries {
       |m AS (
       |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
       |    CAST(sum(cents) AS BIGINT) AS s,
-      |    CAST(sum(cents * cents) AS BIGINT) AS q
+      |    CAST(sum(CAST(cents AS HUGEINT) * cents) AS HUGEINT) AS q
       |  FROM e GROUP BY event_type),
       |flagged AS (
       |  SELECT e.event_type, e.event_id, m.n,

@@ -48,16 +48,26 @@ object MiningQueries {
       col("p_retailprice").cast(dec18).as("price"))
     val a = p.columns.foldLeft(p)((d, c) => d.withColumnRenamed(c, s"a_$c"))
     val b = p.columns.foldLeft(p)((d, c) => d.withColumnRenamed(c, s"b_$c"))
-    a.join(b,
-        col("a_noun") === col("b_noun") &&
-          col("a_brand") === col("b_brand") &&
-          expr("a_size DIV 5") === expr("b_size DIV 5") &&
-          col("a_key") < col("b_key"))
+    a.join(b, linkageBlocking && col("a_key") < col("b_key"))
       .withColumn("score", linkageScore)
       .filter(col("score") >= 60)
       .select(col("a_key"), col("b_key"), col("score"))
       .orderBy("a_key", "b_key")
   }
+
+  /** The blocking predicate, factored so MiningOpsSpec can drive the
+    * documented Fellegi–Sunter failure mode the corpus can't: a TRUE
+    * match whose size quintile straddles a block boundary (sizes 4
+    * vs 6 agree within ±2 but block into quintiles 0 vs 1) is never
+    * generated as a candidate — blocking trades that recall for the
+    * equi-join bound. The standard recovery is a second blocking pass
+    * with a shifted key (e.g. `(size+2) DIV 5`) unioned in; the
+    * operator ships one pass and the spec documents the trade.
+    */
+  private[queries] def linkageBlocking: org.apache.spark.sql.Column =
+    col("a_noun") === col("b_noun") &&
+      col("a_brand") === col("b_brand") &&
+      expr("a_size DIV 5") === expr("b_size DIV 5")
 
   /** The agreement-weight sum over a candidate pair (a_ / b_ columns),
     * factored so MiningOpsSpec can drive every weight branch on
@@ -101,10 +111,14 @@ object MiningQueries {
     * because k ≥ 1/φ guarantees the union of per-partition survivors
     * is a superset of every global heavy hitter (pigeonhole over the
     * mergeable-summaries bound). A second pass recounts ONLY the
-    * candidates exactly (broadcast hash-set membership, partial-agg
-    * rollup), so the output is EXACT — which is why a sketch-built
-    * operator can still hash-match the DuckDB oracle, the same
-    * candidates-then-exact-verify shape as q25/q69.
+    * candidates exactly — a LEFT SEMI join against the BROADCAST
+    * candidate table, so the candidate set rides data, never the
+    * query plan (an isin() literal list would inline k·partitions
+    * strings into the plan: ~200k literals at a cluster's 1k tasks,
+    * bloating analysis and serialization) — so the output is EXACT,
+    * which is why a sketch-built operator can still hash-match the
+    * DuckDB oracle, the same candidates-then-exact-verify shape as
+    * q25/q69.
     *
     * The threshold compare is `freq·64 > N` in integers — no division,
     * no rounding-mode trap. ppm = freq·10⁶ DIV N rides the q114
@@ -125,8 +139,10 @@ object MiningQueries {
       }.collect()
     val cand = pass1.iterator.flatMap(_._1).toSeq.distinct
     val nTotal = pass1.iterator.map(_._2).sum
-    // pass 2: exact recount of candidates only
-    toks.filter(col("token").isin(cand: _*))
+    // pass 2: exact recount of candidates only — the candidate set is
+    // a broadcast DataFrame (left-semi), NOT an isin literal list
+    val candDf = broadcast(cand.toDF("token"))
+    toks.join(candDf, Seq("token"), "left_semi")
       .groupBy("token").agg(count(lit(1)).as("freq"))
       .filter(col("freq") * 64 > nTotal)
       .select(col("token"), col("freq"),
@@ -207,8 +223,8 @@ object MiningQueries {
     * sketch build is deterministic (fixed Murmur seed, no sampling),
     * so rows are stable run to run; cross-engine float parity is not
     * (DuckDB has no theta sketch), hence rows-only with
-    * ThetaOverlapSpec bounding estimate error against exact set
-    * algebra.
+    * MiningOpsSpec bounding estimate error against exact set algebra
+    * (exact below sketch capacity, ≤5 % union error above it).
     */
   def q120_sketch_overlap(spark: SparkSession, dir: String): DataFrame = {
     val sk = Tables.load(spark, dir, "documents")

@@ -66,12 +66,15 @@ object IvfIndex {
     * Deterministic for a fixed dataset: hash sampling, hash-rank
     * seeding, and a fixed iteration count — IvfPersistSpec pins
     * train-twice equality, IvfIndexSpec/SemDedupSpec bound recall.
+    * There is deliberately NO seed parameter: training has no RNG
+    * anywhere (content-hash sample, spaced-rank init), so a seed
+    * would be an API lie — two seeds could only ever produce
+    * identical centroids.
     */
   def train(
       vectors: DataFrame,
       vCol: String,
       k: Int,
-      seed: Long = 42L,
       sampleIdCol: Option[String] = None,
       maxIter: Int = 10): Model = {
     val sample = collectSample(vectors, vCol, sampleIdCol)

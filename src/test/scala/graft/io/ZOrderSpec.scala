@@ -75,6 +75,37 @@ class ZOrderSpec extends SparkSpec {
     }
   }
 
+  test("empty input and all-NULL columns fail fast; per-row NULLs bucket at the min cell") {
+    val work = java.nio.file.Files.createTempDirectory("graft-znull-").toString
+    try {
+      val empty = Seq.empty[(Long, Long)].toDF("a", "b")
+      val e1 = intercept[IllegalArgumentException] {
+        Layout.writeZOrdered(empty, s"$work/e", 4, "a", "b")
+      }
+      assert(e1.getMessage.contains("empty input or all-NULL"))
+
+      val allNull = (0L until 8L).map(i => (i, null.asInstanceOf[java.lang.Long]))
+        .toDF("a", "b")
+      val e2 = intercept[IllegalArgumentException] {
+        Layout.writeZOrdered(allNull, s"$work/n", 4, "a", "b")
+      }
+      assert(e2.getMessage.contains("'b'"))
+
+      // per-row NULL keys survive the layout (bucketed at the min cell)
+      // instead of collapsing into one NULL-code partition
+      val some = (0L until 64L)
+        .map(i => (i, if (i % 8 == 0) null.asInstanceOf[java.lang.Long]
+                      else java.lang.Long.valueOf(i * 3)))
+        .toDF("a", "b")
+      Layout.writeZOrdered(some, s"$work/s", 4, "a", "b")
+      val back = spark.read.parquet(s"$work/s")
+      assert(back.count() === 64L)
+      assert(back.filter(col("b").isNull).count() === 8L)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(work))
+    }
+  }
+
   test("degenerate dimension (constant column) still lays out and answers correctly") {
     val df = (0L until 64L).map(i => (i, 42L)).toDF("a", "b")
     val work = java.nio.file.Files.createTempDirectory("graft-zconst-").toString

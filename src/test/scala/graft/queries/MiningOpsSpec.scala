@@ -40,6 +40,28 @@ class MiningOpsSpec extends SparkSpec {
     got.foreach(r => assert(r.getInt(0) == r.getInt(1), r.toString))
   }
 
+  test("q116: blocking excludes a true match across a quintile boundary (documented recall trade)") {
+    import spark.implicits._
+    // sizes 4 and 6: |delta| <= 2 (agreement, +20) and every other
+    // attribute agrees, so the SCORE is 100 — but 4 DIV 5 = 0 and
+    // 6 DIV 5 = 1, so blocking never generates the pair
+    val a = Seq((1L, "red", "widget", "B1", "T1", 4, "100.00"))
+      .toDF("a_key", "a_adj", "a_noun", "a_brand", "a_ptype", "a_size", "a_p")
+      .withColumn("a_price", col("a_p").cast("decimal(18,2)"))
+    val b = Seq((2L, "red", "widget", "B1", "T1", 6, "101.00"))
+      .toDF("b_key", "b_adj", "b_noun", "b_brand", "b_ptype", "b_size", "b_p")
+      .withColumn("b_price", col("b_p").cast("decimal(18,2)"))
+    val cross = a.crossJoin(b)
+    val score = cross.withColumn("s", MiningQueries.linkageScore)
+      .head().getAs[Int]("s")
+    assert(score == 100, "the pair IS a true match by score")
+    assert(cross.filter(MiningQueries.linkageBlocking).count() == 0,
+      "yet one-pass blocking excludes it — the recall cost of the equi-join bound")
+    // same attributes inside one quintile ARE generated
+    val b2 = b.withColumn("b_size", lit(3))
+    assert(a.crossJoin(b2).filter(MiningQueries.linkageBlocking).count() == 1)
+  }
+
   // ---------- q118: sketch path == exact full computation ----------
 
   test("q118: MG-candidate recount equals the exact heavy-hitter scan") {
@@ -56,6 +78,42 @@ class MiningOpsSpec extends SparkSpec {
       .collect()
     assert(got.map(_.toSeq).toSeq === exact.map(_.toSeq).toSeq)
     assert(got.nonEmpty, "fixture corpus must produce heavy hitters")
+  }
+
+  test("q118: candidate recount plans a broadcast left-semi join, not inlined literals") {
+    val plan = MiningQueries.q118_heavy_hitters(spark, sf("sf0.001"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"),
+      s"candidate filter must be a broadcast semi join:\n$plan")
+    assert(!plan.contains(" IN ("),
+      "candidate set must ride data, not the plan as an IN literal list")
+  }
+
+  test("MisraGries: adversarial all-distinct and drifting streams honor the bounds") {
+    // all-distinct stream: nothing exceeds n/(k+1); undercount bound
+    // still must hold for every estimate (estimate <= true count, and
+    // true - estimate <= n / (k+1))
+    val k = 50
+    val distinctStream = (0 until 10000).map(i => s"u$i")
+    val s1 = graft.operators.MisraGries.summary(distinctStream.iterator, k)
+    assert(s1.size <= k)
+    s1.foreach { case (t, est) =>
+      assert(est <= 1L, s"$t overcounted: $est")
+    }
+    // drifting stream: one heavy token interleaved with distinct noise —
+    // the heavy token must survive with the guaranteed undercount
+    val heavy = (0 until 10000).flatMap(i => Seq(s"n$i", "HOT"))
+    val n = heavy.size
+    val s2 = graft.operators.MisraGries.summary(heavy.iterator, k)
+    assert(s2.contains("HOT"), "a token with freq n/2 must survive MG(50)")
+    val est = s2("HOT")
+    assert(est <= 10000L, "estimate can never exceed the true count")
+    assert(10000L - est <= n / (k + 1) + 1,
+      s"undercount ${10000L - est} exceeds n/(k+1) = ${n / (k + 1)}")
+    // exhaustive superset guarantee on the drifting stream
+    val trueCounts = heavy.groupBy(identity).view.mapValues(_.size).toMap
+    trueCounts.filter(_._2 > n / (k + 1)).keys.foreach(t =>
+      assert(s2.contains(t), s"heavy hitter $t lost from the summary"))
   }
 
   // ---------- q119: moments vs an independent BigDecimal replica ----------
