@@ -170,9 +170,16 @@ object GraphQueries {
     * rank table (|nodes| rows — ~1.5% of edge count here) onto it
     * and the groupBy(dst) reuses the existing hash partitioning, so
     * NO edge-sized shuffle happens in the loop — per iteration the
-    * only movement is the rank broadcast. On a cluster where ranks
-    * outgrow broadcast, the same loop runs with adjacency bucketed by
-    * src and ranks shuffled to it — edges still never move.
+    * only movement is the rank broadcast. When the node count exceeds
+    * [[prBroadcastMaxNodes]] (ranks no longer broadcastable — the
+    * ~100M-node regime), [[pageRankLoop]] switches to the
+    * shuffled-ranks plan: adjacency hash-partitioned by src once,
+    * ranks SHUFFLED to it each iteration (node-sized exchange), and
+    * the contribution rollup partially aggregated before its dst
+    * exchange — the adjacency itself still never moves after its one
+    * repartition. Both paths are the same integer recursion;
+    * PageRankSpec pins them bit-identical on the same graph (the
+    * ConnectedComponents fallback pattern).
     */
   def q117_pagerank(spark: SparkSession, dir: String): DataFrame = {
     val lo = to_timestamp(lit("1995-01-01 00:00:00"))
@@ -194,30 +201,56 @@ object GraphQueries {
       .orderBy(desc("rank_scaled"), col("key"), col("node_type"))
   }
 
+  /** Above this many nodes the per-iteration rank table stops being
+    * broadcastable (10M rows of (long, long) ≈ 160 MB serialized —
+    * already past a prudent broadcast budget) and the loop switches
+    * to the shuffled-ranks plan. The corpus graph is ~4 orders of
+    * magnitude below this; the spec forces both paths explicitly.
+    */
+  private[queries] val prBroadcastMaxNodes = 10L * 1000 * 1000
+
   /** The fixed-point iteration core, factored so PageRankSpec can
     * drive it on hand graphs against an independent local replica of
     * the same integer recursion. Input is the UNDIRECTED edge list
     * (both directions present); output (node, pr) is materialized
     * (localCheckpoint) so the caller holds rows, not a 10-join plan.
+    *
+    * `forceShuffledRanks`: None = auto (node count vs
+    * [[prBroadcastMaxNodes]]); Some(b) = the spec's handle to pin
+    * both plans on one graph. In the shuffled plan the adjacency is
+    * hash-partitioned by src ONCE (persisted — the exchange never
+    * recurs), so each iteration shuffles only the node-sized rank
+    * table to it; the (dst, contrib) rollup rides map-side partial
+    * aggregation before its exchange, bounding that shuffle at
+    * |distinct dst per partition|, never raw edges.
     */
-  private[queries] def pageRankLoop(und: DataFrame, iters: Int): DataFrame = {
-    val deg = und.groupBy("src").agg(count(lit(1)).as("deg"))
-    val adj = und.join(deg, "src").repartition(col("dst")).persist()
+  private[queries] def pageRankLoop(und: DataFrame, iters: Int,
+      forceShuffledRanks: Option[Boolean] = None): DataFrame = {
+    val deg = und.groupBy("src").agg(count(lit(1)).as("deg")).persist()
     try {
-      var ranks = deg.select(col("src").as("node"), lit(prScale).as("pr"))
-      for (_ <- 1 to iters) {
-        ranks = adj
-          .join(broadcast(ranks), adj("src") === ranks("node"))
-          .select(col("dst"), expr("pr DIV deg").as("contrib"))
-          .groupBy("dst")
-          .agg(sum("contrib").as("mass"))
-          .select(col("dst").as("node"), expr(
-            s"CAST((CAST(${15 * prScale}L AS DECIMAL(38,0)) " +
-              s"+ 85 * CAST(mass AS DECIMAL(38,0))) DIV 100 AS BIGINT)").as("pr"))
-      }
-      // cut the iters-deep lineage before unpersisting the adjacency
-      ranks.localCheckpoint()
-    } finally adj.unpersist()
+      val shuffled = forceShuffledRanks.getOrElse(deg.count() > prBroadcastMaxNodes)
+      val adj = und.join(deg, "src")
+        .repartition(if (shuffled) col("src") else col("dst")).persist()
+      try {
+        var ranks = deg.select(col("src").as("node"), lit(prScale).as("pr"))
+        for (_ <- 1 to iters) {
+          val joined =
+            if (shuffled)
+              adj.join(ranks.hint("shuffle_hash"), adj("src") === ranks("node"))
+            else
+              adj.join(broadcast(ranks), adj("src") === ranks("node"))
+          ranks = joined
+            .select(col("dst"), expr("pr DIV deg").as("contrib"))
+            .groupBy("dst")
+            .agg(sum("contrib").as("mass"))
+            .select(col("dst").as("node"), expr(
+              s"CAST((CAST(${15 * prScale}L AS DECIMAL(38,0)) " +
+                s"+ 85 * CAST(mass AS DECIMAL(38,0))) DIV 100 AS BIGINT)").as("pr"))
+        }
+        // cut the iters-deep lineage before unpersisting the adjacency
+        ranks.localCheckpoint()
+      } finally adj.unpersist()
+    } finally deg.unpersist()
   }
 
   val q117_oracle: String = {

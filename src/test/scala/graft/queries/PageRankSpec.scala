@@ -29,10 +29,11 @@ class PageRankSpec extends SparkSpec {
     pr
   }
 
-  private def run(edges: Seq[(Long, Long)], iters: Int): Map[Long, Long] = {
+  private def run(edges: Seq[(Long, Long)], iters: Int,
+      forceShuffled: Option[Boolean] = None): Map[Long, Long] = {
     import spark.implicits._
     val und = (edges ++ edges.map(_.swap)).toDF("src", "dst")
-    GraphQueries.pageRankLoop(und, iters)
+    GraphQueries.pageRankLoop(und, iters, forceShuffled)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
   }
 
@@ -44,6 +45,21 @@ class PageRankSpec extends SparkSpec {
       (7L, 8L), (8L, 9L), (9L, 7L)) // triangle
     val und = edges ++ edges.map(_.swap)
     assert(run(edges, 10) === localPr(und, 10))
+  }
+
+  test("shuffled-ranks fallback is bit-identical to the broadcast path") {
+    // the no-broadcast plan (adjacency partitioned by src, ranks
+    // shuffled to it — the >10M-node regime) must be the SAME integer
+    // recursion: every node's rank equal bit for bit, on a graph with
+    // hubs, chains, a cycle and an isolated dumbbell
+    val edges = Seq(
+      (1L, 2L), (1L, 3L), (1L, 4L), (4L, 5L), (5L, 6L), (6L, 4L),
+      (7L, 8L), (9L, 10L), (8L, 9L))
+    val bc = run(edges, 10, forceShuffled = Some(false))
+    val sh = run(edges, 10, forceShuffled = Some(true))
+    assert(bc === sh)
+    val und = edges ++ edges.map(_.swap)
+    assert(sh === localPr(und, 10), "and both equal the sequential replica")
   }
 
   test("hub concentrates rank; leaves of the same degree tie exactly") {
