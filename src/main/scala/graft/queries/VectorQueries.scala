@@ -512,45 +512,76 @@ object VectorQueries {
           sampleIdCol = Some("vec_id")))
   }
 
-  /** Product-quantized ANN ([[graft.similarity.PqIndex]]): the corpus
-    * is reduced to 8 codebook ids per vector (64× smaller than the
-    * float embedding), candidates are ranked by asymmetric-distance
-    * lookup tables that ship WITH each query (m table reads per
-    * candidate, zero per-pair vector arithmetic), and the PQ top-50
-    * is reranked with the exact cosine — the standard ADC+rerank
-    * pipeline, and the missing storage-side member of the ANN family
-    * (q29/q70 LSH and q42/q96 IVF bound the candidate SET; PQ shrinks
-    * the BYTES every candidate costs). Rows-only at the driver like
-    * q42 (trained floats have no SQL twin); PqIndexSpec bounds
-    * ADC+rerank recall@5 against q28's exact ranking.
+  /** Probed cells per query — 4 of the 16 coarse cells, q42's knob:
+    * the ADC scan touches ~nProbe/k of the corpus instead of all of
+    * it.
     */
-  def q112_knn_ivfpq(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] val pqNProbe = 4
+
+  /** The IVF-restricted ADC shortlist — factored so PqIndexSpec can
+    * pin the candidate bound (every query scores only the codes in
+    * its probed cells, strictly fewer rows than the flat N-scan).
+    * Returns (q_id, n_id): the PQ top-50 per query among probed-cell
+    * candidates.
+    */
+  private[graft] def pqAdcCandidates(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val e = emb(spark, dir)
     val model = PqModel.get(spark, dir)
+    val ivf = IvfModel.get(spark, dir, k = 16)
     // the repartition is load-bearing twice over: (1) the exchange
     // MATERIALIZES the code arrays, so the ADC join's inner loop
     // reads a 4-byte-code attribute instead of re-evaluating the
     // m·ksub argmin encode per (query, vector) pair — whole-stage
     // codegen defers a stream-side projection into the loop body
-    // (measured 16 s → 1.8 s at sf1); (2) it fans the |Q|·N scoring
-    // loop across cores instead of the scan's file-count parallelism
+    // (measured 16 s → 1.8 s at sf1); (2) it fans the scoring loop
+    // across cores instead of the scan's file-count parallelism
     val codes = model.encodeFrom(
       e.select(col("vec_id").as("n_id"), col("v")), "v", "codes")
-      .select("n_id", "codes")
+      .withColumn("cell", ivf.cell(col("v")))
+      .select("n_id", "cell", "codes")
       .repartition(spark.sparkContext.defaultParallelism)
-    val qLut = e.filter(col("vec_id") < 50).select("vec_id", "v").collect()
-      .map(r => (r.getLong(0),
-        model.lut(r.getSeq[Double](1).toArray).map(_.toSeq).toSeq))
-      .toSeq.toDF("q_id", "lut")
+    // queries are collected for LUT construction anyway, so probe
+    // cells are computed locally with the bit-identical twin of the
+    // distributed cell argmin; the probe fan-out (|Q|·nProbe rows,
+    // each carrying its m×ksub LUT) broadcasts — the corpus side
+    // joins on cell and never moves
+    val qProbe = e.filter(col("vec_id") < 50).select("vec_id", "v").collect()
+      .toSeq.flatMap { r =>
+        val q = r.getSeq[Double](1).toArray
+        val lut = model.lut(q).map(_.toSeq).toSeq
+        ivf.probeCellsLocal(q, pqNProbe).map(c => (r.getLong(0), c, lut))
+      }.toDF("q_id", "cell", "lut")
     val wAdc = Window.partitionBy("q_id").orderBy(col("adc").desc, col("n_id").asc)
-    val cand = codes.crossJoin(broadcast(qLut))
+    codes.join(broadcast(qProbe), Seq("cell"))
       .filter(col("q_id") =!= col("n_id"))
       .select(col("q_id"), col("n_id"),
         model.adcScore(col("codes"), col("lut")).as("adc"))
       .withColumn("rk0", row_number().over(wAdc))
       .filter(col("rk0") <= 50)
       .select("q_id", "n_id")
+  }
+
+  /** IVF-PQ ANN (Jégou et al. 2011, the composed structure): the
+    * corpus is reduced to 8 codebook ids per vector
+    * ([[graft.similarity.PqIndex]], 64× smaller than the float
+    * embedding) AND assigned to a trained coarse cell
+    * ([[graft.similarity.IvfIndex]], q42's quantizer); each query
+    * probes its [[pqNProbe]] nearest cells and ADC-scores ONLY the
+    * codes inside them — asymmetric-distance lookup tables ship WITH
+    * each query (m table reads per candidate, zero per-pair vector
+    * arithmetic), so the scan is ~nProbe/k of the corpus at 1/64th
+    * the bytes per row. The PQ top-50 is then reranked with the exact
+    * cosine — the standard IVF-ADC+rerank pipeline, completing the
+    * ANN family (q29/q70 LSH and q42/q96 IVF bound the candidate SET;
+    * PQ shrinks the BYTES; this operator composes both cuts).
+    * Rows-only at the driver like q42 (trained floats have no SQL
+    * twin); PqIndexSpec bounds end-to-end recall@5 against q28's
+    * exact ranking and pins the probed-cell candidate bound.
+    */
+  def q112_knn_ivfpq(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    val cand = pqAdcCandidates(spark, dir)
     val qv = e.filter(col("vec_id") < 50)
       .select(col("vec_id").as("q_id"), col("v").as("qv"), V.norm(col("v")).as("q_nrm"))
     val nv = e.select(col("vec_id").as("n_id"), col("v").as("nv"), V.norm(col("v")).as("n_nrm"))

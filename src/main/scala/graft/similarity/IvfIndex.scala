@@ -41,6 +41,21 @@ object IvfIndex {
           struct(negScore(v, c).as("s"), lit(j).as("j"))
         }: _*)), 1, nProbe),
         x => x.getField("j"))
+
+    /** Driver-side twin of [[probeCells]] for query sets that are
+      * collected anyway (e.g. PQ lookup-table construction): the SAME
+      * -2<v,c>+||c||² ranking with the same strict left-to-right
+      * float fold and (score, j) tie-break as the Column form, so
+      * local probe lists agree bit-for-bit with distributed cell
+      * assignment.
+      */
+    def probeCellsLocal(q: Array[Double], nProbe: Int): Seq[Int] =
+      centroids.zipWithIndex.map { case (c, j) =>
+        var s = 0.0
+        var t = 0
+        while (t < c.length) { s += q(t) * c(t); t += 1 }
+        (s * -2.0 + c.map(x => x * x).sum, j)
+      }.sortBy(identity).take(nProbe).map(_._2)
   }
 
   /** Hard cap on the driver-collected training sample. A coarse
