@@ -87,7 +87,10 @@ final case class DataflowDef(
 final case class PipelineMeta(
     processingMode: String,
     dataflows: Seq[DataflowDef],
-    consolidation: Option[ConsolidationDef])
+    consolidation: Option[ConsolidationDef],
+    // table-level quality contract, declared in the same document as
+    // the dataflows it certifies (graft.operators.Expectations)
+    expectations: Seq[graft.operators.Expectations.ExpectationDef] = Seq.empty)
 
 class MetadataError(msg: String) extends RuntimeException(msg)
 
@@ -126,7 +129,68 @@ object Metadata {
       .getOrElse(fail("metadata missing 'dataflows'"))
     val consolidation = field(r, "consolidation")
       .map(c => parseConsolidation(obj(c, "consolidation")))
-    PipelineMeta(mode, flows, consolidation)
+    PipelineMeta(mode, flows, consolidation, parseExpectationsField(r))
+  }
+
+  /** Parse a standalone expectations document:
+    * `{"expectations": [ {...}, ... ]}` — the table-level quality
+    * contract as data (the reference declares its row-level rules in
+    * metadata and its table-level contract as a pytest suite; here
+    * both speak the same JSON). Strict like every other block:
+    * unknown kinds, missing fields, duplicate ids fail at parse time.
+    */
+  def parseExpectations(json: String): Seq[graft.operators.Expectations.ExpectationDef] = {
+    val defs = parseExpectationsField(obj(JsonMethods.parse(json), "expectations root"))
+    if (defs.isEmpty) fail("expectations document declares no expectations")
+    defs
+  }
+
+  private def parseExpectationsField(
+      r: JObject): Seq[graft.operators.Expectations.ExpectationDef] = {
+    import graft.operators.Expectations._
+    val defs = field(r, "expectations")
+      .map(v => arr(v, "expectations").map { e =>
+        val o = obj(e, "expectation")
+        val id = optStr(o, "id").getOrElse(fail("expectation missing 'id'"))
+        def table = optStr(o, "table").getOrElse(fail(s"expectation '$id' missing 'table'"))
+        def column = optStr(o, "column").getOrElse(fail(s"expectation '$id' missing 'column'"))
+        def num(key: String): Option[Double] = field(o, key).map {
+          case JInt(i)     => i.toDouble
+          case JLong(l)    => l.toDouble
+          case JDouble(d)  => d
+          case JDecimal(d) => d.toDouble
+          case other       => fail(s"expectation '$id' $key must be numeric, got $other")
+        }
+        optStr(o, "kind").getOrElse(fail(s"expectation '$id' missing 'kind'")) match {
+          case "unique"   => Unique(id, table, column)
+          case "not_null" => NotNull(id, table, column)
+          case "accepted_values" =>
+            val values = field(o, "values")
+              .map(v => arr(v, s"expectation '$id' values").map(s => str(s, "accepted value")))
+              .getOrElse(fail(s"expectation '$id' missing 'values'"))
+            if (values.isEmpty) fail(s"expectation '$id' declares an empty domain")
+            AcceptedValues(id, table, column, values)
+          case "bounds" =>
+            val (mn, mx) = (num("min"), num("max"))
+            if (mn.isEmpty && mx.isEmpty)
+              fail(s"expectation '$id' bounds needs at least one of min/max")
+            Bounds(id, table, column, mn, mx)
+          case "row_count_min" =>
+            RowCountMin(id, table, num("min_rows")
+              .getOrElse(fail(s"expectation '$id' missing 'min_rows'")).toLong)
+          case "foreign_key" =>
+            ForeignKey(id, table, column,
+              optStr(o, "ref_table").getOrElse(fail(s"expectation '$id' missing 'ref_table'")),
+              optStr(o, "ref_column").getOrElse(fail(s"expectation '$id' missing 'ref_column'")))
+          case other =>
+            fail(s"Unsupported expectation kind '$other' for '$id'. Supported kinds: " +
+              "[accepted_values, bounds, foreign_key, not_null, row_count_min, unique]")
+        }
+      })
+      .getOrElse(Seq.empty)
+    val dup = defs.map(_.id).groupBy(identity).collectFirst { case (id, ids) if ids.size > 1 => id }
+    dup.foreach(id => fail(s"duplicate expectation id '$id'"))
+    defs
   }
 
   private def parseDataflow(o: JObject): DataflowDef = DataflowDef(

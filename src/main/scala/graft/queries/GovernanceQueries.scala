@@ -17,21 +17,41 @@ object GovernanceQueries {
 
   // ---------- q99: declarative expectations over the warehouse ----------
 
-  /** The expectation catalog evaluated by q99 — a deliberate mix of
-    * passing and failing declarations (a verdict table that can only
-    * ever say "pass" certifies nothing): o_orderkey IS a key while
-    * o_custkey is not (customers reorder), and the declared two-value
-    * order-status domain is violated by every in-flight 'P' row.
+  /** The expectation catalog evaluated by q99, declared as DATA — the
+    * same JSON metadata language the rest of the pipeline speaks
+    * (graft.meta.Metadata.parseExpectations; the reference's whole
+    * thesis applied to its own test-suite contract). A user extends
+    * the quality contract by editing this document, not engine
+    * source. Deliberate mix of passing and failing declarations (a
+    * verdict table that can only ever say "pass" certifies nothing):
+    * o_orderkey IS a key while o_custkey is not (customers reorder),
+    * and the declared two-value order-status domain is violated by
+    * every in-flight 'P' row.
     */
-  private val expectationDefs: Seq[ExpectationDef] = Seq(
-    Unique("e01_unique_orderkey", "orders", "o_orderkey"),
-    Unique("e02_unique_custkey", "orders", "o_custkey"),
-    ForeignKey("e03_fk_orders_customer", "orders", "o_custkey", "customer", "c_custkey"),
-    NotNull("e04_notnull_user", "events", "user_id"),
-    AcceptedValues("e05_domain_status", "orders", "o_orderstatus", Seq("O", "F")),
-    Bounds("e06_bounds_value", "events", "value", min = Some(0.0), max = Some(1000.0)),
-    RowCountMin("e07_rowcount_documents", "documents", 10L),
-    Bounds("e08_bounds_totalprice", "orders", "o_totalprice", min = Some(0.0), max = None))
+  private[graft] val expectationsJson: String =
+    """{
+      |  "expectations": [
+      |    {"id": "e01_unique_orderkey", "table": "orders", "kind": "unique",
+      |     "column": "o_orderkey"},
+      |    {"id": "e02_unique_custkey", "table": "orders", "kind": "unique",
+      |     "column": "o_custkey"},
+      |    {"id": "e03_fk_orders_customer", "table": "orders", "kind": "foreign_key",
+      |     "column": "o_custkey", "ref_table": "customer", "ref_column": "c_custkey"},
+      |    {"id": "e04_notnull_user", "table": "events", "kind": "not_null",
+      |     "column": "user_id"},
+      |    {"id": "e05_domain_status", "table": "orders", "kind": "accepted_values",
+      |     "column": "o_orderstatus", "values": ["O", "F"]},
+      |    {"id": "e06_bounds_value", "table": "events", "kind": "bounds",
+      |     "column": "value", "min": 0.0, "max": 1000.0},
+      |    {"id": "e07_rowcount_documents", "table": "documents", "kind": "row_count_min",
+      |     "min_rows": 10},
+      |    {"id": "e08_bounds_totalprice", "table": "orders", "kind": "bounds",
+      |     "column": "o_totalprice", "min": 0.0}
+      |  ]
+      |}""".stripMargin
+
+  private val expectationDefs: Seq[ExpectationDef] =
+    graft.meta.Metadata.parseExpectations(expectationsJson)
 
   /** Evaluate the catalog: one verdict row per expectation. All five
     * scan-shaped checks on `orders` fuse into ONE aggregate pass over

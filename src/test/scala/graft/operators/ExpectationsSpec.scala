@@ -67,6 +67,66 @@ class ExpectationsSpec extends SparkSpec {
     assert(Seq("f1", "f2", "f3", "f4").map(n => row.getAs[Long](n)) === Seq(1L, 1L, 1L, 0L))
   }
 
+  test("the JSON expectations block round-trips to the typed catalog") {
+    val parsed = graft.meta.Metadata.parseExpectations(
+      """{"expectations": [
+        |  {"id": "u1", "table": "child", "kind": "unique", "column": "id"},
+        |  {"id": "n1", "table": "child", "kind": "not_null", "column": "label"},
+        |  {"id": "a1", "table": "child", "kind": "accepted_values",
+        |   "column": "label", "values": ["a", "b"]},
+        |  {"id": "b1", "table": "child", "kind": "bounds", "column": "value",
+        |   "min": 0, "max": 1000.5},
+        |  {"id": "r1", "table": "child", "kind": "row_count_min", "min_rows": 3},
+        |  {"id": "f1", "table": "child", "kind": "foreign_key", "column": "id",
+        |   "ref_table": "parent", "ref_column": "pid"}
+        |]}""".stripMargin)
+    assert(parsed === Seq(
+      Unique("u1", "child", "id"),
+      NotNull("n1", "child", "label"),
+      AcceptedValues("a1", "child", "label", Seq("a", "b")),
+      Bounds("b1", "child", "value", Some(0.0), Some(1000.5)),
+      RowCountMin("r1", "child", 3L),
+      ForeignKey("f1", "child", "id", "parent", "pid")))
+    // and the parsed catalog evaluates like the hand-built one
+    val verdict = Expectations.evaluate(spark, resolve, parsed)
+      .collect().map(r => r.getString(0) -> r.getLong(4)).toMap
+    assert(verdict === Map("u1" -> 1L, "n1" -> 1L, "a1" -> 2L,
+      "b1" -> 2L, "r1" -> 0L, "f1" -> 1L))
+  }
+
+  test("q99's shipped catalog is itself parsed from its JSON declaration") {
+    val fromJson = graft.meta.Metadata.parseExpectations(
+      graft.queries.GovernanceQueries.expectationsJson)
+    assert(fromJson.size == 8)
+    assert(fromJson.head === Unique("e01_unique_orderkey", "orders", "o_orderkey"))
+    assert(fromJson.map(_.id) === fromJson.map(_.id).sorted)
+  }
+
+  test("unknown expectation kinds and malformed declarations fail fast at parse time") {
+    def bad(json: String, fragment: String): Unit = {
+      val e = intercept[graft.meta.MetadataError] {
+        graft.meta.Metadata.parseExpectations(json)
+      }
+      assert(e.getMessage.contains(fragment), e.getMessage)
+    }
+    bad("""{"expectations": [{"id": "x", "table": "t", "kind": "no_such_kind", "column": "c"}]}""",
+      "Unsupported expectation kind 'no_such_kind'")
+    bad("""{"expectations": [{"table": "t", "kind": "unique", "column": "c"}]}""",
+      "missing 'id'")
+    bad("""{"expectations": [{"id": "x", "kind": "unique", "column": "c"}]}""",
+      "missing 'table'")
+    bad("""{"expectations": [{"id": "x", "table": "t", "kind": "bounds", "column": "c"}]}""",
+      "at least one of min/max")
+    bad("""{"expectations": [{"id": "x", "table": "t", "kind": "accepted_values",
+          "column": "c", "values": []}]}""",
+      "empty domain")
+    bad("""{"expectations": [
+          {"id": "x", "table": "t", "kind": "unique", "column": "c"},
+          {"id": "x", "table": "t", "kind": "not_null", "column": "c"}]}""",
+      "duplicate expectation id")
+    bad("""{"expectations": []}""", "declares no expectations")
+  }
+
   test("duplicate expectation ids are rejected") {
     intercept[IllegalArgumentException] {
       Expectations.evaluate(spark, resolve, Seq(
