@@ -4,6 +4,7 @@ import java.nio.charset.StandardCharsets
 
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{coalesce, col, lit, not}
 
 /** Versioned table with a commit log and merge-on-read deltas — the
   * time-travel primitive the lakehouse formats provide, expressed
@@ -25,13 +26,45 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * overwrites, applied here to appends). Version N *as of* = the
   * union of delta dirs 1..N — log-structured rows; squashing them to
   * current-state is the reader's keep-newest dedup
-  * (graft.operators.Consolidator), i.e. MERGE-ON-READ. At 100 TB this
+  * (graft.operators.Consolidator), i.e. MERGE-ON-READ. DELETEs are
+  * tombstone rows ([[tombstoneCol]]) that win the keep-newest order
+  * and are folded out by the squash ([[dropTombstones]]) and by
+  * compaction — still append-only, still O(delta) per commit. At 100 TB this
   * is the only honest write path: a commit costs O(delta), the
   * commit log is O(versions) driver metadata, and compaction (folding
   * old deltas into a base) is a separate background concern the
   * format already supports — a compacted base is just a new table.
   */
 object Versioned {
+
+  /** Column marking a row as a DELETE tombstone. Commits are still
+    * append-only — a delete is a new row that WINS the table's
+    * keep-newest order for its key and carries `_deleted = true`; the
+    * reader-side squash (keep-newest dedup, then [[dropTombstones]])
+    * and [[compact]]'s base fold both erase the key. Deltas without
+    * the column are plain inserts/updates (reads surface it as NULL =
+    * not deleted via mergeSchema — the q97 schema-evolution read
+    * applied to the commit log).
+    */
+  val tombstoneCol = "_deleted"
+
+  /** Mark every row of `df` as a delete tombstone for its key. The
+    * row must carry the key and a winning position in the table's
+    * keep-newest order (orderBy/tieBreaker) — a tombstone that LOSES
+    * the order is correctly ignored, exactly like a stale update.
+    */
+  def tombstones(df: DataFrame): DataFrame =
+    df.withColumn(tombstoneCol, lit(true))
+
+  /** The merge-on-read DELETE: applied AFTER the keep-newest squash,
+    * drops every key whose winning row is a tombstone. No-op on
+    * tables that never carried deletes. NULL (rows from pre-tombstone
+    * deltas under a merged schema) means not deleted.
+    */
+  def dropTombstones(df: DataFrame): DataFrame =
+    if (df.columns.contains(tombstoneCol))
+      df.filter(not(coalesce(col(tombstoneCol), lit(false)))).drop(tombstoneCol)
+    else df
 
   private def fs(spark: SparkSession, p: Path): FileSystem =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -137,7 +170,11 @@ object Versioned {
       case i  => all.drop(i)
     }
     // one multi-path scan, not a union of plans: file-source scans all
-    // delta dirs in a single FileScan with partition-count parallelism
-    spark.read.parquet(fromBase.map(c => deltaDir(table, c.version).toString): _*)
+    // delta dirs in a single FileScan with partition-count parallelism.
+    // mergeSchema because deltas may evolve the schema (tombstone
+    // commits carry _deleted and may omit payload columns; the q97
+    // rule) — absent columns surface as NULL on the older rows
+    spark.read.option("mergeSchema", "true")
+      .parquet(fromBase.map(c => deltaDir(table, c.version).toString): _*)
   }
 }

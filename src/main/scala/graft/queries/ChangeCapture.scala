@@ -249,36 +249,127 @@ object ChangeCapture {
   }
 
   /** The O(delta) changelog core, factored so DeltaChangelogSpec can
-    * drive the branch the corpus cannot: a delta row that LOSES the
+    * drive the branches the corpus cannot: a delta row that LOSES the
     * keep-newest order to prior state must emit nothing (the corpus's
-    * delta is entirely newer than its state). Inputs are the
-    * projected prior-state and delta-winner frames keyed by
-    * o_custkey.
+    * delta is entirely newer than its state), and tombstone rows
+    * ([[graft.io.Versioned.tombstoneCol]], when the delta carries the
+    * column) emit `delete` for keys that existed — with the NEW side
+    * nulled, as the two-snapshot diff would show — and NOTHING for
+    * keys that never did (deleting the absent is a no-op, not an
+    * event). Inputs are the projected prior-state and delta-winner
+    * frames keyed by o_custkey.
     */
   private[queries] def deltaChangelog(state1: DataFrame, deltaWin: DataFrame): DataFrame = {
     val oldDate = date_format(col("old_ts"), "yyyy-MM-dd")
     val newDate = date_format(col("new_ts"), "yyyy-MM-dd")
+    val tombstone =
+      if (deltaWin.columns.contains(graft.io.Versioned.tombstoneCol))
+        coalesce(col(graft.io.Versioned.tombstoneCol), lit(false))
+      else lit(false)
     deltaWin.join(state1, Seq("o_custkey"), "left_outer")
       .filter(col("old_orderkey").isNull ||        // new key
         col("new_ts") > col("old_ts") ||           // delta wins keep-newest
         (col("new_ts") === col("old_ts") && col("new_orderkey") > col("old_orderkey")))
       .withColumn("op",
-        when(col("old_orderkey").isNull, "insert")
+        when(tombstone && col("old_orderkey").isNotNull, "delete")
+          .when(tombstone, lit(null))              // tombstone for an absent key
+          .when(col("old_orderkey").isNull, "insert")
           .when(!(col("old_orderkey") <=> col("new_orderkey")) ||
             !(oldDate <=> newDate) ||
             !(col("old_price") <=> col("new_price")), "update"))
       .filter(col("op").isNotNull)
       .select(col("op"), col("o_custkey"),
-        col("old_orderkey"), col("new_orderkey"),
-        oldDate.as("old_date"), newDate.as("new_date"),
-        col("old_price"), col("new_price"))
+        col("old_orderkey"),
+        when(col("op") === "delete", lit(null).cast("long"))
+          .otherwise(col("new_orderkey")).as("new_orderkey"),
+        oldDate.as("old_date"),
+        when(col("op") === "delete", lit(null).cast("string"))
+          .otherwise(newDate).as("new_date"),
+        col("old_price"),
+        when(col("op") === "delete", lit(null).cast("double"))
+          .otherwise(col("new_price")).as("new_price"))
   }
+
+  // ---------- q121: retention erasure through the versioned delete path ----------
+
+  /** DELETE driven through the append-only versioned table — the
+    * right-to-erasure / retention-expiry operation a lakehouse needs
+    * without ever rewriting published files: version 1 commits the
+    * pre-1998 orders; version 2 commits TOMBSTONES
+    * ([[graft.io.Versioned.tombstones]]) for every dormant customer
+    * (latest order before 1997), dated at the cutoff so they win the
+    * table's keep-newest order; the change feed then reads version
+    * 2's delta ALONE (q115's O(delta) path) and emits one `delete`
+    * row per erased key with the old state attached — what a
+    * downstream index/replica consumes to forget the keys. The
+    * as-of-v2 squash ([[graft.io.Versioned.dropTombstones]]) and
+    * compaction erase the same keys from reads; VersionedSpec pins
+    * that round trip, DeltaChangelogSpec the tombstone branches
+    * (winning / absent-key / losing).
+    *
+    * The oracle derives the erased set declaratively from the orders
+    * table (the transparency rule: the versioned machinery must
+    * produce exactly the rows the SQL definition of "dormant keys
+    * with their last known state" produces).
+    */
+  def q121_delete_feed(spark: SparkSession, dir: String): DataFrame = {
+    import graft.io.Versioned
+    import org.apache.hadoop.fs.Path
+    val work = java.nio.file.Files.createTempDirectory("graft-q121-").toString
+    val fs = new Path(work).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    try {
+      val table = s"$work/orders_erasure"
+      val orders = Tables.load(spark, dir, "orders")
+      val cutoff = to_timestamp(lit("1998-01-01 00:00:00"))
+      val dormantBefore = to_timestamp(lit("1997-01-01 00:00:00"))
+      val v1 = Versioned.commit(spark, table, orders.filter(col("o_orderdate") < cutoff))
+      val cfg = ConsolidationDef(
+        enabled = true, inputPattern = "", outputPath = "",
+        dedup = DedupDef(enabled = true, keyColumn = "o_custkey",
+          orderBy = "o_orderdate", orderDirection = "DESC"))
+      val state1full = Consolidator.dedup(Versioned.readAsOf(spark, table, v1), cfg, "o_orderkey")
+      def nullAs(c: String) =
+        lit(null).cast(state1full.schema(c).dataType).as(c)
+      // tombstones carry the key + a winning order position; payload
+      // columns are nulled (the keep-newest schema, value-free)
+      val tomb = Versioned.tombstones(
+        state1full.filter(col("o_orderdate") < dormantBefore)
+          .select(col("o_custkey"), nullAs("o_orderkey"),
+            cutoff.as("o_orderdate"), nullAs("o_totalprice")))
+      val v2 = Versioned.commit(spark, table, tomb)
+      val state1 = state1full
+        .select(col("o_custkey"), col("o_orderkey").as("old_orderkey"),
+          col("o_orderdate").as("old_ts"), col("o_totalprice").as("old_price"))
+      val deltaWin = Consolidator.dedup(Versioned.readDelta(spark, table, v2), cfg, "o_orderkey")
+        .select(col("o_custkey"), col("o_orderkey").as("new_orderkey"),
+          col("o_orderdate").as("new_ts"), col("o_totalprice").as("new_price"),
+          col(Versioned.tombstoneCol))
+      deltaChangelog(state1, deltaWin)
+        .select("op", "o_custkey", "old_orderkey", "old_date", "old_price")
+        .orderBy("o_custkey")
+        .localCheckpoint() // materialize before the work dir is deleted
+    } finally fs.delete(new Path(work), true)
+  }
+
+  val q121_oracle: String =
+    """WITH v1 AS (
+      |  SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice FROM (
+      |    SELECT *, ROW_NUMBER() OVER (
+      |      PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+      |    FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01 00:00:00')
+      |  WHERE rn = 1)
+      |SELECT 'delete' AS op, o_custkey, o_orderkey AS old_orderkey,
+      |  strftime(o_orderdate, '%Y-%m-%d') AS old_date,
+      |  o_totalprice AS old_price
+      |FROM v1 WHERE o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+      |ORDER BY o_custkey""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q85_cdc_changelog" -> (q85_cdc_changelog _),
     "q90_layout_prune" -> (q90_layout_prune _),
     "q101_zorder" -> (q101_zorder _),
-    "q115_version_diff" -> (q115_version_diff _))
+    "q115_version_diff" -> (q115_version_diff _),
+    "q121_delete_feed" -> (q121_delete_feed _))
 
   val oracles: Map[String, String] = Map(
     "q85_cdc_changelog" -> q85_oracle,
@@ -286,5 +377,6 @@ object ChangeCapture {
     "q101_zorder" -> q101_oracle,
     // shared constant on purpose (see q115 scaladoc): O(delta) must
     // equal the two-snapshot diff
-    "q115_version_diff" -> q85_oracle)
+    "q115_version_diff" -> q85_oracle,
+    "q121_delete_feed" -> q121_oracle)
 }

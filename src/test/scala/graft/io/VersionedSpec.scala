@@ -78,6 +78,47 @@ class VersionedSpec extends SparkSpec {
     }
   }
 
+  test("a delete round-trips: tombstone commit -> squashed as-of read -> compaction") {
+    import org.apache.spark.sql.functions._
+    val work = java.nio.file.Files.createTempDirectory("graft-versioned-").toString
+    try {
+      val t = s"$work/t"
+      // (id, seq, v): keep-newest by seq per id
+      Versioned.commit(spark, t, Seq((1L, 1L, "a1"), (2L, 1L, "b1")).toDF("id", "seq", "v"))
+      Versioned.commit(spark, t, Seq((1L, 2L, "a2")).toDF("id", "seq", "v"))
+      // version 3 deletes key 1: a tombstone that WINS the seq order
+      val v3 = Versioned.commit(spark, t, Versioned.tombstones(
+        Seq((1L, 3L, null.asInstanceOf[String])).toDF("id", "seq", "v")))
+      def squash(df: org.apache.spark.sql.DataFrame) = Versioned.dropTombstones(
+        graft.operators.Dedup.keepNewest(df, col("id"), col("seq"), col("seq")))
+      def state(ver: Int) = squash(Versioned.readAsOf(spark, t, ver))
+        .collect().map(r => (r.getLong(0), r.getString(2))).toSet
+      // before the delete: both keys; as of the delete: key 1 gone
+      assert(state(2) === Set((1L, "a2"), (2L, "b1")))
+      assert(state(v3) === Set((2L, "b1")))
+      // pre-tombstone deltas lack _deleted; the merged-schema read
+      // surfaces NULL there and dropTombstones treats it as live
+      val merged = Versioned.readAsOf(spark, t, v3)
+      assert(merged.columns.contains(Versioned.tombstoneCol))
+      assert(merged.filter(col(Versioned.tombstoneCol).isNull).count() === 3L)
+
+      // compaction folds the delete out of the base entirely...
+      val baseV = Versioned.compact(spark, t, squash)
+      assert(state(baseV) === Set((2L, "b1")))
+      val baseRows = Versioned.readDelta(spark, t, baseV).collect()
+      assert(baseRows.length === 1 && baseRows.head.getLong(0) === 2L,
+        "the base must not carry the erased key or its tombstone")
+      // ...while time travel before the tombstone still sees key 1
+      assert(state(2) === Set((1L, "a2"), (2L, "b1")))
+      // a tombstone that LOSES the keep-newest order changes nothing
+      Versioned.commit(spark, t, Versioned.tombstones(
+        Seq((2L, 0L, null.asInstanceOf[String])).toDF("id", "seq", "v")))
+      assert(state(baseV + 1) === Set((2L, "b1")))
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(work))
+    }
+  }
+
   test("commits never touch earlier versions' files (append-only)") {
     val work = java.nio.file.Files.createTempDirectory("graft-versioned-").toString
     try {

@@ -40,6 +40,34 @@ class DeltaChangelogSpec extends SparkSpec {
     assert(out.toSeq == Seq(("update", 2L), ("insert", 3L), ("update", 4L)))
   }
 
+  test("tombstone branches: winning delete / absent-key silent / losing silent") {
+    import spark.implicits._
+    val state1 = Seq(
+      (1L, 10L, ts("2020-01-01 00:00:00"), 100.0),  // k1: will be deleted
+      (2L, 20L, ts("2020-05-01 00:00:00"), 200.0))  // k2: losing tombstone
+      .toDF("o_custkey", "old_orderkey", "old_ts", "old_price")
+    val deltaWin = Seq(
+      // k1: tombstone newer than state -> delete, new side nulled
+      (1L, null.asInstanceOf[java.lang.Long], ts("2021-01-01 00:00:00"),
+        null.asInstanceOf[java.lang.Double], true),
+      // k3: tombstone for a key that never existed -> nothing
+      (3L, null.asInstanceOf[java.lang.Long], ts("2021-01-01 00:00:00"),
+        null.asInstanceOf[java.lang.Double], true),
+      // k2: tombstone OLDER than state -> loses keep-newest, nothing
+      (2L, null.asInstanceOf[java.lang.Long], ts("2019-01-01 00:00:00"),
+        null.asInstanceOf[java.lang.Double], true))
+      .toDF("o_custkey", "new_orderkey", "new_ts", "new_price",
+        graft.io.Versioned.tombstoneCol)
+    val out = ChangeCapture.deltaChangelog(state1, deltaWin).collect()
+    assert(out.length === 1)
+    val r = out.head
+    assert(r.getString(0) === "delete" && r.getLong(1) === 1L)
+    assert(r.getLong(2) === 10L && r.getString(4) === "2020-01-01"
+      && r.getDouble(6) === 100.0, "old state attached to the delete")
+    assert(r.isNullAt(3) && r.isNullAt(5) && r.isNullAt(7),
+      "new side must be NULL on a delete")
+  }
+
   test("a winning delta row with identical tracked columns emits no update") {
     import spark.implicits._
     // newer timestamp but same orderkey/date/price: keep-newest picks
