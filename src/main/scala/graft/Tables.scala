@@ -1,7 +1,8 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.expr
+import org.apache.spark.sql.functions.{col, expr}
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Loads the driver-generated testdata tables (see TESTDATA.md).
   *
@@ -16,20 +17,33 @@ object Tables {
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") {
-      // events.ts is parquet TIMESTAMP(NANOS), which Spark 4 rejects
-      // outright (PARQUET_TYPE_ILLEGAL). Read nanos as long and floor-
-      // divide to micros — the same truncation DuckDB applies when it
-      // loads nanosecond parquet into its microsecond TIMESTAMP.
+      // The physical type of events.ts has varied across testdata
+      // vintages: parquet TIMESTAMP(NANOS) (which Spark 4 rejects
+      // outright without nanosAsLong) and plain timestamp[us]
+      // (read as TIMESTAMP_NTZ). Branch on the loaded schema so
+      // either vintage yields the same session-TZ TIMESTAMP column.
       // The conf is consulted only during eager schema inference in
       // load(), so it can be restored immediately after — later reads
       // in the same session keep their own semantics.
       val key = "spark.sql.legacy.parquet.nanosAsLong"
       val prev = spark.conf.getOption(key)
       spark.conf.set(key, "true")
-      try
-        spark.read.parquet(s"$dir/$name.parquet")
-          .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
-      finally prev match {
+      try {
+        val df = spark.read.parquet(s"$dir/$name.parquet")
+        df.schema("ts").dataType match {
+          case LongType =>
+            // nanos-as-long regime: floor-divide to micros — the same
+            // truncation DuckDB applies loading nanosecond parquet.
+            df.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+          case TimestampNTZType =>
+            // timestamp[us] without UTC adjustment: the wall-clock is
+            // already what we want; under the UTC session the cast is
+            // a pure re-tag, so windows / date math / DuckDB oracles
+            // see identical instants.
+            df.withColumn("ts", col("ts").cast(TimestampType))
+          case _ => df
+        }
+      } finally prev match {
         case Some(v) => spark.conf.set(key, v)
         case None    => spark.conf.unset(key)
       }

@@ -133,7 +133,7 @@ object ChangeCapture {
     */
   def q90_layout_prune(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.hadoop.fs.Path
-    val work = java.nio.file.Files.createTempDirectory("graft-q90-").toString
+    val work = graft.io.Scratch.dir(spark, "graft-q90-")
     val fs = new Path(work).getFileSystem(spark.sparkContext.hadoopConfiguration)
     try {
       graft.io.Layout.writeRangeClustered(
@@ -175,7 +175,7 @@ object ChangeCapture {
     */
   def q101_zorder(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.hadoop.fs.Path
-    val work = java.nio.file.Files.createTempDirectory("graft-q101-").toString
+    val work = graft.io.Scratch.dir(spark, "graft-q101-")
     val fs = new Path(work).getFileSystem(spark.sparkContext.hadoopConfiguration)
     try {
       graft.io.Layout.writeZOrdered(
@@ -224,7 +224,7 @@ object ChangeCapture {
   def q115_version_diff(spark: SparkSession, dir: String): DataFrame = {
     import graft.io.Versioned
     import org.apache.hadoop.fs.Path
-    val work = java.nio.file.Files.createTempDirectory("graft-q115-").toString
+    val work = graft.io.Scratch.dir(spark, "graft-q115-")
     val fs = new Path(work).getFileSystem(spark.sparkContext.hadoopConfiguration)
     try {
       val table = s"$work/orders_cdf"
@@ -315,7 +315,7 @@ object ChangeCapture {
   def q121_delete_feed(spark: SparkSession, dir: String): DataFrame = {
     import graft.io.Versioned
     import org.apache.hadoop.fs.Path
-    val work = java.nio.file.Files.createTempDirectory("graft-q121-").toString
+    val work = graft.io.Scratch.dir(spark, "graft-q121-")
     val fs = new Path(work).getFileSystem(spark.sparkContext.hadoopConfiguration)
     try {
       val table = s"$work/orders_erasure"

@@ -254,7 +254,7 @@ object GovernanceQueries {
     import graft.meta.{ConsolidationDef, DedupDef}
     import graft.operators.Consolidator
     import org.apache.hadoop.fs.Path
-    val work = java.nio.file.Files.createTempDirectory("graft-q103-").toString
+    val work = graft.io.Scratch.dir(spark, "graft-q103-")
     val fs = new Path(work).getFileSystem(spark.sparkContext.hadoopConfiguration)
     try {
       val table = s"$work/orders_mor"

@@ -305,7 +305,7 @@ object PipelineQueries {
     */
   def q71_stream_consolidate(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.hadoop.fs.Path
-    val work = java.nio.file.Files.createTempDirectory("graft-q71-").toString
+    val work = graft.io.Scratch.dir(spark, "graft-q71-")
     val watchDir = s"$work/incoming"
     val snapshot = s"$work/snapshot"
     val fs = new Path(work).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -363,7 +363,7 @@ object PipelineQueries {
     */
   def q97_schema_evolution(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.hadoop.fs.Path
-    val work = java.nio.file.Files.createTempDirectory("graft-q97-").toString
+    val work = graft.io.Scratch.dir(spark, "graft-q97-")
     val fs = new Path(work).getFileSystem(spark.sparkContext.hadoopConfiguration)
     try {
       val docs = Tables.load(spark, dir, "documents")

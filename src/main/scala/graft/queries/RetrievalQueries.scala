@@ -272,7 +272,7 @@ object RetrievalQueries {
     import org.apache.hadoop.fs.Path
     import org.apache.spark.sql.expressions.Window
     import spark.implicits._
-    val work = java.nio.file.Files.createTempDirectory("graft-q84-").toString
+    val work = graft.io.Scratch.dir(spark, "graft-q84-")
     val fs = new Path(work).getFileSystem(spark.sparkContext.hadoopConfiguration)
     try {
       val docs = Tables.load(spark, dir, "documents")

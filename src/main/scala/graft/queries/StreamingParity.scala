@@ -44,7 +44,7 @@ object StreamingParity {
 
     def path(spark: SparkSession, dir: String): String =
       built.computeIfAbsent(dir, _ => {
-        val work = java.nio.file.Files.createTempDirectory("graft-evsplit-").toString
+        val work = graft.io.Scratch.dir(spark, "graft-evsplit-")
         val fs = new Path(work).getFileSystem(spark.sparkContext.hadoopConfiguration)
         val events = eventCols(spark, dir)
         val cutoffTs = lit(cutoff).cast("timestamp")
@@ -138,7 +138,7 @@ object StreamingParity {
     * semantics entirely.
     */
   def q74_stream_tumbling(spark: SparkSession, dir: String): DataFrame = {
-    val work = java.nio.file.Files.createTempDirectory("graft-q74-").toString
+    val work = graft.io.Scratch.dir(spark, "graft-q74-")
     val watchDir = s"$work/incoming"
     val fs = new Path(work).getFileSystem(spark.sparkContext.hadoopConfiguration)
     try {
@@ -183,7 +183,7 @@ object StreamingParity {
     * sessionization semantics; summing is q17/q18's job.
     */
   def q75_stream_sessionize(spark: SparkSession, dir: String): DataFrame = {
-    val work = java.nio.file.Files.createTempDirectory("graft-q75-").toString
+    val work = graft.io.Scratch.dir(spark, "graft-q75-")
     val watchDir = s"$work/incoming"
     val fs = new Path(work).getFileSystem(spark.sparkContext.hadoopConfiguration)
     try {
@@ -263,7 +263,7 @@ object StreamingParity {
     * dropDuplicates grows state forever.
     */
   def q88_stream_dedup(spark: SparkSession, dir: String): DataFrame = {
-    val work = java.nio.file.Files.createTempDirectory("graft-q88-").toString
+    val work = graft.io.Scratch.dir(spark, "graft-q88-")
     val watchDir = s"$work/incoming"
     val fs = new Path(work).getFileSystem(spark.sparkContext.hadoopConfiguration)
     try {
@@ -324,7 +324,7 @@ object StreamingParity {
     * table — streaming and batch must agree row for row.
     */
   def q102_stream_join(spark: SparkSession, dir: String): DataFrame = {
-    val work = java.nio.file.Files.createTempDirectory("graft-q102-").toString
+    val work = graft.io.Scratch.dir(spark, "graft-q102-")
     val watchDir = s"$work/incoming"
     val fs = new Path(work).getFileSystem(spark.sparkContext.hadoopConfiguration)
     try {

@@ -170,7 +170,7 @@ object TextQueries {
     private val built = new java.util.concurrent.ConcurrentHashMap[String, String]()
     def path(spark: SparkSession, dir: String): String =
       built.computeIfAbsent(dir, _ => {
-        val work = java.nio.file.Files.createTempDirectory("graft-sigidx-").toString
+        val work = graft.io.Scratch.dir(spark, "graft-sigidx-")
         sigTable(spark, dir)
           .withColumn("skd", array_distinct(H.shingleKeys(col("sh"))))
           .drop("sh")
@@ -750,7 +750,7 @@ object TextQueries {
     */
   def q76_sig_index_persist(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.hadoop.fs.Path
-    val work = java.nio.file.Files.createTempDirectory("graft-q76-").toString
+    val work = graft.io.Scratch.dir(spark, "graft-q76-")
     val fs = new Path(work).getFileSystem(spark.sparkContext.hadoopConfiguration)
     try {
       sigTable(spark, dir)
@@ -792,7 +792,7 @@ object TextQueries {
     */
   def q94_sig_index_update(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.hadoop.fs.Path
-    val work = java.nio.file.Files.createTempDirectory("graft-q94-").toString
+    val work = graft.io.Scratch.dir(spark, "graft-q94-")
     val fs = new Path(work).getFileSystem(spark.sparkContext.hadoopConfiguration)
     try {
       val isBatch =

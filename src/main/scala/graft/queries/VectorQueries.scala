@@ -343,7 +343,7 @@ object VectorQueries {
   def q96_ivf_index_persist(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.hadoop.fs.Path
     import spark.implicits._
-    val work = java.nio.file.Files.createTempDirectory("graft-q96-").toString
+    val work = graft.io.Scratch.dir(spark, "graft-q96-")
     val fs = new Path(work).getFileSystem(spark.sparkContext.hadoopConfiguration)
     try {
       val e = emb(spark, dir)

@@ -57,6 +57,43 @@ class MisraGriesSpec extends AnyFunSuite {
     }
   }
 
+  test("adversarial all-distinct stream: bounded state, bound holds, no false negatives") {
+    // Worst case for MG: every arrival after the first k triggers a
+    // decrement-all, and NO item is heavy. The summary must stay
+    // within k counters, never overcount, and (vacuously) retain
+    // every phi-heavy item — there are none, so the only way to fail
+    // is blowing the space bound or crashing on constant churn.
+    val k = 20
+    val n = 5000
+    val stream = Iterator.tabulate(n)(i => s"uniq$i")
+    val est = MisraGries.summary(stream, k)
+    assert(est.size <= k)
+    est.values.foreach(e => assert(e >= 1L && e <= 1L + n / (k + 1)))
+    // distributed shape on all-distinct: union is bounded by k*parts,
+    // and the exact-recount pass would confirm zero heavy hitters
+    val parts = (0 until n).map(i => s"u$i").grouped(n / 7 + 1).toSeq
+    val union = parts.flatMap(p => MisraGries.candidates(p.iterator, k)).toSet
+    assert(union.size <= k * parts.size)
+  }
+
+  test("adversarial rotation (k+1 distinct round-robin): undercount bound is tight") {
+    // k+1 items cycling is the textbook bound-saturating stream: each
+    // full cycle adds one to a missing item's true count while the
+    // decrement-all erases one increment everywhere. Estimates may
+    // legitimately drop to the floor, but never below truth - n/(k+1).
+    val k = 4
+    val cycles = 200
+    val stream = Iterator.tabulate(cycles * (k + 1))(i => s"r${i % (k + 1)}")
+    val n = cycles * (k + 1)
+    val est = MisraGries.summary(stream, k)
+    assert(est.size <= k)
+    for (i <- 0 to k) {
+      val e = est.getOrElse(s"r$i", 0L)
+      assert(e <= cycles.toLong)
+      assert(cycles.toLong - e <= n / (k + 1), s"bound broken for r$i: est=$e")
+    }
+  }
+
   test("degenerate streams: empty, constant, vocab smaller than k") {
     assert(MisraGries.summary(Iterator.empty, 5) === Map.empty)
     assert(MisraGries.summary(Iterator.fill(100)("x"), 5) === Map("x" -> 100L))
