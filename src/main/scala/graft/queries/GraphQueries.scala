@@ -239,6 +239,13 @@ object GraphQueries {
               adj.join(ranks.hint("shuffle_hash"), adj("src") === ranks("node"))
             else
               adj.join(broadcast(ranks), adj("src") === ranks("node"))
+          // per-iteration lineage cut: without it the final plan nests
+          // `iters` broadcast/shuffle stages and Catalyst re-analyzes
+          // the whole tree each round — O(iters²) planning that costs
+          // more than the node-sized jobs themselves. With it each
+          // round is one small job over (persisted adj × materialized
+          // ranks); values are identical (same ConnectedComponents
+          // pattern; on a cluster, reliable checkpoint replaces this).
           ranks = joined
             .select(col("dst"), expr("pr DIV deg").as("contrib"))
             .groupBy("dst")
@@ -246,9 +253,9 @@ object GraphQueries {
             .select(col("dst").as("node"), expr(
               s"CAST((CAST(${15 * prScale}L AS DECIMAL(38,0)) " +
                 s"+ 85 * CAST(mass AS DECIMAL(38,0))) DIV 100 AS BIGINT)").as("pr"))
+            .localCheckpoint()
         }
-        // cut the iters-deep lineage before unpersisting the adjacency
-        ranks.localCheckpoint()
+        ranks
       } finally adj.unpersist()
     } finally deg.unpersist()
   }
