@@ -20,7 +20,11 @@ object Bench {
       .map(p => graft.pipeline.RuntimeConfig.load(p).sessionBuilder())
       .getOrElse(SparkSession.builder()
         .master(s"local[$cpus]")
-        .config("spark.sql.shuffle.partitions", cpus))
+        .config("spark.sql.shuffle.partitions", cpus)
+        // see Verify: heap-derived Tungsten page size caps at 64 MB
+        // under a big local heap and page-zeroing dominates small
+        // tasks; pin it locally (cluster deploys tune via conf)
+        .config("spark.buffer.pageSize", "4m"))
     val spark = base
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")

@@ -17,7 +17,14 @@ object Verify {
       .map(p => graft.pipeline.RuntimeConfig.load(p).sessionBuilder())
       .getOrElse(SparkSession.builder()
         .master(s"local[$cpus]")
-        .config("spark.sql.shuffle.partitions", cpus))
+        .config("spark.sql.shuffle.partitions", cpus)
+        // Tungsten's default page size is heap/slots-derived and hits
+        // its 64 MB cap under a large local driver heap — then every
+        // small hash-agg/sort task pays 64 MB of page zeroing, which
+        // dominates tiny-partition local runs (measured 2× on the
+        // whole suite). Pin a small page locally; a cluster deploy
+        // owns its own tuning via SPARK_GRAFT_CONF.
+        .config("spark.buffer.pageSize", "4m"))
     val spark = base
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
