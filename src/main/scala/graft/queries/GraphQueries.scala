@@ -284,17 +284,109 @@ object GraphQueries {
        |ORDER BY rank_scaled DESC, key, node_type""".stripMargin
   }
 
+  // ---------- q122: triangle counting (degree-oriented wedge join) ----------
+
+  /** Triangle counting over the Q1-1995 supplier co-occurrence graph
+    * (suppliers are adjacent when they ship lines of the same order) —
+    * the graph-density statistic behind community/cohesion analysis,
+    * and the classic MapReduce-hostile operator made tractable by ONE
+    * idea: orient every edge from its (degree, id)-smaller endpoint to
+    * its larger one. The orientation is acyclic and gives each
+    * triangle exactly one wedge a→b→c whose closing edge a→c exists,
+    * so the wedge join counts every triangle once — and the number of
+    * wedges is Σ out-deg², which the min-degree orientation bounds by
+    * O(|E|^1.5) (Schank & Wagner 2005) instead of Σ deg² (hub-
+    * quadratic, the death of the naive plan on any power-law graph).
+    *
+    * Scale shape: co-occurrence pairs come from an equi-self-join on
+    * orderkey (per-order fanout is bounded by order size, never
+    * corpus-wide); degrees are one partial-agg shuffle; the wedge join
+    * and closure join are plain shuffle hash-joins on vertex keys that
+    * AQE re-splits under skew. Nothing is ever collected: the
+    * orientation trick replaces any "neighborhood list per node"
+    * materialization.
+    */
+  def q122_triangles(spark: SparkSession, dir: String): DataFrame = {
+    val lo = to_timestamp(lit("1995-01-01 00:00:00"))
+    val hi = to_timestamp(lit("1995-04-01 00:00:00"))
+    val orders = Tables.load(spark, dir, "orders")
+      .filter(col("o_orderdate") >= lo && col("o_orderdate") < hi)
+      .select(col("o_orderkey").as("ok"))
+    val li = Tables.load(spark, dir, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
+    val os = orders.join(li, "ok").distinct()
+    val e0 = os.as("a").join(os.as("b"),
+        col("a.ok") === col("b.ok") && col("a.sk") < col("b.sk"))
+      .select(col("a.sk").as("u"), col("b.sk").as("v"))
+      .distinct()
+    triangleCounts(e0)
+      .select(col("id").as("s_suppkey"), col("n_triangles"))
+      .orderBy("s_suppkey")
+  }
+
+  /** Per-vertex triangle participation counts over a canonical
+    * undirected edge list (u < v, distinct): (id, n_triangles), only
+    * vertices in ≥ 1 triangle. Factored for TriangleSpec's hand
+    * graphs.
+    */
+  private[queries] def triangleCounts(e0: DataFrame): DataFrame = {
+    val deg = e0.select(col("u").as("k"))
+      .union(e0.select(col("v").as("k")))
+      .groupBy("k").agg(count(lit(1)).as("dg"))
+    // (degree, id)-orientation: s → t with (dg(s), s) < (dg(t), t);
+    // ids differ so the order is total. struct ordering is Spark's
+    // lexicographic row comparison — same semantics as the oracle's
+    // SQL row-value comparison.
+    val lt = struct(col("du"), col("u")) < struct(col("dv"), col("v"))
+    val de = e0
+      .join(deg.select(col("k").as("u"), col("dg").as("du")), "u")
+      .join(deg.select(col("k").as("v"), col("dg").as("dv")), "v")
+      .select(
+        when(lt, col("u")).otherwise(col("v")).as("s"),
+        when(lt, col("v")).otherwise(col("u")).as("t"))
+    val wedge = de.select(col("s").as("a"), col("t").as("b"))
+      .join(de.select(col("s").as("b"), col("t").as("c")), "b")
+    val tri = wedge.join(de.select(col("s").as("a"), col("t").as("c")), Seq("a", "c"))
+    tri.select(explode(array(col("a"), col("b"), col("c"))).as("id"))
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_triangles"))
+  }
+
+  val q122_oracle: String =
+    s"""WITH os AS (
+       |  SELECT DISTINCT l_orderkey AS ok, l_suppkey AS sk
+       |  FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+       |  WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+       |    AND o_orderdate < TIMESTAMP '1995-04-01 00:00:00'),
+       |e0 AS (SELECT DISTINCT a.sk AS u, b.sk AS v
+       |       FROM os a JOIN os b ON a.ok = b.ok AND a.sk < b.sk),
+       |d AS (SELECT k, count(*) AS dg FROM (
+       |        SELECT u AS k FROM e0 UNION ALL SELECT v AS k FROM e0)
+       |      GROUP BY k),
+       |de AS (SELECT
+       |    CASE WHEN (du.dg, e0.u) < (dv.dg, e0.v) THEN e0.u ELSE e0.v END AS s,
+       |    CASE WHEN (du.dg, e0.u) < (dv.dg, e0.v) THEN e0.v ELSE e0.u END AS t
+       |  FROM e0 JOIN d du ON du.k = e0.u JOIN d dv ON dv.k = e0.v),
+       |tri AS (SELECT e1.s AS a, e1.t AS b, e2.t AS c
+       |  FROM de e1 JOIN de e2 ON e1.t = e2.s
+       |  JOIN de e3 ON e3.s = e1.s AND e3.t = e2.t)
+       |SELECT s_suppkey, CAST(count(*) AS BIGINT) AS n_triangles
+       |FROM (SELECT unnest([a, b, c]) AS s_suppkey FROM tri)
+       |GROUP BY s_suppkey ORDER BY s_suppkey""".stripMargin
+
   // ---------- registry ----------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q47_dup_clusters" -> (q47_dup_clusters _),
     "q48_merge_upsert" -> (q48_merge_upsert _),
     "q49_bloom_prune" -> (q49_bloom_prune _),
-    "q117_pagerank" -> (q117_pagerank _))
+    "q117_pagerank" -> (q117_pagerank _),
+    "q122_triangles" -> (q122_triangles _))
 
   val oracles: Map[String, String] = Map(
     "q47_dup_clusters" -> q47_oracle,
     "q48_merge_upsert" -> q48_oracle,
     "q49_bloom_prune" -> q49_oracle,
-    "q117_pagerank" -> q117_oracle)
+    "q117_pagerank" -> q117_oracle,
+    "q122_triangles" -> q122_oracle)
 }
