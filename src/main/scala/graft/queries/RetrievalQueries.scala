@@ -379,6 +379,97 @@ object RetrievalQueries {
        |FROM j ORDER BY query_id, cos_rnk""".stripMargin
   }
 
+  // ---------- q123: span scrub (remove duplicated passages, reassemble) ----------
+
+  /** The REWRITE counterpart of q81: q81 flags documents whose spans
+    * are duplicated; this operator actually SCRUBS the duplicated
+    * passages and reassembles the remaining text — the
+    * remove-duplicated-substrings variant of corpus dedup (Lee et al.
+    * 2021), where repeated boilerplate passages are cut from every
+    * document rather than whole documents dropped.
+    *
+    * Semantics: documents are chunked into consecutive [[spanLen]]-
+    * token spans (same alignment as q81; the < spanLen tail is exempt
+    * — it cannot be a full span); a span duplicated across ≥ 2
+    * documents is removed from ALL of them; survivors rejoin in
+    * original order. Output carries the removal accounting and an
+    * md5 fingerprint of the cleaned text (the full rewritten string
+    * stays distributed — only its 32-char proof travels to the
+    * result).
+    *
+    * Scale shape: chunking is a narrow map; span document-frequency is
+    * one partial-agg shuffle on the 16-byte hash; the scrub is a
+    * LEFT ANTI join of the per-doc span stream against the (small by
+    * definition) duplicated-span set; reassembly is one groupBy(doc)
+    * whose payload is the kept span TEXT of that doc — rows never
+    * exceed (doc_id, span) granularity and no driver state exists.
+    */
+  def q123_span_scrub(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val base = docs.select(col("doc_id"), col("source"), T.tokens(col("text")).as("tk"))
+      .withColumn("n_toks", size(col("tk")).cast("long"))
+    // every spanLen-aligned chunk INCLUDING the short tail (slice
+    // truncates at the end); ntk < spanLen ⟺ tail ⟺ dedup-exempt
+    val pieces = base.select(col("doc_id"), col("n_toks"),
+        explode(
+          when(col("n_toks") > 0,
+            transform(expr(s"sequence(0, (size(tk) + ${spanLen - 1}) div $spanLen - 1)"),
+              i => struct(
+                i.as("i"),
+                concat_ws(" ", slice(col("tk"), i * spanLen + 1, lit(spanLen))).as("txt"),
+                size(slice(col("tk"), i * spanLen + 1, lit(spanLen))).as("ntk"))))
+            .otherwise(array().cast("array<struct<i:int,txt:string,ntk:int>>")))
+          .as("p"))
+      .select(col("doc_id"), col("p.i").as("i"), col("p.txt").as("txt"),
+        col("p.ntk").as("ntk"), md5(col("p.txt")).as("h"))
+    val dup = pieces.filter(col("ntk") === spanLen)
+      .groupBy("h").agg(count_distinct(col("doc_id")).as("df"))
+      .filter(col("df") >= 2)
+      .select(col("h").as("dup_h"))
+    val kept = pieces.join(dup,
+      pieces("h") === col("dup_h") && pieces("ntk") === spanLen, "left_anti")
+    val rebuilt = kept.groupBy("doc_id").agg(
+      sum(col("ntk").cast("long")).as("n_kept"),
+      md5(concat_ws(" ",
+        transform(array_sort(collect_list(struct(col("i"), col("txt")))),
+          s => s.getField("txt")))).as("clean_fp"))
+    base.select(col("doc_id"), col("source"), col("n_toks"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("source"), col("n_toks"),
+        (col("n_toks") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
+        coalesce(col("clean_fp"), lit(md5Empty)).as("clean_fp"))
+      .orderBy("doc_id")
+  }
+
+  /** md5("") — the fingerprint of a fully scrubbed document. */
+  private val md5Empty = "d41d8cd98f00b204e9800998ecf8427e"
+
+  val q123_oracle: String = {
+    val tk = T.tokensSql("text")
+    val n = s"(len(tk) + ${spanLen - 1}) // $spanLen"
+    s"""WITH t AS (SELECT doc_id, source, $tk AS tk FROM documents),
+       |p AS (SELECT doc_id,
+       |  unnest(range(0, $n)) AS i,
+       |  unnest([array_to_string(tk[(j*$spanLen+1):(j*$spanLen+$spanLen)], ' ')
+       |          for j in range(0, $n)]) AS txt,
+       |  unnest([len(tk[(j*$spanLen+1):(j*$spanLen+$spanLen)])
+       |          for j in range(0, $n)]) AS ntk
+       |  FROM t),
+       |dup AS (SELECT md5(txt) AS h FROM p WHERE ntk = $spanLen
+       |        GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2),
+       |kept AS (SELECT p.* FROM p
+       |  LEFT JOIN dup ON p.ntk = $spanLen AND md5(p.txt) = dup.h
+       |  WHERE dup.h IS NULL),
+       |res AS (SELECT doc_id, CAST(sum(ntk) AS BIGINT) AS n_kept,
+       |               md5(string_agg(txt, ' ' ORDER BY i)) AS clean_fp
+       |        FROM kept GROUP BY doc_id)
+       |SELECT t.doc_id, t.source, CAST(len(tk) AS BIGINT) AS n_toks,
+       |  CAST(len(tk) - COALESCE(n_kept, 0) AS BIGINT) AS n_removed,
+       |  COALESCE(clean_fp, md5('')) AS clean_fp
+       |FROM t LEFT JOIN res ON t.doc_id = res.doc_id
+       |ORDER BY t.doc_id""".stripMargin
+  }
+
   // ---------- registry ----------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -386,12 +477,14 @@ object RetrievalQueries {
     "q82_boilerplate" -> (q82_boilerplate _),
     "q83_bm25" -> (q83_bm25 _),
     "q84_bm25_index_persist" -> (q84_bm25_index_persist _),
-    "q91_hybrid_rerank" -> (q91_hybrid_rerank _))
+    "q91_hybrid_rerank" -> (q91_hybrid_rerank _),
+    "q123_span_scrub" -> (q123_span_scrub _))
 
   val oracles: Map[String, String] = Map(
     "q81_span_dedup" -> q81_oracle,
     "q82_boilerplate" -> q82_oracle,
     "q83_bm25" -> q83_oracle,
     "q84_bm25_index_persist" -> q84_oracle,
-    "q91_hybrid_rerank" -> q91_oracle)
+    "q91_hybrid_rerank" -> q91_oracle,
+    "q123_span_scrub" -> q123_oracle)
 }
