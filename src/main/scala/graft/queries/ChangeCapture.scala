@@ -5,6 +5,7 @@ import graft.meta.{ConsolidationDef, DedupDef}
 import graft.operators.Consolidator
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Change-data-capture between consolidated snapshots (round 6).
   *
@@ -364,12 +365,90 @@ object ChangeCapture {
       |FROM v1 WHERE o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
       |ORDER BY o_custkey""".stripMargin
 
+  // ---------- q124: bucketed co-located join (shuffle-free SMJ) ----------
+
+  /** Buckets per side. Both tables MUST agree for bucket-aligned
+    * joins; at cluster scale this is sized so one bucket of the fact
+    * table fits an executor's sort buffer (e.g. 4096 buckets for a
+    * 100 TB fact → ~25 GB/bucket raw, less after pruning).
+    */
+  val bucketJoinBuckets = 8
+
+  /** Writes both inputs bucketed+sorted by the join key into `work`
+    * and returns the bucket-aligned join — factored so
+    * BucketJoinSpec can pin the plan shape (SortMergeJoin, ZERO
+    * Exchange) on the returned frame. Table names derive from `work`
+    * so concurrent sessions sharing a warehouse never collide.
+    */
+  private[queries] def bucketedOrdersCustomer(
+      spark: SparkSession, dir: String, work: String): DataFrame = {
+    val suffix = java.lang.Long.toHexString(
+      java.util.UUID.nameUUIDFromBytes(work.getBytes("UTF-8"))
+        .getMostSignificantBits & Long.MaxValue)
+    val (ot, ct) = (s"graft_bkt_orders_$suffix", s"graft_bkt_customer_$suffix")
+    Tables.load(spark, dir, "orders")
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+      .write.mode("overwrite")
+      .bucketBy(bucketJoinBuckets, "o_custkey").sortBy("o_custkey")
+      .option("path", s"$work/orders_b").saveAsTable(ot)
+    Tables.load(spark, dir, "customer")
+      .select("c_custkey", "c_mktsegment")
+      .write.mode("overwrite")
+      .bucketBy(bucketJoinBuckets, "c_custkey").sortBy("c_custkey")
+      .option("path", s"$work/customer_b").saveAsTable(ct)
+    // merge hint: the POINT is the shuffle-free sort-merge join —
+    // without it the planner would broadcast the small test-scale
+    // customer side and never exercise the bucket alignment that
+    // carries the plan at 100 TB (where neither side broadcasts).
+    spark.table(ot).join(
+      spark.table(ct).hint("merge"),
+      col("o_custkey") === col("c_custkey"))
+  }
+
+  /** Bucket-pruned co-located join — the lakehouse LAYOUT operator for
+    * repeated fact⋈dim joins: both sides are written bucketed+sorted
+    * by the join key once, and every subsequent join consumes the
+    * bucket alignment instead of re-shuffling the fact table —
+    * `spark.sql.sources.bucketing.enabled` turns each scan's bucket
+    * files directly into join partitions, so the ONLY exchange in the
+    * whole query is the final segment-sized rollup. The 100 TB story:
+    * a nightly-joined fact table pays its shuffle once at write time,
+    * not once per query; BucketJoinSpec pins the executed plan of the
+    * join to SortMergeJoin with zero Exchange nodes.
+    *
+    * Result is deliberately the plain join semantics (revenue per
+    * market segment, q10's DECIMAL(18,2) exactness recipe) — layout
+    * must never change answers, which is exactly what the shared
+    * oracle checks.
+    */
+  def q124_bucket_join(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val work = graft.io.Scratch.dir(spark, "graft-q124-")
+    val fs = new Path(work).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    try {
+      bucketedOrdersCustomer(spark, dir, work)
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast(DecimalType(18, 2))).cast("double")
+            .as("revenue"))
+        .orderBy("c_mktsegment")
+        .localCheckpoint() // materialize before the work dir is deleted
+    } finally fs.delete(new Path(work), true)
+  }
+
+  val q124_oracle: String =
+    """SELECT c_mktsegment, count(*) AS n_orders,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q85_cdc_changelog" -> (q85_cdc_changelog _),
     "q90_layout_prune" -> (q90_layout_prune _),
     "q101_zorder" -> (q101_zorder _),
     "q115_version_diff" -> (q115_version_diff _),
-    "q121_delete_feed" -> (q121_delete_feed _))
+    "q121_delete_feed" -> (q121_delete_feed _),
+    "q124_bucket_join" -> (q124_bucket_join _))
 
   val oracles: Map[String, String] = Map(
     "q85_cdc_changelog" -> q85_oracle,
@@ -378,5 +457,6 @@ object ChangeCapture {
     // shared constant on purpose (see q115 scaladoc): O(delta) must
     // equal the two-snapshot diff
     "q115_version_diff" -> q85_oracle,
-    "q121_delete_feed" -> q121_oracle)
+    "q121_delete_feed" -> q121_oracle,
+    "q124_bucket_join" -> q124_oracle)
 }
