@@ -374,6 +374,122 @@ object GraphQueries {
        |FROM (SELECT unnest([a, b, c]) AS s_suppkey FROM tri)
        |GROUP BY s_suppkey ORDER BY s_suppkey""".stripMargin
 
+  // ---------- q125: k-core (iterative peeling) ----------
+
+  /** Peeling rounds after which an unconverged run FAILS (and the
+    * oracle's unroll depth — extra rounds past the fixpoint are
+    * identity, so early convergence never mismatches). Peeling depth
+    * is the graph's degeneracy ordering length at threshold k — single
+    * digits on co-occurrence graphs; 30 is a generous ceiling.
+    */
+  private val kcoreMaxRounds = 30
+
+  /** k-core extraction over the q122 supplier co-occurrence graph —
+    * the density filter of graph curation: iteratively peel vertices
+    * with degree < k (removals cascade — losing a neighbor can drop a
+    * survivor below k) until the remaining subgraph has minimum
+    * degree ≥ k. k is DATA-DERIVED in exact integer arithmetic:
+    * ⌈(11/16)·2|E|/|V|⌉ — a fixed fraction of the mean degree, so the
+    * same definition bites at every scale factor. The fraction sits
+    * deliberately BELOW the mean: near-regular co-occurrence graphs
+    * phase-transition at k ≈ mean (the ⌈mean⌉-core is empty at every
+    * SF here), while 11/16 keeps a dense survivor core and still
+    * cascades (sf0.1: 173 of 1000 vertices peel across 14 rounds).
+    *
+    * Scale shape: each round is one degree aggregation (partial-agg
+    * shuffle keyed by vertex) + two anti-joins dropping peeled
+    * endpoints, with per-round localCheckpoint (the q117/CC lineage
+    * rule); the edge set only shrinks, so round cost is monotone
+    * decreasing. An ITERATIVE algorithm stays oracle-checkable the
+    * q117 way: the oracle unrolls [[kcoreMaxRounds]] rounds as plain
+    * CTEs — identity once the fixpoint is reached.
+    */
+  def q125_kcore(spark: SparkSession, dir: String): DataFrame = {
+    val lo = to_timestamp(lit("1995-01-01 00:00:00"))
+    val hi = to_timestamp(lit("1995-04-01 00:00:00"))
+    val orders = Tables.load(spark, dir, "orders")
+      .filter(col("o_orderdate") >= lo && col("o_orderdate") < hi)
+      .select(col("o_orderkey").as("ok"))
+    val li = Tables.load(spark, dir, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
+    val os = orders.join(li, "ok").distinct()
+    val e0 = os.as("a").join(os.as("b"),
+        col("a.ok") === col("b.ok") && col("a.sk") < col("b.sk"))
+      .select(col("a.sk").as("u"), col("b.sk").as("v"))
+      .distinct()
+    kcore(e0)
+      .select(col("id").as("s_suppkey"), col("core_deg"))
+      .orderBy("s_suppkey")
+  }
+
+  /** Peels `e0` (canonical u < v edges) at k = ⌈2|E|/|V|⌉; returns
+    * (id, core_deg) for the surviving subgraph. Factored for
+    * KCoreSpec's hand graphs.
+    */
+  private[queries] def kcore(e0In: DataFrame): DataFrame = {
+    def degrees(e: DataFrame): DataFrame =
+      e.select(col("u").as("id")).union(e.select(col("v").as("id")))
+        .groupBy("id").agg(count(lit(1)).as("dg"))
+    var edges = e0In.localCheckpoint()
+    val (nE, nV) = {
+      val d = degrees(edges).agg(count(lit(1)).as("v"), sum("dg").as("e2"))
+        .collect()(0)
+      (d.getLong(1) / 2, d.getLong(0))
+    }
+    if (nV == 0) return degrees(edges).select(col("id"), col("dg").as("core_deg"))
+    val k = (22 * nE + 16 * nV - 1) / (16 * nV) // ⌈(11/16)·2E/V⌉, exact integers
+    var converged = false
+    var round = 0
+    while (!converged && round < kcoreMaxRounds) {
+      val keep = degrees(edges).filter(col("dg") >= k).select("id")
+      val next = edges
+        .join(keep.select(col("id").as("u")), Seq("u"), "left_semi")
+        .join(keep.select(col("id").as("v")), Seq("v"), "left_semi")
+        .select("u", "v")
+        .localCheckpoint()
+      // fixpoint ⟺ no edge was dropped (the edge set only shrinks,
+      // so a count compare is an exact change test)
+      converged = next.count() == edges.count()
+      edges = next
+      round += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"k-core peeling did not converge in $kcoreMaxRounds rounds")
+    degrees(edges).select(col("id"), col("dg").as("core_deg"))
+  }
+
+  val q125_oracle: String = {
+    // MATERIALIZED: each round references its predecessor several
+    // times — inlining would re-expand the whole chain exponentially
+    val round = (i: Int) => {
+      val prev = s"e${i - 1}"
+      s"""d$i AS MATERIALIZED (SELECT vtx, count(*) AS dg FROM (
+         |  SELECT u AS vtx FROM $prev UNION ALL SELECT v FROM $prev) GROUP BY vtx),
+         |keep$i AS MATERIALIZED (SELECT vtx FROM d$i, kk WHERE dg >= kk.k),
+         |e$i AS MATERIALIZED (SELECT u, v FROM $prev
+         |  WHERE u IN (SELECT vtx FROM keep$i) AND v IN (SELECT vtx FROM keep$i))""".stripMargin
+    }
+    val rounds = (1 to kcoreMaxRounds).map(round).mkString(",\n")
+    val last = s"e$kcoreMaxRounds"
+    s"""WITH os AS MATERIALIZED (
+       |  SELECT DISTINCT l_orderkey AS ok, l_suppkey AS sk
+       |  FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+       |  WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+       |    AND o_orderdate < TIMESTAMP '1995-04-01 00:00:00'),
+       |e0 AS MATERIALIZED (SELECT DISTINCT a.sk AS u, b.sk AS v
+       |       FROM os a JOIN os b ON a.ok = b.ok AND a.sk < b.sk),
+       |kk AS MATERIALIZED (SELECT (22 * (SELECT count(*) FROM e0)
+       |        + 16 * (SELECT count(DISTINCT vtx) FROM (
+       |             SELECT u AS vtx FROM e0 UNION ALL SELECT v FROM e0)) - 1)
+       |       // (16 * (SELECT count(DISTINCT vtx) FROM (
+       |             SELECT u AS vtx FROM e0 UNION ALL SELECT v FROM e0))) AS k),
+       |$rounds
+       |SELECT vtx AS s_suppkey, CAST(count(*) AS BIGINT) AS core_deg FROM (
+       |  SELECT u AS vtx FROM $last UNION ALL SELECT v FROM $last)
+       |GROUP BY vtx ORDER BY vtx""".stripMargin
+  }
+
   // ---------- registry ----------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -381,12 +497,14 @@ object GraphQueries {
     "q48_merge_upsert" -> (q48_merge_upsert _),
     "q49_bloom_prune" -> (q49_bloom_prune _),
     "q117_pagerank" -> (q117_pagerank _),
-    "q122_triangles" -> (q122_triangles _))
+    "q122_triangles" -> (q122_triangles _),
+    "q125_kcore" -> (q125_kcore _))
 
   val oracles: Map[String, String] = Map(
     "q47_dup_clusters" -> q47_oracle,
     "q48_merge_upsert" -> q48_oracle,
     "q49_bloom_prune" -> q49_oracle,
     "q117_pagerank" -> q117_oracle,
-    "q122_triangles" -> q122_oracle)
+    "q122_triangles" -> q122_oracle,
+    "q125_kcore" -> q125_oracle)
 }
