@@ -329,7 +329,13 @@ object GraphQueries {
     * vertices in ≥ 1 triangle. Factored for TriangleSpec's hand
     * graphs.
     */
-  private[queries] def triangleCounts(e0: DataFrame): DataFrame = {
+  private[queries] def triangleCounts(e0In: DataFrame): DataFrame = {
+    // the edge list feeds the degree agg AND the orientation join, and
+    // the oriented list feeds the wedge join THREE times — Catalyst
+    // does not dedupe common subplans across self-joins, so without
+    // materialization the (possibly expensive) edge construction would
+    // re-execute per reference
+    val e0 = e0In.localCheckpoint()
     val deg = e0.select(col("u").as("k"))
       .union(e0.select(col("v").as("k")))
       .groupBy("k").agg(count(lit(1)).as("dg"))
@@ -344,6 +350,7 @@ object GraphQueries {
       .select(
         when(lt, col("u")).otherwise(col("v")).as("s"),
         when(lt, col("v")).otherwise(col("u")).as("t"))
+      .localCheckpoint()
     val wedge = de.select(col("s").as("a"), col("t").as("b"))
       .join(de.select(col("s").as("b"), col("t").as("c")), "b")
     val tri = wedge.join(de.select(col("s").as("a"), col("t").as("c")), Seq("a", "c"))

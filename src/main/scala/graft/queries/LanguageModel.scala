@@ -183,11 +183,103 @@ object LanguageModel {
        |LIMIT $collocationTopK""".stripMargin
   }
 
+  // ---------- q126: windowed skip-gram co-occurrence ----------
+
+  /** Skip-gram window: each token pairs with the next [[skipWindow]]
+    * tokens (the word2vec/GloVe co-occurrence convention, unordered
+    * pairs canonicalized lexicographically).
+    */
+  val skipWindow = 3
+
+  /** Windowed co-occurrence lift — q114 widened from adjacent bigrams
+    * to the ±[[skipWindow]] skip-gram window: the statistic embedding
+    * pretraining (word2vec negative sampling, GloVe weighting) is
+    * built on. Unordered pairs inside the window are counted corpus-
+    * wide and ranked by integer-exact lift against the independence
+    * baseline under PAIR sampling:
+    * lift_micro = (c_pair · N_tok² · 10⁶) DIV (N_pairs · c_a · c_b)
+    * — every factor an exact integer, wide products on decimal(38,0)
+    * (the q114 rule), so ranking and values hash-match the oracle.
+    *
+    * Scale shape: pair generation is a narrow per-document map
+    * (window size bounds fanout at [[skipWindow]] per token — NEVER
+    * quadratic in document length); pair counts are one partial-agg
+    * shuffle to a vocab²-bounded (window-limited) table; the lift
+    * joins are vocab-sized. The corpus text streams exactly once per
+    * counting pass.
+    */
+  def q126_skipgram(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val toks = docs.select(explode(lmTokens(col("text"))).as("w"))
+    val uni = toks.groupBy("w").agg(count(lit(1)).cast("long").as("c_uni")).persist()
+    val nToks = uni.agg(sum(col("c_uni"))).head.getLong(0)
+    val pairs = docs
+      .select(lmTokens(col("text")).as("t"))
+      .select(explode(flatten(
+        transform(col("t"), (x, i) =>
+          transform(slice(col("t"), i + lit(2), lit(skipWindow)),
+            y => concat(least(x, y), lit(" "), greatest(x, y)))))).as("pair"))
+    val pc = pairs.groupBy("pair")
+      .agg(count(lit(1)).cast("long").as("c_pair"))
+      .persist()
+    val nPairs = pc.agg(sum(col("c_pair"))).head.getLong(0)
+    val lift = pc
+      .filter(col("c_pair") >= collocationMinCount)
+      .withColumn("w1", split(col("pair"), " ").getItem(0))
+      .withColumn("w2", split(col("pair"), " ").getItem(1))
+      .join(uni.select(col("w").as("w1"), col("c_uni").as("c_w1")), "w1")
+      .join(uni.select(col("w").as("w2"), col("c_uni").as("c_w2")), "w2")
+      .withColumn("lift_micro", expr(
+        s"(CAST(c_pair AS DECIMAL(38,0)) * CAST($nToks AS DECIMAL(38,0)) " +
+          s"* CAST($nToks AS DECIMAL(38,0)) * $scale) " +
+          s"DIV (CAST($nPairs AS DECIMAL(38,0)) * c_w1 * c_w2)"))
+    try
+      lift
+        .orderBy(col("lift_micro").desc, col("pair").asc)
+        .limit(collocationTopK)
+        .select("pair", "c_pair", "c_w1", "c_w2", "lift_micro")
+        .transform(graft.Lineage.cut) // eager: survives the unpersists
+    finally { uni.unpersist(); pc.unpersist() }
+  }
+
+  val q126_oracle: String = {
+    val toks = T.tokensSql("lower(text)")
+    s"""WITH tk AS (
+       |  SELECT doc_id, $toks AS t FROM documents),
+       |uni AS (
+       |  SELECT w, CAST(count(*) AS BIGINT) AS c_uni
+       |  FROM (SELECT unnest(t) AS w FROM tk) GROUP BY w),
+       |n AS (SELECT CAST(sum(c_uni) AS HUGEINT) AS n_toks FROM uni),
+       |pc AS (
+       |  SELECT pair, CAST(count(*) AS BIGINT) AS c_pair
+       |  FROM (
+       |    SELECT unnest(flatten(
+       |      [[least(t[i], t[j]) || ' ' || greatest(t[i], t[j])
+       |        for j in range(i + 1, least(i + $skipWindow, len(t)) + 1)]
+       |       for i in range(1, len(t) + 1)])) AS pair
+       |    FROM tk)
+       |  GROUP BY pair),
+       |np AS (SELECT CAST(sum(c_pair) AS HUGEINT) AS n_pairs FROM pc)
+       |SELECT pair, c_pair,
+       |  u1.c_uni AS c_w1, u2.c_uni AS c_w2,
+       |  CAST(CAST(c_pair AS HUGEINT) * n.n_toks * n.n_toks * $scale
+       |    // (np.n_pairs * CAST(u1.c_uni AS HUGEINT) * u2.c_uni) AS BIGINT)
+       |    AS lift_micro
+       |FROM pc, n, np
+       |JOIN uni u1 ON u1.w = split_part(pair, ' ', 1)
+       |JOIN uni u2 ON u2.w = split_part(pair, ' ', 2)
+       |WHERE c_pair >= $collocationMinCount
+       |ORDER BY lift_micro DESC, pair ASC
+       |LIMIT $collocationTopK""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q104_bigram_lm" -> (q104_bigram_lm _),
-    "q114_collocations" -> (q114_collocations _))
+    "q114_collocations" -> (q114_collocations _),
+    "q126_skipgram" -> (q126_skipgram _))
 
   val oracles: Map[String, String] = Map(
     "q104_bigram_lm" -> q104_oracle,
-    "q114_collocations" -> q114_oracle)
+    "q114_collocations" -> q114_oracle,
+    "q126_skipgram" -> q126_oracle)
 }
