@@ -448,16 +448,22 @@ object GraphQueries {
     var converged = false
     var round = 0
     while (!converged && round < kcoreMaxRounds) {
-      val keep = degrees(edges).filter(col("dg") >= k).select("id")
-      val next = edges
-        .join(keep.select(col("id").as("u")), Seq("u"), "left_semi")
-        .join(keep.select(col("id").as("v")), Seq("v"), "left_semi")
-        .select("u", "v")
+      // peel set, not keep set: after the first round only a few
+      // vertices fall per round, so LOW is the small side — the
+      // anti-joins below go broadcast under AQE instead of shuffling
+      // the surviving edge set against a |V|-sized keep list; the
+      // materialization also means degrees aggregate once per round,
+      // not once per join
+      val low = degrees(edges).filter(col("dg") < k).select("id")
         .localCheckpoint()
-      // fixpoint ⟺ no edge was dropped (the edge set only shrinks,
-      // so a count compare is an exact change test)
-      converged = next.count() == edges.count()
-      edges = next
+      if (low.isEmpty) converged = true
+      else {
+        edges = edges
+          .join(low.select(col("id").as("u")), Seq("u"), "left_anti")
+          .join(low.select(col("id").as("v")), Seq("v"), "left_anti")
+          .select("u", "v")
+          .localCheckpoint()
+      }
       round += 1
     }
     if (!converged)
