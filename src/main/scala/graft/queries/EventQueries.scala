@@ -106,13 +106,69 @@ object EventQueries {
       |FROM uw JOIN cohorts USING (user_id)
       |GROUP BY 1, 2 ORDER BY cohort_week, weeks_since""".stripMargin
 
+  // ---------- q128: event-transition matrix (first-order Markov) ----------
+
+  /** Per-user event-type transition matrix — the first-order Markov
+    * summary of behavioral sequences (the statistic session-based
+    * recommendation and anomalous-flow detection start from): for
+    * every consecutive event pair within a user's timeline, count
+    * (from_type → to_type) and express the row-conditional
+    * probability in exact ppm — `n · 10⁶ DIV Σ_to n` — so the matrix
+    * hash-matches across engines (the q104 integer-probability rule).
+    *
+    * Determinism: a user's timeline is ordered by (ts, event_id) —
+    * event_id breaks timestamp ties, so `lead` is total-ordered and
+    * both engines see identical successor pairs.
+    *
+    * Scale shape: ONE shuffle of (user_id, ts, type) partitioned by
+    * user for the window (each user's timeline sorts within its
+    * partition — no global sort), then a partial-agg rollup to the
+    * |event types|² matrix; the ppm join is matrix-sized. AQE splits
+    * any power-user partition skew.
+    */
+  def q128_transitions(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val pairs = Tables.load(spark, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type").as("from_type"))
+      .withColumn("to_type", lead(col("from_type"), 1).over(w))
+      .filter(col("to_type").isNotNull)
+      .groupBy("from_type", "to_type")
+      .agg(count(lit(1)).as("n"))
+    val totals = pairs.groupBy("from_type").agg(sum(col("n")).as("n_from"))
+    pairs.join(totals, "from_type")
+      .select(col("from_type"), col("to_type"), col("n"),
+        expr("(n * 1000000) DIV n_from").as("p_ppm"))
+      .orderBy("from_type", "to_type")
+  }
+
+  val q128_oracle: String =
+    """WITH pairs AS (
+      |  SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+      |  FROM (
+      |    SELECT event_type AS from_type,
+      |      lead(event_type) OVER (
+      |        PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+      |    FROM events)
+      |  WHERE to_type IS NOT NULL
+      |  GROUP BY from_type, to_type),
+      |totals AS (
+      |  SELECT from_type, CAST(sum(n) AS BIGINT) AS n_from
+      |  FROM pairs GROUP BY from_type)
+      |SELECT from_type, to_type, n, (n * 1000000) // n_from AS p_ppm
+      |FROM pairs JOIN totals USING (from_type)
+      |ORDER BY from_type, to_type""".stripMargin
+
   // ---------- registry ----------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q65_funnel" -> (q65_funnel _),
-    "q66_retention" -> (q66_retention _))
+    "q66_retention" -> (q66_retention _),
+    "q128_transitions" -> (q128_transitions _))
 
   val oracles: Map[String, String] = Map(
     "q65_funnel" -> q65_oracle,
-    "q66_retention" -> q66_oracle)
+    "q66_retention" -> q66_oracle,
+    "q128_transitions" -> q128_oracle)
 }

@@ -389,6 +389,53 @@ object GovernanceQueries {
       .orderBy("o_orderpriority")
   }
 
+  // ---------- q127: k-anonymity / l-diversity audit ----------
+
+  /** Anonymity floor: an equivalence class re-identifies its members
+    * when fewer than [[kAnonK]] rows share the quasi-identifier
+    * tuple; sensitive-attribute inference needs at least [[kAnonL]]
+    * distinct sensitive values per class (Sweeney's k-anonymity,
+    * Machanavajjhala's l-diversity).
+    */
+  val kAnonK = 10L
+  val kAnonL = 3L
+
+  /** The release-audit companion to q109's masking: BEFORE a table
+    * ships, group it by its quasi-identifier tuple (market segment ×
+    * the same 1000-unit balance band q109 generalizes to) and measure
+    * each equivalence class — size (k-anonymity) and distinct
+    * sensitive values (l-diversity, nation as the sensitive
+    * attribute). Classes failing either bound are exactly the rows a
+    * release process must suppress or generalize further.
+    *
+    * Scale shape: ONE hash aggregation over the table (count +
+    * count_distinct ride the same shuffle); output is
+    * equivalence-class-sized, never row-sized. The flags are plain
+    * integer comparisons — no floats, no sampling.
+    */
+  def q127_k_anonymity(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "customer")
+      .groupBy(col("c_mktsegment"),
+        floor(col("c_acctbal") / 1000.0).cast("long").as("bal_band"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        count_distinct(col("c_nationkey")).as("n_sensitive"))
+      .select(col("c_mktsegment"), col("bal_band"), col("n_rows"),
+        col("n_sensitive"),
+        (col("n_rows") >= kAnonK).as("k_anonymous"),
+        (col("n_sensitive") >= kAnonL).as("l_diverse"))
+      .orderBy("c_mktsegment", "bal_band")
+
+  val q127_oracle: String =
+    s"""SELECT c_mktsegment,
+       |  CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bal_band,
+       |  count(*) AS n_rows,
+       |  count(DISTINCT c_nationkey) AS n_sensitive,
+       |  count(*) >= $kAnonK AS k_anonymous,
+       |  count(DISTINCT c_nationkey) >= $kAnonL AS l_diverse
+       |FROM customer
+       |GROUP BY 1, 2 ORDER BY c_mktsegment, bal_band""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q110_incremental_distinct" -> (q110_incremental_distinct _),
     "q113_incremental_quantiles" -> (q113_incremental_quantiles _),
@@ -396,12 +443,14 @@ object GovernanceQueries {
     "q100_profile" -> (q100_profile _),
     "q109_masking" -> (q109_masking _),
     "q103_time_travel" -> (q103_time_travel _),
-    "q107_incremental_agg" -> (q107_incremental_agg _))
+    "q107_incremental_agg" -> (q107_incremental_agg _),
+    "q127_k_anonymity" -> (q127_k_anonymity _))
 
   val oracles: Map[String, String] = Map(
     "q99_expectations" -> q99_oracle,
     "q100_profile" -> q100_oracle,
     "q109_masking" -> q109_oracle,
     "q103_time_travel" -> q103_oracle,
-    "q107_incremental_agg" -> q107_oracle)
+    "q107_incremental_agg" -> q107_oracle,
+    "q127_k_anonymity" -> q127_oracle)
 }

@@ -1,0 +1,57 @@
+package graft.queries
+
+import graft.SparkSpec
+import java.sql.Timestamp
+
+/** Hand-fixture pins for the round-10 governance/events operators:
+  * q127's flag boundaries sit exactly AT k and l, and q128's lead
+  * ordering must break timestamp ties by event_id (the difference
+  * between a deterministic matrix and a flaky one).
+  */
+class Round10OpsSpec extends SparkSpec {
+
+  test("q127: classes at exactly k rows / l sensitive values pass; below fail") {
+    import spark.implicits._
+    val k = GovernanceQueries.kAnonK.toInt
+    val l = GovernanceQueries.kAnonL.toInt
+    // class A: exactly k rows, exactly l nations → both flags true
+    // class B: k-1 rows, 1 nation → both flags false
+    val rows =
+      (1 to k).map(i => (i.toLong, s"c$i", (i % l).toLong, 500.0, "AUTO")) ++
+      (1 to k - 1).map(i => ((100 + i).toLong, s"d$i", 7L, 1500.0, "AUTO"))
+    val dir = java.nio.file.Files.createTempDirectory("kanon").toString
+    rows.toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+      .write.mode("overwrite").parquet(s"$dir/customer.parquet")
+    val got = GovernanceQueries.q127_k_anonymity(spark, dir).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4), r.getBoolean(5)))
+    assert(got.toSet === Set(
+      (0L, k.toLong, l.toLong, true, true),
+      (1L, k.toLong - 1, 1L, false, false)))
+  }
+
+  test("q128: timestamp ties break by event_id; ppm is row-conditional") {
+    import spark.implicits._
+    val t0 = Timestamp.valueOf("2024-01-01 00:00:00")
+    val t1 = Timestamp.valueOf("2024-01-01 00:01:00")
+    // user 1: a@t0(id1), b@t0(id2) [tie → id order], c@t1(id3)
+    //   transitions: a→b, b→c
+    // user 2: a@t0(id4), c@t1(id5): a→c
+    // user 3: single event → no transition
+    val ev = Seq(
+      (1L, t0, 10L, "a", 0.0, """{}"""),
+      (2L, t0, 10L, "b", 0.0, """{}"""),
+      (3L, t1, 10L, "c", 0.0, """{}"""),
+      (4L, t0, 20L, "a", 0.0, """{}"""),
+      (5L, t1, 20L, "c", 0.0, """{}"""),
+      (6L, t0, 30L, "a", 0.0, """{}"""))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val dir = java.nio.file.Files.createTempDirectory("transitions").toString
+    ev.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = EventQueries.q128_transitions(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq === Seq(
+      ("a", "b", 1L, 500000L), // of a's 2 outgoing: 1/2
+      ("a", "c", 1L, 500000L),
+      ("b", "c", 1L, 1000000L)))
+  }
+}
