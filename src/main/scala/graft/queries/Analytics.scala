@@ -370,9 +370,76 @@ object Analytics {
 
   // ---------- registry ----------
 
+  // ---------- q129: local-supplier star join (TPC-H Q5 shape) ----------
+
+  /** The Q5-shaped join — the step up from q11's single-fact star:
+    * TWO fact tables (orders ⋈ lineitem on orderkey, the only
+    * fact-sized shuffle pair) threaded through three broadcast dims,
+    * plus the CROSS-DIMENSION locality predicate
+    * `c_nationkey = s_nationkey` (customer and supplier in the same
+    * nation) that no single dim lookup can answer — the classic
+    * join-graph shape that exercises Catalyst's join planning.
+    *
+    * Scale shape: orders filters on date at the scan (pushed), joins
+    * customer on custkey (both sides key-shuffled; at 100 TB customer
+    * is fact-sized, not broadcastable), and the pre-joined pair meets
+    * lineitem co-partitioned on orderkey. supplier/nation/region
+    * broadcast explicitly (q11's rule: don't let post-filter
+    * misestimates pick a shuffle). Revenue rides the q10 DECIMAL
+    * recipe — exact regardless of aggregation order.
+    */
+  def q129_local_supplier(spark: SparkSession, dir: String): DataFrame = {
+    val lo = to_timestamp(lit("1996-01-01 00:00:00"))
+    val hi = to_timestamp(lit("1997-01-01 00:00:00"))
+    val orders = Tables.load(spark, dir, "orders")
+      .filter(col("o_orderdate") >= lo && col("o_orderdate") < hi)
+      .select("o_orderkey", "o_custkey")
+    val customer = Tables.load(spark, dir, "customer").select("c_custkey", "c_nationkey")
+    val li = Tables.load(spark, dir, "lineitem")
+      .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+    val supplier = Tables.load(spark, dir, "supplier").select("s_suppkey", "s_nationkey")
+    val nation = Tables.load(spark, dir, "nation")
+    val region = Tables.load(spark, dir, "region")
+    val price = col("l_extendedprice").cast(dec18)
+    val one = lit(1).cast(dec4)
+    val disc = col("l_discount").cast(dec4)
+    orders
+      .join(customer, col("o_custkey") === col("c_custkey"))
+      .join(li, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(supplier),
+        col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .filter(col("r_name") === "ASIA")
+      .groupBy("n_name")
+      .agg(sum(price * (one - disc)).cast("double").as("revenue"),
+        count(lit(1)).as("n_lineitems"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  val q129_oracle: String =
+    """SELECT n_name,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+      |    * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+      |    AS revenue,
+      |  count(*) AS n_lineitems
+      |FROM orders
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |WHERE r_name = 'ASIA'
+      |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+      |GROUP BY n_name
+      |ORDER BY revenue DESC, n_name""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q10_pricing_summary" -> (q10_pricing_summary _),
     "q11_join_agg" -> (q11_join_agg _),
+    "q129_local_supplier" -> (q129_local_supplier _),
     "q12_window_topn" -> (q12_window_topn _),
     "q13_agg_distinct" -> (q13_agg_distinct _),
     "q14_rollup" -> (q14_rollup _),
@@ -386,6 +453,7 @@ object Analytics {
   val oracles: Map[String, String] = Map(
     "q10_pricing_summary" -> q10_oracle,
     "q11_join_agg" -> q11_oracle,
+    "q129_local_supplier" -> q129_oracle,
     "q12_window_topn" -> q12_oracle,
     "q13_agg_distinct" -> q13_oracle,
     "q14_rollup" -> q14_oracle,

@@ -226,17 +226,57 @@ object DistributionQueries {
       |    AS outlier_id_sum
       |FROM flagged GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  // ---------- q130: last-observation-carried-forward imputation ----------
+
+  /** LOCF imputation — the standard missing-feature fill of training
+    * data prep, here in its attribution form: every event carries the
+    * user's most recent PURCHASE value at that point in the timeline
+    * (NULL until the first purchase). `last(..., ignoreNulls)` over a
+    * running frame is the declarative LOCF; the (ts, event_id)
+    * ordering makes the frame total-ordered (the q128 tiebreak rule),
+    * and the carried value is passed through UNCHANGED — no float
+    * arithmetic, so doubles hash-match cross-engine.
+    *
+    * Scale shape: ONE shuffle partitioned by user (each timeline
+    * sorts within its partition, no global sort) and a running-frame
+    * window that streams each partition once — state is one value per
+    * user. AQE splits power-user skew.
+    */
+  def q130_locf(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.load(spark, dir, "events")
+      .select(col("event_id"), col("user_id"), col("event_type"), col("ts"),
+        col("value"))
+      .withColumn("last_purchase_value",
+        last(when(col("event_type") === "purchase", col("value")),
+          ignoreNulls = true).over(w))
+      .select("event_id", "user_id", "event_type", "value", "last_purchase_value")
+      .orderBy("event_id")
+  }
+
+  val q130_oracle: String =
+    """SELECT event_id, user_id, event_type, value,
+      |  last_value(CASE WHEN event_type = 'purchase' THEN value END IGNORE NULLS)
+      |    OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |    AS last_purchase_value
+      |FROM events ORDER BY event_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q56_histogram" -> (q56_histogram _),
     "q57_rolling" -> (q57_rolling _),
     "q58_ntile" -> (q58_ntile _),
     "q59_correlated" -> (q59_correlated _),
-    "q105_anomaly" -> (q105_anomaly _))
+    "q105_anomaly" -> (q105_anomaly _),
+    "q130_locf" -> (q130_locf _))
 
   val oracles: Map[String, String] = Map(
     "q56_histogram" -> q56_oracle,
     "q57_rolling" -> q57_oracle,
     "q58_ntile" -> q58_oracle,
     "q59_correlated" -> q59_oracle,
-    "q105_anomaly" -> q105_oracle)
+    "q105_anomaly" -> q105_oracle,
+    "q130_locf" -> q130_oracle)
 }

@@ -54,4 +54,46 @@ class Round10OpsSpec extends SparkSpec {
       ("a", "c", 1L, 500000L),
       ("b", "c", 1L, 1000000L)))
   }
+
+  test("q129: explicit dim broadcasts survive when size-based planning can't") {
+    // emulate fact-scale estimates: with the auto threshold off, only
+    // the EXPLICIT broadcast() hints may produce broadcast joins — the
+    // dims must still ride them (the q11 rule: don't depend on
+    // post-filter size estimates) while the orders-lineitem fact pair
+    // falls back to a key-shuffled join
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "-1")
+    try {
+      val plan = Analytics.q129_local_supplier(spark, "/root/testdata/sf0.001")
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+      val factJoin = plan.linesIterator
+        .filter(l => l.contains("Join") && l.contains("l_orderkey"))
+        .mkString("\n")
+      assert(factJoin.nonEmpty && !factJoin.contains("Broadcast"),
+        s"fact-fact join must shuffle when nothing says it fits:\n$factJoin")
+    } finally spark.conf.set(key, prev)
+  }
+
+  test("q130: LOCF carries the last purchase, NULL before the first") {
+    import spark.implicits._
+    val t = (m: Int) => Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+    val ev = Seq(
+      (1L, t(0), 1L, "view", 0.0, "{}"),
+      (2L, t(1), 1L, "purchase", 10.5, "{}"),
+      (3L, t(2), 1L, "click", 0.0, "{}"),
+      (4L, t(3), 1L, "purchase", 20.25, "{}"),
+      (5L, t(4), 1L, "view", 0.0, "{}"),
+      (6L, t(0), 2L, "click", 0.0, "{}")) // user 2: never purchases
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val dir = java.nio.file.Files.createTempDirectory("locf").toString
+    ev.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = DistributionQueries.q130_locf(spark, dir).collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(4)) None else Some(r.getDouble(4)))).toMap
+    assert(got === Map(
+      1L -> None, 2L -> Some(10.5), 3L -> Some(10.5),
+      4L -> Some(20.25), 5L -> Some(20.25), 6L -> None))
+  }
 }
