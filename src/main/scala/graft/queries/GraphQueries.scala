@@ -439,7 +439,11 @@ object GraphQueries {
         .groupBy("id").agg(count(lit(1)).as("dg"))
     var edges = e0In.localCheckpoint()
     val (nE, nV) = {
-      val d = degrees(edges).agg(count(lit(1)).as("v"), sum("dg").as("e2"))
+      // coalesce: sum() over zero rows is NULL — an empty edge set
+      // (e.g. a date window with no orders) must hit the nV == 0
+      // early return, not a NULL unboxing error
+      val d = degrees(edges)
+        .agg(count(lit(1)).as("v"), coalesce(sum("dg"), lit(0L)).as("e2"))
         .collect()(0)
       (d.getLong(1) / 2, d.getLong(0))
     }

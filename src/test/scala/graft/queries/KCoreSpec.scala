@@ -46,6 +46,16 @@ class KCoreSpec extends SparkSpec {
     assert(got.keySet === Set(1L, 2L, 3L, 4L, 5L))
   }
 
+  test("degenerate graphs: empty edge set and a single edge") {
+    import spark.implicits._
+    // empty: the nV == 0 early return, no job loop at all
+    val empty = Seq.empty[(Long, Long)].toDF("u", "v")
+    assert(GraphQueries.kcore(empty).collect().isEmpty)
+    // single edge: E=1, V=2 → k = ceil(22/32) = 1; both endpoints have
+    // degree 1 ≥ k, nothing peels
+    assert(run(Seq((1L, 2L))) === Map(1L -> 1L, 2L -> 1L))
+  }
+
   test("pseudo-random graph matches the sequential replica") {
     var s = 99L
     def next(): Long = { s = (s * 1103515245L + 12345L) % 2147483648L; s }

@@ -54,6 +54,12 @@ class TriangleSpec extends SparkSpec {
     assert(run(edges) === localTriangles(edges))
   }
 
+  test("empty edge set yields no rows") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Long)].toDF("u", "v")
+    assert(GraphQueries.triangleCounts(empty).collect().isEmpty)
+  }
+
   test("pseudo-random graph matches brute force") {
     // deterministic LCG so the spec is stable
     var s = 12345L
