@@ -133,7 +133,7 @@ object LanguageModel {
     // joins) and is vocab-sized; N comes from the count table, not a
     // second corpus pass
     val uni = toks.groupBy("w").agg(count(lit(1)).cast("long").as("c_uni")).persist()
-    val nToks = uni.agg(sum(col("c_uni"))).head.getLong(0)
+    val nToks = uni.agg(coalesce(sum(col("c_uni")), lit(0L))).head.getLong(0)
     val bg = bigrams(docs)
       .groupBy("bigram").agg(count(lit(1)).cast("long").as("c_bigram"))
       .filter(col("c_bigram") >= collocationMinCount)
@@ -212,7 +212,7 @@ object LanguageModel {
     val docs = Tables.load(spark, dir, "documents")
     val toks = docs.select(explode(lmTokens(col("text"))).as("w"))
     val uni = toks.groupBy("w").agg(count(lit(1)).cast("long").as("c_uni")).persist()
-    val nToks = uni.agg(sum(col("c_uni"))).head.getLong(0)
+    val nToks = uni.agg(coalesce(sum(col("c_uni")), lit(0L))).head.getLong(0)
     val pairs = docs
       .select(lmTokens(col("text")).as("t"))
       .select(explode(flatten(
@@ -222,7 +222,7 @@ object LanguageModel {
     val pc = pairs.groupBy("pair")
       .agg(count(lit(1)).cast("long").as("c_pair"))
       .persist()
-    val nPairs = pc.agg(sum(col("c_pair"))).head.getLong(0)
+    val nPairs = pc.agg(coalesce(sum(col("c_pair")), lit(0L))).head.getLong(0)
     val lift = pc
       .filter(col("c_pair") >= collocationMinCount)
       .withColumn("w1", split(col("pair"), " ").getItem(0))
