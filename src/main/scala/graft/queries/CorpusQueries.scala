@@ -442,7 +442,70 @@ object CorpusQueries {
 
   // ---------- registry ----------
 
+  // ---------- q131: temperature-scaled mixture sampling ----------
+
+  /** Temperature-scaled source mixture (T = 1/2) — the multilingual /
+    * multi-source rebalancing recipe (sample sizes ∝ n_s^T flatten the
+    * source distribution; the smallest source keeps everything,
+    * larger sources downsample toward it): per-source keep fraction
+    * f_s = √(n_min / n_s), realized deterministically by the q33 rule
+    * — a document survives iff the first 24 bits of
+    * md5("temp-1|" ‖ doc_id) fall below ⌊2²⁴·f_s⌋.
+    *
+    * The thresholds are DATA-DERIVED YET BIT-EXACT cross-engine with a
+    * fully static oracle: IEEE 754 specifies sqrt, divide, and
+    * multiply as correctly rounded, so both engines compute the
+    * identical double and the identical floor — the reason T is 1/2
+    * and not 0.7 (pow is NOT correctly rounded and could flip a
+    * threshold by one ulp). The 24-bit compare runs in hex-string
+    * space (6 chars, zero-padded, lowercase) on both sides.
+    *
+    * Scale shape: source counts are one tiny agg; thresholds broadcast
+    * (|sources| rows); the keep test is a narrow scan; the rollup is
+    * one partial agg. Nothing row-sized ever reaches the driver.
+    */
+  def q131_temperature_mixture(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents").select("doc_id", "source")
+    val counts = docs.groupBy("source").agg(count(lit(1)).as("n_src"))
+    val nMin = counts.agg(min(col("n_src")).as("n_min"))
+    val bySrc = counts.crossJoin(broadcast(nMin))
+      .withColumn("keep_ceiling",
+        floor(lit(16777216.0) *
+          sqrt(col("n_min").cast("double") / col("n_src").cast("double")))
+          .cast("long"))
+      .select("source", "n_src", "keep_ceiling")
+    val h6 = substring(md5(concat(lit("temp-1|"), col("doc_id").cast("string"))), 1, 6)
+    // the min source's ceiling is exactly 2^24 = 7 hex chars — compare
+    // numerically there (keep all) and in 6-char hex space below it
+    val keep = col("keep_ceiling") >= 16777216L ||
+      h6 < lower(lpad(conv(col("keep_ceiling").cast("string"), 10, 16), 6, "0"))
+    docs.join(broadcast(bySrc), "source")
+      .groupBy("source")
+      .agg(max(col("n_src")).as("n_src"),
+        max(col("keep_ceiling")).as("keep_ceiling"),
+        sum(when(keep, 1L).otherwise(0L)).as("n_kept"))
+      .orderBy("source")
+  }
+
+  val q131_oracle: String =
+    """WITH c AS (SELECT source, count(*) AS n_src FROM documents GROUP BY source),
+      |m AS (SELECT min(n_src) AS n_min FROM c),
+      |t AS (SELECT source, n_src,
+      |        CAST(floor(16777216.0 * sqrt(CAST(n_min AS DOUBLE) / CAST(n_src AS DOUBLE)))
+      |          AS BIGINT) AS keep_ceiling
+      |      FROM c, m),
+      |k AS (SELECT d.source, t.n_src, t.keep_ceiling,
+      |        (t.keep_ceiling >= 16777216 OR
+      |         substr(md5('temp-1|' || CAST(doc_id AS VARCHAR)), 1, 6)
+      |           < printf('%06x', t.keep_ceiling)) AS keep
+      |      FROM documents d JOIN t USING (source))
+      |SELECT source, CAST(max(n_src) AS BIGINT) AS n_src,
+      |  CAST(max(keep_ceiling) AS BIGINT) AS keep_ceiling,
+      |  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+      |FROM k GROUP BY source ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q131_temperature_mixture" -> (q131_temperature_mixture _),
     "q78_stratified_split" -> (q78_stratified_split _),
     "q32_quantiles" -> (q32_quantiles _),
     "q33_deterministic_sample" -> (q33_deterministic_sample _),
@@ -458,6 +521,7 @@ object CorpusQueries {
     "q44_fuzzy_match" -> (q44_fuzzy_match _))
 
   val oracles: Map[String, String] = Map(
+    "q131_temperature_mixture" -> q131_oracle,
     "q78_stratified_split" -> q78_oracle,
     "q32_quantiles" -> q32_oracle,
     "q33_deterministic_sample" -> q33_oracle,

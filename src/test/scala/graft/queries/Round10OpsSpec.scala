@@ -96,4 +96,31 @@ class Round10OpsSpec extends SparkSpec {
       1L -> None, 2L -> Some(10.5), 3L -> Some(10.5),
       4L -> Some(20.25), 5L -> Some(20.25), 6L -> None))
   }
+
+  test("q131: sqrt-temperature ceilings and the md5 keep rule match a replica") {
+    import spark.implicits._
+    // sources sized 4 and 16: f_small = 1 (ceiling 2^24, keeps all),
+    // f_big = sqrt(4/16) = 0.5 exactly (ceiling 0x800000)
+    val docs = ((1 to 4).map(i => (i.toLong, "t", "en", "small", 0L)) ++
+      (1 to 16).map(i => ((100 + i).toLong, "t", "en", "big", 0L)))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("tempmix").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = CorpusQueries.q131_temperature_mixture(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val bigKept = (101L to 116L).count { id =>
+      md5hex(s"temp-1|$id").substring(0, 6) < "800000"
+    }
+    assert(got === Map(
+      "small" -> ((4L, 16777216L, 4L)),
+      "big" -> ((16L, 8388608L, bigKept.toLong))))
+    // the keep decision is content-addressed: same ids keep on rerun
+    val again = CorpusQueries.q131_temperature_mixture(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(again("big") === bigKept.toLong)
+  }
 }
