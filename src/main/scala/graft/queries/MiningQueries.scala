@@ -63,10 +63,23 @@ object MiningQueries {
     * equi-join bound. The standard recovery is a second blocking pass
     * with a shifted key (e.g. `(size+2) DIV 5`) unioned in; the
     * operator ships one pass and the spec documents the trade.
+    *
+    * adj and ptype ride the blocking key because the THRESHOLD makes
+    * them lossless: a pair disagreeing on adj caps at
+    * −10+30+20+10 = 50 < 60, and one disagreeing on ptype at
+    * 40−20+20+10 = 50 < 60 — no emitted match can disagree on either,
+    * so the extra equality predicates change candidate COUNT only,
+    * never the output. This is what keeps block sizes bounded as the
+    * table grows: with fixed-cardinality keys alone, per-block rows
+    * grow ∝ n and the pair loop ∝ n² (measured 13 s at the 100×
+    * replica; sub-second with the full key). size and price must NOT
+    * block — disagreeing pairs still reach 70 and 60 respectively.
     */
   private[queries] def linkageBlocking: org.apache.spark.sql.Column =
     col("a_noun") === col("b_noun") &&
       col("a_brand") === col("b_brand") &&
+      col("a_adj") === col("b_adj") &&
+      col("a_ptype") === col("b_ptype") &&
       expr("a_size DIV 5") === expr("b_size DIV 5")
 
   /** The agreement-weight sum over a candidate pair (a_ / b_ columns),
@@ -98,6 +111,7 @@ object MiningQueries {
       |         THEN 10 ELSE -30 END AS score
       |  FROM p a JOIN p b
       |    ON a.noun = b.noun AND a.brand = b.brand
+      |   AND a.adj = b.adj AND a.ptype = b.ptype
       |   AND a.size // 5 = b.size // 5 AND a.key < b.key)
       |SELECT a_key, b_key, score FROM cand
       |WHERE score >= 60 ORDER BY a_key, b_key""".stripMargin
