@@ -508,9 +508,115 @@ object CurationQueries {
        |WHERE CAST(u60 AS HUGEINT) * 1000000 < CAST(w_micro AS HUGEINT) * 1152921504606846976
        |GROUP BY source ORDER BY source""".stripMargin
 
+  // ---------- q132: hashed n-gram importance resampling (DSIR) ----------
+
+  /** Feature-hash width. 4096 buckets keeps the weight table
+    * broadcast-trivial at ANY corpus size — the whole point of hashed
+    * features (Xie et al. 2023, DSIR): the target/raw distribution
+    * estimate is a fixed-width vector no matter how many n-grams feed
+    * it. Too few buckets wash the signal out (at 128, every bucket
+    * mixes all languages and every ratio collapses toward 1 —
+    * measured: the en/else score gap triples going 128 → 4096).
+    */
+  val dsirBuckets = 4096L
+
+  /** Data-Selection-via-Importance-Resampling scoring (Xie et al.,
+    * NeurIPS 2023 — the "pick web data that looks like the target
+    * domain" recipe): estimate a target and a raw distribution of
+    * hashed word-BIGRAM features (the paper's feature space) over
+    * [[dsirBuckets]] buckets (target = the 'en' slice, the paper's
+    * domain-targeted setup), weight every bucket by its target/raw
+    * likelihood ratio, and score each document by its mean bucket
+    * weight. DSIR's log-ratio sum is replaced by the mean RATIO in
+    * micro-units — per-bucket `(c_t·N_raw·10⁶) DIV (c_r·N_t)` then an
+    * integer mean per doc (the q104 rational-arithmetic rule), so
+    * scores are exact integers and hash-match across engines.
+    * `selected` marks docs scoring above 10⁶ = more target-like than
+    * the corpus average.
+    *
+    * Scale shape: one exploded-corpus pass builds both bucket tables
+    * (128 rows each — partial aggregation collapses everything
+    * map-side); N_raw/N_t derive from those tables, never a second
+    * corpus pass; scoring joins the corpus against an explicitly
+    * BROADCAST 128-row weight table and partially aggregates per doc.
+    * Total: two corpus-sized shuffles (bucket counts, per-doc agg),
+    * both carrying (id, bucket) pairs.
+    */
+  def q132_dsir(spark: SparkSession, dir: String): DataFrame = {
+    val tok = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"), T.tokens(lower(col("text"))).as("t"))
+      .filter(size(col("t")) >= 2)
+      .select(col("doc_id"), col("lang"),
+        explode(zip_with(
+          slice(col("t"), lit(1), size(col("t")) - 1),
+          slice(col("t"), lit(2), size(col("t")) - 1),
+          (a, b) => concat(a, lit(" "), b))).as("w"))
+      .withColumn("b",
+        conv(substring(md5(col("w")), 1, 6), 16, 10).cast("long") % dsirBuckets)
+      .select("doc_id", "lang", "b")
+    val raw = tok.groupBy("b").agg(count(lit(1)).cast("long").as("c_r"))
+    val tgt = tok.filter(col("lang") === "en")
+      .groupBy("b").agg(count(lit(1)).cast("long").as("c_t"))
+    val counts = raw.join(tgt, Seq("b"), "left")
+      .withColumn("c_t", coalesce(col("c_t"), lit(0L)))
+      .persist()
+    // scalars off the 128-row bucket table, not the corpus (q114 rule)
+    val (nRaw, nTgt) =
+      counts.agg(coalesce(sum(col("c_r")), lit(0L)), coalesce(sum(col("c_t")), lit(0L)))
+        .head match { case r => (r.getLong(0), r.getLong(1)) }
+    val weights =
+      if (nTgt == 0L) counts.withColumn("w_micro", lit(0L)).select("b", "w_micro")
+      else counts.withColumn("w_micro", expr(
+        s"(CAST(c_t AS DECIMAL(38,0)) * $nRaw * 1000000) " +
+          s"DIV (CAST(c_r AS DECIMAL(38,0)) * $nTgt)"))
+        .select("b", "w_micro")
+    try
+      tok.join(broadcast(weights), "b")
+        .groupBy("doc_id", "lang")
+        .agg(count(lit(1)).cast("long").as("n_toks"),
+          sum(col("w_micro")).cast("long").as("w_sum"))
+        .withColumn("score_micro", expr("w_sum DIV n_toks"))
+        .withColumn("selected", col("score_micro") >= 1000000L)
+        .select("doc_id", "lang", "n_toks", "score_micro", "selected")
+        .orderBy("doc_id")
+        .transform(graft.Lineage.cut) // eager: survives the unpersist
+    finally counts.unpersist()
+  }
+
+  val q132_oracle: String = {
+    val toks = T.tokensSql("lower(text)")
+    s"""WITH tk AS (
+       |  SELECT doc_id, lang, $toks AS t FROM documents),
+       |tok AS (
+       |  SELECT doc_id, lang,
+       |    CAST(concat('0x', substring(md5(w), 1, 6)) AS BIGINT) % $dsirBuckets AS b
+       |  FROM (
+       |    SELECT doc_id, lang,
+       |      unnest([t[i] || ' ' || t[i + 1] for i in range(1, len(t))]) AS w
+       |    FROM tk WHERE len(t) >= 2)),
+       |raw AS (SELECT b, CAST(count(*) AS BIGINT) AS c_r FROM tok GROUP BY b),
+       |tgt AS (SELECT b, CAST(count(*) AS BIGINT) AS c_t
+       |        FROM tok WHERE lang = 'en' GROUP BY b),
+       |n AS (SELECT CAST(sum(c_r) AS HUGEINT) AS n_raw FROM raw),
+       |m AS (SELECT CAST(coalesce(sum(c_t), 0) AS HUGEINT) AS n_tgt FROM tgt),
+       |wt AS (
+       |  SELECT raw.b,
+       |    CAST((CAST(coalesce(c_t, 0) AS HUGEINT) * n.n_raw * 1000000)
+       |      // (CAST(c_r AS HUGEINT) * m.n_tgt) AS BIGINT) AS w_micro
+       |  FROM raw LEFT JOIN tgt ON raw.b = tgt.b, n, m)
+       |SELECT doc_id, lang,
+       |  CAST(count(*) AS BIGINT) AS n_toks,
+       |  CAST(sum(w_micro) // count(*) AS BIGINT) AS score_micro,
+       |  (sum(w_micro) // count(*)) >= 1000000 AS selected
+       |FROM tok JOIN wt ON tok.b = wt.b
+       |GROUP BY doc_id, lang
+       |ORDER BY doc_id""".stripMargin
+  }
+
   // ---------- registry ----------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q132_dsir" -> (q132_dsir _),
     "q86_curation_e2e" -> (q86_curation_e2e _),
     "q77_sequence_pack" -> (q77_sequence_pack _),
     "q60_dedup_apply" -> (q60_dedup_apply _),
@@ -522,6 +628,7 @@ object CurationQueries {
     "q111_weighted_sample" -> (q111_weighted_sample _))
 
   val oracles: Map[String, String] = Map(
+    "q132_dsir" -> q132_oracle,
     "q86_curation_e2e" -> q86_oracle,
     "q77_sequence_pack" -> q77_oracle,
     "q60_dedup_apply" -> q60_oracle,

@@ -160,15 +160,72 @@ object EventQueries {
       |FROM pairs JOIN totals USING (from_type)
       |ORDER BY from_type, to_type""".stripMargin
 
+  // ---------- q135: time-decayed engagement score ----------
+
+  /** Decay-weight cap: ages beyond [[decayMaxWeeks]] half-lives all
+    * round to weight 0 micro-units anyway (10⁶ >> 30 bits), so the
+    * shift exponent is clamped there — the guard that keeps the
+    * operator total on arbitrarily old replays.
+    */
+  val decayMaxWeeks = 30
+
+  /** Recency-weighted user value — the feature-store staple behind
+    * "recent activity matters more" ranking signals: each purchase
+    * contributes its cents weighted by a DISCRETE weekly half-life,
+    * `w = 10⁶ DIV 2^min(age_weeks, 30)` against the fixed anchor
+    * 2024-01-31 (a week of age halves the weight; integer shifts, so
+    * every score is exact and order-independent — no float decay
+    * curve to disagree across engines). The anchor is a pinned date,
+    * not max(ts): scoring yesterday's snapshot must not re-weight
+    * history, which is also what makes the score incrementally
+    * maintainable (q107's rule: new batches ADD, old state never
+    * recomputes until the anchor advances).
+    *
+    * Scale shape: one narrow scan (filter + per-row weight arithmetic
+    * fused into the parquet read) and one partial-agg shuffle keyed
+    * by user — the canonical map-side-combine rollup; output is
+    * user-sized.
+    */
+  def q135_decay_score(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "events")
+      .filter(col("event_type") === "purchase")
+      .withColumn("cents", round(col("value") * 100).cast("long"))
+      .withColumn("age_weeks",
+        least(greatest(
+          (datediff(lit("2024-01-31").cast("date"), col("ts").cast("date")) / 7)
+            .cast("int"), lit(0)), lit(decayMaxWeeks)))
+      .withColumn("w_micro", expr("1000000 DIV shiftleft(CAST(1 AS BIGINT), age_weeks)"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).cast("long").as("n_purchases"),
+        sum(col("cents")).cast("long").as("cents_sum"),
+        sum(col("cents") * col("w_micro")).cast("long").as("decay_micro"))
+      .orderBy("user_id")
+
+  val q135_oracle: String =
+    s"""SELECT user_id,
+       |  CAST(count(*) AS BIGINT) AS n_purchases,
+       |  CAST(sum(cents) AS BIGINT) AS cents_sum,
+       |  CAST(sum(cents * w_micro) AS BIGINT) AS decay_micro
+       |FROM (
+       |  SELECT user_id,
+       |    CAST(round(value * 100) AS BIGINT) AS cents,
+       |    1000000 // (CAST(1 AS BIGINT) << least(greatest(
+       |      date_diff('day', CAST(ts AS DATE), DATE '2024-01-31') // 7, 0),
+       |      $decayMaxWeeks)) AS w_micro
+       |  FROM events WHERE event_type = 'purchase')
+       |GROUP BY user_id ORDER BY user_id""".stripMargin
+
   // ---------- registry ----------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q65_funnel" -> (q65_funnel _),
     "q66_retention" -> (q66_retention _),
-    "q128_transitions" -> (q128_transitions _))
+    "q128_transitions" -> (q128_transitions _),
+    "q135_decay_score" -> (q135_decay_score _))
 
   val oracles: Map[String, String] = Map(
     "q65_funnel" -> q65_oracle,
     "q66_retention" -> q66_oracle,
-    "q128_transitions" -> q128_oracle)
+    "q128_transitions" -> q128_oracle,
+    "q135_decay_score" -> q135_oracle)
 }

@@ -3,6 +3,7 @@ package graft.queries
 import graft.Tables
 import graft.operators.{ConnectedComponents, Dedup, Merge}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -507,9 +508,115 @@ object GraphQueries {
        |GROUP BY vtx ORDER BY vtx""".stripMargin
   }
 
+  // ---------- q133: label-propagation communities ----------
+
+  /** Synchronous rounds. Fixed (not run-to-convergence): synchronous
+    * LPA can 2-cycle on bipartite-ish structure, so "until stable" is
+    * not well-defined — a pinned round count is what makes the
+    * operator deterministic, and 4 rounds carries a label across any
+    * diameter the co-occurrence graph's dense core exhibits.
+    */
+  val lpRounds = 4
+
+  /** Community detection by label propagation (Raghavan et al. 2007)
+    * over the q122 supplier co-occurrence graph: every vertex starts
+    * as its own label; each round it adopts the label holding the
+    * MAJORITY among its neighbors, ties broken by smallest label —
+    * the (count desc, label asc) argmax is total-ordered, so the
+    * final labeling is deterministic and the ITERATIVE algorithm
+    * stays oracle-checked by unrolling [[lpRounds]] rounds as
+    * MATERIALIZED CTEs (the q117/q125 rule). Output pins exact
+    * community MEMBERSHIP via member-id sums (the q105 rule), not
+    * just sizes.
+    *
+    * Scale shape: each round is one shuffle join of the edge list
+    * against the vertex-sized label table (partial-agg collapses the
+    * (dst, label) counts map-side) and one vertex-partitioned
+    * row_number window — never an edge² blowup; per-round
+    * localCheckpoint cuts the 4-deep self-referential lineage (the
+    * q117/q125 iteration rule). At billion-edge scale each round is
+    * the same two exchanges GraphX/Pregel would pay.
+    */
+  def q133_label_prop(spark: SparkSession, dir: String): DataFrame = {
+    val lo = to_timestamp(lit("1995-01-01 00:00:00"))
+    val hi = to_timestamp(lit("1995-04-01 00:00:00"))
+    val orders = Tables.load(spark, dir, "orders")
+      .filter(col("o_orderdate") >= lo && col("o_orderdate") < hi)
+      .select(col("o_orderkey").as("ok"))
+    val li = Tables.load(spark, dir, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
+    val os = orders.join(li, "ok").distinct()
+    val e0 = os.as("a").join(os.as("b"),
+        col("a.ok") === col("b.ok") && col("a.sk") < col("b.sk"))
+      .select(col("a.sk").as("u"), col("b.sk").as("v"))
+      .distinct()
+    labelPropagation(e0, lpRounds)
+      .groupBy(col("lab").as("community"))
+      .agg(count(lit(1)).cast("long").as("n_members"),
+        min(col("id")).as("min_member"),
+        sum(col("id")).cast("long").as("member_id_sum"))
+      .orderBy("community")
+  }
+
+  /** `rounds` synchronous label-propagation rounds over a canonical
+    * (u < v, distinct) edge list; returns (id, lab). Factored for
+    * LabelPropSpec's hand graphs.
+    */
+  private[queries] def labelPropagation(e0In: DataFrame, rounds: Int): DataFrame = {
+    val e0 = e0In.localCheckpoint()
+    // symmetrized once: each round reads it twice (join + the implicit
+    // degree structure), and LPA is an undirected-neighborhood vote
+    val edges = e0.select(col("u").as("s"), col("v").as("d"))
+      .union(e0.select(col("v").as("s"), col("u").as("d")))
+      .localCheckpoint()
+    var labels = edges.select(col("s").as("id")).distinct()
+      .withColumn("lab", col("id"))
+      .localCheckpoint()
+    val w = Window.partitionBy("id").orderBy(col("c").desc, col("lab").asc)
+    for (_ <- 1 to rounds) {
+      labels = edges.join(labels.select(col("id").as("s"), col("lab")), "s")
+        .groupBy(col("d").as("id"), col("lab"))
+        .agg(count(lit(1)).as("c"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select("id", "lab")
+        .localCheckpoint()
+    }
+    labels
+  }
+
+  val q133_oracle: String = {
+    val round = (i: Int) =>
+      s"""c$i AS MATERIALIZED (
+         |  SELECT e.d AS id, l.lab, count(*) AS c
+         |  FROM e JOIN l${i - 1} l ON l.id = e.s GROUP BY 1, 2),
+         |l$i AS MATERIALIZED (
+         |  SELECT id, lab FROM (
+         |    SELECT id, lab,
+         |      ROW_NUMBER() OVER (PARTITION BY id ORDER BY c DESC, lab ASC) AS rn
+         |    FROM c$i) WHERE rn = 1)""".stripMargin
+    val rounds = (1 to lpRounds).map(round).mkString(",\n")
+    s"""WITH os AS MATERIALIZED (
+       |  SELECT DISTINCT l_orderkey AS ok, l_suppkey AS sk
+       |  FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+       |  WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+       |    AND o_orderdate < TIMESTAMP '1995-04-01 00:00:00'),
+       |e0 AS MATERIALIZED (SELECT DISTINCT a.sk AS u, b.sk AS v
+       |       FROM os a JOIN os b ON a.ok = b.ok AND a.sk < b.sk),
+       |e AS MATERIALIZED (
+       |  SELECT u AS s, v AS d FROM e0 UNION ALL SELECT v AS s, u AS d FROM e0),
+       |l0 AS MATERIALIZED (SELECT DISTINCT s AS id, s AS lab FROM e),
+       |$rounds
+       |SELECT lab AS community, CAST(count(*) AS BIGINT) AS n_members,
+       |  min(id) AS min_member, CAST(sum(id) AS BIGINT) AS member_id_sum
+       |FROM l$lpRounds
+       |GROUP BY lab ORDER BY community""".stripMargin
+  }
+
   // ---------- registry ----------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q133_label_prop" -> (q133_label_prop _),
     "q47_dup_clusters" -> (q47_dup_clusters _),
     "q48_merge_upsert" -> (q48_merge_upsert _),
     "q49_bloom_prune" -> (q49_bloom_prune _),
@@ -518,6 +625,7 @@ object GraphQueries {
     "q125_kcore" -> (q125_kcore _))
 
   val oracles: Map[String, String] = Map(
+    "q133_label_prop" -> q133_oracle,
     "q47_dup_clusters" -> q47_oracle,
     "q48_merge_upsert" -> q48_oracle,
     "q49_bloom_prune" -> q49_oracle,

@@ -273,12 +273,88 @@ object LanguageModel {
        |LIMIT $collocationTopK""".stripMargin
   }
 
+  // ---------- q134: per-language fluency tertiles (CCNet buckets) ----------
+
+  /** CCNet's head/middle/tail partitioning: score every document with
+    * the q104 bigram LM, then split EACH LANGUAGE into fluency
+    * tertiles — head (most fluent third) feeds pretraining first,
+    * tail is the low-quality remainder. Ranking is total-ordered by
+    * (fluency desc, doc_id asc), so NTILE(3) is deterministic and the
+    * bucket assignment hash-matches the oracle; the output pins exact
+    * bucket MEMBERSHIP per (lang, bucket) via doc_id sum (the q105
+    * rule) without emitting per-doc rows.
+    *
+    * Scale shape: scoring is q104's two corpus shuffles; the tertile
+    * pass is ONE range-partitioned sort per language partition (docs
+    * carry only (id, lang, score) — 24 bytes/row into the sort), and
+    * the rollup collapses to 3 rows per language. At 100 TB the same
+    * split is usually approximated by percentile boundaries from a
+    * quantile sketch (the q113 KLL state) — exact NTILE is chosen
+    * here because the oracle can check it bit-for-bit; swapping the
+    * boundary source changes no downstream shape.
+    */
+  def q134_perplexity_buckets(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val scored = scoreDocs(docs)
+      .join(docs.select("doc_id", "lang"), "doc_id")
+    val byLang = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang").orderBy(col("fluency_micro").desc, col("doc_id").asc)
+    scored
+      .withColumn("bucket",
+        element_at(array(lit("head"), lit("middle"), lit("tail")), ntile(3).over(byLang)))
+      .groupBy("lang", "bucket")
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        min(col("fluency_micro")).as("fluency_min"),
+        max(col("fluency_micro")).as("fluency_max"),
+        sum(col("doc_id")).cast("long").as("doc_id_sum"))
+      .orderBy("lang", "bucket")
+  }
+
+  val q134_oracle: String = {
+    val toks = T.tokensSql("lower(text)")
+    s"""WITH tk AS (
+       |  SELECT doc_id, source, $toks AS t FROM documents),
+       |bg AS (
+       |  SELECT doc_id, source,
+       |    unnest([t[i] || ' ' || t[i + 1] for i in range(1, len(t))]) AS bigram
+       |  FROM tk WHERE len(t) >= 2),
+       |counts AS (
+       |  SELECT bigram, CAST(count(*) AS BIGINT) AS c_bigram
+       |  FROM bg GROUP BY bigram),
+       |stats AS (
+       |  SELECT bigram, c_bigram,
+       |    CAST(sum(c_bigram) OVER (
+       |      PARTITION BY split_part(bigram, ' ', 1)) AS BIGINT) AS c_prefix
+       |  FROM counts),
+       |scored AS (
+       |  SELECT doc_id,
+       |    CAST(sum((c_bigram * $scale) // c_prefix) // count(*) AS BIGINT)
+       |      AS fluency_micro
+       |  FROM bg JOIN stats USING (bigram)
+       |  GROUP BY doc_id),
+       |bucketed AS (
+       |  SELECT s.doc_id, d.lang, s.fluency_micro,
+       |    (['head', 'middle', 'tail'])[NTILE(3) OVER (
+       |      PARTITION BY d.lang
+       |      ORDER BY s.fluency_micro DESC, s.doc_id ASC)] AS bucket
+       |  FROM scored s JOIN documents d ON d.doc_id = s.doc_id)
+       |SELECT lang, bucket,
+       |  CAST(count(*) AS BIGINT) AS n_docs,
+       |  min(fluency_micro) AS fluency_min,
+       |  max(fluency_micro) AS fluency_max,
+       |  CAST(sum(doc_id) AS BIGINT) AS doc_id_sum
+       |FROM bucketed
+       |GROUP BY lang, bucket ORDER BY lang, bucket""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q134_perplexity_buckets" -> (q134_perplexity_buckets _),
     "q104_bigram_lm" -> (q104_bigram_lm _),
     "q114_collocations" -> (q114_collocations _),
     "q126_skipgram" -> (q126_skipgram _))
 
   val oracles: Map[String, String] = Map(
+    "q134_perplexity_buckets" -> q134_oracle,
     "q104_bigram_lm" -> q104_oracle,
     "q114_collocations" -> q114_oracle,
     "q126_skipgram" -> q126_oracle)

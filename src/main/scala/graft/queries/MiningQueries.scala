@@ -261,14 +261,106 @@ object MiningQueries {
       .orderBy("source_a", "source_b")
   }
 
+  // ---------- q136: Count-Min sketch frequency estimation ----------
+
+  /** CMS geometry: depth (independent hash rows) × width (buckets per
+    * row). Overestimate bound: est − true ≤ 2·N/width with probability
+    * 1 − 2^−depth per query (Cormode & Muthukrishnan 2005).
+    */
+  val cmsDepth = 4
+  val cmsWidth = 256L
+  val cmsProbeK = 20
+
+  /** Count-Min sketch over the corpus token stream — the
+    * fixed-memory frequency oracle (Cormode–Muthukrishnan 2005) that
+    * completes the suite's sketch family (HLL q110 counts distincts,
+    * KLL q113 ranks, theta q120 intersects, Misra–Gries q118 finds the
+    * heavy set; CMS answers point frequency for ANY key in O(depth)).
+    * Each row r hashes tokens into [[cmsWidth]] buckets via salted
+    * md5; a bucket holds the exact SUM of counts colliding into it,
+    * so the estimate min_r cms[r][h_r(w)] is a deterministic integer
+    * — which makes this sketch operator fully ORACLE-CHECKABLE: the
+    * probe set (the [[cmsProbeK]] most frequent tokens by (count
+    * desc, token)) is estimated and compared with its true counts,
+    * overestimate emitted per token.
+    *
+    * Scale shape: ONE corpus pass builds vocab counts (partial-agg
+    * shuffle); all [[cmsDepth]] sketch rows derive from the
+    * vocab-sized count table (never a second corpus pass — CMS is
+    * linear, so summing per-token counts into buckets equals hashing
+    * the raw stream); the probe join runs 20×depth rows against the
+    * depth·width-sized sketch. Sketch state is mergeable by
+    * element-wise add, the property that makes CMS the streaming/
+    * cross-partition frequency structure.
+    */
+  def q136_countmin(spark: SparkSession, dir: String): DataFrame = {
+    def bucket(w: org.apache.spark.sql.Column, r: Int) =
+      conv(substring(md5(concat(lit(s"cm$r|"), w)), 1, 4), 16, 10)
+        .cast("long") % cmsWidth
+    val vocab = Tables.load(spark, dir, "documents")
+      .select(explode(T.tokens(lower(col("text")))).as("w"))
+      .groupBy("w").agg(count(lit(1)).cast("long").as("c"))
+      .persist()
+    val sketch = (0 until cmsDepth)
+      .map(r => vocab.groupBy(bucket(col("w"), r).as("b"))
+        .agg(sum(col("c")).cast("long").as("s"))
+        .withColumn("r", lit(r)))
+      .reduce(_ unionByName _)
+    val probes = vocab
+      .orderBy(col("c").desc, col("w").asc).limit(cmsProbeK)
+      .select(col("w"), col("c").as("c_true"))
+    val probeRows = probes
+      .withColumn("r", explode(array((0 until cmsDepth).map(lit): _*)))
+      // same salt bytes as bucket(w, r), built from the exploded row id
+      .withColumn("b",
+        conv(substring(md5(concat(lit("cm"), col("r").cast("string"),
+          lit("|"), col("w"))), 1, 4), 16, 10).cast("long") % cmsWidth)
+    try
+      probeRows.join(sketch, Seq("r", "b"))
+        .groupBy("w", "c_true")
+        .agg(min(col("s")).as("est"))
+        .withColumn("overestimate", col("est") - col("c_true"))
+        .orderBy(col("c_true").desc, col("w").asc)
+        .transform(graft.Lineage.cut) // eager: survives the unpersist
+    finally vocab.unpersist()
+  }
+
+  val q136_oracle: String = {
+    val toks = T.tokensSql("lower(text)")
+    def bucketSql(r: Int) =
+      s"CAST(concat('0x', substring(md5(concat('cm$r|', w)), 1, 4)) AS BIGINT) % $cmsWidth"
+    val rows = (0 until cmsDepth)
+      .map(r => s"SELECT $r AS r, ${bucketSql(r)} AS b, CAST(sum(c) AS BIGINT) AS s FROM vocab GROUP BY 2")
+      .mkString("\n  UNION ALL ")
+    val probeBuckets = (0 until cmsDepth)
+      .map(r => s"SELECT w, c_true, $r AS r, ${bucketSql(r)} AS b FROM probes")
+      .mkString("\n  UNION ALL ")
+    s"""WITH vocab AS (
+       |  SELECT w, CAST(count(*) AS BIGINT) AS c
+       |  FROM (SELECT unnest($toks) AS w FROM documents) GROUP BY w),
+       |sketch AS (
+       |  $rows),
+       |probes AS (
+       |  SELECT w, c AS c_true FROM vocab
+       |  ORDER BY c DESC, w ASC LIMIT $cmsProbeK),
+       |pr AS (
+       |  $probeBuckets)
+       |SELECT w, c_true, min(s) AS est, min(s) - c_true AS overestimate
+       |FROM pr JOIN sketch USING (r, b)
+       |GROUP BY w, c_true
+       |ORDER BY c_true DESC, w ASC""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q116_record_linkage" -> (q116_record_linkage _),
     "q118_heavy_hitters" -> (q118_heavy_hitters _),
     "q119_regression" -> (q119_regression _),
-    "q120_sketch_overlap" -> (q120_sketch_overlap _))
+    "q120_sketch_overlap" -> (q120_sketch_overlap _),
+    "q136_countmin" -> (q136_countmin _))
 
   val oracles: Map[String, String] = Map(
     "q116_record_linkage" -> q116_oracle,
     "q118_heavy_hitters" -> q118_oracle,
-    "q119_regression" -> q119_oracle)
+    "q119_regression" -> q119_oracle,
+    "q136_countmin" -> q136_oracle)
 }

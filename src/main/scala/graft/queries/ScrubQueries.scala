@@ -157,14 +157,109 @@ object ScrubQueries {
        |  CAST(n_tokens - n_distinct AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS rep_ratio
        |FROM ranked WHERE rk = 1 ORDER BY doc_id""".stripMargin
 
+  // ---------- q137: per-domain quality prior → blocklist filter ----------
+
+  /** Blocklist policy: among domains with at least [[domainMinDocs]]
+    * documents, block the bottom [[domainBlockPct]] percent by mean
+    * quality — a PERCENTILE rule, not an absolute floor, because
+    * per-domain means concentrate as domains accumulate documents
+    * (any fixed threshold that bites at one corpus size blocks
+    * nothing, or everything, at 10× it). Ties break by host, so the
+    * blocked set is total-ordered and deterministic.
+    */
+  val domainMinDocs = 5L
+  val domainBlockPct = 10L
+
+  /** URL-domain quality policy: derive each document's host (q51's
+    * synthetic-URL convention, sharded into 4 content-hashed
+    * subdomains per source so domains have organic quality spread),
+    * aggregate a per-domain quality prior — doc count + integer-mean
+    * quality in micro-units (the q104 DIV rule) — rank domains by it,
+    * block the bottom decile, and apply the blocklist back to the
+    * corpus as a broadcast anti-join. The RefinedWeb/C4-style "judge
+    * the site, not the page" rule. Output is the per-source damage
+    * report: domains blocked, docs kept/dropped.
+    *
+    * Scale shape: the domain profile is one partial-agg shuffle keyed
+    * by host (domains ≪ docs — the canonical map-side-combine
+    * workload); the decile rank is one row_number over the
+    * DOMAIN-sized table (a single small sort, never corpus-sized);
+    * the blocklist rides an explicit broadcast back over the corpus
+    * scan, so applying the policy costs read bandwidth only. No
+    * corpus-sized join anywhere.
+    */
+  def q137_domain_policy(spark: SparkSession, dir: String): DataFrame = {
+    val host = concat(coalesce(col("source"), lit("")), lit("-"),
+      (conv(substring(md5(col("doc_id").cast("string")), 1, 2), 16, 10)
+        .cast("long") % 4).cast("string"),
+      lit(".example.com"))
+    val d = docs(spark, dir)
+      .withColumn("host", host)
+      .withColumn("q_micro", floor(T.qualityScore(col("text")) * 1000000L).cast("long"))
+    val profile = d.groupBy("host")
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        sum(col("q_micro")).cast("long").as("q_sum"))
+      .withColumn("mean_q_micro", expr("q_sum DIV n_docs"))
+    val eligible = profile.filter(col("n_docs") >= domainMinDocs)
+    val rank = org.apache.spark.sql.expressions.Window
+      .orderBy(col("mean_q_micro").asc, col("host").asc)
+    val blocked = eligible
+      .withColumn("rk", row_number().over(rank))
+      .withColumn("n_eligible", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy()))
+      .filter(col("rk") * 100 <= col("n_eligible") * domainBlockPct)
+      .select(col("host").as("bhost"))
+    d.join(broadcast(blocked), col("host") === col("bhost"), "left")
+      .groupBy("source")
+      .agg(
+        countDistinct(when(col("bhost").isNotNull, col("host"))).as("n_domains_blocked"),
+        count(when(col("bhost").isNull, lit(1))).as("n_docs_kept"),
+        count(when(col("bhost").isNotNull, lit(1))).as("n_docs_dropped"),
+        coalesce(min(when(col("bhost").isNotNull, col("doc_id"))), lit(-1L))
+          .as("first_dropped_doc"))
+      .orderBy("source")
+  }
+
+  val q137_oracle: String = {
+    val host = "concat(coalesce(source, ''), '-', CAST(CAST(concat('0x', " +
+      "substring(md5(CAST(doc_id AS VARCHAR)), 1, 2)) AS BIGINT) % 4 AS VARCHAR), '.example.com')"
+    s"""WITH d AS (
+       |  SELECT source, doc_id, $host AS host,
+       |    CAST(floor(${T.qualityScoreSql("text")} * 1000000) AS BIGINT) AS q_micro
+       |  FROM documents),
+       |profile AS (
+       |  SELECT host, CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(sum(q_micro) AS BIGINT) AS q_sum
+       |  FROM d GROUP BY host),
+       |eligible AS (
+       |  SELECT host, q_sum // n_docs AS mean_q
+       |  FROM profile WHERE n_docs >= $domainMinDocs),
+       |blocked AS (
+       |  SELECT host FROM (
+       |    SELECT host,
+       |      ROW_NUMBER() OVER (ORDER BY mean_q ASC, host ASC) AS rk,
+       |      count(*) OVER () AS n_eligible
+       |    FROM eligible)
+       |  WHERE rk * 100 <= n_eligible * $domainBlockPct)
+       |SELECT source,
+       |  count(DISTINCT CASE WHEN b.host IS NOT NULL THEN d.host END) AS n_domains_blocked,
+       |  count(CASE WHEN b.host IS NULL THEN 1 END) AS n_docs_kept,
+       |  count(CASE WHEN b.host IS NOT NULL THEN 1 END) AS n_docs_dropped,
+       |  coalesce(min(CASE WHEN b.host IS NOT NULL THEN doc_id END), -1) AS first_dropped_doc
+       |FROM d LEFT JOIN blocked b ON d.host = b.host
+       |GROUP BY source ORDER BY source""".stripMargin
+  }
+
   // ---------- registry ----------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q137_domain_policy" -> (q137_domain_policy _),
     "q50_pii_redact" -> (q50_pii_redact _),
     "q51_url_extract" -> (q51_url_extract _),
     "q52_repetition" -> (q52_repetition _))
 
   val oracles: Map[String, String] = Map(
+    "q137_domain_policy" -> q137_oracle,
     "q50_pii_redact" -> q50_oracle,
     "q51_url_extract" -> q51_oracle,
     "q52_repetition" -> q52_oracle)
