@@ -891,9 +891,59 @@ object TextQueries {
        |FROM seg GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
 
+  // ---------- q139: shingle novelty scoring ----------
+
+  /** Per-document novelty: the fraction of a document's distinct
+    * shingles that appear for the FIRST time in this document (by
+    * doc_id order) — the "how much new text does each document add"
+    * signal behind dedup-aware curriculum ordering and corpus-growth
+    * accounting (the complement of Lee et al.'s duplicated-span rate,
+    * measured at ingestion order). Emitted in exact ppm (the q128 DIV
+    * rule), so values hash-match across engines.
+    *
+    * Scale shape: shingles ride their 60-bit keys, never text (the
+    * q72 rule); one distinct over (doc, key), one vocab-sized
+    * first-seen aggregation (min doc_id per key — partial-agg
+    * collapses map-side), one shuffle join back on the key with AQE
+    * handling hot boilerplate shingles, one per-doc rollup. All
+    * exchanges carry 16-byte rows; nothing is ever collected.
+    */
+  def q139_novelty(spark: SparkSession, dir: String): DataFrame = {
+    val sh = docs(spark, dir)
+      .select(col("doc_id"),
+        explode(H.shingleKeys(H.shingles(T.tokens(col("text"))))).as("k"))
+      .distinct()
+    val first = sh.groupBy("k").agg(min(col("doc_id")).as("first_doc"))
+    sh.join(first, "k")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("long").as("n_shingles"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+          .cast("long").as("n_novel"))
+      .withColumn("novelty_ppm", expr("(n_novel * 1000000) DIV n_shingles"))
+      .orderBy("doc_id")
+  }
+
+  val q139_oracle: String = {
+    val keys = H.shingleKeysSql(H.shinglesSql(T.tokensSql("text")))
+    s"""WITH sh AS (
+       |  SELECT DISTINCT doc_id, k
+       |  FROM (SELECT doc_id, unnest($keys) AS k FROM documents)),
+       |first AS (
+       |  SELECT k, min(doc_id) AS first_doc FROM sh GROUP BY k)
+       |SELECT doc_id,
+       |  CAST(count(*) AS BIGINT) AS n_shingles,
+       |  CAST(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_novel,
+       |  (sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) * 1000000)
+       |    // count(*) AS novelty_ppm
+       |FROM sh JOIN first USING (k)
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
   // ---------- registry ----------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q139_novelty" -> (q139_novelty _),
     "q19_token_count" -> (q19_token_count _),
     "q20_lang_id" -> (q20_lang_id _),
     "q21_quality_score" -> (q21_quality_score _),
@@ -912,6 +962,7 @@ object TextQueries {
     "q108_containment" -> (q108_containment _))
 
   val oracles: Map[String, String] = Map(
+    "q139_novelty" -> q139_oracle,
     "q19_token_count" -> q19_oracle,
     "q20_lang_id" -> q20_oracle,
     "q21_quality_score" -> q21_oracle,

@@ -595,9 +595,73 @@ object VectorQueries {
       .orderBy("q_id", "rk")
   }
 
+  // ---------- q138: hard-negative mining ----------
+
+  /** Contrastive hard-negative mining — the retrieval-training twin of
+    * q28: for each query vector, the [[hardNegK]] most similar vectors
+    * of a DIFFERENT label (the "hard" negatives a contrastive loss
+    * learns most from), each with its margin below the query's best
+    * same-label positive. A negative with a small (or negative) margin
+    * is the informative kind: closer to the anchor than its own class.
+    *
+    * Scale shape: the bounded query set broadcasts over one corpus
+    * stream (q28's rule — the corpus is never shuffled for scoring);
+    * positives and negatives come out of the SAME pass via a
+    * per-query window max (one q_id-partitioned exchange, |Q| groups)
+    * rather than a second scan. At 100 TB with an unbounded query set
+    * this becomes the q112 IVF path; the mining semantics on top are
+    * unchanged.
+    */
+  val hardNegK = 3
+
+  def q138_hard_negatives(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    val q = e.filter(col("vec_id") < 50)
+      .select(col("vec_id").as("q_id"), col("label").as("q_label"),
+        col("v").as("qv"), V.norm(col("v")).as("q_nrm"))
+    val c = e.select(col("vec_id").as("n_id"), col("label").as("n_label"),
+      col("v").as("nv"), V.norm(col("v")).as("n_nrm"))
+    val cos = V.cosineWithNorms(col("qv"), col("nv"), col("q_nrm"), col("n_nrm"))
+    val byQ = Window.partitionBy("q_id")
+    val negRank = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id").asc)
+    broadcast(q).join(c, col("q_id") =!= col("n_id"))
+      .select(col("q_id"), col("q_label"), col("n_id"), col("n_label"), cos.as("cos"))
+      .withColumn("pos_best",
+        max(when(col("q_label") === col("n_label"), col("cos"))).over(byQ))
+      .filter(col("q_label") =!= col("n_label"))
+      .withColumn("rk", row_number().over(negRank))
+      .filter(col("rk") <= hardNegK)
+      .select(col("q_id"), col("rk"), col("n_id"), col("cos"),
+        (col("pos_best") - col("cos")).as("margin"))
+      .orderBy("q_id", "rk")
+  }
+
+  val q138_oracle: String = {
+    val cos = V.cosineSql("qv", "nv")
+    s"""WITH e AS (
+       |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+       |scored AS (
+       |  SELECT q.vec_id AS q_id, q.label AS q_label,
+       |    c.vec_id AS n_id, c.label AS n_label, $cos AS cos
+       |  FROM (SELECT vec_id, label, v AS qv FROM e WHERE vec_id < 50) q,
+       |       (SELECT vec_id, label, v AS nv FROM e) c
+       |  WHERE q.vec_id <> c.vec_id),
+       |marked AS (
+       |  SELECT *,
+       |    max(CASE WHEN q_label = n_label THEN cos END)
+       |      OVER (PARTITION BY q_id) AS pos_best
+       |  FROM scored)
+       |SELECT q_id, rk, n_id, cos, pos_best - cos AS margin FROM (
+       |  SELECT *, ROW_NUMBER() OVER (
+       |    PARTITION BY q_id ORDER BY cos DESC, n_id ASC) AS rk
+       |  FROM marked WHERE q_label <> n_label)
+       |WHERE rk <= $hardNegK ORDER BY q_id, rk""".stripMargin
+  }
+
   // ---------- registry ----------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q138_hard_negatives" -> (q138_hard_negatives _),
     "q87_semdedup" -> (q87_semdedup _),
     "q79_knn_quantized" -> (q79_knn_quantized _),
     "q28_knn_bruteforce" -> (q28_knn_bruteforce _),
@@ -616,6 +680,7 @@ object VectorQueries {
     "q112_knn_ivfpq" -> (q112_knn_ivfpq _))
 
   val oracles: Map[String, String] = Map(
+    "q138_hard_negatives" -> q138_oracle,
     "q79_knn_quantized" -> q79_oracle,
     "q28_knn_bruteforce" -> q28_oracle,
     "q29_knn_lsh" -> q29_oracle,

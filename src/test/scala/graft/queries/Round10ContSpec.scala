@@ -183,6 +183,48 @@ class Round10ContSpec extends SparkSpec {
     assert(got.filter(_._1 != "junk").forall(r => r._2 == 0L && r._4 == 0L))
   }
 
+  // ---------- q138 ----------
+
+  test("q138: hardest negatives rank by cosine; margin is vs the best positive") {
+    import spark.implicits._
+    def v(x: Double, y: Double): Seq[Float] =
+      (Seq(x, y) ++ Seq.fill(62)(0.0)).map(_.toFloat)
+    val rows = Seq(
+      (0L, v(1.0, 0.0), 0),    // query (vec_id < 50)
+      (100L, v(0.9, 0.1), 0),  // its positive
+      (200L, v(1.0, 0.01), 1), // hard negative (cos ≈ 1)
+      (201L, v(0.0, 1.0), 1),  // easy negative (cos = 0)
+      (202L, v(0.7, 0.3), 2))  // middle negative
+    val dir = tmp("hardneg")
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val got = VectorQueries.q138_hard_negatives(spark, dir).collect()
+      .filter(_.getLong(0) == 0L)
+      .map(r => (r.getInt(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+    assert(got.map(_._2).toSeq === Seq(200L, 202L, 201L)) // cos-desc order
+    val posBest = got.head._3 + got.head._4 // cos + margin reconstructs pos_best
+    got.foreach { case (_, _, cos, margin) =>
+      assert(math.abs((posBest - cos) - margin) < 1e-12)
+    }
+    assert(got.head._4 < 0) // the hard negative outscores the positive
+  }
+
+  // ---------- q139 ----------
+
+  test("q139: first-seen shingles count as novel, in doc_id order") {
+    val dir = tmp("novelty")
+    writeDocs(dir, Seq(
+      (1L, "a b c d", "en", "s0"),  // shingles {abc, bcd}: both novel
+      (2L, "a b c d", "en", "s0"),  // exact dup: nothing novel
+      (3L, "b c d e", "en", "s0"))) // {bcd, cde}: cde novel → 1/2
+    val got = TextQueries.q139_novelty(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq === Seq(
+      (1L, 2L, 2L, 1000000L),
+      (2L, 2L, 0L, 0L),
+      (3L, 2L, 1L, 500000L)))
+  }
+
   test("q137: fewer than 10 eligible domains blocks nothing") {
     val rows = (0 until 2).flatMap { si =>
       (0 until 40).map { j =>
