@@ -264,7 +264,219 @@ object DistributionQueries {
       |    AS last_purchase_value
       |FROM events ORDER BY event_id""".stripMargin
 
+  // ---------- q141: exact two-sample KS drift ----------
+
+  /** Data-independent period boundary splitting the event stream into
+    * a reference window (before) and a comparison window (after) —
+    * pinned, not max(ts)/2, for the q135 anchor reason: yesterday's
+    * drift report must not move when today's data arrives.
+    */
+  val ksSplit = "2024-01-16 00:00:00"
+
+  /** Two-sample Kolmogorov–Smirnov drift statistic per event type —
+    * the distribution-shift monitor between a reference and a current
+    * period, computed EXACTLY: with sample sizes n_a/n_b and
+    * cumulative counts cumA/cumB over the merged value axis,
+    * `D = max |cumA/n_a − cumB/n_b| = max |cumA·n_b − cumB·n_a| / (n_a·n_b)`
+    * — the numerator is an integer, so the max is found in integer
+    * space and divided ONCE at the end (ppm, DIV), giving a
+    * bit-identical statistic across engines where any float-CDF
+    * formulation would drift in the 15th digit. `at_cents` (smallest
+    * value attaining the max) pins the whole CDF walk through the
+    * hash compare, not just the statistic.
+    *
+    * Scale shape: one partial-agg shuffle to (type, cents) counts —
+    * the domain is DISTINCT VALUES, not rows (value-cents are
+    * range-bounded, so the per-type cumsum window walks a bounded
+    * axis no matter how many trillion events fed it); the cumulative
+    * window partitions by type and the max/argmax is one tiny
+    * type-sized join. Products widen to decimal(38,0) (HUGEINT in
+    * the oracle) so cum·n stays exact at any n.
+    */
+  def q141_ks_drift(spark: SparkSession, dir: String): DataFrame = {
+    val dec38 = "decimal(38,0)"
+    val counts = Tables.load(spark, dir, "events")
+      .select(col("event_type"),
+        round(col("value") * 100).cast("long").as("cents"),
+        when(col("ts") < to_timestamp(lit(ksSplit)), 1L).otherwise(0L).as("isa"))
+      .groupBy("event_type", "cents")
+      .agg(sum(col("isa")).cast("long").as("ca"),
+        (count(lit(1)) - sum(col("isa"))).cast("long").as("cb"))
+    val cumW = Window.partitionBy("event_type").orderBy("cents")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val totW = Window.partitionBy("event_type")
+    val d = counts
+      .withColumn("cuma", sum(col("ca")).over(cumW).cast(dec38))
+      .withColumn("cumb", sum(col("cb")).over(cumW).cast(dec38))
+      .withColumn("na", sum(col("ca")).over(totW).cast(dec38))
+      .withColumn("nb", sum(col("cb")).over(totW).cast(dec38))
+      .withColumn("d", abs(col("cuma") * col("nb") - col("cumb") * col("na")))
+      .select("event_type", "cents", "na", "nb", "d")
+    val dmax = d.groupBy("event_type").agg(max(col("d")).as("dmax"))
+    d.join(broadcast(dmax), Seq("event_type"))
+      .filter(col("d") === col("dmax"))
+      .groupBy("event_type", "na", "nb", "dmax")
+      .agg(min(col("cents")).as("at_cents"))
+      .select(col("event_type"),
+        col("na").cast("long").as("n_a"),
+        col("nb").cast("long").as("n_b"),
+        expr(s"CAST((dmax * 1000000) DIV (na * nb) AS BIGINT)").as("d_ppm"),
+        col("at_cents"))
+      .orderBy("event_type")
+  }
+
+  val q141_oracle: String =
+    s"""WITH counts AS (
+       |  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents,
+       |    CAST(sum(CASE WHEN ts < TIMESTAMP '$ksSplit' THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS ca,
+       |    CAST(count(*) - sum(CASE WHEN ts < TIMESTAMP '$ksSplit' THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS cb
+       |  FROM events GROUP BY 1, 2),
+       |d AS (
+       |  SELECT event_type, cents,
+       |    CAST(sum(ca) OVER (PARTITION BY event_type) AS HUGEINT) AS na,
+       |    CAST(sum(cb) OVER (PARTITION BY event_type) AS HUGEINT) AS nb,
+       |    abs(CAST(sum(ca) OVER (PARTITION BY event_type ORDER BY cents
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS HUGEINT)
+       |        * CAST(sum(cb) OVER (PARTITION BY event_type) AS HUGEINT)
+       |      - CAST(sum(cb) OVER (PARTITION BY event_type ORDER BY cents
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS HUGEINT)
+       |        * CAST(sum(ca) OVER (PARTITION BY event_type) AS HUGEINT)) AS d
+       |  FROM counts),
+       |m AS (SELECT event_type, max(d) AS dmax FROM d GROUP BY 1)
+       |SELECT d.event_type, CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+       |  CAST((dmax * 1000000) // (na * nb) AS BIGINT) AS d_ppm,
+       |  min(cents) AS at_cents
+       |FROM d JOIN m ON d.event_type = m.event_type AND d.d = m.dmax
+       |GROUP BY d.event_type, na, nb, dmax
+       |ORDER BY 1""".stripMargin
+
+  // ---------- q142: binned histogram drift (triangular discrimination) ----------
+
+  /** Per-bin drift contribution threshold (micro-units) above which a
+    * bin is flagged as a drift driver in the report. */
+  val driftBinFlagMicro = 1000L
+
+  /** Binned histogram drift between the same two periods as q138,
+    * scored by triangular discrimination
+    * `Δ(P,Q) = Σ_bins (p−q)²/(p+q)` (Topsøe 2000) — a bounded
+    * f-divergence in the chi-square family, chosen over PSI because it
+    * needs NO logarithm: with proportions held in exact ppm integers
+    * (`c·10⁶ DIV n`), each bin's contribution
+    * `((p−q)²·10⁶) DIV (p+q)` is pure integer arithmetic — products
+    * peak at 10¹⁸, inside BIGINT at any corpus size, so unlike raw
+    * chi-square on counts the statistic never outgrows the integer
+    * width. Per-bin rows (not just the total) make the report
+    * actionable: `flagged` marks the bins driving the drift.
+    *
+    * Scale shape: one partial-agg shuffle to (type, bin) counts —
+    * |types|·|bins| rows regardless of event volume — then two
+    * type-partitioned windows over that tiny table. The same shape as
+    * q56's histogram with a comparison axis.
+    */
+  def q142_hist_drift(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.load(spark, dir, "events")
+      .select(col("event_type"), floor(col("value") / 50).cast("int").as("bin"),
+        when(col("ts") < to_timestamp(lit(ksSplit)), 1L).otherwise(0L).as("isa"))
+      .groupBy("event_type", "bin")
+      .agg(sum(col("isa")).cast("long").as("ca"),
+        (count(lit(1)) - sum(col("isa"))).cast("long").as("cb"))
+    val totW = Window.partitionBy("event_type")
+    counts
+      .withColumn("pa_ppm", expr("ca * 1000000 DIV sum(ca) OVER (PARTITION BY event_type)"))
+      .withColumn("pb_ppm", expr("cb * 1000000 DIV sum(cb) OVER (PARTITION BY event_type)"))
+      .withColumn("contrib_micro",
+        when(col("pa_ppm") + col("pb_ppm") > 0,
+          expr("((pa_ppm - pb_ppm) * (pa_ppm - pb_ppm) * 1000000) DIV (pa_ppm + pb_ppm)"))
+          .otherwise(lit(0L)))
+      .withColumn("total_micro", sum(col("contrib_micro")).over(totW))
+      .withColumn("flagged", col("contrib_micro") > driftBinFlagMicro)
+      .select("event_type", "bin", "ca", "cb", "pa_ppm", "pb_ppm",
+        "contrib_micro", "total_micro", "flagged")
+      .orderBy("event_type", "bin")
+  }
+
+  val q142_oracle: String =
+    s"""WITH counts AS (
+       |  SELECT event_type, CAST(floor(value / 50) AS INTEGER) AS bin,
+       |    CAST(sum(CASE WHEN ts < TIMESTAMP '$ksSplit' THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS ca,
+       |    CAST(count(*) - sum(CASE WHEN ts < TIMESTAMP '$ksSplit' THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS cb
+       |  FROM events GROUP BY 1, 2),
+       |p AS (
+       |  SELECT event_type, bin, ca, cb,
+       |    CAST(ca * 1000000 // sum(ca) OVER (PARTITION BY event_type) AS BIGINT)
+       |      AS pa_ppm,
+       |    CAST(cb * 1000000 // sum(cb) OVER (PARTITION BY event_type) AS BIGINT)
+       |      AS pb_ppm
+       |  FROM counts),
+       |c AS (
+       |  SELECT *, CASE WHEN pa_ppm + pb_ppm > 0
+       |    THEN ((pa_ppm - pb_ppm) * (pa_ppm - pb_ppm) * 1000000) // (pa_ppm + pb_ppm)
+       |    ELSE 0 END AS contrib_micro
+       |  FROM p)
+       |SELECT event_type, bin, ca, cb, pa_ppm, pb_ppm, contrib_micro,
+       |  CAST(sum(contrib_micro) OVER (PARTITION BY event_type) AS BIGINT)
+       |    AS total_micro,
+       |  contrib_micro > $driftBinFlagMicro AS flagged
+       |FROM c ORDER BY event_type, bin""".stripMargin
+
+  // ---------- q140: Gini concentration coefficient ----------
+
+  /** Per-source Gini coefficient of document sizes — the corpus
+    * concentration metric ("is this source a few giant documents or
+    * many uniform ones?") that decides chunking and sampling policy.
+    * Exact rank formula on ascending sizes:
+    * `G = (2·Σ i·x_i − (n+1)·Σx_i) / (n·Σx_i)`, emitted in ppm by one
+    * final DIV. Ranks tie-break on doc_id, but Σ i·x_i is INVARIANT
+    * under permutations of equal x — swapping two equal values swaps
+    * their ranks and leaves i·x + j·x unchanged — so the statistic is
+    * genuinely order-free, not just tie-broken-deterministic.
+    *
+    * Scale shape: docs carry only (source, n_chars, doc_id) into one
+    * source-partitioned rank window (at extreme per-source volume the
+    * same rank-sum distributes as a range-partitioned sort with
+    * per-partition offsets — the q134 NTILE note); the rollup
+    * collapses to one row per source. Products in decimal(38,0):
+    * Σ rank·x ≤ n²·x_max needs ~2× BIGINT's width at n ~ 10¹².
+    */
+  def q140_gini(spark: SparkSession, dir: String): DataFrame = {
+    val dec38 = "decimal(38,0)"
+    val w = Window.partitionBy("source").orderBy(col("n_chars"), col("doc_id"))
+    Tables.load(spark, dir, "documents")
+      .select(col("source"), col("n_chars"), col("doc_id"))
+      .withColumn("rnk", row_number().over(w).cast(dec38))
+      .groupBy("source")
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        sum(col("n_chars")).cast("long").as("chars_sum"),
+        sum(col("rnk") * col("n_chars")).cast(dec38).as("s1"))
+      .select(col("source"), col("n_docs"), col("chars_sum"),
+        expr("CAST(((2 * s1 - (CAST(n_docs AS decimal(38,0)) + 1) * chars_sum) * 1000000) " +
+          "DIV (CAST(n_docs AS decimal(38,0)) * chars_sum) AS BIGINT)").as("gini_ppm"))
+      .orderBy("source")
+  }
+
+  val q140_oracle: String =
+    """WITH r AS (
+      |  SELECT source, n_chars,
+      |    row_number() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS rnk
+      |  FROM documents),
+      |a AS (
+      |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+      |    CAST(sum(n_chars) AS BIGINT) AS chars_sum,
+      |    CAST(sum(CAST(rnk AS HUGEINT) * n_chars) AS HUGEINT) AS s1
+      |  FROM r GROUP BY source)
+      |SELECT source, n_docs, chars_sum,
+      |  CAST(((2 * s1 - (CAST(n_docs AS HUGEINT) + 1) * chars_sum) * 1000000)
+      |    // (CAST(n_docs AS HUGEINT) * chars_sum) AS BIGINT) AS gini_ppm
+      |FROM a ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q141_ks_drift" -> (q141_ks_drift _),
+    "q142_hist_drift" -> (q142_hist_drift _),
+    "q140_gini" -> (q140_gini _),
     "q56_histogram" -> (q56_histogram _),
     "q57_rolling" -> (q57_rolling _),
     "q58_ntile" -> (q58_ntile _),
@@ -273,6 +485,9 @@ object DistributionQueries {
     "q130_locf" -> (q130_locf _))
 
   val oracles: Map[String, String] = Map(
+    "q141_ks_drift" -> q141_oracle,
+    "q142_hist_drift" -> q142_oracle,
+    "q140_gini" -> q140_oracle,
     "q56_histogram" -> q56_oracle,
     "q57_rolling" -> q57_oracle,
     "q58_ntile" -> q58_oracle,

@@ -934,15 +934,113 @@ object TextQueries {
        |  CAST(count(*) AS BIGINT) AS n_shingles,
        |  CAST(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS BIGINT)
        |    AS n_novel,
-       |  (sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) * 1000000)
-       |    // count(*) AS novelty_ppm
+       |  CAST((sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) * 1000000)
+       |    // count(*) AS BIGINT) AS novelty_ppm
        |FROM sh JOIN first USING (k)
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
+  // ---------- q143: all-pairs prefix-filtered similarity join ----------
+
+  /** Jaccard threshold 1/2 as an exact fraction (inter·2 ≥ union). */
+  val allPairsThresholdHalf = true
+
+  /** EXACT all-pairs similarity self-join with prefix filtering
+    * (Bayardo et al., WWW 2007 "Scaling Up All Pairs Similarity
+    * Search") at Jaccard ≥ 1/2 over distinct-token sets — the exact
+    * counterpart of probabilistic MinHash-LSH (q25): LSH can miss
+    * pairs; this provably finds EVERY pair above the threshold, with
+    * work bounded by the prefix-token posting lists. Tokens are
+    * globally ordered rarest-first (df asc, 60-bit key asc); a doc of
+    * n tokens exposes only its first ⌊n/2⌋+1 tokens (for t: the first
+    * n − ⌈t·n⌉ + 1) — two sets with J ≥ t MUST share a prefix token
+    * under any shared total order, so candidates come from joining
+    * the RARE end of the vocabulary only and boilerplate tokens never
+    * generate pairs. Candidates pass the length filter
+    * (t·|A| ≤ |B| ≤ |A|/t) before the exact verify; Jaccard is
+    * emitted in exact ppm.
+    *
+    * Scale shape: tokens ride 60-bit md5 keys end-to-end (the q72
+    * rule — no text in any exchange); the only corpus-sized shuffles
+    * are the df count and the per-doc ordered-array rollup; the
+    * posting self-join touches prefix tokens only (rare-first order
+    * makes Σ df² over prefixes small by construction — the paper's
+    * point); the verify join moves key arrays for CANDIDATE pairs
+    * only. AllPairsSpec pins recall against brute force and that
+    * pruning is genuine.
+    */
+  def q143_allpairs(spark: SparkSession, dir: String): DataFrame = {
+    val keyed = docs(spark, dir)
+      .select(col("doc_id"),
+        explode(array_distinct(
+          H.shingleKeys(H.shingles(T.tokens(col("text")))))).as("k"))
+    val dfreq = keyed.groupBy("k").agg(count(lit(1)).as("df"))
+    val ord = keyed.join(dfreq, "k")
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("df"), col("k")))).as("sw"))
+      .select(col("doc_id"),
+        transform(col("sw"), s => s.getField("k")).as("ks"),
+        size(col("sw")).as("n"))
+    val pref = ord.select(col("doc_id"), col("n"),
+      explode(expr("slice(ks, 1, n DIV 2 + 1)")).as("k"))
+    val cand = pref.as("a")
+      .join(pref.as("b"),
+        col("a.k") === col("b.k") && col("a.doc_id") < col("b.doc_id") &&
+          col("b.n") * 2 >= col("a.n") && col("b.n") <= col("a.n") * 2)
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .distinct()
+    cand
+      .join(ord.select(col("doc_id").as("a_id"), col("ks").as("ka"), col("n").as("n_a")), "a_id")
+      .join(ord.select(col("doc_id").as("b_id"), col("ks").as("kb"), col("n").as("n_b")), "b_id")
+      .withColumn("inter", size(array_intersect(col("ka"), col("kb"))).cast("long"))
+      .withColumn("uni", (col("n_a") + col("n_b")).cast("long") - col("inter"))
+      .filter(col("inter") * 2 >= col("uni"))
+      .select(col("a_id"), col("b_id"), col("n_a"), col("n_b"), col("inter"),
+        col("uni"), expr("(inter * 1000000) DIV uni").as("jac_ppm"))
+      .orderBy("a_id", "b_id")
+  }
+
+  /** The oracle speaks the SAME prefix algorithm (not brute force):
+    * an all-pairs cross product over the unbounded corpus would be
+    * O(n²) in DuckDB too, and mirroring the prefix logic double-pins
+    * it cross-engine.
+    */
+  val q143_oracle: String = {
+    val keys = H.shingleKeysSql(H.shinglesSql(T.tokensSql("text")))
+    s"""WITH toks AS (
+       |  SELECT DISTINCT doc_id, k
+       |  FROM (SELECT doc_id, unnest(list_distinct($keys)) AS k FROM documents)),
+       |dfreq AS (SELECT k, count(*) AS df FROM toks GROUP BY k),
+       |ord AS (
+       |  SELECT doc_id, list(k ORDER BY df, k) AS ks,
+       |    CAST(count(*) AS BIGINT) AS n
+       |  FROM toks JOIN dfreq USING (k) GROUP BY doc_id),
+       |pref AS (
+       |  SELECT doc_id, n, unnest(ks[1:(n // 2 + 1)]) AS k FROM ord),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+       |  FROM pref a JOIN pref b ON a.k = b.k AND a.doc_id < b.doc_id
+       |    AND b.n * 2 >= a.n AND b.n <= a.n * 2)
+       |SELECT a_id, b_id, oa.n AS n_a, ob.n AS n_b,
+       |  CAST(len(list_filter(oa.ks, x -> list_contains(ob.ks, x))) AS BIGINT)
+       |    AS inter,
+       |  oa.n + ob.n - len(list_filter(oa.ks, x -> list_contains(ob.ks, x)))
+       |    AS uni,
+       |  CAST((len(list_filter(oa.ks, x -> list_contains(ob.ks, x))) * 1000000)
+       |    // (oa.n + ob.n - len(list_filter(oa.ks, x -> list_contains(ob.ks, x))))
+       |    AS BIGINT) AS jac_ppm
+       |FROM cand
+       |JOIN ord oa ON oa.doc_id = a_id
+       |JOIN ord ob ON ob.doc_id = b_id
+       |WHERE len(list_filter(oa.ks, x -> list_contains(ob.ks, x))) * 2
+       |  >= oa.n + ob.n - len(list_filter(oa.ks, x -> list_contains(ob.ks, x)))
+       |ORDER BY a_id, b_id""".stripMargin
   }
 
   // ---------- registry ----------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q143_allpairs" -> (q143_allpairs _),
     "q139_novelty" -> (q139_novelty _),
     "q19_token_count" -> (q19_token_count _),
     "q20_lang_id" -> (q20_lang_id _),
@@ -963,6 +1061,7 @@ object TextQueries {
 
   val oracles: Map[String, String] = Map(
     "q139_novelty" -> q139_oracle,
+    "q143_allpairs" -> q143_oracle,
     "q19_token_count" -> q19_oracle,
     "q20_lang_id" -> q20_oracle,
     "q21_quality_score" -> q21_oracle,
