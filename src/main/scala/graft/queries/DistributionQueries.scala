@@ -473,9 +473,133 @@ object DistributionQueries {
       |    // (CAST(n_docs AS HUGEINT) * chars_sum) AS BIGINT) AS gini_ppm
       |FROM a ORDER BY source""".stripMargin
 
+  // ---------- q145: exact winsorized statistics ----------
+
+  /** Winsorized per-group statistics — the robust-mean preprocessing
+    * step (clip at exact p05/p95 before aggregating, so a fat tail
+    * can't own the mean): the clip thresholds are EXACT order
+    * statistics by rank arithmetic (lo = value at rank ⌈n/20⌉, hi =
+    * at ⌈19n/20⌉ — the q32 rule; the value AT a rank is deterministic
+    * regardless of tie order), applied as a broadcast of the
+    * |groups|-row bounds table back over the scan. Clipped and raw
+    * sums ride decimal(38,0) so the report is overflow-safe at any
+    * group size.
+    *
+    * Scale shape: one rank window per type (range-partitioned sort at
+    * extreme per-group volume — the q58 note; or swap the boundary
+    * source for the q113 KLL sketch with the same downstream shape),
+    * one boundary filter, one re-scan with the broadcast bounds.
+    */
+  def q145_winsorize(spark: SparkSession, dir: String): DataFrame = {
+    val dec38 = "decimal(38,0)"
+    val e = Tables.load(spark, dir, "events")
+      .select(col("event_type"), col("event_id"),
+        round(col("value") * 100).cast("long").as("cents"))
+    val rankW = Window.partitionBy("event_type")
+      .orderBy(col("cents"), col("event_id"))
+    val bounds = e
+      .withColumn("rnk", row_number().over(rankW))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("event_type")))
+      .filter(col("rnk") === expr("(n + 19) DIV 20") ||
+        col("rnk") === expr("(19 * n + 19) DIV 20"))
+      .groupBy("event_type")
+      .agg(
+        min(when(col("rnk") === expr("(n + 19) DIV 20"), col("cents")))
+          .as("lo_cents"),
+        min(when(col("rnk") === expr("(19 * n + 19) DIV 20"), col("cents")))
+          .as("hi_cents"))
+    val clipped = least(greatest(col("cents"), col("lo_cents")), col("hi_cents"))
+    e.join(broadcast(bounds), "event_type")
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).cast("long").as("n"),
+        max(col("lo_cents")).as("lo_cents"),
+        max(col("hi_cents")).as("hi_cents"),
+        count_if(col("cents") < col("lo_cents")).cast("long").as("n_clip_lo"),
+        count_if(col("cents") > col("hi_cents")).cast("long").as("n_clip_hi"),
+        sum(col("cents").cast(dec38)).cast("long").as("cents_sum"),
+        sum(clipped.cast(dec38)).cast("long").as("wins_sum"))
+      .orderBy("event_type")
+  }
+
+  val q145_oracle: String =
+    """WITH e AS (
+      |  SELECT event_type, event_id,
+      |    CAST(round(value * 100) AS BIGINT) AS cents
+      |  FROM events),
+      |r AS (
+      |  SELECT event_type, cents,
+      |    row_number() OVER (PARTITION BY event_type ORDER BY cents, event_id)
+      |      AS rnk,
+      |    count(*) OVER (PARTITION BY event_type) AS n
+      |  FROM e),
+      |b AS (
+      |  SELECT event_type,
+      |    min(CASE WHEN rnk = (n + 19) // 20 THEN cents END) AS lo_cents,
+      |    min(CASE WHEN rnk = (19 * n + 19) // 20 THEN cents END) AS hi_cents
+      |  FROM r WHERE rnk = (n + 19) // 20 OR rnk = (19 * n + 19) // 20
+      |  GROUP BY event_type)
+      |SELECT e.event_type, CAST(count(*) AS BIGINT) AS n,
+      |  max(lo_cents) AS lo_cents, max(hi_cents) AS hi_cents,
+      |  CAST(count(*) FILTER (WHERE cents < lo_cents) AS BIGINT) AS n_clip_lo,
+      |  CAST(count(*) FILTER (WHERE cents > hi_cents) AS BIGINT) AS n_clip_hi,
+      |  CAST(sum(cents) AS BIGINT) AS cents_sum,
+      |  CAST(sum(least(greatest(cents, lo_cents), hi_cents)) AS BIGINT)
+      |    AS wins_sum
+      |FROM e JOIN b USING (event_type)
+      |GROUP BY e.event_type ORDER BY event_type""".stripMargin
+
+  // ---------- q146: equi-depth histogram ----------
+
+  /** Equi-depth (equi-height) histogram per group — the ANALYZE-stats
+    * structure query optimizers and drift monitors prefer over q56's
+    * fixed-width bins (every bucket carries the same row count, so
+    * resolution follows density): bucket of a row =
+    * `((rank−1)·8) DIV n` over the total (cents, event_id) order —
+    * pure rank arithmetic, no boundary search, bucket populations
+    * exact to ±1 by construction. Per-bucket lo/hi expose the
+    * boundary values.
+    *
+    * Scale shape: identical to q145's rank window (one sort per
+    * group, one tiny rollup); the sketch-swap note applies the same.
+    */
+  val equiDepthBuckets = 8
+
+  def q146_equidepth(spark: SparkSession, dir: String): DataFrame = {
+    val rankW = Window.partitionBy("event_type")
+      .orderBy(col("cents"), col("event_id"))
+    Tables.load(spark, dir, "events")
+      .select(col("event_type"), col("event_id"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .withColumn("rnk", row_number().over(rankW))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("event_type")))
+      .withColumn("bucket",
+        expr(s"((rnk - 1) * $equiDepthBuckets) DIV n").cast("int"))
+      .groupBy("event_type", "bucket")
+      .agg(count(lit(1)).cast("long").as("n_rows"),
+        min(col("cents")).as("lo_cents"),
+        max(col("cents")).as("hi_cents"))
+      .orderBy("event_type", "bucket")
+  }
+
+  val q146_oracle: String =
+    s"""WITH r AS (
+       |  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents,
+       |    row_number() OVER (PARTITION BY event_type
+       |      ORDER BY round(value * 100), event_id) AS rnk,
+       |    count(*) OVER (PARTITION BY event_type) AS n
+       |  FROM events)
+       |SELECT event_type,
+       |  CAST(((rnk - 1) * $equiDepthBuckets) // n AS INTEGER) AS bucket,
+       |  CAST(count(*) AS BIGINT) AS n_rows,
+       |  min(cents) AS lo_cents, max(cents) AS hi_cents
+       |FROM r GROUP BY 1, 2 ORDER BY event_type, bucket""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q141_ks_drift" -> (q141_ks_drift _),
     "q142_hist_drift" -> (q142_hist_drift _),
+    "q145_winsorize" -> (q145_winsorize _),
+    "q146_equidepth" -> (q146_equidepth _),
     "q140_gini" -> (q140_gini _),
     "q56_histogram" -> (q56_histogram _),
     "q57_rolling" -> (q57_rolling _),
@@ -487,6 +611,8 @@ object DistributionQueries {
   val oracles: Map[String, String] = Map(
     "q141_ks_drift" -> q141_oracle,
     "q142_hist_drift" -> q142_oracle,
+    "q145_winsorize" -> q145_oracle,
+    "q146_equidepth" -> q146_oracle,
     "q140_gini" -> q140_oracle,
     "q56_histogram" -> q56_oracle,
     "q57_rolling" -> q57_oracle,

@@ -615,7 +615,120 @@ object GraphQueries {
 
   // ---------- registry ----------
 
+  // ---------- q147: HITS hubs and authorities ----------
+
+  /** Fixed synchronous HITS rounds (Kleinberg 1999). Two full
+    * hub→authority→hub sweeps separate the scores from raw degree on
+    * this graph; a pinned count (not convergence) keeps the operator
+    * deterministic — the q133 rule.
+    */
+  val hitsRounds = 2
+
+  /** Normalization scale: scores live on a 10¹² fixed-point simplex
+    * (each half-round rescales so Σscore = 10¹² via integer DIV) —
+    * the q117 fixed-point recipe applied to the L1-normalized HITS
+    * recursion, so an iterative eigenvector-ish algorithm stays
+    * bit-identical cross-engine with zero floats.
+    */
+  private val hitsScale = 1000000000000L
+
+  /** The iteration core on any directed (c, s) edge list, factored so
+    * HitsSpec can drive hand graphs against a sequential BigInt
+    * replica. Returns (node_type, key, score_scaled).
+    *
+    * Scale shape: per half-round = one shuffle join of edges against
+    * the node-sized score table (partial agg collapses (node, score)
+    * map-side) + one 1-row total that broadcasts back — no edge²
+    * term, no driver collect; per-round localCheckpoint cuts the
+    * self-referential lineage (the q117/q125/q133 iteration rule).
+    * Edges persist once; each iteration moves only node-sized state.
+    */
+  private[queries] def hitsLoop(edges: DataFrame, rounds: Int): DataFrame = {
+    val dec38 = "decimal(38,0)"
+    val e = edges.select(col("c"), col("s")).persist()
+    try {
+      var hub = e.select("c").distinct()
+        .withColumn("h", lit(1000000L)).localCheckpoint()
+      var auth: DataFrame = null
+      for (_ <- 1 to rounds) {
+        val araw = e.join(hub, "c")
+          .groupBy("s").agg(sum(col("h").cast(dec38)).as("ar"))
+        val asum = araw.agg(sum(col("ar")).as("asum"))
+        auth = araw.crossJoin(broadcast(asum))
+          .select(col("s"),
+            expr(s"CAST((ar * $hitsScale) DIV asum AS BIGINT)").as("a"))
+          .localCheckpoint()
+        val hraw = e.join(auth, "s")
+          .groupBy("c").agg(sum(col("a").cast(dec38)).as("hr"))
+        val hsum = hraw.agg(sum(col("hr")).as("hsum"))
+        hub = hraw.crossJoin(broadcast(hsum))
+          .select(col("c"),
+            expr(s"CAST((hr * $hitsScale) DIV hsum AS BIGINT)").as("h"))
+          .localCheckpoint()
+      }
+      auth.select(lit("supplier").as("node_type"), col("s").as("key"),
+          col("a").as("score_scaled"))
+        .unionByName(hub.select(lit("customer").as("node_type"),
+          col("c").as("key"), col("h").as("score_scaled")))
+    } finally e.unpersist()
+  }
+
+  /** HITS hubs/authorities over the directed Q1-1995 trade graph
+    * (customer → supplier): hubs are customers whose orders
+    * concentrate on authoritative suppliers, authorities are
+    * suppliers ordered by strong hubs — the mutually-recursive
+    * centrality q117's PageRank (undirected, teleporting) does not
+    * express. The DuckDB oracle unrolls both half-rounds of each
+    * iteration as plain CTEs with scalar-subquery normalizers.
+    */
+  def q147_hits(spark: SparkSession, dir: String): DataFrame = {
+    val lo = to_timestamp(lit("1995-01-01 00:00:00"))
+    val hi = to_timestamp(lit("1995-04-01 00:00:00"))
+    val orders = Tables.load(spark, dir, "orders")
+      .filter(col("o_orderdate") >= lo && col("o_orderdate") < hi)
+      .select("o_orderkey", "o_custkey")
+    val li = Tables.load(spark, dir, "lineitem").select("l_orderkey", "l_suppkey")
+    val edges = orders.join(li, col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("c"), col("l_suppkey").as("s"))
+      .distinct()
+    hitsLoop(edges, hitsRounds)
+      .orderBy("node_type", "key")
+  }
+
+  val q147_oracle: String = {
+    val round = (i: Int) => {
+      val prevH = if (i == 1) "h0" else s"h${i - 1}"
+      s"""ar$i AS MATERIALIZED (
+         |  SELECT s, CAST(sum(h) AS HUGEINT) AS ar
+         |  FROM e JOIN $prevH USING (c) GROUP BY s),
+         |a$i AS MATERIALIZED (
+         |  SELECT s, (ar * $hitsScale) // (SELECT sum(ar) FROM ar$i) AS a
+         |  FROM ar$i),
+         |hr$i AS MATERIALIZED (
+         |  SELECT c, CAST(sum(a) AS HUGEINT) AS hr
+         |  FROM e JOIN a$i USING (s) GROUP BY c),
+         |h$i AS MATERIALIZED (
+         |  SELECT c, (hr * $hitsScale) // (SELECT sum(hr) FROM hr$i) AS h
+         |  FROM hr$i)""".stripMargin
+    }
+    val rounds = (1 to hitsRounds).map(round).mkString(",\n")
+    s"""WITH e AS MATERIALIZED (
+       |  SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+       |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+       |  WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+       |    AND o_orderdate < TIMESTAMP '1995-04-01 00:00:00'),
+       |h0 AS (SELECT c, CAST(1000000 AS HUGEINT) AS h
+       |       FROM (SELECT DISTINCT c FROM e)),
+       |$rounds
+       |SELECT 'supplier' AS node_type, s AS key, CAST(a AS BIGINT) AS score_scaled
+       |FROM a$hitsRounds
+       |UNION ALL
+       |SELECT 'customer', c, CAST(h AS BIGINT) FROM h$hitsRounds
+       |ORDER BY node_type, key""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q147_hits" -> (q147_hits _),
     "q133_label_prop" -> (q133_label_prop _),
     "q47_dup_clusters" -> (q47_dup_clusters _),
     "q48_merge_upsert" -> (q48_merge_upsert _),
@@ -625,6 +738,7 @@ object GraphQueries {
     "q125_kcore" -> (q125_kcore _))
 
   val oracles: Map[String, String] = Map(
+    "q147_hits" -> q147_oracle,
     "q133_label_prop" -> q133_oracle,
     "q47_dup_clusters" -> q47_oracle,
     "q48_merge_upsert" -> q48_oracle,

@@ -351,16 +351,85 @@ object MiningQueries {
        |ORDER BY c_true DESC, w ASC""".stripMargin
   }
 
+  // ---------- q144: market-basket association rules ----------
+
+  /** Minimum pair co-occurrence to call a rule (absolute floor). */
+  val basketMinPair = 2L
+
+  /** Market-basket association-rule mining over order lineitems
+    * (Agrawal–Srikant's support/confidence frame, pairwise): part
+    * pairs co-ordered in the same order, with exact-integer
+    * support/confidence in ppm and lift in micro-units (the q114 DIV
+    * recipe — log-free, order-independent, bit-identical cross-
+    * engine). Both rule directions ship as conf_ab/conf_ba on one
+    * unordered pair row.
+    *
+    * Scale shape: the pair generator is a self-join keyed by ORDER —
+    * fan-out is `basket_size²` per order, never |parts|² (TPC-H
+    * baskets are ~4 items → ~6 pairs/order); pair counts partial-agg
+    * on (pa, pb); per-item order counts are a dim-sized table that
+    * broadcasts; the min-support filter bounds the rule table. The
+    * classic a-priori second level, as one declarative plan.
+    */
+  def q144_basket(spark: SparkSession, dir: String): DataFrame = {
+    val dec38 = "decimal(38,0)"
+    val items = Tables.load(spark, dir, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+    val itemN = items.groupBy("pk").agg(count(lit(1)).cast("long").as("n_item"))
+    val totals = items.agg(count_distinct(col("ok")).cast("long").as("n_orders"))
+    val pairs = items.as("a")
+      .join(items.as("b"),
+        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+      .groupBy(col("a.pk").as("pa"), col("b.pk").as("pb"))
+      .agg(count(lit(1)).cast("long").as("n_pair"))
+      .filter(col("n_pair") >= basketMinPair)
+    pairs
+      .join(broadcast(itemN.select(col("pk").as("pa"), col("n_item").as("n_a"))), "pa")
+      .join(broadcast(itemN.select(col("pk").as("pb"), col("n_item").as("n_b"))), "pb")
+      .crossJoin(broadcast(totals))
+      .select(col("pa"), col("pb"), col("n_pair"), col("n_a"), col("n_b"),
+        col("n_orders"),
+        expr("(n_pair * 1000000) DIV n_orders").as("support_ppm"),
+        expr("(n_pair * 1000000) DIV n_a").as("conf_ab_ppm"),
+        expr("(n_pair * 1000000) DIV n_b").as("conf_ba_ppm"),
+        expr(s"CAST((CAST(n_pair AS $dec38) * n_orders * 1000000) DIV " +
+          s"(CAST(n_a AS $dec38) * n_b) AS BIGINT)").as("lift_micro"))
+      .orderBy("pa", "pb")
+  }
+
+  val q144_oracle: String =
+    s"""WITH items AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+       |tot AS (SELECT CAST(count(DISTINCT ok) AS BIGINT) AS n_orders FROM items),
+       |ic AS (SELECT pk, CAST(count(*) AS BIGINT) AS n_item FROM items GROUP BY pk),
+       |pairs AS (
+       |  SELECT a.pk AS pa, b.pk AS pb, CAST(count(*) AS BIGINT) AS n_pair
+       |  FROM items a JOIN items b ON a.ok = b.ok AND a.pk < b.pk
+       |  GROUP BY 1, 2 HAVING count(*) >= $basketMinPair)
+       |SELECT pa, pb, n_pair, ia.n_item AS n_a, ib.n_item AS n_b, n_orders,
+       |  (n_pair * 1000000) // n_orders AS support_ppm,
+       |  (n_pair * 1000000) // ia.n_item AS conf_ab_ppm,
+       |  (n_pair * 1000000) // ib.n_item AS conf_ba_ppm,
+       |  CAST((CAST(n_pair AS HUGEINT) * n_orders * 1000000)
+       |    // (CAST(ia.n_item AS HUGEINT) * ib.n_item) AS BIGINT) AS lift_micro
+       |FROM pairs
+       |JOIN ic ia ON ia.pk = pa
+       |JOIN ic ib ON ib.pk = pb
+       |CROSS JOIN tot
+       |ORDER BY pa, pb""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q116_record_linkage" -> (q116_record_linkage _),
     "q118_heavy_hitters" -> (q118_heavy_hitters _),
     "q119_regression" -> (q119_regression _),
     "q120_sketch_overlap" -> (q120_sketch_overlap _),
-    "q136_countmin" -> (q136_countmin _))
+    "q136_countmin" -> (q136_countmin _),
+    "q144_basket" -> (q144_basket _))
 
   val oracles: Map[String, String] = Map(
     "q116_record_linkage" -> q116_oracle,
     "q118_heavy_hitters" -> q118_oracle,
     "q119_regression" -> q119_oracle,
-    "q136_countmin" -> q136_oracle)
+    "q136_countmin" -> q136_oracle,
+    "q144_basket" -> q144_oracle)
 }
