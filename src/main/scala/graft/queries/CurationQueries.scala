@@ -4,6 +4,7 @@ import graft.Tables
 import graft.functions.{TextFunctions => T}
 import graft.operators.ConnectedComponents
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** End-to-end corpus curation outputs (SURVEY §2 #60–#61): the
@@ -615,7 +616,76 @@ object CurationQueries {
 
   // ---------- registry ----------
 
+  // ---------- q148: deterministic weighted interleave (training order) ----------
+
+  /** Per-source interleave weights in sixteenths — q36's mixture
+    * config reused as the EMISSION-RATE config: source s emits w_s
+    * docs per 16 virtual time units.
+    */
+  val interleaveWeights: Seq[(String, Int)] = Seq(
+    "src0" -> 8, "src1" -> 4, "src2" -> 2, "src3" -> 1)
+
+  /** Deterministic weighted source interleaving — the training-ORDER
+    * manifest (curriculum step) a data mixture needs after q36 decides
+    * WHAT to keep: the r-th document of source s is scheduled at
+    * integer virtual time `v = (r·16) DIV w_s` (weighted round-robin /
+    * virtual-time fair queuing — a source of weight 8 emits 8 docs per
+    * 16 ticks, weight 1 emits 1), global order = (v, source, r), fully
+    * deterministic with zero RNG state: per-source ranks follow the
+    * q33 content-hash order so the interleave is reproducible from
+    * doc ids alone. Any prefix of the schedule holds each source's
+    * share within ±1 of its weight ratio — the property that makes
+    * per-epoch data order stable across reruns and resumable
+    * mid-epoch.
+    *
+    * Scale shape: one source-partitioned rank window + a global
+    * (v, source, r) sort for the position column — the one genuinely
+    * total-order output in the library (a training schedule IS a
+    * total order); at 100 TB the same sort range-partitions and
+    * positions become partition-offset + local index (the q140/q58
+    * note). No joins, no collects.
+    */
+  def q148_interleave(spark: SparkSession, dir: String): DataFrame = {
+    val w = interleaveWeights.foldLeft(lit(0)) { case (acc, (s, k)) =>
+      when(col("source") === s, lit(k)).otherwise(acc)
+    }
+    val srcW = Window.partitionBy("source")
+      .orderBy(substring(md5(concat(lit("ord|"), col("doc_id").cast("string"))), 1, 8),
+        col("doc_id"))
+    Tables.load(spark, dir, "documents")
+      .filter(col("source").isin(interleaveWeights.map(_._1): _*))
+      .withColumn("wgt", w)
+      .withColumn("src_rank", row_number().over(srcW).cast("long"))
+      .withColumn("vtime", expr("(src_rank * 16) DIV wgt"))
+      .withColumn("pos", row_number().over(
+        Window.orderBy(col("vtime"), col("source"), col("src_rank"))).cast("long"))
+      .select("pos", "doc_id", "source", "src_rank", "vtime")
+      .orderBy("pos")
+  }
+
+  val q148_oracle: String = {
+    val wCase = interleaveWeights
+      .map { case (s, k) => s"WHEN source = '$s' THEN $k" }
+      .mkString("CASE ", " ", " ELSE 0 END")
+    val srcs = interleaveWeights.map(s => s"'${s._1}'").mkString(", ")
+    s"""WITH r AS (
+       |  SELECT doc_id, source, ($wCase) AS wgt,
+       |    CAST(row_number() OVER (PARTITION BY source
+       |      ORDER BY substring(md5(concat('ord|', CAST(doc_id AS VARCHAR))), 1, 8),
+       |        doc_id) AS BIGINT) AS src_rank
+       |  FROM documents WHERE source IN ($srcs)),
+       |v AS (
+       |  SELECT doc_id, source, src_rank,
+       |    (src_rank * 16) // wgt AS vtime
+       |  FROM r)
+       |SELECT CAST(row_number() OVER (ORDER BY vtime, source, src_rank) AS BIGINT)
+       |    AS pos,
+       |  doc_id, source, src_rank, CAST(vtime AS BIGINT) AS vtime
+       |FROM v ORDER BY pos""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q148_interleave" -> (q148_interleave _),
     "q132_dsir" -> (q132_dsir _),
     "q86_curation_e2e" -> (q86_curation_e2e _),
     "q77_sequence_pack" -> (q77_sequence_pack _),
@@ -628,6 +698,7 @@ object CurationQueries {
     "q111_weighted_sample" -> (q111_weighted_sample _))
 
   val oracles: Map[String, String] = Map(
+    "q148_interleave" -> q148_oracle,
     "q132_dsir" -> q132_oracle,
     "q86_curation_e2e" -> q86_oracle,
     "q77_sequence_pack" -> q77_oracle,

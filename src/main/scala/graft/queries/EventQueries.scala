@@ -215,9 +215,75 @@ object EventQueries {
        |  FROM events WHERE event_type = 'purchase')
        |GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  // ---------- q150: linear multi-touch attribution ----------
+
+  /** Attribution lookback window. */
+  val attributionDays = 7
+
+  /** Linear multi-touch attribution — the marketing-analytics core
+    * operator (and the credit-assignment shape behind any
+    * "which upstream got us this outcome" report): each purchase's
+    * cents split EQUALLY across all of the user's view/click
+    * touchpoints in the preceding [[attributionDays]] days, credit in
+    * exact micro-cents (`cents·10⁶ DIV k` per touch — integer, so the
+    * books cross-check bit-for-bit; per-purchase truncation loss
+    * < k micro-units, the auditable remainder). Purchases with no
+    * preceding touch attribute to nobody (organic). Complements q65
+    * (which counts ordered stage REACH, not credit) and q130 (which
+    * carries the last value forward, not splits it back).
+    *
+    * Scale shape: the touch⋈purchase interval join shuffles by USER
+    * (per-user activity bounds the pair fanout; AQE splits power
+    * users), the per-purchase touch count is one purchase-keyed agg
+    * joined back, the report is one (user, touch_type) partial-agg
+    * rollup with decimal(38,0) credit sums.
+    */
+  def q150_attribution(spark: SparkSession, dir: String): DataFrame = {
+    val dec38 = "decimal(38,0)"
+    val ev = Tables.load(spark, dir, "events")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("p_id"), col("ts").as("pts"),
+        round(col("value") * 100).cast("long").as("cents"))
+    val touches = ev.filter(col("event_type").isin("view", "click"))
+      .select(col("user_id"), col("event_id").as("t_id"),
+        col("event_type").as("touch_type"), col("ts").as("tts"))
+    val attributed = touches.join(purchases, Seq("user_id"))
+      .filter(col("tts") < col("pts") &&
+        col("pts") <= col("tts") + expr(s"INTERVAL $attributionDays DAYS"))
+    val perPurchase = attributed.groupBy("p_id")
+      .agg(count(lit(1)).cast("long").as("k"))
+    attributed.join(perPurchase, "p_id")
+      .withColumn("credit_micro", expr("(cents * 1000000) DIV k"))
+      .groupBy("user_id", "touch_type")
+      .agg(count(lit(1)).cast("long").as("n_attributions"),
+        sum(col("credit_micro").cast(dec38)).cast("long").as("credit_micro_sum"))
+      .orderBy("user_id", "touch_type")
+  }
+
+  val q150_oracle: String =
+    s"""WITH p AS (
+       |  SELECT user_id, event_id AS p_id, ts AS pts,
+       |    CAST(round(value * 100) AS BIGINT) AS cents
+       |  FROM events WHERE event_type = 'purchase'),
+       |t AS (
+       |  SELECT user_id, event_id AS t_id, event_type AS touch_type, ts AS tts
+       |  FROM events WHERE event_type IN ('view', 'click')),
+       |j AS (
+       |  SELECT t.user_id, t.touch_type, p.p_id, p.cents
+       |  FROM t JOIN p ON t.user_id = p.user_id
+       |   AND t.tts < p.pts AND p.pts <= t.tts + INTERVAL $attributionDays DAY),
+       |k AS (SELECT p_id, CAST(count(*) AS BIGINT) AS k FROM j GROUP BY p_id)
+       |SELECT user_id, touch_type,
+       |  CAST(count(*) AS BIGINT) AS n_attributions,
+       |  CAST(sum((cents * 1000000) // k) AS BIGINT) AS credit_micro_sum
+       |FROM j JOIN k USING (p_id)
+       |GROUP BY user_id, touch_type
+       |ORDER BY user_id, touch_type""".stripMargin
+
   // ---------- registry ----------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q150_attribution" -> (q150_attribution _),
     "q65_funnel" -> (q65_funnel _),
     "q66_retention" -> (q66_retention _),
     "q128_transitions" -> (q128_transitions _),
@@ -227,5 +293,6 @@ object EventQueries {
     "q65_funnel" -> q65_oracle,
     "q66_retention" -> q66_oracle,
     "q128_transitions" -> q128_oracle,
-    "q135_decay_score" -> q135_oracle)
+    "q135_decay_score" -> q135_oracle,
+    "q150_attribution" -> q150_oracle)
 }

@@ -4,6 +4,7 @@ import graft.Tables
 import graft.functions.{TextFunctions => T}
 import graft.operators.MisraGries
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -351,6 +352,100 @@ object MiningQueries {
        |ORDER BY c_true DESC, w ASC""".stripMargin
   }
 
+  // ---------- q149: sorted-neighborhood record linkage ----------
+
+  /** Sliding-window width (each record pairs with the next
+    * `snWindow − 1` records in sort order). */
+  val snWindow = 3
+
+  /** Sorted-neighborhood blocking (Hernández–Stolfo 1995) for record
+    * linkage — the RECALL complement of q116's equi-join blocking:
+    * records sort by a similarity-preserving key (brand-partitioned,
+    * then noun, adj, size, key) and each record pairs only with its
+    * window of following neighbors, scored by the SAME Fellegi–Sunter
+    * agreement weights as q116. Because the sort places size 4 next
+    * to size 6, this pass CAN emit the quintile-boundary-straddling
+    * true matches q116's `size DIV 5` blocking key provably drops
+    * (the recall trade documented on [[linkageBlocking]]) — the
+    * standard production setup runs both passes and unions.
+    *
+    * Scale shape: ZERO joins — neighbors come from `lead()` over the
+    * brand-partitioned sort window, so the pair stream is exactly
+    * (window−1)·n rows no matter how similar the records are (the SN
+    * guarantee: candidate count is linear by construction, immune to
+    * the hot-block blowup equi-join blocking risks); one sort
+    * exchange, one narrow scoring projection.
+    */
+  def q149_sorted_neighborhood(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables.load(spark, dir, "part").select(
+      col("p_partkey").as("key"),
+      split(col("p_name"), " ").getItem(0).as("adj"),
+      split(col("p_name"), " ").getItem(1).as("noun"),
+      col("p_brand").as("brand"),
+      col("p_type").as("ptype"),
+      col("p_size").as("size"),
+      col("p_retailprice").cast(dec18).as("price"))
+    val w = Window.partitionBy("brand")
+      .orderBy(col("noun"), col("adj"), col("size"), col("key"))
+    val attrs = Seq("key", "adj", "noun", "ptype", "size", "price")
+    val withLeads = (1 until snWindow).foldLeft(p) { (d, dist) =>
+      attrs.foldLeft(d)((dd, a) =>
+        dd.withColumn(s"n${dist}_$a", lead(col(a), dist).over(w)))
+    }
+    val perDist = (1 until snWindow).map { dist =>
+      val renamed = attrs.foldLeft(withLeads) { (d, a) =>
+        d.withColumn(s"a_$a", col(a)).withColumn(s"b_$a", col(s"n${dist}_$a"))
+      }
+      renamed
+        .filter(col(s"n${dist}_key").isNotNull)
+        .withColumn("dist", lit(dist))
+        .withColumn("score", linkageScore)
+        .select(
+          least(col("a_key"), col("b_key")).as("a_key"),
+          greatest(col("a_key"), col("b_key")).as("b_key"),
+          col("dist"), col("score"))
+    }
+    perDist.reduce(_ unionByName _)
+      .filter(col("score") >= 60)
+      .groupBy("a_key", "b_key")
+      .agg(min(col("dist")).as("dist"), max(col("score")).as("score"))
+      .orderBy("a_key", "b_key")
+  }
+
+  val q149_oracle: String = {
+    val leadCols = (dist: Int) =>
+      Seq("key", "adj", "ptype", "size", "price")
+        .map(a => s"lead($a, $dist) OVER w AS n${dist}_$a").mkString(",\n    ")
+    val scoreSql = (dist: Int) =>
+      s"""CASE WHEN adj = n${dist}_adj THEN 40 ELSE -10 END +
+         |    CASE WHEN ptype = n${dist}_ptype THEN 30 ELSE -20 END +
+         |    CASE WHEN abs(size - n${dist}_size) <= 2 THEN 20 ELSE -10 END +
+         |    CASE WHEN abs(price - n${dist}_price) <= CAST('5.00' AS DECIMAL(18,2))
+         |         THEN 10 ELSE -30 END""".stripMargin
+    s"""WITH s AS (
+       |  SELECT *,
+       |    ${leadCols(1)},
+       |    ${leadCols(2)}
+       |  FROM (
+       |    SELECT p_partkey AS key,
+       |      string_split(p_name, ' ')[1] AS adj,
+       |      string_split(p_name, ' ')[2] AS noun,
+       |      p_brand AS brand, p_type AS ptype, p_size AS size,
+       |      CAST(p_retailprice AS DECIMAL(18,2)) AS price
+       |    FROM part)
+       |  WINDOW w AS (PARTITION BY brand ORDER BY noun, adj, size, key)),
+       |pairs AS (
+       |  ${(1 until snWindow).map(dist =>
+           s"""SELECT least(key, n${dist}_key) AS a_key,
+              |  greatest(key, n${dist}_key) AS b_key, $dist AS dist,
+              |  ${scoreSql(dist)} AS score
+              |  FROM s WHERE n${dist}_key IS NOT NULL""".stripMargin)
+          .mkString("\n  UNION ALL\n  ")})
+       |SELECT a_key, b_key, min(dist) AS dist, max(score) AS score
+       |FROM pairs WHERE score >= 60
+       |GROUP BY a_key, b_key ORDER BY a_key, b_key""".stripMargin
+  }
+
   // ---------- q144: market-basket association rules ----------
 
   /** Minimum pair co-occurrence to call a rule (absolute floor). */
@@ -424,12 +519,14 @@ object MiningQueries {
     "q119_regression" -> (q119_regression _),
     "q120_sketch_overlap" -> (q120_sketch_overlap _),
     "q136_countmin" -> (q136_countmin _),
-    "q144_basket" -> (q144_basket _))
+    "q144_basket" -> (q144_basket _),
+    "q149_sorted_neighborhood" -> (q149_sorted_neighborhood _))
 
   val oracles: Map[String, String] = Map(
     "q116_record_linkage" -> q116_oracle,
     "q118_heavy_hitters" -> q118_oracle,
     "q119_regression" -> q119_oracle,
     "q136_countmin" -> q136_oracle,
-    "q144_basket" -> q144_oracle)
+    "q144_basket" -> q144_oracle,
+    "q149_sorted_neighborhood" -> q149_oracle)
 }

@@ -658,9 +658,99 @@ object VectorQueries {
        |WHERE rk <= $hardNegK ORDER BY q_id, rk""".stripMargin
   }
 
+  // ---------- q151: margin-based neighbor scoring ----------
+
+  /** k for the margin's local-density normalizer. */
+  val marginK = 4
+
+  /** Margin-based similarity scoring (Artetxe & Schwenk 2019 — the
+    * CCMatrix/LASER bitext-mining criterion): raw cosine over-selects
+    * in DENSE regions of embedding space, so each pair is rescored by
+    * its cosine relative to both endpoints' local density,
+    * `margin(x,y) = cos(x,y) / (avg kNN-cos of x + avg kNN-cos of y)`.
+    * A mediocre cosine in a sparse region outranks a high cosine
+    * inside a hub — the correction that makes mined pairs precise.
+    * Arithmetic: cosines are floor-scaled to 10⁹ integers FIRST
+    * (bit-identical doubles by the q28 fold rule, floor is exact),
+    * then the margin is `(cs·2k·10⁶) DIV (qk + nk)` — pure integers,
+    * so an operator built on kNN AVERAGES still hash-matches DuckDB.
+    * Top-3 margin-ranked matches per query.
+    *
+    * Scale shape: the bounded query set broadcasts over one corpus
+    * stream (q28's rule); BOTH density normalizers come out of that
+    * single scored stream via two windows (per-query kNN over
+    * corpus candidates; per-candidate kNN over the query set — the
+    * same |Q|·N rows partitioned the other way), so no second corpus
+    * pass. At an unbounded query set the scored stream comes from the
+    * q112 IVF path instead; the margin algebra on top is unchanged.
+    */
+  def q151_margin(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    val q = e.filter(col("vec_id") < 50)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), V.norm(col("v")).as("q_nrm"))
+    val c = e.select(col("vec_id").as("n_id"), col("v").as("nv"), V.norm(col("v")).as("n_nrm"))
+    val cs = floor(V.cosineWithNorms(col("qv"), col("nv"), col("q_nrm"), col("n_nrm"))
+      * 1000000000L).cast("long")
+    val scored = broadcast(q).join(c, col("q_id") =!= col("n_id"))
+      .select(col("q_id"), col("n_id"), cs.as("cs"))
+    val wq = Window.partitionBy("q_id").orderBy(col("cs").desc, col("n_id").asc)
+    val wn = Window.partitionBy("n_id").orderBy(col("cs").desc, col("q_id").asc)
+    val ranked = scored
+      .withColumn("rq", row_number().over(wq))
+      .withColumn("rn", row_number().over(wn))
+    val qk = ranked.filter(col("rq") <= marginK)
+      .groupBy("q_id").agg(sum(col("cs")).as("qk"))
+    val nk = ranked.filter(col("rn") <= marginK)
+      .groupBy("n_id").agg(sum(col("cs")).as("nk"))
+    val wm = Window.partitionBy("q_id")
+      .orderBy(col("margin_ppm").desc, col("n_id").asc)
+    scored
+      .join(broadcast(qk), "q_id")
+      .join(nk, "n_id")
+      .filter(col("qk") + col("nk") > 0)
+      .withColumn("margin_ppm",
+        expr(s"(cs * ${2 * marginK} * 1000000) DIV (qk + nk)"))
+      .withColumn("mrk", row_number().over(wm))
+      .filter(col("mrk") <= 3)
+      .select("q_id", "mrk", "n_id", "cs", "margin_ppm")
+      .orderBy("q_id", "mrk")
+  }
+
+  val q151_oracle: String = {
+    val cos = V.cosineSql("qv", "nv")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+       |scored AS (
+       |  SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+       |    CAST(floor(($cos) * 1000000000) AS BIGINT) AS cs
+       |  FROM (SELECT vec_id, v AS qv FROM e WHERE vec_id < 50) q,
+       |       (SELECT vec_id, v AS nv FROM e) c
+       |  WHERE q.vec_id <> c.vec_id),
+       |ranked AS (
+       |  SELECT *,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY cs DESC, n_id ASC) AS rq,
+       |    row_number() OVER (PARTITION BY n_id ORDER BY cs DESC, q_id ASC) AS rn
+       |  FROM scored),
+       |qk AS (SELECT q_id, CAST(sum(cs) AS BIGINT) AS qk FROM ranked
+       |       WHERE rq <= $marginK GROUP BY q_id),
+       |nk AS (SELECT n_id, CAST(sum(cs) AS BIGINT) AS nk FROM ranked
+       |       WHERE rn <= $marginK GROUP BY n_id)
+       |SELECT q_id, mrk, n_id, cs, margin_ppm FROM (
+       |  SELECT s.q_id, s.n_id, s.cs,
+       |    (s.cs * ${2 * marginK} * 1000000) // (qk.qk + nk.nk) AS margin_ppm,
+       |    row_number() OVER (PARTITION BY s.q_id
+       |      ORDER BY (s.cs * ${2 * marginK} * 1000000) // (qk.qk + nk.nk) DESC,
+       |        s.n_id ASC) AS mrk
+       |  FROM scored s
+       |  JOIN qk ON qk.q_id = s.q_id
+       |  JOIN nk ON nk.n_id = s.n_id
+       |  WHERE qk.qk + nk.nk > 0)
+       |WHERE mrk <= 3 ORDER BY q_id, mrk""".stripMargin
+  }
+
   // ---------- registry ----------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q151_margin" -> (q151_margin _),
     "q138_hard_negatives" -> (q138_hard_negatives _),
     "q87_semdedup" -> (q87_semdedup _),
     "q79_knn_quantized" -> (q79_knn_quantized _),
@@ -680,6 +770,7 @@ object VectorQueries {
     "q112_knn_ivfpq" -> (q112_knn_ivfpq _))
 
   val oracles: Map[String, String] = Map(
+    "q151_margin" -> q151_oracle,
     "q138_hard_negatives" -> q138_oracle,
     "q79_knn_quantized" -> q79_oracle,
     "q28_knn_bruteforce" -> q28_oracle,
