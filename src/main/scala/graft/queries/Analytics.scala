@@ -436,7 +436,46 @@ object Analytics {
       |GROUP BY n_name
       |ORDER BY revenue DESC, n_name""".stripMargin
 
+  // ---------- q152: customer order-count distribution (TPC-H Q13 shape) ----------
+
+  /** Order-count distribution INCLUDING the zero bucket — the TPC-H
+    * Q13 plan shape this library was missing: an OUTER join feeding
+    * an aggregate whose most interesting group (customers with no
+    * orders at all) exists only because the join preserved unmatched
+    * build rows. Inner-join formulations silently drop that bucket —
+    * the classic "where did my inactive users go" bug; the spec pins
+    * the zero row.
+    *
+    * Scale shape: one customer⋈orders shuffle on custkey (both sides
+    * fact-scale at 100 TB; AQE handles skew), per-customer counts
+    * collapse map-side, and the distribution rollup is
+    * |distinct counts| rows — tiny. `count(o_orderkey)` (non-null
+    * counting) is what turns the outer join's NULLs into the zero
+    * bucket.
+    */
+  def q152_order_distribution(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.load(spark, dir, "customer").select(col("c_custkey"))
+    val o = Tables.load(spark, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"))
+    c.join(o, col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy("c_custkey")
+      .agg(count(col("o_orderkey")).cast("long").as("c_count"))
+      .groupBy("c_count")
+      .agg(count(lit(1)).cast("long").as("n_custs"))
+      .orderBy(desc("n_custs"), desc("c_count"))
+  }
+
+  val q152_oracle: String =
+    """SELECT c_count, CAST(count(*) AS BIGINT) AS n_custs
+      |FROM (
+      |  SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+      |  FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+      |  GROUP BY c_custkey)
+      |GROUP BY c_count
+      |ORDER BY n_custs DESC, c_count DESC""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q152_order_distribution" -> (q152_order_distribution _),
     "q10_pricing_summary" -> (q10_pricing_summary _),
     "q11_join_agg" -> (q11_join_agg _),
     "q129_local_supplier" -> (q129_local_supplier _),
@@ -451,6 +490,7 @@ object Analytics {
     "q46_cube" -> (q46_cube _))
 
   val oracles: Map[String, String] = Map(
+    "q152_order_distribution" -> q152_oracle,
     "q10_pricing_summary" -> q10_oracle,
     "q11_join_agg" -> q11_oracle,
     "q129_local_supplier" -> q129_oracle,

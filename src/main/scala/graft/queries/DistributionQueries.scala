@@ -595,7 +595,51 @@ object DistributionQueries {
        |  min(cents) AS lo_cents, max(cents) AS hi_cents
        |FROM r GROUP BY 1, 2 ORDER BY event_type, bucket""".stripMargin
 
+  // ---------- q153: time-RANGE window frame ----------
+
+  /** Trailing-30-minute per-user activity (RANGE frame) — the
+    * time-based complement of q57's physical ROWS frame: the frame is
+    * "everything in the last 1800 SECONDS", so its row count varies
+    * with burstiness — exactly what a rate-limit / velocity-check
+    * feature needs and a ROWS frame cannot express. Both engines
+    * order by the same truncated epoch-seconds integer (Spark's
+    * timestamp→long cast ≡ DuckDB floor(epoch()) for positive
+    * instants), and a RANGE frame includes ALL peers of the boundary
+    * value by definition — so tie order between engines is
+    * irrelevant, no tiebreak column needed.
+    *
+    * Scale shape: ONE user-partitioned sort; the running frame
+    * streams each partition once with eviction at the trailing edge —
+    * state is the 30-minute window per user, never the timeline.
+    */
+  def q153_range_frame(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("esec"))
+      .rangeBetween(-1800, Window.currentRow)
+    Tables.load(spark, dir, "events")
+      .select(col("event_id"), col("user_id"),
+        col("ts").cast("long").as("esec"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .withColumn("n_30m", count(lit(1)).over(w).cast("long"))
+      .withColumn("cents_30m", sum(col("cents")).over(w).cast("long"))
+      .select("event_id", "user_id", "n_30m", "cents_30m")
+      .orderBy("event_id")
+  }
+
+  val q153_oracle: String =
+    """SELECT event_id, user_id,
+      |  CAST(count(*) OVER w AS BIGINT) AS n_30m,
+      |  CAST(sum(cents) OVER w AS BIGINT) AS cents_30m
+      |FROM (
+      |  SELECT event_id, user_id,
+      |    CAST(floor(epoch(ts)) AS BIGINT) AS esec,
+      |    CAST(round(value * 100) AS BIGINT) AS cents
+      |  FROM events)
+      |WINDOW w AS (PARTITION BY user_id ORDER BY esec
+      |  RANGE BETWEEN 1800 PRECEDING AND CURRENT ROW)
+      |ORDER BY event_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q153_range_frame" -> (q153_range_frame _),
     "q141_ks_drift" -> (q141_ks_drift _),
     "q142_hist_drift" -> (q142_hist_drift _),
     "q145_winsorize" -> (q145_winsorize _),
@@ -609,6 +653,7 @@ object DistributionQueries {
     "q130_locf" -> (q130_locf _))
 
   val oracles: Map[String, String] = Map(
+    "q153_range_frame" -> q153_oracle,
     "q141_ks_drift" -> q141_oracle,
     "q142_hist_drift" -> q142_oracle,
     "q145_winsorize" -> q145_oracle,

@@ -969,7 +969,18 @@ object TextQueries {
     * only. AllPairsSpec pins recall against brute force and that
     * pruning is genuine.
     */
-  def q143_allpairs(spark: SparkSession, dir: String): DataFrame = {
+  def q143_allpairs(spark: SparkSession, dir: String): DataFrame =
+    allPairsExact(spark, dir, 1, 2).orderBy("a_id", "b_id")
+
+  /** The prefix-filter core at Jaccard threshold num/den, shared by
+    * q143 (1/2) and q154's exact-truth side (4/5 — q25's own
+    * threshold). Prefix length `n − ⌈t·n⌉ + 1`, length filter
+    * `t·|A| ≤ |B| ≤ |A|/t`, verify `den·inter ≥ num·union` — every
+    * comparison a cross-multiplied integer, no float threshold
+    * anywhere.
+    */
+  private[queries] def allPairsExact(
+      spark: SparkSession, dir: String, num: Int, den: Int): DataFrame = {
     val keyed = docs(spark, dir)
       .select(col("doc_id"),
         explode(array_distinct(
@@ -982,11 +993,12 @@ object TextQueries {
         transform(col("sw"), s => s.getField("k")).as("ks"),
         size(col("sw")).as("n"))
     val pref = ord.select(col("doc_id"), col("n"),
-      explode(expr("slice(ks, 1, n DIV 2 + 1)")).as("k"))
+      explode(expr(s"slice(ks, 1, n - ($num * n + $den - 1) DIV $den + 1)")).as("k"))
     val cand = pref.as("a")
       .join(pref.as("b"),
         col("a.k") === col("b.k") && col("a.doc_id") < col("b.doc_id") &&
-          col("b.n") * 2 >= col("a.n") && col("b.n") <= col("a.n") * 2)
+          col("b.n") * den >= col("a.n") * num &&
+          col("b.n") * num <= col("a.n") * den)
       .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
       .distinct()
     cand
@@ -994,10 +1006,9 @@ object TextQueries {
       .join(ord.select(col("doc_id").as("b_id"), col("ks").as("kb"), col("n").as("n_b")), "b_id")
       .withColumn("inter", size(array_intersect(col("ka"), col("kb"))).cast("long"))
       .withColumn("uni", (col("n_a") + col("n_b")).cast("long") - col("inter"))
-      .filter(col("inter") * 2 >= col("uni"))
+      .filter(col("inter") * den >= col("uni") * num)
       .select(col("a_id"), col("b_id"), col("n_a"), col("n_b"), col("inter"),
         col("uni"), expr("(inter * 1000000) DIV uni").as("jac_ppm"))
-      .orderBy("a_id", "b_id")
   }
 
   /** The oracle speaks the SAME prefix algorithm (not brute force):
@@ -1005,7 +1016,7 @@ object TextQueries {
     * O(n²) in DuckDB too, and mirroring the prefix logic double-pins
     * it cross-engine.
     */
-  val q143_oracle: String = {
+  private[queries] def allPairsSql(num: Int, den: Int): String = {
     val keys = H.shingleKeysSql(H.shinglesSql(T.tokensSql("text")))
     s"""WITH toks AS (
        |  SELECT DISTINCT doc_id, k
@@ -1016,11 +1027,12 @@ object TextQueries {
        |    CAST(count(*) AS BIGINT) AS n
        |  FROM toks JOIN dfreq USING (k) GROUP BY doc_id),
        |pref AS (
-       |  SELECT doc_id, n, unnest(ks[1:(n // 2 + 1)]) AS k FROM ord),
+       |  SELECT doc_id, n,
+       |    unnest(ks[1:(n - ($num * n + $den - 1) // $den + 1)]) AS k FROM ord),
        |cand AS (
        |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
        |  FROM pref a JOIN pref b ON a.k = b.k AND a.doc_id < b.doc_id
-       |    AND b.n * 2 >= a.n AND b.n <= a.n * 2)
+       |    AND b.n * $den >= a.n * $num AND b.n * $num <= a.n * $den)
        |SELECT a_id, b_id, oa.n AS n_a, ob.n AS n_b,
        |  CAST(len(list_filter(oa.ks, x -> list_contains(ob.ks, x))) AS BIGINT)
        |    AS inter,
@@ -1032,15 +1044,71 @@ object TextQueries {
        |FROM cand
        |JOIN ord oa ON oa.doc_id = a_id
        |JOIN ord ob ON ob.doc_id = b_id
-       |WHERE len(list_filter(oa.ks, x -> list_contains(ob.ks, x))) * 2
-       |  >= oa.n + ob.n - len(list_filter(oa.ks, x -> list_contains(ob.ks, x)))
-       |ORDER BY a_id, b_id""".stripMargin
+       |WHERE len(list_filter(oa.ks, x -> list_contains(ob.ks, x))) * $den
+       |  >= (oa.n + ob.n - len(list_filter(oa.ks, x -> list_contains(ob.ks, x)))) * $num""".stripMargin
   }
+
+  val q143_oracle: String = s"${allPairsSql(1, 2)}\nORDER BY a_id, b_id"
+
+  // ---------- q154: dedup-recall evaluation (LSH vs exact truth) ----------
+
+  /** Evaluation-as-an-operator: q25's MinHash-LSH near-dup pairs
+    * measured against the EXACT all-pairs truth at the same J ≥ 4/5
+    * threshold (q143's prefix core parametrized to 4/5) — the
+    * precision/recall audit any production dedup ships with, run
+    * entirely inside the engine. Both sides speak the same 60-bit
+    * shingle-key Jaccard, so every difference is the BANDING's miss,
+    * not a domain mismatch; LSH verifies candidates exactly, so
+    * precision is 1 by construction and the spec-worthy number is
+    * RECALL (+ missed-pair id-sum pinning the exact missed SET, the
+    * q105 rule).
+    *
+    * Scale shape: the exact side is the q143 prefix join (bounded by
+    * rare-token postings); the LSH side reuses the session's stored
+    * signature index; the compare is one full-outer join on pair keys
+    * sized by the PAIR tables, not the corpus.
+    */
+  def q154_dedup_eval(spark: SparkSession, dir: String): DataFrame = {
+    val exact = allPairsExact(spark, dir, 4, 5)
+      .select(col("a_id"), col("b_id"), lit(1L).as("in_exact"))
+    val lsh = lshPairs(spark, dir)
+      .select(col("a_id"), col("b_id"), lit(1L).as("in_lsh"))
+    exact.join(lsh, Seq("a_id", "b_id"), "full_outer")
+      .agg(
+        sum(col("in_exact")).cast("long").as("n_exact"),
+        sum(col("in_lsh")).cast("long").as("n_lsh"),
+        sum(col("in_exact") * col("in_lsh")).cast("long").as("n_common"),
+        count_if(col("in_lsh").isNull).cast("long").as("n_missed"),
+        count_if(col("in_exact").isNull).cast("long").as("n_extra"),
+        coalesce(sum(when(col("in_lsh").isNull, col("a_id") + col("b_id"))), lit(0L))
+          .cast("long").as("missed_id_sum"))
+      .withColumn("recall_ppm", expr("(n_common * 1000000) DIV n_exact"))
+  }
+
+  val q154_oracle: String =
+    s"""WITH ex AS (${allPairsSql(4, 5)}),
+       |lsh AS ($lshPairsSql),
+       |j AS (
+       |  SELECT ex.a_id AS ea, ex.b_id AS eb, lsh.a_id AS la, lsh.b_id AS lb
+       |  FROM ex FULL JOIN lsh ON ex.a_id = lsh.a_id AND ex.b_id = lsh.b_id)
+       |SELECT
+       |  CAST(count(ea) AS BIGINT) AS n_exact,
+       |  CAST(count(la) AS BIGINT) AS n_lsh,
+       |  CAST(count(CASE WHEN ea IS NOT NULL AND la IS NOT NULL THEN 1 END)
+       |    AS BIGINT) AS n_common,
+       |  CAST(count(CASE WHEN la IS NULL THEN 1 END) AS BIGINT) AS n_missed,
+       |  CAST(count(CASE WHEN ea IS NULL THEN 1 END) AS BIGINT) AS n_extra,
+       |  CAST(coalesce(sum(CASE WHEN la IS NULL THEN ea + eb END), 0) AS BIGINT)
+       |    AS missed_id_sum,
+       |  (count(CASE WHEN ea IS NOT NULL AND la IS NOT NULL THEN 1 END) * 1000000)
+       |    // count(ea) AS recall_ppm
+       |FROM j""".stripMargin
 
   // ---------- registry ----------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q143_allpairs" -> (q143_allpairs _),
+    "q154_dedup_eval" -> (q154_dedup_eval _),
     "q139_novelty" -> (q139_novelty _),
     "q19_token_count" -> (q19_token_count _),
     "q20_lang_id" -> (q20_lang_id _),
@@ -1062,6 +1130,7 @@ object TextQueries {
   val oracles: Map[String, String] = Map(
     "q139_novelty" -> q139_oracle,
     "q143_allpairs" -> q143_oracle,
+    "q154_dedup_eval" -> q154_oracle,
     "q19_token_count" -> q19_oracle,
     "q20_lang_id" -> q20_oracle,
     "q21_quality_score" -> q21_oracle,
