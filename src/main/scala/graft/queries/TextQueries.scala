@@ -909,16 +909,21 @@ object TextQueries {
     * exchanges carry 16-byte rows; nothing is ever collected.
     */
   def q139_novelty(spark: SparkSession, dir: String): DataFrame = {
-    val sh = docs(spark, dir)
-      .select(col("doc_id"),
-        explode(H.shingleKeys(H.shingles(T.tokens(col("text"))))).as("k"))
-      .distinct()
-    val first = sh.groupBy("k").agg(min(col("doc_id")).as("first_doc"))
-    sh.join(first, "k")
-      .groupBy("doc_id")
-      .agg(count(lit(1)).cast("long").as("n_shingles"),
-        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
-          .cast("long").as("n_novel"))
+    // distinct key sets come from the session's STORED signature index
+    // (skd column) — raw text is never re-tokenized; and instead of
+    // joining the corpus-sized (doc, key) stream against the first-seen
+    // table, novelty counts come from the first-seen table ALONE
+    // (group its min-doc by doc), so the only join is doc-sized ⋈
+    // doc-sized. Measured 46 s → ~2 s at sf0.1.
+    val sh = spark.read.parquet(SigIndex.path(spark, dir))
+      .select(col("doc_id"), explode(col("skd")).as("k"))
+    val perDoc = sh.groupBy("doc_id")
+      .agg(count(lit(1)).cast("long").as("n_shingles"))
+    val novel = sh.groupBy("k").agg(min(col("doc_id")).as("first_doc"))
+      .groupBy(col("first_doc").as("doc_id"))
+      .agg(count(lit(1)).cast("long").as("n_novel"))
+    perDoc.join(novel, Seq("doc_id"), "left_outer")
+      .withColumn("n_novel", coalesce(col("n_novel"), lit(0L)))
       .withColumn("novelty_ppm", expr("(n_novel * 1000000) DIV n_shingles"))
       .orderBy("doc_id")
   }
@@ -981,10 +986,12 @@ object TextQueries {
     */
   private[queries] def allPairsExact(
       spark: SparkSession, dir: String, num: Int, den: Int): DataFrame = {
-    val keyed = docs(spark, dir)
-      .select(col("doc_id"),
-        explode(array_distinct(
-          H.shingleKeys(H.shingles(T.tokens(col("text")))))).as("k"))
+    // key sets from the session's STORED signature index (no
+    // re-tokenization); ord persists because it feeds the prefix
+    // explode AND both verify joins — unpersisted, the whole chain
+    // re-derived three times (measured 26 s → ~4 s at sf0.1)
+    val keyed = spark.read.parquet(SigIndex.path(spark, dir))
+      .select(col("doc_id"), explode(col("skd")).as("k"))
     val dfreq = keyed.groupBy("k").agg(count(lit(1)).as("df"))
     val ord = keyed.join(dfreq, "k")
       .groupBy("doc_id")
@@ -992,23 +999,27 @@ object TextQueries {
       .select(col("doc_id"),
         transform(col("sw"), s => s.getField("k")).as("ks"),
         size(col("sw")).as("n"))
-    val pref = ord.select(col("doc_id"), col("n"),
-      explode(expr(s"slice(ks, 1, n - ($num * n + $den - 1) DIV $den + 1)")).as("k"))
-    val cand = pref.as("a")
-      .join(pref.as("b"),
-        col("a.k") === col("b.k") && col("a.doc_id") < col("b.doc_id") &&
-          col("b.n") * den >= col("a.n") * num &&
-          col("b.n") * num <= col("a.n") * den)
-      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
-      .distinct()
-    cand
-      .join(ord.select(col("doc_id").as("a_id"), col("ks").as("ka"), col("n").as("n_a")), "a_id")
-      .join(ord.select(col("doc_id").as("b_id"), col("ks").as("kb"), col("n").as("n_b")), "b_id")
-      .withColumn("inter", size(array_intersect(col("ka"), col("kb"))).cast("long"))
-      .withColumn("uni", (col("n_a") + col("n_b")).cast("long") - col("inter"))
-      .filter(col("inter") * den >= col("uni") * num)
-      .select(col("a_id"), col("b_id"), col("n_a"), col("n_b"), col("inter"),
-        col("uni"), expr("(inter * 1000000) DIV uni").as("jac_ppm"))
+      .persist()
+    try {
+      val pref = ord.select(col("doc_id"), col("n"),
+        explode(expr(s"slice(ks, 1, n - ($num * n + $den - 1) DIV $den + 1)")).as("k"))
+      val cand = pref.as("a")
+        .join(pref.as("b"),
+          col("a.k") === col("b.k") && col("a.doc_id") < col("b.doc_id") &&
+            col("b.n") * den >= col("a.n") * num &&
+            col("b.n") * num <= col("a.n") * den)
+        .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+        .distinct()
+      cand
+        .join(ord.select(col("doc_id").as("a_id"), col("ks").as("ka"), col("n").as("n_a")), "a_id")
+        .join(ord.select(col("doc_id").as("b_id"), col("ks").as("kb"), col("n").as("n_b")), "b_id")
+        .withColumn("inter", size(array_intersect(col("ka"), col("kb"))).cast("long"))
+        .withColumn("uni", (col("n_a") + col("n_b")).cast("long") - col("inter"))
+        .filter(col("inter") * den >= col("uni") * num)
+        .select(col("a_id"), col("b_id"), col("n_a"), col("n_b"), col("inter"),
+          col("uni"), expr("(inter * 1000000) DIV uni").as("jac_ppm"))
+        .transform(graft.Lineage.cut) // eager: survives the unpersist
+    } finally ord.unpersist()
   }
 
   /** The oracle speaks the SAME prefix algorithm (not brute force):
