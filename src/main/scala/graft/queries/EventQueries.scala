@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Event-sequence analytics (SURVEY §2 #65–#66): funnel conversion and
@@ -280,9 +281,62 @@ object EventQueries {
        |GROUP BY user_id, touch_type
        |ORDER BY user_id, touch_type""".stripMargin
 
+  // ---------- q157: week-over-week change report ----------
+
+  /** Period-over-period volume/value deltas per event type — the
+    * top-of-dashboard ops report (and the simplest drift alarm):
+    * weekly rollup, then each week compared to its predecessor with
+    * the delta in exact ppm (`(n − prev)·10⁶ DIV prev`, negative
+    * deltas truncate toward zero identically in both engines — probed
+    * explicitly). First week has no predecessor → NULL deltas, not a
+    * fake zero. Complements q66 (cohort retention follows USERS
+    * across weeks; this follows aggregate volume) and q141/q142
+    * (distribution drift; this is level drift).
+    *
+    * Scale shape: one partial-agg shuffle to |types|·|weeks| rows;
+    * the lag window runs over that tiny table.
+    */
+  def q157_wow_change(spark: SparkSession, dir: String): DataFrame = {
+    val wk = Window.partitionBy("event_type").orderBy("week")
+    Tables.load(spark, dir, "events")
+      .groupBy(col("event_type"),
+        date_format(date_trunc("week", col("ts")), "yyyy-MM-dd").as("week"))
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(round(col("value") * 100).cast("long")).cast("long").as("cents"))
+      .withColumn("prev_n", lag(col("n"), 1).over(wk))
+      .withColumn("prev_cents", lag(col("cents"), 1).over(wk))
+      .withColumn("n_delta_ppm",
+        when(col("prev_n") > 0,
+          expr("((n - prev_n) * 1000000) DIV prev_n")))
+      .withColumn("cents_delta_ppm",
+        when(col("prev_cents") > 0,
+          expr("((cents - prev_cents) * 1000000) DIV prev_cents")))
+      .select("event_type", "week", "n", "cents", "n_delta_ppm", "cents_delta_ppm")
+      .orderBy("event_type", "week")
+  }
+
+  val q157_oracle: String =
+    """WITH w AS (
+      |  SELECT event_type, strftime(date_trunc('week', ts), '%Y-%m-%d') AS week,
+      |    CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+      |  FROM events GROUP BY 1, 2),
+      |l AS (
+      |  SELECT *,
+      |    lag(n) OVER (PARTITION BY event_type ORDER BY week) AS prev_n,
+      |    lag(cents) OVER (PARTITION BY event_type ORDER BY week) AS prev_cents
+      |  FROM w)
+      |SELECT event_type, week, n, cents,
+      |  CASE WHEN prev_n > 0 THEN ((n - prev_n) * 1000000) // prev_n END
+      |    AS n_delta_ppm,
+      |  CASE WHEN prev_cents > 0 THEN ((cents - prev_cents) * 1000000) // prev_cents END
+      |    AS cents_delta_ppm
+      |FROM l ORDER BY event_type, week""".stripMargin
+
   // ---------- registry ----------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q157_wow_change" -> (q157_wow_change _),
     "q150_attribution" -> (q150_attribution _),
     "q65_funnel" -> (q65_funnel _),
     "q66_retention" -> (q66_retention _),
@@ -294,5 +348,6 @@ object EventQueries {
     "q66_retention" -> q66_oracle,
     "q128_transitions" -> q128_oracle,
     "q135_decay_score" -> q135_oracle,
-    "q150_attribution" -> q150_oracle)
+    "q150_attribution" -> q150_oracle,
+    "q157_wow_change" -> q157_oracle)
 }

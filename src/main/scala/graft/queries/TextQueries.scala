@@ -1115,11 +1115,150 @@ object TextQueries {
        |    // count(ea) AS recall_ppm
        |FROM j""".stripMargin
 
+  // ---------- q155: language-ID evaluation ----------
+
+  /** Classifier evaluation as an engine operator (the q154 pattern
+    * applied to q20's language detector): per-language precision /
+    * recall / F1 against the corpus's declared labels, in exact ppm —
+    * tp/fp/fn fold out of one confusion-matrix aggregation, and
+    * F1 = 2pr/(p+r) rides the integer DIV recipe so the whole eval
+    * table hash-matches cross-engine. Declared labels are the truth;
+    * 'und' detections count as misses of their declared class (the
+    * detector's abstentions hurt recall, not precision — standard
+    * multi-class convention).
+    *
+    * Scale shape: one narrow detector scan (the q20 expression) into
+    * a |langs|²-bounded confusion aggregate; everything after is
+    * arithmetic on that tiny table.
+    */
+  def q155_langid_eval(spark: SparkSession, dir: String): DataFrame = {
+    val conf = docs(spark, dir)
+      .select(col("lang").as("declared"),
+        T.langId(T.tokens(col("text"))).as("detected"))
+      .groupBy("declared", "detected")
+      .agg(count(lit(1)).cast("long").as("n"))
+    val tp = sum(when(col("declared") === col("lang") &&
+      col("detected") === col("lang"), col("n")).otherwise(0L))
+    val fp = sum(when(col("declared") =!= col("lang") &&
+      col("detected") === col("lang"), col("n")).otherwise(0L))
+    val fn = sum(when(col("declared") === col("lang") &&
+      col("detected") =!= col("lang"), col("n")).otherwise(0L))
+    conf.crossJoin(conf.select(col("declared").as("lang")).distinct())
+      .groupBy("lang")
+      .agg(tp.cast("long").as("tp"), fp.cast("long").as("fp"),
+        fn.cast("long").as("fn"))
+      .withColumn("precision_ppm",
+        when(col("tp") + col("fp") > 0,
+          expr("(tp * 1000000) DIV (tp + fp)")).otherwise(0L))
+      .withColumn("recall_ppm",
+        when(col("tp") + col("fn") > 0,
+          expr("(tp * 1000000) DIV (tp + fn)")).otherwise(0L))
+      .withColumn("f1_ppm",
+        when(col("precision_ppm") + col("recall_ppm") > 0,
+          expr("(2 * precision_ppm * recall_ppm) DIV (precision_ppm + recall_ppm)"))
+          .otherwise(0L))
+      .orderBy("lang")
+  }
+
+  val q155_oracle: String = {
+    val det = graft.functions.TextFunctions.langIdSql(T.tokensSql("text"))
+    s"""WITH conf AS (
+       |  SELECT lang AS declared, $det AS detected,
+       |    CAST(count(*) AS BIGINT) AS n
+       |  FROM documents GROUP BY 1, 2),
+       |langs AS (SELECT DISTINCT declared AS lang FROM conf),
+       |m AS (
+       |  SELECT lang,
+       |    CAST(sum(CASE WHEN declared = lang AND detected = lang THEN n ELSE 0 END) AS BIGINT) AS tp,
+       |    CAST(sum(CASE WHEN declared <> lang AND detected = lang THEN n ELSE 0 END) AS BIGINT) AS fp,
+       |    CAST(sum(CASE WHEN declared = lang AND detected <> lang THEN n ELSE 0 END) AS BIGINT) AS fn
+       |  FROM conf CROSS JOIN langs GROUP BY lang),
+       |pr AS (
+       |  SELECT *,
+       |    CASE WHEN tp + fp > 0 THEN (tp * 1000000) // (tp + fp) ELSE 0 END AS precision_ppm,
+       |    CASE WHEN tp + fn > 0 THEN (tp * 1000000) // (tp + fn) ELSE 0 END AS recall_ppm
+       |  FROM m)
+       |SELECT lang, tp, fp, fn, precision_ppm, recall_ppm,
+       |  CASE WHEN precision_ppm + recall_ppm > 0
+       |    THEN (2 * precision_ppm * recall_ppm) // (precision_ppm + recall_ppm)
+       |    ELSE 0 END AS f1_ppm
+       |FROM pr ORDER BY lang""".stripMargin
+  }
+
+  // ---------- q158: source-characteristic vocabulary (keyness) ----------
+
+  /** Minimum per-source occurrences for a keyness candidate. */
+  val keynessMinCount = 5L
+
+  /** Distinctive vocabulary per source by integer-exact LIFT
+    * (corpus-linguistics "keyness", the q114 DIV recipe at the
+    * source×token level): `(c_sw·N·10⁶) DIV (c_w·N_s)` — how much
+    * more frequent a token is in source s than in the corpus; log
+    * variants (log-likelihood keyness) are monotone in this ratio for
+    * fixed marginals, so the top-k set is the canonical one with zero
+    * floats. Top-5 per source, min-count floored.
+    *
+    * Scale shape: one (source, token) partial-agg shuffle (the
+    * exploded corpus collapses map-side), marginals derive from that
+    * table (never a second corpus pass), the rank window runs over
+    * the vocab-sized lift table.
+    */
+  def q158_source_keyness(spark: SparkSession, dir: String): DataFrame = {
+    val dec38 = "decimal(38,0)"
+    val sw = docs(spark, dir)
+      .select(col("source"), explode(T.tokens(lower(col("text")))).as("w"))
+      .groupBy("source", "w").agg(count(lit(1)).cast("long").as("c_sw"))
+      .persist()
+    try {
+      val perSource = sw.groupBy("source").agg(sum(col("c_sw")).cast("long").as("n_s"))
+      val perToken = sw.groupBy("w").agg(sum(col("c_sw")).cast("long").as("c_w"))
+      val total = perSource.agg(sum(col("n_s")).cast("long").as("n_tot"))
+      val wk = org.apache.spark.sql.expressions.Window.partitionBy("source")
+        .orderBy(col("lift_micro").desc, col("w").asc)
+      sw.filter(col("c_sw") >= keynessMinCount)
+        .join(broadcast(perSource), "source")
+        .join(perToken, "w")
+        .crossJoin(broadcast(total))
+        .withColumn("lift_micro",
+          expr(s"CAST((CAST(c_sw AS $dec38) * n_tot * 1000000) DIV " +
+            s"(CAST(c_w AS $dec38) * n_s) AS BIGINT)"))
+        .withColumn("rk", row_number().over(wk))
+        .filter(col("rk") <= 5)
+        .select("source", "rk", "w", "c_sw", "c_w", "lift_micro")
+        .orderBy("source", "rk")
+        .transform(graft.Lineage.cut)
+    } finally sw.unpersist()
+  }
+
+  val q158_oracle: String = {
+    val toks = T.tokensSql("lower(text)")
+    s"""WITH sw AS (
+       |  SELECT source, w, CAST(count(*) AS BIGINT) AS c_sw
+       |  FROM (SELECT source, unnest($toks) AS w FROM documents)
+       |  GROUP BY 1, 2),
+       |ps AS (SELECT source, CAST(sum(c_sw) AS BIGINT) AS n_s FROM sw GROUP BY source),
+       |pt AS (SELECT w, CAST(sum(c_sw) AS BIGINT) AS c_w FROM sw GROUP BY w),
+       |tot AS (SELECT CAST(sum(n_s) AS BIGINT) AS n_tot FROM ps),
+       |lifted AS (
+       |  SELECT sw.source, sw.w, sw.c_sw, pt.c_w,
+       |    CAST((CAST(sw.c_sw AS HUGEINT) * n_tot * 1000000)
+       |      // (CAST(pt.c_w AS HUGEINT) * ps.n_s) AS BIGINT) AS lift_micro
+       |  FROM sw JOIN ps USING (source) JOIN pt USING (w) CROSS JOIN tot
+       |  WHERE sw.c_sw >= $keynessMinCount)
+       |SELECT source, rk, w, c_sw, c_w, lift_micro FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY source
+       |    ORDER BY lift_micro DESC, w ASC) AS rk
+       |  FROM lifted)
+       |WHERE rk <= 5 ORDER BY source, rk""".stripMargin
+  }
+
   // ---------- registry ----------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q143_allpairs" -> (q143_allpairs _),
     "q154_dedup_eval" -> (q154_dedup_eval _),
+    "q155_langid_eval" -> (q155_langid_eval _),
+    "q158_source_keyness" -> (q158_source_keyness _),
     "q139_novelty" -> (q139_novelty _),
     "q19_token_count" -> (q19_token_count _),
     "q20_lang_id" -> (q20_lang_id _),
@@ -1142,6 +1281,8 @@ object TextQueries {
     "q139_novelty" -> q139_oracle,
     "q143_allpairs" -> q143_oracle,
     "q154_dedup_eval" -> q154_oracle,
+    "q155_langid_eval" -> q155_oracle,
+    "q158_source_keyness" -> q158_oracle,
     "q19_token_count" -> q19_oracle,
     "q20_lang_id" -> q20_oracle,
     "q21_quality_score" -> q21_oracle,

@@ -747,9 +747,66 @@ object VectorQueries {
        |WHERE mrk <= 3 ORDER BY q_id, mrk""".stripMargin
   }
 
+  // ---------- q156: embedding-matrix column profile ----------
+
+  /** Per-dimension statistics of the embedding matrix — the
+    * feature-store monitoring table (collapsed dimensions, mean
+    * shift, range blowout are the standard embedding-pipeline
+    * regressions, and this is the table their alerts read): each
+    * component is floor-scaled to an exact 10⁶ integer FIRST
+    * (float→double is exact, ×10⁶ correctly rounded identically in
+    * both engines, floor exact), so sums/moments are pure integers —
+    * the ONLY way per-dimension sums over a trillion rows are even
+    * deterministic (float accumulation is partial-order-dependent).
+    * Variance in micro² units by the q105 cleared form
+    * `(n·Q − S²) DIV n²`.
+    *
+    * Scale shape: one posexplode scan (64·N narrow rows) into a
+    * 64-row partial-agg — dimension count bounds the state, corpus
+    * size only streams. Products ride decimal(38,0).
+    */
+  def q156_embedding_profile(spark: SparkSession, dir: String): DataFrame = {
+    val dec38 = "decimal(38,0)"
+    Tables.load(spark, dir, "embeddings")
+      .select(posexplode(V.asDouble(col("embedding"))).as(Seq("dim", "c")))
+      .select(col("dim"), floor(col("c") * 1000000L).cast("long").as("cm"))
+      .groupBy("dim")
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(col("cm").cast(dec38)).as("s"),
+        sum(col("cm").cast(dec38) * col("cm")).as("q"),
+        min(col("cm")).as("min_micro"),
+        max(col("cm")).as("max_micro"))
+      .select(col("dim"), col("n"),
+        expr("CAST(s DIV n AS BIGINT)").as("mean_micro"),
+        expr(s"CAST((CAST(n AS $dec38) * q - s * s) DIV (CAST(n AS $dec38) * n) AS BIGINT)")
+          .as("var_micro2"),
+        col("min_micro"), col("max_micro"))
+      .orderBy("dim")
+  }
+
+  val q156_oracle: String =
+    s"""WITH c AS (
+       |  SELECT g.i - 1 AS dim,
+       |    CAST(floor(CAST(embedding[g.i] AS DOUBLE) * 1000000) AS BIGINT) AS cm
+       |  FROM embeddings CROSS JOIN generate_series(1, ${dim}) AS g(i)
+       |  WHERE g.i <= len(embedding)),
+       |m AS (
+       |  SELECT dim, CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(CAST(cm AS HUGEINT)) AS HUGEINT) AS s,
+       |    CAST(sum(CAST(cm AS HUGEINT) * cm) AS HUGEINT) AS q,
+       |    min(cm) AS min_micro, max(cm) AS max_micro
+       |  FROM c GROUP BY dim)
+       |SELECT dim, n,
+       |  CAST(s // n AS BIGINT) AS mean_micro,
+       |  CAST((CAST(n AS HUGEINT) * q - s * s) // (CAST(n AS HUGEINT) * n) AS BIGINT)
+       |    AS var_micro2,
+       |  min_micro, max_micro
+       |FROM m ORDER BY dim""".stripMargin
+
   // ---------- registry ----------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q156_embedding_profile" -> (q156_embedding_profile _),
     "q151_margin" -> (q151_margin _),
     "q138_hard_negatives" -> (q138_hard_negatives _),
     "q87_semdedup" -> (q87_semdedup _),
@@ -770,6 +827,7 @@ object VectorQueries {
     "q112_knn_ivfpq" -> (q112_knn_ivfpq _))
 
   val oracles: Map[String, String] = Map(
+    "q156_embedding_profile" -> q156_oracle,
     "q151_margin" -> q151_oracle,
     "q138_hard_negatives" -> q138_oracle,
     "q79_knn_quantized" -> q79_oracle,
