@@ -442,7 +442,79 @@ object ChangeCapture {
       |FROM orders JOIN customer ON o_custkey = c_custkey
       |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
 
+  // ---------- q159: partition-spec evolution ----------
+
+  /** Partition-spec evolution — the table-layout half of q97's schema
+    * evolution (Iceberg's headline feature, reproduced on plain
+    * parquet): an old generation written `partitionBy(day)` and a new
+    * generation `partitionBy(day, source)` are read as ONE logical
+    * table; a (day, source) predicate prunes DIRECTORIES on both
+    * layouts — fully on gen2 (both keys are partition dirs), day-only
+    * on gen1 (source there is a data column and falls back to a
+    * pushed row-group filter). Queries never know which layout a row
+    * came from; the oracle recomputes from the unsplit table (the
+    * q90/q97 transparency rule). PartitionEvolutionSpec pins the
+    * asymmetric pruning on the executed plans.
+    *
+    * Scale shape: the repartition-per-generation writes are the
+    * one-time migration cost; every later read prunes at directory
+    * granularity, so the scan cost follows the NEW spec for new data
+    * without rewriting old data — the entire point of spec evolution.
+    */
+  def q159_partition_evolution(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val work = graft.io.Scratch.dir(spark, "graft-q159-")
+    val fs = new Path(work).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    try {
+      val docs = Tables.load(spark, dir, "documents")
+        .withColumn("day", (col("doc_id") % 7).cast("int"))
+      docs.filter(col("doc_id") % 2 === 0)
+        .write.partitionBy("day").parquet(s"$work/gen1")
+      docs.filter(col("doc_id") % 2 === 1)
+        .write.partitionBy("day", "source").parquet(s"$work/gen2")
+      spark.read.parquet(s"$work/gen1")
+        .unionByName(spark.read.parquet(s"$work/gen2"))
+        .filter(col("day") === 3 && col("source").isin("src1", "src2"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).cast("long").as("total_chars"),
+          sum(col("doc_id")).cast("long").as("id_sum"))
+        .orderBy("source")
+        .localCheckpoint() // materialize before the work dir is deleted
+    } finally fs.delete(new Path(work), true)
+  }
+
+  /** Both generations' read paths, for the spec's plan assertions. */
+  private[queries] def partitionEvolutionPlans(
+      spark: SparkSession, dir: String): (String, String) = {
+    import org.apache.hadoop.fs.Path
+    val work = graft.io.Scratch.dir(spark, "graft-q159p-")
+    val fs = new Path(work).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    try {
+      val docs = Tables.load(spark, dir, "documents")
+        .withColumn("day", (col("doc_id") % 7).cast("int"))
+      docs.filter(col("doc_id") % 2 === 0)
+        .write.partitionBy("day").parquet(s"$work/gen1")
+      docs.filter(col("doc_id") % 2 === 1)
+        .write.partitionBy("day", "source").parquet(s"$work/gen2")
+      def plan(path: String): String =
+        spark.read.parquet(path)
+          .filter(col("day") === 3 && col("source").isin("src1", "src2"))
+          .queryExecution.executedPlan.toString
+      (plan(s"$work/gen1"), plan(s"$work/gen2"))
+    } finally fs.delete(new Path(work), true)
+  }
+
+  val q159_oracle: String =
+    """SELECT source, count(*) AS n_docs,
+      |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+      |  CAST(sum(doc_id) AS BIGINT) AS id_sum
+      |FROM documents
+      |WHERE doc_id % 7 = 3 AND source IN ('src1', 'src2')
+      |GROUP BY source ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q159_partition_evolution" -> (q159_partition_evolution _),
     "q85_cdc_changelog" -> (q85_cdc_changelog _),
     "q90_layout_prune" -> (q90_layout_prune _),
     "q101_zorder" -> (q101_zorder _),
@@ -451,6 +523,7 @@ object ChangeCapture {
     "q124_bucket_join" -> (q124_bucket_join _))
 
   val oracles: Map[String, String] = Map(
+    "q159_partition_evolution" -> q159_oracle,
     "q85_cdc_changelog" -> q85_oracle,
     "q90_layout_prune" -> q90_oracle,
     "q101_zorder" -> q101_oracle,
