@@ -474,7 +474,55 @@ object Analytics {
       |GROUP BY c_count
       |ORDER BY n_custs DESC, c_count DESC""".stripMargin
 
+  // ---------- q160: large-volume orders (TPC-H Q18 shape) ----------
+
+  /** Quantity threshold — sized so a small, interesting fraction of
+    * orders qualifies at every scale factor (TPC-H Q18's 300-ish
+    * shape scaled to this corpus's ~4-lineitem orders). */
+  val largeOrderQty = 220
+
+  /** Large-volume orders (TPC-H Q18): orders whose TOTAL lineitem
+    * quantity exceeds a threshold, rejoined to their customer and
+    * full detail — the aggregate-filter-then-rejoin plan shape
+    * (HAVING on a grouped fact, then the survivors drive a semi-join
+    * back into the detail tables). The qualifying-order set is tiny,
+    * so it BROADCASTS into both rejoins and the big tables are never
+    * shuffled for the final assembly — the shape's entire point at
+    * 100 TB; quantities aggregate in exact decimal (q10's rule).
+    */
+  def q160_large_orders(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem")
+    val big = li.groupBy("l_orderkey")
+      .agg(sum(col("l_quantity").cast(dec18)).as("total_qty"))
+      .filter(col("total_qty") > lit(largeOrderQty).cast(dec18))
+    val orders = Tables.load(spark, dir, "orders")
+      .select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+    val cust = Tables.load(spark, dir, "customer").select("c_custkey", "c_name")
+    orders
+      .join(broadcast(big), col("o_orderkey") === col("l_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_date"),
+        col("o_totalprice"),
+        col("total_qty").cast("double").as("total_qty"))
+      .orderBy(desc("total_qty"), col("o_orderkey"))
+  }
+
+  val q160_oracle: String =
+    s"""SELECT c_custkey, c_name, o_orderkey,
+       |  strftime(o_orderdate, '%Y-%m-%d') AS o_date, o_totalprice,
+       |  CAST(total_qty AS DOUBLE) AS total_qty
+       |FROM orders
+       |JOIN (
+       |  SELECT l_orderkey, sum(CAST(l_quantity AS DECIMAL(18,2))) AS total_qty
+       |  FROM lineitem GROUP BY l_orderkey
+       |  HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > $largeOrderQty
+       |) big ON o_orderkey = big.l_orderkey
+       |JOIN customer ON o_custkey = c_custkey
+       |ORDER BY total_qty DESC, o_orderkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q160_large_orders" -> (q160_large_orders _),
     "q152_order_distribution" -> (q152_order_distribution _),
     "q10_pricing_summary" -> (q10_pricing_summary _),
     "q11_join_agg" -> (q11_join_agg _),
@@ -490,6 +538,7 @@ object Analytics {
     "q46_cube" -> (q46_cube _))
 
   val oracles: Map[String, String] = Map(
+    "q160_large_orders" -> q160_oracle,
     "q152_order_distribution" -> q152_oracle,
     "q10_pricing_summary" -> q10_oracle,
     "q11_join_agg" -> q11_oracle,

@@ -187,8 +187,15 @@ object EventQueries {
     * by user — the canonical map-side-combine rollup; output is
     * user-sized.
     */
-  def q135_decay_score(spark: SparkSession, dir: String): DataFrame =
-    Tables.load(spark, dir, "events")
+  /** q135's aggregation core over ANY (event_type, ts, user_id,
+    * value) frame — factored so q161's streaming foreachBatch can run
+    * the identical arithmetic per micro-batch: because the anchor is
+    * pinned, every output column is ADDITIVE across batches, which is
+    * the incrementality claim q161 then proves against q135's own
+    * oracle.
+    */
+  private[queries] def decayAggregate(events: DataFrame): DataFrame =
+    events
       .filter(col("event_type") === "purchase")
       .withColumn("cents", round(col("value") * 100).cast("long"))
       .withColumn("age_weeks",
@@ -200,6 +207,9 @@ object EventQueries {
       .agg(count(lit(1)).cast("long").as("n_purchases"),
         sum(col("cents")).cast("long").as("cents_sum"),
         sum(col("cents") * col("w_micro")).cast("long").as("decay_micro"))
+
+  def q135_decay_score(spark: SparkSession, dir: String): DataFrame =
+    decayAggregate(Tables.load(spark, dir, "events"))
       .orderBy("user_id")
 
   val q135_oracle: String =

@@ -375,13 +375,75 @@ object StreamingParity {
       | AND v.ts <= c.ts AND v.ts >= c.ts - INTERVAL 1 HOUR
       |ORDER BY click_id, view_id""".stripMargin
 
+  // ---------- q161: STREAMING incremental decay-score maintenance ----------
+
+  /** q135's "incrementally maintainable because the anchor is pinned"
+    * claim, made REAL and driver-gated: the event stream replays
+    * file-per-micro-batch through a foreachBatch sink that runs
+    * q135's exact aggregation arithmetic on EACH batch alone and
+    * merges the partial into a persisted per-user state table by pure
+    * ADDITION (all three columns are sums over fixed-anchor weights —
+    * no history rescan, no re-weighting, state is user-sized). The
+    * final snapshot is checked against q135's own batch oracle:
+    * incremental ≡ rescan, the q94/q107/q115 rule applied to the
+    * feature-store score.
+    *
+    * State versions write to fresh dirs (state_b0, state_b1, …) — the
+    * merge never overwrites a dir it is reading, the same
+    * crash-safe-publish discipline as io/Versioned.
+    */
+  def q161_stream_decay(spark: SparkSession, dir: String): DataFrame = {
+    val work = graft.io.Scratch.dir(spark, "graft-q161-")
+    val watchDir = s"$work/incoming"
+    val fs = new Path(work).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    try {
+      stageBatches(spark, dir, fs, watchDir, Seq("b0", "b1"))
+      val schema = spark.read.parquet(s"$watchDir/b0.parquet").schema
+      val latest = new java.util.concurrent.atomic.AtomicReference[String](null)
+      withShufflePartitions(spark, 8) {
+        val stream = spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", 1).parquet(watchDir)
+        val query = stream.writeStream
+          .trigger(Trigger.AvailableNow())
+          .foreachBatch { (batch: DataFrame, id: Long) =>
+            val partial = EventQueries.decayAggregate(batch)
+            val merged = Option(latest.get()) match {
+              case Some(prev) =>
+                spark.read.parquet(prev).unionByName(partial)
+                  .groupBy("user_id")
+                  .agg(sum(col("n_purchases")).cast("long").as("n_purchases"),
+                    sum(col("cents_sum")).cast("long").as("cents_sum"),
+                    sum(col("decay_micro")).cast("long").as("decay_micro"))
+              case None => partial
+            }
+            val out = s"$work/state_b$id"
+            merged.write.mode("overwrite").parquet(out)
+            latest.set(out)
+            ()
+          }
+          .option("checkpointLocation", s"$work/ckpt")
+          .start()
+        query.awaitTermination()
+      }
+      spark.read.parquet(latest.get())
+        .orderBy("user_id")
+        .localCheckpoint() // materialize before the work dir is deleted
+    } finally fs.delete(new Path(work), true)
+  }
+
+  /** Shared constant on purpose: the incremental stream must be
+    * indistinguishable from q135's one-shot batch aggregate. */
+  val q161_oracle: String = EventQueries.q135_oracle
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q161_stream_decay" -> (q161_stream_decay _),
     "q74_stream_tumbling" -> (q74_stream_tumbling _),
     "q75_stream_sessionize" -> (q75_stream_sessionize _),
     "q88_stream_dedup" -> (q88_stream_dedup _),
     "q102_stream_join" -> (q102_stream_join _))
 
   val oracles: Map[String, String] = Map(
+    "q161_stream_decay" -> q161_oracle,
     "q74_stream_tumbling" -> q74_oracle,
     "q75_stream_sessionize" -> q75_oracle,
     "q88_stream_dedup" -> q88_oracle,
