@@ -343,10 +343,233 @@ object EventQueries {
       |    AS cents_delta_ppm
       |FROM l ORDER BY event_type, week""".stripMargin
 
+  // ---------- q164: time-to-convert distribution ----------
+
+  /** Time-to-convert through the q65 funnel — the "how long does the
+    * journey take" half of funnel analytics (q65 counts WHO reaches
+    * each stage; this measures WHEN): per converting user, seconds
+    * from first view to the first qualifying purchase (q65's exact
+    * stage chain, so a purchase before the view chain never counts),
+    * summarized as n / mean / EXACT p50/p90 order statistics by rank
+    * arithmetic (the q32/q145 rule — the value AT a rank is
+    * deterministic under any tie order).
+    *
+    * Scale shape: the stage tables are q65's user-sized
+    * Lineage-cut aggregates; deltas are user-sized; the rank window
+    * runs over converts only.
+    */
+  def q164_funnel_time(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(spark, dir, "events")
+      .select(col("user_id"), col("event_type"), col("ts"))
+    val v = graft.Lineage.cut(ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("ts").as("t_view")))
+    val c = graft.Lineage.cut(ev.filter(col("event_type") === "click")
+      .join(v, "user_id").filter(col("ts") >= col("t_view"))
+      .groupBy("user_id").agg(min("ts").as("t_click")))
+    val p = ev.filter(col("event_type") === "purchase")
+      .join(c, "user_id").filter(col("ts") >= col("t_click"))
+      .groupBy("user_id").agg(min("ts").as("t_purchase"))
+    val deltas = p.join(v, "user_id")
+      .select((col("t_purchase").cast("long") - col("t_view").cast("long"))
+        .as("delta_s"), col("user_id"))
+    val w = Window.orderBy(col("delta_s"), col("user_id"))
+    deltas
+      .withColumn("rnk", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy()))
+      .groupBy("n")
+      .agg(
+        expr("CAST(sum(delta_s) DIV max(n) AS BIGINT)").as("mean_s"),
+        min(when(col("rnk") === expr("(n + 1) DIV 2"), col("delta_s"))).as("p50_s"),
+        min(when(col("rnk") === expr("(9 * n + 9) DIV 10"), col("delta_s"))).as("p90_s"))
+      .select(col("n").as("n_converts"), col("mean_s"), col("p50_s"), col("p90_s"))
+  }
+
+  val q164_oracle: String =
+    """WITH v AS (
+      |  SELECT user_id, min(ts) AS t_view FROM events
+      |  WHERE event_type = 'view' GROUP BY user_id),
+      |c AS (
+      |  SELECT e.user_id, min(e.ts) AS t_click
+      |  FROM events e JOIN v ON e.user_id = v.user_id
+      |  WHERE e.event_type = 'click' AND e.ts >= v.t_view
+      |  GROUP BY e.user_id),
+      |p AS (
+      |  SELECT e.user_id, min(e.ts) AS t_purchase
+      |  FROM events e JOIN c ON e.user_id = c.user_id
+      |  WHERE e.event_type = 'purchase' AND e.ts >= c.t_click
+      |  GROUP BY e.user_id),
+      |d AS (
+      |  SELECT p.user_id,
+      |    CAST(floor(epoch(t_purchase)) AS BIGINT)
+      |      - CAST(floor(epoch(t_view)) AS BIGINT) AS delta_s
+      |  FROM p JOIN v ON p.user_id = v.user_id),
+      |r AS (
+      |  SELECT *, row_number() OVER (ORDER BY delta_s, user_id) AS rnk,
+      |    count(*) OVER () AS n
+      |  FROM d)
+      |SELECT CAST(max(n) AS BIGINT) AS n_converts,
+      |  CAST(sum(delta_s) // max(n) AS BIGINT) AS mean_s,
+      |  min(CASE WHEN rnk = (n + 1) // 2 THEN delta_s END) AS p50_s,
+      |  min(CASE WHEN rnk = (9 * n + 9) // 10 THEN delta_s END) AS p90_s
+      |FROM r""".stripMargin
+
+  // ---------- q162: A/B experiment analysis with exact inference ----------
+
+  /** χ²(1) critical value at α = 0.05, in micro-units (3.841459…). */
+  val abSigThresholdMicro = 3841459L
+
+  /** A/B-test readout with INTEGER-EXACT inference (the
+    * experimentation-platform core): users deterministically split
+    * 50/50 by a salted content hash (no assignment table, immune to
+    * re-randomization drift — the q33 rule), outcome = converted
+    * (≥1 purchase), and the two-proportion z-test is algebraically
+    * cleared of all divisions and square roots:
+    * `z² = (c₁n₂ − c₂n₁)²·N / (n₁·n₂·C·(N−C))` with C = c₁+c₂ —
+    * emitted in micro-units by one DIV, compared against the χ²
+    * critical value in the same units, so the SIGNIFICANCE VERDICT
+    * itself hash-matches across engines (a float z-test can flip the
+    * verdict in the last ulp at the boundary). Wide products in
+    * decimal(38,0)/HUGEINT — exact to n ~ 10⁸ per arm; past that,
+    * run the identical formula on ppm-scaled rates (the q142 trick).
+    *
+    * Scale shape: one narrow scan → per-user any-purchase rollup
+    * (user-keyed partial agg) → a 2-row arm aggregate; the test
+    * statistic is driver-free scalar algebra on the 2-row table.
+    */
+  def q162_abtest(spark: SparkSession, dir: String): DataFrame = {
+    val dec38 = "decimal(38,0)"
+    val arms = Tables.load(spark, dir, "events")
+      .groupBy("user_id")
+      .agg(max(when(col("event_type") === "purchase" && col("value") >= 200.0, 1L)
+        .otherwise(0L)).as("converted"))
+      .withColumn("variant",
+        when(conv(substring(md5(concat(lit("exp1|"), col("user_id").cast("string"))), 1, 1),
+          16, 10).cast("int") < 8, "A").otherwise("B"))
+      .groupBy("variant")
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(col("converted")).cast("long").as("conv"))
+    val a = arms.filter(col("variant") === "A")
+      .select(col("n").as("n_a"), col("conv").as("c_a"))
+    val b = arms.filter(col("variant") === "B")
+      .select(col("n").as("n_b"), col("conv").as("c_b"))
+    a.crossJoin(b)
+      .withColumn("rate_a_ppm", expr("(c_a * 1000000) DIV n_a"))
+      .withColumn("rate_b_ppm", expr("(c_b * 1000000) DIV n_b"))
+      .withColumn("z2_micro", when(
+        col("c_a") + col("c_b") > 0 &&
+          col("c_a") + col("c_b") < col("n_a") + col("n_b"), expr(
+        s"""CAST((CAST(c_a AS $dec38) * n_b - CAST(c_b AS $dec38) * n_a)
+           | * (CAST(c_a AS $dec38) * n_b - CAST(c_b AS $dec38) * n_a)
+           | * (n_a + n_b) * 1000000 DIV
+           | (CAST(n_a AS $dec38) * n_b * (c_a + c_b)
+           |  * (n_a + n_b - c_a - c_b)) AS BIGINT)""".stripMargin.replace("\n", " "))))
+      .withColumn("significant", col("z2_micro") > abSigThresholdMicro)
+      .select("n_a", "n_b", "c_a", "c_b", "rate_a_ppm", "rate_b_ppm",
+        "z2_micro", "significant")
+  }
+
+  val q162_oracle: String =
+    s"""WITH u AS (
+       |  SELECT user_id,
+       |    max(CASE WHEN event_type = 'purchase' AND value >= 200.0 THEN 1 ELSE 0 END)
+       |      AS converted,
+       |    CASE WHEN CAST(concat('0x', substring(
+       |        md5(concat('exp1|', CAST(user_id AS VARCHAR))), 1, 1)) AS INTEGER) < 8
+       |      THEN 'A' ELSE 'B' END AS variant
+       |  FROM events GROUP BY user_id),
+       |arms AS (
+       |  SELECT variant, CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(converted) AS BIGINT) AS conv
+       |  FROM u GROUP BY variant),
+       |ab AS (
+       |  SELECT
+       |    (SELECT n FROM arms WHERE variant = 'A') AS n_a,
+       |    (SELECT n FROM arms WHERE variant = 'B') AS n_b,
+       |    (SELECT conv FROM arms WHERE variant = 'A') AS c_a,
+       |    (SELECT conv FROM arms WHERE variant = 'B') AS c_b),
+       |z AS (
+       |  SELECT *, CASE WHEN c_a + c_b > 0 AND c_a + c_b < n_a + n_b THEN
+       |    CAST((CAST(c_a AS HUGEINT) * n_b - CAST(c_b AS HUGEINT) * n_a)
+       |      * (CAST(c_a AS HUGEINT) * n_b - CAST(c_b AS HUGEINT) * n_a)
+       |      * (n_a + n_b) * 1000000
+       |      // (CAST(n_a AS HUGEINT) * n_b * (c_a + c_b)
+       |         * (n_a + n_b - c_a - c_b)) AS BIGINT) END AS z2_micro
+       |  FROM ab)
+       |SELECT n_a, n_b, c_a, c_b,
+       |  (c_a * 1000000) // n_a AS rate_a_ppm,
+       |  (c_b * 1000000) // n_b AS rate_b_ppm,
+       |  z2_micro,
+       |  z2_micro > $abSigThresholdMicro AS significant
+       |FROM z""".stripMargin
+
+  // ---------- q163: RFM customer segmentation ----------
+
+  /** RFM segmentation (the classic CRM/value model): per user —
+    * Recency (days since last event vs the q135 pinned anchor),
+    * Frequency (events), Monetary (purchase cents, exact) — each
+    * scored into quintiles by `ntile(5)` over a (metric, user_id)
+    * total order (deterministic; recency tiles ascending so 5 = most
+    * recent), concatenated into the 3-digit RFM cell; output is the
+    * cell-level summary (users, mean monetary in exact cents DIV).
+    *
+    * Scale shape: one user-keyed rollup, then three ntile windows
+    * over the USER-sized table (q58's unpartitioned-ntile caveat and
+    * its boundary-from-sketch remedy apply verbatim), then a ≤125-row
+    * cell aggregate.
+    */
+  def q163_rfm(spark: SparkSession, dir: String): DataFrame = {
+    val per = Tables.load(spark, dir, "events")
+      .groupBy("user_id")
+      .agg(
+        datediff(lit("2024-01-31").cast("date"), max(col("ts")).cast("date"))
+          .cast("int").as("recency_days"),
+        count(lit(1)).cast("long").as("frequency"),
+        coalesce(sum(when(col("event_type") === "purchase",
+          round(col("value") * 100).cast("long"))), lit(0L)).as("monetary_cents"))
+    def tile(c: String, asc: Boolean) = ntile(5).over(
+      if (asc) Window.orderBy(col(c).asc, col("user_id").asc)
+      else Window.orderBy(col(c).desc, col("user_id").asc))
+    per
+      .withColumn("r", tile("recency_days", asc = false)) // most recent → tile 5
+      .withColumn("f", tile("frequency", asc = true))
+      .withColumn("m", tile("monetary_cents", asc = true))
+      .withColumn("rfm", col("r") * 100 + col("f") * 10 + col("m"))
+      .groupBy("rfm")
+      .agg(count(lit(1)).cast("long").as("n_users"),
+        sum(col("monetary_cents")).cast("long").as("cents_sum"),
+        expr("CAST(sum(monetary_cents) DIV count(*) AS BIGINT)").as("mean_cents"))
+      .orderBy("rfm")
+  }
+
+  val q163_oracle: String =
+    """WITH per AS (
+      |  SELECT user_id,
+      |    CAST(date_diff('day', CAST(max(ts) AS DATE), DATE '2024-01-31') AS INTEGER)
+      |      AS recency_days,
+      |    CAST(count(*) AS BIGINT) AS frequency,
+      |    CAST(coalesce(sum(CASE WHEN event_type = 'purchase'
+      |      THEN CAST(round(value * 100) AS BIGINT) END), 0) AS BIGINT)
+      |      AS monetary_cents
+      |  FROM events GROUP BY user_id),
+      |t AS (
+      |  SELECT *,
+      |    ntile(5) OVER (ORDER BY recency_days DESC, user_id ASC) AS r,
+      |    ntile(5) OVER (ORDER BY frequency ASC, user_id ASC) AS f,
+      |    ntile(5) OVER (ORDER BY monetary_cents ASC, user_id ASC) AS m
+      |  FROM per)
+      |SELECT r * 100 + f * 10 + m AS rfm,
+      |  CAST(count(*) AS BIGINT) AS n_users,
+      |  CAST(sum(monetary_cents) AS BIGINT) AS cents_sum,
+      |  CAST(sum(monetary_cents) // count(*) AS BIGINT) AS mean_cents
+      |FROM t GROUP BY 1 ORDER BY rfm""".stripMargin
+
   // ---------- registry ----------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q157_wow_change" -> (q157_wow_change _),
+    "q162_abtest" -> (q162_abtest _),
+    "q164_funnel_time" -> (q164_funnel_time _),
+    "q163_rfm" -> (q163_rfm _),
     "q150_attribution" -> (q150_attribution _),
     "q65_funnel" -> (q65_funnel _),
     "q66_retention" -> (q66_retention _),
@@ -359,5 +582,8 @@ object EventQueries {
     "q128_transitions" -> q128_oracle,
     "q135_decay_score" -> q135_oracle,
     "q150_attribution" -> q150_oracle,
-    "q157_wow_change" -> q157_oracle)
+    "q157_wow_change" -> q157_oracle,
+    "q162_abtest" -> q162_oracle,
+    "q164_funnel_time" -> q164_oracle,
+    "q163_rfm" -> q163_oracle)
 }

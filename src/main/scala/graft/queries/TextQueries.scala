@@ -1252,12 +1252,82 @@ object TextQueries {
        |WHERE rk <= 5 ORDER BY source, rk""".stripMargin
   }
 
+  // ---------- q165: corpus saturation curve ----------
+
+  /** Corpus-growth saturation curve — q139's per-document novelty
+    * aggregated along ingestion order into 10 deciles: per decile,
+    * total shingle instances, shingles first seen there, the exact
+    * per-decile novelty rate, and the cumulative distinct count. The
+    * curve answers "is new data still adding new content, or are we
+    * re-crawling ourselves" — the flattening point is where another
+    * TB stops buying vocabulary. Deciles come from the q146 rank rule
+    * (`((rank−1)·10) DIV n` over doc_id order), so bucket populations
+    * are exact to ±1 with no boundary search.
+    *
+    * Scale shape: key sets from the stored SigIndex (q139's rule);
+    * one doc-sized rank window assigns deciles; instance counts and
+    * first-seen counts are two partial-agg passes over the (doc, key)
+    * stream; the cumsum window runs over 10 rows.
+    */
+  def q165_novelty_curve(spark: SparkSession, dir: String): DataFrame = {
+    val wDoc = org.apache.spark.sql.expressions.Window.orderBy("doc_id")
+    val wCum = org.apache.spark.sql.expressions.Window.orderBy("decile")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val sh = spark.read.parquet(SigIndex.path(spark, dir))
+      .select(col("doc_id"), explode(col("skd")).as("k"))
+    val docDecile = spark.read.parquet(SigIndex.path(spark, dir))
+      .select(col("doc_id"))
+      .withColumn("rnk", row_number().over(wDoc))
+      .withColumn("n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy()))
+      .select(col("doc_id"), expr("((rnk - 1) * 10) DIV n").cast("int").as("decile"))
+    val keyed = sh.join(docDecile, "doc_id")
+    val instances = keyed.groupBy("decile")
+      .agg(count(lit(1)).cast("long").as("n_instances"))
+    val novel = keyed.groupBy("k").agg(min(col("decile")).as("decile"))
+      .groupBy("decile").agg(count(lit(1)).cast("long").as("n_novel"))
+    instances.join(novel, Seq("decile"), "left_outer")
+      .withColumn("n_novel", coalesce(col("n_novel"), lit(0L)))
+      .withColumn("novelty_ppm", expr("(n_novel * 1000000) DIV n_instances"))
+      .withColumn("cum_distinct", sum(col("n_novel")).over(wCum).cast("long"))
+      .orderBy("decile")
+  }
+
+  val q165_oracle: String = {
+    val keys = H.shingleKeysSql(H.shinglesSql(T.tokensSql("text")))
+    s"""WITH sh AS (
+       |  SELECT DISTINCT doc_id, k
+       |  FROM (SELECT doc_id, unnest(list_distinct($keys)) AS k FROM documents)),
+       |dd AS (
+       |  SELECT doc_id,
+       |    CAST(((row_number() OVER (ORDER BY doc_id) - 1) * 10)
+       |      // (count(*) OVER ()) AS INTEGER) AS decile
+       |  FROM (SELECT DISTINCT doc_id FROM sh)),
+       |keyed AS (SELECT sh.doc_id, sh.k, dd.decile FROM sh JOIN dd USING (doc_id)),
+       |inst AS (
+       |  SELECT decile, CAST(count(*) AS BIGINT) AS n_instances
+       |  FROM keyed GROUP BY decile),
+       |nov AS (
+       |  SELECT decile, CAST(count(*) AS BIGINT) AS n_novel FROM (
+       |    SELECT k, min(decile) AS decile FROM keyed GROUP BY k)
+       |  GROUP BY decile)
+       |SELECT decile, n_instances,
+       |  coalesce(n_novel, 0) AS n_novel,
+       |  (coalesce(n_novel, 0) * 1000000) // n_instances AS novelty_ppm,
+       |  CAST(sum(coalesce(n_novel, 0)) OVER (ORDER BY decile
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |    AS cum_distinct
+       |FROM inst LEFT JOIN nov USING (decile)
+       |ORDER BY decile""".stripMargin
+  }
+
   // ---------- registry ----------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q143_allpairs" -> (q143_allpairs _),
     "q154_dedup_eval" -> (q154_dedup_eval _),
     "q155_langid_eval" -> (q155_langid_eval _),
+    "q165_novelty_curve" -> (q165_novelty_curve _),
     "q158_source_keyness" -> (q158_source_keyness _),
     "q139_novelty" -> (q139_novelty _),
     "q19_token_count" -> (q19_token_count _),
@@ -1282,6 +1352,7 @@ object TextQueries {
     "q143_allpairs" -> q143_oracle,
     "q154_dedup_eval" -> q154_oracle,
     "q155_langid_eval" -> q155_oracle,
+    "q165_novelty_curve" -> q165_oracle,
     "q158_source_keyness" -> q158_oracle,
     "q19_token_count" -> q19_oracle,
     "q20_lang_id" -> q20_oracle,
