@@ -504,7 +504,102 @@ object CorpusQueries {
       |  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
       |FROM k GROUP BY source ORDER BY source""".stripMargin
 
+  // ---------- q169: cross-source distribution similarity ----------
+
+  /** Pairwise source similarity by HISTOGRAM INTERSECTION of token
+    * distributions — `sim(s,t) = Σ_w min(p_sw, p_tw)` with
+    * proportions in exact ppm integers — the exact-distribution
+    * complement of q120's sketched distinct-overlap (this weighs HOW
+    * MUCH each shared token is used, not whether it exists); the
+    * statistic behind "are these two crawls the same corpus in
+    * different clothes". min() of two exact integers is exact, the
+    * sum is order-free, and the matrix hash-matches.
+    *
+    * Scale shape: one (source, token) partial-agg shuffle; the ppm
+    * table is Σ|vocab_s| rows; the pair join is BY TOKEN (each token
+    * meets only the ≤|sources| rows sharing it — never a source×
+    * source×vocab blowup), rolled up to the |sources|²/2 matrix.
+    */
+  def q169_source_similarity(spark: SparkSession, dir: String): DataFrame = {
+    val sw = Tables.load(spark, dir, "documents")
+      .select(col("source"), explode(T.tokens(lower(col("text")))).as("w"))
+      .groupBy("source", "w").agg(count(lit(1)).cast("long").as("c"))
+    val ns = sw.groupBy("source").agg(sum(col("c")).cast("long").as("n_s"))
+    val p = sw.join(broadcast(ns), "source")
+      .select(col("source"), col("w"), expr("(c * 1000000) DIV n_s").as("ppm"))
+    p.as("a").join(p.as("b"),
+        col("a.w") === col("b.w") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("s"), col("b.source").as("t"))
+      .agg(sum(least(col("a.ppm"), col("b.ppm"))).cast("long").as("overlap_ppm"))
+      .orderBy("s", "t")
+  }
+
+  val q169_oracle: String = {
+    val toks = T.tokensSql("lower(text)")
+    s"""WITH sw AS (
+       |  SELECT source, w, CAST(count(*) AS BIGINT) AS c
+       |  FROM (SELECT source, unnest($toks) AS w FROM documents) GROUP BY 1, 2),
+       |ns AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_s FROM sw GROUP BY source),
+       |p AS (
+       |  SELECT source, w, (c * 1000000) // n_s AS ppm
+       |  FROM sw JOIN ns USING (source))
+       |SELECT a.source AS s, b.source AS t,
+       |  CAST(sum(least(a.ppm, b.ppm)) AS BIGINT) AS overlap_ppm
+       |FROM p a JOIN p b ON a.w = b.w AND a.source < b.source
+       |GROUP BY 1, 2 ORDER BY s, t""".stripMargin
+  }
+
+  // ---------- q170: head-mass concentration ----------
+
+  /** Vocabulary head-mass concentration per source — the log-free
+    * Zipf-curvature summary: the exact ppm share of all token
+    * occurrences carried by the top-10 and top-100 tokens (rank by
+    * (count desc, token) — total order). A boilerplate-heavy source
+    * shows head10 near 10⁶; a diverse one spreads. Reads directly as
+    * the dedup/down-weight priority list.
+    *
+    * Scale shape: the same (source, token) rollup as q169, a
+    * source-partitioned rank window over the vocab-sized table, one
+    * per-source report row.
+    */
+  def q170_head_mass(spark: SparkSession, dir: String): DataFrame = {
+    val wk = Window.partitionBy("source").orderBy(col("c").desc, col("w").asc)
+    Tables.load(spark, dir, "documents")
+      .select(col("source"), explode(T.tokens(lower(col("text")))).as("w"))
+      .groupBy("source", "w").agg(count(lit(1)).cast("long").as("c"))
+      .withColumn("rk", row_number().over(wk))
+      .groupBy("source")
+      .agg(count(lit(1)).cast("long").as("vocab"),
+        sum(col("c")).cast("long").as("n_tokens"),
+        sum(when(col("rk") <= 10, col("c")).otherwise(0L)).cast("long").as("head10"),
+        sum(when(col("rk") <= 100, col("c")).otherwise(0L)).cast("long").as("head100"))
+      .withColumn("head10_ppm", expr("(head10 * 1000000) DIV n_tokens"))
+      .withColumn("head100_ppm", expr("(head100 * 1000000) DIV n_tokens"))
+      .select("source", "vocab", "n_tokens", "head10_ppm", "head100_ppm")
+      .orderBy("source")
+  }
+
+  val q170_oracle: String = {
+    val toks = T.tokensSql("lower(text)")
+    s"""WITH sw AS (
+       |  SELECT source, w, CAST(count(*) AS BIGINT) AS c
+       |  FROM (SELECT source, unnest($toks) AS w FROM documents) GROUP BY 1, 2),
+       |r AS (
+       |  SELECT *, row_number() OVER (PARTITION BY source
+       |    ORDER BY c DESC, w ASC) AS rk
+       |  FROM sw)
+       |SELECT source, CAST(count(*) AS BIGINT) AS vocab,
+       |  CAST(sum(c) AS BIGINT) AS n_tokens,
+       |  CAST((sum(CASE WHEN rk <= 10 THEN c ELSE 0 END) * 1000000) // sum(c)
+       |    AS BIGINT) AS head10_ppm,
+       |  CAST((sum(CASE WHEN rk <= 100 THEN c ELSE 0 END) * 1000000) // sum(c)
+       |    AS BIGINT) AS head100_ppm
+       |FROM r GROUP BY source ORDER BY source""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q169_source_similarity" -> (q169_source_similarity _),
+    "q170_head_mass" -> (q170_head_mass _),
     "q131_temperature_mixture" -> (q131_temperature_mixture _),
     "q78_stratified_split" -> (q78_stratified_split _),
     "q32_quantiles" -> (q32_quantiles _),
@@ -521,6 +616,8 @@ object CorpusQueries {
     "q44_fuzzy_match" -> (q44_fuzzy_match _))
 
   val oracles: Map[String, String] = Map(
+    "q169_source_similarity" -> q169_oracle,
+    "q170_head_mass" -> q170_oracle,
     "q131_temperature_mixture" -> q131_oracle,
     "q78_stratified_split" -> q78_oracle,
     "q32_quantiles" -> q32_oracle,

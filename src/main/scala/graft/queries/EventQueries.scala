@@ -343,6 +343,58 @@ object EventQueries {
       |    AS cents_delta_ppm
       |FROM l ORDER BY event_type, week""".stripMargin
 
+  // ---------- q168: churn-label generation ----------
+
+  /** Week-over-week churn LABELS — the training-target builder for a
+    * churn model (and retention's inverse view, q66's complement):
+    * a user active in week w churns if they are absent in w+1 (a
+    * later return is a resurrection, labeled at its own week); the
+    * corpus's final week is unlabelable and excluded, not guessed.
+    * Per-week churn rate in exact ppm.
+    *
+    * Scale shape: one distinct (user, week) rollup, one user-
+    * partitioned lead window over the user-weeks table, a broadcast
+    * 1-row max-week bound, and a |weeks|-row report.
+    */
+  def q168_churn_labels(spark: SparkSession, dir: String): DataFrame = {
+    val uw = Tables.load(spark, dir, "events")
+      .select(col("user_id"),
+        date_trunc("week", col("ts")).cast("date").as("week"))
+      .distinct()
+    val w = Window.partitionBy("user_id").orderBy("week")
+    val maxW = uw.agg(max(col("week")).as("max_week"))
+    uw.withColumn("next_week", lead(col("week"), 1).over(w))
+      .crossJoin(broadcast(maxW))
+      .filter(col("week") < col("max_week"))
+      .withColumn("churned",
+        col("next_week").isNull || col("next_week") =!= date_add(col("week"), 7))
+      .groupBy(date_format(col("week"), "yyyy-MM-dd").as("week"))
+      .agg(count(lit(1)).cast("long").as("n_active"),
+        count_if(col("churned")).cast("long").as("n_churned"))
+      .withColumn("churn_ppm", expr("(n_churned * 1000000) DIV n_active"))
+      .orderBy("week")
+  }
+
+  val q168_oracle: String =
+    """WITH uw AS (
+      |  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS week
+      |  FROM events),
+      |l AS (
+      |  SELECT user_id, week,
+      |    lead(week) OVER (PARTITION BY user_id ORDER BY week) AS next_week
+      |  FROM uw),
+      |m AS (SELECT max(week) AS max_week FROM uw)
+      |SELECT strftime(week, '%Y-%m-%d') AS week,
+      |  CAST(count(*) AS BIGINT) AS n_active,
+      |  CAST(count(*) FILTER (WHERE next_week IS NULL
+      |    OR next_week <> week + 7) AS BIGINT) AS n_churned,
+      |  (count(*) FILTER (WHERE next_week IS NULL
+      |    OR next_week <> week + 7) * 1000000) // count(*)
+      |    AS churn_ppm
+      |FROM l CROSS JOIN m
+      |WHERE week < max_week
+      |GROUP BY week ORDER BY week""".stripMargin
+
   // ---------- q164: time-to-convert distribution ----------
 
   /** Time-to-convert through the q65 funnel — the "how long does the
@@ -569,6 +621,7 @@ object EventQueries {
     "q157_wow_change" -> (q157_wow_change _),
     "q162_abtest" -> (q162_abtest _),
     "q164_funnel_time" -> (q164_funnel_time _),
+    "q168_churn_labels" -> (q168_churn_labels _),
     "q163_rfm" -> (q163_rfm _),
     "q150_attribution" -> (q150_attribution _),
     "q65_funnel" -> (q65_funnel _),
@@ -585,5 +638,6 @@ object EventQueries {
     "q157_wow_change" -> q157_oracle,
     "q162_abtest" -> q162_oracle,
     "q164_funnel_time" -> q164_oracle,
+    "q168_churn_labels" -> q168_oracle,
     "q163_rfm" -> q163_oracle)
 }

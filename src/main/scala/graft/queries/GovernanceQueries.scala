@@ -436,7 +436,61 @@ object GovernanceQueries {
        |FROM customer
        |GROUP BY 1, 2 ORDER BY c_mktsegment, bal_band""".stripMargin
 
+  // ---------- q166: join-key skew profile ----------
+
+  /** Join-key distribution audit — the skew profiler run BEFORE a big
+    * join ships (the operational answer to "will AQE have to save
+    * this plan"): per candidate join key, row counts bucketed by
+    * floor(log2(count)) — computed as `length(bin(cnt)) − 1`, pure
+    * integer bit-length, no float log to disagree at powers of two —
+    * with per-bucket key counts, row mass, and count extrema. A heavy
+    * tail in high buckets is the signature that a salted plan
+    * (q80/q98) is needed.
+    *
+    * Scale shape: one partial-agg shuffle per profiled key (counts
+    * collapse map-side), then a ~60-row bucket rollup; the three
+    * profiles union into one report.
+    */
+  def q166_key_skew(spark: SparkSession, dir: String): DataFrame = {
+    def profile(df: org.apache.spark.sql.DataFrame, label: String, key: String) =
+      df.groupBy(col(key).as("k"))
+        .agg(count(lit(1)).cast("long").as("cnt"))
+        .withColumn("bucket", expr("length(bin(cnt)) - 1").cast("int"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).cast("long").as("n_keys"),
+          sum(col("cnt")).cast("long").as("n_rows"),
+          min(col("cnt")).as("min_cnt"),
+          max(col("cnt")).as("max_cnt"))
+        .withColumn("table_key", lit(label))
+    profile(Tables.load(spark, dir, "orders"), "orders.o_custkey", "o_custkey")
+      .unionByName(profile(Tables.load(spark, dir, "lineitem"),
+        "lineitem.l_orderkey", "l_orderkey"))
+      .unionByName(profile(Tables.load(spark, dir, "lineitem"),
+        "lineitem.l_partkey", "l_partkey"))
+      .select("table_key", "bucket", "n_keys", "n_rows", "min_cnt", "max_cnt")
+      .orderBy("table_key", "bucket")
+  }
+
+  val q166_oracle: String = {
+    def prof(table: String, key: String) =
+      s"""SELECT '$table.$key' AS table_key,
+         |  CAST(length(bin(cnt)) - 1 AS INTEGER) AS bucket,
+         |  CAST(count(*) AS BIGINT) AS n_keys,
+         |  CAST(sum(cnt) AS BIGINT) AS n_rows,
+         |  min(cnt) AS min_cnt, max(cnt) AS max_cnt
+         |FROM (SELECT $key, CAST(count(*) AS BIGINT) AS cnt
+         |      FROM $table GROUP BY $key)
+         |GROUP BY 2""".stripMargin
+    s"""${prof("orders", "o_custkey")}
+       |UNION ALL
+       |${prof("lineitem", "l_orderkey")}
+       |UNION ALL
+       |${prof("lineitem", "l_partkey")}
+       |ORDER BY table_key, bucket""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q166_key_skew" -> (q166_key_skew _),
     "q110_incremental_distinct" -> (q110_incremental_distinct _),
     "q113_incremental_quantiles" -> (q113_incremental_quantiles _),
     "q99_expectations" -> (q99_expectations _),
@@ -447,6 +501,7 @@ object GovernanceQueries {
     "q127_k_anonymity" -> (q127_k_anonymity _))
 
   val oracles: Map[String, String] = Map(
+    "q166_key_skew" -> q166_oracle,
     "q99_expectations" -> q99_oracle,
     "q100_profile" -> q100_oracle,
     "q109_masking" -> q109_oracle,

@@ -747,6 +747,43 @@ object VectorQueries {
        |WHERE mrk <= 3 ORDER BY q_id, mrk""".stripMargin
   }
 
+  // ---------- q167: embedding-space density outliers ----------
+
+  /** Isolation threshold: a vector whose LSH bucket holds ≤ this many
+    * vectors (including itself) is flagged. */
+  val densityOutlierMax = 2L
+
+  /** Embedding-space density outliers — the data-cleaning sweep that
+    * catches mis-embedded / out-of-distribution vectors BEFORE they
+    * poison ANN training: density ≈ the population of a vector's
+    * 8-plane LSH bucket (the q29 partition of the space into 256
+    * deterministic cells), and a vector nearly alone in its cell is
+    * isolated at the bucket granularity. One bucket projection + one
+    * bucket-sized count + a broadcast join back — NO pairwise work at
+    * any corpus size, which is what makes a density sweep feasible
+    * where a true kNN-distance outlier pass costs a q28 scan per row.
+    */
+  def q167_embedding_outliers(spark: SparkSession, dir: String): DataFrame = {
+    val b = emb(spark, dir)
+      .select(col("vec_id"), V.lshBucket(col("v"), planes).as("bucket"))
+    val dens = b.groupBy("bucket").agg(count(lit(1)).cast("long").as("density"))
+    b.join(broadcast(dens), "bucket")
+      .filter(col("density") <= densityOutlierMax)
+      .select("vec_id", "bucket", "density")
+      .orderBy("vec_id")
+  }
+
+  val q167_oracle: String = {
+    val bucket = V.lshBucketSql("v", planes)
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+       |b AS (SELECT vec_id, $bucket AS bucket FROM e),
+       |d AS (SELECT bucket, CAST(count(*) AS BIGINT) AS density FROM b GROUP BY bucket)
+       |SELECT vec_id, bucket, density
+       |FROM b JOIN d USING (bucket)
+       |WHERE density <= $densityOutlierMax
+       |ORDER BY vec_id""".stripMargin
+  }
+
   // ---------- q156: embedding-matrix column profile ----------
 
   /** Per-dimension statistics of the embedding matrix — the
@@ -807,6 +844,7 @@ object VectorQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q156_embedding_profile" -> (q156_embedding_profile _),
+    "q167_embedding_outliers" -> (q167_embedding_outliers _),
     "q151_margin" -> (q151_margin _),
     "q138_hard_negatives" -> (q138_hard_negatives _),
     "q87_semdedup" -> (q87_semdedup _),
@@ -828,6 +866,7 @@ object VectorQueries {
 
   val oracles: Map[String, String] = Map(
     "q156_embedding_profile" -> q156_oracle,
+    "q167_embedding_outliers" -> q167_oracle,
     "q151_margin" -> q151_oracle,
     "q138_hard_negatives" -> q138_oracle,
     "q79_knn_quantized" -> q79_oracle,
