@@ -638,7 +638,73 @@ object DistributionQueries {
       |  RANGE BETWEEN 1800 PRECEDING AND CURRENT ROW)
       |ORDER BY event_id""".stripMargin
 
+  // ---------- q172: revenue Pareto curve ----------
+
+  /** Customer-revenue Pareto (the 80/20 table, q140's Gini rendered
+    * actionable): customers ranked by spend DESC into exact-rank
+    * deciles (the q146 rule — populations exact to ±1), each decile's
+    * revenue share and the cumulative share in exact ppm of total
+    * cents. `cum_share_ppm` of decile 0–1 is the literal "top 20% of
+    * customers carry X% of revenue" number.
+    *
+    * Scale shape: one custkey rollup (exact cents), one customer-
+    * sized rank sort (range-partitioned at scale — the q140 note),
+    * a 10-row report with a window cumsum over it.
+    */
+  def q172_pareto(spark: SparkSession, dir: String): DataFrame = {
+    val dec38 = "decimal(38,0)"
+    val spend = Tables.load(spark, dir, "orders")
+      .groupBy("o_custkey")
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).cast("long")
+        .as("cents"))
+    val rankW = Window.orderBy(col("cents").desc, col("o_custkey").asc)
+    val cumW = Window.orderBy("decile")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spend
+      .withColumn("rnk", row_number().over(rankW))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy()))
+      .withColumn("decile", expr("((rnk - 1) * 10) DIV n").cast("int"))
+      .groupBy("decile")
+      .agg(count(lit(1)).cast("long").as("n_custs"),
+        sum(col("cents").cast(dec38)).as("dec_cents"))
+      .withColumn("total", sum(col("dec_cents")).over(Window.partitionBy()))
+      .withColumn("share_ppm",
+        expr("CAST((dec_cents * 1000000) DIV total AS BIGINT)"))
+      .withColumn("cum_share_ppm",
+        expr("CAST(sum(dec_cents) OVER (ORDER BY decile " +
+          "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 1000000 " +
+          "DIV total AS BIGINT)"))
+      .select(col("decile"), col("n_custs"),
+        expr("CAST(dec_cents AS BIGINT)").as("dec_cents"),
+        col("share_ppm"), col("cum_share_ppm"))
+      .orderBy("decile")
+  }
+
+  val q172_oracle: String =
+    """WITH spend AS (
+      |  SELECT o_custkey,
+      |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+      |  FROM orders GROUP BY o_custkey),
+      |r AS (
+      |  SELECT *, row_number() OVER (ORDER BY cents DESC, o_custkey ASC) AS rnk,
+      |    count(*) OVER () AS n
+      |  FROM spend),
+      |d AS (
+      |  SELECT CAST(((rnk - 1) * 10) // n AS INTEGER) AS decile,
+      |    CAST(count(*) AS BIGINT) AS n_custs,
+      |    CAST(sum(CAST(cents AS HUGEINT)) AS HUGEINT) AS dec_cents
+      |  FROM r GROUP BY 1),
+      |t AS (SELECT *, sum(dec_cents) OVER () AS total,
+      |        sum(dec_cents) OVER (ORDER BY decile
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      |      FROM d)
+      |SELECT decile, n_custs, CAST(dec_cents AS BIGINT) AS dec_cents,
+      |  CAST((dec_cents * 1000000) // total AS BIGINT) AS share_ppm,
+      |  CAST((cum * 1000000) // total AS BIGINT) AS cum_share_ppm
+      |FROM t ORDER BY decile""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q172_pareto" -> (q172_pareto _),
     "q153_range_frame" -> (q153_range_frame _),
     "q141_ks_drift" -> (q141_ks_drift _),
     "q142_hist_drift" -> (q142_hist_drift _),
@@ -653,6 +719,7 @@ object DistributionQueries {
     "q130_locf" -> (q130_locf _))
 
   val oracles: Map[String, String] = Map(
+    "q172_pareto" -> q172_oracle,
     "q153_range_frame" -> q153_oracle,
     "q141_ks_drift" -> q141_oracle,
     "q142_hist_drift" -> q142_oracle,

@@ -489,7 +489,64 @@ object GovernanceQueries {
        |ORDER BY table_key, bucket""".stripMargin
   }
 
+  // ---------- q171: cross-source score calibration ----------
+
+  /** Quality-score calibration across sources — the stratified audit
+    * behind any global quality threshold ("a 0.6 from src3 is not a
+    * 0.6 from src9"): every document's quality score (floor-scaled to
+    * an exact micro integer — the q151 rule on q21's bit-identical
+    * double) is converted to its GLOBAL normalized rank
+    * `(rank−1)·10⁶ DIV (n−1)` and each source reports its mean
+    * normalized rank (500000 = globally calibrated; high = this
+    * source skews high-quality under the shared scorer). Rank
+    * arithmetic all integers, so the calibration table hash-matches.
+    *
+    * Scale shape: one narrow scoring scan, one GLOBAL rank sort (the
+    * honest cost of exact global ranks — range-partitioned at scale,
+    * or swap in q113 sketch boundaries for approximate ranks with the
+    * same downstream shape), one source-sized rollup.
+    */
+  def q171_score_calibration(spark: SparkSession, dir: String): DataFrame = {
+    val dec38 = "decimal(38,0)"
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("q_micro"), col("doc_id"))
+    Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        floor(graft.functions.TextFunctions.qualityScore(col("text")) * 1000000L)
+          .cast("long").as("q_micro"))
+      .withColumn("rnk", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy()))
+      .withColumn("norm_ppm",
+        expr("((CAST(rnk AS BIGINT) - 1) * 1000000) DIV (n - 1)"))
+      .groupBy("source")
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        expr(s"CAST(sum(CAST(norm_ppm AS $dec38)) DIV count(*) AS BIGINT)")
+          .as("mean_norm_ppm"),
+        min(col("q_micro")).as("min_q_micro"),
+        max(col("q_micro")).as("max_q_micro"))
+      .orderBy("source")
+  }
+
+  val q171_oracle: String = {
+    val q = graft.functions.TextFunctions.qualityScoreSql("text")
+    s"""WITH s AS (
+       |  SELECT doc_id, source,
+       |    CAST(floor(($q) * 1000000) AS BIGINT) AS q_micro
+       |  FROM documents),
+       |r AS (
+       |  SELECT *, row_number() OVER (ORDER BY q_micro, doc_id) AS rnk,
+       |    count(*) OVER () AS n
+       |  FROM s)
+       |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(((rnk - 1) * 1000000) // (n - 1)) // count(*) AS BIGINT)
+       |    AS mean_norm_ppm,
+       |  min(q_micro) AS min_q_micro, max(q_micro) AS max_q_micro
+       |FROM r GROUP BY source ORDER BY source""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q171_score_calibration" -> (q171_score_calibration _),
     "q166_key_skew" -> (q166_key_skew _),
     "q110_incremental_distinct" -> (q110_incremental_distinct _),
     "q113_incremental_quantiles" -> (q113_incremental_quantiles _),
@@ -502,6 +559,7 @@ object GovernanceQueries {
 
   val oracles: Map[String, String] = Map(
     "q166_key_skew" -> q166_oracle,
+    "q171_score_calibration" -> q171_oracle,
     "q99_expectations" -> q99_oracle,
     "q100_profile" -> q100_oracle,
     "q109_masking" -> q109_oracle,

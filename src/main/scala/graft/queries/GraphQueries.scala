@@ -727,7 +727,175 @@ object GraphQueries {
        |ORDER BY node_type, key""".stripMargin
   }
 
+  // ---------- q173: common-neighbor link prediction ----------
+
+  /** Hub cutoff for the common-neighbor wedge join: a bridge vertex
+    * adjacent to more than this many vertices contributes deg² pairs
+    * and near-zero signal (everyone shares the hub), so it is excluded
+    * — the standard cap that keeps the wedge join near-linear. */
+  val lpMaxBridgeDeg = 50L
+
+  /** Link prediction by neighborhood Jaccard (Liben-Nowell & Kleinberg
+    * 2003): for supplier pairs NOT currently trading together, score
+    * `|Γx∩Γy| · 10⁶ DIV |Γx∪Γy|` — common neighbors from a wedge join
+    * through shared neighbors z (hub-capped by [[lpMaxBridgeDeg]]),
+    * union by inclusion–exclusion from the degree table, existing
+    * edges removed by an anti-join. Top-20 by (jac desc, common desc,
+    * pair) — the "who should be trading" recommendation, integer-exact.
+    *
+    * Scale shape: adjacency + degree are edge-shaped aggregates; the
+    * wedge join is Σ_z deg(z)² over CAPPED z only; the anti-join
+    * rides the canonical (min, max) edge form. All shuffles keyed by
+    * vertex; AQE splits residual skew.
+    */
+  def q173_link_prediction(spark: SparkSession, dir: String): DataFrame = {
+    val lo = to_timestamp(lit("1995-01-01 00:00:00"))
+    val hi = to_timestamp(lit("1995-04-01 00:00:00"))
+    val orders = Tables.load(spark, dir, "orders")
+      .filter(col("o_orderdate") >= lo && col("o_orderdate") < hi)
+      .select(col("o_orderkey").as("ok"))
+    val li = Tables.load(spark, dir, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
+    val os = orders.join(li, "ok").distinct()
+    val e0 = os.as("a").join(os.as("b"),
+        col("a.ok") === col("b.ok") && col("a.sk") < col("b.sk"))
+      .select(col("a.sk").as("u"), col("b.sk").as("v"))
+      .distinct()
+      .localCheckpoint()
+    val adj = e0.select(col("u").as("x"), col("v").as("z"))
+      .union(e0.select(col("v").as("x"), col("u").as("z")))
+    val deg = adj.groupBy("x").agg(count(lit(1)).cast("long").as("dg"))
+    val bridge = adj.join(
+      broadcast(deg.filter(col("dg") <= lpMaxBridgeDeg)
+        .select(col("x").as("z"))), Seq("z"), "left_semi")
+    val common = bridge.select(col("z"), col("x").as("a"))
+      .join(bridge.select(col("z"), col("x").as("b")), "z")
+      .filter(col("a") < col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).cast("long").as("common"))
+    val cand = common.join(e0,
+        common("a") === e0("u") && common("b") === e0("v"), "left_anti")
+    val wTop = org.apache.spark.sql.expressions.Window
+      .orderBy(col("jac_ppm").desc, col("common").desc, col("a"), col("b"))
+    cand
+      .join(broadcast(deg.select(col("x").as("a"), col("dg").as("da"))), "a")
+      .join(broadcast(deg.select(col("x").as("b"), col("dg").as("db"))), "b")
+      .withColumn("uni", col("da") + col("db") - col("common"))
+      .withColumn("jac_ppm", expr("(common * 1000000) DIV uni"))
+      .withColumn("rk", row_number().over(wTop))
+      .filter(col("rk") <= 20)
+      .select("rk", "a", "b", "common", "da", "db", "jac_ppm")
+      .orderBy("rk")
+  }
+
+  val q173_oracle: String =
+    s"""WITH os AS MATERIALIZED (
+       |  SELECT DISTINCT o_orderkey AS ok, l_suppkey AS sk
+       |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+       |  WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+       |    AND o_orderdate < TIMESTAMP '1995-04-01 00:00:00'),
+       |e0 AS MATERIALIZED (
+       |  SELECT DISTINCT a.sk AS u, b.sk AS v
+       |  FROM os a JOIN os b ON a.ok = b.ok AND a.sk < b.sk),
+       |adj AS MATERIALIZED (
+       |  SELECT u AS x, v AS z FROM e0 UNION ALL SELECT v, u FROM e0),
+       |deg AS MATERIALIZED (
+       |  SELECT x, CAST(count(*) AS BIGINT) AS dg FROM adj GROUP BY x),
+       |bridge AS MATERIALIZED (
+       |  SELECT adj.z, adj.x FROM adj
+       |  JOIN deg ON deg.x = adj.z AND deg.dg <= $lpMaxBridgeDeg),
+       |common AS MATERIALIZED (
+       |  SELECT a.x AS a, b.x AS b, CAST(count(*) AS BIGINT) AS common
+       |  FROM bridge a JOIN bridge b ON a.z = b.z AND a.x < b.x
+       |  GROUP BY 1, 2),
+       |cand AS (
+       |  SELECT c.* FROM common c
+       |  LEFT JOIN e0 ON c.a = e0.u AND c.b = e0.v
+       |  WHERE e0.u IS NULL),
+       |scored AS (
+       |  SELECT cand.a, cand.b, common, da.dg AS da, db.dg AS db,
+       |    (common * 1000000) // (da.dg + db.dg - common) AS jac_ppm
+       |  FROM cand
+       |  JOIN deg da ON da.x = cand.a
+       |  JOIN deg db ON db.x = cand.b)
+       |SELECT rk, a, b, common, da, db, jac_ppm FROM (
+       |  SELECT *, row_number() OVER (
+       |    ORDER BY jac_ppm DESC, common DESC, a, b) AS rk
+       |  FROM scored)
+       |WHERE rk <= 20 ORDER BY rk""".stripMargin
+
+  // ---------- q174: degree assortativity ----------
+
+  /** Degree assortativity (Newman 2002) of the trade co-occurrence
+    * graph — do high-degree suppliers trade alongside other
+    * high-degree suppliers? Over the SYMMETRIC directed edge set the
+    * Pearson correlation of endpoint degrees is fully RATIONAL:
+    * `r = (M·Σxy − (Σx)²) / (M·Σx² − (Σx)²)` (symmetry makes the x
+    * and y marginals identical, cancelling both square roots), so an
+    * honest correlation coefficient ships in exact ppm — positive =
+    * assortative core, negative = hub-and-spoke.
+    *
+    * Scale shape: degrees are an edge-shaped aggregate; the moment
+    * row is one partial-agg pass over edges joined to the broadcast
+    * degree table; products ride decimal(38,0)/HUGEINT.
+    */
+  def q174_assortativity(spark: SparkSession, dir: String): DataFrame = {
+    val dec38 = "decimal(38,0)"
+    val lo = to_timestamp(lit("1995-01-01 00:00:00"))
+    val hi = to_timestamp(lit("1995-04-01 00:00:00"))
+    val orders = Tables.load(spark, dir, "orders")
+      .filter(col("o_orderdate") >= lo && col("o_orderdate") < hi)
+      .select(col("o_orderkey").as("ok"))
+    val li = Tables.load(spark, dir, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
+    val os = orders.join(li, "ok").distinct()
+    val e0 = os.as("a").join(os.as("b"),
+        col("a.ok") === col("b.ok") && col("a.sk") < col("b.sk"))
+      .select(col("a.sk").as("u"), col("b.sk").as("v"))
+      .distinct()
+      .localCheckpoint()
+    val sym = e0.union(e0.select(col("v").as("u"), col("u").as("v")))
+    val deg = sym.groupBy("u").agg(count(lit(1)).cast("long").as("dg"))
+    sym
+      .join(broadcast(deg.select(col("u"), col("dg").as("dx"))), "u")
+      .join(broadcast(deg.select(col("u").as("v"), col("dg").as("dy"))), "v")
+      .agg(count(lit(1)).cast("long").as("m"),
+        sum(col("dx").cast(dec38)).as("sx"),
+        sum(col("dx").cast(dec38) * col("dx")).as("sxx"),
+        sum(col("dx").cast(dec38) * col("dy")).as("sxy"))
+      .select(col("m"),
+        expr("CAST(sx AS BIGINT)").as("sx"),
+        expr(s"CAST((CAST(m AS $dec38) * sxy - sx * sx) * 1000000 DIV " +
+          s"(CAST(m AS $dec38) * sxx - sx * sx) AS BIGINT)").as("r_ppm"))
+  }
+
+  val q174_oracle: String =
+    """WITH os AS MATERIALIZED (
+      |  SELECT DISTINCT o_orderkey AS ok, l_suppkey AS sk
+      |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      |  WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+      |    AND o_orderdate < TIMESTAMP '1995-04-01 00:00:00'),
+      |e0 AS MATERIALIZED (
+      |  SELECT DISTINCT a.sk AS u, b.sk AS v
+      |  FROM os a JOIN os b ON a.ok = b.ok AND a.sk < b.sk),
+      |sym AS (SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0),
+      |deg AS (SELECT u, CAST(count(*) AS BIGINT) AS dg FROM sym GROUP BY u),
+      |j AS (
+      |  SELECT dx.dg AS dx, dy.dg AS dy
+      |  FROM sym JOIN deg dx ON dx.u = sym.u JOIN deg dy ON dy.u = sym.v),
+      |mo AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS m,
+      |    CAST(sum(CAST(dx AS HUGEINT)) AS HUGEINT) AS sx,
+      |    CAST(sum(CAST(dx AS HUGEINT) * dx) AS HUGEINT) AS sxx,
+      |    CAST(sum(CAST(dx AS HUGEINT) * dy) AS HUGEINT) AS sxy
+      |  FROM j)
+      |SELECT m, CAST(sx AS BIGINT) AS sx,
+      |  CAST((CAST(m AS HUGEINT) * sxy - sx * sx) * 1000000
+      |    // (CAST(m AS HUGEINT) * sxx - sx * sx) AS BIGINT) AS r_ppm
+      |FROM mo""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q173_link_prediction" -> (q173_link_prediction _),
+    "q174_assortativity" -> (q174_assortativity _),
     "q147_hits" -> (q147_hits _),
     "q133_label_prop" -> (q133_label_prop _),
     "q47_dup_clusters" -> (q47_dup_clusters _),
@@ -738,6 +906,8 @@ object GraphQueries {
     "q125_kcore" -> (q125_kcore _))
 
   val oracles: Map[String, String] = Map(
+    "q173_link_prediction" -> q173_oracle,
+    "q174_assortativity" -> q174_oracle,
     "q147_hits" -> q147_oracle,
     "q133_label_prop" -> q133_oracle,
     "q47_dup_clusters" -> q47_oracle,
