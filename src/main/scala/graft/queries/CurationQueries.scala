@@ -684,7 +684,48 @@ object CurationQueries {
        |FROM v ORDER BY pos""".stripMargin
   }
 
+  // ---------- q175: fixed-quota stratified sample ----------
+
+  /** Per-source quota. */
+  val quotaK = 10
+
+  /** Fixed-QUOTA stratified sampling — the third sampling contract
+    * (q33 takes a fraction of everything, q78 splits by fraction per
+    * stratum; eval sets and human-review batches need "exactly k per
+    * source"): the k lowest salted-content-hash documents of each
+    * source, so the quota is deterministic, seedless, and STABLE
+    * under corpus growth in the only sense possible — a document
+    * leaves the sample only when a new document hashes below it.
+    * Emits the manifest rows themselves (doc ids are the point of a
+    * review batch).
+    *
+    * Scale shape: one narrow scan + one source-partitioned rank
+    * window (top-k per group — the q12 shape); output is
+    * |sources|·k rows.
+    */
+  def q175_quota_sample(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("source")
+      .orderBy(col("h"), col("doc_id"))
+    Tables.load(spark, dir, "documents")
+      .select(col("source"), col("doc_id"), col("n_chars"),
+        md5(concat(lit("quota|"), col("doc_id").cast("string"))).as("h"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= quotaK)
+      .select("source", "rk", "doc_id", "n_chars")
+      .orderBy("source", "rk")
+  }
+
+  val q175_oracle: String =
+    s"""SELECT source, rk, doc_id, n_chars FROM (
+       |  SELECT source, doc_id, n_chars,
+       |    row_number() OVER (PARTITION BY source
+       |      ORDER BY md5(concat('quota|', CAST(doc_id AS VARCHAR))), doc_id)
+       |      AS rk
+       |  FROM documents)
+       |WHERE rk <= $quotaK ORDER BY source, rk""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q175_quota_sample" -> (q175_quota_sample _),
     "q148_interleave" -> (q148_interleave _),
     "q132_dsir" -> (q132_dsir _),
     "q86_curation_e2e" -> (q86_curation_e2e _),
@@ -698,6 +739,7 @@ object CurationQueries {
     "q111_weighted_sample" -> (q111_weighted_sample _))
 
   val oracles: Map[String, String] = Map(
+    "q175_quota_sample" -> q175_oracle,
     "q148_interleave" -> q148_oracle,
     "q132_dsir" -> q132_oracle,
     "q86_curation_e2e" -> q86_oracle,

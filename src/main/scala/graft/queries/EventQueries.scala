@@ -343,6 +343,96 @@ object EventQueries {
       |    AS cents_delta_ppm
       |FROM l ORDER BY event_type, week""".stripMargin
 
+  // ---------- q176: weekly-hourly seasonality profile ----------
+
+  /** Activity seasonality heatmap — the (day-of-week × hour) profile
+    * behind capacity planning and anomaly BASELINES (q105 flags
+    * outliers against a global mean; real monitors compare against
+    * the seasonal cell): per cell, event count, purchase cents, and
+    * a peak flag marking each weekday's busiest hour ((count desc,
+    * hour) argmax — total-ordered, so the flag is deterministic).
+    * dayofweek is ISO (1 = Monday) in both engines' chosen functions.
+    *
+    * Scale shape: one partial-agg shuffle to ≤168 cells; the peak
+    * window runs over that table.
+    */
+  def q176_seasonality(spark: SparkSession, dir: String): DataFrame = {
+    val wPeak = Window.partitionBy("dow")
+      .orderBy(col("n_events").desc, col("hour").asc)
+    Tables.load(spark, dir, "events")
+      .groupBy(
+        // ISO weekday: Spark's dayofweek is 1=Sunday; shift to 1=Monday
+        expr("((dayofweek(ts) + 5) % 7) + 1").cast("int").as("dow"),
+        hour(col("ts")).cast("int").as("hour"))
+      .agg(count(lit(1)).cast("long").as("n_events"),
+        coalesce(sum(when(col("event_type") === "purchase",
+          round(col("value") * 100).cast("long"))), lit(0L))
+          .cast("long").as("purchase_cents"))
+      .withColumn("is_peak", row_number().over(wPeak) === 1)
+      .orderBy("dow", "hour")
+  }
+
+  val q176_oracle: String =
+    """WITH c AS (
+      |  SELECT CAST(isodow(ts) AS INTEGER) AS dow,
+      |    CAST(hour(ts) AS INTEGER) AS hour,
+      |    CAST(count(*) AS BIGINT) AS n_events,
+      |    CAST(coalesce(sum(CASE WHEN event_type = 'purchase'
+      |      THEN CAST(round(value * 100) AS BIGINT) END), 0) AS BIGINT)
+      |      AS purchase_cents
+      |  FROM events GROUP BY 1, 2)
+      |SELECT dow, hour, n_events, purchase_cents,
+      |  row_number() OVER (PARTITION BY dow
+      |    ORDER BY n_events DESC, hour ASC) = 1 AS is_peak
+      |FROM c ORDER BY dow, hour""".stripMargin
+
+  // ---------- q177: behavioral trigram mining ----------
+
+  /** Event-type TRIGRAM mining — q128's Markov matrix widened to
+    * second order (the sequence statistic that separates
+    * "view→click→purchase" journeys from coincidence): per-user
+    * timelines in (ts, event_id) total order, consecutive triples
+    * rolled up with the conditional next-step probability
+    * `P(c | a,b)` in exact ppm. The |types|³ table is the input to
+    * any higher-order behavioral model.
+    *
+    * Scale shape: ONE user-partitioned window shuffle (two leads
+    * share it), partial-agg rollup to ≤|types|³ rows, ppm join
+    * against the |types|²-row margin.
+    */
+  def q177_event_trigrams(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val triples = Tables.load(spark, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type").as("a"))
+      .withColumn("b", lead(col("a"), 1).over(w))
+      .withColumn("c", lead(col("a"), 2).over(w))
+      .filter(col("c").isNotNull)
+      .groupBy("a", "b", "c")
+      .agg(count(lit(1)).cast("long").as("n"))
+    val margins = triples.groupBy("a", "b").agg(sum(col("n")).cast("long").as("n_ab"))
+    triples.join(margins, Seq("a", "b"))
+      .select(col("a"), col("b"), col("c"), col("n"),
+        expr("(n * 1000000) DIV n_ab").as("p_ppm"))
+      .orderBy("a", "b", "c")
+  }
+
+  val q177_oracle: String =
+    """WITH t AS (
+      |  SELECT a, b, c, CAST(count(*) AS BIGINT) AS n
+      |  FROM (
+      |    SELECT event_type AS a,
+      |      lead(event_type, 1) OVER w AS b,
+      |      lead(event_type, 2) OVER w AS c
+      |    FROM events
+      |    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+      |  WHERE c IS NOT NULL
+      |  GROUP BY 1, 2, 3),
+      |m AS (SELECT a, b, CAST(sum(n) AS BIGINT) AS n_ab FROM t GROUP BY a, b)
+      |SELECT a, b, c, n, (n * 1000000) // n_ab AS p_ppm
+      |FROM t JOIN m USING (a, b)
+      |ORDER BY a, b, c""".stripMargin
+
   // ---------- q168: churn-label generation ----------
 
   /** Week-over-week churn LABELS — the training-target builder for a
@@ -622,6 +712,8 @@ object EventQueries {
     "q162_abtest" -> (q162_abtest _),
     "q164_funnel_time" -> (q164_funnel_time _),
     "q168_churn_labels" -> (q168_churn_labels _),
+    "q176_seasonality" -> (q176_seasonality _),
+    "q177_event_trigrams" -> (q177_event_trigrams _),
     "q163_rfm" -> (q163_rfm _),
     "q150_attribution" -> (q150_attribution _),
     "q65_funnel" -> (q65_funnel _),
@@ -639,5 +731,7 @@ object EventQueries {
     "q162_abtest" -> q162_oracle,
     "q164_funnel_time" -> q164_oracle,
     "q168_churn_labels" -> q168_oracle,
+    "q176_seasonality" -> q176_oracle,
+    "q177_event_trigrams" -> q177_oracle,
     "q163_rfm" -> q163_oracle)
 }
