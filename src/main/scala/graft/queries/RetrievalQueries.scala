@@ -472,7 +472,130 @@ object RetrievalQueries {
 
   // ---------- registry ----------
 
+  // ---------- q178: MMR diversified reranking ----------
+
+  /** Results to select per query (of the [[bm25TopK]] candidates). */
+  val mmrK = 3
+
+  /** Maximal-Marginal-Relevance reranking (Carbonell & Goldstein
+    * 1998) at λ = 1/2 — the diversification stage after q83/q91: a
+    * result list of five near-identical top-scoring documents wastes
+    * four slots, so each pick maximizes `relevance − max similarity
+    * to what's already picked`. Relevance is the rank-normalized BM25
+    * position in ppm (rank-based, so the two axes share units);
+    * similarity is embedding cosine floor-scaled to ppm (the q151
+    * integer rule) — the greedy argmax at every step is therefore a
+    * comparison of exact integers with a doc_id tiebreak, and the
+    * ITERATIVE selection hash-matches the oracle's unrolled rounds.
+    *
+    * Scale shape: everything is candidate-bounded — |Q|·k relevance
+    * rows, |Q|·k·(k−1) pairwise sims (localCheckpointed once; k is a
+    * constant), and each of the k−1 greedy rounds is a window +
+    * anti-join over those tiny tables. The corpus is touched only by
+    * q83's own bounded machinery.
+    */
+  def q178_mmr(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.{VectorFunctions => V}
+    import org.apache.spark.sql.expressions.Window
+    val cand = q83_bm25(spark, dir)
+      .select(col("query_id"), col("doc_id"),
+        expr(s"CAST((($bm25TopK - rnk + 1) * 1000000) DIV $bm25TopK AS BIGINT)")
+          .as("rel_ppm"))
+      .localCheckpoint()
+    val dv = Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id").as("doc_id"), V.asDouble(col("embedding")).as("v"))
+      .withColumn("nrm", V.norm(col("v")))
+    val cv = cand.join(dv, "doc_id")
+    val sims = cv.select(col("query_id"), col("doc_id").as("d"),
+        col("v").as("xv"), col("nrm").as("x_nrm"))
+      .join(cv.select(col("query_id"), col("doc_id").as("o"),
+        col("v").as("yv"), col("nrm").as("y_nrm")), Seq("query_id"))
+      .filter(col("d") =!= col("o"))
+      .select(col("query_id"), col("d"), col("o"),
+        floor(V.cosineWithNorms(col("xv"), col("yv"), col("x_nrm"), col("y_nrm"))
+          * 1000000L).cast("long").as("sim_ppm"))
+      .localCheckpoint()
+    val wPick = Window.partitionBy("query_id")
+      .orderBy(col("mmr_ppm").desc, col("doc_id"))
+    var picked = cand
+      .withColumn("penalty_ppm", lit(0L))
+      .withColumn("mmr_ppm", col("rel_ppm"))
+      .withColumn("rn", row_number().over(wPick))
+      .filter(col("rn") === 1).drop("rn")
+      .withColumn("mmr_rank", lit(1))
+      .localCheckpoint()
+    for (i <- 2 to mmrK) {
+      val rem = cand.join(picked.select("query_id", "doc_id"),
+        Seq("query_id", "doc_id"), "left_anti")
+      val pen = sims
+        .join(picked.select(col("query_id"), col("doc_id").as("o")),
+          Seq("query_id", "o"))
+        .groupBy(col("query_id"), col("d").as("doc_id"))
+        .agg(max(col("sim_ppm")).as("penalty_ppm"))
+      val pick = rem.join(pen, Seq("query_id", "doc_id"))
+        .withColumn("mmr_ppm", col("rel_ppm") - col("penalty_ppm"))
+        .withColumn("rn", row_number().over(wPick))
+        .filter(col("rn") === 1).drop("rn")
+        .withColumn("mmr_rank", lit(i))
+      picked = picked.unionByName(pick).localCheckpoint()
+    }
+    picked
+      .select("query_id", "mmr_rank", "doc_id", "rel_ppm", "penalty_ppm", "mmr_ppm")
+      .orderBy("query_id", "mmr_rank")
+  }
+
+  val q178_oracle: String = {
+    import graft.functions.{VectorFunctions => V}
+    val cos = V.cosineSql("xv", "yv")
+    val rounds = (2 to mmrK).map { i =>
+      val prev = (1 until i).map(j => s"SELECT * FROM p$j").mkString(" UNION ALL ")
+      s"""pk${i - 1} AS (SELECT query_id, doc_id FROM ($prev)),
+         |p$i AS (
+         |  SELECT c.query_id, c.doc_id, c.rel_ppm, pen.penalty_ppm,
+         |    c.rel_ppm - pen.penalty_ppm AS mmr_ppm, $i AS mmr_rank
+         |  FROM cand c
+         |  JOIN (
+         |    SELECT s.query_id, s.d AS doc_id,
+         |      CAST(max(s.sim_ppm) AS BIGINT) AS penalty_ppm
+         |    FROM sims s JOIN pk${i - 1} p ON s.query_id = p.query_id
+         |      AND s.o = p.doc_id
+         |    GROUP BY 1, 2) pen
+         |    ON pen.query_id = c.query_id AND pen.doc_id = c.doc_id
+         |  WHERE NOT EXISTS (SELECT 1 FROM pk${i - 1} p
+         |    WHERE p.query_id = c.query_id AND p.doc_id = c.doc_id)
+         |  QUALIFY row_number() OVER (PARTITION BY c.query_id
+         |    ORDER BY mmr_ppm DESC, c.doc_id) = 1)""".stripMargin
+    }.mkString(",\n")
+    val all = (1 to mmrK).map(j => s"SELECT * FROM p$j").mkString(" UNION ALL ")
+    s"""WITH bm25 AS ($bm25OracleBody),
+       |cand AS (
+       |  SELECT query_id, doc_id,
+       |    CAST((($bm25TopK - rnk + 1) * 1000000) // $bm25TopK AS BIGINT)
+       |      AS rel_ppm
+       |  FROM bm25),
+       |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+       |cv AS (SELECT cand.query_id, cand.doc_id, e.v
+       |       FROM cand JOIN e ON e.vec_id = cand.doc_id),
+       |sims AS (
+       |  SELECT x.query_id, x.doc_id AS d, y.doc_id AS o,
+       |    CAST(floor(($cos) * 1000000) AS BIGINT) AS sim_ppm
+       |  FROM (SELECT query_id, doc_id, v AS xv FROM cv) x
+       |  JOIN (SELECT query_id, doc_id, v AS yv FROM cv) y
+       |    ON x.query_id = y.query_id AND x.doc_id <> y.doc_id),
+       |p1 AS (
+       |  SELECT query_id, doc_id, rel_ppm, CAST(0 AS BIGINT) AS penalty_ppm,
+       |    rel_ppm AS mmr_ppm, 1 AS mmr_rank
+       |  FROM cand
+       |  QUALIFY row_number() OVER (PARTITION BY query_id
+       |    ORDER BY rel_ppm DESC, doc_id) = 1),
+       |$rounds
+       |SELECT query_id, mmr_rank, doc_id, rel_ppm, penalty_ppm, mmr_ppm
+       |FROM ($all)
+       |ORDER BY query_id, mmr_rank""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q178_mmr" -> (q178_mmr _),
     "q81_span_dedup" -> (q81_span_dedup _),
     "q82_boilerplate" -> (q82_boilerplate _),
     "q83_bm25" -> (q83_bm25 _),
@@ -481,6 +604,7 @@ object RetrievalQueries {
     "q123_span_scrub" -> (q123_span_scrub _))
 
   val oracles: Map[String, String] = Map(
+    "q178_mmr" -> q178_oracle,
     "q81_span_dedup" -> q81_oracle,
     "q82_boilerplate" -> q82_oracle,
     "q83_bm25" -> q83_oracle,
