@@ -293,15 +293,24 @@ object DistributionQueries {
     * type-sized join. Products widen to decimal(38,0) (HUGEINT in
     * the oracle) so cum·n stays exact at any n.
     */
-  def q141_ks_drift(spark: SparkSession, dir: String): DataFrame = {
-    val dec38 = "decimal(38,0)"
-    val counts = Tables.load(spark, dir, "events")
+  /** q141's per-period count table over any events frame — factored
+    * so q179's streaming monitor can run it per micro-batch (counts
+    * are ADDITIVE across batches, which is what makes a KS monitor
+    * incrementally maintainable). */
+  private[queries] def ksCounts(events: DataFrame): DataFrame =
+    events
       .select(col("event_type"),
         round(col("value") * 100).cast("long").as("cents"),
         when(col("ts") < to_timestamp(lit(ksSplit)), 1L).otherwise(0L).as("isa"))
       .groupBy("event_type", "cents")
       .agg(sum(col("isa")).cast("long").as("ca"),
         (count(lit(1)) - sum(col("isa"))).cast("long").as("cb"))
+
+  /** The exact KS tail over a (event_type, cents, ca, cb) count
+    * table — shared verbatim by q141 (one-shot) and q179 (from
+    * incrementally merged state). */
+  private[queries] def ksFromCounts(counts: DataFrame): DataFrame = {
+    val dec38 = "decimal(38,0)"
     val cumW = Window.partitionBy("event_type").orderBy("cents")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val totW = Window.partitionBy("event_type")
@@ -324,6 +333,9 @@ object DistributionQueries {
         col("at_cents"))
       .orderBy("event_type")
   }
+
+  def q141_ks_drift(spark: SparkSession, dir: String): DataFrame =
+    ksFromCounts(ksCounts(Tables.load(spark, dir, "events")))
 
   val q141_oracle: String =
     s"""WITH counts AS (

@@ -435,7 +435,60 @@ object StreamingParity {
     * indistinguishable from q135's one-shot batch aggregate. */
   val q161_oracle: String = EventQueries.q135_oracle
 
+  // ---------- q179: STREAMING drift monitor (incremental KS state) ----------
+
+  /** q141's exact KS drift as a STREAMING monitor, driver-gated (the
+    * q161 pattern applied to distribution monitoring): each
+    * micro-batch folds into the persisted (event_type, cents, ca, cb)
+    * count state by pure ADDITION — the value-axis domain is bounded,
+    * so the state is bin-sized no matter how many events streamed —
+    * and the exact KS statistic is computed from the final state with
+    * the SAME tail q141 uses (shared function, not shared idea).
+    * Oracle = q141's verbatim: the monitor must be indistinguishable
+    * from the one-shot scan.
+    */
+  def q179_stream_drift(spark: SparkSession, dir: String): DataFrame = {
+    val work = graft.io.Scratch.dir(spark, "graft-q179-")
+    val watchDir = s"$work/incoming"
+    val fs = new Path(work).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    try {
+      stageBatches(spark, dir, fs, watchDir, Seq("b0", "b1"))
+      val schema = spark.read.parquet(s"$watchDir/b0.parquet").schema
+      val latest = new java.util.concurrent.atomic.AtomicReference[String](null)
+      withShufflePartitions(spark, 8) {
+        val stream = spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", 1).parquet(watchDir)
+        val query = stream.writeStream
+          .trigger(Trigger.AvailableNow())
+          .foreachBatch { (batch: DataFrame, id: Long) =>
+            val partial = DistributionQueries.ksCounts(batch)
+            val merged = Option(latest.get()) match {
+              case Some(prev) =>
+                spark.read.parquet(prev).unionByName(partial)
+                  .groupBy("event_type", "cents")
+                  .agg(sum(col("ca")).cast("long").as("ca"),
+                    sum(col("cb")).cast("long").as("cb"))
+              case None => partial
+            }
+            val out = s"$work/state_b$id"
+            merged.write.mode("overwrite").parquet(out)
+            latest.set(out)
+            ()
+          }
+          .option("checkpointLocation", s"$work/ckpt")
+          .start()
+        query.awaitTermination()
+      }
+      DistributionQueries.ksFromCounts(spark.read.parquet(latest.get()))
+        .localCheckpoint() // materialize before the work dir is deleted
+    } finally fs.delete(new Path(work), true)
+  }
+
+  /** Shared constant on purpose: incremental ≡ one-shot scan. */
+  val q179_oracle: String = DistributionQueries.oracles("q141_ks_drift")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q179_stream_drift" -> (q179_stream_drift _),
     "q161_stream_decay" -> (q161_stream_decay _),
     "q74_stream_tumbling" -> (q74_stream_tumbling _),
     "q75_stream_sessionize" -> (q75_stream_sessionize _),
@@ -443,6 +496,7 @@ object StreamingParity {
     "q102_stream_join" -> (q102_stream_join _))
 
   val oracles: Map[String, String] = Map(
+    "q179_stream_drift" -> q179_oracle,
     "q161_stream_decay" -> q161_oracle,
     "q74_stream_tumbling" -> q74_oracle,
     "q75_stream_sessionize" -> q75_oracle,

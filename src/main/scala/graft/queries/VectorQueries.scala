@@ -784,6 +784,158 @@ object VectorQueries {
        |ORDER BY vec_id""".stripMargin
   }
 
+  // ---------- q180: kNN classifier evaluation ----------
+
+  /** Votes per classification. */
+  val knnClassK = 5
+
+  /** k-NN classification accuracy over the labeled embeddings — the
+    * standard "are these embeddings any good" probe (a label that
+    * can't be recovered from its neighborhood isn't encoded): each
+    * bounded-set query takes the majority label of its 5 exact
+    * nearest neighbors (vote argmax total-ordered by (votes desc,
+    * label asc); cosine ties broken by n_id — q28's rule), scored
+    * against its own label, rolled up per true label in exact ppm.
+    *
+    * Scale shape: q28's broadcast-query scan produces the neighbor
+    * stream; votes/argmax/rollup are |Q|-bounded.
+    */
+  def q180_knn_classifier(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    val q = e.filter(col("vec_id") < 50)
+      .select(col("vec_id").as("q_id"), col("label").as("true_label"),
+        col("v").as("qv"), V.norm(col("v")).as("q_nrm"))
+    val c = e.select(col("vec_id").as("n_id"), col("label").as("n_label"),
+      col("v").as("nv"), V.norm(col("v")).as("n_nrm"))
+    val cos = V.cosineWithNorms(col("qv"), col("nv"), col("q_nrm"), col("n_nrm"))
+    val wN = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id").asc)
+    val wV = Window.partitionBy("q_id")
+      .orderBy(col("votes").desc, col("n_label").asc)
+    broadcast(q).join(c, col("q_id") =!= col("n_id"))
+      .select(col("q_id"), col("true_label"), col("n_id"), col("n_label"),
+        cos.as("cos"))
+      .withColumn("rk", row_number().over(wN))
+      .filter(col("rk") <= knnClassK)
+      .groupBy("q_id", "true_label", "n_label")
+      .agg(count(lit(1)).cast("long").as("votes"))
+      .withColumn("vr", row_number().over(wV))
+      .filter(col("vr") === 1)
+      .groupBy(col("true_label").as("label"))
+      .agg(count(lit(1)).cast("long").as("n_queries"),
+        count_if(col("n_label") === col("true_label")).cast("long")
+          .as("n_correct"))
+      .withColumn("acc_ppm", expr("(n_correct * 1000000) DIV n_queries"))
+      .orderBy("label")
+  }
+
+  val q180_oracle: String = {
+    val cos = V.cosineSql("qv", "nv")
+    s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) v
+       |           FROM embeddings),
+       |scored AS (
+       |  SELECT q.vec_id AS q_id, q.label AS true_label,
+       |    c.vec_id AS n_id, c.label AS n_label, $cos AS cos
+       |  FROM (SELECT vec_id, label, v AS qv FROM e WHERE vec_id < 50) q,
+       |       (SELECT vec_id, label, v AS nv FROM e) c
+       |  WHERE q.vec_id <> c.vec_id),
+       |nn AS (
+       |  SELECT * FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY q_id
+       |      ORDER BY cos DESC, n_id ASC) AS rk
+       |    FROM scored)
+       |  WHERE rk <= $knnClassK),
+       |votes AS (
+       |  SELECT q_id, true_label, n_label, CAST(count(*) AS BIGINT) AS votes
+       |  FROM nn GROUP BY 1, 2, 3),
+       |pred AS (
+       |  SELECT q_id, true_label, n_label FROM votes
+       |  QUALIFY row_number() OVER (PARTITION BY q_id
+       |    ORDER BY votes DESC, n_label ASC) = 1)
+       |SELECT true_label AS label, CAST(count(*) AS BIGINT) AS n_queries,
+       |  CAST(count(*) FILTER (WHERE n_label = true_label) AS BIGINT)
+       |    AS n_correct,
+       |  (count(*) FILTER (WHERE n_label = true_label) * 1000000) // count(*)
+       |    AS acc_ppm
+       |FROM pred GROUP BY true_label ORDER BY label""".stripMargin
+  }
+
+  // ---------- q181: nearest-centroid classifier (integer Rocchio) ----------
+
+  /** Nearest-centroid (Rocchio) classification with ZERO floats in
+    * the decision: per-label centroids are exact micro-integer means
+    * (the q156 floor rule — deterministic under any partial-agg
+    * order, which float centroids are NOT), queries score against
+    * each centroid by integer dot product, argmax total-ordered by
+    * (dot desc, label asc). The confusion-matrix output is the model
+    * card for "are the label clusters linearly separated".
+    * Unnormalized dot on purpose: normalizing by the centroid norm
+    * reintroduces a square root; the spec documents the trade on a
+    * fixture where it matters.
+    *
+    * Scale shape: the centroid table is |labels|·dim rows built by
+    * one posexplode partial agg over the corpus; queries join the
+    * BROADCAST centroid table by dimension and partial-agg their
+    * |Q|·|labels| dots — the corpus is scanned once, queries never
+    * shuffle it.
+    */
+  def q181_centroid_classifier(spark: SparkSession, dir: String): DataFrame = {
+    val dec38 = "decimal(38,0)"
+    val e = emb(spark, dir)
+    val cent = e
+      .select(col("label"), posexplode(col("v")).as(Seq("dim", "c")))
+      .select(col("label"), col("dim"),
+        floor(col("c") * 1000000L).cast("long").as("cm"))
+      .groupBy("label", "dim")
+      .agg(expr(s"CAST(sum(CAST(cm AS $dec38)) DIV count(*) AS BIGINT)")
+        .as("cent_micro"))
+    val qc = e.filter(col("vec_id") < 50)
+      .select(col("vec_id").as("q_id"), col("label").as("true_label"),
+        posexplode(col("v")).as(Seq("dim", "c")))
+      .select(col("q_id"), col("true_label"), col("dim"),
+        floor(col("c") * 1000000L).cast("long").as("qm"))
+    val wPred = Window.partitionBy("q_id")
+      .orderBy(col("dot").desc, col("label").asc)
+    qc.join(broadcast(cent), "dim")
+      .groupBy("q_id", "true_label", "label")
+      .agg(sum(col("qm").cast(dec38) * col("cent_micro")).cast(dec38).as("dotd"))
+      .select(col("q_id"), col("true_label"), col("label"),
+        expr("CAST(dotd AS BIGINT)").as("dot"))
+      .withColumn("pr", row_number().over(wPred))
+      .filter(col("pr") === 1)
+      .groupBy(col("true_label"), col("label").as("predicted"))
+      .agg(count(lit(1)).cast("long").as("n"))
+      .orderBy("true_label", "predicted")
+  }
+
+  val q181_oracle: String =
+    s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) v
+       |           FROM embeddings),
+       |comp AS (
+       |  SELECT label, g.i - 1 AS dim,
+       |    CAST(floor(v[g.i] * 1000000) AS BIGINT) AS cm
+       |  FROM e CROSS JOIN generate_series(1, $dim) AS g(i)
+       |  WHERE g.i <= len(v)),
+       |cent AS (
+       |  SELECT label, dim,
+       |    CAST(sum(CAST(cm AS HUGEINT)) // count(*) AS BIGINT) AS cent_micro
+       |  FROM comp GROUP BY 1, 2),
+       |qc AS (
+       |  SELECT vec_id AS q_id, label AS true_label, g.i - 1 AS dim,
+       |    CAST(floor(v[g.i] * 1000000) AS BIGINT) AS qm
+       |  FROM e CROSS JOIN generate_series(1, $dim) AS g(i)
+       |  WHERE vec_id < 50 AND g.i <= len(v)),
+       |dots AS (
+       |  SELECT q_id, true_label, cent.label,
+       |    CAST(sum(CAST(qm AS HUGEINT) * cent_micro) AS BIGINT) AS dot
+       |  FROM qc JOIN cent USING (dim)
+       |  GROUP BY 1, 2, 3),
+       |pred AS (
+       |  SELECT q_id, true_label, label FROM dots
+       |  QUALIFY row_number() OVER (PARTITION BY q_id
+       |    ORDER BY dot DESC, label ASC) = 1)
+       |SELECT true_label, label AS predicted, CAST(count(*) AS BIGINT) AS n
+       |FROM pred GROUP BY 1, 2 ORDER BY true_label, predicted""".stripMargin
+
   // ---------- q156: embedding-matrix column profile ----------
 
   /** Per-dimension statistics of the embedding matrix — the
@@ -845,6 +997,8 @@ object VectorQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q156_embedding_profile" -> (q156_embedding_profile _),
     "q167_embedding_outliers" -> (q167_embedding_outliers _),
+    "q180_knn_classifier" -> (q180_knn_classifier _),
+    "q181_centroid_classifier" -> (q181_centroid_classifier _),
     "q151_margin" -> (q151_margin _),
     "q138_hard_negatives" -> (q138_hard_negatives _),
     "q87_semdedup" -> (q87_semdedup _),
@@ -867,6 +1021,8 @@ object VectorQueries {
   val oracles: Map[String, String] = Map(
     "q156_embedding_profile" -> q156_oracle,
     "q167_embedding_outliers" -> q167_oracle,
+    "q180_knn_classifier" -> q180_oracle,
+    "q181_centroid_classifier" -> q181_oracle,
     "q151_margin" -> q151_oracle,
     "q138_hard_negatives" -> q138_oracle,
     "q79_knn_quantized" -> q79_oracle,
