@@ -715,7 +715,153 @@ object DistributionQueries {
       |  CAST((cum * 1000000) // total AS BIGINT) AS cum_share_ppm
       |FROM t ORDER BY decile""".stripMargin
 
+  // ---------- q183: IQR (Tukey-fence) outliers ----------
+
+  /** Robust outlier detection by Tukey fences — the rank-based
+    * complement of q105's moment-based z-score (a fat tail inflates
+    * σ and hides its own outliers; quartiles don't move): exact q1/q3
+    * by rank arithmetic, fences at 1.5·IQR cleared of fractions —
+    * `x < q1 − 3(q3−q1)/2 ⟺ 2x < 5·q1 − 3·q3` — so every verdict is
+    * an integer comparison and the flagged SET is pinned by id-sum
+    * (the q105 rule). Per-type report.
+    *
+    * Scale shape: one rank window per type for the quartile rows, a
+    * broadcast bounds table back over the scan — q145's exact shape
+    * with a detection semantic.
+    */
+  def q183_iqr_outliers(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(spark, dir, "events")
+      .select(col("event_type"), col("event_id"),
+        round(col("value") * 100).cast("long").as("cents"))
+    val rankW = Window.partitionBy("event_type")
+      .orderBy(col("cents"), col("event_id"))
+    val quart = e
+      .withColumn("rnk", row_number().over(rankW))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("event_type")))
+      .filter(col("rnk") === expr("(n + 3) DIV 4") ||
+        col("rnk") === expr("(3 * n + 3) DIV 4"))
+      .groupBy("event_type")
+      .agg(min(when(col("rnk") === expr("(n + 3) DIV 4"), col("cents"))).as("q1"),
+        min(when(col("rnk") === expr("(3 * n + 3) DIV 4"), col("cents"))).as("q3"))
+    val low = col("cents") * 2 < col("q1") * 5 - col("q3") * 3
+    val high = col("cents") * 2 > col("q3") * 5 - col("q1") * 3
+    e.join(broadcast(quart), "event_type")
+      .groupBy("event_type")
+      .agg(count(lit(1)).cast("long").as("n"),
+        max(col("q1")).as("q1_cents"), max(col("q3")).as("q3_cents"),
+        count_if(low).cast("long").as("n_low"),
+        count_if(high).cast("long").as("n_high"),
+        coalesce(sum(when(low || high, col("event_id"))), lit(0L)).cast("long")
+          .as("outlier_id_sum"))
+      .orderBy("event_type")
+  }
+
+  val q183_oracle: String =
+    """WITH e AS (
+      |  SELECT event_type, event_id,
+      |    CAST(round(value * 100) AS BIGINT) AS cents
+      |  FROM events),
+      |r AS (
+      |  SELECT event_type, cents,
+      |    row_number() OVER (PARTITION BY event_type ORDER BY cents, event_id)
+      |      AS rnk,
+      |    count(*) OVER (PARTITION BY event_type) AS n
+      |  FROM e),
+      |q AS (
+      |  SELECT event_type,
+      |    min(CASE WHEN rnk = (n + 3) // 4 THEN cents END) AS q1,
+      |    min(CASE WHEN rnk = (3 * n + 3) // 4 THEN cents END) AS q3
+      |  FROM r WHERE rnk = (n + 3) // 4 OR rnk = (3 * n + 3) // 4
+      |  GROUP BY event_type)
+      |SELECT e.event_type, CAST(count(*) AS BIGINT) AS n,
+      |  max(q1) AS q1_cents, max(q3) AS q3_cents,
+      |  CAST(count(*) FILTER (WHERE cents * 2 < q1 * 5 - q3 * 3) AS BIGINT)
+      |    AS n_low,
+      |  CAST(count(*) FILTER (WHERE cents * 2 > q3 * 5 - q1 * 3) AS BIGINT)
+      |    AS n_high,
+      |  CAST(coalesce(sum(CASE WHEN cents * 2 < q1 * 5 - q3 * 3
+      |      OR cents * 2 > q3 * 5 - q1 * 3 THEN event_id END), 0) AS BIGINT)
+      |    AS outlier_id_sum
+      |FROM e JOIN q USING (event_type)
+      |GROUP BY e.event_type ORDER BY event_type""".stripMargin
+
+  // ---------- q184: calendar coverage gaps ----------
+
+  /** Data-completeness audit: for each event type, which calendar
+    * days inside the corpus's own [min, max] date range saw ZERO
+    * events — the "did ingestion silently skip a day" report, which
+    * no aggregation over PRESENT rows can produce: the day axis is
+    * GENERATED (sequence over the date range) and anti-joined
+    * against observed days. Per type: range, expected/observed/
+    * missing day counts, and the missing-day epoch sum pinning the
+    * exact gap SET.
+    *
+    * Scale shape: observed (type, day) pairs are one partial-agg
+    * distinct; the generated calendar is |types|·|days| rows (tiny);
+    * the anti-join runs calendar-vs-observed, never against raw
+    * events.
+    */
+  def q184_coverage_gaps(spark: SparkSession, dir: String): DataFrame = {
+    val observed = Tables.load(spark, dir, "events")
+      .select(col("event_type"), col("ts").cast("date").as("day"))
+      .distinct()
+      .localCheckpoint()
+    val ranges = observed.groupBy("event_type")
+      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+    val calendar = ranges
+      .select(col("event_type"), col("d0"), col("d1"),
+        explode(expr("sequence(d0, d1, interval 1 day)")).as("day"))
+    calendar
+      .join(observed, Seq("event_type", "day"), "left_anti")
+      .groupBy("event_type")
+      .agg(count(lit(1)).cast("long").as("n_missing"),
+        coalesce(sum(unix_date(col("day"))), lit(0L)).cast("long")
+          .as("missing_epoch_sum"))
+      .join(ranges.join(observed.groupBy("event_type")
+          .agg(count(lit(1)).cast("long").as("n_observed")), "event_type"),
+        Seq("event_type"), "right_outer")
+      .select(col("event_type"),
+        date_format(col("d0"), "yyyy-MM-dd").as("first_day"),
+        date_format(col("d1"), "yyyy-MM-dd").as("last_day"),
+        (datediff(col("d1"), col("d0")) + 1).cast("long").as("n_expected"),
+        col("n_observed"),
+        coalesce(col("n_missing"), lit(0L)).as("n_missing"),
+        coalesce(col("missing_epoch_sum"), lit(0L)).as("missing_epoch_sum"))
+      .orderBy("event_type")
+  }
+
+  val q184_oracle: String =
+    """WITH obs AS (
+      |  SELECT DISTINCT event_type, CAST(ts AS DATE) AS day FROM events),
+      |rng AS (
+      |  SELECT event_type, min(day) AS d0, max(day) AS d1,
+      |    CAST(count(*) AS BIGINT) AS n_observed
+      |  FROM obs GROUP BY event_type),
+      |cal AS (
+      |  SELECT event_type, unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE
+      |    AS day
+      |  FROM rng),
+      |miss AS (
+      |  SELECT cal.event_type, CAST(count(*) AS BIGINT) AS n_missing,
+      |    CAST(coalesce(sum(date_diff('day', DATE '1970-01-01', cal.day)), 0)
+      |      AS BIGINT) AS missing_epoch_sum
+      |  FROM cal LEFT JOIN obs ON cal.event_type = obs.event_type
+      |    AND cal.day = obs.day
+      |  WHERE obs.day IS NULL
+      |  GROUP BY cal.event_type)
+      |SELECT rng.event_type,
+      |  strftime(d0, '%Y-%m-%d') AS first_day,
+      |  strftime(d1, '%Y-%m-%d') AS last_day,
+      |  CAST(date_diff('day', d0, d1) + 1 AS BIGINT) AS n_expected,
+      |  n_observed,
+      |  coalesce(miss.n_missing, 0) AS n_missing,
+      |  coalesce(miss.missing_epoch_sum, 0) AS missing_epoch_sum
+      |FROM rng LEFT JOIN miss USING (event_type)
+      |ORDER BY event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q183_iqr_outliers" -> (q183_iqr_outliers _),
+    "q184_coverage_gaps" -> (q184_coverage_gaps _),
     "q172_pareto" -> (q172_pareto _),
     "q153_range_frame" -> (q153_range_frame _),
     "q141_ks_drift" -> (q141_ks_drift _),
@@ -732,6 +878,8 @@ object DistributionQueries {
 
   val oracles: Map[String, String] = Map(
     "q172_pareto" -> q172_oracle,
+    "q183_iqr_outliers" -> q183_oracle,
+    "q184_coverage_gaps" -> q184_oracle,
     "q153_range_frame" -> q153_oracle,
     "q141_ks_drift" -> q141_oracle,
     "q142_hist_drift" -> q142_oracle,

@@ -545,7 +545,61 @@ object GovernanceQueries {
        |FROM r GROUP BY source ORDER BY source""".stripMargin
   }
 
+  // ---------- q182: functional-dependency discovery ----------
+
+  /** Candidate FDs to audit: (table, lhs, rhs) triples — the
+    * discovery complement of q99 (which asserts declared rules, this
+    * MEASURES which dependencies actually hold, the first step of
+    * schema inference / normalization review). */
+  val fdCandidates: Seq[(String, String, String)] = Seq(
+    ("nation", "n_nationkey", "n_regionkey"),
+    ("customer", "c_nationkey", "c_mktsegment"),
+    ("part", "p_brand", "p_type"),
+    ("part", "p_type", "p_brand"),
+    ("orders", "o_custkey", "o_orderstatus"),
+    ("events", "user_id", "event_type"))
+
+  /** Functional-dependency audit: for each candidate `lhs → rhs`,
+    * how many lhs groups exist, how many VIOLATE (≥2 distinct rhs),
+    * the worst group's rhs cardinality, and the violation rate in
+    * exact ppm. `holds` = zero violations. One hash aggregation per
+    * candidate (distinct-count per group collapses map-side), unioned
+    * into one report — the same shape profilers like Metanome's
+    * simplest pass compute, declaratively.
+    */
+  def q182_fd_discovery(spark: SparkSession, dir: String): DataFrame = {
+    val per = fdCandidates.map { case (table, lhs, rhs) =>
+      Tables.load(spark, dir, table)
+        .groupBy(col(lhs).as("k"))
+        .agg(count_distinct(col(rhs)).as("n_rhs"))
+        .agg(count(lit(1)).cast("long").as("n_groups"),
+          count_if(col("n_rhs") > 1).cast("long").as("n_violating"),
+          max(col("n_rhs")).cast("long").as("max_rhs"))
+        .select(lit(s"$table: $lhs -> $rhs").as("fd"),
+          col("n_groups"), col("n_violating"), col("max_rhs"),
+          expr("(n_violating * 1000000) DIV n_groups").as("violation_ppm"),
+          (col("n_violating") === 0L).as("holds"))
+    }
+    per.reduce(_ unionByName _).orderBy("fd")
+  }
+
+  val q182_oracle: String = {
+    val arms = fdCandidates.map { case (table, lhs, rhs) =>
+      s"""SELECT '$table: $lhs -> $rhs' AS fd,
+         |  CAST(count(*) AS BIGINT) AS n_groups,
+         |  CAST(count(*) FILTER (WHERE n_rhs > 1) AS BIGINT) AS n_violating,
+         |  CAST(max(n_rhs) AS BIGINT) AS max_rhs,
+         |  (count(*) FILTER (WHERE n_rhs > 1) * 1000000) // count(*)
+         |    AS violation_ppm,
+         |  count(*) FILTER (WHERE n_rhs > 1) = 0 AS holds
+         |FROM (SELECT $lhs, count(DISTINCT $rhs) AS n_rhs
+         |      FROM $table GROUP BY $lhs)""".stripMargin
+    }
+    arms.mkString("", "\nUNION ALL\n", "\nORDER BY fd")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q182_fd_discovery" -> (q182_fd_discovery _),
     "q171_score_calibration" -> (q171_score_calibration _),
     "q166_key_skew" -> (q166_key_skew _),
     "q110_incremental_distinct" -> (q110_incremental_distinct _),
@@ -560,6 +614,7 @@ object GovernanceQueries {
   val oracles: Map[String, String] = Map(
     "q166_key_skew" -> q166_oracle,
     "q171_score_calibration" -> q171_oracle,
+    "q182_fd_discovery" -> q182_oracle,
     "q99_expectations" -> q99_oracle,
     "q100_profile" -> q100_oracle,
     "q109_masking" -> q109_oracle,
