@@ -1321,6 +1321,56 @@ object TextQueries {
        |ORDER BY decile""".stripMargin
   }
 
+  // ---------- q185: dedup threshold-sensitivity sweep ----------
+
+  /** The thresholds swept (num/den Jaccard fractions). */
+  val sweepThresholds: Seq[(Int, Int)] = Seq((2, 5), (3, 5), (4, 5))
+
+  /** Dedup threshold-sensitivity sweep — the tuning table behind
+    * "where do we set the near-dup cutoff": the EXACT all-pairs core
+    * (q143) run at 2/5, 3/5, 4/5, reporting per threshold the pair
+    * count, docs-touched count, and the pair-similarity profile
+    * (min/mean jac in ppm). Because every run is exact, the deltas
+    * between rows are true marginal pairs, not LSH noise — this is
+    * the PR-curve x-axis a curation team sweeps before committing a
+    * threshold to q60's removal.
+    *
+    * Scale shape: three prefix-filtered runs over the stored index
+    * (lower thresholds mean longer prefixes — the 2/5 run is the
+    * honest cost ceiling of the sweep); per-run output collapses to
+    * one summary row.
+    */
+  def q185_threshold_sweep(spark: SparkSession, dir: String): DataFrame = {
+    val dec38 = "decimal(38,0)"
+    val rows = sweepThresholds.map { case (num, den) =>
+      allPairsExact(spark, dir, num, den)
+        .agg(count(lit(1)).cast("long").as("n_pairs"),
+          count_distinct(col("a_id")).cast("long").as("n_a_docs"),
+          coalesce(min(col("jac_ppm")), lit(0L)).as("min_jac_ppm"),
+          coalesce(expr(s"CAST(sum(CAST(jac_ppm AS $dec38)) DIV count(*) AS BIGINT)"),
+            lit(0L)).as("mean_jac_ppm"))
+        .select(lit(s"$num/$den").as("threshold"),
+          lit(num * 1000000L / den).as("threshold_ppm"),
+          col("n_pairs"), col("n_a_docs"), col("min_jac_ppm"),
+          col("mean_jac_ppm"))
+    }
+    rows.reduce(_ unionByName _).orderBy("threshold_ppm")
+  }
+
+  val q185_oracle: String = {
+    val arms = sweepThresholds.map { case (num, den) =>
+      s"""SELECT '$num/$den' AS threshold,
+         |  CAST(${num * 1000000L / den} AS BIGINT) AS threshold_ppm,
+         |  CAST(count(*) AS BIGINT) AS n_pairs,
+         |  CAST(count(DISTINCT a_id) AS BIGINT) AS n_a_docs,
+         |  CAST(coalesce(min(jac_ppm), 0) AS BIGINT) AS min_jac_ppm,
+         |  CAST(coalesce(sum(CAST(jac_ppm AS HUGEINT)) // count(*), 0) AS BIGINT)
+         |    AS mean_jac_ppm
+         |FROM (${allPairsSql(num, den)})""".stripMargin
+    }
+    arms.mkString("", "\nUNION ALL\n", "\nORDER BY threshold_ppm")
+  }
+
   // ---------- registry ----------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1329,6 +1379,7 @@ object TextQueries {
     "q155_langid_eval" -> (q155_langid_eval _),
     "q165_novelty_curve" -> (q165_novelty_curve _),
     "q158_source_keyness" -> (q158_source_keyness _),
+    "q185_threshold_sweep" -> (q185_threshold_sweep _),
     "q139_novelty" -> (q139_novelty _),
     "q19_token_count" -> (q19_token_count _),
     "q20_lang_id" -> (q20_lang_id _),
@@ -1354,6 +1405,7 @@ object TextQueries {
     "q155_langid_eval" -> q155_oracle,
     "q165_novelty_curve" -> q165_oracle,
     "q158_source_keyness" -> q158_oracle,
+    "q185_threshold_sweep" -> q185_oracle,
     "q19_token_count" -> q19_oracle,
     "q20_lang_id" -> q20_oracle,
     "q21_quality_score" -> q21_oracle,
