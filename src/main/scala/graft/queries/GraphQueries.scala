@@ -893,7 +893,99 @@ object GraphQueries {
       |    // (CAST(m AS HUGEINT) * sxx - sx * sx) AS BIGINT) AS r_ppm
       |FROM mo""".stripMargin
 
+  // ---------- q186: incremental connected-component maintenance ----------
+
+  /** Supplier co-occurrence edges for an order-date window — the
+    * shared builder of the q122/q173/q174 graph, windowed so q186 can
+    * split eras. */
+  private def tradeEdges(
+      spark: SparkSession, dir: String, lo: String, hi: String): DataFrame = {
+    val orders = Tables.load(spark, dir, "orders")
+      .filter(col("o_orderdate") >= to_timestamp(lit(lo)) &&
+        col("o_orderdate") < to_timestamp(lit(hi)))
+      .select(col("o_orderkey").as("ok"))
+    val li = Tables.load(spark, dir, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
+    val os = orders.join(li, "ok").distinct()
+    os.as("a").join(os.as("b"),
+        col("a.ok") === col("b.ok") && col("a.sk") < col("b.sk"))
+      .select(col("a.sk").as("u"), col("b.sk").as("v"))
+      .distinct()
+  }
+
+  /** INCREMENTAL connected-component maintenance — the graph member
+    * of the incremental-≡-rescan family (q94/q107/q110/q113/q115/
+    * q161/q179): the existing era's labels are committed state; an
+    * arriving edge batch is CONTRACTED through them (each endpoint
+    * replaced by its current component, new vertices by themselves)
+    * and components are recomputed only on that contracted graph —
+    * sized by the COMPONENTS THE BATCH TOUCHES, never the
+    * accumulated graph — then the old labels relabel through the
+    * contraction map with one join. Min-label semantics compose
+    * (min of mins = global min), so the merged labeling is EXACTLY
+    * the full recompute, which is what the oracle (recursive-CTE CC
+    * over ALL edges) checks. Output = per-component (size, id_sum) —
+    * exact membership, the q105 rule.
+    *
+    * Scale shape: the base labels are prior state (here built once
+    * from era A); per batch the work is |batch edges| joins against
+    * the label table + a CC on the contracted (tiny) graph + one
+    * relabel join. This is how a growing dedup-cluster table absorbs
+    * daily ingests without re-clustering the corpus.
+    */
+  def q186_incremental_cc(spark: SparkSession, dir: String): DataFrame = {
+    val eA = tradeEdges(spark, dir, "1995-01-01 00:00:00", "1995-03-01 00:00:00")
+    val eB = tradeEdges(spark, dir, "1995-03-01 00:00:00", "1995-04-01 00:00:00")
+      .localCheckpoint()
+    val base = graft.operators.ConnectedComponents.run(eA, "u", "v")
+      .localCheckpoint()
+    val mapped = eB
+      .join(base.select(col("id").as("u"), col("component").as("cu")),
+        Seq("u"), "left")
+      .join(base.select(col("id").as("v"), col("component").as("cv")),
+        Seq("v"), "left")
+      .select(coalesce(col("cu"), col("u")).as("cu"),
+        coalesce(col("cv"), col("v")).as("cv"))
+      .filter(col("cu") =!= col("cv"))
+    val contracted = graft.operators.ConnectedComponents.run(mapped, "cu", "cv")
+      .select(col("id").as("component"), col("component").as("new_comp"))
+    val newVerts = eB.select(col("u").as("id"))
+      .union(eB.select(col("v").as("id"))).distinct()
+      .join(base.select("id"), Seq("id"), "left_anti")
+      .withColumn("component", col("id"))
+    base.select("id", "component").unionByName(newVerts)
+      .join(contracted, Seq("component"), "left")
+      .select(col("id"),
+        coalesce(col("new_comp"), col("component")).as("component"))
+      .groupBy("component")
+      .agg(count(lit(1)).cast("long").as("size"),
+        sum(col("id")).cast("long").as("id_sum"))
+      .orderBy("component")
+  }
+
+  /** Oracle = the FULL recompute over all Q1 edges: incremental must
+    * be indistinguishable from rescan. */
+  val q186_oracle: String =
+    """WITH RECURSIVE os AS (
+      |  SELECT DISTINCT o_orderkey AS ok, l_suppkey AS sk
+      |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      |  WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+      |    AND o_orderdate < TIMESTAMP '1995-04-01 00:00:00'),
+      |e0 AS (
+      |  SELECT DISTINCT a.sk AS u, b.sk AS v
+      |  FROM os a JOIN os b ON a.ok = b.ok AND a.sk < b.sk),
+      |edges AS (SELECT u, v FROM e0 UNION SELECT v, u FROM e0),
+      |reach AS (
+      |  SELECT u AS id, u AS r FROM (SELECT DISTINCT u FROM edges)
+      |  UNION
+      |  SELECT e.u AS id, reach.r FROM edges e JOIN reach ON e.v = reach.id),
+      |lab AS (SELECT id, min(r) AS component FROM reach GROUP BY id)
+      |SELECT component, CAST(count(*) AS BIGINT) AS size,
+      |  CAST(sum(id) AS BIGINT) AS id_sum
+      |FROM lab GROUP BY component ORDER BY component""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q186_incremental_cc" -> (q186_incremental_cc _),
     "q173_link_prediction" -> (q173_link_prediction _),
     "q174_assortativity" -> (q174_assortativity _),
     "q147_hits" -> (q147_hits _),
@@ -906,6 +998,7 @@ object GraphQueries {
     "q125_kcore" -> (q125_kcore _))
 
   val oracles: Map[String, String] = Map(
+    "q186_incremental_cc" -> q186_oracle,
     "q173_link_prediction" -> q173_oracle,
     "q174_assortativity" -> q174_oracle,
     "q147_hits" -> q147_oracle,
