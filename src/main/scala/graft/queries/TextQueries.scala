@@ -1324,21 +1324,23 @@ object TextQueries {
   // ---------- q185: dedup threshold-sensitivity sweep ----------
 
   /** The thresholds swept (num/den Jaccard fractions). */
-  val sweepThresholds: Seq[(Int, Int)] = Seq((2, 5), (3, 5), (4, 5))
+  val sweepThresholds: Seq[(Int, Int)] = Seq((1, 2), (3, 5), (4, 5))
 
   /** Dedup threshold-sensitivity sweep — the tuning table behind
     * "where do we set the near-dup cutoff": the EXACT all-pairs core
-    * (q143) run at 2/5, 3/5, 4/5, reporting per threshold the pair
+    * (q143) run at 1/2, 3/5, 4/5, reporting per threshold the pair
     * count, docs-touched count, and the pair-similarity profile
     * (min/mean jac in ppm). Because every run is exact, the deltas
     * between rows are true marginal pairs, not LSH noise — this is
     * the PR-curve x-axis a curation team sweeps before committing a
     * threshold to q60's removal.
     *
-    * Scale shape: three prefix-filtered runs over the stored index
-    * (lower thresholds mean longer prefixes — the 2/5 run is the
-    * honest cost ceiling of the sweep); per-run output collapses to
-    * one summary row.
+    * Scale shape: three prefix-filtered runs over the stored index.
+    * Lower thresholds mean longer prefixes and quadratically hotter
+    * posting joins — measured at the 10× corpus: a 2/5 leg (60% of
+    * every doc's keys exposed) cost 177 s where 1/2 costs ~13 s, so
+    * the sweep floor is 1/2; below that, sweep on an LSH candidate
+    * superset instead of exactly.
     */
   def q185_threshold_sweep(spark: SparkSession, dir: String): DataFrame = {
     val dec38 = "decimal(38,0)"
