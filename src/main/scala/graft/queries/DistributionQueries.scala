@@ -859,7 +859,68 @@ object DistributionQueries {
       |FROM rng LEFT JOIN miss USING (event_type)
       |ORDER BY event_type""".stripMargin
 
+  // ---------- q187: interpolated (type-7) quantiles, exactly ----------
+
+  /** LINEAR-INTERPOLATION quantiles (Hyndman–Fan type 7 — numpy /
+    * pandas' default) computed EXACTLY: at quartile q/4 the index is
+    * h = (n−1)·q/4, and with H = (n−1)·q the interpolation weight is
+    * the RATIONAL H mod 4 over 4 — so the interpolated value
+    * `(4−r)·x_⌊h⌋ + r·x_⌊h⌋₊₁` is an exact integer in quarter-cents,
+    * emitted in micro-cents by one exact multiply. The
+    * cross-engine-portable form of the quantile every Python
+    * notebook reports (each engine's built-in interpolating quantile
+    * disagrees in the last float digit; this one hash-matches), and
+    * the interpolating complement of q32's nearest-rank form.
+    *
+    * Scale shape: q32's rank window; the quantile combine reads at
+    * most two ranked rows per quartile via conditional aggregation.
+    */
+  def q187_interp_quantiles(spark: SparkSession, dir: String): DataFrame = {
+    val ranked = Tables.load(spark, dir, "events")
+      .select(col("event_type"), col("event_id"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("event_type").orderBy(col("cents"), col("event_id"))))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("event_type")))
+    val qs = Seq(1, 2, 3)
+    val exprs = qs.flatMap { q =>
+      val k = s"(((n - 1) * $q) DIV 4)"
+      val r = s"(((n - 1) * $q) % 4)"
+      Seq(expr(s"""CAST((
+        |  (4 - $r) * max(CASE WHEN rnk = $k + 1 THEN cents END)
+        |  + $r * coalesce(max(CASE WHEN rnk = $k + 2 THEN cents END), 0)
+        |) * 250000 AS BIGINT)""".stripMargin.replace("\n", " "))
+        .as(s"p${q * 25}_micro"))
+    }
+    ranked.groupBy("event_type", "n")
+      .agg(exprs.head, exprs.tail: _*)
+      .select(col("event_type") +: col("n").as("n_events") +:
+        qs.map(q => col(s"p${q * 25}_micro")): _*)
+      .orderBy("event_type")
+  }
+
+  val q187_oracle: String = {
+    val cols = Seq(1, 2, 3).map { q =>
+      val k = s"(((n - 1) * $q) // 4)"
+      val r = s"(((n - 1) * $q) % 4)"
+      s"""CAST(((4 - $r) * max(CASE WHEN rnk = $k + 1 THEN cents END)
+         |  + $r * coalesce(max(CASE WHEN rnk = $k + 2 THEN cents END), 0)) * 250000
+         |  AS BIGINT) AS p${q * 25}_micro""".stripMargin
+    }
+    s"""SELECT event_type, CAST(n AS BIGINT) AS n_events,
+       |  ${cols.mkString(",\n  ")}
+       |FROM (
+       |  SELECT event_type, cents,
+       |    row_number() OVER (PARTITION BY event_type ORDER BY cents, event_id)
+       |      AS rnk,
+       |    count(*) OVER (PARTITION BY event_type) AS n
+       |  FROM (SELECT event_type, event_id,
+       |          CAST(round(value * 100) AS BIGINT) AS cents FROM events))
+       |GROUP BY event_type, n ORDER BY event_type""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q187_interp_quantiles" -> (q187_interp_quantiles _),
     "q183_iqr_outliers" -> (q183_iqr_outliers _),
     "q184_coverage_gaps" -> (q184_coverage_gaps _),
     "q172_pareto" -> (q172_pareto _),
@@ -879,6 +940,7 @@ object DistributionQueries {
   val oracles: Map[String, String] = Map(
     "q172_pareto" -> q172_oracle,
     "q183_iqr_outliers" -> q183_oracle,
+    "q187_interp_quantiles" -> q187_oracle,
     "q184_coverage_gaps" -> q184_oracle,
     "q153_range_frame" -> q153_oracle,
     "q141_ks_drift" -> q141_oracle,
