@@ -472,6 +472,131 @@ object RetrievalQueries {
 
   // ---------- registry ----------
 
+  // ---------- q188: BM25 with pseudo-relevance feedback ----------
+
+  /** Feedback docs per query and expansion terms drawn from them. */
+  val prfFeedbackDocs = 3
+  val prfExpansionTerms = 2
+
+  /** Pseudo-relevance feedback (Rocchio-style query expansion — the
+    * second-round retrieval trick behind "the query didn't say the
+    * word but the corpus does"): round 1 is plain q83 BM25; the top
+    * [[prfFeedbackDocs]] docs per query nominate their heaviest terms
+    * (summed tf, ties → rarer df, then term — a total order), the
+    * original terms are EXCLUDED (expansion must add vocabulary, not
+    * re-weight it), and the query reruns with integer weights —
+    * original terms ×2, expansion terms ×1 — so the reranked score is
+    * still an exact integer sum and the two-round pipeline
+    * hash-matches the oracle's CTE chain. Top-5 by the expanded
+    * score.
+    *
+    * Scale shape: the posting/df/stats tables are built once and
+    * shared by both rounds (localCheckpointed — the corpus is
+    * scanned once); round-1 ranking, term nomination, and the
+    * reranked join are all bounded by |queries|·k and the posting
+    * lists of ≤ 5 terms per query.
+    */
+  def q188_bm25_prf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.load(spark, dir, "documents")
+    val terms = docs
+      .select(col("doc_id"), T.tokens(col("text")).as("tk"))
+      .select(col("doc_id"), size(col("tk")).cast("long").as("dl"),
+        explode(col("tk")).as("term"))
+    val tf = terms.groupBy("doc_id", "term")
+      .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
+      .localCheckpoint()
+    val dft = tf.groupBy("term").agg(count(lit(1)).as("df")).localCheckpoint()
+    val stats = docs.agg(count(lit(1)).as("n"))
+      .crossJoin(terms.agg(count(lit(1)).as("l")))
+      .withColumn("adl", expr("l div n"))
+      .localCheckpoint()
+    val queryTerms = bm25Queries
+      .flatMap { case (qid, ts) => ts.map(t => (qid, t)) }
+      .toDF("query_id", "term")
+    val contrib =
+      expr(s"($bm25Scale * (2*n - 2*df + 1) * 22 * adl * tf) div " +
+        s"((2*df + 1) * (10 * adl * tf + 3 * adl + 9 * dl))")
+    def score(qt: org.apache.spark.sql.DataFrame) =
+      broadcast(qt).join(tf, "term").join(dft, "term")
+        .crossJoin(broadcast(stats))
+        .withColumn("contrib", contrib * col("w"))
+        .groupBy("query_id", "doc_id")
+        .agg(sum(col("contrib")).as("score"))
+    val w1 = Window.partitionBy("query_id").orderBy(col("score").desc, col("doc_id"))
+    val r1 = score(queryTerms.withColumn("w", lit(1L)))
+      .withColumn("rnk", row_number().over(w1))
+      .filter(col("rnk") <= prfFeedbackDocs)
+      .select("query_id", "doc_id")
+    val wExp = Window.partitionBy("query_id")
+      .orderBy(col("ftf").desc, col("df").asc, col("term").asc)
+    val expTerms = r1.join(tf.select("doc_id", "term", "tf"), "doc_id")
+      .groupBy("query_id", "term").agg(sum(col("tf")).as("ftf"))
+      .join(queryTerms.withColumn("orig", lit(1)), Seq("query_id", "term"), "left_anti")
+      .join(dft, "term")
+      .withColumn("er", row_number().over(wExp))
+      .filter(col("er") <= prfExpansionTerms)
+      .select("query_id", "term")
+    val q2 = queryTerms.withColumn("w", lit(2L))
+      .unionByName(expTerms.withColumn("w", lit(1L)))
+    score(q2)
+      .withColumn("rnk", row_number().over(w1))
+      .filter(col("rnk") <= bm25TopK)
+      .select("query_id", "rnk", "doc_id", "score")
+      .orderBy("query_id", "rnk")
+  }
+
+  val q188_oracle: String = {
+    val tk = T.tokensSql("text")
+    val values = bm25Queries
+      .flatMap { case (qid, ts) => ts.map(t => s"($qid, '$t')") }
+      .mkString(", ")
+    val contrib = (w: String) =>
+      s"""CAST(sum((($bm25Scale * (2*n - 2*df + 1) * 22 * (l // n) * tf) //
+         |  ((2*df + 1) * (10 * (l // n) * tf + 3 * (l // n) + 9 * dl))) * $w)
+         |  AS BIGINT)""".stripMargin
+    s"""WITH q AS (SELECT * FROM (VALUES $values) AS v(query_id, term)),
+       |t AS (SELECT doc_id, $tk AS tk FROM documents),
+       |terms AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS dl, unnest(tk) AS term
+       |          FROM t),
+       |tf AS (SELECT doc_id, term, count(*) AS tf, max(dl) AS dl
+       |       FROM terms GROUP BY 1, 2),
+       |dft AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+       |st AS (SELECT (SELECT count(*) FROM t) AS n,
+       |              (SELECT count(*) FROM terms) AS l),
+       |sc1 AS (SELECT q.query_id, tf.doc_id, ${contrib("1")} AS score
+       |  FROM q JOIN tf USING (term) JOIN dft USING (term) CROSS JOIN st
+       |  GROUP BY 1, 2),
+       |r1 AS (SELECT query_id, doc_id FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY query_id
+       |      ORDER BY score DESC, doc_id) AS rnk FROM sc1)
+       |  WHERE rnk <= $prfFeedbackDocs),
+       |cand AS (
+       |  SELECT r1.query_id, tf.term, CAST(sum(tf.tf) AS BIGINT) AS ftf
+       |  FROM r1 JOIN tf USING (doc_id)
+       |  GROUP BY 1, 2),
+       |exp AS (SELECT query_id, term FROM (
+       |    SELECT c.query_id, c.term,
+       |      row_number() OVER (PARTITION BY c.query_id
+       |        ORDER BY c.ftf DESC, dft.df ASC, c.term ASC) AS er
+       |    FROM cand c
+       |    JOIN dft ON dft.term = c.term
+       |    LEFT JOIN q ON q.query_id = c.query_id AND q.term = c.term
+       |    WHERE q.term IS NULL)
+       |  WHERE er <= $prfExpansionTerms),
+       |q2 AS (SELECT query_id, term, 2 AS w FROM q
+       |       UNION ALL SELECT query_id, term, 1 FROM exp),
+       |sc2 AS (SELECT q2.query_id, tf.doc_id, ${contrib("w")} AS score
+       |  FROM q2 JOIN tf USING (term) JOIN dft USING (term) CROSS JOIN st
+       |  GROUP BY 1, 2)
+       |SELECT query_id, rnk, doc_id, score FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY score DESC, doc_id) AS rnk FROM sc2)
+       |WHERE rnk <= $bm25TopK
+       |ORDER BY query_id, rnk""".stripMargin
+  }
+
   // ---------- q178: MMR diversified reranking ----------
 
   /** Results to select per query (of the [[bm25TopK]] candidates). */
@@ -596,6 +721,7 @@ object RetrievalQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q178_mmr" -> (q178_mmr _),
+    "q188_bm25_prf" -> (q188_bm25_prf _),
     "q81_span_dedup" -> (q81_span_dedup _),
     "q82_boilerplate" -> (q82_boilerplate _),
     "q83_bm25" -> (q83_bm25 _),
@@ -605,6 +731,7 @@ object RetrievalQueries {
 
   val oracles: Map[String, String] = Map(
     "q178_mmr" -> q178_oracle,
+    "q188_bm25_prf" -> q188_oracle,
     "q81_span_dedup" -> q81_oracle,
     "q82_boilerplate" -> q82_oracle,
     "q83_bm25" -> q83_oracle,
