@@ -521,7 +521,110 @@ object Analytics {
        |JOIN customer ON o_custkey = c_custkey
        |ORDER BY total_qty DESC, o_orderkey""".stripMargin
 
+  // ---------- q189: native session_window sessionization ----------
+
+  /** Sessionization via Spark's NATIVE `session_window` aggregate —
+    * the engine's own merging-session-window mechanism, gated against
+    * the same semantics as q18's hand-rolled lag/running-sum form
+    * (two independent mechanisms, one truth): 30-minute gap, session
+    * ids recovered as the per-user rank of the window start (sessions
+    * are disjoint and ordered, so rank ≡ q18's break count).
+    * session_end is max(ts) (the last EVENT, not window end — window
+    * end adds the gap). One user-keyed shuffle; session merging is
+    * the operator's own state machine.
+    */
+  def q189_session_window(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy(col("sw.start"))
+    Tables.load(spark, dir, "events")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
+      .agg(count(lit(1)).as("n_events"),
+        date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+        date_format(max(col("ts")), "yyyy-MM-dd HH:mm:ss").as("session_end"))
+      .withColumn("session_id", row_number().over(w).cast("long"))
+      .select("user_id", "session_id", "n_events", "session_start", "session_end")
+      .orderBy("user_id", "session_id")
+  }
+
+  val q189_oracle: String =
+    """SELECT user_id, session_id, count(*) AS n_events,
+      |  strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+      |  strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end
+      |FROM (
+      |  SELECT *, CAST(sum(is_break) OVER (
+      |    PARTITION BY user_id ORDER BY ts
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |    AS session_id
+      |  FROM (
+      |    SELECT user_id, ts,
+      |      CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+      |        OR date_diff('second', lag(ts) OVER (PARTITION BY user_id ORDER BY ts), ts) > 1800
+      |        THEN 1 ELSE 0 END AS is_break
+      |    FROM events))
+      |GROUP BY user_id, session_id
+      |ORDER BY user_id, session_id""".stripMargin
+
+  // ---------- q190: activity streaks (gaps and islands) ----------
+
+  /** Longest consecutive-day activity streak per user — the classic
+    * gaps-and-islands pattern (day − rank is constant within a
+    * consecutive run): distinct (user, day), island key by date
+    * arithmetic, per-island length, per-user argmax with a
+    * (length desc, start asc) total order. The engagement-streak
+    * feature every retention model wants.
+    *
+    * Scale shape: one distinct rollup, one user-partitioned rank
+    * window, one island aggregate, one user-sized argmax window.
+    */
+  def q190_streaks(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wDay = Window.partitionBy("user_id").orderBy("day")
+    val wBest = Window.partitionBy("user_id")
+      .orderBy(col("streak_len").desc, col("streak_start").asc)
+    Tables.load(spark, dir, "events")
+      .select(col("user_id"), col("ts").cast("date").as("day"))
+      .distinct()
+      .withColumn("island", unix_date(col("day")) - row_number().over(wDay))
+      .groupBy("user_id", "island")
+      .agg(count(lit(1)).cast("long").as("streak_len"),
+        min(col("day")).as("streak_start"))
+      .withColumn("n_active_days",
+        sum(col("streak_len")).over(Window.partitionBy("user_id")).cast("long"))
+      .withColumn("rk", row_number().over(wBest))
+      .filter(col("rk") === 1)
+      .select(col("user_id"), col("streak_len").as("best_streak"),
+        date_format(col("streak_start"), "yyyy-MM-dd").as("streak_start"),
+        col("n_active_days"))
+      .orderBy("user_id")
+  }
+
+  val q190_oracle: String =
+    """WITH ud AS (
+      |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+      |isl AS (
+      |  SELECT user_id, day,
+      |    date_diff('day', DATE '1970-01-01', day)
+      |      - row_number() OVER (PARTITION BY user_id ORDER BY day) AS island
+      |  FROM ud),
+      |runs AS (
+      |  SELECT user_id, island, CAST(count(*) AS BIGINT) AS streak_len,
+      |    min(day) AS streak_start
+      |  FROM isl GROUP BY 1, 2),
+      |tot AS (
+      |  SELECT *, CAST(sum(streak_len) OVER (PARTITION BY user_id) AS BIGINT)
+      |    AS n_active_days
+      |  FROM runs)
+      |SELECT user_id, streak_len AS best_streak,
+      |  strftime(streak_start, '%Y-%m-%d') AS streak_start, n_active_days
+      |FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY user_id
+      |    ORDER BY streak_len DESC, streak_start ASC) AS rk
+      |  FROM tot)
+      |WHERE rk = 1 ORDER BY user_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q189_session_window" -> (q189_session_window _),
+    "q190_streaks" -> (q190_streaks _),
     "q160_large_orders" -> (q160_large_orders _),
     "q152_order_distribution" -> (q152_order_distribution _),
     "q10_pricing_summary" -> (q10_pricing_summary _),
@@ -538,6 +641,8 @@ object Analytics {
     "q46_cube" -> (q46_cube _))
 
   val oracles: Map[String, String] = Map(
+    "q189_session_window" -> q189_oracle,
+    "q190_streaks" -> q190_oracle,
     "q160_large_orders" -> q160_oracle,
     "q152_order_distribution" -> q152_oracle,
     "q10_pricing_summary" -> q10_oracle,
