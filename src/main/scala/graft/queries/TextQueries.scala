@@ -1373,6 +1373,95 @@ object TextQueries {
     arms.mkString("", "\nUNION ALL\n", "\nORDER BY threshold_ppm")
   }
 
+  // ---------- q191: MinHash estimator-error audit ----------
+
+  /** MinHash ESTIMATE vs exact-Jaccard audit over q25's emitted pairs
+    * — the estimator-calibration table (the k=12 signature estimates
+    * J as matching-components/12; how wrong is it on the pairs we
+    * actually act on?): per pair, the signature agreement in exact
+    * ppm, the true Jaccard in exact ppm (integer intersect over the
+    * stored 60-bit key sets), and the absolute error. The decision
+    * "is k=12 enough or do we pay for k=24" reads directly off
+    * max(err). Everything from the STORED index — signatures and key
+    * sets ride the same parquet, no re-tokenization.
+    */
+  def q191_minhash_estimate(spark: SparkSession, dir: String): DataFrame = {
+    val idx = spark.read.parquet(SigIndex.path(spark, dir))
+    val pairs = lshPairs(spark, dir).select("a_id", "b_id")
+    val sigCols = (0 until minhashK).map(i => f"mh$i%02d")
+    def side(p: String) = idx.select(
+      col("doc_id").as(s"${p}_id") +: col("skd").as(s"${p}_skd") +:
+        sigCols.map(c => col(c).as(s"${p}_$c")): _*)
+    val matches = sigCols.map(c =>
+      when(col(s"a_$c") === col(s"b_$c"), 1L).otherwise(0L)).reduce(_ + _)
+    pairs.join(side("a"), "a_id").join(side("b"), "b_id")
+      .withColumn("est_ppm",
+        expr(s"(${sigCols.map(c => s"CASE WHEN a_$c = b_$c THEN 1 ELSE 0 END")
+          .mkString(" + ")}) * 1000000 DIV $minhashK"))
+      .withColumn("inter",
+        call_function("intersect_count", col("a_skd"), col("b_skd")).cast("long"))
+      .withColumn("jac_ppm", expr(
+        "(inter * 1000000) DIV (size(a_skd) + size(b_skd) - inter)"))
+      .withColumn("abs_err_ppm", abs(col("est_ppm") - col("jac_ppm")))
+      .select("a_id", "b_id", "est_ppm", "jac_ppm", "abs_err_ppm")
+      .orderBy("a_id", "b_id")
+  }
+
+  val q191_oracle: String = {
+    val sigCols = (0 until minhashK).map(i => f"mh$i%02d")
+    val matchSum = sigCols.map(c => s"CASE WHEN a.$c = b.$c THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    val keys = (p: String) => s"list_distinct(${H.shingleKeysSql(s"$p.sh")})"
+    val inter = s"len(list_filter(${keys("a")}, x -> list_contains(${keys("b")}, x)))"
+    val uni = s"(len(${keys("a")}) + len(${keys("b")}) - $inter)"
+    s"""WITH sigt AS (SELECT * FROM $sigTableSql),
+       |pairs AS ($lshPairsSql)
+       |SELECT p.a_id, p.b_id,
+       |  CAST((($matchSum) * 1000000) // $minhashK AS BIGINT) AS est_ppm,
+       |  CAST(($inter * 1000000) // $uni AS BIGINT) AS jac_ppm,
+       |  CAST(abs((($matchSum) * 1000000) // $minhashK
+       |    - ($inter * 1000000) // $uni) AS BIGINT) AS abs_err_ppm
+       |FROM pairs p
+       |JOIN sigt a ON a.doc_id = p.a_id
+       |JOIN sigt b ON b.doc_id = p.b_id
+       |ORDER BY a_id, b_id""".stripMargin
+  }
+
+  // ---------- q192: the pure-SQL user surface ----------
+
+  /** The SQL-user surface exercised end-to-end: this operator is ONE
+    * SQL STRING through `spark.sql` — no DataFrame combinators —
+    * whose hot per-row work runs in the NATIVE codegen expressions
+    * GraftExtensions injects as SQL functions (`token_count`, the
+    * single-byte-scan tokenizer counter, and `poly_hash`, the
+    * Rabin–Karp fingerprint). A user who only speaks SQL gets the
+    * same fused fast paths the Scala API gets, and the same DuckDB
+    * oracle checks them — the `spark.sql.extensions` contract proven
+    * at the query level, not just in unit specs.
+    */
+  def q192_sql_surface(spark: SparkSession, dir: String): DataFrame = {
+    docs(spark, dir).createOrReplaceTempView("documents_v")
+    spark.sql(
+      """SELECT source,
+        |  count(*) AS n_docs,
+        |  CAST(sum(token_count(text)) AS BIGINT) AS n_tokens,
+        |  CAST(sum(poly_hash(text) % 1000000) AS BIGINT) AS fp_mod_sum,
+        |  CAST(max(token_count(text)) AS BIGINT) AS max_tokens
+        |FROM documents_v
+        |GROUP BY source
+        |ORDER BY source""".stripMargin)
+  }
+
+  val q192_oracle: String = {
+    val toks = T.tokensSql("text")
+    val fp = T.fingerprintSql("text")
+    s"""SELECT source, count(*) AS n_docs,
+       |  CAST(sum(len($toks)) AS BIGINT) AS n_tokens,
+       |  CAST(sum(($fp) % 1000000) AS BIGINT) AS fp_mod_sum,
+       |  CAST(max(len($toks)) AS BIGINT) AS max_tokens
+       |FROM documents GROUP BY source ORDER BY source""".stripMargin
+  }
+
   // ---------- registry ----------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1382,6 +1471,8 @@ object TextQueries {
     "q165_novelty_curve" -> (q165_novelty_curve _),
     "q158_source_keyness" -> (q158_source_keyness _),
     "q185_threshold_sweep" -> (q185_threshold_sweep _),
+    "q191_minhash_estimate" -> (q191_minhash_estimate _),
+    "q192_sql_surface" -> (q192_sql_surface _),
     "q139_novelty" -> (q139_novelty _),
     "q19_token_count" -> (q19_token_count _),
     "q20_lang_id" -> (q20_lang_id _),
@@ -1408,6 +1499,8 @@ object TextQueries {
     "q165_novelty_curve" -> q165_oracle,
     "q158_source_keyness" -> q158_oracle,
     "q185_threshold_sweep" -> q185_oracle,
+    "q191_minhash_estimate" -> q191_oracle,
+    "q192_sql_surface" -> q192_oracle,
     "q19_token_count" -> q19_oracle,
     "q20_lang_id" -> q20_oracle,
     "q21_quality_score" -> q21_oracle,
