@@ -984,22 +984,45 @@ object TextQueries {
     * comparison a cross-multiplied integer, no float threshold
     * anywhere.
     */
+  /** Session-lifetime STORED df-ordered key table (doc_id, ks, n) —
+    * the q76/SigIndex lifecycle applied to the all-pairs family: the
+    * rarest-first ordering is THRESHOLD-INDEPENDENT (only the prefix
+    * LENGTH varies), yet the suite derives it five times per run
+    * (q143 once, q154 once, q185 thrice). Built once per corpus dir
+    * from the stored signature index, written to scratch parquet,
+    * reopened by every later threshold.
+    */
+  private object OrdIndex {
+    private val built = new java.util.concurrent.ConcurrentHashMap[String, String]()
+    def path(spark: SparkSession, dir: String): String =
+      built.computeIfAbsent(dir, _ => {
+        val work = graft.io.Scratch.dir(spark, "graft-ordidx-")
+        val keyed = spark.read.parquet(SigIndex.path(spark, dir))
+          .select(col("doc_id"), explode(col("skd")).as("k"))
+        val dfreq = keyed.groupBy("k").agg(count(lit(1)).as("df"))
+        keyed.join(dfreq, "k")
+          .groupBy("doc_id")
+          .agg(sort_array(collect_list(struct(col("df"), col("k")))).as("sw"))
+          .select(col("doc_id"),
+            transform(col("sw"), s => s.getField("k")).as("ks"),
+            size(col("sw")).as("n"))
+          .write.mode("overwrite").parquet(s"$work/ord_index")
+        sys.addShutdownHook {
+          import org.apache.hadoop.fs.Path
+          val p = new Path(work)
+          try p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+          catch { case _: Throwable => () }
+        }
+        s"$work/ord_index"
+      })
+  }
+
   private[queries] def allPairsExact(
       spark: SparkSession, dir: String, num: Int, den: Int): DataFrame = {
-    // key sets from the session's STORED signature index (no
-    // re-tokenization); ord persists because it feeds the prefix
-    // explode AND both verify joins — unpersisted, the whole chain
-    // re-derived three times (measured 26 s → ~4 s at sf0.1)
-    val keyed = spark.read.parquet(SigIndex.path(spark, dir))
-      .select(col("doc_id"), explode(col("skd")).as("k"))
-    val dfreq = keyed.groupBy("k").agg(count(lit(1)).as("df"))
-    val ord = keyed.join(dfreq, "k")
-      .groupBy("doc_id")
-      .agg(sort_array(collect_list(struct(col("df"), col("k")))).as("sw"))
-      .select(col("doc_id"),
-        transform(col("sw"), s => s.getField("k")).as("ks"),
-        size(col("sw")).as("n"))
-      .persist()
+    // the df-ordered key table comes from the session's stored
+    // OrdIndex (built once per dir); persist because it feeds the
+    // prefix explode AND both verify joins within this call
+    val ord = spark.read.parquet(OrdIndex.path(spark, dir)).persist()
     try {
       val pref = ord.select(col("doc_id"), col("n"),
         explode(expr(s"slice(ks, 1, n - ($num * n + $den - 1) DIV $den + 1)")).as("k"))
