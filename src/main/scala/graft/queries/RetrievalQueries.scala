@@ -472,6 +472,65 @@ object RetrievalQueries {
 
   // ---------- registry ----------
 
+  // ---------- q193: exact Spearman rank agreement ----------
+
+  /** Spearman rank correlation between q91's two ranking signals
+    * (BM25 rank vs embedding-cosine rank per query) — "do lexical and
+    * semantic retrieval agree, and on which queries do they diverge"
+    * as ONE exact number per query: over distinct ranks
+    * `ρ = 1 − 6·Σd² / (n(n²−1))` is RATIONAL, emitted in exact ppm as
+    * `(n(n²−1) − 6Σd²)·10⁶ DIV (n(n²−1))` — a correlation coefficient
+    * with zero floats (the q174 assortativity rule applied to ranks).
+    * ρ near 10⁶ = redundant signals; low/negative ρ = the hybrid
+    * cascade is earning its keep on that query.
+    *
+    * Scale shape: q91's candidate-bounded output (|Q|·k rows) plus
+    * one |Q|-row aggregate.
+    */
+  def q193_rank_correlation(spark: SparkSession, dir: String): DataFrame = {
+    val dec38 = "decimal(38,0)"
+    q91_hybrid_rerank(spark, dir)
+      .withColumn("d", (col("bm25_rnk") - col("cos_rnk")).cast("long"))
+      .groupBy("query_id")
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum((col("d") * col("d")).cast(dec38)).cast("long").as("d2_sum"))
+      .filter(col("n") > 1)
+      .withColumn("rho_ppm", expr(
+        s"""CAST((CAST(n AS $dec38) * (CAST(n AS $dec38) * n - 1) - 6 * d2_sum)
+           | * 1000000 DIV (CAST(n AS $dec38) * (CAST(n AS $dec38) * n - 1))
+           | AS BIGINT)""".stripMargin.replace("\n", " ")))
+      .select("query_id", "n", "d2_sum", "rho_ppm")
+      .orderBy("query_id")
+  }
+
+  val q193_oracle: String = {
+    import graft.functions.{VectorFunctions => V}
+    val cos = V.cosineSql("qv", "nv")
+    s"""WITH bm25 AS ($bm25OracleBody),
+       |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+       |j AS (
+       |  SELECT bm25.query_id, bm25.doc_id, bm25.rnk AS bm25_rnk, $cos AS cos
+       |  FROM bm25
+       |  JOIN (SELECT vec_id, v AS nv FROM e) d ON bm25.doc_id = d.vec_id
+       |  JOIN (SELECT CAST(vec_id AS INT) AS query_id, v AS qv FROM e) q
+       |    USING (query_id)),
+       |r AS (
+       |  SELECT query_id, bm25_rnk,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, doc_id)
+       |      AS cos_rnk
+       |  FROM j),
+       |a AS (
+       |  SELECT query_id, CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(CAST((bm25_rnk - cos_rnk) AS HUGEINT)
+       |      * (bm25_rnk - cos_rnk)) AS BIGINT) AS d2_sum
+       |  FROM r GROUP BY query_id)
+       |SELECT query_id, n, d2_sum,
+       |  CAST((CAST(n AS HUGEINT) * (CAST(n AS HUGEINT) * n - 1) - 6 * d2_sum)
+       |    * 1000000 // (CAST(n AS HUGEINT) * (CAST(n AS HUGEINT) * n - 1))
+       |    AS BIGINT) AS rho_ppm
+       |FROM a WHERE n > 1 ORDER BY query_id""".stripMargin
+  }
+
   // ---------- q188: BM25 with pseudo-relevance feedback ----------
 
   /** Feedback docs per query and expansion terms drawn from them. */
@@ -722,6 +781,7 @@ object RetrievalQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q178_mmr" -> (q178_mmr _),
     "q188_bm25_prf" -> (q188_bm25_prf _),
+    "q193_rank_correlation" -> (q193_rank_correlation _),
     "q81_span_dedup" -> (q81_span_dedup _),
     "q82_boilerplate" -> (q82_boilerplate _),
     "q83_bm25" -> (q83_bm25 _),
@@ -732,6 +792,7 @@ object RetrievalQueries {
   val oracles: Map[String, String] = Map(
     "q178_mmr" -> q178_oracle,
     "q188_bm25_prf" -> q188_oracle,
+    "q193_rank_correlation" -> q193_oracle,
     "q81_span_dedup" -> q81_oracle,
     "q82_boilerplate" -> q82_oracle,
     "q83_bm25" -> q83_oracle,
