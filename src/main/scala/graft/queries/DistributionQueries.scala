@@ -919,7 +919,70 @@ object DistributionQueries {
        |GROUP BY event_type, n ORDER BY event_type""".stripMargin
   }
 
+  // ---------- q194: exact weighted median ----------
+
+  /** WEIGHTED median — the robust "typical price per unit SOLD, not
+    * per line item" statistic (a plain median over lines lets one
+    * 1-unit line count as much as a 50-unit line): per return flag,
+    * the smallest price whose cumulative quantity weight reaches half
+    * the total, `2·cumW ≥ W` in pure integers over a (cents,
+    * orderkey, linenumber) total order. Cumulative weights are
+    * monotone, so the crossing row's VALUE is deterministic under any
+    * tie order within equal prices. The unweighted median rides along
+    * for contrast.
+    *
+    * Scale shape: one rank/cumsum window per group (the q32 sort),
+    * suffix-min via conditional aggregation — no second pass.
+    */
+  def q194_weighted_median(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("l_returnflag")
+      .orderBy(col("cents"), col("l_orderkey"), col("l_linenumber"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = Window.partitionBy("l_returnflag")
+    Tables.load(spark, dir, "lineitem")
+      .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
+        round(col("l_extendedprice") * 100).cast("long").as("cents"),
+        round(col("l_quantity")).cast("long").as("qty"))
+      .withColumn("cumw", sum(col("qty")).over(w))
+      .withColumn("wtot", sum(col("qty")).over(tot))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("l_returnflag")
+          .orderBy(col("cents"), col("l_orderkey"), col("l_linenumber"))))
+      .withColumn("n", count(lit(1)).over(tot))
+      .groupBy("l_returnflag")
+      .agg(max(col("n")).as("n_lines"),
+        max(col("wtot")).as("total_qty"),
+        min(when(col("cumw") * 2 >= col("wtot"), col("cents")))
+          .as("wmedian_cents"),
+        min(when(col("rnk") === expr("(n + 1) DIV 2"), col("cents")))
+          .as("median_cents"))
+      .orderBy("l_returnflag")
+  }
+
+  val q194_oracle: String =
+    """SELECT l_returnflag,
+      |  CAST(max(n) AS BIGINT) AS n_lines,
+      |  CAST(max(wtot) AS BIGINT) AS total_qty,
+      |  min(CASE WHEN cumw * 2 >= wtot THEN cents END) AS wmedian_cents,
+      |  min(CASE WHEN rnk = (n + 1) // 2 THEN cents END) AS median_cents
+      |FROM (
+      |  SELECT l_returnflag, cents,
+      |    sum(qty) OVER (PARTITION BY l_returnflag
+      |      ORDER BY cents, l_orderkey, l_linenumber
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumw,
+      |    sum(qty) OVER (PARTITION BY l_returnflag) AS wtot,
+      |    row_number() OVER (PARTITION BY l_returnflag
+      |      ORDER BY cents, l_orderkey, l_linenumber) AS rnk,
+      |    count(*) OVER (PARTITION BY l_returnflag) AS n
+      |  FROM (
+      |    SELECT l_returnflag, l_orderkey, l_linenumber,
+      |      CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+      |      CAST(round(l_quantity) AS BIGINT) AS qty
+      |    FROM lineitem))
+      |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q194_weighted_median" -> (q194_weighted_median _),
     "q187_interp_quantiles" -> (q187_interp_quantiles _),
     "q183_iqr_outliers" -> (q183_iqr_outliers _),
     "q184_coverage_gaps" -> (q184_coverage_gaps _),
@@ -941,6 +1004,7 @@ object DistributionQueries {
     "q172_pareto" -> q172_oracle,
     "q183_iqr_outliers" -> q183_oracle,
     "q187_interp_quantiles" -> q187_oracle,
+    "q194_weighted_median" -> q194_oracle,
     "q184_coverage_gaps" -> q184_oracle,
     "q153_range_frame" -> q153_oracle,
     "q141_ks_drift" -> q141_oracle,
