@@ -144,11 +144,86 @@ object Multimodal {
        |WHERE n_frames > 0
        |ORDER BY doc_id, frame_idx""".stripMargin
 
+  // ---------- q195: media dedup without decoding ----------
+
+  /** Extent fingerprints appearing in more than this many payloads
+    * are dropped from pair generation (shared headers/boilerplate
+    * extents carry no identity — q72's rare-key rule at the payload
+    * level). */
+  val extentDfCap = 5
+
+  /** MEDIA near-dup detection WITHOUT decoding — the multimodal
+    * member of the dedup family: payloads are fingerprinted as their
+    * q89-style fixed extents (md5 per [[frameLen]]-char extent — the
+    * stand-in for byte extents of a real blob), candidate pairs come
+    * from a rare-extent posting self-join, and a pair is a near-dup
+    * when the shared-extent CONTAINMENT of the smaller payload
+    * reaches half (`shared·2 ≥ min(n_a, n_b)` — asymmetric on
+    * purpose: a clip embedded in a longer reel must match, the q108
+    * rule for media). Exact dedup falls out as contain_ppm = 10⁶
+    * with equal extent counts. No decoder ever runs — this is what
+    * makes petabyte media dedup affordable: bytes are compared
+    * through bounded fingerprints, never pixels.
+    *
+    * Scale shape: extent hashing is a bounded explode (payload/
+    * frameLen rows); the posting join touches extents with df ≤
+    * [[extentDfCap]] only; the pair rollup carries 16-byte keys.
+    */
+  def q195_media_dedup(spark: SparkSession, dir: String): DataFrame = {
+    val ext = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"),
+        expr(s"length(text) div $frameLen").cast("long").as("n_ext"), col("text"))
+      .filter(col("n_ext") > 0)
+      .select(col("doc_id"), col("n_ext"), col("text"),
+        explode(sequence(lit(0L), col("n_ext") - 1)).as("i"))
+      .withColumn("h", md5(expr(
+        s"substring(text, cast(i * $frameLen + 1 as int), $frameLen)")))
+    val eh = ext.select(col("doc_id"), col("n_ext"), col("h"))
+    val rare = eh.groupBy("h")
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") <= extentDfCap)
+      .select("h")
+    val posting = eh.join(rare, "h")
+    posting.select(col("h"), col("doc_id").as("a_id"), col("n_ext").as("n_a"))
+      .join(posting.select(col("h"), col("doc_id").as("b_id"),
+        col("n_ext").as("n_b")), Seq("h"))
+      .filter(col("a_id") < col("b_id"))
+      .groupBy("a_id", "b_id", "n_a", "n_b")
+      .agg(count(lit(1)).cast("long").as("shared"))
+      .filter(col("shared") * 2 >= least(col("n_a"), col("n_b")))
+      .select(col("a_id"), col("b_id"), col("n_a"), col("n_b"), col("shared"),
+        expr("(shared * 1000000) DIV least(n_a, n_b)").as("contain_ppm"))
+      .orderBy("a_id", "b_id")
+  }
+
+  val q195_oracle: String =
+    s"""WITH ext AS (
+       |  SELECT doc_id, n_ext,
+       |    md5(substr(text, CAST(i * $frameLen + 1 AS BIGINT), $frameLen)) AS h
+       |  FROM (
+       |    SELECT doc_id, text, len(text) // $frameLen AS n_ext
+       |    FROM documents),
+       |    LATERAL unnest(range(0, n_ext)) AS f(i)
+       |  WHERE n_ext > 0),
+       |rare AS (SELECT h FROM ext GROUP BY h HAVING count(*) <= $extentDfCap),
+       |p AS (SELECT ext.doc_id, ext.n_ext, ext.h FROM ext JOIN rare USING (h))
+       |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+       |  a.n_ext AS n_a, b.n_ext AS n_b,
+       |  CAST(count(*) AS BIGINT) AS shared,
+       |  CAST((count(*) * 1000000) // least(a.n_ext, b.n_ext) AS BIGINT)
+       |    AS contain_ppm
+       |FROM p a JOIN p b ON a.h = b.h AND a.doc_id < b.doc_id
+       |GROUP BY 1, 2, 3, 4
+       |HAVING count(*) * 2 >= least(a.n_ext, b.n_ext)
+       |ORDER BY a_id, b_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q31_multimodal_extract" -> (q31_multimodal_extract _),
-    "q89_frame_sample" -> (q89_frame_sample _))
+    "q89_frame_sample" -> (q89_frame_sample _),
+    "q195_media_dedup" -> (q195_media_dedup _))
 
   val oracles: Map[String, String] = Map(
     "q31_multimodal_extract" -> q31_oracle,
-    "q89_frame_sample" -> q89_oracle)
+    "q89_frame_sample" -> q89_oracle,
+    "q195_media_dedup" -> q195_oracle)
 }
