@@ -14,20 +14,25 @@ object CorpusQueries {
 
   /** Exact discrete quantiles per group via rank arithmetic (value at
     * row ceil(q·n)) — engine-portable, unlike each engine's built-in
-    * interpolating quantile. One shuffle by group; the sort is the
-    * dominant cost, as with any exact quantile at scale (the
-    * approximate path would be approx_percentile / t-digest).
+    * interpolating quantile.
+    *
+    * Scale shape: the value at a rank is tie-order invariant, so it
+    * is read off the DISTINCT-value axis
+    * ([[graft.operators.ValueAxis]]) — one hash aggregation plus a
+    * window bounded by the value domain, instead of a raw-row sort
+    * keyed by the ~5 event types (the approximate path would be
+    * approx_percentile / t-digest; this stays exact).
     */
   def q32_quantiles(spark: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy("event_type").orderBy(col("value").asc, col("event_id").asc)
-    val ranked = Tables.load(spark, dir, "events")
-      .withColumn("rk", row_number().over(w))
-      .withColumn("n", count(lit(1)).over(Window.partitionBy("event_type")))
+    import graft.operators.ValueAxis
+    val ax = ValueAxis.axis(
+      Tables.load(spark, dir, "events").select(col("event_type"), col("value")),
+      Seq("event_type"), "value")
     val qs = Seq(0.5, 0.95, 0.99)
     val exprs = qs.map(q =>
-      max(when(col("rk") === ceil(lit(q) * col("n")), col("value")))
+      ValueAxis.valueAtRank("value", ceil(lit(q) * col("n")))
         .as(s"p${(q * 100).toInt}"))
-    ranked.groupBy("event_type")
+    ax.groupBy("event_type")
       .agg(exprs.head, exprs.tail: _*)
       .orderBy("event_type")
   }

@@ -447,23 +447,35 @@ object DistributionQueries {
     * their ranks and leaves i·x + j·x unchanged — so the statistic is
     * genuinely order-free, not just tie-broken-deterministic.
     *
-    * Scale shape: docs carry only (source, n_chars, doc_id) into one
-    * source-partitioned rank window (at extreme per-source volume the
-    * same rank-sum distributes as a range-partitioned sort with
-    * per-partition offsets — the q134 NTILE note); the rollup
-    * collapses to one row per source. Products in decimal(38,0):
-    * Σ rank·x ≤ n²·x_max needs ~2× BIGINT's width at n ~ 10¹².
+    * Scale shape: Σ rank·x is computed from the DISTINCT-n_chars axis
+    * ([[graft.operators.ValueAxis]]): a value x occupying ranks
+    * `lo+1 … lo+cnt` contributes x·(cnt·lo + cnt(cnt+1)/2) — exactly
+    * the permutation-invariance argument above made operational, so
+    * no raw-row window keyed by the 4 sources; the only window runs
+    * over the axis, bounded by the document-length domain. Products
+    * in decimal(38,0): Σ rank·x ≤ n²·x_max needs ~2× BIGINT's width
+    * at n ~ 10¹² (the triangular term is halved in LONG space first —
+    * cnt·(cnt+1) is even, so `DIV 2` on the even factor is exact).
     */
   def q140_gini(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.ValueAxis
     val dec38 = "decimal(38,0)"
-    val w = Window.partitionBy("source").orderBy(col("n_chars"), col("doc_id"))
-    Tables.load(spark, dir, "documents")
-      .select(col("source"), col("n_chars"), col("doc_id"))
-      .withColumn("rnk", row_number().over(w).cast(dec38))
+    val ax = ValueAxis.axis(
+      Tables.load(spark, dir, "documents").select(col("source"), col("n_chars")),
+      Seq("source"), "n_chars")
+    // Σ_{i=lo+1..lo+cnt} i = cnt·lo + cnt(cnt+1)/2, in dec38 without
+    // a decimal integral-divide (IntegralDivide narrows to BIGINT)
+    val rankSum = expr(
+      s"""CAST(cnt AS $dec38) * lo +
+         | CASE WHEN cnt % 2 = 0
+         |   THEN CAST(cnt DIV 2 AS $dec38) * (cnt + 1)
+         |   ELSE CAST(cnt AS $dec38) * ((cnt + 1) DIV 2) END"""
+        .stripMargin.replace("\n", " "))
+    ax.withColumn("rank_sum", rankSum)
       .groupBy("source")
-      .agg(count(lit(1)).cast("long").as("n_docs"),
-        sum(col("n_chars")).cast("long").as("chars_sum"),
-        sum(col("rnk") * col("n_chars")).cast(dec38).as("s1"))
+      .agg(sum(col("cnt")).cast("long").as("n_docs"),
+        sum(col("cnt") * col("n_chars")).cast("long").as("chars_sum"),
+        sum(col("rank_sum") * col("n_chars")).cast(dec38).as("s1"))
       .select(col("source"), col("n_docs"), col("chars_sum"),
         expr("CAST(((2 * s1 - (CAST(n_docs AS decimal(38,0)) + 1) * chars_sum) * 1000000) " +
           "DIV (CAST(n_docs AS decimal(38,0)) * chars_sum) AS BIGINT)").as("gini_ppm"))
@@ -497,28 +509,26 @@ object DistributionQueries {
     * sums ride decimal(38,0) so the report is overflow-safe at any
     * group size.
     *
-    * Scale shape: one rank window per type (range-partitioned sort at
-    * extreme per-group volume — the q58 note; or swap the boundary
-    * source for the q113 KLL sketch with the same downstream shape),
-    * one boundary filter, one re-scan with the broadcast bounds.
+    * Scale shape: the thresholds come from the DISTINCT-cents axis
+    * ([[graft.operators.ValueAxis]] — one hash aggregation plus a
+    * window bounded by the cents DOMAIN, never a raw-row sort keyed
+    * by the ~5 event types), then one re-scan with the broadcast
+    * bounds. The value at a rank is tie-order invariant, so the axis
+    * form returns bit-identical thresholds to the old rank window.
     */
   def q145_winsorize(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.ValueAxis
     val dec38 = "decimal(38,0)"
     val e = Tables.load(spark, dir, "events")
       .select(col("event_type"), col("event_id"),
         round(col("value") * 100).cast("long").as("cents"))
-    val rankW = Window.partitionBy("event_type")
-      .orderBy(col("cents"), col("event_id"))
-    val bounds = e
-      .withColumn("rnk", row_number().over(rankW))
-      .withColumn("n", count(lit(1)).over(Window.partitionBy("event_type")))
-      .filter(col("rnk") === expr("(n + 19) DIV 20") ||
-        col("rnk") === expr("(19 * n + 19) DIV 20"))
+    val bounds = ValueAxis.axis(e.select("event_type", "cents"),
+        Seq("event_type"), "cents")
       .groupBy("event_type")
       .agg(
-        min(when(col("rnk") === expr("(n + 19) DIV 20"), col("cents")))
+        ValueAxis.valueAtRank("cents", expr("(n + 19) DIV 20"))
           .as("lo_cents"),
-        min(when(col("rnk") === expr("(19 * n + 19) DIV 20"), col("cents")))
+        ValueAxis.valueAtRank("cents", expr("(19 * n + 19) DIV 20"))
           .as("hi_cents"))
     val clipped = least(greatest(col("cents"), col("lo_cents")), col("hi_cents"))
     e.join(broadcast(bounds), "event_type")
@@ -572,23 +582,35 @@ object DistributionQueries {
     * exact to ±1 by construction. Per-bucket lo/hi expose the
     * boundary values.
     *
-    * Scale shape: identical to q145's rank window (one sort per
-    * group, one tiny rollup); the sketch-swap note applies the same.
+    * Scale shape: the whole histogram is a function of the
+    * DISTINCT-cents axis ([[graft.operators.ValueAxis]]): a value
+    * occupying 0-based ranks `lo … hi−1` spans buckets
+    * `(lo·8) DIV n … ((hi−1)·8) DIV n`; its row count inside bucket b
+    * is the overlap of that rank interval with b's rank interval
+    * `[⌈b·n/8⌉, ⌈(b+1)·n/8⌉−1]` — pure integer arithmetic, no raw-row
+    * sort keyed by the ~5 event types. Bucket populations, lo/hi
+    * boundary values all match the old rank window bit-for-bit
+    * because bucket membership by rank is tie-order invariant.
     */
   val equiDepthBuckets = 8
 
   def q146_equidepth(spark: SparkSession, dir: String): DataFrame = {
-    val rankW = Window.partitionBy("event_type")
-      .orderBy(col("cents"), col("event_id"))
-    Tables.load(spark, dir, "events")
-      .select(col("event_type"), col("event_id"),
+    import graft.operators.ValueAxis
+    val k = equiDepthBuckets
+    val e = Tables.load(spark, dir, "events")
+      .select(col("event_type"),
         round(col("value") * 100).cast("long").as("cents"))
-      .withColumn("rnk", row_number().over(rankW))
-      .withColumn("n", count(lit(1)).over(Window.partitionBy("event_type")))
-      .withColumn("bucket",
-        expr(s"((rnk - 1) * $equiDepthBuckets) DIV n").cast("int"))
+    ValueAxis.axis(e, Seq("event_type"), "cents")
+      .withColumn("bucket", explode(sequence(
+        expr(s"CAST((lo * $k) DIV n AS INT)"),
+        expr(s"CAST(((hi - 1) * $k) DIV n AS INT)"))))
+      .withColumn("b_first", expr(s"(CAST(bucket AS BIGINT) * n + $k - 1) DIV $k"))
+      .withColumn("b_last",
+        expr(s"((CAST(bucket AS BIGINT) + 1) * n + $k - 1) DIV $k - 1"))
+      .withColumn("n_in",
+        least(col("hi") - 1, col("b_last")) - greatest(col("lo"), col("b_first")) + 1)
       .groupBy("event_type", "bucket")
-      .agg(count(lit(1)).cast("long").as("n_rows"),
+      .agg(sum(col("n_in")).cast("long").as("n_rows"),
         min(col("cents")).as("lo_cents"),
         max(col("cents")).as("hi_cents"))
       .orderBy("event_type", "bucket")
@@ -725,24 +747,22 @@ object DistributionQueries {
     * an integer comparison and the flagged SET is pinned by id-sum
     * (the q105 rule). Per-type report.
     *
-    * Scale shape: one rank window per type for the quartile rows, a
-    * broadcast bounds table back over the scan — q145's exact shape
-    * with a detection semantic.
+    * Scale shape: quartiles from the DISTINCT-cents axis
+    * ([[graft.operators.ValueAxis]] — hash aggregation + a window
+    * bounded by the cents domain; q145's shape), a broadcast bounds
+    * table back over the scan — no raw-row sort keyed by the ~5
+    * event types.
     */
   def q183_iqr_outliers(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.ValueAxis
     val e = Tables.load(spark, dir, "events")
       .select(col("event_type"), col("event_id"),
         round(col("value") * 100).cast("long").as("cents"))
-    val rankW = Window.partitionBy("event_type")
-      .orderBy(col("cents"), col("event_id"))
-    val quart = e
-      .withColumn("rnk", row_number().over(rankW))
-      .withColumn("n", count(lit(1)).over(Window.partitionBy("event_type")))
-      .filter(col("rnk") === expr("(n + 3) DIV 4") ||
-        col("rnk") === expr("(3 * n + 3) DIV 4"))
+    val quart = ValueAxis.axis(e.select("event_type", "cents"),
+        Seq("event_type"), "cents")
       .groupBy("event_type")
-      .agg(min(when(col("rnk") === expr("(n + 3) DIV 4"), col("cents"))).as("q1"),
-        min(when(col("rnk") === expr("(3 * n + 3) DIV 4"), col("cents"))).as("q3"))
+      .agg(ValueAxis.valueAtRank("cents", expr("(n + 3) DIV 4")).as("q1"),
+        ValueAxis.valueAtRank("cents", expr("(3 * n + 3) DIV 4")).as("q3"))
     val low = col("cents") * 2 < col("q1") * 5 - col("q3") * 3
     val high = col("cents") * 2 > col("q3") * 5 - col("q1") * 3
     e.join(broadcast(quart), "event_type")
@@ -872,30 +892,35 @@ object DistributionQueries {
     * disagrees in the last float digit; this one hash-matches), and
     * the interpolating complement of q32's nearest-rank form.
     *
-    * Scale shape: q32's rank window; the quantile combine reads at
-    * most two ranked rows per quartile via conditional aggregation.
+    * Scale shape: both bracketing order statistics per quartile come
+    * from the DISTINCT-cents axis ([[graft.operators.ValueAxis]] —
+    * the value at a rank is tie-order invariant), so the plan is a
+    * hash aggregation plus a domain-bounded window; no raw-row sort
+    * keyed by the ~5 event types. The interpolation combine is
+    * unchanged exact integer arithmetic.
     */
   def q187_interp_quantiles(spark: SparkSession, dir: String): DataFrame = {
-    val ranked = Tables.load(spark, dir, "events")
-      .select(col("event_type"), col("event_id"),
-        round(col("value") * 100).cast("long").as("cents"))
-      .withColumn("rnk", row_number().over(
-        Window.partitionBy("event_type").orderBy(col("cents"), col("event_id"))))
-      .withColumn("n", count(lit(1)).over(Window.partitionBy("event_type")))
+    import graft.operators.ValueAxis
+    val ax = ValueAxis.axis(
+      Tables.load(spark, dir, "events")
+        .select(col("event_type"),
+          round(col("value") * 100).cast("long").as("cents")),
+      Seq("event_type"), "cents")
     val qs = Seq(1, 2, 3)
-    val exprs = qs.flatMap { q =>
+    val brackets = qs.flatMap { q =>
       val k = s"(((n - 1) * $q) DIV 4)"
-      val r = s"(((n - 1) * $q) % 4)"
-      Seq(expr(s"""CAST((
-        |  (4 - $r) * max(CASE WHEN rnk = $k + 1 THEN cents END)
-        |  + $r * coalesce(max(CASE WHEN rnk = $k + 2 THEN cents END), 0)
-        |) * 250000 AS BIGINT)""".stripMargin.replace("\n", " "))
-        .as(s"p${q * 25}_micro"))
+      Seq(
+        ValueAxis.valueAtRank("cents", expr(s"$k + 1")).as(s"v1_$q"),
+        ValueAxis.valueAtRank("cents", expr(s"$k + 2")).as(s"v2_$q"))
+    } :+ max(col("n")).as("n_events")
+    val combine = qs.map { q =>
+      val r = s"(((n_events - 1) * $q) % 4)"
+      expr(s"CAST(((4 - $r) * v1_$q + $r * coalesce(v2_$q, 0)) * 250000 AS BIGINT)")
+        .as(s"p${q * 25}_micro")
     }
-    ranked.groupBy("event_type", "n")
-      .agg(exprs.head, exprs.tail: _*)
-      .select(col("event_type") +: col("n").as("n_events") +:
-        qs.map(q => col(s"p${q * 25}_micro")): _*)
+    ax.groupBy("event_type")
+      .agg(brackets.head, brackets.tail: _*)
+      .select(col("event_type") +: col("n_events") +: combine: _*)
       .orderBy("event_type")
   }
 
@@ -935,26 +960,25 @@ object DistributionQueries {
     * suffix-min via conditional aggregation — no second pass.
     */
   def q194_weighted_median(spark: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy("l_returnflag")
-      .orderBy(col("cents"), col("l_orderkey"), col("l_linenumber"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val tot = Window.partitionBy("l_returnflag")
-    Tables.load(spark, dir, "lineitem")
-      .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
-        round(col("l_extendedprice") * 100).cast("long").as("cents"),
-        round(col("l_quantity")).cast("long").as("qty"))
-      .withColumn("cumw", sum(col("qty")).over(w))
-      .withColumn("wtot", sum(col("qty")).over(tot))
-      .withColumn("rnk", row_number().over(
-        Window.partitionBy("l_returnflag")
-          .orderBy(col("cents"), col("l_orderkey"), col("l_linenumber"))))
-      .withColumn("n", count(lit(1)).over(tot))
-      .groupBy("l_returnflag")
+    import graft.operators.ValueAxis
+    // DISTINCT-cents axis with weight geometry: the weighted median is
+    // the first value whose cumulative weight crosses half the total —
+    // the crossing row always sits INSIDE the first value v with
+    // 2·whi(v) ≥ wtot, so the per-row cumulative window collapses to
+    // the domain-bounded axis form with identical output (no raw-row
+    // cumsum keyed by the 3 return flags).
+    val ax = ValueAxis.axis(
+      Tables.load(spark, dir, "lineitem")
+        .select(col("l_returnflag"),
+          round(col("l_extendedprice") * 100).cast("long").as("cents"),
+          round(col("l_quantity")).cast("long").as("qty")),
+      Seq("l_returnflag"), "cents", weightCol = Some("qty"))
+    ax.groupBy("l_returnflag")
       .agg(max(col("n")).as("n_lines"),
         max(col("wtot")).as("total_qty"),
-        min(when(col("cumw") * 2 >= col("wtot"), col("cents")))
+        min(when(col("whi") * 2 >= col("wtot"), col("cents")))
           .as("wmedian_cents"),
-        min(when(col("rnk") === expr("(n + 1) DIV 2"), col("cents")))
+        ValueAxis.valueAtRank("cents", expr("(n + 1) DIV 2"))
           .as("median_cents"))
       .orderBy("l_returnflag")
   }
