@@ -21,15 +21,29 @@ import org.apache.spark.sql.DataFrame
   *
   * Fault-tolerance trade at cluster scale: `localCheckpoint` DROPS the
   * RDD lineage, so losing an executor that holds checkpoint blocks
-  * fails the job instead of recomputing. On a real cluster, sites
-  * motivated by re-execution cost (rather than lineage depth) should
-  * prefer `persist(StorageLevel.DISK_ONLY)` + `unpersist`, which keeps
-  * lineage for recovery; local[32] has no executor loss, so the
-  * cheaper cut is the right harness default.
+  * fails the job instead of recomputing. The session conf
+  * `spark.graft.lineageCut` picks the strategy:
+  *   - `local` (default) — `localCheckpoint()`: cheapest, right for
+  *     local[32] where there is no executor loss;
+  *   - `disk` — `persist(StorageLevel.DISK_ONLY)` + eager
+  *     materialization: KEEPS lineage so a lost executor recomputes
+  *     instead of failing the job — the cluster-mode choice
+  *     (declared per environment via RuntimeConfig's
+  *     `spark.conf.spark.graft.lineageCut=disk` passthrough; blocks
+  *     live until session end, the price of recoverability).
   */
 object Lineage {
   def keepLineage: Boolean = java.lang.Boolean.getBoolean("graft.keepLineage")
 
   def cut(df: DataFrame): DataFrame =
-    if (keepLineage) df else df.localCheckpoint()
+    if (keepLineage) df
+    else df.sparkSession.conf.get("spark.graft.lineageCut", "local") match {
+      case "disk" =>
+        df.persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+        df.count() // materialize now, as localCheckpoint(eager=true) does
+        df
+      case "local" => df.localCheckpoint()
+      case other => throw new IllegalArgumentException(
+        s"spark.graft.lineageCut must be 'local' or 'disk', got '$other'")
+    }
 }

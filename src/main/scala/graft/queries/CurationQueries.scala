@@ -115,22 +115,28 @@ object CurationQueries {
     * data-mixture spec. Window cumulative sum per source; a doc is
     * kept while the budget is not yet exceeded INCLUDING itself, so
     * the output slightly overshoots rather than undershoots (matching
-    * how mixture builders round). One shuffle by source; the md5 of
-    * the doc id gives a uniform, seedless order (hash the TEXT instead
-    * if the sample must also survive re-identification of the corpus).
+    * how mixture builders round). The running sum rides
+    * [[graft.operators.RangeRank]]'s weight channel — bucketed by the
+    * numeric value of the hash's 15-hex-char prefix (prefix-monotone
+    * with the full-hash order; the full hash plus doc_id complete the
+    * total order inside a bucket) — so no whole source ever funnels
+    * through one task's cumsum. The md5 of the doc id gives a
+    * uniform, seedless order (hash the TEXT instead if the sample
+    * must also survive re-identification of the corpus).
     */
   val tokenBudget = 2000L
 
   def q63_token_budget(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy("source")
-      .orderBy(col("h").asc, col("doc_id").asc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    Tables.load(spark, dir, "documents")
+    import graft.operators.RangeRank
+    val base = Tables.load(spark, dir, "documents")
       .select(col("source"), col("doc_id"),
         size(T.tokens(col("text"))).cast("long").as("n_toks"),
         md5(concat(lit("budget|"), col("doc_id").cast("string"))).as("h"))
-      .withColumn("cum_toks", sum(col("n_toks")).over(w))
+      .withColumn("h15", conv(substring(col("h"), 1, 15), 16, 10).cast("long"))
+    RangeRank.rank(base, Seq("source"),
+        Seq(RangeRank.Key("h15"), RangeRank.Key("h"), RangeRank.Key("doc_id")),
+        "__rk", "__n",
+        weight = Some(RangeRank.Weight("n_toks", "cum_toks", "__wtot")))
       .filter(col("cum_toks") - col("n_toks") < tokenBudget)
       .select("source", "doc_id", "n_toks", "cum_toks")
       // doc_id tiebreak: zero-token docs share cum_toks with their
@@ -175,10 +181,12 @@ object CurationQueries {
       .groupBy("source", "tok").agg(count(lit(1)).as("cnt"))
       .persist()
     try {
+      // top-K by (count desc, token asc) via TakeOrdered — per-
+      // partition top-K merged on the driver side of the limit, never
+      // a global rank window over the (web-scale) vocabulary
       val vocab = counts.groupBy("tok").agg(sum(col("cnt")).as("tot"))
-        .withColumn("rk", row_number().over(
-          Window.orderBy(col("tot").desc, col("tok").asc)))
-        .filter(col("rk") <= vocabK)
+        .orderBy(col("tot").desc, col("tok").asc)
+        .limit(vocabK)
         .select(col("tok").as("v_tok"))
       counts.join(broadcast(vocab), col("tok") === col("v_tok"), "left")
         .groupBy("source")
@@ -638,27 +646,35 @@ object CurationQueries {
     * per-epoch data order stable across reruns and resumable
     * mid-epoch.
     *
-    * Scale shape: one source-partitioned rank window + a global
-    * (v, source, r) sort for the position column — the one genuinely
-    * total-order output in the library (a training schedule IS a
-    * total order); at 100 TB the same sort range-partitions and
-    * positions become partition-offset + local index (the q140/q58
-    * note). No joins, no collects.
+    * Scale shape: both ranks ride [[graft.operators.RangeRank]] — the
+    * per-source hash rank buckets on the numeric value of the md5
+    * prefix (fixed-width lowercase hex, so numeric order ≡ the
+    * lexicographic order the oracle sorts by), the global position on
+    * virtual time — so each window partition holds a bucket's worth
+    * of rows, never a whole source or the whole schedule in one task;
+    * positions are exactly the old global-sort positions (a training
+    * schedule IS a total order — the ORDER survives; only the
+    * single-task sort is gone). No corpus-sized collects.
     */
   def q148_interleave(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.RangeRank
     val w = interleaveWeights.foldLeft(lit(0)) { case (acc, (s, k)) =>
       when(col("source") === s, lit(k)).otherwise(acc)
     }
-    val srcW = Window.partitionBy("source")
-      .orderBy(substring(md5(concat(lit("ord|"), col("doc_id").cast("string"))), 1, 8),
-        col("doc_id"))
-    Tables.load(spark, dir, "documents")
+    val base = Tables.load(spark, dir, "documents")
       .filter(col("source").isin(interleaveWeights.map(_._1): _*))
       .withColumn("wgt", w)
-      .withColumn("src_rank", row_number().over(srcW).cast("long"))
+      // numeric value of the 8-hex-char md5 prefix: monotone with the
+      // string (fixed width, lowercase), numeric for boundary probing
+      .withColumn("hord",
+        conv(substring(md5(concat(lit("ord|"), col("doc_id").cast("string"))), 1, 8),
+          16, 10).cast("long"))
+    val ranked = RangeRank.rank(base, Seq("source"),
+        Seq(RangeRank.Key("hord"), RangeRank.Key("doc_id")), "src_rank", "__n")
       .withColumn("vtime", expr("(src_rank * 16) DIV wgt"))
-      .withColumn("pos", row_number().over(
-        Window.orderBy(col("vtime"), col("source"), col("src_rank"))).cast("long"))
+    RangeRank.rank(ranked, Nil,
+        Seq(RangeRank.Key("vtime"), RangeRank.Key("source"),
+          RangeRank.Key("src_rank")), "pos", "__np")
       .select("pos", "doc_id", "source", "src_rank", "vtime")
       .orderBy("pos")
   }
@@ -699,18 +715,22 @@ object CurationQueries {
     * Emits the manifest rows themselves (doc ids are the point of a
     * review batch).
     *
-    * Scale shape: one narrow scan + one source-partitioned rank
-    * window (top-k per group — the q12 shape); output is
-    * |sources|·k rows.
+    * Scale shape: one narrow scan + the per-source rank via
+    * [[graft.operators.RangeRank]] (hash-prefix buckets + offsets —
+    * the q63 trick — so no whole source sorts in one task even at
+    * corpus scale); output is |sources|·k rows.
     */
   def q175_quota_sample(spark: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy("source")
-      .orderBy(col("h"), col("doc_id"))
-    Tables.load(spark, dir, "documents")
+    import graft.operators.RangeRank
+    val base = Tables.load(spark, dir, "documents")
       .select(col("source"), col("doc_id"), col("n_chars"),
         md5(concat(lit("quota|"), col("doc_id").cast("string"))).as("h"))
-      .withColumn("rk", row_number().over(w))
+      .withColumn("h15", conv(substring(col("h"), 1, 15), 16, 10).cast("long"))
+    RangeRank.rank(base, Seq("source"),
+        Seq(RangeRank.Key("h15"), RangeRank.Key("h"), RangeRank.Key("doc_id")),
+        "rk", "__n")
       .filter(col("rk") <= quotaK)
+      .withColumn("rk", col("rk").cast("int"))
       .select("source", "rk", "doc_id", "n_chars")
       .orderBy("source", "rk")
   }

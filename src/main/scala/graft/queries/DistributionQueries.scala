@@ -79,20 +79,20 @@ object DistributionQueries {
     * ordering is (spend, custkey), a total order, so tile assignment
     * is deterministic; per-decile aggregates are exact.
     *
-    * SCALE CAVEAT: an unpartitioned ntile window funnels every
-    * per-customer aggregate through ONE task — fine for |customers|
-    * rows after aggregation, a cliff if the tiled set itself is
-    * corpus-sized. The scalable form computes the 9 decile boundaries
-    * first (exact rank arithmetic as in q32, or approx_percentile)
-    * and assigns tiles with a broadcast range lookup — same result,
-    * no global sort.
+    * Scale shape: the tile comes from the exact global rank via
+    * [[graft.operators.RangeRank]] (sample-boundary buckets + offset
+    * windows — no single-task ntile sort) and the SQL NTILE formula
+    * over (rank, n); tile assignments are bit-identical to the window
+    * form because the ordering is a total order.
     */
   def q58_ntile(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.RangeRank
     val spend = Tables.load(spark, dir, "orders")
       .groupBy("o_custkey")
       .agg(sum(col("o_totalprice").cast(dec18)).as("spend"))
-    val w = Window.orderBy(col("spend").asc, col("o_custkey").asc)
-    spend.withColumn("decile", ntile(10).over(w))
+    RangeRank.rank(spend, Nil,
+        Seq(RangeRank.Key("spend"), RangeRank.Key("o_custkey")), "__rnk", "__n")
+      .withColumn("decile", RangeRank.ntileFromRank("__rnk", "__n", 10))
       .groupBy("decile")
       .agg(
         count(lit(1)).as("n_customers"),
@@ -681,22 +681,22 @@ object DistributionQueries {
     * cents. `cum_share_ppm` of decile 0–1 is the literal "top 20% of
     * customers carry X% of revenue" number.
     *
-    * Scale shape: one custkey rollup (exact cents), one customer-
-    * sized rank sort (range-partitioned at scale — the q140 note),
-    * a 10-row report with a window cumsum over it.
+    * Scale shape: one custkey rollup (exact cents), the exact
+    * descending rank via [[graft.operators.RangeRank]] (sample-
+    * boundary buckets + offsets — no single-task sort of the customer
+    * table), then a 10-row report with a window cumsum over it (the
+    * only remaining global windows run over those 10 decile rows).
     */
   def q172_pareto(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.RangeRank
     val dec38 = "decimal(38,0)"
     val spend = Tables.load(spark, dir, "orders")
       .groupBy("o_custkey")
       .agg(sum(round(col("o_totalprice") * 100).cast("long")).cast("long")
         .as("cents"))
-    val rankW = Window.orderBy(col("cents").desc, col("o_custkey").asc)
-    val cumW = Window.orderBy("decile")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    spend
-      .withColumn("rnk", row_number().over(rankW))
-      .withColumn("n", count(lit(1)).over(Window.partitionBy()))
+    RangeRank.rank(spend, Nil,
+        Seq(RangeRank.Key("cents", desc = true), RangeRank.Key("o_custkey")),
+        "rnk", "n")
       .withColumn("decile", expr("((rnk - 1) * 10) DIV n").cast("int"))
       .groupBy("decile")
       .agg(count(lit(1)).cast("long").as("n_custs"),

@@ -514,10 +514,9 @@ object EventQueries {
     val deltas = p.join(v, "user_id")
       .select((col("t_purchase").cast("long") - col("t_view").cast("long"))
         .as("delta_s"), col("user_id"))
-    val w = Window.orderBy(col("delta_s"), col("user_id"))
-    deltas
-      .withColumn("rnk", row_number().over(w))
-      .withColumn("n", count(lit(1)).over(Window.partitionBy()))
+    graft.operators.RangeRank.rank(deltas, Nil,
+        Seq(graft.operators.RangeRank.Key("delta_s"),
+          graft.operators.RangeRank.Key("user_id")), "rnk", "n")
       .groupBy("n")
       .agg(
         expr("CAST(sum(delta_s) DIV max(n) AS BIGINT)").as("mean_s"),
@@ -654,12 +653,14 @@ object EventQueries {
     * recent), concatenated into the 3-digit RFM cell; output is the
     * cell-level summary (users, mean monetary in exact cents DIV).
     *
-    * Scale shape: one user-keyed rollup, then three ntile windows
-    * over the USER-sized table (q58's unpartitioned-ntile caveat and
-    * its boundary-from-sketch remedy apply verbatim), then a ≤125-row
-    * cell aggregate.
+    * Scale shape: one user-keyed rollup, then three exact quintile
+    * assignments over the USER-sized table via
+    * [[graft.operators.RangeRank]] (sample-boundary buckets + offset
+    * windows + the SQL NTILE formula — no single-task ntile sorts),
+    * then a ≤125-row cell aggregate.
     */
   def q163_rfm(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.RangeRank
     val per = Tables.load(spark, dir, "events")
       .groupBy("user_id")
       .agg(
@@ -668,13 +669,17 @@ object EventQueries {
         count(lit(1)).cast("long").as("frequency"),
         coalesce(sum(when(col("event_type") === "purchase",
           round(col("value") * 100).cast("long"))), lit(0L)).as("monetary_cents"))
-    def tile(c: String, asc: Boolean) = ntile(5).over(
-      if (asc) Window.orderBy(col(c).asc, col("user_id").asc)
-      else Window.orderBy(col(c).desc, col("user_id").asc))
-    per
-      .withColumn("r", tile("recency_days", asc = false)) // most recent → tile 5
-      .withColumn("f", tile("frequency", asc = true))
-      .withColumn("m", tile("monetary_cents", asc = true))
+    def tiled(df: DataFrame, c: String, asc: Boolean, out: String): DataFrame =
+      RangeRank.rank(df, Nil,
+          Seq(RangeRank.Key(c, desc = !asc), RangeRank.Key("user_id")),
+          "__rnk", "__n")
+        .withColumn(out, RangeRank.ntileFromRank("__rnk", "__n", 5))
+        .drop("__rnk", "__n")
+    var t = per
+    t = tiled(t, "recency_days", asc = false, "r") // most recent → tile 5
+    t = tiled(t, "frequency", asc = true, "f")
+    t = tiled(t, "monetary_cents", asc = true, "m")
+    t
       .withColumn("rfm", col("r") * 100 + col("f") * 10 + col("m"))
       .groupBy("rfm")
       .agg(count(lit(1)).cast("long").as("n_users"),

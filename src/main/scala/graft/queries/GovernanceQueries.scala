@@ -501,22 +501,23 @@ object GovernanceQueries {
     * source skews high-quality under the shared scorer). Rank
     * arithmetic all integers, so the calibration table hash-matches.
     *
-    * Scale shape: one narrow scoring scan, one GLOBAL rank sort (the
-    * honest cost of exact global ranks — range-partitioned at scale,
-    * or swap in q113 sketch boundaries for approximate ranks with the
-    * same downstream shape), one source-sized rollup.
+    * Scale shape: one narrow scoring scan, then the exact global rank
+    * via [[graft.operators.RangeRank]] — sample boundaries bucket the
+    * (q_micro, doc_id) order so every window partition holds ~1/32 of
+    * the corpus and broadcast per-bucket offsets restore the global
+    * rank; no single-task sort anywhere — then one source-sized
+    * rollup. (The q113 KLL sketch remains the approximate-rank
+    * alternative with the same downstream shape.)
     */
   def q171_score_calibration(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.RangeRank
     val dec38 = "decimal(38,0)"
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col("q_micro"), col("doc_id"))
-    Tables.load(spark, dir, "documents")
+    val scored = Tables.load(spark, dir, "documents")
       .select(col("doc_id"), col("source"),
         floor(graft.functions.TextFunctions.qualityScore(col("text")) * 1000000L)
           .cast("long").as("q_micro"))
-      .withColumn("rnk", row_number().over(w))
-      .withColumn("n", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy()))
+    RangeRank.rank(scored, Nil,
+        Seq(RangeRank.Key("q_micro"), RangeRank.Key("doc_id")), "rnk", "n")
       .withColumn("norm_ppm",
         expr("((CAST(rnk AS BIGINT) - 1) * 1000000) DIV (n - 1)"))
       .groupBy("source")

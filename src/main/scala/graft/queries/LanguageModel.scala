@@ -285,23 +285,27 @@ object LanguageModel {
     * rule) without emitting per-doc rows.
     *
     * Scale shape: scoring is q104's two corpus shuffles; the tertile
-    * pass is ONE range-partitioned sort per language partition (docs
-    * carry only (id, lang, score) — 24 bytes/row into the sort), and
-    * the rollup collapses to 3 rows per language. At 100 TB the same
+    * pass is [[graft.operators.RangeRank]] — per-lang ranks via
+    * sample-boundary buckets + broadcast offsets, so each window
+    * partition is (lang, bucket)-sized, never a whole language in one
+    * task (docs carry only (id, lang, score) — 24 bytes/row into the
+    * sort) — and the rollup collapses to 3 rows per language. At 100 TB the same
     * split is usually approximated by percentile boundaries from a
     * quantile sketch (the q113 KLL state) — exact NTILE is chosen
     * here because the oracle can check it bit-for-bit; swapping the
     * boundary source changes no downstream shape.
     */
   def q134_perplexity_buckets(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.RangeRank
     val docs = Tables.load(spark, dir, "documents")
     val scored = scoreDocs(docs)
       .join(docs.select("doc_id", "lang"), "doc_id")
-    val byLang = org.apache.spark.sql.expressions.Window
-      .partitionBy("lang").orderBy(col("fluency_micro").desc, col("doc_id").asc)
-    scored
+    RangeRank.rank(scored, Seq("lang"),
+        Seq(RangeRank.Key("fluency_micro", desc = true), RangeRank.Key("doc_id")),
+        "__rnk", "__n")
       .withColumn("bucket",
-        element_at(array(lit("head"), lit("middle"), lit("tail")), ntile(3).over(byLang)))
+        element_at(array(lit("head"), lit("middle"), lit("tail")),
+          RangeRank.ntileFromRank("__rnk", "__n", 3)))
       .groupBy("lang", "bucket")
       .agg(count(lit(1)).cast("long").as("n_docs"),
         min(col("fluency_micro")).as("fluency_min"),

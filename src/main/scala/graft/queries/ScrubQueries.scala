@@ -182,8 +182,9 @@ object ScrubQueries {
     *
     * Scale shape: the domain profile is one partial-agg shuffle keyed
     * by host (domains ≪ docs — the canonical map-side-combine
-    * workload); the decile rank is one row_number over the
-    * DOMAIN-sized table (a single small sort, never corpus-sized);
+    * workload); the decile rank rides [[graft.operators.RangeRank]]
+    * over the DOMAIN-sized table (bucketed — no single-task sort even
+    * at web-scale domain counts);
     * the blocklist rides an explicit broadcast back over the corpus
     * scan, so applying the policy costs read bandwidth only. No
     * corpus-sized join anywhere.
@@ -201,12 +202,11 @@ object ScrubQueries {
         sum(col("q_micro")).cast("long").as("q_sum"))
       .withColumn("mean_q_micro", expr("q_sum DIV n_docs"))
     val eligible = profile.filter(col("n_docs") >= domainMinDocs)
-    val rank = org.apache.spark.sql.expressions.Window
-      .orderBy(col("mean_q_micro").asc, col("host").asc)
-    val blocked = eligible
-      .withColumn("rk", row_number().over(rank))
-      .withColumn("n_eligible", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy()))
+    // exact bottom-decile rank without a global window over the (at
+    // web scale, ~1e8-row) domain table: RangeRank's bucketed rank
+    val blocked = graft.operators.RangeRank.rank(eligible, Nil,
+        Seq(graft.operators.RangeRank.Key("mean_q_micro"),
+          graft.operators.RangeRank.Key("host")), "rk", "n_eligible")
       .filter(col("rk") * 100 <= col("n_eligible") * domainBlockPct)
       .select(col("host").as("bhost"))
     d.join(broadcast(blocked), col("host") === col("bhost"), "left")

@@ -1288,21 +1288,20 @@ object TextQueries {
     * are exact to ±1 with no boundary search.
     *
     * Scale shape: key sets from the stored SigIndex (q139's rule);
-    * one doc-sized rank window assigns deciles; instance counts and
-    * first-seen counts are two partial-agg passes over the (doc, key)
-    * stream; the cumsum window runs over 10 rows.
+    * the doc-order decile comes from [[graft.operators.RangeRank]]
+    * (bucketed exact rank — no single-task sort of the doc list);
+    * instance counts and first-seen counts are two partial-agg passes
+    * over the (doc, key) stream; the cumsum window runs over 10 rows.
     */
   def q165_novelty_curve(spark: SparkSession, dir: String): DataFrame = {
-    val wDoc = org.apache.spark.sql.expressions.Window.orderBy("doc_id")
+    import graft.operators.RangeRank
     val wCum = org.apache.spark.sql.expressions.Window.orderBy("decile")
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
     val sh = spark.read.parquet(SigIndex.path(spark, dir))
       .select(col("doc_id"), explode(col("skd")).as("k"))
-    val docDecile = spark.read.parquet(SigIndex.path(spark, dir))
-      .select(col("doc_id"))
-      .withColumn("rnk", row_number().over(wDoc))
-      .withColumn("n", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy()))
+    val docDecile = RangeRank.rank(
+        spark.read.parquet(SigIndex.path(spark, dir)).select(col("doc_id")),
+        Nil, Seq(RangeRank.Key("doc_id")), "rnk", "n")
       .select(col("doc_id"), expr("((rnk - 1) * 10) DIV n").cast("int").as("decile"))
     val keyed = sh.join(docDecile, "doc_id")
     val instances = keyed.groupBy("decile")

@@ -1,0 +1,98 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Pins [[RangeRank]] to the single-window semantics it replaces:
+  * for any input, rank/n/cumw/wtot must be BIT-IDENTICAL to
+  * `row_number()/count/sum OVER (PARTITION BY g ORDER BY …)`, for any
+  * bucket count — boundary placement may shift work, never answers.
+  * Deliberately adversarial data: heavy ties on the primary key (so
+  * ties straddle bucket boundaries), negative values, a group with a
+  * single row, and bucket counts from degenerate (1) to larger than
+  * the distinct-value count.
+  */
+class RangeRankSpec extends SparkSpec {
+  import RangeRank.Key
+
+  // 400 rows, 3 groups, primary values drawn from just 7 distinct
+  // longs (heavy ties), deterministic content-hash "randomness"
+  private lazy val data: DataFrame = {
+    import spark.implicits._
+    (1 to 400).map { i =>
+      val g = s"g${i % 3}"
+      val v = (math.abs(s"v|$i".hashCode) % 7) - 3L
+      val wgt = (math.abs(s"w|$i".hashCode) % 5) + 1L
+      (g, v, i.toLong, wgt)
+    }.toDF("g", "v", "id", "wgt")
+  }
+
+  private def naive(df: DataFrame, group: Seq[String], desc: Boolean): DataFrame = {
+    val order = Seq(if (desc) col("v").desc else col("v").asc, col("id").asc)
+    val w = Window.partitionBy(group.map(col): _*).orderBy(order: _*)
+    val tot = Window.partitionBy(group.map(col): _*)
+    df.withColumn("rnk", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(tot).cast("long"))
+      .withColumn("cumw", sum(col("wgt")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)).cast("long"))
+      .withColumn("wtot", sum(col("wgt")).over(tot).cast("long"))
+  }
+
+  private def assertSame(group: Seq[String], desc: Boolean, buckets: Int): Unit = {
+    val got = RangeRank.rank(data, group,
+        Seq(Key("v", desc), Key("id")), "rnk", "n",
+        weight = Some(RangeRank.Weight("wgt", "cumw", "wtot")),
+        buckets = buckets)
+      .select("g", "id", "rnk", "n", "cumw", "wtot")
+    val want = naive(data, group, desc).select("g", "id", "rnk", "n", "cumw", "wtot")
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+      s"group=$group desc=$desc buckets=$buckets diverged from the window form")
+  }
+
+  test("global rank matches the unpartitioned window for every bucket count") {
+    for (b <- Seq(1, 4, 16)) assertSame(Nil, desc = false, buckets = b)
+  }
+
+  test("descending global rank matches (ties split across buckets)") {
+    assertSame(Nil, desc = true, buckets = 8)
+  }
+
+  test("grouped rank + running weight match the partitioned windows") {
+    for (b <- Seq(1, 5)) assertSame(Seq("g"), desc = false, buckets = b)
+    assertSame(Seq("g"), desc = true, buckets = 6)
+  }
+
+  test("ntileFromRank reproduces NTILE(k) exactly, including n < k and remainders") {
+    import spark.implicits._
+    for (n <- Seq(1, 3, 7, 10, 23); k <- Seq(2, 3, 5, 10)) {
+      val df = (1 to n).map(i => (i.toLong, n.toLong)).toDF("rnk", "n")
+      val got = df.select(col("rnk"),
+        RangeRank.ntileFromRank("rnk", "n", k).as("t")).collect()
+        .map(r => r.getLong(0) -> r.getInt(1)).toMap
+      val want = (1 to n).map(i => (i.toLong,
+        ntileRef(i, n, k))).toMap
+      assert(got === want, s"n=$n k=$k")
+      // and against Spark's own NTILE on the same ordering
+      val sparkTile = df.select(col("rnk"),
+        ntile(k).over(Window.orderBy("rnk")).as("t")).collect()
+        .map(r => r.getLong(0) -> r.getInt(1)).toMap
+      assert(got === sparkTile, s"n=$n k=$k vs Spark ntile")
+    }
+  }
+
+  /** Reference NTILE: first (n mod k) tiles get ceil(n/k) rows. */
+  private def ntileRef(rank: Int, n: Int, k: Int): Int = {
+    val q = n / k; val r = n % k
+    if (rank <= r * (q + 1)) (rank - 1) / (q + 1) + 1
+    else r + (rank - 1 - r * (q + 1)) / math.max(q, 1) + 1
+  }
+
+  test("empty input yields empty output with the rank columns present") {
+    val empty = data.filter(lit(false))
+    val out = RangeRank.rank(empty, Seq("g"), Seq(Key("v"), Key("id")), "rnk", "n")
+    assert(out.columns.contains("rnk") && out.columns.contains("n"))
+    assert(out.count() === 0)
+  }
+}
