@@ -778,7 +778,62 @@ object RetrievalQueries {
        |ORDER BY query_id, mmr_rank""".stripMargin
   }
 
+  // ---------- q202: reciprocal-rank fusion ----------
+
+  /** Reciprocal-Rank Fusion (Cormack et al. 2009 — the standard
+    * score-free way to combine retrieval signals, and what most
+    * hybrid-search engines ship as their default fusion): each
+    * candidate's fused score is `Σ 1/(60 + rankᵢ)` over q91's two
+    * rankings (BM25 lexical, cosine dense), here in exact micros
+    * (`10⁶ DIV (60 + rnk)` per signal — integer DIV, so the fused
+    * ORDER is bit-stable across engines, unlike float addition of
+    * reciprocals). The fusion complement of q91 (which re-ranks by
+    * one signal) and q193 (which measures signal agreement).
+    *
+    * Scale shape: runs entirely on q91's |queries|·topK candidate
+    * rows; the fuse window is per-query over ≤ topK rows.
+    */
+  def q202_rrf_fusion(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("rrf_micro").desc, col("doc_id"))
+    q91_hybrid_rerank(spark, dir)
+      .withColumn("rrf_micro",
+        expr("1000000 DIV (60 + bm25_rnk) + 1000000 DIV (60 + cos_rnk)"))
+      .withColumn("rrf_rnk", row_number().over(w))
+      .select("query_id", "rrf_rnk", "doc_id", "bm25_rnk", "cos_rnk", "rrf_micro")
+      .orderBy("query_id", "rrf_rnk")
+  }
+
+  val q202_oracle: String = {
+    import graft.functions.{VectorFunctions => V}
+    val cos = V.cosineSql("qv", "nv")
+    s"""WITH bm25 AS ($bm25OracleBody),
+       |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+       |j AS (
+       |  SELECT bm25.query_id, bm25.doc_id, bm25.rnk AS bm25_rnk, $cos AS cos
+       |  FROM bm25
+       |  JOIN (SELECT vec_id, v AS nv FROM e) d ON bm25.doc_id = d.vec_id
+       |  JOIN (SELECT CAST(vec_id AS INT) AS query_id, v AS qv FROM e) q
+       |    USING (query_id)),
+       |r AS (
+       |  SELECT query_id, doc_id, bm25_rnk,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, doc_id)
+       |      AS cos_rnk
+       |  FROM j),
+       |f AS (
+       |  SELECT *, CAST(1000000 // (60 + bm25_rnk)
+       |    + 1000000 // (60 + cos_rnk) AS BIGINT) AS rrf_micro
+       |  FROM r)
+       |SELECT query_id,
+       |  CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+       |    ORDER BY rrf_micro DESC, doc_id) AS INT) AS rrf_rnk,
+       |  doc_id, bm25_rnk, cos_rnk, rrf_micro
+       |FROM f ORDER BY query_id, rrf_rnk""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q202_rrf_fusion" -> (q202_rrf_fusion _),
     "q178_mmr" -> (q178_mmr _),
     "q188_bm25_prf" -> (q188_bm25_prf _),
     "q193_rank_correlation" -> (q193_rank_correlation _),
@@ -790,6 +845,7 @@ object RetrievalQueries {
     "q123_span_scrub" -> (q123_span_scrub _))
 
   val oracles: Map[String, String] = Map(
+    "q202_rrf_fusion" -> q202_oracle,
     "q178_mmr" -> q178_oracle,
     "q188_bm25_prf" -> q188_oracle,
     "q193_rank_correlation" -> q193_oracle,

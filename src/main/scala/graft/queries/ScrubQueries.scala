@@ -252,13 +252,82 @@ object ScrubQueries {
 
   // ---------- registry ----------
 
+  // ---------- q204: URL canonicalization + dedup rate ----------
+
+  /** URL canonicalization — the crawl-frontier/dedup normalizer every
+    * web pipeline runs before page-level dedup (the same page arrives
+    * as `HTTPS://Host/...#frag?utm_...` dozens of ways): lowercase
+    * scheme+host (case-insensitive by RFC 3986), strip the fragment
+    * (never sent to the server), strip `utm_*` tracking params, then
+    * report the per-source dup rate of canonical targets. URLs here
+    * are the suite's synthetic convention (q51), deliberately
+    * dirtied deterministically from doc_id (scheme case, host case,
+    * fragment presence, one utm param) with 4 raw URLs mapping to
+    * each canonical target by construction.
+    *
+    * Scale shape: pure narrow string ops at scan throughput + one
+    * (source, canonical)-keyed partial-agg distinct — the shuffle
+    * carries canonical URLs, never documents.
+    */
+  def q204_url_canonical(spark: SparkSession, dir: String): DataFrame = {
+    val scheme = when(col("doc_id") % 2 === 0, lit("HTTPS://"))
+      .otherwise(lit("https://"))
+    val host = concat(
+      when(col("doc_id") % 3 === 0, upper(coalesce(col("source"), lit(""))))
+        .otherwise(coalesce(col("source"), lit(""))),
+      lit(".Example.COM"))
+    val target = expr("doc_id DIV 4")
+    val frag = when(col("doc_id") % 5 === 0, lit("#sec")).otherwise(lit(""))
+    val raw = concat(scheme, host, lit("/docs/"), target.cast("string"),
+      lit("?utm_source=feed&id="), target.cast("string"), frag)
+    val noFrag = regexp_replace(raw, "#.*$", "")
+    val noUtm = regexp_replace(
+      regexp_replace(noFrag, "utm_[a-z]+=[^&#]*&?", ""), "[?&]$", "")
+    val canonical = concat(
+      lower(regexp_extract(noUtm, "^([^/]+//[^/]+)", 1)),
+      regexp_extract(noUtm, "^[^/]+//[^/]+(.*)$", 1))
+    docs(spark, dir)
+      .select(col("source"), canonical.as("canon"))
+      .groupBy("source")
+      .agg(count(lit(1)).cast("long").as("n_urls"),
+        countDistinct(col("canon")).cast("long").as("n_canonical"))
+      .withColumn("dup_ppm",
+        expr("((n_urls - n_canonical) * 1000000) DIV n_urls"))
+      .orderBy("source")
+  }
+
+  val q204_oracle: String = {
+    val raw = "concat(CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://' ELSE 'https://' END, " +
+      "CASE WHEN doc_id % 3 = 0 THEN upper(coalesce(source, '')) " +
+      "ELSE coalesce(source, '') END, '.Example.COM', '/docs/', " +
+      "CAST(doc_id // 4 AS VARCHAR), '?utm_source=feed&id=', " +
+      "CAST(doc_id // 4 AS VARCHAR), " +
+      "CASE WHEN doc_id % 5 = 0 THEN '#sec' ELSE '' END)"
+    s"""WITH u AS (SELECT source, $raw AS raw FROM documents),
+       |s1 AS (SELECT source, regexp_replace(raw, '#.*$$', '') AS x FROM u),
+       |s2 AS (SELECT source, regexp_replace(
+       |  regexp_replace(x, 'utm_[a-z]+=[^&#]*&?', ''), '[?&]$$', '') AS x
+       |  FROM s1),
+       |c AS (SELECT source,
+       |  concat(lower(regexp_extract(x, '^([^/]+//[^/]+)', 1)),
+       |    regexp_extract(x, '^[^/]+//[^/]+(.*)$$', 1)) AS canon
+       |  FROM s2)
+       |SELECT source, CAST(count(*) AS BIGINT) AS n_urls,
+       |  CAST(count(DISTINCT canon) AS BIGINT) AS n_canonical,
+       |  CAST(((count(*) - count(DISTINCT canon)) * 1000000) // count(*)
+       |    AS BIGINT) AS dup_ppm
+       |FROM c GROUP BY source ORDER BY source""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q204_url_canonical" -> (q204_url_canonical _),
     "q137_domain_policy" -> (q137_domain_policy _),
     "q50_pii_redact" -> (q50_pii_redact _),
     "q51_url_extract" -> (q51_url_extract _),
     "q52_repetition" -> (q52_repetition _))
 
   val oracles: Map[String, String] = Map(
+    "q204_url_canonical" -> q204_oracle,
     "q137_domain_policy" -> q137_oracle,
     "q50_pii_redact" -> q50_oracle,
     "q51_url_extract" -> q51_oracle,

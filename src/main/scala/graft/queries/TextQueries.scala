@@ -1484,9 +1484,64 @@ object TextQueries {
        |FROM documents GROUP BY source ORDER BY source""".stripMargin
   }
 
+  // ---------- q203: LSH candidate-precision audit ----------
+
+  /** The PRECISION complement of q154's recall audit: q154 asks "do
+    * the bands find every true pair" (what dedup loses); this asks
+    * "how much junk do the bands SURFACE" (what verification pays
+    * for). All DISTINCT candidate pairs from the band-bucket join —
+    * BEFORE the Jaccard ≥ 0.8 filter — bucketed by their true
+    * Jaccard decile, with the verified share per bucket in ppm. A
+    * low-precision band config wastes the whole verify budget on
+    * sub-threshold pairs; the decile histogram shows WHERE the
+    * wasted candidates live, which is how you pick band/row counts
+    * for the next corpus.
+    *
+    * Scale shape: the same bucket-bounded candidate join every LSH
+    * consumer uses, one |pairs|-sized distinct + a 10-row rollup;
+    * the Jaccard doubles are the suite's bit-identical fold, so the
+    * decile floor is cross-engine stable.
+    */
+  def q203_lsh_precision(spark: SparkSession, dir: String): DataFrame = {
+    val bands = bandsFromIndex(spark.read.parquet(SigIndex.path(spark, dir)))
+    val a = bands.select(col("band"), col("bucket"),
+      col("doc_id").as("a_id"), col("skd").as("a_sk"))
+    val b = bands.select(col("band"), col("bucket"),
+      col("doc_id").as("b_id"), col("skd").as("b_sk"))
+    a.join(b, Seq("band", "bucket"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        keyJaccard(col("a_sk"), col("b_sk")).as("j"))
+      .distinct()
+      .withColumn("j_decile",
+        least(floor(col("j") * 10).cast("int"), lit(9)))
+      .groupBy("j_decile")
+      .agg(count(lit(1)).cast("long").as("n_candidates"),
+        count_if(col("j") >= 0.8).cast("long").as("n_verified"))
+      .withColumn("verified_ppm",
+        expr("(n_verified * 1000000) DIV n_candidates"))
+      .orderBy("j_decile")
+  }
+
+  val q203_oracle: String =
+    s"""WITH ${indexBandsCteSql(None)},
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+       |    ${keyJaccardSql("a", "b")} AS j
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.bucket = b.bucket
+       |      AND a.doc_id < b.doc_id)
+       |SELECT least(CAST(floor(j * 10) AS INT), 9) AS j_decile,
+       |  CAST(count(*) AS BIGINT) AS n_candidates,
+       |  CAST(count(*) FILTER (WHERE j >= 0.8) AS BIGINT) AS n_verified,
+       |  CAST((count(*) FILTER (WHERE j >= 0.8) * 1000000) // count(*)
+       |    AS BIGINT) AS verified_ppm
+       |FROM cand GROUP BY 1 ORDER BY j_decile""".stripMargin
+
   // ---------- registry ----------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q203_lsh_precision" -> (q203_lsh_precision _),
     "q143_allpairs" -> (q143_allpairs _),
     "q154_dedup_eval" -> (q154_dedup_eval _),
     "q155_langid_eval" -> (q155_langid_eval _),
@@ -1514,6 +1569,7 @@ object TextQueries {
     "q108_containment" -> (q108_containment _))
 
   val oracles: Map[String, String] = Map(
+    "q203_lsh_precision" -> q203_oracle,
     "q139_novelty" -> q139_oracle,
     "q143_allpairs" -> q143_oracle,
     "q154_dedup_eval" -> q154_oracle,
