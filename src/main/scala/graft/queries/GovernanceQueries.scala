@@ -599,7 +599,112 @@ object GovernanceQueries {
     arms.mkString("", "\nUNION ALL\n", "\nORDER BY fd")
   }
 
+  // ---------- q205: sketch-boundary ntile (the approximate path) ----------
+
+  /** The SKETCH-ASSISTED tile assignment named as the 100 TB
+    * alternative throughout the exact-rank family (q58/q134/q163):
+    * per-group quintile BOUNDARIES from a mergeable KLL sketch (one
+    * aggregation — no rank pass at all), applied back over the scan
+    * as broadcast thresholds. Tile populations are then exact-to-±ε·n
+    * per KLL's normalized-rank guarantee (~1.65% at k=200) instead of
+    * ±1 — the documented trade: one pass and mergeable state vs the
+    * exact two-pass [[graft.operators.RangeRank]]. KLL compaction is
+    * randomized, so this is a rows-only member (SketchNtileSpec pins
+    * the population-error bound and tile geometry instead of an
+    * oracle hash).
+    *
+    * Scale shape: one sketch aggregation (|groups|·sketch-bytes
+    * state — the q113 incremental state, reused as a planner), one
+    * broadcast, one re-scan; nothing sorts anywhere.
+    */
+  def q205_sketch_ntile(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(spark, dir, "events")
+      .select(col("event_type"),
+        round(col("value") * 100).cast("long").as("cents"))
+    val probs = Seq(0.2, 0.4, 0.6, 0.8)
+    val bCols = probs.zipWithIndex.map { case (p, i) =>
+      kll_sketch_get_quantile_double(col("kll"), lit(p)).as(s"b${i + 1}") }
+    val bounds = e.groupBy("event_type")
+      .agg(kll_sketch_agg_double(col("cents").cast("double")).as("kll"))
+      .select(col("event_type") +: bCols: _*)
+    val tile = probs.indices.foldLeft(lit(1)) { (acc, i) =>
+      acc + when(col("cents").cast("double") > col(s"b${i + 1}"), 1).otherwise(0) }
+    e.join(broadcast(bounds), "event_type")
+      .withColumn("tile", tile)
+      .groupBy("event_type", "tile")
+      .agg(count(lit(1)).cast("long").as("n_rows"),
+        min(col("cents")).as("lo_cents"),
+        max(col("cents")).as("hi_cents"))
+      .orderBy("event_type", "tile")
+  }
+
+  // ---------- q206: erasure-scope report (GDPR cascade) ----------
+
+  /** Deletion subjects for q206 — the fixed audit list (user ids ≡
+    * customer keys in this corpus's key convention). */
+  val erasureSubjects: Seq[Long] = Seq(1L, 2L, 3L, 4L, 5L)
+
+  /** Erasure-SCOPE report — the step before q121's delete feed: given
+    * a list of data subjects, enumerate every table their data
+    * touches WITH the transitive closure a real erasure must cascade
+    * through (lineitems hang off orders, not off the customer key —
+    * deleting the subject's orders strands their lineitems unless the
+    * scope walks the FK). One row per table: rows in scope + an exact
+    * key-sum pin of the scoped set.
+    *
+    * Scale shape: the subject list is a broadcast literal; events/
+    * orders/customer scope at scan throughput; the lineitem cascade
+    * is one semi-join keyed by orderkey against the subject's order
+    * set (itself broadcast-sized for any real deletion batch).
+    */
+  def q206_erasure_scope(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val subj = erasureSubjects.toDF("k")
+    def scope(name: String, df: DataFrame, key: String, pin: String): DataFrame =
+      df.join(broadcast(subj), col(key) === col("k"))
+        .agg(count(lit(1)).cast("long").as("n_rows"),
+          coalesce(sum(col(pin)), lit(0L)).cast("long").as("pin_sum"))
+        .select(lit(name).as("table_name"), col("n_rows"), col("pin_sum"))
+    val ev = scope("events", Tables.load(spark, dir, "events"), "user_id", "event_id")
+    val cu = scope("customer", Tables.load(spark, dir, "customer"), "c_custkey", "c_custkey")
+    val orders = Tables.load(spark, dir, "orders")
+    val or = scope("orders", orders, "o_custkey", "o_orderkey")
+    val subjOrders = orders.join(broadcast(subj), col("o_custkey") === col("k"))
+      .select(col("o_orderkey").as("ok"))
+    val li = Tables.load(spark, dir, "lineitem")
+      .join(broadcast(subjOrders), col("l_orderkey") === col("ok"))
+      .agg(count(lit(1)).cast("long").as("n_rows"),
+        coalesce(sum(col("l_orderkey") + col("l_linenumber")), lit(0L))
+          .cast("long").as("pin_sum"))
+      .select(lit("lineitem").as("table_name"), col("n_rows"), col("pin_sum"))
+    ev.unionByName(cu).unionByName(or).unionByName(li)
+      .orderBy("table_name")
+  }
+
+  val q206_oracle: String = {
+    val ks = erasureSubjects.mkString("(", ", ", ")")
+    s"""SELECT 'customer' AS table_name, CAST(count(*) AS BIGINT) AS n_rows,
+       |  CAST(coalesce(sum(c_custkey), 0) AS BIGINT) AS pin_sum
+       |FROM customer WHERE c_custkey IN $ks
+       |UNION ALL
+       |SELECT 'events', CAST(count(*) AS BIGINT),
+       |  CAST(coalesce(sum(event_id), 0) AS BIGINT)
+       |FROM events WHERE user_id IN $ks
+       |UNION ALL
+       |SELECT 'lineitem', CAST(count(*) AS BIGINT),
+       |  CAST(coalesce(sum(l_orderkey + l_linenumber), 0) AS BIGINT)
+       |FROM lineitem WHERE l_orderkey IN
+       |  (SELECT o_orderkey FROM orders WHERE o_custkey IN $ks)
+       |UNION ALL
+       |SELECT 'orders', CAST(count(*) AS BIGINT),
+       |  CAST(coalesce(sum(o_orderkey), 0) AS BIGINT)
+       |FROM orders WHERE o_custkey IN $ks
+       |ORDER BY table_name""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q205_sketch_ntile" -> (q205_sketch_ntile _),
+    "q206_erasure_scope" -> (q206_erasure_scope _),
     "q182_fd_discovery" -> (q182_fd_discovery _),
     "q171_score_calibration" -> (q171_score_calibration _),
     "q166_key_skew" -> (q166_key_skew _),
@@ -613,6 +718,7 @@ object GovernanceQueries {
     "q127_k_anonymity" -> (q127_k_anonymity _))
 
   val oracles: Map[String, String] = Map(
+    "q206_erasure_scope" -> q206_oracle,
     "q166_key_skew" -> q166_oracle,
     "q171_score_calibration" -> q171_oracle,
     "q182_fd_discovery" -> q182_oracle,

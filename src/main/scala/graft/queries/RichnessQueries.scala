@@ -309,6 +309,105 @@ object RichnessQueries {
       |    // (CAST(sum(c) AS HUGEINT) * sum(c)) AS BIGINT) AS underest_ppm
       |FROM d""".stripMargin
 
+  // ---------- q207: tokenizer fertility ----------
+
+  /** Tokenizer FERTILITY per source: BPE-ish subword tokens emitted
+    * per whitespace word (`Σ bpe / Σ words` in exact ppm, plus the
+    * per-doc maximum) — the standard tokenizer-fit diagnostic (a
+    * fertility far above ~1.3 on English-like text means the vocab
+    * fragments this source, inflating its effective token cost and
+    * skewing any token-budget mixture built on it, q63/q77's unit).
+    *
+    * Scale shape: two native codegen expressions per row at scan
+    * throughput, one source-sized rollup. No shuffles beyond the
+    * final 4-row aggregate.
+    */
+  def q207_fertility(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "documents")
+      .select(col("source"),
+        size(T.tokens(col("text"))).cast("long").as("n_words"),
+        T.bpeTokenCount(col("text")).cast("long").as("n_bpe"))
+      .groupBy("source")
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        sum(col("n_words")).cast("long").as("n_words"),
+        sum(col("n_bpe")).cast("long").as("n_bpe"),
+        max(when(col("n_words") > 0,
+          expr("(n_bpe * 1000000) DIV n_words"))).as("max_doc_fertility_ppm"))
+      .withColumn("fertility_ppm", expr("(n_bpe * 1000000) DIV n_words"))
+      .orderBy("source")
+
+  val q207_oracle: String = {
+    val words = s"CAST(len(${T.tokensSql("text")}) AS BIGINT)"
+    val bpe = s"CAST(${T.bpeTokenCountSql("text")} AS BIGINT)"
+    s"""WITH d AS (
+       |  SELECT source, $words AS n_words, $bpe AS n_bpe FROM documents)
+       |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(n_words) AS BIGINT) AS n_words,
+       |  CAST(sum(n_bpe) AS BIGINT) AS n_bpe,
+       |  max(CASE WHEN n_words > 0
+       |    THEN (n_bpe * 1000000) // n_words END) AS max_doc_fertility_ppm,
+       |  CAST((sum(n_bpe) * 1000000) // sum(n_words) AS BIGINT)
+       |    AS fertility_ppm
+       |FROM d GROUP BY source ORDER BY source""".stripMargin
+  }
+
+  // ---------- q208: n-gram compressibility screen ----------
+
+  /** Per-source COMPRESSIBILITY screen via 4-gram repetition — the
+    * log-free stand-in for the Gopher/CCNet "compression ratio"
+    * quality rule (highly compressible ⇔ repetitive ⇔ low distinct-
+    * to-total n-gram ratio): per document, distinct word-4-grams over
+    * total word-4-grams in exact ppm; per source, the integer mean of
+    * the per-doc ratios plus the share of documents under the ½
+    * repetition threshold. The 4-gram sibling of q52's token-level
+    * repetition (phrases, not words, catch boilerplate loops).
+    *
+    * Scale shape: the per-doc ratio is computed INSIDE the row
+    * (array exprs — no explode, no shuffle); one source-sized rollup.
+    */
+  def q208_compressibility(spark: SparkSession, dir: String): DataFrame = {
+    val tk = T.tokens(col("text"))
+    // docs with < 4 words have zero 4-grams — filter BEFORE the
+    // transform (Spark's sequence(1, 0) DESCENDS rather than being
+    // empty, so the guard is load-bearing, not cosmetic)
+    val grams = expr(
+      "transform(sequence(1, size(tk) - 3), i -> concat_ws(' ', slice(tk, i, 4)))")
+    Tables.load(spark, dir, "documents")
+      .select(col("source"), tk.as("tk"))
+      .filter(size(col("tk")) >= 4)
+      .select(col("source"), grams.as("g"))
+      .select(col("source"),
+        expr("(size(array_distinct(g)) * 1000000) DIV size(g)")
+          .as("ratio_ppm"))
+      .groupBy("source")
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        expr("CAST(sum(ratio_ppm) DIV count(*) AS BIGINT)")
+          .as("mean_ratio_ppm"),
+        count_if(col("ratio_ppm") < 500000).cast("long").as("n_repetitive"))
+      .orderBy("source")
+  }
+
+  val q208_oracle: String = {
+    val toks = T.tokensSql("text")
+    s"""WITH d AS (
+       |  SELECT source, $toks AS tk FROM documents),
+       |g AS (
+       |  SELECT source,
+       |    [array_to_string(tk[i:i+3], ' ')
+       |     for i in range(1, greatest(len(tk) - 3, 0) + 1)] AS g
+       |  FROM d),
+       |r AS (
+       |  SELECT source,
+       |    CAST((len(list_distinct(g)) * 1000000) // len(g) AS BIGINT)
+       |      AS ratio_ppm
+       |  FROM g WHERE len(g) > 0)
+       |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(ratio_ppm) // count(*) AS BIGINT) AS mean_ratio_ppm,
+       |  CAST(count(*) FILTER (WHERE ratio_ppm < 500000) AS BIGINT)
+       |    AS n_repetitive
+       |FROM r GROUP BY source ORDER BY source""".stripMargin
+  }
+
   // ---------- registry ----------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -317,7 +416,9 @@ object RichnessQueries {
     "q198_simpson_diversity" -> (q198_simpson_diversity _),
     "q199_fano" -> (q199_fano _),
     "q200_cluster_sizes" -> (q200_cluster_sizes _),
-    "q201_join_card_estimate" -> (q201_join_card_estimate _))
+    "q201_join_card_estimate" -> (q201_join_card_estimate _),
+    "q207_fertility" -> (q207_fertility _),
+    "q208_compressibility" -> (q208_compressibility _))
 
   val oracles: Map[String, String] = Map(
     "q196_hapax" -> q196_oracle,
@@ -325,5 +426,7 @@ object RichnessQueries {
     "q198_simpson_diversity" -> q198_oracle,
     "q199_fano" -> q199_oracle,
     "q200_cluster_sizes" -> q200_oracle,
-    "q201_join_card_estimate" -> q201_oracle)
+    "q201_join_card_estimate" -> q201_oracle,
+    "q207_fertility" -> q207_oracle,
+    "q208_compressibility" -> q208_oracle)
 }

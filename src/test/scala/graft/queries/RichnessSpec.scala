@@ -78,6 +78,30 @@ class RichnessSpec extends SparkSpec {
     assert(dist.values.map(_._2).sum === total, "every doc accounted for")
   }
 
+  test("q207: fertility counts subwords per word exactly") {
+    val dir = tmp("fert")
+    // "ab1cd e-f": words = [ab1cd, e-f] (2); bpe = ab,1,cd,e,-,f (6)
+    writeDocs(dir, Seq((1L, "a", "ab1cd e-f")))
+    val r = RichnessQueries.q207_fertility(spark, dir).collect().head
+    assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      === ((1L, 2L, 6L, 3000000L, 3000000L)))
+  }
+
+  test("q208: repetition ratio on planted boilerplate vs organic text") {
+    val dir = tmp("comp")
+    // doc 1: "a b c d a b c d a b c d" → 9 4-grams, 4 distinct → 444444
+    // doc 2: "p q r s t" → 2 4-grams, both distinct → 1000000
+    // doc 3: "x y z" → no 4-grams, excluded
+    writeDocs(dir, Seq(
+      (1L, "a", "a b c d a b c d a b c d"),
+      (2L, "a", "p q r s t"),
+      (3L, "a", "x y z")))
+    val r = RichnessQueries.q208_compressibility(spark, dir).collect().head
+    // mean = (444444 + 1000000) DIV 2 = 722222; one doc under ½
+    assert((r.getLong(1), r.getLong(2), r.getLong(3))
+      === ((2L, 722222L, 1L)))
+  }
+
   test("q201: uniformity underestimate on a planted skewed key") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
