@@ -43,6 +43,8 @@ object Bench {
     // its build cost is not part of the operator's measured row).
     try graft.queries.GraphQueries.warmIncrementalCcBase(spark, sfDir)
     catch { case _: Throwable => () }
+    try graft.queries.MiningQueries.warmTopkState(spark, sfDir)
+    catch { case _: Throwable => () }
 
     // optional arg 1: comma-separated query names (dev iteration
     // filter, same contract as Verify; the driver passes no args)

@@ -40,6 +40,12 @@ class Round11OpsSpec extends SparkSpec {
       "precision audit's verified pairs must equal the shipped q25 set")
   }
 
+  test("q209: incremental heavy hitters are indistinguishable from q118's full recompute") {
+    val inc = MiningQueries.q209_incremental_topk(spark, sf()).collect().toSeq
+    val full = MiningQueries.q118_heavy_hitters(spark, sf()).collect().toSeq
+    assert(inc.map(_.toSeq) === full.map(_.toSeq))
+  }
+
   test("q204: the four planted variants of one target collapse to one canonical URL") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("urlc").toString
