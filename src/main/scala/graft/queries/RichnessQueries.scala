@@ -408,6 +408,109 @@ object RichnessQueries {
        |FROM r GROUP BY source ORDER BY source""".stripMargin
   }
 
+  // ---------- q210: length-quality confound check ----------
+
+  /** Per-source Pearson correlation between document LENGTH and the
+    * q21 quality score — the confound audit run before any
+    * quality-thresholded curation (if quality ∝ length, a "quality"
+    * filter silently becomes a length filter and reshapes the
+    * corpus). Moments (n, Σx, Σy, Σx², Σy², Σxy) are EXACT
+    * decimal(38,0) in one hash pass; only the final r (which needs a
+    * square root — irrational, so no integer form exists) drops to
+    * doubles, with the operation order pinned identically in both
+    * engines: identical exact moments in, identical IEEE doubles out.
+    *
+    * Scale shape: one narrow scan + one source-sized moment rollup;
+    * nothing else.
+    */
+  def q210_length_quality_corr(spark: SparkSession, dir: String): DataFrame = {
+    val dec38 = "decimal(38,0)"
+    Tables.load(spark, dir, "documents")
+      .select(col("source"), col("n_chars").cast("long").as("x"),
+        floor(graft.functions.TextFunctions.qualityScore(col("text")) * 1000000L)
+          .cast("long").as("y"))
+      .groupBy("source")
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(expr(s"CAST(x AS $dec38)")).as("sx"),
+        sum(expr(s"CAST(y AS $dec38)")).as("sy"),
+        sum(expr(s"CAST(x AS $dec38) * x")).as("sxx"),
+        sum(expr(s"CAST(y AS $dec38) * y")).as("syy"),
+        sum(expr(s"CAST(x AS $dec38) * y")).as("sxy"))
+      .select(col("source"), col("n").as("n_docs"),
+        expr("CAST(n * sxy - sx * sy AS DOUBLE) " +
+          "/ sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) " +
+          "/ sqrt(CAST(n * syy - sy * sy AS DOUBLE))").as("r"))
+      .orderBy("source")
+  }
+
+  val q210_oracle: String = {
+    val q = graft.functions.TextFunctions.qualityScoreSql("text")
+    s"""WITH d AS (
+       |  SELECT source, CAST(n_chars AS BIGINT) AS x,
+       |    CAST(floor(($q) * 1000000) AS BIGINT) AS y
+       |  FROM documents),
+       |m AS (
+       |  SELECT source, CAST(count(*) AS HUGEINT) AS n,
+       |    sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
+       |    sum(CAST(x AS HUGEINT) * x) AS sxx,
+       |    sum(CAST(y AS HUGEINT) * y) AS syy,
+       |    sum(CAST(x AS HUGEINT) * y) AS sxy
+       |  FROM d GROUP BY source)
+       |SELECT source, CAST(n AS BIGINT) AS n_docs,
+       |  CAST(n * sxy - sx * sy AS DOUBLE)
+       |    / sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+       |    / sqrt(CAST(n * syy - sy * sy AS DOUBLE)) AS r
+       |FROM m ORDER BY source""".stripMargin
+  }
+
+  // ---------- q211: inter-arrival gap percentiles ----------
+
+  /** Per-event-type inter-arrival time percentiles: the gap between a
+    * user's consecutive events of the same type, p50/p90 as EXACT
+    * order statistics — the cadence profile behind session-timeout
+    * and rate-limit thresholds (q18/q189's 30-minute gap is an input
+    * someone chose; this measures what the data says it should be).
+    *
+    * Scale shape: the lag runs in a (user, type)-keyed window (high-
+    * cardinality key — bounded per-user sequences); percentiles read
+    * off the DISTINCT-gap axis ([[ValueAxis]] — gap seconds are
+    * domain-bounded by the retention window, never corpus-sized).
+    */
+  def q211_interarrival(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id", "event_type")
+      .orderBy(col("esec"), col("event_id"))
+    val gaps = Tables.load(spark, dir, "events")
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        col("ts").cast("long").as("esec"))
+      .withColumn("gap_s", col("esec") - lag(col("esec"), 1).over(w))
+      .filter(col("gap_s").isNotNull)
+      .select(col("event_type"), col("gap_s"))
+    ValueAxis.axis(gaps, Seq("event_type"), "gap_s")
+      .groupBy("event_type")
+      .agg(max(col("n")).as("n_gaps"),
+        ValueAxis.valueAtRank("gap_s", expr("(n + 1) DIV 2")).as("p50_gap_s"),
+        ValueAxis.valueAtRank("gap_s", expr("(9 * n + 9) DIV 10")).as("p90_gap_s"))
+      .orderBy("event_type")
+  }
+
+  val q211_oracle: String =
+    """WITH g AS (
+      |  SELECT event_type,
+      |    esec - lag(esec) OVER (PARTITION BY user_id, event_type
+      |      ORDER BY esec, event_id) AS gap_s
+      |  FROM (SELECT user_id, event_type, event_id,
+      |          CAST(floor(epoch(ts)) AS BIGINT) AS esec FROM events)),
+      |r AS (
+      |  SELECT event_type, gap_s,
+      |    row_number() OVER (PARTITION BY event_type ORDER BY gap_s) AS rk,
+      |    count(*) OVER (PARTITION BY event_type) AS n
+      |  FROM g WHERE gap_s IS NOT NULL)
+      |SELECT event_type, CAST(max(n) AS BIGINT) AS n_gaps,
+      |  max(CASE WHEN rk = (n + 1) // 2 THEN gap_s END) AS p50_gap_s,
+      |  max(CASE WHEN rk = (9 * n + 9) // 10 THEN gap_s END) AS p90_gap_s
+      |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin
+
   // ---------- registry ----------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -418,7 +521,9 @@ object RichnessQueries {
     "q200_cluster_sizes" -> (q200_cluster_sizes _),
     "q201_join_card_estimate" -> (q201_join_card_estimate _),
     "q207_fertility" -> (q207_fertility _),
-    "q208_compressibility" -> (q208_compressibility _))
+    "q208_compressibility" -> (q208_compressibility _),
+    "q210_length_quality_corr" -> (q210_length_quality_corr _),
+    "q211_interarrival" -> (q211_interarrival _))
 
   val oracles: Map[String, String] = Map(
     "q196_hapax" -> q196_oracle,
@@ -428,5 +533,7 @@ object RichnessQueries {
     "q200_cluster_sizes" -> q200_oracle,
     "q201_join_card_estimate" -> q201_oracle,
     "q207_fertility" -> q207_oracle,
-    "q208_compressibility" -> q208_oracle)
+    "q208_compressibility" -> q208_oracle,
+    "q210_length_quality_corr" -> q210_oracle,
+    "q211_interarrival" -> q211_oracle)
 }

@@ -102,6 +102,47 @@ class RichnessSpec extends SparkSpec {
       === ((2L, 722222L, 1L)))
   }
 
+  test("q210: r matches an exact-moment BigInt replica on real data") {
+    import org.apache.spark.sql.functions._
+    val pts = graft.Tables.load(spark, sf(), "documents")
+      .select(col("source"), col("n_chars").cast("long"),
+        floor(graft.functions.TextFunctions.qualityScore(col("text")) * 1000000L)
+          .cast("long"))
+      .collect().map(r => (r.getString(0), BigInt(r.getLong(1)), BigInt(r.getLong(2))))
+    val want = pts.groupBy(_._1).map { case (src, ps) =>
+      val n = BigInt(ps.length)
+      val (sx, sy) = (ps.map(_._2).sum, ps.map(_._3).sum)
+      val sxx = ps.map(p => p._2 * p._2).sum
+      val syy = ps.map(p => p._3 * p._3).sum
+      val sxy = ps.map(p => p._2 * p._3).sum
+      val r = (n * sxy - sx * sy).toDouble /
+        math.sqrt((n * sxx - sx * sx).toDouble) /
+        math.sqrt((n * syy - sy * sy).toDouble)
+      src -> r
+    }
+    val got = RichnessQueries.q210_length_quality_corr(spark, sf()).collect()
+      .map(r => r.getString(0) -> r.getDouble(2)).toMap
+    want.foreach { case (src, r) =>
+      assert(math.abs(got(src) - r) < 1e-12, s"$src: ${got(src)} vs $r")
+      assert(got(src) >= -1.0 && got(src) <= 1.0)
+    }
+  }
+
+  test("q211: gap percentiles on a planted cadence") {
+    val dir = tmp("gap")
+    import spark.implicits._
+    def ts(s: Int) = Timestamp.valueOf(java.time.LocalDateTime
+      .ofEpochSecond(1704880000L + s, 0, java.time.ZoneOffset.UTC)
+      .format(java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss")))
+    // user 1 clicks at t+0, t+10, t+30 → gaps 10, 20
+    Seq((1L, ts(0), 1L, "click", 0.0, "{}"), (2L, ts(10), 1L, "click", 0.0, "{}"),
+      (3L, ts(30), 1L, "click", 0.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val r = RichnessQueries.q211_interarrival(spark, dir).collect().head
+    assert((r.getLong(1), r.getLong(2), r.getLong(3)) === ((2L, 10L, 20L)))
+  }
+
   test("q201: uniformity underestimate on a planted skewed key") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
