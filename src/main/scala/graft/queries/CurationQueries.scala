@@ -622,6 +622,76 @@ object CurationQueries {
        |ORDER BY doc_id""".stripMargin
   }
 
+  // ---------- q212: deduplicated token budget ----------
+
+  /** The EFFECTIVE token budget per source after near-dup collapse —
+    * raw token counts over-state a crawl's worth exactly by its
+    * duplication (a mixture weighted on raw tokens over-trains on
+    * boilerplate-heavy sources): q47's clusters keep one
+    * representative (min doc_id); every other member's tokens are
+    * removed from the budget. Reports raw vs kept docs/tokens and
+    * the savings in ppm — the number a data-mixture spec should be
+    * weighted on (q36/q63/q148 take token budgets as INPUT; this is
+    * where the honest input comes from).
+    *
+    * Scale shape: q47's bucket-bounded pair graph + pair-vertex CC;
+    * the drop set (cluster members minus representatives) broadcasts
+    * against the corpus as an anti-join; token counting is one
+    * codegen'd scan.
+    */
+  def q212_dedup_token_budget(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.ConnectedComponents
+    val pairs = TextQueries.lshPairs(spark, dir)
+      .select("a_id", "b_id").transform(graft.Lineage.cut)
+    val cc = ConnectedComponents.run(pairs, "a_id", "b_id")
+    val reps = cc.groupBy("component").agg(min(col("id")).as("keep"))
+      .withColumnRenamed("component", "rep_comp")
+    val drops = cc.join(reps, col("component") === col("rep_comp"))
+      .filter(col("id") =!= col("keep"))
+      .select(col("id").as("drop_id"))
+    Tables.load(spark, dir, "documents")
+      .select(col("source"), col("doc_id"),
+        size(T.tokens(col("text"))).cast("long").as("n_toks"))
+      .join(broadcast(drops), col("doc_id") === col("drop_id"), "left")
+      .groupBy("source")
+      .agg(count(lit(1)).cast("long").as("raw_docs"),
+        sum(col("n_toks")).cast("long").as("raw_tokens"),
+        count(when(col("drop_id").isNull, 1)).cast("long").as("kept_docs"),
+        coalesce(sum(when(col("drop_id").isNull, col("n_toks"))), lit(0L))
+          .cast("long").as("kept_tokens"))
+      .withColumn("savings_ppm",
+        expr("((raw_tokens - kept_tokens) * 1000000) DIV raw_tokens"))
+      .orderBy("source")
+  }
+
+  val q212_oracle: String =
+    s"""WITH RECURSIVE pairs AS (${TextQueries.lshPairsSql}),
+       |edges AS (SELECT a_id AS u, b_id AS v FROM pairs
+       |          UNION SELECT b_id, a_id FROM pairs),
+       |reach AS (
+       |  SELECT u AS id, u AS r FROM (SELECT DISTINCT u FROM edges)
+       |  UNION
+       |  SELECT e.u AS id, reach.r FROM edges e JOIN reach ON e.v = reach.id),
+       |lab AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id),
+       |reps AS (SELECT cluster_id, min(id) AS keep FROM lab GROUP BY cluster_id),
+       |drops AS (
+       |  SELECT lab.id FROM lab JOIN reps USING (cluster_id)
+       |  WHERE lab.id <> reps.keep),
+       |d AS (
+       |  SELECT source, doc_id,
+       |    CAST(len(${T.tokensSql("text")}) AS BIGINT) AS n_toks,
+       |    doc_id IN (SELECT id FROM drops) AS dropped
+       |  FROM documents)
+       |SELECT source,
+       |  CAST(count(*) AS BIGINT) AS raw_docs,
+       |  CAST(sum(n_toks) AS BIGINT) AS raw_tokens,
+       |  CAST(count(*) FILTER (WHERE NOT dropped) AS BIGINT) AS kept_docs,
+       |  CAST(coalesce(sum(n_toks) FILTER (WHERE NOT dropped), 0) AS BIGINT)
+       |    AS kept_tokens,
+       |  CAST(((sum(n_toks) - coalesce(sum(n_toks) FILTER (WHERE NOT dropped), 0))
+       |    * 1000000) // sum(n_toks) AS BIGINT) AS savings_ppm
+       |FROM d GROUP BY source ORDER BY source""".stripMargin
+
   // ---------- registry ----------
 
   // ---------- q148: deterministic weighted interleave (training order) ----------
@@ -746,6 +816,7 @@ object CurationQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q175_quota_sample" -> (q175_quota_sample _),
+    "q212_dedup_token_budget" -> (q212_dedup_token_budget _),
     "q148_interleave" -> (q148_interleave _),
     "q132_dsir" -> (q132_dsir _),
     "q86_curation_e2e" -> (q86_curation_e2e _),
@@ -760,6 +831,7 @@ object CurationQueries {
 
   val oracles: Map[String, String] = Map(
     "q175_quota_sample" -> q175_oracle,
+    "q212_dedup_token_budget" -> q212_oracle,
     "q148_interleave" -> q148_oracle,
     "q132_dsir" -> q132_oracle,
     "q86_curation_e2e" -> q86_oracle,

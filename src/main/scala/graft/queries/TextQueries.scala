@@ -1538,10 +1538,49 @@ object TextQueries {
        |    AS BIGINT) AS verified_ppm
        |FROM cand GROUP BY 1 ORDER BY j_decile""".stripMargin
 
+  // ---------- q213: shingle document-frequency profile ----------
+
+  /** Document-frequency profile of the shingle-key space, in exact
+    * power-of-two buckets (`length(bin(df)) − 1` — q166's integer
+    * bit-length, no float log): per bucket, distinct keys, total
+    * postings, min/max df. This is the report the suite's own df
+    * CONSTANTS come from — q72's rare-shingle cutoff (df ≤ 5), q108's
+    * hot-shingle prune, q195's rare-extent posting bound all assume a
+    * particular head/tail shape; this measures it, so retuning for a
+    * new corpus is a query, not a guess.
+    *
+    * Scale shape: one explode of the STORED SigIndex key sets + one
+    * partial-agg shuffle keyed by the 60-bit key + a ≤64-row rollup.
+    */
+  def q213_shingle_df_profile(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(SigIndex.path(spark, dir))
+      .select(explode(col("skd")).as("k"))
+      .groupBy("k").agg(count(lit(1)).cast("long").as("df"))
+      .withColumn("df_bucket", expr("length(bin(df)) - 1").cast("int"))
+      .groupBy("df_bucket")
+      .agg(count(lit(1)).cast("long").as("n_keys"),
+        sum(col("df")).cast("long").as("n_postings"),
+        min(col("df")).as("min_df"),
+        max(col("df")).as("max_df"))
+      .orderBy("df_bucket")
+
+  val q213_oracle: String =
+    s"""WITH base AS (
+       |  SELECT doc_id, list_distinct(${H.shingleKeysSql("sh")}) AS skd
+       |  FROM $sigTableSql),
+       |ks AS (SELECT unnest(skd) AS k FROM base),
+       |dfs AS (SELECT k, CAST(count(*) AS BIGINT) AS df FROM ks GROUP BY k)
+       |SELECT CAST(length(bin(df)) - 1 AS INTEGER) AS df_bucket,
+       |  CAST(count(*) AS BIGINT) AS n_keys,
+       |  CAST(sum(df) AS BIGINT) AS n_postings,
+       |  min(df) AS min_df, max(df) AS max_df
+       |FROM dfs GROUP BY 1 ORDER BY df_bucket""".stripMargin
+
   // ---------- registry ----------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q203_lsh_precision" -> (q203_lsh_precision _),
+    "q213_shingle_df_profile" -> (q213_shingle_df_profile _),
     "q143_allpairs" -> (q143_allpairs _),
     "q154_dedup_eval" -> (q154_dedup_eval _),
     "q155_langid_eval" -> (q155_langid_eval _),
@@ -1570,6 +1609,7 @@ object TextQueries {
 
   val oracles: Map[String, String] = Map(
     "q203_lsh_precision" -> q203_oracle,
+    "q213_shingle_df_profile" -> q213_oracle,
     "q139_novelty" -> q139_oracle,
     "q143_allpairs" -> q143_oracle,
     "q154_dedup_eval" -> q154_oracle,

@@ -46,6 +46,27 @@ class Round11OpsSpec extends SparkSpec {
     assert(inc.map(_.toSeq) === full.map(_.toSeq))
   }
 
+  test("q212: dropped docs are exactly the non-representative cluster members") {
+    val budget = CurationQueries.q212_dedup_token_budget(spark, sf()).collect()
+    val dropped = budget.map(r => r.getLong(1) - r.getLong(3)).sum
+    val q47 = GraphQueries.q47_dup_clusters(spark, sf()).collect()
+    val clusters = q47.map(_.getLong(1)).distinct.length
+    assert(dropped === q47.length - clusters,
+      "every cluster keeps exactly one representative")
+    budget.foreach { r =>
+      assert(r.getLong(4) <= r.getLong(2), "kept tokens cannot exceed raw") }
+  }
+
+  test("q213: every key sits inside its power-of-two df band") {
+    val rows = TextQueries.q213_shingle_df_profile(spark, sf()).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (b, minDf, maxDf) = (r.getInt(0), r.getLong(3), r.getLong(4))
+      assert(minDf >= (1L << b) && maxDf < (1L << (b + 1)),
+        s"bucket $b holds df outside [2^$b, 2^${b + 1})")
+    }
+  }
+
   test("q204: the four planted variants of one target collapse to one canonical URL") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("urlc").toString
