@@ -89,6 +89,19 @@ class RangeRankSpec extends SparkSpec {
     else r + (rank - 1 - r * (q + 1)) / math.max(q, 1) + 1
   }
 
+  test("all-equal primary keys degenerate to one bucket and stay exact") {
+    import spark.implicits._
+    val flat = (1 to 100).map(i => ("g", 7L, i.toLong, 2L)).toDF("g", "v", "id", "wgt")
+    val got = RangeRank.rank(flat, Nil, Seq(Key("v"), Key("id")), "rnk", "n",
+        weight = Some(RangeRank.Weight("wgt", "cumw", "wtot")), buckets = 16)
+      .select("id", "rnk", "n", "cumw", "wtot").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    (1 to 100).foreach { i =>
+      assert(got(i.toLong) === ((i.toLong, 100L, 2L * i, 200L)), s"id=$i")
+    }
+  }
+
   test("empty input yields empty output with the rank columns present") {
     val empty = data.filter(lit(false))
     val out = RangeRank.rank(empty, Seq("g"), Seq(Key("v"), Key("id")), "rnk", "n")
