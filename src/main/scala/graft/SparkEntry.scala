@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.multimodal.Multimodal
-import graft.queries.{Analytics, BpeTrain, ChangeCapture, CorpusQueries, CurationQueries, DistributionQueries, EventQueries, ExtendedAnalytics, GovernanceQueries, GraphQueries, LanguageModel, MiningQueries, PipelineQueries, RetrievalQueries, RichnessQueries, ScrubQueries, StreamingParity, TextQueries, VectorQueries}
+import graft.queries.{Analytics, BpeTrain, ChangeCapture, ChunkingQueries, CorpusQueries, CurationQueries, DistributionQueries, EventQueries, ExtendedAnalytics, GovernanceQueries, GraphQueries, LanguageModel, MiningQueries, PipelineQueries, RetrievalQueries, RichnessQueries, ScrubQueries, StreamingParity, TextQueries, VectorQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 + §7. */
 object SparkEntry {
@@ -19,7 +19,8 @@ object SparkEntry {
       EventQueries.queries ++ StreamingParity.queries ++
       RetrievalQueries.queries ++ ChangeCapture.queries ++
       BpeTrain.queries ++ Multimodal.queries ++ GovernanceQueries.queries ++
-      LanguageModel.queries ++ MiningQueries.queries ++ RichnessQueries.queries
+      LanguageModel.queries ++ MiningQueries.queries ++ RichnessQueries.queries ++
+      ChunkingQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -31,5 +32,6 @@ object SparkEntry {
       EventQueries.oracles ++ StreamingParity.oracles ++
       RetrievalQueries.oracles ++ ChangeCapture.oracles ++
       BpeTrain.oracles ++ Multimodal.oracles ++ GovernanceQueries.oracles ++
-      LanguageModel.oracles ++ MiningQueries.oracles ++ RichnessQueries.oracles
+      LanguageModel.oracles ++ MiningQueries.oracles ++ RichnessQueries.oracles ++
+      ChunkingQueries.oracles
 }

@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{LongType, StructField, StructType}
+import org.apache.spark.sql.types.{IntegerType, LongType, NumericType, StructField, StructType}
 
 /** Exact distributed rank / ntile without a single-task sort.
   *
@@ -26,12 +26,29 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType}
   *  4. rank within (group, bucket) — every window partition now
   *     carries ~1/buckets of a group — and add the broadcast offset.
   *
-  * Ties on the primary key share a bucket (the bucket function can't
-  * see tiebreak columns), so a single value owning a giant share of a
-  * group still bounds that bucket by the value's multiplicity — the
-  * same bound a distinct-value axis has. All sort keys participate in
-  * the within-bucket ordering, so the produced rank equals the
-  * global-window rank exactly whenever `keys` is a total order.
+  * Ties on the primary key share a bucket by default, so a single
+  * value owning a giant share of a group bounds that bucket by the
+  * value's multiplicity. When the boundary probe detects massive ties
+  * (fewer than buckets/4 distinct boundaries) AND a numeric secondary
+  * sort key exists, the heavy values are SUB-BUCKETED on secondary-key
+  * quantiles — each pair boundary `(t, s)` contributes "row sorts
+  * strictly after (t, s) lexicographically", which is monotone in the
+  * full sort order, so ranks are unchanged and the all-equal-primary
+  * degenerate case rebalances instead of collapsing to one task.
+  * All sort keys participate in the within-bucket ordering, so the
+  * produced rank equals the global-window rank exactly whenever
+  * `keys` is a total order.
+  *
+  * NULL handling matches the window defaults the operator replaces:
+  * NULL group values form their own group (the offset join is
+  * null-safe, `<=>`); a NULL primary key buckets first for asc keys
+  * (`asc_nulls_first`) and last for desc keys (`desc` = nulls last).
+  *
+  * [[rankMulti]] computes SEVERAL independent rankings of the same
+  * input (e.g. RFM's three quintiles) with ONE boundary-probe pass
+  * (multi-column approxQuantile) and ONE offset-stats pass (grouping
+  * sets) instead of per-ranking passes — the data-width passes are
+  * shared; only the per-ranking window shuffles remain.
   */
 object RangeRank {
   import scala.jdk.CollectionConverters._
@@ -46,9 +63,17 @@ object RangeRank {
     * output group-total column. */
   final case class Weight(weightCol: String, cumCol: String, totCol: String)
 
-  private val B = "__rr_b"
-  private val OFF = "__rr_off"
-  private val WOFF = "__rr_woff"
+  /** One ranking request for [[rankMulti]]. */
+  final case class Spec(
+      keys: Seq[Key],
+      rankCol: String,
+      nCol: String,
+      weight: Option[Weight] = None)
+
+  private def bName(i: Int) = s"__rr_b$i"
+  private def offName(i: Int) = s"__rr_off$i"
+  private def woffName(i: Int) = s"__rr_woff$i"
+  private val OPFX = "__rr_o_"
 
   /** Adds `rankCol` (1-based, long) and `nCol` (group size, long) —
     * and, when `weight` is set, its running/total columns — to `df`,
@@ -63,77 +88,196 @@ object RangeRank {
       rankCol: String,
       nCol: String,
       weight: Option[Weight] = None,
+      buckets: Int = 0): DataFrame =
+    rankMulti(df, groupCols, Seq(Spec(keys, rankCol, nCol, weight)), buckets)
+
+  /** Row sorts strictly after boundary `t` under this key's order.
+    * NULL-correct for the window's default null placement: asc →
+    * nulls FIRST → never after any boundary; desc → nulls LAST →
+    * after every boundary. Always returns non-null 0/1. */
+  private def afterBound(keyD: Column, desc: Boolean, t: Double): Column =
+    if (!desc) when(keyD > lit(t), lit(1)).otherwise(lit(0))
+    else when(keyD.isNull || keyD < lit(t), lit(1)).otherwise(lit(0))
+
+  /** Row sorts strictly after the PAIR boundary `(t, s)` under the
+    * lexicographic (primary, secondary) order — monotone in the full
+    * sort order, so sub-buckets never reorder ranks. */
+  private def afterPair(
+      pD: Column, pDesc: Boolean, t: Double,
+      sD: Column, sDesc: Boolean, s: Double): Column =
+    when(afterBound(pD, pDesc, t) === 1, lit(1))
+      .otherwise(when((pD <=> lit(t)) && afterBound(sD, sDesc, s) === 1, lit(1))
+        .otherwise(lit(0)))
+
+  /** Bucket-tag expressions for each spec: #boundary objects strictly
+    * before the row in sort order. Exposed package-private so the
+    * balance spec can audit bucket sizes directly. Runs the (shared)
+    * boundary probe and, per degenerate spec, one secondary-quantile
+    * probe for the heavy tie values. */
+  private[graft] def bucketExprs(
+      base: DataFrame,
+      specs: Seq[Spec],
+      b: Int): Seq[Column] = {
+    val probs = (1 until b).map(_.toDouble / b).toArray
+    val primNames = specs.indices.map(i => s"__rr_p$i")
+    val probed = base.select(specs.zipWithIndex.map { case (s, i) =>
+      col(s.keys.head.name).cast("double").as(primNames(i))
+    }: _*)
+    // one pass for ALL primary keys (nulls ignored per column)
+    val allBounds: Array[Array[Double]] =
+      if (probs.isEmpty) Array.fill(specs.length)(Array.empty[Double])
+      else probed.stat.approxQuantile(primNames.toArray, probs, 0.01)
+
+    specs.zipWithIndex.map { case (spec, i) =>
+      val prim = spec.keys.head
+      val pD = col(prim.name).cast("double")
+      val raw = allBounds(i).filterNot(_.isNaN)
+      val distinctBounds = raw.distinct.sorted
+      val mult = raw.groupBy(identity).map { case (v, a) => v -> a.length }
+
+      // tie-skew fallback: massive primary ties + a numeric secondary
+      // key → split each heavy value's band on secondary quantiles
+      val secOpt = spec.keys.drop(1).headOption.filter(k =>
+        base.schema.find(_.name == k.name)
+          .exists(_.dataType.isInstanceOf[NumericType]))
+      val heavy = mult.filter(_._2 > 1)
+      val subBounds: Map[Double, Array[Double]] =
+        if (distinctBounds.length < b / 4 && heavy.nonEmpty && secOpt.isDefined) {
+          val sec = secOpt.get
+          val sD = col(sec.name).cast("double")
+          val kMax = heavy.values.max // sub-splits per heavy value
+          val subProbs = (1 to kMax).map(p => lit(p.toDouble / (kMax + 1)))
+          base.filter(pD.isin(heavy.keys.toSeq: _*))
+            .groupBy(pD.as("__rr_hp"))
+            .agg(percentile_approx(sD, array(subProbs: _*), lit(10000))
+              .as("__rr_qs"))
+            .collect()
+            .flatMap { r =>
+              if (r.isNullAt(0) || r.isNullAt(1)) None
+              else Some(r.getDouble(0) ->
+                r.getSeq[Any](1).collect { case d: java.lang.Double => d.doubleValue }
+                  .toArray.distinct.sorted)
+            }.toMap
+        } else Map.empty
+
+      val terms: Seq[Column] =
+        distinctBounds.toSeq.map(t => afterBound(pD, prim.desc, t)) ++
+          subBounds.toSeq.flatMap { case (t, ss) =>
+            val sec = secOpt.get
+            val sD = col(sec.name).cast("double")
+            ss.map(s => afterPair(pD, prim.desc, t, sD, sec.desc, s))
+          }
+      terms.foldLeft(lit(0))(_ + _)
+    }
+  }
+
+  /** Computes EVERY ranking in `specs` over the same input with one
+    * probe pass and one stats pass (see class doc). Column semantics
+    * per spec are exactly [[rank]]'s. */
+  def rankMulti(
+      df: DataFrame,
+      groupCols: Seq[String],
+      specs: Seq[Spec],
       buckets: Int = 0): DataFrame = {
-    require(keys.nonEmpty, "RangeRank needs at least one sort key")
+    require(specs.nonEmpty && specs.forall(_.keys.nonEmpty),
+      "RangeRank needs at least one spec with at least one sort key")
     val spark = df.sparkSession
     val b = if (buckets > 0) buckets
       else spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
     val base = graft.Lineage.cut(df)
-    val prim = keys.head
-    val primD = col(prim.name).cast("double")
-
-    // 1. boundary probe (approximate is fine — results never depend
-    //    on where the boundaries land, only balance does)
-    val probs = (1 until b).map(_.toDouble / b).toArray
-    val bounds =
-      if (probs.isEmpty) Array.empty[Double]
-      else base.select(primD.as("__rr_p")).na.drop("any", Seq("__rr_p"))
-        .stat.approxQuantile("__rr_p", probs, 0.01)
-        .distinct.sorted
-
-    // 2. bucket tag: #boundaries strictly before this row in sort order
-    val bucketExpr = bounds.foldLeft(lit(0)) { (acc, t) =>
-      acc + (if (!prim.desc) when(primD > lit(t), 1).otherwise(0)
-             else when(primD < lit(t), 1).otherwise(0))
-    }
-    val tagged = base.withColumn(B, bucketExpr)
-    val keyCols = groupCols :+ B
-
-    // 3. per-(group, bucket) stats → rank/weight offsets as literals
-    val aggs = count(lit(1)).cast("long").as("__rr_c") +:
-      weight.toSeq.map(w => coalesce(sum(col(w.weightCol)), lit(0L))
-        .cast("long").as("__rr_w"))
-    val stats = tagged.groupBy(keyCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
-    val statRows = stats.collect()
     val g = groupCols.length
-    val offRows: Seq[Row] = statRows
-      .groupBy(r => r.toSeq.take(g))
-      .valuesIterator.flatMap { rs =>
-        val sorted = rs.sortBy(_.getInt(g))
-        val n = sorted.map(_.getLong(g + 1)).sum
-        val wtot = if (weight.isDefined) sorted.map(_.getLong(g + 2)).sum else 0L
-        var roff = 0L
-        var woff = 0L
-        sorted.map { r =>
-          val vals = r.toSeq.take(g + 1) ++ Seq(roff, n) ++
-            (if (weight.isDefined) Seq(woff, wtot) else Nil)
-          roff += r.getLong(g + 1)
-          if (weight.isDefined) woff += r.getLong(g + 2)
-          Row.fromSeq(vals)
-        }
-      }.toSeq
-    val offSchema = StructType(
-      stats.schema.fields.take(g + 1) ++
-        Seq(StructField(OFF, LongType, nullable = false),
-          StructField(nCol, LongType, nullable = false)) ++
-        weight.toSeq.flatMap(w =>
-          Seq(StructField(WOFF, LongType, nullable = false),
-            StructField(w.totCol, LongType, nullable = false))))
-    val offDf = spark.createDataFrame(
-      new java.util.ArrayList[Row](offRows.asJava), offSchema)
 
-    // 4. local rank within (group, bucket) + broadcast offsets
-    val order = keys.map(k => if (k.desc) col(k.name).desc else col(k.name).asc)
-    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(order: _*)
-    var out = tagged.join(broadcast(offDf), keyCols)
-      .withColumn(rankCol, row_number().over(w).cast("long") + col(OFF))
-    weight.foreach { wt =>
-      out = out.withColumn(wt.cumCol,
-        sum(col(wt.weightCol)).over(
-          w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
-          .cast("long") + col(WOFF))
+    // 1–2. shared boundary probe → per-spec bucket tag
+    val bexprs = bucketExprs(base, specs, b)
+    val tagged = specs.indices.foldLeft(base)((d, i) =>
+      d.withColumn(bName(i), bexprs(i)))
+
+    // 3. ONE per-(group, bucket) stats pass. Single spec → plain
+    //    groupBy; several → grouping sets (one set per spec, each
+    //    output row has exactly its spec's bucket column non-null).
+    val wIdxBySpec: Map[Int, Int] = {
+      var next = g + specs.length + 1
+      specs.zipWithIndex.collect { case (s, i) if s.weight.isDefined =>
+        val idx = next; next += 1; i -> idx
+      }.toMap
     }
-    out.drop(B, OFF, WOFF)
+    val aggExprs: Seq[Column] =
+      count(lit(1)).cast("long").as("__rr_c") +:
+        specs.zipWithIndex.collect { case (s, i) if s.weight.isDefined =>
+          coalesce(sum(col(s.weight.get.weightCol)), lit(0L))
+            .cast("long").as(s"__rr_w$i")
+        }
+    val gAll = groupCols ++ specs.indices.map(bName)
+    val grouped =
+      if (specs.length == 1) tagged.groupBy(gAll.map(col): _*)
+      else tagged.groupingSets(
+        specs.indices.map(i => (groupCols :+ bName(i)).map(col)),
+        gAll.map(col): _*)
+    val stats = grouped.agg(aggExprs.head, aggExprs.tail: _*)
+    val statRows = stats.collect()
+
+    // 4. per spec: offsets → null-safe broadcast join → local window
+    var out = tagged
+    specs.zipWithIndex.foreach { case (spec, i) =>
+      val bIdx = g + i
+      val cIdx = g + specs.length
+      val mine = statRows.filter(r => !r.isNullAt(bIdx))
+      val offRows: Seq[Row] = mine
+        .groupBy(r => r.toSeq.take(g))
+        .valuesIterator.flatMap { rs =>
+          val sorted = rs.sortBy(_.getInt(bIdx))
+          val n = sorted.map(_.getLong(cIdx)).sum
+          val wtot = spec.weight.map(_ =>
+            sorted.map(_.getLong(wIdxBySpec(i))).sum).getOrElse(0L)
+          var roff = 0L
+          var woff = 0L
+          sorted.map { r =>
+            // Seq[Any], NOT Seq(...): plain Seq would unify Int+Long
+            // to Seq[Long] and silently widen the Int bucket value,
+            // corrupting the IntegerType slot of the local relation
+            val vals = r.toSeq.take(g) ++
+              Seq[Any](r.getInt(bIdx), roff, n) ++
+              (if (spec.weight.isDefined) Seq[Any](woff, wtot) else Nil)
+            roff += r.getLong(cIdx)
+            if (spec.weight.isDefined) woff += r.getLong(wIdxBySpec(i))
+            Row.fromSeq(vals)
+          }
+        }.toSeq
+      val offSchema = StructType(
+        stats.schema.fields.take(g) ++
+          Seq(StructField(bName(i), IntegerType, nullable = false),
+            StructField(offName(i), LongType, nullable = false),
+            StructField(spec.nCol, LongType, nullable = false)) ++
+          spec.weight.toSeq.flatMap(w =>
+            Seq(StructField(woffName(i), LongType, nullable = false),
+              StructField(w.totCol, LongType, nullable = false))))
+      val offDf = spark.createDataFrame(
+        new java.util.ArrayList[Row](offRows.asJava), offSchema)
+
+      // null-safe (<=>) join: a NULL group value is its own group in
+      // the window form this replaces, so it must match its offset
+      // row instead of being dropped by plain equality
+      val keyNames = groupCols :+ bName(i)
+      val offRenamed = keyNames.foldLeft(offDf)((d, c) =>
+        d.withColumnRenamed(c, OPFX + c))
+      val cond = keyNames.map(c => col(c) <=> col(OPFX + c)).reduce(_ && _)
+      out = out.join(broadcast(offRenamed), cond)
+        .drop(keyNames.map(OPFX + _): _*)
+
+      val order = spec.keys.map(k =>
+        if (k.desc) col(k.name).desc else col(k.name).asc)
+      val w = Window.partitionBy(keyNames.map(col): _*).orderBy(order: _*)
+      out = out.withColumn(spec.rankCol,
+        row_number().over(w).cast("long") + col(offName(i)))
+      spec.weight.foreach { wt =>
+        out = out.withColumn(wt.cumCol,
+          sum(col(wt.weightCol)).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .cast("long") + col(woffName(i)))
+      }
+      out = out.drop(bName(i), offName(i), woffName(i))
+    }
+    out
   }
 
   /** `NTILE(k)`-equivalent tile from an exact rank and group size

@@ -61,10 +61,11 @@ object Analytics {
   // ---------- q11: star join + aggregate ----------
 
   /** Star-schema join: fact `orders` joined through `customer` to the
-    * `nation`/`region` dims. All three dims are broadcast (explicitly —
-    * at 100 TB autoBroadcastJoinThreshold can misestimate post-filter
-    * sizes), so the fact side never shuffles for the join; the only
-    * exchange is the final per-group aggregate of pre-combined rows.
+    * `nation`/`region` dims. Only the two TRUE dims (nation 25 rows,
+    * region 5 rows — bounded domains) carry explicit broadcast hints;
+    * `customer` scales linearly with the corpus (a fact table at the
+    * 100 TB frame), so its join is left to the planner — AQE still
+    * broadcasts it at small SF, and shuffles it when it's big.
     */
   def q11_join_agg(spark: SparkSession, dir: String): DataFrame = {
     val orders = Tables.load(spark, dir, "orders")
@@ -72,7 +73,7 @@ object Analytics {
     val nation = Tables.load(spark, dir, "nation")
     val region = Tables.load(spark, dir, "region")
     orders
-      .join(broadcast(customer), col("o_custkey") === col("c_custkey"))
+      .join(customer, col("o_custkey") === col("c_custkey"))
       .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
       .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
       .groupBy(col("r_name"), col("n_name"))
@@ -406,7 +407,9 @@ object Analytics {
     orders
       .join(customer, col("o_custkey") === col("c_custkey"))
       .join(li, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(supplier),
+      // supplier scales with SF (a catalog, not a bounded domain): no
+      // hint — AQE broadcasts it while it measures small, shuffles after
+      .join(supplier,
         col("l_suppkey") === col("s_suppkey") &&
           col("c_nationkey") === col("s_nationkey"))
       .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
@@ -499,7 +502,7 @@ object Analytics {
       .select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
     val cust = Tables.load(spark, dir, "customer").select("c_custkey", "c_name")
     orders
-      .join(broadcast(big), col("o_orderkey") === col("l_orderkey"))
+      .join(big, col("o_orderkey") === col("l_orderkey"))  // order-scaled set: no hint
       .join(cust, col("o_custkey") === col("c_custkey"))
       .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
         date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_date"),
@@ -622,7 +625,70 @@ object Analytics {
       |  FROM tot)
       |WHERE rk = 1 ORDER BY user_id""".stripMargin
 
+  // ---------- q217: supplier excess share (nested-aggregate semi) ----------
+
+  /** A supplier "dominates" a part when it shipped at least this many
+    * ppm (20%) of the part's total 1996 volume. */
+  val excessSharePpm = 200000L
+
+  /** Supplier concentration report (the TPC-H Q20 shape without
+    * partsupp): per (part, supplier) 1996 shipped volume vs the
+    * part's total — the correlated "share of my own group's total"
+    * subquery, planned as ONE aggregate + a self-ratio join keyed by
+    * part (never a per-row rescan). Output: suppliers that dominate
+    * ≥ 1 part, with how many, their peak share, and the dominated
+    * volume — the supply-chain-risk cut of the order book.
+    *
+    * Scale shape: both aggregates partial-agg the same scan lineage
+    * ((part, supp) rollup, then part rollup OF THAT — the second is
+    * catalog-sized input, not a second corpus pass); the ratio join
+    * is keyed by partkey with no broadcast hint (both sides
+    * catalog-scaled; AQE decides). Volume rides exact integer cents.
+    */
+  def q217_excess_share(spark: SparkSession, dir: String): DataFrame = {
+    val lo = to_timestamp(lit("1996-01-01 00:00:00"))
+    val hi = to_timestamp(lit("1997-01-01 00:00:00"))
+    val ps = Tables.load(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= lo && col("l_shipdate") < hi)
+      .select(col("l_partkey"), col("l_suppkey"),
+        round(col("l_quantity") * 100).cast("long").as("qc"))
+      .groupBy("l_partkey", "l_suppkey")
+      .agg(sum(col("qc")).cast("long").as("q_ps"))
+    val pt = ps.groupBy("l_partkey")
+      .agg(sum(col("q_ps")).cast("long").as("q_p"))
+    ps.join(pt, "l_partkey")
+      .withColumn("share_ppm", expr("(q_ps * 1000000) DIV q_p"))
+      .filter(col("share_ppm") >= excessSharePpm)
+      .groupBy("l_suppkey")
+      .agg(count(lit(1)).cast("long").as("n_parts_dominated"),
+        max(col("share_ppm")).as("max_share_ppm"),
+        sum(col("q_ps")).cast("long").as("dominated_qty_cents"))
+      .orderBy("l_suppkey")
+  }
+
+  val q217_oracle: String =
+    s"""WITH ps AS (
+       |  SELECT l_partkey, l_suppkey,
+       |    CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS q_ps
+       |  FROM lineitem
+       |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+       |    AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+       |  GROUP BY 1, 2),
+       |pt AS (
+       |  SELECT l_partkey, CAST(sum(q_ps) AS BIGINT) AS q_p
+       |  FROM ps GROUP BY 1),
+       |sh AS (
+       |  SELECT ps.*, (q_ps * 1000000) // q_p AS share_ppm
+       |  FROM ps JOIN pt USING (l_partkey))
+       |SELECT l_suppkey,
+       |  CAST(count(*) AS BIGINT) AS n_parts_dominated,
+       |  CAST(max(share_ppm) AS BIGINT) AS max_share_ppm,
+       |  CAST(sum(q_ps) AS BIGINT) AS dominated_qty_cents
+       |FROM sh WHERE share_ppm >= $excessSharePpm
+       |GROUP BY l_suppkey ORDER BY l_suppkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q217_excess_share" -> (q217_excess_share _),
     "q189_session_window" -> (q189_session_window _),
     "q190_streaks" -> (q190_streaks _),
     "q160_large_orders" -> (q160_large_orders _),
@@ -641,6 +707,7 @@ object Analytics {
     "q46_cube" -> (q46_cube _))
 
   val oracles: Map[String, String] = Map(
+    "q217_excess_share" -> q217_oracle,
     "q189_session_window" -> q189_oracle,
     "q190_streaks" -> q190_oracle,
     "q160_large_orders" -> q160_oracle,

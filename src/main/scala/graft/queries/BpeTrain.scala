@@ -176,7 +176,7 @@ object BpeTrain {
       .toDF("w", "n_cp", "n_bpe")
     Tables.load(spark, dir, "documents")
       .select(col("source"), explode(T.tokens(col("text"))).as("w"))
-      .join(broadcast(wordCost), "w")
+      .join(wordCost, "w")  // vocab-sized cost table: no hint
       .groupBy("source")
       .agg(
         count(lit(1)).as("n_words"),

@@ -1,0 +1,218 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.{HashFunctions => H, TextFunctions => T}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Round-12 position-robust dedup primitives (SURVEY §2 #214, #218):
+  * content-defined chunking and winnowing fingerprints — the two
+  * classic alignment-free complements to the FIXED-stride span dedup
+  * of q81 (whose chunks shift under a single leading insertion; these
+  * re-synchronize).
+  *
+  * Determinism policy (SURVEY §4): all hashes are md5-derived, all
+  * ratios are integer DIV — bit-identical to the DuckDB oracles.
+  */
+object ChunkingQueries {
+
+  // ---------- q214: content-defined chunk dedup ----------
+
+  /** Rolling-window width for the cut-point decision. */
+  val cdcW = 4
+
+  /** Cut-point modulus: a boundary lands after token i when the hash
+    * of the trailing [[cdcW]]-token window ≡ 0 (mod [[cdcD]]) — mean
+    * chunk length ≈ cdcD tokens. */
+  val cdcD = 8
+
+  /** Content-defined chunk dedup (the Rabin/LBFS chunking idea applied
+    * to token streams): chunk boundaries are a pure function of the
+    * LOCAL token window, so a duplicated passage produces identical
+    * chunks no matter where it sits in a document — the property
+    * fixed-stride spans (q81) lack. Each chunk is md5-identified;
+    * a chunk appearing in ≥ 2 distinct documents is duplicate mass.
+    * Output: the per-source duplicate-mass profile — the honest
+    * position-robust complement to q81's keep/drop verdict.
+    *
+    * Scale shape: chunking is a narrow per-row map (token array →
+    * cut positions → chunk hashes, all inside one codegen'd
+    * projection); chunk frequency is one partial-agg shuffle keyed by
+    * the 16-byte hash; the dup set joins back hash-keyed (no
+    * broadcast hint — dup chunks are corpus-scaled). Nothing carries
+    * more than (doc, hash, len) rows.
+    */
+  def q214_cdc_spans(spark: SparkSession, dir: String): DataFrame = {
+    val w = cdcW
+    val hcut = (i: Column, tk: Column) =>
+      conv(substring(md5(concat_ws(" ", slice(tk, i - lit(w - 1), lit(w)))), 1, 8),
+        16, 10).cast("long") % cdcD === 0
+    val chunks = Tables.load(spark, dir, "documents")
+      .select(col("source"), col("doc_id"), T.tokens(col("text")).as("tk"))
+      .withColumn("n", size(col("tk")))
+      .withColumn("cuts",
+        when(col("n") >= 1, concat(
+          array(lit(0)),
+          filter(
+            when(col("n") >= w, sequence(lit(w), col("n")))
+              .otherwise(array().cast("array<int>")),
+            i => hcut(i, col("tk")) && i < col("n")),
+          array(col("n"))))
+          .otherwise(array().cast("array<int>")))
+      .withColumn("js",
+        when(size(col("cuts")) >= 2, sequence(lit(1), size(col("cuts")) - 1))
+          .otherwise(array().cast("array<int>")))
+      .withColumn("hl", transform(col("js"), j =>
+        md5(concat_ws(" ", slice(col("tk"), element_at(col("cuts"), j) + 1,
+          element_at(col("cuts"), j + 1) - element_at(col("cuts"), j))))))
+      .withColumn("ll", transform(col("js"), j =>
+        element_at(col("cuts"), j + 1) - element_at(col("cuts"), j)))
+      .select(col("source"), col("doc_id"),
+        explode(arrays_zip(col("hl"), col("ll"))).as("c"))
+      .select(col("source"), col("doc_id"),
+        col("c.hl").as("h"), col("c.ll").cast("long").as("clen"))
+    val dup = chunks.groupBy("h")
+      .agg(count_distinct(col("doc_id")).as("cdf"))
+      .filter(col("cdf") >= 2)
+      .select(col("h"), lit(1L).as("is_dup"))
+    chunks.join(dup, Seq("h"), "left")
+      .groupBy("source")
+      .agg(
+        count(lit(1)).cast("long").as("n_chunks"),
+        count_distinct(col("h")).as("n_distinct_chunks"),
+        sum(col("clen")).cast("long").as("chunk_tokens"),
+        coalesce(sum(when(col("is_dup") === 1L, col("clen"))), lit(0L))
+          .cast("long").as("dup_tokens"),
+        count(when(col("is_dup") === 1L, 1)).cast("long").as("n_dup_occurrences"))
+      .withColumn("dup_mass_ppm",
+        when(col("chunk_tokens") > 0,
+          expr("(dup_tokens * 1000000) DIV chunk_tokens")).otherwise(lit(0L)))
+      .orderBy("source")
+  }
+
+  val q214_oracle: String = {
+    val tk = T.tokensSql("text")
+    val hcut = (iv: String) =>
+      s"CAST(concat('0x', substring(md5(array_to_string(" +
+        s"tk[($iv-${cdcW - 1}):$iv], ' ')), 1, 8)) AS BIGINT) % $cdcD = 0"
+    s"""WITH t AS (SELECT doc_id, source, $tk AS tk FROM documents),
+       |c AS (
+       |  SELECT doc_id, source, tk, len(tk) AS n,
+       |    CASE WHEN len(tk) >= 1 THEN
+       |      list_concat(list_concat([0],
+       |        [i for i in range($cdcW, len(tk) + 1)
+       |           if ${hcut("i")} and i < len(tk)]), [len(tk)])
+       |    ELSE [] END AS cuts
+       |  FROM t),
+       |sp AS (
+       |  SELECT doc_id, source,
+       |    unnest([md5(array_to_string(tk[(cuts[j]+1):cuts[j+1]], ' '))
+       |            for j in range(1, len(cuts))]) AS h,
+       |    unnest([CAST(cuts[j+1] - cuts[j] AS BIGINT)
+       |            for j in range(1, len(cuts))]) AS clen
+       |  FROM c WHERE len(cuts) >= 2),
+       |dup AS (SELECT h FROM sp GROUP BY h HAVING count(DISTINCT doc_id) >= 2)
+       |SELECT source,
+       |  CAST(count(*) AS BIGINT) AS n_chunks,
+       |  count(DISTINCT sp.h) AS n_distinct_chunks,
+       |  CAST(sum(clen) AS BIGINT) AS chunk_tokens,
+       |  CAST(coalesce(sum(CASE WHEN dup.h IS NOT NULL THEN clen END), 0)
+       |    AS BIGINT) AS dup_tokens,
+       |  CAST(count(CASE WHEN dup.h IS NOT NULL THEN 1 END) AS BIGINT)
+       |    AS n_dup_occurrences,
+       |  CASE WHEN sum(clen) > 0 THEN
+       |    CAST(coalesce(sum(CASE WHEN dup.h IS NOT NULL THEN clen END), 0)
+       |      * 1000000 // sum(clen) AS BIGINT)
+       |  ELSE 0 END AS dup_mass_ppm
+       |FROM sp LEFT JOIN dup ON sp.h = dup.h
+       |GROUP BY source ORDER BY source""".stripMargin
+  }
+
+  // ---------- q218: winnowing fingerprints ----------
+
+  /** Winnowing window: one fingerprint is guaranteed from every
+    * [[winnowW]] consecutive shingle hashes (density ≤ 2/(w+1),
+    * Schleimer et al. SIGMOD 2003). */
+  val winnowW = 4
+
+  /** Fingerprints shared by more than this many documents are
+    * boilerplate — dropped before pair generation (the q72 rare-first
+    * rule). */
+  val winnowDfCut = 16L
+
+  /** Minimum shared fingerprints for a reported pair. */
+  val winnowMinShared = 3L
+
+  /** Winnowing (MOSS) near-dup candidates: per document, the DISTINCT
+    * minima of every [[winnowW]]-wide window over the 3-gram shingle
+    * hash sequence — a position-robust fingerprint SAMPLE with
+    * guaranteed coverage (any shared run of winnowW+2 tokens yields a
+    * shared fingerprint), ~4× smaller than the full shingle set that
+    * q25's MinHash bands consume. Documents sharing ≥
+    * [[winnowMinShared]] rare fingerprints are reported with their
+    * overlap count.
+    *
+    * Scale shape: fingerprint selection is one narrow projection
+    * (array_min over sliding slices — no explode of raw windows);
+    * postings shuffle keyed by fingerprint; the hot cutoff bounds the
+    * per-fingerprint self-join exactly as q72 argues. No broadcast
+    * hints anywhere.
+    */
+  def q218_winnowing(spark: SparkSession, dir: String): DataFrame = {
+    val wW = winnowW
+    val fps = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"),
+        transform(call_function("shingles3", col("text")),
+          s => conv(substring(md5(s), 1, 8), 16, 10).cast("long")).as("hs"))
+      .withColumn("m", size(col("hs")))
+      .select(col("doc_id"), explode(
+        when(col("m") >= 1, array_distinct(
+          transform(sequence(lit(1), greatest(lit(1), col("m") - (wW - 1))),
+            p => array_min(slice(col("hs"), p, lit(wW))))))
+          .otherwise(array().cast("array<bigint>"))).as("f"))
+    val rare = fps.join(
+      fps.groupBy("f").agg(count(lit(1)).as("fdf"))
+        .filter(col("fdf") > winnowDfCut).select("f"),
+      Seq("f"), "left_anti")
+    rare.select(col("doc_id").as("a_id"), col("f"))
+      .join(rare.select(col("doc_id").as("b_id"), col("f")), "f")
+      .filter(col("a_id") < col("b_id"))
+      .groupBy("a_id", "b_id")
+      .agg(count(lit(1)).cast("long").as("n_shared"))
+      .filter(col("n_shared") >= winnowMinShared)
+      .orderBy("a_id", "b_id")
+  }
+
+  val q218_oracle: String = {
+    val sh = H.shinglesSql(T.tokensSql("text"))
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |    [CAST(concat('0x', substring(md5(s), 1, 8)) AS BIGINT)
+       |     for s in $sh] AS hs
+       |  FROM documents),
+       |fp AS (
+       |  SELECT DISTINCT doc_id, unnest(
+       |    [list_min(hs[p:(p+${winnowW - 1})])
+       |     for p in range(1, greatest(1, len(hs) - ${winnowW - 1}) + 1)]) AS f
+       |  FROM t WHERE len(hs) >= 1),
+       |rare AS (
+       |  SELECT doc_id, f FROM fp
+       |  WHERE f NOT IN (
+       |    SELECT f FROM fp GROUP BY f HAVING count(*) > $winnowDfCut))
+       |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+       |  CAST(count(*) AS BIGINT) AS n_shared
+       |FROM rare a JOIN rare b ON a.f = b.f AND a.doc_id < b.doc_id
+       |GROUP BY 1, 2 HAVING count(*) >= $winnowMinShared
+       |ORDER BY a_id, b_id""".stripMargin
+  }
+
+  // ---------- registry ----------
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q214_cdc_spans" -> (q214_cdc_spans _),
+    "q218_winnowing" -> (q218_winnowing _))
+
+  val oracles: Map[String, String] = Map(
+    "q214_cdc_spans" -> q214_oracle,
+    "q218_winnowing" -> q218_oracle)
+}

@@ -272,7 +272,7 @@ object CorpusQueries {
     val df_ = terms.groupBy("term")
       .agg(countDistinct(col("doc_id")).as("df"))
     val scored = terms
-      .join(broadcast(df_), "term")
+      .join(df_, "term")  // vocab-sized df table: no hint, planner decides
       .withColumn("weight",
         col("tf").cast("double") * lit(nDocs.toDouble) / col("df").cast("double"))
     val w = org.apache.spark.sql.expressions.Window

@@ -652,7 +652,11 @@ object CurationQueries {
     Tables.load(spark, dir, "documents")
       .select(col("source"), col("doc_id"),
         size(T.tokens(col("text"))).cast("long").as("n_toks"))
-      .join(broadcast(drops), col("doc_id") === col("drop_id"), "left")
+      // NO broadcast hint: the drop set is the near-dup non-representative
+      // population — small at toy SF but a large fraction of ALL documents
+      // on a boilerplate-heavy corpus. Let AQE pick the join strategy from
+      // the measured size (it still broadcasts at small SF).
+      .join(drops, col("doc_id") === col("drop_id"), "left")
       .groupBy("source")
       .agg(count(lit(1)).cast("long").as("raw_docs"),
         sum(col("n_toks")).cast("long").as("raw_tokens"),
@@ -814,7 +818,60 @@ object CurationQueries {
        |  FROM documents)
        |WHERE rk <= $quotaK ORDER BY source, rk""".stripMargin
 
+  // ---------- q216: multi-epoch shuffle schedule ----------
+
+  /** Multi-epoch training schedule: each epoch is a DETERMINISTIC
+    * seedless global permutation of the corpus — position = exact
+    * rank of a salted content hash (salt = epoch number), so epoch 2
+    * is a genuinely different order than epoch 1, both reproducible
+    * from doc ids alone (no RNG state to persist — the q33/q148
+    * content-hash rule applied to epoch ordering). Output: each
+    * document's position in both epochs plus the inter-epoch drift,
+    * the table a data-loader materializes per epoch.
+    *
+    * Scale shape: BOTH epoch ranks come from ONE fused
+    * [[graft.operators.RangeRank.rankMulti]] call — one shared
+    * boundary probe (two-column approxQuantile) + one grouping-sets
+    * offset pass + two bucket-local windows. No global sort tasks,
+    * no RNG, no driver state.
+    */
+  def q216_epoch_schedule(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.RangeRank
+    def hord(e: Int) =
+      conv(substring(md5(concat(lit(s"ep$e|"), col("doc_id").cast("string"))),
+        1, 8), 16, 10).cast("long")
+    val base = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("source"))
+      .withColumn("h1", hord(1))
+      .withColumn("h2", hord(2))
+    RangeRank.rankMulti(base, Nil, Seq(
+        RangeRank.Spec(Seq(RangeRank.Key("h1"), RangeRank.Key("doc_id")),
+          "pos1", "__n1"),
+        RangeRank.Spec(Seq(RangeRank.Key("h2"), RangeRank.Key("doc_id")),
+          "pos2", "__n2")))
+      .withColumn("drift", abs(col("pos1") - col("pos2")))
+      .select("doc_id", "source", "pos1", "pos2", "drift")
+      .orderBy("doc_id")
+  }
+
+  val q216_oracle: String =
+    s"""SELECT doc_id, source,
+       |  CAST(row_number() OVER (ORDER BY
+       |    substring(md5(concat('ep1|', CAST(doc_id AS VARCHAR))), 1, 8),
+       |    doc_id) AS BIGINT) AS pos1,
+       |  CAST(row_number() OVER (ORDER BY
+       |    substring(md5(concat('ep2|', CAST(doc_id AS VARCHAR))), 1, 8),
+       |    doc_id) AS BIGINT) AS pos2,
+       |  CAST(abs(CAST(row_number() OVER (ORDER BY
+       |      substring(md5(concat('ep1|', CAST(doc_id AS VARCHAR))), 1, 8),
+       |      doc_id) AS BIGINT)
+       |    - CAST(row_number() OVER (ORDER BY
+       |      substring(md5(concat('ep2|', CAST(doc_id AS VARCHAR))), 1, 8),
+       |      doc_id) AS BIGINT)) AS BIGINT) AS drift
+       |FROM documents ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q216_epoch_schedule" -> (q216_epoch_schedule _),
     "q175_quota_sample" -> (q175_quota_sample _),
     "q212_dedup_token_budget" -> (q212_dedup_token_budget _),
     "q148_interleave" -> (q148_interleave _),
@@ -830,6 +887,7 @@ object CurationQueries {
     "q111_weighted_sample" -> (q111_weighted_sample _))
 
   val oracles: Map[String, String] = Map(
+    "q216_epoch_schedule" -> q216_oracle,
     "q175_quota_sample" -> q175_oracle,
     "q212_dedup_token_budget" -> q212_oracle,
     "q148_interleave" -> q148_oracle,

@@ -594,12 +594,18 @@ object DistributionQueries {
     */
   val equiDepthBuckets = 8
 
-  def q146_equidepth(spark: SparkSession, dir: String): DataFrame = {
+  def q146_equidepth(spark: SparkSession, dir: String): DataFrame =
+    equidepthOf(
+      Tables.load(spark, dir, "events")
+        .select(col("event_type"),
+          round(col("value") * 100).cast("long").as("cents")),
+      equiDepthBuckets)
+
+  /** q146's core over any (event_type, cents) frame — split out so the
+    * tiny-group edge (a group with fewer rows than `k`) is unit-testable
+    * without a fixture table. */
+  private[graft] def equidepthOf(e: DataFrame, k: Int): DataFrame = {
     import graft.operators.ValueAxis
-    val k = equiDepthBuckets
-    val e = Tables.load(spark, dir, "events")
-      .select(col("event_type"),
-        round(col("value") * 100).cast("long").as("cents"))
     ValueAxis.axis(e, Seq("event_type"), "cents")
       .withColumn("bucket", explode(sequence(
         expr(s"CAST((lo * $k) DIV n AS INT)"),
@@ -609,6 +615,10 @@ object DistributionQueries {
         expr(s"((CAST(bucket AS BIGINT) + 1) * n + $k - 1) DIV $k - 1"))
       .withColumn("n_in",
         least(col("hi") - 1, col("b_last")) - greatest(col("lo"), col("b_first")) + 1)
+      // tiny groups (n < k) can explode a value's span over rank-empty
+      // buckets; the window form emits no row for an empty bucket, so
+      // drop zero-overlap slices before the rollup
+      .filter(col("n_in") > 0)
       .groupBy("event_type", "bucket")
       .agg(sum(col("n_in")).cast("long").as("n_rows"),
         min(col("cents")).as("lo_cents"),

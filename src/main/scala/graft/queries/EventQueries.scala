@@ -669,17 +669,20 @@ object EventQueries {
         count(lit(1)).cast("long").as("frequency"),
         coalesce(sum(when(col("event_type") === "purchase",
           round(col("value") * 100).cast("long"))), lit(0L)).as("monetary_cents"))
-    def tiled(df: DataFrame, c: String, asc: Boolean, out: String): DataFrame =
-      RangeRank.rank(df, Nil,
-          Seq(RangeRank.Key(c, desc = !asc), RangeRank.Key("user_id")),
-          "__rnk", "__n")
-        .withColumn(out, RangeRank.ntileFromRank("__rnk", "__n", 5))
-        .drop("__rnk", "__n")
-    var t = per
-    t = tiled(t, "recency_days", asc = false, "r") // most recent → tile 5
-    t = tiled(t, "frequency", asc = true, "f")
-    t = tiled(t, "monetary_cents", asc = true, "m")
-    t
+    // all three quintiles in ONE fused pass: shared boundary probe
+    // (multi-column approxQuantile) + shared offset-stats pass
+    // (grouping sets) instead of three probe/stats pairs
+    def spec(c: String, asc: Boolean, i: Int) = RangeRank.Spec(
+      Seq(RangeRank.Key(c, desc = !asc), RangeRank.Key("user_id")),
+      s"__rnk$i", s"__n$i")
+    RangeRank.rankMulti(per, Nil, Seq(
+        spec("recency_days", asc = false, 1), // most recent → tile 5
+        spec("frequency", asc = true, 2),
+        spec("monetary_cents", asc = true, 3)))
+      .withColumn("r", RangeRank.ntileFromRank("__rnk1", "__n1", 5))
+      .withColumn("f", RangeRank.ntileFromRank("__rnk2", "__n2", 5))
+      .withColumn("m", RangeRank.ntileFromRank("__rnk3", "__n3", 5))
+      .drop("__rnk1", "__n1", "__rnk2", "__n2", "__rnk3", "__n3")
       .withColumn("rfm", col("r") * 100 + col("f") * 10 + col("m"))
       .groupBy("rfm")
       .agg(count(lit(1)).cast("long").as("n_users"),

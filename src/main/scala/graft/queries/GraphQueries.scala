@@ -133,7 +133,7 @@ object GraphQueries {
       .select(col("l_suppkey"), col("l_extendedprice"))
       .filter(call_function("bloom_might_contain",
         lit(bloomBytes), col("l_suppkey").cast("long")))
-      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .join(supp, col("l_suppkey") === col("s_suppkey"))  // supplier-sized: no hint
       .groupBy("s_suppkey")
       .agg(
         count(lit(1)).as("n_items"),
@@ -765,9 +765,12 @@ object GraphQueries {
     val adj = e0.select(col("u").as("x"), col("v").as("z"))
       .union(e0.select(col("v").as("x"), col("u").as("z")))
     val deg = adj.groupBy("x").agg(count(lit(1)).cast("long").as("dg"))
+    // NO broadcast hints on the degree table or its low-degree subset:
+    // both are vertex-sized (suppliers ∝ corpus). Plain equi-joins on
+    // vertex keys shuffle fine; AQE still broadcasts them at small SF.
     val bridge = adj.join(
-      broadcast(deg.filter(col("dg") <= lpMaxBridgeDeg)
-        .select(col("x").as("z"))), Seq("z"), "left_semi")
+      deg.filter(col("dg") <= lpMaxBridgeDeg)
+        .select(col("x").as("z")), Seq("z"), "left_semi")
     val common = bridge.select(col("z"), col("x").as("a"))
       .join(bridge.select(col("z"), col("x").as("b")), "z")
       .filter(col("a") < col("b"))
@@ -777,8 +780,8 @@ object GraphQueries {
     val wTop = org.apache.spark.sql.expressions.Window
       .orderBy(col("jac_ppm").desc, col("common").desc, col("a"), col("b"))
     cand
-      .join(broadcast(deg.select(col("x").as("a"), col("dg").as("da"))), "a")
-      .join(broadcast(deg.select(col("x").as("b"), col("dg").as("db"))), "b")
+      .join(deg.select(col("x").as("a"), col("dg").as("da")), "a")
+      .join(deg.select(col("x").as("b"), col("dg").as("db")), "b")
       .withColumn("uni", col("da") + col("db") - col("common"))
       .withColumn("jac_ppm", expr("(common * 1000000) DIV uni"))
       // top-20 via TakeOrdered (per-partition top-k, merged), THEN the
@@ -839,8 +842,9 @@ object GraphQueries {
     * assortative core, negative = hub-and-spoke.
     *
     * Scale shape: degrees are an edge-shaped aggregate; the moment
-    * row is one partial-agg pass over edges joined to the broadcast
-    * degree table; products ride decimal(38,0)/HUGEINT.
+    * row is one partial-agg pass over edges joined to the vertex-sized
+    * degree table (vertex-keyed shuffle join — no broadcast hint, the
+    * table scales with the corpus); products ride decimal(38,0)/HUGEINT.
     */
   def q174_assortativity(spark: SparkSession, dir: String): DataFrame = {
     val dec38 = "decimal(38,0)"
@@ -860,8 +864,10 @@ object GraphQueries {
     val sym = e0.union(e0.select(col("v").as("u"), col("u").as("v")))
     val deg = sym.groupBy("u").agg(count(lit(1)).cast("long").as("dg"))
     sym
-      .join(broadcast(deg.select(col("u"), col("dg").as("dx"))), "u")
-      .join(broadcast(deg.select(col("u").as("v"), col("dg").as("dy"))), "v")
+      // vertex-sized degree table: no broadcast hint (suppliers ∝ corpus);
+      // the planner broadcasts when measured-small, shuffles otherwise
+      .join(deg.select(col("u"), col("dg").as("dx")), "u")
+      .join(deg.select(col("u").as("v"), col("dg").as("dy")), "v")
       .agg(count(lit(1)).cast("long").as("m"),
         sum(col("dx").cast(dec38)).as("sx"),
         sum(col("dx").cast(dec38) * col("dx")).as("sxx"),

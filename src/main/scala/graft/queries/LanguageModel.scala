@@ -351,15 +351,119 @@ object LanguageModel {
        |GROUP BY lang, bucket ORDER BY lang, bucket""".stripMargin
   }
 
+  // ---------- q215: Kneser–Ney smoothed bigram model ----------
+
+  /** Absolute discount as an exact rational: d = 3/4 — the classic KN
+    * default, chosen so every probability is a one-division integer
+    * quotient (no Good–Turing float estimation). */
+  val knTopK = 50
+
+  /** Interpolated Kneser–Ney bigram model table (Kneser & Ney 1995;
+    * Chen & Goodman 1999 interpolated form) — the smoothing actually
+    * used by KenLM-style corpus-quality models, where q104's raw ML
+    * conditional assigns zero mass to unseen continuations:
+    *
+    *   P(w2|w1) = (c(w1w2) − d)/c(w1·)
+    *            + d·N1+(w1·)/c(w1·) · N1+(·w2)/N1+(··)
+    *
+    * with d = 3/4. Over a common denominator 4·c(w1·)·N1+(··) the
+    * whole expression is ONE exact integer quotient:
+    *   p_micro = ((4·c12 − 3)·n_types + 3·n_follow·n_prec) · 10⁶
+    *             DIV (4·c1·n_types)
+    * (c12 ≥ 1 makes the discounted term always positive, so the max
+    * with 0 vanishes). Output: the [[knTopK]] most frequent bigrams
+    * with their count statistics and exact KN probability — the model
+    * rows a scorer would join against.
+    *
+    * Scale shape: all statistics are vocabulary-bounded aggregates of
+    * the bigram-count table (c1/n_follow by w1, n_prec by w2 — two
+    * vocab-keyed shuffles, never a second corpus pass; n_types is a
+    * 1-row aggregate cross-joined in). Top-k rides TakeOrdered
+    * (orderBy+limit), THEN the rank window over k rows only.
+    */
+  def q215_kneser_ney(spark: SparkSession, dir: String): DataFrame = {
+    val dec38 = "decimal(38,0)"
+    val counts = bigrams(Tables.load(spark, dir, "documents"))
+      .groupBy("bigram").agg(count(lit(1)).cast("long").as("c12"))
+      .withColumn("w1", split(col("bigram"), " ").getItem(0))
+      .withColumn("w2", split(col("bigram"), " ").getItem(1))
+      .transform(graft.Lineage.cut) // four vocab-sized readers below
+    val w1s = counts.groupBy("w1")
+      .agg(sum(col("c12")).cast("long").as("c1"),
+        count(lit(1)).cast("long").as("n_follow"))
+    val w2s = counts.groupBy("w2")
+      .agg(count(lit(1)).cast("long").as("n_prec"))
+    val nt = counts.agg(count(lit(1)).cast("long").as("n_types"))
+    val wTop = org.apache.spark.sql.expressions.Window
+      .orderBy(col("c12").desc, col("bigram").asc)
+    counts
+      .orderBy(col("c12").desc, col("bigram").asc)
+      .limit(knTopK)
+      // rank BEFORE the stat joins: the window then provably runs over
+      // the LIMIT-bounded 50 rows (the q173 TakeOrdered-then-rank rule)
+      .withColumn("rk", row_number().over(wTop).cast("long"))
+      .join(w1s, "w1")
+      .join(w2s, "w2")
+      .crossJoin(broadcast(nt))
+      .withColumn("p_kn_micro", expr(
+        s"""CAST((CAST(4*c12 - 3 AS $dec38) * n_types
+           | + CAST(3 AS $dec38) * n_follow * n_prec) * 1000000
+           | DIV (CAST(4 AS $dec38) * c1 * n_types) AS BIGINT)"""
+          .stripMargin.replace("\n", " ")))
+      .select("rk", "w1", "w2", "c12", "c1", "n_follow", "n_prec", "p_kn_micro")
+      .orderBy("rk")
+  }
+
+  /** DuckDB twin. HUGEINT (not DECIMAL) for the probability quotient:
+    * DuckDB's DECIMAL `//` rounds the quotient to scale before
+    * flooring; HUGEINT `//` is a true integer floor, matching Spark's
+    * DECIMAL(38,0) DIV truncation. */
+  val q215_oracle: String = {
+    val toks = T.tokensSql("lower(text)")
+    s"""WITH tk AS (
+       |  SELECT doc_id, $toks AS t FROM documents),
+       |bg AS (
+       |  SELECT unnest([t[i] || ' ' || t[i + 1] for i in range(1, len(t))])
+       |    AS bigram
+       |  FROM tk WHERE len(t) >= 2),
+       |counts AS (
+       |  SELECT bigram, CAST(count(*) AS BIGINT) AS c12,
+       |    split_part(bigram, ' ', 1) AS w1,
+       |    split_part(bigram, ' ', 2) AS w2
+       |  FROM bg GROUP BY bigram),
+       |w1s AS (
+       |  SELECT w1, CAST(sum(c12) AS BIGINT) AS c1,
+       |    CAST(count(*) AS BIGINT) AS n_follow
+       |  FROM counts GROUP BY w1),
+       |w2s AS (
+       |  SELECT w2, CAST(count(*) AS BIGINT) AS n_prec
+       |  FROM counts GROUP BY w2),
+       |nt AS (SELECT CAST(count(*) AS BIGINT) AS n_types FROM counts),
+       |top AS (
+       |  SELECT bigram, c12, w1, w2 FROM counts
+       |  ORDER BY c12 DESC, bigram LIMIT $knTopK)
+       |SELECT
+       |  CAST(row_number() OVER (ORDER BY c12 DESC, bigram) AS BIGINT) AS rk,
+       |  w1, w2, c12, c1, n_follow, n_prec,
+       |  CAST((CAST(4*c12 - 3 AS HUGEINT) * n_types
+       |    + CAST(3 AS HUGEINT) * n_follow * n_prec) * 1000000
+       |    // (CAST(4 AS HUGEINT) * c1 * n_types) AS BIGINT)
+       |    AS p_kn_micro
+       |FROM top JOIN w1s USING (w1) JOIN w2s USING (w2) CROSS JOIN nt
+       |ORDER BY rk""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q134_perplexity_buckets" -> (q134_perplexity_buckets _),
     "q104_bigram_lm" -> (q104_bigram_lm _),
     "q114_collocations" -> (q114_collocations _),
-    "q126_skipgram" -> (q126_skipgram _))
+    "q126_skipgram" -> (q126_skipgram _),
+    "q215_kneser_ney" -> (q215_kneser_ney _))
 
   val oracles: Map[String, String] = Map(
     "q134_perplexity_buckets" -> q134_oracle,
     "q104_bigram_lm" -> q104_oracle,
     "q114_collocations" -> q114_oracle,
-    "q126_skipgram" -> q126_oracle)
+    "q126_skipgram" -> q126_oracle,
+    "q215_kneser_ney" -> q215_oracle)
 }

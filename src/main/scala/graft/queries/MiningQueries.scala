@@ -180,29 +180,25 @@ object MiningQueries {
 
   // ---------- q209: INCREMENTAL heavy hitters (mergeable MG state) ----------
 
-  /** Committed frequency state for q209: era-A (doc_id % 4 ≠ 3)
-    * Misra–Gries survivors + the era token count, persisted once per
-    * (session, dir) — the q186/BaseCcLabels lifecycle applied to
-    * frequency state. Bounded at k·partitions rows regardless of
-    * corpus size. */
+  /** Committed frequency state for q209: the era-A (doc_id % 4 ≠ 3)
+    * EXACT (token, count) vocabulary table + the era token count,
+    * persisted once per (session, dir) — the q186/BaseCcLabels
+    * lifecycle applied to frequency state, vocab-sized like
+    * TextQueries' OrdIndex. Exact counts (not just MG survivors) are
+    * what make the refresh O(batch + vocab): the recount never has to
+    * rescan era A. */
   private object TopkState {
     private val built = new java.util.concurrent.ConcurrentHashMap[String, String]()
     def path(spark: SparkSession, dir: String): String =
       built.computeIfAbsent(dir, _ => {
-        import spark.implicits._
         val work = graft.io.Scratch.dir(spark, "graft-mgstate-")
-        val toks = Tables.load(spark, dir, "documents")
+        val vocab = Tables.load(spark, dir, "documents")
           .filter(col("doc_id") % 4 =!= 3)
           .select(explode(T.tokens(col("text"))).as("token"))
-        val pass1 = toks.as[String].mapPartitions { it =>
-          var n = 0L
-          val counted = it.map { t => n += 1; t }
-          val cands = MisraGries.candidates(counted, 200).toSeq
-          Iterator.single((cands, n))
-        }.collect()
-        val nA = pass1.iterator.map(_._2).sum
-        pass1.iterator.flatMap(_._1).toSeq.distinct.toDF("token")
-          .withColumn("n_era", lit(nA))
+          .groupBy("token").agg(count(lit(1)).cast("long").as("cnt"))
+        val nA = vocab.agg(coalesce(sum(col("cnt")), lit(0L)))
+          .head.getLong(0)
+        vocab.withColumn("n_era", lit(nA))
           .write.mode("overwrite").parquet(s"$work/mg_state")
         sys.addShutdownHook {
           import org.apache.hadoop.fs.Path
@@ -222,21 +218,26 @@ object MiningQueries {
 
   /** INCREMENTAL φ-heavy hitters — q118's operator under the
     * incremental-≡-rescan contract (the frequency member of the
-    * q107/q110/q113/q186 family): era-A candidates + count are
-    * COMMITTED STATE (mergeable summaries, Agarwal et al. PODS 2012 —
-    * the union of per-era MG survivor sets is a superset of every
-    * global heavy hitter: if f > (N_A+N_B)/(k+1), then era-wise
-    * f_X > N_X/(k+1) for some era, and q118's pigeonhole lands it in
-    * that era's survivors); the arriving batch (doc_id % 4 = 3) runs
-    * ONE MG pass; the exact recount joins the union candidate set —
-    * broadcast, ≤ 2·k·partitions rows — against the corpus token
-    * stream. Output is EXACT and identical to q118's full recompute,
-    * which is precisely what the oracle (q118's, verbatim) checks.
+    * q107/q110/q113/q186 family). The committed state is era A's
+    * EXACT (token, count) vocabulary + N_A; the refresh is
+    * O(batch + vocab) — era A is NEVER rescanned:
     *
-    * Scale shape: history is never re-sketched (that is the
-    * incremental win — the state is k·partitions rows and one long);
-    * the recount is the same candidate-bounded semi-join scan q118
-    * already pays, unavoidable for exactness.
+    *  1. the arriving batch (doc_id % 4 = 3) runs ONE Misra–Gries
+    *     pass (candidates + N_B in the same scan);
+    *  2. candidates = exact era-A heavies (cnt·64 > N_A, ≤ 64 tokens
+    *     read off the committed vocab) ∪ batch MG survivors
+    *     (≤ k·partitions). This is a superset of every global heavy
+    *     hitter by the mergeable-summaries pigeonhole (Agarwal et al.
+    *     PODS 2012): f > (N_A+N_B)/64 forces f_A > N_A/64 or
+    *     f_B > N_B/64;
+    *  3. exact frequency = committed era-A count (a vocab-sized
+    *     merge join, candidate-filtered) + a batch-only recount
+    *     (candidate-semi-joined batch scan).
+    *
+    * Output is EXACT and identical to q118's full recompute, which is
+    * precisely what the oracle (q118's, verbatim) checks. The bench
+    * row's cost is independent of era-A size: one batch scan + one
+    * batch recount + a vocab-sized join.
     */
   def q209_incremental_topk(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -245,6 +246,7 @@ object MiningQueries {
     val toksB = Tables.load(spark, dir, "documents")
       .filter(col("doc_id") % 4 === 3)
       .select(explode(T.tokens(col("text"))).as("token"))
+      .transform(graft.Lineage.cut) // batch stream: MG pass + recount both read it
     val pass1B = toksB.as[String].mapPartitions { it =>
       var n = 0L
       val counted = it.map { t => n += 1; t }
@@ -253,11 +255,15 @@ object MiningQueries {
     }.collect()
     val nTotal = nA + pass1B.iterator.map(_._2).sum
     val candB = pass1B.iterator.flatMap(_._1).toSeq.distinct.toDF("token")
-    val cand = broadcast(state.select("token").union(candB).distinct())
-    Tables.load(spark, dir, "documents")
-      .select(explode(T.tokens(col("text"))).as("token"))
-      .join(cand, Seq("token"), "left_semi")
-      .groupBy("token").agg(count(lit(1)).as("freq"))
+    val candA = state.filter(col("cnt") * 64 > nA).select("token")
+    val cand = broadcast(candA.union(candB).distinct())
+    val batchCnt = toksB.join(cand, Seq("token"), "left_semi")
+      .groupBy("token").agg(count(lit(1)).cast("long").as("c_b"))
+    cand
+      .join(state.select(col("token"), col("cnt").as("c_a")), Seq("token"), "left")
+      .join(batchCnt, Seq("token"), "left")
+      .select(col("token"),
+        (coalesce(col("c_a"), lit(0L)) + coalesce(col("c_b"), lit(0L))).as("freq"))
       .filter(col("freq") * 64 > nTotal)
       .select(col("token"), col("freq"),
         expr(s"(freq * 1000000) DIV ${nTotal}L").as("ppm"))
@@ -566,8 +572,11 @@ object MiningQueries {
       .agg(count(lit(1)).cast("long").as("n_pair"))
       .filter(col("n_pair") >= basketMinPair)
     pairs
-      .join(broadcast(itemN.select(col("pk").as("pa"), col("n_item").as("n_a"))), "pa")
-      .join(broadcast(itemN.select(col("pk").as("pb"), col("n_item").as("n_b"))), "pb")
+      // itemN is catalog-sized (parts ∝ SF): un-hinted — the planner
+      // broadcasts the SMALLER side (usually the min-support-filtered
+      // rule table) from measured sizes
+      .join(itemN.select(col("pk").as("pa"), col("n_item").as("n_a")), "pa")
+      .join(itemN.select(col("pk").as("pb"), col("n_item").as("n_b")), "pb")
       .crossJoin(broadcast(totals))
       .select(col("pa"), col("pb"), col("n_pair"), col("n_a"), col("n_b"),
         col("n_orders"),

@@ -348,8 +348,11 @@ object RetrievalQueries {
       .select(col("vec_id"), V.asDouble(col("embedding")).as("v"))
     val docVec = e.select(col("vec_id").as("doc_id"), col("v").as("nv"),
       V.norm(col("v")).as("n_nrm"))
-    val qVec = e.select(col("vec_id").cast("int").as("query_id"),
-      col("v").as("qv"), V.norm(col("v")).as("q_nrm"))
+    // restrict the broadcast side to the literal query batch BEFORE
+    // hinting: unfiltered it is the whole embedding table (corpus-sized)
+    val qVec = e.filter(col("vec_id").isin(bm25Queries.map(_._1.toLong): _*))
+      .select(col("vec_id").cast("int").as("query_id"),
+        col("v").as("qv"), V.norm(col("v")).as("q_nrm"))
     val cos = V.cosineWithNorms(col("qv"), col("nv"), col("q_nrm"), col("n_nrm"))
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("doc_id"))
     cand
@@ -563,14 +566,16 @@ object RetrievalQueries {
       .select(col("doc_id"), T.tokens(col("text")).as("tk"))
       .select(col("doc_id"), size(col("tk")).cast("long").as("dl"),
         explode(col("tk")).as("term"))
-    val tf = terms.groupBy("doc_id", "term")
-      .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
-      .localCheckpoint()
-    val dft = tf.groupBy("term").agg(count(lit(1)).as("df")).localCheckpoint()
-    val stats = docs.agg(count(lit(1)).as("n"))
+    // Lineage.cut, not raw localCheckpoint: these are pure performance
+    // materializations (both score() passes reuse them), and the cut is
+    // audit-transparent (PlanContractsSpec sees the bounded plans below)
+    val tf = graft.Lineage.cut(terms.groupBy("doc_id", "term")
+      .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl")))
+    val dft = graft.Lineage.cut(
+      tf.groupBy("term").agg(count(lit(1)).as("df")))
+    val stats = graft.Lineage.cut(docs.agg(count(lit(1)).as("n"))
       .crossJoin(terms.agg(count(lit(1)).as("l")))
-      .withColumn("adl", expr("l div n"))
-      .localCheckpoint()
+      .withColumn("adl", expr("l div n")))
     val queryTerms = bm25Queries
       .flatMap { case (qid, ts) => ts.map(t => (qid, t)) }
       .toDF("query_id", "term")

@@ -209,7 +209,9 @@ object ScrubQueries {
           graft.operators.RangeRank.Key("host")), "rk", "n_eligible")
       .filter(col("rk") * 100 <= col("n_eligible") * domainBlockPct)
       .select(col("host").as("bhost"))
-    d.join(broadcast(blocked), col("host") === col("bhost"), "left")
+    // the blocked set is ~10% of all DOMAINS (~1e8 at web scale): no
+    // broadcast hint — a forced broadcast of a corpus-scaled side OOMs
+    d.join(blocked, col("host") === col("bhost"), "left")
       .groupBy("source")
       .agg(
         countDistinct(when(col("bhost").isNotNull, col("host"))).as("n_domains_blocked"),

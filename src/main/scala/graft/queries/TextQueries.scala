@@ -613,7 +613,7 @@ object TextQueries {
       .filter(col("df") > dfCut)
       .select("s")
     val rare = posting
-      .join(broadcast(hot), Seq("s"), "left_anti")
+      .join(hot, Seq("s"), "left_anti")
       .persist() // both self-join sides read it; released below
     rare.count() // eager — concurrent sides must not race the cache
     try {
@@ -677,7 +677,7 @@ object TextQueries {
     val hot = posting.groupBy("s").agg(count(lit(1)).as("df"))
       .filter(col("df") > dfCut)
       .select("s")
-    val rare = posting.join(broadcast(hot), Seq("s"), "left_anti")
+    val rare = posting.join(hot, Seq("s"), "left_anti")
     val cand = rare
       .select(col("doc_id").as("a_id"), col("s"))
       .join(rare.select(col("doc_id").as("b_id"), col("s")), "s")

@@ -89,7 +89,7 @@ class RangeRankSpec extends SparkSpec {
     else r + (rank - 1 - r * (q + 1)) / math.max(q, 1) + 1
   }
 
-  test("all-equal primary keys degenerate to one bucket and stay exact") {
+  test("all-equal primary keys stay exact (sub-bucketed on the secondary key)") {
     import spark.implicits._
     val flat = (1 to 100).map(i => ("g", 7L, i.toLong, 2L)).toDF("g", "v", "id", "wgt")
     val got = RangeRank.rank(flat, Nil, Seq(Key("v"), Key("id")), "rnk", "n",
@@ -107,5 +107,75 @@ class RangeRankSpec extends SparkSpec {
     val out = RangeRank.rank(empty, Seq("g"), Seq(Key("v"), Key("id")), "rnk", "n")
     assert(out.columns.contains("rnk") && out.columns.contains("n"))
     assert(out.count() === 0)
+  }
+
+  test("all-equal primary + numeric secondary rebalances: no bucket > 2x ideal") {
+    import spark.implicits._
+    val n = 2000
+    val b = 16
+    val flat = (1 to n).map(i => ("g", 7L, i.toLong, 2L)).toDF("g", "v", "id", "wgt")
+    val spec = RangeRank.Spec(Seq(Key("v"), Key("id")), "rnk", "n")
+    val bex = RangeRank.bucketExprs(flat, Seq(spec), b)
+    val sizes = flat.withColumn("__b", bex.head)
+      .groupBy("__b").count().collect().map(_.getLong(1))
+    val ideal = n.toDouble / b
+    assert(sizes.length > 1, "tie-skew fallback did not split the all-equal band")
+    assert(sizes.max <= 2 * ideal,
+      s"bucket sizes ${sizes.sorted.mkString(",")} exceed 2x ideal $ideal")
+  }
+
+  test("NULL group values keep their rows and rank as their own group") {
+    import spark.implicits._
+    val rows = (1 to 60).map { i =>
+      val g: String = if (i % 3 == 0) null else s"g${i % 2}"
+      (g, (i % 5).toLong, i.toLong, 1L)
+    }.toDF("g", "v", "id", "wgt")
+    val got = RangeRank.rank(rows, Seq("g"), Seq(Key("v"), Key("id")), "rnk", "n",
+      weight = Some(RangeRank.Weight("wgt", "cumw", "wtot")), buckets = 4)
+    assert(got.count() === 60, "rows with a NULL group value were dropped")
+    val want = naive(rows, Seq("g"), desc = false)
+      .select("g", "id", "rnk", "n", "cumw", "wtot")
+    val gotSel = got.select("g", "id", "rnk", "n", "cumw", "wtot")
+    assert(gotSel.exceptAll(want).isEmpty && want.exceptAll(gotSel).isEmpty,
+      "NULL-group ranks diverged from the window form")
+  }
+
+  test("NULL primary keys follow the window's null placement (asc first, desc last)") {
+    import spark.implicits._
+    val rows = (1 to 40).map { i =>
+      val v: java.lang.Long = if (i % 7 == 0) null else (i % 4).toLong
+      ("g", v, i.toLong, 1L)
+    }.toDF("g", "v", "id", "wgt")
+    for (desc <- Seq(false, true)) {
+      val got = RangeRank.rank(rows, Nil, Seq(Key("v", desc), Key("id")),
+          "rnk", "n", buckets = 8)
+        .select("id", "rnk", "n")
+      val order = Seq(if (desc) col("v").desc else col("v").asc, col("id").asc)
+      val w = Window.orderBy(order: _*)
+      val want = rows
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy()).cast("long"))
+        .select("id", "rnk", "n")
+      assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+        s"desc=$desc NULL primary ranks diverged from the window form")
+    }
+  }
+
+  test("rankMulti equals three independent rank calls over the same input") {
+    val specs = Seq(
+      RangeRank.Spec(Seq(Key("v"), Key("id")), "r1", "n1"),
+      RangeRank.Spec(Seq(Key("v", desc = true), Key("id")), "r2", "n2"),
+      RangeRank.Spec(Seq(Key("wgt"), Key("id")), "r3", "n3",
+        Some(RangeRank.Weight("wgt", "cw3", "tw3"))))
+    val fused = RangeRank.rankMulti(data, Seq("g"), specs, buckets = 8)
+      .select("g", "id", "r1", "n1", "r2", "n2", "r3", "n3", "cw3", "tw3")
+    var solo = data
+    specs.foreach { s =>
+      solo = RangeRank.rank(solo, Seq("g"), s.keys, s.rankCol, s.nCol,
+        s.weight, buckets = 8)
+    }
+    val soloSel = solo.select("g", "id", "r1", "n1", "r2", "n2", "r3", "n3", "cw3", "tw3")
+    assert(fused.exceptAll(soloSel).isEmpty && soloSel.exceptAll(fused).isEmpty,
+      "fused multi-rank diverged from sequential single ranks")
   }
 }

@@ -81,6 +81,20 @@ class BasketWinsorHitsSpec extends SparkSpec {
     }
   }
 
+  test("q146: a group smaller than k emits no empty buckets (window parity)") {
+    import spark.implicits._
+    // 3 rows, k = 8: ranks land in buckets 0, 2, 5 only — the window
+    // form emits exactly three rows, never an n_rows = 0 filler
+    val tiny = Seq(("t", 10L), ("t", 20L), ("t", 30L))
+      .toDF("event_type", "cents")
+    val got = DistributionQueries.equidepthOf(tiny, 8).collect()
+      .map(r => r.getInt(1) -> ((r.getLong(2), r.getLong(3), r.getLong(4))))
+    assert(got.forall(_._2._1 > 0), s"empty buckets emitted: ${got.mkString(",")}")
+    val expect = Seq(0 -> ((1L, 10L, 10L)), 2 -> ((1L, 20L, 20L)),
+      5 -> ((1L, 30L, 30L)))
+    assert(got.toSeq === expect)
+  }
+
   // ---------- q147 ----------
 
   /** Sequential replica of hitsLoop's integer recursion. */

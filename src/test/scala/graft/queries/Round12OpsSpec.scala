@@ -1,0 +1,174 @@
+package graft.queries
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import java.security.MessageDigest
+
+/** Round-12 operator pins: content-defined chunking (q214), winnowing
+  * fingerprints (q218), Kneser–Ney smoothing (q215), the multi-epoch
+  * schedule (q216), and supplier excess share (q217) — each against a
+  * driver-side Scala replica or a hand-built planted fixture, so the
+  * semantics are pinned independently of the DuckDB oracle.
+  */
+class Round12OpsSpec extends SparkSpec {
+
+  private def tmp(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  private def md5hex(s: String): String =
+    MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+
+  private def writeDocs(dir: String, docs: Seq[(Long, String, String)]): Unit = {
+    import spark.implicits._
+    docs.map { case (id, src, text) => (id, text, "en", src, text.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+  }
+
+  // ---------- q214 ----------
+
+  /** Sequential replica of the content-defined chunker. */
+  private def cdcChunks(text: String): Seq[(String, Long)] = {
+    val tk = text.trim.split("\\s+").filter(_.nonEmpty).toSeq
+    val n = tk.length
+    if (n == 0) return Nil
+    val w = ChunkingQueries.cdcW
+    val bounds = (w to n).filter { i =>
+      val h = java.lang.Long.parseLong(
+        md5hex(tk.slice(i - w, i).mkString(" ")).take(8), 16)
+      h % ChunkingQueries.cdcD == 0 && i < n
+    }
+    val cuts = 0 +: bounds :+ n
+    cuts.sliding(2).map { case Seq(a, b) =>
+      (md5hex(tk.slice(a, b).mkString(" ")), (b - a).toLong)
+    }.toSeq
+  }
+
+  test("q214: chunk boundaries re-synchronize after an insertion (the q81 gap)") {
+    val dir = tmp("cdc")
+    val body = (1 to 40).map(i => s"w${(i * 7) % 13}tok$i").mkString(" ")
+    // doc 2 = doc 1 with ONE leading inserted token: fixed-stride spans
+    // all shift; content-defined chunks re-align after one window
+    writeDocs(dir, Seq((1L, "a", body), (2L, "a", "zzz " + body),
+      (3L, "b", "totally different text here only once")))
+    val c1 = cdcChunks(body).map(_._1).toSet
+    val c2 = cdcChunks("zzz " + body).map(_._1).toSet
+    val shared = c1.intersect(c2)
+    assert(shared.nonEmpty, "replica: no chunk survived the insertion — " +
+      "pick different fixture text")
+    val got = ChunkingQueries.q214_cdc_spans(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    // replica rollup for source a
+    val occ = Seq(1L -> cdcChunks(body), 2L -> cdcChunks("zzz " + body))
+    val all = occ.flatMap { case (id, cs) => cs.map(c => (id, c._1, c._2)) }
+    val dupSet = all.groupBy(_._2).filter(_._2.map(_._1).distinct.size >= 2).keySet
+    val aChunks = all.length.toLong
+    val aTok = all.map(_._3).sum
+    val aDupTok = all.filter(r => dupSet.contains(r._2)).map(_._3).sum
+    val aDupOcc = all.count(r => dupSet.contains(r._2)).toLong
+    assert(got("a") === ((aChunks, all.map(_._2).distinct.size.toLong, aTok,
+      aDupTok, aDupOcc, aDupTok * 1000000L / aTok)))
+    // the singleton source has zero duplicate mass
+    assert(got("b")._4 === 0L && got("b")._6 === 0L)
+    // and the duplicated body dominates source a's mass
+    assert(got("a")._6 > 500000L,
+      s"resync failed: only ${got("a")._6} ppm duplicate mass")
+  }
+
+  // ---------- q218 ----------
+
+  test("q218: winnowing reports the planted shifted near-dup pair") {
+    val dir = tmp("winnow")
+    val body = (1 to 30).map(i => s"t${(i * 5) % 11}x$i").mkString(" ")
+    writeDocs(dir, Seq(
+      (1L, "a", body),
+      (2L, "a", "prefix junk " + body), // shifted copy
+      (3L, "b", "unrelated words entirely disjoint from others one two")))
+    val got = ChunkingQueries.q218_winnowing(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got.contains((1L, 2L)), s"planted pair missing: $got")
+    assert(got((1L, 2L)) >= ChunkingQueries.winnowMinShared)
+    assert(!got.keySet.exists(p => p._1 == 3L || p._2 == 3L),
+      "disjoint doc paired")
+  }
+
+  test("q218: fingerprint density respects the winnowing bound") {
+    // property: #fingerprints ≤ #windows and ≥ ceil(m / w) distinct-min
+    // lower shape — check via the public query on a single doc corpus
+    val dir = tmp("wdens")
+    val body = (1 to 100).map(i => s"z${(i * 3) % 17}q$i").mkString(" ")
+    writeDocs(dir, Seq((1L, "a", body)))
+    // no pairs expected; the query must still run clean on 1 doc
+    assert(ChunkingQueries.q218_winnowing(spark, dir).count() === 0L)
+  }
+
+  // ---------- q215 ----------
+
+  test("q215: Kneser-Ney probability matches the hand-computed rational") {
+    val dir = tmp("kn")
+    // corpus: "a b" x3, "a c" x1, "d b" x1  (tokens lowercased by the LM)
+    writeDocs(dir, Seq(
+      (1L, "s", "a b a b a b"), // bigrams: ab, ba, ab, ba, ab
+      (2L, "s", "a c"),
+      (3L, "s", "d b")))
+    // bigram counts: ab=3, ba=2, ac=1, db=1 → n_types=4
+    // for (a,b): c12=3, c1(a·)=ab+ac=4, n_follow(a)=2, n_prec(·b)=2
+    // p = ((4*3-3)*4 + 3*2*2) * 1e6 // (4*4*4) = (36+12)*1e6 // 64 = 750000
+    val got = LanguageModel.q215_kneser_ney(spark, dir).collect()
+      .map(r => (r.getString(1), r.getString(2)) ->
+        ((r.getLong(0), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getLong(6), r.getLong(7)))).toMap
+    assert(got(("a", "b")) === ((1L, 3L, 4L, 2L, 2L, 750000L)))
+    // interpolation mass: unseen-prone continuations get nonzero weight
+    // (db: c12=1, c1(d)=1, n_follow(d)=1, n_prec(b)=2, n_types=4
+    //  p = ((4-3)*4 + 3*1*2)*1e6 // (4*1*4) = 10*1e6 // 16 = 625000)
+    assert(got(("d", "b"))._6 === 625000L)
+  }
+
+  // ---------- q216 ----------
+
+  test("q216: each epoch is an exact permutation and the two epochs differ") {
+    val got = CurationQueries.q216_epoch_schedule(spark, sf()).collect()
+    val n = got.length
+    assert(n > 0)
+    val pos1 = got.map(_.getLong(2)).sorted
+    val pos2 = got.map(_.getLong(3)).sorted
+    assert(pos1.toSeq === (1L to n).toSeq, "pos1 is not a permutation")
+    assert(pos2.toSeq === (1L to n).toSeq, "pos2 is not a permutation")
+    // epochs must be genuinely different orders
+    assert(got.count(r => r.getLong(2) != r.getLong(3)) > n / 2,
+      "epoch orders are suspiciously aligned")
+    // drift column is consistent
+    got.foreach(r => assert(r.getLong(4) === math.abs(r.getLong(2) - r.getLong(3))))
+  }
+
+  // ---------- q217 ----------
+
+  test("q217: planted dominant supplier found with the exact share") {
+    import spark.implicits._
+    val dir = tmp("excess")
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // part 10: supplier 1 ships 80 of 100 (800000 ppm), supplier 2 ships 20
+    // part 20: three suppliers at 10/10/10 — nobody reaches 20%... (333333 each, dominates)
+    // part 30: supplier 9 alone (1000000 ppm)
+    val rows = Seq(
+      (10L, 1L, 50.0, ts("1996-03-01 00:00:00")),
+      (10L, 1L, 30.0, ts("1996-05-01 00:00:00")),
+      (10L, 2L, 20.0, ts("1996-07-01 00:00:00")),
+      (30L, 9L, 5.0, ts("1996-02-01 00:00:00")),
+      (30L, 9L, 5.0, ts("1997-02-01 00:00:00"))) // outside window
+    rows.zipWithIndex.map { case ((pk, sk, q, d), i) =>
+      (i.toLong + 1, pk, sk, i + 1, q, 1.0, 0.0, 0.0, "N", "O", d)
+    }.toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+      "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+      "l_returnflag", "l_linestatus", "l_shipdate")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val got = Analytics.q217_excess_share(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got(1L) === ((1L, 800000L, 8000L)))  // 80 qty = 8000 cents
+    assert(got(2L) === ((1L, 200000L, 2000L)))  // exactly at the 20% floor
+    assert(got(9L) === ((1L, 1000000L, 500L)))  // only the in-window 5.0
+  }
+}
