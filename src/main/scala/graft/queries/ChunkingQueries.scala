@@ -206,13 +206,71 @@ object ChunkingQueries {
        |ORDER BY a_id, b_id""".stripMargin
   }
 
+  // ---------- q222: winnowing recall/precision audit ----------
+
+  /** Closes the eval loop for q218 the way q154/q203 close it for
+    * MinHash-LSH: on the doc_id<500 slice where the EXACT pairwise
+    * truth is affordable (q26's bigram-Jaccard ≥ 1/5 pairs), measure
+    * what fraction of true pairs the winnowing candidates hit
+    * (recall) and what fraction of candidates are true (precision at
+    * the same threshold). One row — the operator's calibration
+    * certificate, rerunnable whenever [[winnowW]]/[[winnowDfCut]]
+    * change.
+    *
+    * Scale shape: both inputs are the already-bounded eval slice;
+    * the audit is two hash joins on (a_id, b_id) and one global
+    * aggregate.
+    */
+  def q222_winnow_recall(spark: SparkSession, dir: String): DataFrame = {
+    val exact = q26_like(spark, dir).select(col("a_id"), col("b_id"))
+    val cand = q218_winnowing(spark, dir)
+      .filter(col("a_id") < 500 && col("b_id") < 500)
+      .select(col("a_id"), col("b_id"))
+    val hit = exact.join(cand, Seq("a_id", "b_id"), "left_semi")
+    exact.agg(count(lit(1)).cast("long").as("n_exact"))
+      .crossJoin(cand.agg(count(lit(1)).cast("long").as("n_cand")))
+      .crossJoin(hit.agg(count(lit(1)).cast("long").as("n_hit")))
+      .withColumn("recall_ppm",
+        when(col("n_exact") > 0, expr("(n_hit * 1000000) DIV n_exact"))
+          .otherwise(lit(0L)))
+      .withColumn("precision_ppm",
+        when(col("n_cand") > 0, expr("(n_hit * 1000000) DIV n_cand"))
+          .otherwise(lit(0L)))
+  }
+
+  /** q26's exact pair set (bigram Jaccard ≥ 1/5 on the doc_id<500
+    * slice) — recomputed here so the audit does not depend on
+    * TextQueries' output column order. */
+  private def q26_like(spark: SparkSession, dir: String): DataFrame =
+    TextQueries.q26_ngram_jaccard(spark, dir)
+
+  val q222_oracle: String =
+    s"""WITH e AS (
+       |  SELECT a_id, b_id FROM (${TextQueries.q26_oracle})),
+       |c AS (
+       |  SELECT a_id, b_id FROM ($q218_oracle)
+       |  WHERE a_id < 500 AND b_id < 500),
+       |h AS (SELECT e.a_id FROM e JOIN c USING (a_id, b_id)),
+       |n AS (
+       |  SELECT (SELECT CAST(count(*) AS BIGINT) FROM e) AS n_exact,
+       |    (SELECT CAST(count(*) AS BIGINT) FROM c) AS n_cand,
+       |    (SELECT CAST(count(*) AS BIGINT) FROM h) AS n_hit)
+       |SELECT n_exact, n_cand, n_hit,
+       |  CASE WHEN n_exact > 0 THEN CAST((n_hit * 1000000) // n_exact AS BIGINT)
+       |    ELSE 0 END AS recall_ppm,
+       |  CASE WHEN n_cand > 0 THEN CAST((n_hit * 1000000) // n_cand AS BIGINT)
+       |    ELSE 0 END AS precision_ppm
+       |FROM n""".stripMargin
+
   // ---------- registry ----------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q214_cdc_spans" -> (q214_cdc_spans _),
-    "q218_winnowing" -> (q218_winnowing _))
+    "q218_winnowing" -> (q218_winnowing _),
+    "q222_winnow_recall" -> (q222_winnow_recall _))
 
   val oracles: Map[String, String] = Map(
     "q214_cdc_spans" -> q214_oracle,
-    "q218_winnowing" -> q218_oracle)
+    "q218_winnowing" -> q218_oracle,
+    "q222_winnow_recall" -> q222_oracle)
 }

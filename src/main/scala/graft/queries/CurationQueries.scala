@@ -818,6 +818,213 @@ object CurationQueries {
        |  FROM documents)
        |WHERE rk <= $quotaK ORDER BY source, rk""".stripMargin
 
+  // ---------- q220: quality-canonical cluster representatives ----------
+
+  /** Quality-aware canonical selection for near-dup clusters: instead
+    * of q47/q60's min-id representative, KEEP the highest-quality
+    * member (ties → lowest doc_id) — what a real curation pipeline
+    * does, since near-dups differ in boilerplate and truncation even
+    * when their shingles agree. Output per cluster: the min-id label,
+    * the kept member, its quality, cluster size, and whether the
+    * quality rule changed the pick — the audit row for migrating a
+    * dedup pipeline from id-canonical to quality-canonical.
+    *
+    * Scale shape: clusters from the q25/q47 LSH+CC machinery (pair
+    * vertices only, never the corpus); quality is one narrow corpus
+    * map joined by doc id; the argmax is a single max(struct) hash
+    * aggregate per cluster — no windows, no collects.
+    */
+  def q220_canonical_rep(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = TextQueries.lshPairs(spark, dir)
+      .select("a_id", "b_id").transform(graft.Lineage.cut)
+    val cc = ConnectedComponents.run(pairs, "a_id", "b_id")
+    val q = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"),
+        floor(T.qualityScore(col("text")) * 1000000L).cast("long").as("q_micro"))
+    cc.join(q, cc("id") === q("doc_id"))
+      .groupBy(col("component").as("cluster_id"))
+      .agg(count(lit(1)).cast("long").as("n_members"),
+        max(struct(col("q_micro"), (-col("doc_id")).as("negid"))).as("best"))
+      .select(col("cluster_id"), col("n_members"),
+        col("best.q_micro").as("kept_q_micro"),
+        (-col("best.negid")).as("kept_doc_id"))
+      .withColumn("changed_pick", col("kept_doc_id") =!= col("cluster_id"))
+      .select("cluster_id", "kept_doc_id", "kept_q_micro", "n_members",
+        "changed_pick")
+      .orderBy("cluster_id")
+  }
+
+  val q220_oracle: String = {
+    val qSql = T.qualityScoreSql("text")
+    s"""WITH RECURSIVE pairs AS (${TextQueries.lshPairsSql}),
+       |edges AS (SELECT a_id AS u, b_id AS v FROM pairs
+       |          UNION SELECT b_id, a_id FROM pairs),
+       |reach AS (
+       |  SELECT u AS id, u AS r FROM (SELECT DISTINCT u FROM edges)
+       |  UNION
+       |  SELECT e.u AS id, reach.r FROM edges e JOIN reach ON e.v = reach.id),
+       |lab AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id),
+       |m AS (
+       |  SELECT lab.cluster_id, lab.id,
+       |    CAST(floor($qSql * 1000000) AS BIGINT) AS q_micro
+       |  FROM lab JOIN documents ON lab.id = doc_id),
+       |best AS (
+       |  SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_members,
+       |    max(q_micro) AS kept_q_micro
+       |  FROM m GROUP BY cluster_id)
+       |SELECT best.cluster_id,
+       |  min(m.id) AS kept_doc_id,
+       |  best.kept_q_micro, best.n_members,
+       |  min(m.id) <> best.cluster_id AS changed_pick
+       |FROM best JOIN m ON m.cluster_id = best.cluster_id
+       |  AND m.q_micro = best.kept_q_micro
+       |GROUP BY best.cluster_id, best.kept_q_micro, best.n_members
+       |ORDER BY best.cluster_id""".stripMargin
+  }
+
+  // ---------- q221: mixture feasibility (binding-source report) ----------
+
+  /** Declared target mixture in ppm (sums to 10⁶) over five sources. */
+  val mixtureTargetPpm: Seq[(String, Long)] = Seq(
+    "src0" -> 400000L, "src1" -> 250000L, "src2" -> 200000L,
+    "src3" -> 100000L, "src4" -> 50000L)
+
+  /** Mixture feasibility: given a declared target mixture and the
+    * measured per-source token supply, the largest total corpus T for
+    * which the mixture is achievable WITHOUT oversampling any source
+    * is T = min_s floor(n_s·10⁶ / w_s) — the binding source is the
+    * argmin. Output per declared source: supply, target weight, the
+    * feasible allocation w_s·T DIV 10⁶, the leftover, and the binding
+    * flag — the one-page report a mixture planner reads before
+    * launching a training run (q212 supplies the post-dedup honest
+    * n_s; this query closes the loop to an executable allocation).
+    *
+    * Scale shape: one lowCard aggregate for supply; everything after
+    * is arithmetic on ≤ |declared sources| rows (the cap table is a
+    * 1-row global-aggregate cross join, broadcast by maxRows).
+    */
+  def q221_mixture_feasibility(spark: SparkSession, dir: String): DataFrame = {
+    val w = mixtureTargetPpm.foldLeft(lit(0L)) { case (acc, (s, p)) =>
+      when(col("source") === s, lit(p)).otherwise(acc)
+    }
+    val supply = Tables.load(spark, dir, "documents")
+      .filter(col("source").isin(mixtureTargetPpm.map(_._1): _*))
+      .select(col("source"), size(T.tokens(col("text"))).cast("long").as("n"))
+      .groupBy("source")
+      .agg(sum(col("n")).cast("long").as("n_toks"))
+      .withColumn("w_ppm", w)
+    val cap = supply
+      .agg(min(expr("(n_toks * 1000000) DIV w_ppm")).cast("long").as("t_max"))
+    supply.crossJoin(broadcast(cap))
+      .withColumn("alloc_toks", expr("(w_ppm * t_max) DIV 1000000"))
+      .withColumn("slack_toks", col("n_toks") - col("alloc_toks"))
+      .withColumn("binding", expr("(n_toks * 1000000) DIV w_ppm") === col("t_max"))
+      .select("source", "n_toks", "w_ppm", "t_max", "alloc_toks",
+        "slack_toks", "binding")
+      .orderBy("source")
+  }
+
+  val q221_oracle: String = {
+    val toks = T.tokensSql("text")
+    val wCase = mixtureTargetPpm
+      .map { case (s, p) => s"WHEN source = '$s' THEN $p" }
+      .mkString("CASE ", " ", " ELSE 0 END")
+    val srcs = mixtureTargetPpm.map(s => s"'${s._1}'").mkString(", ")
+    s"""WITH supply AS (
+       |  SELECT source, CAST(sum(len($toks)) AS BIGINT) AS n_toks,
+       |    CAST(($wCase) AS BIGINT) AS w_ppm
+       |  FROM documents WHERE source IN ($srcs)
+       |  GROUP BY source),
+       |cap AS (
+       |  SELECT CAST(min((n_toks * 1000000) // w_ppm) AS BIGINT) AS t_max
+       |  FROM supply)
+       |SELECT source, n_toks, w_ppm, t_max,
+       |  CAST((w_ppm * t_max) // 1000000 AS BIGINT) AS alloc_toks,
+       |  CAST(n_toks - (w_ppm * t_max) // 1000000 AS BIGINT) AS slack_toks,
+       |  (n_toks * 1000000) // w_ppm = t_max AS binding
+       |FROM supply CROSS JOIN cap
+       |ORDER BY source""".stripMargin
+  }
+
+  // ---------- q223: leakage-free (cluster-aware) split ----------
+
+  /** Near-dup-aware train/val/test split: a document's split is
+    * decided by the content hash of its near-dup CLUSTER
+    * representative, not its own id — so every member of a cluster
+    * lands in the same split and eval can never see a near-copy of a
+    * training document (the leakage q78's per-doc rule permits; q78
+    * itself documents "dedup first" as the composition contract —
+    * this operator removes the footgun instead). Same salt, bucket
+    * map, and 80/10/10 thresholds as q78, so the two splits are
+    * directly comparable: `n_moved` counts the documents whose q78
+    * split would have DIFFERED — exactly the leakage surface closed.
+    *
+    * Scale shape: clusters from the stored-signature LSH + CC
+    * machinery (pair vertices only); the corpus joins the vertex-sized
+    * label table once on doc id (AQE broadcasts it while it fits,
+    * shuffles when the corpus is duplicate-heavy); the rollup is one
+    * ≤3-row partial agg. `n_groups` (distinct representatives) is the
+    * effective sample count an eval-set power analysis needs.
+    */
+  def q223_leakage_free_split(spark: SparkSession, dir: String): DataFrame = {
+    def bucketOf(c: Column): Column = {
+      val h2 = substring(md5(concat(lit("split-1|"), c.cast("string"))), 1, 2)
+      (instr(lit("0123456789abcdef"), substring(h2, 1, 1)) - 1) * 16 +
+        (instr(lit("0123456789abcdef"), substring(h2, 2, 1)) - 1)
+    }
+    def splitOf(b: Column): Column =
+      CorpusQueries.splitBuckets.reverse
+        .foldLeft(lit(null).cast("string")) { case (acc, (name, ub)) =>
+          when(b < ub, lit(name)).otherwise(acc)
+        }
+    val pairs = TextQueries.lshPairs(spark, dir)
+      .select("a_id", "b_id").transform(graft.Lineage.cut)
+    val cc = ConnectedComponents.run(pairs, "a_id", "b_id")
+    val docs = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"),
+        size(T.tokens(col("text"))).cast("long").as("tok"))
+    docs.join(cc, docs("doc_id") === cc("id"), "left")
+      .withColumn("rep", coalesce(col("component"), col("doc_id")))
+      .withColumn("split", splitOf(bucketOf(col("rep"))))
+      .withColumn("naive", splitOf(bucketOf(col("doc_id"))))
+      .groupBy("split")
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        sum(col("tok")).cast("long").as("n_tokens"),
+        count_if(col("naive") =!= col("split")).cast("long").as("n_moved"),
+        countDistinct(col("rep")).cast("long").as("n_groups"))
+      .orderBy("split")
+  }
+
+  val q223_oracle: String = {
+    def bucketSql(c: String): String =
+      s"""((strpos('0123456789abcdef', substring(md5(concat('split-1|', CAST($c AS VARCHAR))), 1, 1)) - 1) * 16
+         | + (strpos('0123456789abcdef', substring(md5(concat('split-1|', CAST($c AS VARCHAR))), 2, 1)) - 1))""".stripMargin
+    def splitSql(c: String): String = CorpusQueries.splitBuckets
+      .map { case (name, ub) => s"WHEN ${bucketSql(c)} < $ub THEN '$name'" }
+      .mkString("CASE ", " ", " END")
+    s"""WITH RECURSIVE pairs AS (${TextQueries.lshPairsSql}),
+       |edges AS (SELECT a_id AS u, b_id AS v FROM pairs
+       |          UNION SELECT b_id, a_id FROM pairs),
+       |reach AS (
+       |  SELECT u AS id, u AS r FROM (SELECT DISTINCT u FROM edges)
+       |  UNION
+       |  SELECT e.u AS id, reach.r FROM edges e JOIN reach ON e.v = reach.id),
+       |lab AS (SELECT id, min(r) AS component FROM reach GROUP BY id),
+       |d AS (
+       |  SELECT doc_id, CAST(len(${T.tokensSql("text")}) AS BIGINT) AS tok,
+       |    coalesce(lab.component, doc_id) AS rep
+       |  FROM documents LEFT JOIN lab ON doc_id = lab.id),
+       |s AS (
+       |  SELECT ${splitSql("rep")} AS split, ${splitSql("doc_id")} AS naive,
+       |    rep, tok
+       |  FROM d)
+       |SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(tok) AS BIGINT) AS n_tokens,
+       |  CAST(count(*) FILTER (WHERE naive <> split) AS BIGINT) AS n_moved,
+       |  CAST(count(DISTINCT rep) AS BIGINT) AS n_groups
+       |FROM s GROUP BY split ORDER BY split""".stripMargin
+  }
+
   // ---------- q216: multi-epoch shuffle schedule ----------
 
   /** Multi-epoch training schedule: each epoch is a DETERMINISTIC
@@ -872,6 +1079,9 @@ object CurationQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q216_epoch_schedule" -> (q216_epoch_schedule _),
+    "q223_leakage_free_split" -> (q223_leakage_free_split _),
+    "q220_canonical_rep" -> (q220_canonical_rep _),
+    "q221_mixture_feasibility" -> (q221_mixture_feasibility _),
     "q175_quota_sample" -> (q175_quota_sample _),
     "q212_dedup_token_budget" -> (q212_dedup_token_budget _),
     "q148_interleave" -> (q148_interleave _),
@@ -888,6 +1098,9 @@ object CurationQueries {
 
   val oracles: Map[String, String] = Map(
     "q216_epoch_schedule" -> q216_oracle,
+    "q223_leakage_free_split" -> q223_oracle,
+    "q220_canonical_rep" -> q220_oracle,
+    "q221_mixture_feasibility" -> q221_oracle,
     "q175_quota_sample" -> q175_oracle,
     "q212_dedup_token_budget" -> q212_oracle,
     "q148_interleave" -> q148_oracle,

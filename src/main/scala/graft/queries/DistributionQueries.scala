@@ -1015,7 +1015,84 @@ object DistributionQueries {
       |    FROM lineitem))
       |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  // ---------- q219: per-source token-length drift (total variation) ----------
+
+  /** Token-length histogram cap: lengths ≥ this share one tail bucket. */
+  val lenDriftCap = 12
+
+  /** Per-source token-length drift as EXACT total-variation distance
+    * from the corpus-wide length distribution — the cross-sectional
+    * complement of q141 (KS on values between eras) and q142
+    * (chi-style histogram drift): a source whose token-length profile
+    * diverges from the corpus signals tokenizer problems, boilerplate,
+    * or format corruption before any model sees it.
+    * TV = ½·Σ_b |p_b − q_b| over a common denominator:
+    * tv_ppm = (Σ_b |o_b·N − n_s·c_b|) · 10⁶ DIV (2·n_s·N) — one
+    * integer division, no floats (unlike χ², TV needs no per-cell
+    * division, so it stays a single exact rational at any corpus
+    * size; products ride decimal(38,0)).
+    *
+    * Scale shape: one exploded-corpus pass to the (source, bucket)
+    * grid (≤ |sources|·12 rows, map-side combined); marginals and the
+    * corpus total derive from the GRID, never a second pass; the
+    * dense grid (so zero-count buckets still contribute |n_s·c_b|)
+    * comes from a sources × buckets cross of two bounded aggregates.
+    */
+  def q219_length_drift(spark: SparkSession, dir: String): DataFrame = {
+    val dec38 = "decimal(38,0)"
+    val o = Tables.load(spark, dir, "documents")
+      .select(col("source"),
+        explode(graft.functions.TextFunctions.tokens(col("text"))).as("t"))
+      .select(col("source"),
+        least(length(col("t")), lit(lenDriftCap)).as("blen"))
+      .groupBy("source", "blen")
+      .agg(count(lit(1)).cast("long").as("o"))
+      .transform(graft.Lineage.cut) // grid-sized; three readers below
+    val ns = o.groupBy("source").agg(sum(col("o")).cast("long").as("n_s"))
+    val cb = o.groupBy("blen").agg(sum(col("o")).cast("long").as("c_b"))
+    val nt = o.agg(sum(col("o")).cast("long").as("n_tot"))
+    ns.crossJoin(cb)
+      .join(o, Seq("source", "blen"), "left")
+      .na.fill(0L, Seq("o"))
+      .crossJoin(broadcast(nt))
+      .groupBy("source")
+      .agg(max(col("n_s")).as("n_toks"),
+        max(col("n_tot")).as("n_tot"),
+        sum(abs(col("o").cast(dec38) * col("n_tot")
+          - col("n_s").cast(dec38) * col("c_b"))).as("dev"))
+      .withColumn("tv_ppm", expr(
+        s"CAST(dev * 1000000 DIV (CAST(2 AS $dec38) * n_toks * n_tot) AS BIGINT)"))
+      .select("source", "n_toks", "tv_ppm")
+      .orderBy("source")
+  }
+
+  /** DuckDB twin — HUGEINT products (q215's rule: DuckDB DECIMAL `//`
+    * rounds; HUGEINT `//` floors like Spark's DECIMAL DIV). */
+  val q219_oracle: String = {
+    val toks = graft.functions.TextFunctions.tokensSql("text")
+    s"""WITH o AS (
+       |  SELECT source, least(length(t), $lenDriftCap) AS blen,
+       |    CAST(count(*) AS BIGINT) AS o
+       |  FROM (SELECT source, unnest($toks) AS t FROM documents)
+       |  GROUP BY 1, 2),
+       |ns AS (SELECT source, CAST(sum(o) AS BIGINT) AS n_s FROM o GROUP BY 1),
+       |cb AS (SELECT blen, CAST(sum(o) AS BIGINT) AS c_b FROM o GROUP BY 1),
+       |nt AS (SELECT CAST(sum(o) AS BIGINT) AS n_tot FROM o),
+       |grid AS (
+       |  SELECT ns.source, ns.n_s, cb.blen, cb.c_b, coalesce(o.o, 0) AS o
+       |  FROM ns CROSS JOIN cb
+       |  LEFT JOIN o ON o.source = ns.source AND o.blen = cb.blen)
+       |SELECT source, max(n_s) AS n_toks,
+       |  CAST(sum(abs(CAST(o AS HUGEINT) * n_tot
+       |      - CAST(n_s AS HUGEINT) * c_b)) * 1000000
+       |    // (CAST(2 AS HUGEINT) * max(n_s) * max(n_tot)) AS BIGINT)
+       |    AS tv_ppm
+       |FROM grid CROSS JOIN nt
+       |GROUP BY source ORDER BY source""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q219_length_drift" -> (q219_length_drift _),
     "q194_weighted_median" -> (q194_weighted_median _),
     "q187_interp_quantiles" -> (q187_interp_quantiles _),
     "q183_iqr_outliers" -> (q183_iqr_outliers _),
@@ -1035,6 +1112,7 @@ object DistributionQueries {
     "q130_locf" -> (q130_locf _))
 
   val oracles: Map[String, String] = Map(
+    "q219_length_drift" -> q219_oracle,
     "q172_pareto" -> q172_oracle,
     "q183_iqr_outliers" -> q183_oracle,
     "q187_interp_quantiles" -> q187_oracle,

@@ -108,7 +108,9 @@ class PlanContractsSpec extends SparkSpec {
     "q181_centroid_classifier" -> ((1, "centroid table: |labels| x dim rows")),
     "q206_erasure_scope" -> ((1, "the erasure subject batch's order set — request-sized, not corpus-sized")),
     "q209_incremental_topk" ->
-      ((2, "heavy-hitter candidate union (<= 64 exact era-A heavies + k*partitions batch MG survivors), hinted at both its join sites: the batch recount semi-join and the vocab merge")))
+      ((2, "heavy-hitter candidate union (<= 64 exact era-A heavies + k*partitions batch MG survivors), hinted at both its join sites: the batch recount semi-join and the vocab merge")),
+    "q222_winnow_recall" ->
+      ((4, "q26's two doc_id<500 eval-slice size hints (≤500 rows by the literal filter), appearing twice: the exact-pair subtree feeds both the hit semi-join and the n_exact count")))
 
   /** Corpus dimensions with a bounded VALUE DOMAIN: an aggregate
     * grouped only by these produces a bounded row count at any corpus
@@ -177,7 +179,9 @@ class PlanContractsSpec extends SparkSpec {
     * input bound that keeps the product small. */
   private val cartesianAllow: Map[String, (Int, String)] = Map(
     "q155_langid_eval" -> ((1, "langs x langs confusion grid — both sides |langs|-bounded")),
-    "q162_abtest" -> ((1, "two 1-row slices of the 2-arm A/B aggregate")))
+    "q162_abtest" -> ((1, "two 1-row slices of the 2-arm A/B aggregate")),
+    "q219_length_drift" ->
+      ((1, "sources x 12 token-length buckets — both sides bounded-domain aggregates")))
 
   private def cartesianOffenders(name: String, plan: LogicalPlan): Seq[String] = {
     val bad = plan.collectWithSubqueries {

@@ -171,4 +171,152 @@ class Round12OpsSpec extends SparkSpec {
     assert(got(2L) === ((1L, 200000L, 2000L)))  // exactly at the 20% floor
     assert(got(9L) === ((1L, 1000000L, 500L)))  // only the in-window 5.0
   }
+
+  // ---------- q219 ----------
+
+  test("q219: TV distance matches the hand-computed rational on a 2-source split") {
+    val dir = tmp("tvdrift")
+    // src a: 4 tokens of length 1; src b: 4 tokens of length 2.
+    // corpus: c_1 = c_2 = 4, N = 8. For each source (n_s = 4):
+    //   dev = |4*8 - 4*4| + |0*8 - 4*4| = 32
+    //   tv_ppm = 32 * 1e6 / (2 * 4 * 8) = 500000
+    writeDocs(dir, Seq(
+      (1L, "a", "p q"), (2L, "a", "r s"),
+      (3L, "b", "pp qq"), (4L, "b", "rr ss")))
+    val got = DistributionQueries.q219_length_drift(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got("a") === ((4L, 500000L)))
+    assert(got("b") === ((4L, 500000L)))
+  }
+
+  test("q219: a source matching the corpus mix has zero drift") {
+    val dir = tmp("tvzero")
+    // both sources are 50/50 length-1/length-2 -> each equals the
+    // corpus marginal -> tv_ppm = 0 (and the dense grid contributes
+    // only zero terms)
+    writeDocs(dir, Seq(
+      (1L, "a", "p qq"), (2L, "b", "r ss")))
+    DistributionQueries.q219_length_drift(spark, dir).collect()
+      .foreach(r => assert(r.getLong(2) === 0L, s"source ${r.getString(0)}"))
+  }
+
+  // ---------- q220 ----------
+
+  test("q220: argmax pick matches a driver-side replica over q47's clusters") {
+    import org.apache.spark.sql.functions._
+    val dir = sf()
+    val members = GraphQueries.q47_dup_clusters(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(members.nonEmpty)
+    val qual = graft.Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), floor(
+        graft.functions.TextFunctions.qualityScoreDeclarative(col("text"))
+          * 1000000L).cast("long").as("q"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // independent replica: per cluster keep max quality, ties -> min id
+    val truth = members.groupBy(_._2).map { case (cid, ms) =>
+      val best = ms.map { case (id, _) => (qual(id), id) }
+        .reduce((a, b) =>
+          if (a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)) a else b)
+      cid -> ((best._2, best._1, ms.length.toLong, best._2 != cid))
+    }
+    val got = CurationQueries.q220_canonical_rep(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4)))).toMap
+    assert(got === truth)
+    // the quality rule must actually bite somewhere at sf0.001,
+    // otherwise the fixture proves nothing beyond q47
+    assert(got.values.exists(_._4), "no cluster changed its pick")
+  }
+
+  // ---------- q221 ----------
+
+  test("q221: binding source and allocations match the hand-computed caps") {
+    val dir = tmp("mixfeas")
+    def toks(n: Int) = Seq.fill(n)("t").mkString(" ")
+    // supplies 40/25/20/10/2 vs weights 40/25/20/10/5 percent:
+    // (n*1e6)//w = 100,100,100,100,40 -> t_max = 40, binding = src4
+    writeDocs(dir, Seq(
+      (1L, "src0", toks(40)), (2L, "src1", toks(25)), (3L, "src2", toks(20)),
+      (4L, "src3", toks(10)), (5L, "src4", toks(2)),
+      (6L, "other", toks(99)))) // undeclared source must be ignored
+    val got = CurationQueries.q221_mixture_feasibility(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getBoolean(6)))).toMap
+    assert(got.keySet === Set("src0", "src1", "src2", "src3", "src4"))
+    assert(got("src0") === ((40L, 400000L, 40L, 16L, 24L, false)))
+    assert(got("src1") === ((25L, 250000L, 40L, 10L, 15L, false)))
+    assert(got("src2") === ((20L, 200000L, 40L, 8L, 12L, false)))
+    assert(got("src3") === ((10L, 100000L, 40L, 4L, 6L, false)))
+    assert(got("src4") === ((2L, 50000L, 40L, 2L, 0L, true)))
+  }
+
+  // ---------- q222 ----------
+
+  test("q222: planted shifted near-dup yields perfect recall") {
+    val dir = tmp("wrecall")
+    val body = (1 to 30).map(i => s"t${(i * 5) % 11}x$i").mkString(" ")
+    writeDocs(dir, Seq(
+      (1L, "a", body),
+      (2L, "a", "prefix junk " + body),
+      (3L, "b", "unrelated words entirely disjoint from others one two")))
+    val r = ChunkingQueries.q222_winnow_recall(spark, dir).collect()
+    assert(r.length === 1)
+    val row = r.head
+    val (nExact, nCand, nHit) =
+      (row.getLong(0), row.getLong(1), row.getLong(2))
+    assert(nExact === 1L, "exact truth must be exactly the planted pair")
+    assert(nHit === 1L, "winnowing missed the planted shifted pair")
+    assert(row.getLong(3) === 1000000L) // recall_ppm
+    assert(row.getLong(4) === nHit * 1000000L / nCand) // precision identity
+  }
+
+  test("q222: counters are mutually consistent at sf0.001") {
+    val row = ChunkingQueries.q222_winnow_recall(spark, sf()).collect().head
+    val (nExact, nCand, nHit) =
+      (row.getLong(0), row.getLong(1), row.getLong(2))
+    assert(nHit <= math.min(nExact, nCand))
+    assert(nExact > 0, "q26 truth is empty at sf0.001 — fixture too small")
+    assert(row.getLong(3) === nHit * 1000000L / nExact)
+    assert(row.getLong(4) === (if (nCand > 0) nHit * 1000000L / nCand else 0L))
+  }
+
+  // ---------- q223 ----------
+
+  test("q223: rollup matches a driver-side replica and clusters are split-pure") {
+    import org.apache.spark.sql.functions._
+    val dir = sf()
+    val members = GraphQueries.q47_dup_clusters(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap // doc_id -> component
+    assert(members.nonEmpty)
+    val docs = graft.Tables.load(spark, dir, "documents")
+      .select(col("doc_id"),
+        size(graft.functions.TextFunctions.tokens(col("text"))).cast("long"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    def splitOf(key: Long): String = {
+      val h2 = md5hex(s"split-1|$key").take(2)
+      val b = "0123456789abcdef".indexOf(h2(0)) * 16 +
+        "0123456789abcdef".indexOf(h2(1))
+      CorpusQueries.splitBuckets.find(b < _._2).get._1
+    }
+    val rep = docs.map { case (id, _) => id -> members.getOrElse(id, id) }.toMap
+    val truth = docs.groupBy { case (id, _) => splitOf(rep(id)) }
+      .map { case (split, ds) =>
+        split -> ((ds.length.toLong, ds.map(_._2).sum,
+          ds.count { case (id, _) => splitOf(id) != split }.toLong,
+          ds.map { case (id, _) => rep(id) }.distinct.length.toLong))
+      }
+    val got = CurationQueries.q223_leakage_free_split(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))).toMap
+    assert(got === truth)
+    // the cluster rule must actually move at least one document,
+    // otherwise the fixture proves nothing beyond q78
+    assert(got.values.map(_._3).sum > 0, "no document changed split")
+    // split purity: all members of any cluster share one split
+    val bySplit = members.groupBy { case (_, c) => splitOf(c) }
+    bySplit.foreach { case (s, ms) =>
+      ms.keys.foreach(id => assert(splitOf(rep(id)) === s))
+    }
+  }
 }
