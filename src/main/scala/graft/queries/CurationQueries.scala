@@ -1077,7 +1077,118 @@ object CurationQueries {
        |      doc_id) AS BIGINT)) AS BIGINT) AS drift
        |FROM documents ORDER BY doc_id""".stripMargin
 
+  // ---------- q225: context-length packing sweep ----------
+
+  /** Candidate context-window sizes the sweep prices. */
+  val packSweepCaps: Seq[Int] = Seq(512, 1024, 2048, 4096)
+
+  /** Context-length PLANNING report: q77 executes one packing at one
+    * budget; this prices the budget DECISION — for each candidate
+    * window size, the exact shard-tail padding waste (concat-and-chunk
+    * wastes tokens only where a shard's stream ends mid-window) and
+    * the exact count of documents SPLIT across a window boundary (the
+    * training-quality cost of long contexts: a split doc loses
+    * cross-boundary attention). Waste falls and splits rise with the
+    * cap — this table is where those two curves cross for this corpus,
+    * the number a pretraining config locks before the tokenizer fleet
+    * runs.
+    *
+    * Scale shape: ONE corpus scan builds q77's per-doc (shard,
+    * start_tok) rows (the same shard-bounded window — no global sort);
+    * all four caps' split flags are computed as columns in that single
+    * projection (integer DIVs), so the corpus is NOT fanned out
+    * per-cap; the cap axis explodes only at the (source, shard)
+    * aggregate level (shards × 4 narrow rows) before a ≤4-row rollup.
+    */
+  def q225_packing_sweep(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val shard = expr(s"doc_id div $packShardDocs")
+    val w = Window.partitionBy(col("source"), col("shard"))
+      .orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val perDoc = Tables.load(spark, dir, "documents")
+      .select(col("source"), col("doc_id"), shard.as("shard"),
+        size(T.tokens(col("text"))).cast("long").as("tok"))
+      .withColumn("start_tok", sum(col("tok")).over(w) - col("tok"))
+    val splitFlags = packSweepCaps.map(c =>
+      when(col("tok") > 0 &&
+          expr(s"start_tok div $c") =!= expr(s"(start_tok + tok - 1) div $c"),
+        lit(1L)).otherwise(lit(0L)).as(s"sp$c"))
+    val shardAggs: Seq[org.apache.spark.sql.Column] =
+      sum(col("tok")).as("shard_tok") +:
+        count(lit(1)).cast("long").as("n_docs") +:
+        packSweepCaps.map(c => sum(col(s"sp$c")).as(s"sp$c"))
+    val perShard = perDoc
+      .select(col("source") +: col("shard") +: col("tok") +: splitFlags: _*)
+      .groupBy("source", "shard")
+      .agg(shardAggs.head, shardAggs.tail: _*)
+    val byCap = perShard.select(col("shard_tok"), col("n_docs"),
+      explode(array(packSweepCaps.map(c => struct(
+        lit(c.toLong).as("cap"), col(s"sp$c").as("n_split"))): _*)).as("x"))
+      .select(col("x.cap"), col("shard_tok"), col("n_docs"), col("x.n_split"))
+      .withColumn("windows",
+        when(col("shard_tok") > 0,
+          expr("(shard_tok + cap - 1) div cap")).otherwise(lit(0L)))
+    byCap.groupBy("cap")
+      .agg(sum(col("windows")).cast("long").as("n_windows"),
+        sum(col("shard_tok")).cast("long").as("n_tokens"),
+        (sum(col("windows") * col("cap")) - sum(col("shard_tok")))
+          .cast("long").as("padded_tokens"),
+        sum(col("n_docs")).cast("long").as("n_docs"),
+        sum(col("n_split")).cast("long").as("n_split_docs"))
+      .withColumn("waste_ppm",
+        expr("padded_tokens * 1000000 DIV (n_tokens + padded_tokens)"))
+      .withColumn("split_ppm", expr("n_split_docs * 1000000 DIV n_docs"))
+      .select("cap", "n_windows", "n_tokens", "padded_tokens", "waste_ppm",
+        "n_split_docs", "split_ppm")
+      .orderBy("cap")
+  }
+
+  val q225_oracle: String = {
+    val toks = T.tokensSql("text")
+    val caps = packSweepCaps.mkString("[", ", ", "]")
+    s"""WITH d AS (
+       |  SELECT source, doc_id // $packShardDocs AS shard, doc_id,
+       |    CAST(len($toks) AS BIGINT) AS tok
+       |  FROM documents),
+       |s AS (
+       |  SELECT source, shard, tok,
+       |    sum(tok) OVER (PARTITION BY source, shard ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - tok
+       |      AS start_tok
+       |  FROM d),
+       |x AS (SELECT CAST(unnest($caps) AS BIGINT) AS cap),
+       |per AS (
+       |  SELECT x.cap, source, shard,
+       |    CAST(sum(tok) AS BIGINT) AS shard_tok,
+       |    CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(count(*) FILTER (WHERE tok > 0
+       |      AND start_tok // x.cap <> (start_tok + tok - 1) // x.cap)
+       |      AS BIGINT) AS n_split
+       |  FROM s CROSS JOIN x
+       |  GROUP BY 1, 2, 3),
+       |agg AS (
+       |  SELECT cap,
+       |    CAST(sum(CASE WHEN shard_tok > 0
+       |      THEN (shard_tok + cap - 1) // cap ELSE 0 END) AS BIGINT)
+       |      AS n_windows,
+       |    CAST(sum(shard_tok) AS BIGINT) AS n_tokens,
+       |    CAST(sum(CASE WHEN shard_tok > 0
+       |      THEN ((shard_tok + cap - 1) // cap) * cap - shard_tok
+       |      ELSE 0 END) AS BIGINT) AS padded_tokens,
+       |    CAST(sum(n_docs) AS BIGINT) AS n_docs,
+       |    CAST(sum(n_split) AS BIGINT) AS n_split_docs
+       |  FROM per GROUP BY cap)
+       |SELECT cap, n_windows, n_tokens, padded_tokens,
+       |  CAST(padded_tokens * 1000000 // (n_tokens + padded_tokens)
+       |    AS BIGINT) AS waste_ppm,
+       |  n_split_docs,
+       |  CAST(n_split_docs * 1000000 // n_docs AS BIGINT) AS split_ppm
+       |FROM agg ORDER BY cap""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q225_packing_sweep" -> (q225_packing_sweep _),
     "q216_epoch_schedule" -> (q216_epoch_schedule _),
     "q223_leakage_free_split" -> (q223_leakage_free_split _),
     "q220_canonical_rep" -> (q220_canonical_rep _),
@@ -1097,6 +1208,7 @@ object CurationQueries {
     "q111_weighted_sample" -> (q111_weighted_sample _))
 
   val oracles: Map[String, String] = Map(
+    "q225_packing_sweep" -> q225_oracle,
     "q216_epoch_schedule" -> q216_oracle,
     "q223_leakage_free_split" -> q223_oracle,
     "q220_canonical_rep" -> q220_oracle,

@@ -837,7 +837,110 @@ object RetrievalQueries {
        |FROM f ORDER BY query_id, rrf_rnk""".stripMargin
   }
 
+  // ---------- q224: incremental BM25 index update ----------
+
+  /** Index MAINTENANCE for the BM25 artifact — q84 is the build-once
+    * half; this is the ingest half (q94's story for the retrieval
+    * index, where unlike MinHash signatures the statistics are NOT
+    * append-only): the arriving batch's postings append as new files
+    * (no existing file rewritten), document frequencies merge as a
+    * VOCAB-SIZED full-outer sum (old df table ⊎ batch df — never a
+    * rescan of existing text or postings), and the 1-row corpus stats
+    * add the batch delta. A new df/stats VERSION is written beside the
+    * old (the snapshot-swap pattern `io/SnapshotSwap` gives the
+    * consolidated table) and q83's query set scores from the merged
+    * artifact. The oracle is q83's full-corpus oracle VERBATIM:
+    * incremental maintenance must be indistinguishable from a
+    * from-scratch rebuild — the same contract q94 (signatures) and
+    * q209 (heavy hitters) pin for their state.
+    *
+    * Scale shape: the refresh is O(batch text + vocab): one batch
+    * tokenize/aggregate (checkpointed so append/df/stats share it),
+    * one vocab-keyed merge shuffle, a 1-row add. Existing postings are
+    * touched only by the final query probe, exactly as q84 argues
+    * (term-bucketed on a cluster). The content-hash eighth plays "the
+    * batch", like q73/q94.
+    */
+  def q224_bm25_index_update(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val work = graft.io.Scratch.dir(spark, "graft-q224-")
+    val fs = new Path(work).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    try {
+      val isBatch =
+        substring(md5(concat(lit("b73|"), col("doc_id").cast("string"))), 1, 1)
+          .isin("0", "1")
+      val docs = Tables.load(spark, dir, "documents")
+      def termsOf(flag: org.apache.spark.sql.Column) = docs.filter(flag)
+        .select(col("doc_id"), T.tokens(col("text")).as("tk"))
+        .select(col("doc_id"), size(col("tk")).cast("long").as("dl"),
+          explode(col("tk")).as("term"))
+
+      // epoch 0: build from the EXISTING corpus only (q84's build)
+      val t0 = termsOf(!isBatch)
+      t0.groupBy("term", "doc_id")
+        .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
+        .write.parquet(s"$work/postings")
+      spark.read.parquet(s"$work/postings")
+        .groupBy("term").agg(count(lit(1)).as("df"))
+        .write.parquet(s"$work/df_v0")
+      docs.filter(!isBatch).agg(count(lit(1)).as("n"))
+        .crossJoin(t0.agg(count(lit(1)).as("l")))
+        .write.parquet(s"$work/stats_v0")
+
+      // ingest: ONE batch pass (checkpointed — append, df delta and
+      // stats delta all read it, none re-tokenizes), then vocab-sized
+      // merge + 1-row stats add; existing postings never re-read
+      val tb = termsOf(isBatch).localCheckpoint()
+      val bPost = tb.groupBy("term", "doc_id")
+        .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
+        .localCheckpoint()
+      bPost.write.mode("append").parquet(s"$work/postings")
+      spark.read.parquet(s"$work/df_v0")
+        .join(bPost.groupBy("term").agg(count(lit(1)).as("df_b")),
+          Seq("term"), "full_outer")
+        .select(col("term"),
+          (coalesce(col("df"), lit(0L)) + coalesce(col("df_b"), lit(0L)))
+            .as("df"))
+        .write.parquet(s"$work/df_v1")
+      spark.read.parquet(s"$work/stats_v0")
+        .crossJoin(docs.filter(isBatch).agg(count(lit(1)).as("n_b")))
+        .crossJoin(tb.agg(count(lit(1)).as("l_b")))
+        .select((col("n") + col("n_b")).as("n"), (col("l") + col("l_b")).as("l"))
+        .write.parquet(s"$work/stats_v1")
+
+      // reopen the MERGED artifact — q84's probe, new versions swapped in
+      val tf = spark.read.parquet(s"$work/postings")
+      val dft = spark.read.parquet(s"$work/df_v1")
+      val stats = spark.read.parquet(s"$work/stats_v1")
+        .withColumn("adl", expr("l div n"))
+      val queryTerms = bm25Queries
+        .flatMap { case (qid, ts) => ts.map(t => (qid, t)) }
+        .toDF("query_id", "term")
+      broadcast(queryTerms)
+        .join(tf, "term")
+        .join(dft, "term")
+        .crossJoin(broadcast(stats))
+        .withColumn("contrib",
+          expr(s"($bm25Scale * (2*n - 2*df + 1) * 22 * adl * tf) div " +
+            s"((2*df + 1) * (10 * adl * tf + 3 * adl + 9 * dl))"))
+        .groupBy("query_id", "doc_id")
+        .agg(sum(col("contrib")).as("score"))
+        .withColumn("rnk", row_number().over(
+          Window.partitionBy("query_id").orderBy(col("score").desc, col("doc_id"))))
+        .filter(col("rnk") <= bm25TopK)
+        .select("query_id", "doc_id", "score", "rnk")
+        .orderBy("query_id", "rnk")
+        .localCheckpoint() // materialize before the work dir is deleted
+    } finally fs.delete(new Path(work), true)
+  }
+
+  /** q83's oracle verbatim — see [[q224_bm25_index_update]]. */
+  val q224_oracle: String = q83_oracle
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q224_bm25_index_update" -> (q224_bm25_index_update _),
     "q202_rrf_fusion" -> (q202_rrf_fusion _),
     "q178_mmr" -> (q178_mmr _),
     "q188_bm25_prf" -> (q188_bm25_prf _),
@@ -850,6 +953,7 @@ object RetrievalQueries {
     "q123_span_scrub" -> (q123_span_scrub _))
 
   val oracles: Map[String, String] = Map(
+    "q224_bm25_index_update" -> q224_oracle,
     "q202_rrf_fusion" -> q202_oracle,
     "q178_mmr" -> q178_oracle,
     "q188_bm25_prf" -> q188_oracle,

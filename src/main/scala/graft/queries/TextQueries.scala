@@ -1523,6 +1523,81 @@ object TextQueries {
       .orderBy("j_decile")
   }
 
+  // ---------- q226: SimHash candidate-precision audit ----------
+
+  /** q203's precision audit for the OTHER candidate generator: all
+    * SimHash Hamming-≤1 probe candidates (q69's pair source, BEFORE
+    * the size prefilter and Jaccard verify), bucketed by true-Jaccard
+    * decile with the verified share in ppm. The two audits together
+    * price the suite's two near-dup channels on the same scale — a
+    * fingerprint width that under-buckets shows up here as candidate
+    * mass in the low deciles, exactly as a too-coarse band config
+    * shows up in q203; this is the table
+    * [[graft.functions.HashFunctions.simhashWidthFor]]'s +2-bits-per-
+    * doubling step is calibrated against.
+    *
+    * Scale shape: the q69 probe fan-out (width+1 narrow rows/doc,
+    * occupancy-governed by the corpus-adaptive width), then one
+    * sk-array join pair and a 10-row rollup. No distinct needed: a
+    * Hamming-≤1 pair matches exactly once by construction (q69's
+    * probe-orientation argument), unlike LSH's multi-band collisions.
+    */
+  def q226_simhash_precision(spark: SparkSession, dir: String): DataFrame = {
+    val width = H.simhashWidthFor(docs(spark, dir).count())
+    val base = simhashTable(spark, dir, width).persist()
+    base.count()
+    try {
+      val sk = base.select(col("doc_id"), col("sk"))
+      simhashProbePairs(base, width)
+        .select(col("a_id"), col("b_id"))
+        .join(sk.select(col("doc_id").as("a_id"), col("sk").as("a_sk")), "a_id")
+        .join(sk.select(col("doc_id").as("b_id"), col("sk").as("b_sk")), "b_id")
+        .select(keyJaccard(col("a_sk"), col("b_sk")).as("j"))
+        .withColumn("j_decile",
+          least(floor(col("j") * 10).cast("int"), lit(9)))
+        .groupBy("j_decile")
+        .agg(count(lit(1)).cast("long").as("n_candidates"),
+          count_if(col("j") >= 0.8).cast("long").as("n_verified"))
+        .withColumn("verified_ppm",
+          expr("(n_verified * 1000000) DIV n_candidates"))
+        .orderBy("j_decile")
+        .transform(graft.Lineage.cut) // 10 rows; survives the unpersist
+    } finally base.unpersist()
+  }
+
+  /** DuckDB twin — q69's width-adaptive CTEs, with [[keyJaccard]]'s
+    * exact operation order (inter/(lenA+lenB−inter), all-double) so
+    * the decile floor is bit-stable across engines. */
+  val q226_oracle: String = {
+    val toks = T.tokensSql("text")
+    val sh = H.shinglesSql("toks")
+    val inter = "CAST(len(list_intersect(a.sk, b.sk)) AS DOUBLE)"
+    val j = s"$inter / (CAST(len(a.sk) + len(b.sk) AS DOUBLE) - $inter)"
+    s"""WITH w AS (SELECT ${H.simhashWidthCaseSql("count(*)")} AS wd FROM documents),
+       |base AS (
+       |  SELECT doc_id, list_distinct(${H.shingleKeysSql(sh)}) AS sk,
+       |    ${H.simhashFromHashesDynSql("[md5(t) for t in toks]", "wd")} AS simhash
+       |  FROM (SELECT doc_id, $toks AS toks FROM documents), w
+       |  WHERE len(toks) >= 3),
+       |probes AS (
+       |  SELECT doc_id AS a_id,
+       |    unnest([simhash] || [xor(simhash, CAST(1 AS BIGINT) << b) for b in range(0, wd)]) AS probe
+       |  FROM base, w),
+       |cand AS (
+       |  SELECT p.a_id, e.doc_id AS b_id
+       |  FROM probes p JOIN base e ON p.probe = e.simhash AND p.a_id < e.doc_id),
+       |jt AS (
+       |  SELECT $j AS j
+       |  FROM cand JOIN base a ON cand.a_id = a.doc_id
+       |  JOIN base b ON cand.b_id = b.doc_id)
+       |SELECT least(CAST(floor(j * 10) AS INT), 9) AS j_decile,
+       |  CAST(count(*) AS BIGINT) AS n_candidates,
+       |  CAST(count(*) FILTER (WHERE j >= 0.8) AS BIGINT) AS n_verified,
+       |  CAST((count(*) FILTER (WHERE j >= 0.8) * 1000000) // count(*)
+       |    AS BIGINT) AS verified_ppm
+       |FROM jt GROUP BY 1 ORDER BY j_decile""".stripMargin
+  }
+
   val q203_oracle: String =
     s"""WITH ${indexBandsCteSql(None)},
        |cand AS (
@@ -1580,6 +1655,7 @@ object TextQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q203_lsh_precision" -> (q203_lsh_precision _),
+    "q226_simhash_precision" -> (q226_simhash_precision _),
     "q213_shingle_df_profile" -> (q213_shingle_df_profile _),
     "q143_allpairs" -> (q143_allpairs _),
     "q154_dedup_eval" -> (q154_dedup_eval _),
@@ -1609,6 +1685,7 @@ object TextQueries {
 
   val oracles: Map[String, String] = Map(
     "q203_lsh_precision" -> q203_oracle,
+    "q226_simhash_precision" -> q226_oracle,
     "q213_shingle_df_profile" -> q213_oracle,
     "q139_novelty" -> q139_oracle,
     "q143_allpairs" -> q143_oracle,

@@ -319,4 +319,79 @@ class Round12OpsSpec extends SparkSpec {
       ms.keys.foreach(id => assert(splitOf(rep(id)) === s))
     }
   }
+
+  // ---------- q224 ----------
+
+  test("q224: incremental index update is indistinguishable from q83's rebuild") {
+    import org.apache.spark.sql.functions._
+    val dir = sf()
+    // the equality is only meaningful if both epochs are non-empty
+    val isBatch = substring(
+      md5(concat(lit("b73|"), col("doc_id").cast("string"))), 1, 1)
+      .isin("0", "1")
+    val docs = graft.Tables.load(spark, dir, "documents")
+    assert(docs.filter(isBatch).count() > 0, "batch eighth is empty")
+    assert(docs.filter(!isBatch).count() > 0, "existing side is empty")
+    val inc = RetrievalQueries.q224_bm25_index_update(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+    val full = RetrievalQueries.q83_bm25(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+    assert(inc.nonEmpty)
+    assert(inc.toSeq === full.toSeq)
+  }
+
+  // ---------- q225 ----------
+
+  test("q225: per-cap windows, waste and splits match the hand-computed fixture") {
+    val dir = tmp("packsweep")
+    def toks(n: Int) = (1 to n).map(i => s"t$i").mkString(" ")
+    // one source, one shard, three 300-token docs: shard_tok = 900
+    //   cap  512: windows 2, padded 124, waste 124e6 DIV 1024 = 121093;
+    //             doc2 spans [300,600) crossing 512 -> 1 split
+    //   cap 1024: windows 1, padded 124, waste 121093, 0 splits
+    //   cap 2048: windows 1, padded 1148, waste 560546, 0 splits
+    //   cap 4096: windows 1, padded 3196, waste 780273, 0 splits
+    writeDocs(dir, Seq((1L, "a", toks(300)), (2L, "a", toks(300)),
+      (3L, "a", toks(300))))
+    val got = CurationQueries.q225_packing_sweep(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    assert(got(512L) === ((2L, 900L, 124L, 121093L, 1L, 333333L)))
+    assert(got(1024L) === ((1L, 900L, 124L, 121093L, 0L, 0L)))
+    assert(got(2048L) === ((1L, 900L, 1148L, 560546L, 0L, 0L)))
+    assert(got(4096L) === ((1L, 900L, 3196L, 780273L, 0L, 0L)))
+  }
+
+  test("q225: windows never cross shard boundaries") {
+    val dir = tmp("packshard")
+    def toks(n: Int) = (1 to n).map(i => s"t$i").mkString(" ")
+    // two docs in DIFFERENT shards (ids 1 and 1001): each shard packs
+    // alone -> 2 windows at cap 512 (not the 1 a global stream would
+    // give for 300+200=500 tokens), and no doc is ever split
+    writeDocs(dir, Seq((1L, "a", toks(300)), (1001L, "a", toks(200))))
+    val got = CurationQueries.q225_packing_sweep(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(3), r.getLong(5))))
+      .toMap
+    assert(got(512L) === ((2L, 524L, 0L))) // 212 + 312 padding
+  }
+
+  // ---------- q226 ----------
+
+  test("q226: verified mass equals q69's shipped pair set; histogram is sane") {
+    val dir = sf()
+    val hist = TextQueries.q226_simhash_precision(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(hist.nonEmpty)
+    hist.foreach { case (d, nc, nv, ppm) =>
+      assert(d >= 0 && d <= 9)
+      assert(nv <= nc)
+      assert(ppm === nv * 1000000L / nc)
+    }
+    // the size prefilter q69 applies is a NECESSARY condition of
+    // j >= 0.8, so the audit's verified total must equal the shipped
+    // q69 pair count exactly
+    val q69n = TextQueries.q69_simhash_probe(spark, dir).count()
+    assert(hist.map(_._3).sum === q69n)
+    assert(q69n > 0, "no verified pairs at sf0.001 — fixture too small")
+  }
 }
