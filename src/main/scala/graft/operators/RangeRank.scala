@@ -111,22 +111,45 @@ object RangeRank {
 
   /** Bucket-tag expressions for each spec: #boundary objects strictly
     * before the row in sort order. Exposed package-private so the
-    * balance spec can audit bucket sizes directly. Runs the (shared)
-    * boundary probe and, per degenerate spec, one secondary-quantile
-    * probe for the heavy tie values. */
+    * balance spec can audit bucket sizes directly. ONE probe job total:
+    * primary AND (numeric) secondary keys share the same multi-column
+    * approxQuantile pass, and degenerate specs sub-bucket their heavy
+    * tie values on the secondary's GLOBAL quantiles — sub-bounds steer
+    * only bucket BALANCE, never rank values (afterPair is order-exact
+    * for any boundary), and in the all-equal-primary case the global
+    * secondary quantiles ARE the conditional ones. */
   private[graft] def bucketExprs(
       base: DataFrame,
       specs: Seq[Spec],
       b: Int): Seq[Column] = {
     val probs = (1 until b).map(_.toDouble / b).toArray
     val primNames = specs.indices.map(i => s"__rr_p$i")
-    val probed = base.select(specs.zipWithIndex.map { case (s, i) =>
-      col(s.keys.head.name).cast("double").as(primNames(i))
-    }: _*)
-    // one pass for ALL primary keys (nulls ignored per column)
+    // numeric secondary key per spec, probed alongside the primaries
+    // so the tie-skew fallback never needs a second probe job
+    val secKeys: Seq[Option[Key]] = specs.map(_.keys.drop(1).headOption
+      .filter(k => base.schema.find(_.name == k.name)
+        .exists(_.dataType.isInstanceOf[NumericType])))
+    val secNames = specs.indices.map(i => s"__rr_s$i")
+    val probeCols =
+      specs.zipWithIndex.map { case (s, i) =>
+        col(s.keys.head.name).cast("double").as(primNames(i))
+      } ++
+        secKeys.zipWithIndex.collect { case (Some(k), i) =>
+          col(k.name).cast("double").as(secNames(i))
+        }
+    val probeNames = primNames ++
+      secKeys.zipWithIndex.collect { case (Some(_), i) => secNames(i) }
+    val probed = base.select(probeCols: _*)
+    // one pass for ALL keys (nulls ignored per column)
     val allBounds: Array[Array[Double]] =
-      if (probs.isEmpty) Array.fill(specs.length)(Array.empty[Double])
-      else probed.stat.approxQuantile(primNames.toArray, probs, 0.01)
+      if (probs.isEmpty) Array.fill(probeNames.length)(Array.empty[Double])
+      else probed.stat.approxQuantile(probeNames.toArray, probs, 0.01)
+    val secBounds: Map[Int, Array[Double]] =
+      secKeys.zipWithIndex.collect { case (Some(_), i) => i }
+        .zipWithIndex.map { case (specIdx, pos) =>
+          specIdx -> allBounds(specs.length + pos).filterNot(_.isNaN)
+            .distinct.sorted
+        }.toMap
 
     specs.zipWithIndex.map { case (spec, i) =>
       val prim = spec.keys.head
@@ -136,28 +159,18 @@ object RangeRank {
       val mult = raw.groupBy(identity).map { case (v, a) => v -> a.length }
 
       // tie-skew fallback: massive primary ties + a numeric secondary
-      // key → split each heavy value's band on secondary quantiles
-      val secOpt = spec.keys.drop(1).headOption.filter(k =>
-        base.schema.find(_.name == k.name)
-          .exists(_.dataType.isInstanceOf[NumericType]))
+      // key → split each heavy value's band on the secondary's global
+      // quantiles, one evenly-spaced pick per lost boundary
+      val secOpt = secKeys(i)
       val heavy = mult.filter(_._2 > 1)
       val subBounds: Map[Double, Array[Double]] =
         if (distinctBounds.length < b / 4 && heavy.nonEmpty && secOpt.isDefined) {
-          val sec = secOpt.get
-          val sD = col(sec.name).cast("double")
-          val kMax = heavy.values.max // sub-splits per heavy value
-          val subProbs = (1 to kMax).map(p => lit(p.toDouble / (kMax + 1)))
-          base.filter(pD.isin(heavy.keys.toSeq: _*))
-            .groupBy(pD.as("__rr_hp"))
-            .agg(percentile_approx(sD, array(subProbs: _*), lit(10000))
-              .as("__rr_qs"))
-            .collect()
-            .flatMap { r =>
-              if (r.isNullAt(0) || r.isNullAt(1)) None
-              else Some(r.getDouble(0) ->
-                r.getSeq[Any](1).collect { case d: java.lang.Double => d.doubleValue }
-                  .toArray.distinct.sorted)
-            }.toMap
+          val secQ = secBounds.getOrElse(i, Array.empty[Double])
+          if (secQ.isEmpty) Map.empty
+          else heavy.map { case (v, m) =>
+            v -> (1 to m).map(j => secQ((j * secQ.length) / (m + 1)))
+              .toArray.distinct.sorted
+          }
         } else Map.empty
 
       val terms: Seq[Column] =
