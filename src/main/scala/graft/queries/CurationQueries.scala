@@ -946,6 +946,98 @@ object CurationQueries {
        |ORDER BY source""".stripMargin
   }
 
+  // ---------- q228: largest-remainder shard apportionment ----------
+
+  /** Output shards the writer fleet is divided into. */
+  val apportionShards = 1024L
+
+  /** Hamilton (largest-remainder) apportionment of the writer fleet:
+    * q221 says how many tokens each source may contribute; this turns
+    * that into the INTEGER shard plan — `apportionShards` output
+    * shards split proportionally to the feasible allocation, floors
+    * first, then one extra shard to the sources with the largest
+    * remainder (ties → source name) until the total is exact. The
+    * quota method is the one that never violates quota and cannot
+    * suffer Alabama paradoxes within a fixed house size — and unlike
+    * rounding, Σ shards = `apportionShards` ALWAYS holds, which is
+    * what the downstream writer manifest requires.
+    *
+    * Scale shape: q221's one lowCard supply aggregate; everything
+    * after is integer arithmetic and a window over ≤ |declared
+    * sources| rows (all remainders share the denominator Σalloc, so
+    * the largest-remainder comparison is exact integer, no fractions
+    * materialized).
+    */
+  def q228_shard_apportion(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = mixtureTargetPpm.foldLeft(lit(0L)) { case (acc, (s, p)) =>
+      when(col("source") === s, lit(p)).otherwise(acc)
+    }
+    val supply = Tables.load(spark, dir, "documents")
+      .filter(col("source").isin(mixtureTargetPpm.map(_._1): _*))
+      .select(col("source"), size(T.tokens(col("text"))).cast("long").as("n"))
+      .groupBy("source")
+      .agg(sum(col("n")).cast("long").as("n_toks"))
+      .withColumn("w_ppm", w)
+    val cap = supply
+      .agg(min(expr("(n_toks * 1000000) DIV w_ppm")).cast("long").as("t_max"))
+    val alloc = supply.crossJoin(broadcast(cap))
+      .withColumn("alloc_toks", expr("(w_ppm * t_max) DIV 1000000"))
+      .select("source", "alloc_toks")
+    val tot = alloc.agg(sum(col("alloc_toks")).cast("long").as("tot"))
+    val based = alloc.crossJoin(broadcast(tot))
+      .withColumn("base_shards", expr(s"(alloc_toks * $apportionShards) DIV tot"))
+      .withColumn("rem_num", expr(s"(alloc_toks * $apportionShards) % tot"))
+    val rTot = based
+      .agg((lit(apportionShards) - sum(col("base_shards"))).cast("long").as("r"))
+    based.crossJoin(broadcast(rTot))
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("rem_num").desc, col("source").asc)).cast("long"))
+      .withColumn("extra",
+        when(col("rk") <= col("r"), lit(1L)).otherwise(lit(0L)))
+      .withColumn("shards", col("base_shards") + col("extra"))
+      .select("source", "alloc_toks", "base_shards", "rem_num", "extra",
+        "shards")
+      .orderBy("source")
+  }
+
+  val q228_oracle: String = {
+    val toks = T.tokensSql("text")
+    val wCase = mixtureTargetPpm
+      .map { case (s, p) => s"WHEN source = '$s' THEN $p" }
+      .mkString("CASE ", " ", " ELSE 0 END")
+    val srcs = mixtureTargetPpm.map(s => s"'${s._1}'").mkString(", ")
+    s"""WITH supply AS (
+       |  SELECT source, CAST(sum(len($toks)) AS BIGINT) AS n_toks,
+       |    CAST(($wCase) AS BIGINT) AS w_ppm
+       |  FROM documents WHERE source IN ($srcs)
+       |  GROUP BY source),
+       |cap AS (
+       |  SELECT CAST(min((n_toks * 1000000) // w_ppm) AS BIGINT) AS t_max
+       |  FROM supply),
+       |alloc AS (
+       |  SELECT source, CAST((w_ppm * t_max) // 1000000 AS BIGINT) AS alloc_toks
+       |  FROM supply CROSS JOIN cap),
+       |tot AS (SELECT CAST(sum(alloc_toks) AS BIGINT) AS tot FROM alloc),
+       |based AS (
+       |  SELECT source, alloc_toks,
+       |    CAST((alloc_toks * $apportionShards) // tot AS BIGINT) AS base_shards,
+       |    CAST((alloc_toks * $apportionShards) % tot AS BIGINT) AS rem_num
+       |  FROM alloc CROSS JOIN tot),
+       |r AS (
+       |  SELECT CAST($apportionShards - sum(base_shards) AS BIGINT) AS r
+       |  FROM based),
+       |rk AS (
+       |  SELECT *, CAST(row_number() OVER (ORDER BY rem_num DESC, source ASC)
+       |    AS BIGINT) AS rk
+       |  FROM based)
+       |SELECT source, alloc_toks, base_shards, rem_num,
+       |  CAST(CASE WHEN rk <= r THEN 1 ELSE 0 END AS BIGINT) AS extra,
+       |  CAST(base_shards + CASE WHEN rk <= r THEN 1 ELSE 0 END AS BIGINT)
+       |    AS shards
+       |FROM rk CROSS JOIN r ORDER BY source""".stripMargin
+  }
+
   // ---------- q223: leakage-free (cluster-aware) split ----------
 
   /** Near-dup-aware train/val/test split: a document's split is
@@ -1189,6 +1281,7 @@ object CurationQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q225_packing_sweep" -> (q225_packing_sweep _),
+    "q228_shard_apportion" -> (q228_shard_apportion _),
     "q216_epoch_schedule" -> (q216_epoch_schedule _),
     "q223_leakage_free_split" -> (q223_leakage_free_split _),
     "q220_canonical_rep" -> (q220_canonical_rep _),
@@ -1209,6 +1302,7 @@ object CurationQueries {
 
   val oracles: Map[String, String] = Map(
     "q225_packing_sweep" -> q225_oracle,
+    "q228_shard_apportion" -> q228_oracle,
     "q216_epoch_schedule" -> q216_oracle,
     "q223_leakage_free_split" -> q223_oracle,
     "q220_canonical_rep" -> q220_oracle,

@@ -340,6 +340,78 @@ object VectorQueries {
     * floats have no SQL twin); IvfPersistSpec pins the stored-index
     * search equal to the fresh-build search row for row.
     */
+  // ---------- q227: incremental IVF index update ----------
+
+  /** Index MAINTENANCE for the IVF artifact — the vector member of the
+    * incremental-≡-rescan family (q94 signatures, q209 heavy hitters,
+    * q224 BM25): the coarse quantizer trains ONCE on the existing
+    * corpus and is FROZEN (retraining per ingest would re-assign every
+    * stored vector — the one thing a 100 TB inverted file can never
+    * afford); an arriving batch is assigned with the STORED centroids
+    * (batch-sized scan, reopened quantizer — never the in-memory one)
+    * and its postings append as new files. Search then runs against
+    * the merged inverted file. Because the quantizer is frozen, append
+    * IS the correct merge: IvfUpdateSpec pins the merged search equal
+    * row-for-row to a single-shot assignment of the whole corpus under
+    * the same model. Rows-only at the driver like q42/q96 (k-means
+    * floats have no SQL twin).
+    *
+    * Scale shape: train-once on the existing side (bounded sample
+    * collect), one batch-sized assignment scan, file append; the
+    * probe join shuffles by cell id. Cell population drift under
+    * sustained ingest is the operational trigger for a quantizer
+    * VERSION bump (a new index generation), not an in-place retrain.
+    */
+  def q227_ivf_index_update(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    import spark.implicits._
+    val work = graft.io.Scratch.dir(spark, "graft-q227-")
+    val fs = new Path(work).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    try {
+      val e = emb(spark, dir)
+      val isBatch =
+        substring(md5(concat(lit("b73|"), col("vec_id").cast("string"))), 1, 1)
+          .isin("0", "1")
+      val existing = e.filter(!isBatch)
+      // build: quantizer trained on the EXISTING corpus only, frozen
+      val model = graft.similarity.IvfIndex.train(existing, "v", k = 16,
+        sampleIdCol = Some("vec_id"))
+      model.centroids.zipWithIndex.map { case (c, j) => (j, c) }
+        .toDF("cell_id", "centroid")
+        .write.parquet(s"$work/centroids")
+      existing.withColumn("cell", model.cell(col("v")))
+        .select(col("vec_id"), col("cell"), col("v"), V.norm(col("v")).as("n_nrm"))
+        .write.parquet(s"$work/postings")
+      // ingest: the batch assigns with the REOPENED quantizer and
+      // appends — no existing posting is read or rewritten
+      val storedCentroids = spark.read.parquet(s"$work/centroids")
+        .orderBy("cell_id").collect()
+        .map(_.getSeq[Double](1).toSeq).toSeq
+      val stored = graft.similarity.IvfIndex.Model(storedCentroids)
+      e.filter(isBatch).withColumn("cell", stored.cell(col("v")))
+        .select(col("vec_id"), col("cell"), col("v"), V.norm(col("v")).as("n_nrm"))
+        .write.mode("append").parquet(s"$work/postings")
+      // search: q96's probe against the MERGED inverted file
+      val postings = spark.read.parquet(s"$work/postings")
+        .select(col("vec_id").as("n_id"), col("v").as("nv"),
+          col("cell"), col("n_nrm"))
+      val queries = e.filter(col("vec_id") < 50)
+        .withColumn("probe_cells", stored.probeCells(col("v"), nProbe = 4))
+        .select(col("vec_id").as("q_id"), col("v").as("qv"),
+          explode(col("probe_cells")).as("cell"), V.norm(col("v")).as("q_nrm"))
+      val cos = V.cosineWithNorms(col("qv"), col("nv"), col("q_nrm"), col("n_nrm"))
+      val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id").asc)
+      queries.join(postings, Seq("cell"))
+        .filter(col("q_id") =!= col("n_id"))
+        .select(col("q_id"), col("n_id"), cos.as("cos"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select("q_id", "rk", "n_id", "cos")
+        .orderBy("q_id", "rk")
+        .localCheckpoint() // materialize before the work dir is deleted
+    } finally fs.delete(new Path(work), true)
+  }
+
   def q96_ivf_index_persist(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.hadoop.fs.Path
     import spark.implicits._
@@ -1012,6 +1084,7 @@ object VectorQueries {
     // q96 rows-only for the same reason; IvfPersistSpec pins
     // stored-index search == fresh-build search row for row
     "q96_ivf_index_persist" -> (q96_ivf_index_persist _),
+    "q227_ivf_index_update" -> (q227_ivf_index_update _),
     "q70_knn_lsh_multiprobe" -> (q70_knn_lsh_multiprobe _),
     "q106_semantic_decontam" -> (q106_semantic_decontam _),
     // q112 rows-only like q42/q96: trained floats have no SQL twin;

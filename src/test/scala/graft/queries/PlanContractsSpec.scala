@@ -42,7 +42,9 @@ class PlanContractsSpec extends SparkSpec {
     * exempt automatically (provably bounded input). */
   private val globalAllow: Map[String, (Int, String)] = Map(
     "q172_pareto" -> ((2, "windows run over the 10-row decile report")),
-    "q165_novelty_curve" -> ((1, "cumsum over the 10-row decile report")))
+    "q165_novelty_curve" -> ((1, "cumsum over the 10-row decile report")),
+    "q228_shard_apportion" -> ((1,
+      "largest-remainder rank over the <= |declared sources| (5) allocation rows")))
 
   private val lowCard = Set("event_type", "source", "lang", "l_returnflag")
 

@@ -394,4 +394,77 @@ class Round12OpsSpec extends SparkSpec {
     assert(hist.map(_._3).sum === q69n)
     assert(q69n > 0, "no verified pairs at sf0.001 — fixture too small")
   }
+
+  // ---------- q227 ----------
+
+  test("q227: frozen-quantizer append is indistinguishable from a full assignment") {
+    import org.apache.spark.sql.functions._
+    val dir = sf()
+    val isBatch = substring(
+      md5(concat(lit("b73|"), col("vec_id").cast("string"))), 1, 1)
+      .isin("0", "1")
+    val e = graft.Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"),
+        graft.functions.VectorFunctions.asDouble(col("embedding")).as("v"))
+    assert(e.filter(isBatch).count() > 0, "batch eighth is empty")
+    assert(e.filter(!isBatch).count() > 0, "existing side is empty")
+    val inc = VectorQueries.q227_ivf_index_update(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(inc.nonEmpty)
+    // replica: same frozen model (trained on the existing side only),
+    // single-shot assignment of the WHOLE corpus, same probe
+    val model = graft.similarity.IvfIndex.train(
+      e.filter(!isBatch).select(col("vec_id"), col("v")), "v", k = 16,
+      sampleIdCol = Some("vec_id"))
+    val all = e.withColumn("cell", model.cell(col("v")))
+      .select(col("vec_id").as("n_id"), col("v").as("nv"), col("cell"),
+        graft.functions.VectorFunctions.norm(col("v")).as("n_nrm"))
+    val qs = e.filter(col("vec_id") < 50)
+      .withColumn("probe_cells", model.probeCells(col("v"), nProbe = 4))
+      .select(col("vec_id").as("q_id"), col("v").as("qv"),
+        explode(col("probe_cells")).as("cell"),
+        graft.functions.VectorFunctions.norm(col("v")).as("q_nrm"))
+    val cos = graft.functions.VectorFunctions.cosineWithNorms(
+      col("qv"), col("nv"), col("q_nrm"), col("n_nrm"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("cos").desc, col("n_id").asc)
+    val full = qs.join(all, Seq("cell"))
+      .filter(col("q_id") =!= col("n_id"))
+      .select(col("q_id"), col("n_id"), cos.as("cos"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select("q_id", "rk", "n_id", "cos")
+      .orderBy("q_id", "rk")
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(inc.toSeq === full.toSeq)
+  }
+
+  // ---------- q228 ----------
+
+  test("q228: Hamilton apportionment matches the hand fixture and sums exactly") {
+    val dir = tmp("apportion")
+    def toks(n: Int) = Seq.fill(n)("t").mkString(" ")
+    // q221 fixture: t_max = 40, allocs = 16/10/8/4/2, tot = 40.
+    // 1024 shards: alloc*1024/40 = 409.6 / 256 / 204.8 / 102.4 / 51.2
+    // floors 409/256/204/102/51 = 1022, R = 2; remainders
+    // 24/0/32/16/8 (mod 40): extras -> src2 (32), src0 (24)
+    writeDocs(dir, Seq(
+      (1L, "src0", toks(40)), (2L, "src1", toks(25)), (3L, "src2", toks(20)),
+      (4L, "src3", toks(10)), (5L, "src4", toks(2))))
+    val got = CurationQueries.q228_shard_apportion(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))).toMap
+    assert(got("src0") === ((16L, 409L, 24L, 1L, 410L)))
+    assert(got("src1") === ((10L, 256L, 0L, 0L, 256L)))
+    assert(got("src2") === ((8L, 204L, 32L, 1L, 205L)))
+    assert(got("src3") === ((4L, 102L, 16L, 0L, 102L)))
+    assert(got("src4") === ((2L, 51L, 8L, 0L, 51L)))
+    assert(got.values.map(_._5).sum === CurationQueries.apportionShards)
+  }
+
+  test("q228: the shard total is exact at sf0.001") {
+    val got = CurationQueries.q228_shard_apportion(spark, sf()).collect()
+    assert(got.map(_.getLong(5)).sum === CurationQueries.apportionShards)
+  }
 }
