@@ -1523,6 +1523,52 @@ object TextQueries {
       .orderBy("j_decile")
   }
 
+  // ---------- q229: signature-index erasure ----------
+
+  /** The DELETE half of index maintenance — the missing lifecycle leg
+    * next to build (q76), append (q94) and probe (q73): q121 feeds
+    * erasure requests and q206 scopes them; this EXECUTES one against
+    * the stored signature index. Parquet files are immutable, so
+    * in-place deletion does not exist: erased docs are masked by a
+    * TOMBSTONE anti-join at read time (the tombstone-then-compact
+    * pattern a columnar store actually uses) and near-dup pairs
+    * recompute from the surviving rows. Banding is per-doc stateless,
+    * so the tombstone-filtered read is EXACTLY a rebuild without the
+    * erased documents — the oracle is q25's pair query over the
+    * erased-filtered index verbatim (erase ≡ rebuild-without, the
+    * erasure face of the q94/q209/q224/q227 incremental-≡-rescan
+    * contract).
+    *
+    * Scale shape: the tombstone set is request-sized and derives from
+    * the erasure feed, not the index; the mask is one doc-id-keyed
+    * anti-join on the narrow index with NO broadcast hint (a GDPR
+    * batch or boilerplate purge can be a large fraction of the corpus;
+    * AQE decides), then the standard bucket-bounded pair machinery.
+    * The deterministic `del|` eighth plays the request.
+    */
+  def q229_index_erasure(spark: SparkSession, dir: String): DataFrame = {
+    val erased =
+      substring(md5(concat(lit("del|"), col("doc_id").cast("string"))), 1, 1)
+        .isin("0", "1")
+    val tombstones = docs(spark, dir).filter(erased).select("doc_id")
+    val kept = spark.read.parquet(SigIndex.path(spark, dir))
+      .join(tombstones, Seq("doc_id"), "left_anti")
+    pairsFromIndex(kept).orderBy("a_id", "b_id")
+  }
+
+  val q229_oracle: String = {
+    val erasedFlag =
+      "substring(md5(concat('del|', CAST(doc_id AS VARCHAR))), 1, 1) IN ('0', '1')"
+    s"""WITH ${indexBandsCteSql(Some(erasedFlag -> "erased"))}
+       |SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+       |  ${keyJaccardSql("a", "b")} AS jaccard
+       |FROM bands a JOIN bands b
+       |  ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+       |WHERE NOT a.erased AND NOT b.erased
+       |  AND ${keyJaccardSql("a", "b")} >= 0.8
+       |ORDER BY a_id, b_id""".stripMargin
+  }
+
   // ---------- q226: SimHash candidate-precision audit ----------
 
   /** q203's precision audit for the OTHER candidate generator: all
@@ -1656,6 +1702,7 @@ object TextQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q203_lsh_precision" -> (q203_lsh_precision _),
     "q226_simhash_precision" -> (q226_simhash_precision _),
+    "q229_index_erasure" -> (q229_index_erasure _),
     "q213_shingle_df_profile" -> (q213_shingle_df_profile _),
     "q143_allpairs" -> (q143_allpairs _),
     "q154_dedup_eval" -> (q154_dedup_eval _),
@@ -1686,6 +1733,7 @@ object TextQueries {
   val oracles: Map[String, String] = Map(
     "q203_lsh_precision" -> q203_oracle,
     "q226_simhash_precision" -> q226_oracle,
+    "q229_index_erasure" -> q229_oracle,
     "q213_shingle_df_profile" -> q213_oracle,
     "q139_novelty" -> q139_oracle,
     "q143_allpairs" -> q143_oracle,

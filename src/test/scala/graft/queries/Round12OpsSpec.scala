@@ -467,4 +467,27 @@ class Round12OpsSpec extends SparkSpec {
     val got = CurationQueries.q228_shard_apportion(spark, sf()).collect()
     assert(got.map(_.getLong(5)).sum === CurationQueries.apportionShards)
   }
+
+  // ---------- q229 ----------
+
+  test("q229: erasure bites a shipped pair and no erased id survives") {
+    import org.apache.spark.sql.functions._
+    val dir = sf()
+    def isErased(id: Long): Boolean =
+      md5hex(s"del|$id").take(1) match { case "0" | "1" => true; case _ => false }
+    val full = TextQueries.q25_minhash_lsh_pairs(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(full.exists { case (a, b) => isErased(a) || isErased(b) },
+      "no erased doc sits in a q25 pair at sf0.001 — the mask is untested")
+    val got = TextQueries.q229_index_erasure(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    got.foreach { case (a, b) =>
+      assert(!isErased(a) && !isErased(b), s"erased id survives in ($a,$b)")
+    }
+    // rebuild-without equivalence: exactly the full pairs whose both
+    // endpoints survive (banding is per-doc stateless)
+    val expect = full.filter { case (a, b) => !isErased(a) && !isErased(b) }
+    assert(got.toSeq === expect.toSeq)
+    assert(got.nonEmpty, "all pairs erased — fixture too small")
+  }
 }
