@@ -220,14 +220,17 @@ object RetrievalQueries {
 
   /** q83's oracle WITHOUT the trailing ORDER BY — the embeddable body
     * q91's CTE composes directly (no text surgery on finished SQL).
+    * `prefixCtes` prepends extra CTEs and `docsRel` swaps the scored
+    * relation — q230 scores `survivors` instead of `documents`.
     */
-  private val bm25OracleBody: String = {
+  private def bm25OracleBodyFrom(
+      docsRel: String, prefixCtes: String = ""): String = {
     val tk = T.tokensSql("text")
     val values = bm25Queries
       .flatMap { case (qid, ts) => ts.map(t => s"($qid, '$t')") }
       .mkString(", ")
-    s"""WITH q AS (SELECT * FROM (VALUES $values) AS v(query_id, term)),
-       |t AS (SELECT doc_id, $tk AS tk FROM documents),
+    s"""WITH ${prefixCtes}q AS (SELECT * FROM (VALUES $values) AS v(query_id, term)),
+       |t AS (SELECT doc_id, $tk AS tk FROM $docsRel),
        |terms AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS dl, unnest(tk) AS term FROM t),
        |tf AS (SELECT doc_id, term, count(*) AS tf, max(dl) AS dl
        |       FROM terms GROUP BY 1, 2),
@@ -244,6 +247,8 @@ object RetrievalQueries {
        |    ORDER BY score DESC, doc_id) AS rnk FROM sc)
        |WHERE rnk <= $bm25TopK""".stripMargin
   }
+
+  private val bm25OracleBody: String = bm25OracleBodyFrom("documents")
 
   val q83_oracle: String = s"$bm25OracleBody ORDER BY query_id, rnk"
 
@@ -939,8 +944,119 @@ object RetrievalQueries {
   /** q83's oracle verbatim — see [[q224_bm25_index_update]]. */
   val q224_oracle: String = q83_oracle
 
+  // ---------- q230: BM25 index erasure ----------
+
+  /** The DELETE leg for the RETRIEVAL index — q229's story where the
+    * statistics fight back: dropping a document's postings is the
+    * stateless part (tombstone anti-join, as q229), but BM25's scoring
+    * state must SHRINK with it — df decrements by the erased docs'
+    * distinct terms (a vocab-sized merge of a request-sized delta,
+    * never a rescan of surviving text), and the 1-row corpus stats
+    * subtract the erased doc/token counts. A new df/stats version is
+    * written beside the old (same swap discipline as q224's append
+    * leg). The oracle is q83's scoring over the surviving documents
+    * verbatim: erase ≡ rebuild-without, completing the lifecycle
+    * matrix — build q84 / append q224 / ERASE q230 — the way
+    * build q76 / append q94 / erase q229 closes it for signatures.
+    *
+    * Scale shape: the erased postings are re-derived from the STORED
+    * postings by the tombstone anti-join (no text touched); the df
+    * delta aggregates the erased postings only (request-sized), merges
+    * vocab-keyed; stats subtract in one row. No broadcast hint on the
+    * tombstone or delta sides (an erasure batch can be
+    * corpus-fraction-sized; AQE decides). The `del|` eighth plays the
+    * request, matching q229.
+    */
+  def q230_bm25_erasure(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val work = graft.io.Scratch.dir(spark, "graft-q230-")
+    val fs = new Path(work).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    try {
+      // build (q84's artifact over the full corpus)
+      val docs = Tables.load(spark, dir, "documents")
+      val terms = docs
+        .select(col("doc_id"), T.tokens(col("text")).as("tk"))
+        .select(col("doc_id"), size(col("tk")).cast("long").as("dl"),
+          explode(col("tk")).as("term"))
+      terms.groupBy("term", "doc_id")
+        .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
+        .write.parquet(s"$work/postings")
+      spark.read.parquet(s"$work/postings")
+        .groupBy("term").agg(count(lit(1)).as("df"))
+        .write.parquet(s"$work/df_v0")
+      docs.agg(count(lit(1)).as("n"))
+        .crossJoin(terms.agg(count(lit(1)).as("l")))
+        .write.parquet(s"$work/stats_v0")
+
+      // erase: tombstones mask postings; df decrements by the erased
+      // docs' distinct-term delta; stats subtract the erased counts.
+      // Everything derives from STORED columns — no text re-read.
+      val erased =
+        substring(md5(concat(lit("del|"), col("doc_id").cast("string"))), 1, 1)
+          .isin("0", "1")
+      val tombstones = docs.filter(erased).select("doc_id")
+      val stored = spark.read.parquet(s"$work/postings")
+      val erasedPost = stored.join(tombstones, Seq("doc_id"), "left_semi")
+        .localCheckpoint() // df delta and stats delta share it
+      spark.read.parquet(s"$work/df_v0")
+        .join(erasedPost.groupBy("term").agg(count(lit(1)).as("df_e")),
+          Seq("term"), "left")
+        .select(col("term"),
+          (col("df") - coalesce(col("df_e"), lit(0L))).as("df"))
+        .filter(col("df") > 0)
+        .write.parquet(s"$work/df_v1")
+      spark.read.parquet(s"$work/stats_v0")
+        .crossJoin(tombstones.agg(count(lit(1)).as("n_e")))
+        .crossJoin(erasedPost.agg(coalesce(sum(col("tf")), lit(0L)).as("l_e")))
+        .select((col("n") - col("n_e")).as("n"), (col("l") - col("l_e")).as("l"))
+        .write.parquet(s"$work/stats_v1")
+
+      // score q83's query set from the erased artifact
+      val tf = spark.read.parquet(s"$work/postings")
+        .join(tombstones, Seq("doc_id"), "left_anti")
+      val dft = spark.read.parquet(s"$work/df_v1")
+      val stats = spark.read.parquet(s"$work/stats_v1")
+        .withColumn("adl", expr("l div n"))
+      val queryTerms = bm25Queries
+        .flatMap { case (qid, ts) => ts.map(t => (qid, t)) }
+        .toDF("query_id", "term")
+      broadcast(queryTerms)
+        .join(tf, "term")
+        .join(dft, "term")
+        .crossJoin(broadcast(stats))
+        .withColumn("contrib",
+          expr(s"($bm25Scale * (2*n - 2*df + 1) * 22 * adl * tf) div " +
+            s"((2*df + 1) * (10 * adl * tf + 3 * adl + 9 * dl))"))
+        .groupBy("query_id", "doc_id")
+        .agg(sum(col("contrib")).as("score"))
+        .withColumn("rnk", row_number().over(
+          Window.partitionBy("query_id").orderBy(col("score").desc, col("doc_id"))))
+        .filter(col("rnk") <= bm25TopK)
+        .select("query_id", "doc_id", "score", "rnk")
+        .orderBy("query_id", "rnk")
+        .localCheckpoint() // materialize before the work dir is deleted
+    } finally fs.delete(new Path(work), true)
+  }
+
+  /** q83's scoring over the surviving documents — the rebuild-without
+    * the erasure must be indistinguishable from. The l statistic in
+    * the erased version subtracts STORED tf sums, which equals the
+    * surviving corpus's total token count exactly (Σ tf over a doc's
+    * postings = its token count).
+    */
+  val q230_oracle: String = {
+    val erasedFlag =
+      "substring(md5(concat('del|', CAST(doc_id AS VARCHAR))), 1, 1) IN ('0', '1')"
+    bm25OracleBodyFrom("survivors",
+      s"survivors AS (SELECT * FROM documents WHERE NOT ($erasedFlag)),\n") +
+      " ORDER BY query_id, rnk"
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q224_bm25_index_update" -> (q224_bm25_index_update _),
+    "q230_bm25_erasure" -> (q230_bm25_erasure _),
     "q202_rrf_fusion" -> (q202_rrf_fusion _),
     "q178_mmr" -> (q178_mmr _),
     "q188_bm25_prf" -> (q188_bm25_prf _),
@@ -954,6 +1070,7 @@ object RetrievalQueries {
 
   val oracles: Map[String, String] = Map(
     "q224_bm25_index_update" -> q224_oracle,
+    "q230_bm25_erasure" -> q230_oracle,
     "q202_rrf_fusion" -> q202_oracle,
     "q178_mmr" -> q178_oracle,
     "q188_bm25_prf" -> q188_oracle,

@@ -490,4 +490,22 @@ class Round12OpsSpec extends SparkSpec {
     assert(got.toSeq === expect.toSeq)
     assert(got.nonEmpty, "all pairs erased — fixture too small")
   }
+
+  // ---------- q230 ----------
+
+  test("q230: erasure bites the rankings and no erased doc survives") {
+    val dir = sf()
+    def isErased(id: Long): Boolean =
+      md5hex(s"del|$id").take(1) match { case "0" | "1" => true; case _ => false }
+    val full = RetrievalQueries.q83_bm25(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+    assert(full.exists(r => isErased(r._2)),
+      "no erased doc in q83's top-k at sf0.001 — the df decrement is untested")
+    val got = RetrievalQueries.q230_bm25_erasure(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+    assert(got.nonEmpty)
+    got.foreach(r => assert(!isErased(r._2), s"erased doc ${r._2} survives"))
+    // the rankings must actually move (df and stats shrank)
+    assert(got.toSeq !== full.toSeq)
+  }
 }
