@@ -946,6 +946,106 @@ object CurationQueries {
        |ORDER BY source""".stripMargin
   }
 
+  // ---------- q232: corpus release manifest ----------
+
+  /** The RELEASE MANIFEST — the table a corpus version actually ships
+    * with: round-12's curation rules composed end-to-end and rolled up
+    * per (split, source). Near-dup clusters keep their HIGHEST-QUALITY
+    * member (q220's rule, ties → min id — not q60's min-id pick), the
+    * q61 quality verdict filters survivors, and the split is
+    * LEAKAGE-FREE (q223's rule: the cluster's min-id label hashes, so
+    * a cluster can never straddle train/val/test even before dedup is
+    * applied). Output: docs and tokens per (split, source) — the
+    * numbers a model card quotes. Complements q86 (the per-stage
+    * funnel without splits) with the shipped cut.
+    *
+    * Scale shape: q86's composition argument verbatim — memberships
+    * are bounded side tables (CC labels, per-cluster argmax) LEFT-
+    * joined onto ONE full-text pass; the rollup is a (≤3·sources)-row
+    * partial agg. The argmax is q220's single max(struct) per cluster.
+    */
+  def q232_release_manifest(spark: SparkSession, dir: String): DataFrame = {
+    def bucketOf(c: Column): Column = {
+      val h2 = substring(md5(concat(lit("split-1|"), c.cast("string"))), 1, 2)
+      (instr(lit("0123456789abcdef"), substring(h2, 1, 1)) - 1) * 16 +
+        (instr(lit("0123456789abcdef"), substring(h2, 2, 1)) - 1)
+    }
+    def splitOf(b: Column): Column =
+      CorpusQueries.splitBuckets.reverse
+        .foldLeft(lit(null).cast("string")) { case (acc, (name, ub)) =>
+          when(b < ub, lit(name)).otherwise(acc)
+        }
+    val pairs = TextQueries.lshPairs(spark, dir)
+      .select("a_id", "b_id").transform(graft.Lineage.cut)
+    val cc = ConnectedComponents.run(pairs, "a_id", "b_id")
+    val qm = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"),
+        floor(T.qualityScore(col("text")) * 1000000L).cast("long").as("qm"))
+    val kept = cc.join(qm, cc("id") === qm("doc_id"))
+      .groupBy(col("component"))
+      .agg(max(struct(col("qm"), (-col("doc_id")).as("negid"))).as("best"))
+      .select((-col("best.negid")).as("doc_id"), lit(1L).as("is_rep"))
+    Tables.load(spark, dir, "documents")
+      .withColumn("toks", T.tokens(col("text")))
+      .withColumn("n_toks", size(col("toks")).cast("long"))
+      .withColumn("lang_det", T.langId(col("toks")))
+      .withColumn("quality", T.qualityScore(col("text")))
+      .join(cc.select(col("id").as("doc_id"), col("component")),
+        Seq("doc_id"), "left")
+      .join(kept, Seq("doc_id"), "left")
+      .filter(col("component").isNull || col("is_rep").isNotNull)
+      .filter(qualityKeep)
+      .withColumn("split",
+        splitOf(bucketOf(coalesce(col("component"), col("doc_id")))))
+      .groupBy("split", "source")
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        sum(col("n_toks")).cast("long").as("n_tokens"))
+      .orderBy("split", "source")
+  }
+
+  val q232_oracle: String = {
+    val toks = T.tokensSql("text")
+    def bucketSql(c: String): String =
+      s"""((strpos('0123456789abcdef', substring(md5(concat('split-1|', CAST($c AS VARCHAR))), 1, 1)) - 1) * 16
+         | + (strpos('0123456789abcdef', substring(md5(concat('split-1|', CAST($c AS VARCHAR))), 2, 1)) - 1))""".stripMargin
+    def splitSql(c: String): String = CorpusQueries.splitBuckets
+      .map { case (name, ub) => s"WHEN ${bucketSql(c)} < $ub THEN '$name'" }
+      .mkString("CASE ", " ", " END")
+    s"""WITH RECURSIVE pairs AS (${TextQueries.lshPairsSql}),
+       |edges AS (SELECT a_id AS u, b_id AS v FROM pairs
+       |          UNION SELECT b_id, a_id FROM pairs),
+       |reach AS (
+       |  SELECT u AS id, u AS r FROM (SELECT DISTINCT u FROM edges)
+       |  UNION
+       |  SELECT e.u AS id, reach.r FROM edges e JOIN reach ON e.v = reach.id),
+       |lab AS (SELECT id, min(r) AS component FROM reach GROUP BY id),
+       |m AS (
+       |  SELECT lab.component, lab.id,
+       |    CAST(floor(${T.qualityScoreSql("text")} * 1000000) AS BIGINT) AS qm
+       |  FROM lab JOIN documents ON lab.id = doc_id),
+       |best AS (SELECT component, max(qm) AS best_qm FROM m GROUP BY 1),
+       |kept AS (
+       |  SELECT m.component, min(m.id) AS doc_id
+       |  FROM m JOIN best ON m.component = best.component
+       |    AND m.qm = best.best_qm
+       |  GROUP BY m.component),
+       |d AS (
+       |  SELECT doc_id, source, lab.component,
+       |    CAST(len($toks) AS BIGINT) AS n_toks,
+       |    ${T.langIdSql(toks)} AS lang_det,
+       |    ${T.qualityScoreSql("text")} AS quality
+       |  FROM documents LEFT JOIN lab ON doc_id = lab.id),
+       |surv AS (
+       |  SELECT d.*
+       |  FROM d LEFT JOIN kept ON d.doc_id = kept.doc_id
+       |  WHERE (d.component IS NULL OR kept.doc_id IS NOT NULL)
+       |    AND $qualityKeepSql)
+       |SELECT ${splitSql("coalesce(component, doc_id)")} AS split, source,
+       |  CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(n_toks) AS BIGINT) AS n_tokens
+       |FROM surv GROUP BY 1, 2 ORDER BY split, source""".stripMargin
+  }
+
   // ---------- q228: largest-remainder shard apportionment ----------
 
   /** Output shards the writer fleet is divided into. */
@@ -1282,6 +1382,7 @@ object CurationQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q225_packing_sweep" -> (q225_packing_sweep _),
     "q228_shard_apportion" -> (q228_shard_apportion _),
+    "q232_release_manifest" -> (q232_release_manifest _),
     "q216_epoch_schedule" -> (q216_epoch_schedule _),
     "q223_leakage_free_split" -> (q223_leakage_free_split _),
     "q220_canonical_rep" -> (q220_canonical_rep _),
@@ -1303,6 +1404,7 @@ object CurationQueries {
   val oracles: Map[String, String] = Map(
     "q225_packing_sweep" -> q225_oracle,
     "q228_shard_apportion" -> q228_oracle,
+    "q232_release_manifest" -> q232_oracle,
     "q216_epoch_schedule" -> q216_oracle,
     "q223_leakage_free_split" -> q223_oracle,
     "q220_canonical_rep" -> q220_oracle,

@@ -54,6 +54,67 @@ object GraphQueries {
        |FROM lab JOIN cs USING (cluster_id)
        |ORDER BY doc_id""".stripMargin
 
+  // ---------- q231: cluster-chaining audit ----------
+
+  /** The TRANSITIVITY-DRIFT audit for connected-component dedup: CC
+    * merges A–B–C into one cluster even when A and C never matched —
+    * the classic chaining failure where a hub boilerplate document
+    * welds unrelated near-dup groups into one giant cluster and the
+    * single kept representative silently deletes documents that are
+    * NOT near-dups of it. Per cluster: members, verified edges, the
+    * weakest verified edge, and `complete` — whether every member
+    * pair was directly verified (n_edges = C(n,2)); an incomplete
+    * cluster is exactly one whose membership leans on transitivity.
+    * The share of incomplete clusters is the number that decides
+    * between CC dedup (q47/q60) and clique-stricter policies.
+    *
+    * Scale shape: the same pair-vertex CC every cluster consumer
+    * runs; edges attribute to clusters by ONE vertex-keyed join
+    * (every edge is intra-cluster by construction, so joining on a_id
+    * suffices); |clusters|-sized rollup. min over edge Jaccards is
+    * fold-order-free (exact despite doubles).
+    */
+  def q231_cluster_chaining(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = TextQueries.lshPairs(spark, dir)
+      .select("a_id", "b_id", "jaccard").transform(graft.Lineage.cut)
+    val cc = ConnectedComponents.run(
+      pairs.select("a_id", "b_id"), "a_id", "b_id")
+    val m = cc.groupBy(col("component").as("cluster_id"))
+      .agg(count(lit(1)).cast("long").as("n_members"))
+    pairs.join(cc, pairs("a_id") === cc("id"))
+      .select(col("component").as("cluster_id"), col("jaccard"))
+      .groupBy("cluster_id")
+      .agg(count(lit(1)).cast("long").as("n_edges"),
+        min(col("jaccard")).as("min_edge_j"))
+      .join(m, "cluster_id")
+      .withColumn("complete",
+        col("n_edges") === expr("(n_members * (n_members - 1)) DIV 2"))
+      .select("cluster_id", "n_members", "n_edges", "complete", "min_edge_j")
+      .orderBy("cluster_id")
+  }
+
+  val q231_oracle: String =
+    s"""WITH RECURSIVE pairs AS (${TextQueries.lshPairsSql}),
+       |edges AS (SELECT a_id AS u, b_id AS v FROM pairs
+       |          UNION SELECT b_id, a_id FROM pairs),
+       |reach AS (
+       |  SELECT u AS id, u AS r FROM (SELECT DISTINCT u FROM edges)
+       |  UNION
+       |  SELECT e.u AS id, reach.r FROM edges e JOIN reach ON e.v = reach.id),
+       |lab AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id),
+       |m AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_members
+       |      FROM lab GROUP BY 1),
+       |e2 AS (SELECT lab.cluster_id, p.jaccard
+       |       FROM pairs p JOIN lab ON p.a_id = lab.id)
+       |SELECT m.cluster_id, m.n_members,
+       |  CAST(count(*) AS BIGINT) AS n_edges,
+       |  CAST(count(*) AS BIGINT) = (m.n_members * (m.n_members - 1)) // 2
+       |    AS complete,
+       |  min(jaccard) AS min_edge_j
+       |FROM e2 JOIN m USING (cluster_id)
+       |GROUP BY m.cluster_id, m.n_members
+       |ORDER BY m.cluster_id""".stripMargin
+
   // ---------- q48: MERGE-style upsert ----------
 
   /** Lakehouse MERGE INTO re-expressed as one full-outer join
@@ -1033,6 +1094,7 @@ object GraphQueries {
     "q147_hits" -> (q147_hits _),
     "q133_label_prop" -> (q133_label_prop _),
     "q47_dup_clusters" -> (q47_dup_clusters _),
+    "q231_cluster_chaining" -> (q231_cluster_chaining _),
     "q48_merge_upsert" -> (q48_merge_upsert _),
     "q49_bloom_prune" -> (q49_bloom_prune _),
     "q117_pagerank" -> (q117_pagerank _),
@@ -1046,6 +1108,7 @@ object GraphQueries {
     "q147_hits" -> q147_oracle,
     "q133_label_prop" -> q133_oracle,
     "q47_dup_clusters" -> q47_oracle,
+    "q231_cluster_chaining" -> q231_oracle,
     "q48_merge_upsert" -> q48_oracle,
     "q49_bloom_prune" -> q49_oracle,
     "q117_pagerank" -> q117_oracle,

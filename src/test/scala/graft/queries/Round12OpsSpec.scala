@@ -508,4 +508,69 @@ class Round12OpsSpec extends SparkSpec {
     // the rankings must actually move (df and stats shrank)
     assert(got.toSeq !== full.toSeq)
   }
+
+  // ---------- q231 ----------
+
+  test("q231: chaining audit matches a driver-side replica over q25's edges") {
+    val dir = sf()
+    val pairs = TextQueries.q25_minhash_lsh_pairs(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val members = GraphQueries.q47_dup_clusters(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(pairs.nonEmpty)
+    val truth = pairs.groupBy { case (a, _, _) => members(a) }
+      .map { case (cid, es) =>
+        val n = members.values.count(_ == cid).toLong
+        cid -> ((n, es.length.toLong,
+          es.length.toLong == n * (n - 1) / 2, es.map(_._3).min))
+      }
+    val got = GraphQueries.q231_cluster_chaining(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getBoolean(3), r.getDouble(4)))).toMap
+    assert(got === truth)
+    // every edge is a verified >= 0.8 pair, so the weakest link is too
+    got.values.foreach { case (_, _, _, minJ) => assert(minJ >= 0.8) }
+  }
+
+  // ---------- q232 ----------
+
+  test("q232: manifest equals the composed driver-side replica") {
+    import org.apache.spark.sql.functions._
+    val dir = sf()
+    val members = GraphQueries.q47_dup_clusters(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // per-doc facts straight from the verified q61 verdict query
+    val verdicts = CurationQueries.q61_quality_filter(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getString(4) == "keep")).toMap
+    val qm = graft.Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        size(graft.functions.TextFunctions.tokens(col("text")))
+          .cast("long").as("n"),
+        floor(graft.functions.TextFunctions.qualityScoreDeclarative(col("text"))
+          * 1000000L).cast("long").as("qm"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3)))
+    val rep = members.groupBy(_._2).map { case (cid, ms) =>
+      val best = ms.keys.map(id =>
+        (qm.find(_._1 == id).get._4, id)).reduce((a, b) =>
+        if (a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)) a else b)
+      cid -> best._2
+    }
+    def splitOf(key: Long): String = {
+      val h2 = md5hex(s"split-1|$key").take(2)
+      val b = "0123456789abcdef".indexOf(h2(0)) * 16 +
+        "0123456789abcdef".indexOf(h2(1))
+      CorpusQueries.splitBuckets.find(b < _._2).get._1
+    }
+    val truth = qm.filter { case (id, _, _, _) =>
+      members.get(id).forall(cid => rep(cid) == id) && verdicts(id)
+    }.groupBy { case (id, src, _, _) =>
+      (splitOf(members.getOrElse(id, id)), src)
+    }.map { case (k, ds) => k -> ((ds.length.toLong, ds.map(_._3).sum)) }
+    val got = CurationQueries.q232_release_manifest(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    assert(got === truth)
+    assert(got.nonEmpty)
+  }
 }
