@@ -946,6 +946,83 @@ object CurationQueries {
        |ORDER BY source""".stripMargin
   }
 
+  // ---------- q234: cluster-aware K-fold cross-validation ----------
+
+  /** Number of cross-validation folds. */
+  val cvFolds = 5
+
+  /** K-fold assignment with BOTH guarantees an evaluation protocol
+    * needs and neither q78 nor q223 alone provides: leakage-freeness
+    * (a near-dup cluster lands whole in one fold — q223's rule) AND
+    * exact fold sizes (hash-bucketing gives only approximate ones):
+    * distinct group keys are ranked by a salted content hash and fold
+    * = ((rank−1)·K) DIV n — sizes differ by at most one BY
+    * CONSTRUCTION, the q228 exactness idea applied to folds. Output
+    * per fold: docs, tokens, groups — the fold-balance sheet.
+    *
+    * Scale shape: the group-key rank runs on the DISTINCT key table
+    * (≤ corpus, typically ≪ after clustering) through
+    * [[graft.operators.RangeRank]] — sample-boundary buckets, never a
+    * single-task global sort; docs join the key→fold map by group key
+    * (AQE decides the strategy); ≤K-row rollup.
+    */
+  def q234_crossval_folds(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.RangeRank
+    val pairs = TextQueries.lshPairs(spark, dir)
+      .select("a_id", "b_id").transform(graft.Lineage.cut)
+    val cc = ConnectedComponents.run(pairs, "a_id", "b_id")
+    val docs = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), size(T.tokens(col("text"))).cast("long").as("tok"))
+      .join(cc.select(col("id").as("doc_id"), col("component")),
+        Seq("doc_id"), "left")
+      .withColumn("gkey", coalesce(col("component"), col("doc_id")))
+    val keys = docs.select("gkey").distinct()
+      .withColumn("h",
+        conv(substring(md5(concat(lit("cv|"), col("gkey").cast("string"))),
+          1, 8), 16, 10).cast("long"))
+    val folds = RangeRank.rank(keys,
+        Nil, Seq(RangeRank.Key("h"), RangeRank.Key("gkey")), "rk", "nk")
+      .withColumn("fold", expr(s"((rk - 1) * $cvFolds) DIV nk"))
+      .select("gkey", "fold")
+    docs.join(folds, "gkey")
+      .groupBy("fold")
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        sum(col("tok")).cast("long").as("n_tokens"),
+        countDistinct(col("gkey")).cast("long").as("n_groups"))
+      .orderBy("fold")
+  }
+
+  val q234_oracle: String = {
+    val toks = T.tokensSql("text")
+    s"""WITH RECURSIVE pairs AS (${TextQueries.lshPairsSql}),
+       |edges AS (SELECT a_id AS u, b_id AS v FROM pairs
+       |          UNION SELECT b_id, a_id FROM pairs),
+       |reach AS (
+       |  SELECT u AS id, u AS r FROM (SELECT DISTINCT u FROM edges)
+       |  UNION
+       |  SELECT e.u AS id, reach.r FROM edges e JOIN reach ON e.v = reach.id),
+       |lab AS (SELECT id, min(r) AS component FROM reach GROUP BY id),
+       |d AS (
+       |  SELECT doc_id, CAST(len($toks) AS BIGINT) AS tok,
+       |    coalesce(lab.component, doc_id) AS gkey
+       |  FROM documents LEFT JOIN lab ON doc_id = lab.id),
+       |k AS (SELECT DISTINCT gkey FROM d),
+       |rk AS (
+       |  SELECT gkey,
+       |    CAST(row_number() OVER (ORDER BY
+       |      substring(md5(concat('cv|', CAST(gkey AS VARCHAR))), 1, 8), gkey)
+       |      AS BIGINT) AS rk,
+       |    CAST(count(*) OVER () AS BIGINT) AS nk
+       |  FROM k),
+       |f AS (SELECT gkey, CAST(((rk - 1) * $cvFolds) // nk AS BIGINT) AS fold
+       |      FROM rk)
+       |SELECT fold, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(tok) AS BIGINT) AS n_tokens,
+       |  CAST(count(DISTINCT d.gkey) AS BIGINT) AS n_groups
+       |FROM d JOIN f ON d.gkey = f.gkey
+       |GROUP BY fold ORDER BY fold""".stripMargin
+  }
+
   // ---------- q232: corpus release manifest ----------
 
   /** The RELEASE MANIFEST — the table a corpus version actually ships
@@ -1383,6 +1460,7 @@ object CurationQueries {
     "q225_packing_sweep" -> (q225_packing_sweep _),
     "q228_shard_apportion" -> (q228_shard_apportion _),
     "q232_release_manifest" -> (q232_release_manifest _),
+    "q234_crossval_folds" -> (q234_crossval_folds _),
     "q216_epoch_schedule" -> (q216_epoch_schedule _),
     "q223_leakage_free_split" -> (q223_leakage_free_split _),
     "q220_canonical_rep" -> (q220_canonical_rep _),
@@ -1405,6 +1483,7 @@ object CurationQueries {
     "q225_packing_sweep" -> q225_oracle,
     "q228_shard_apportion" -> q228_oracle,
     "q232_release_manifest" -> q232_oracle,
+    "q234_crossval_folds" -> q234_oracle,
     "q216_epoch_schedule" -> q216_oracle,
     "q223_leakage_free_split" -> q223_oracle,
     "q220_canonical_rep" -> q220_oracle,

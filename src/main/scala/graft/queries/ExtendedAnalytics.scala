@@ -192,7 +192,64 @@ object ExtendedAnalytics {
 
   // ---------- registry ----------
 
+  // ---------- q233: salt-plan generator ----------
+
+  /** Per-task row target floor for the salt plan. */
+  val saltTargetFloor = 20L
+
+  /** The CONFIG GENERATOR for the suite's skew machinery (q80's salted
+    * aggregate, q98's salted join): per hot key, the salt factor that
+    * caps any single (key, salt) task at the per-task row target
+    * `t = max(total DIV 256, 100)` — 256 ≈ 8 waves of 32 tasks, the
+    * same sizing logic `spark.sql.shuffle.partitions` encodes. Salting
+    * is only worth its fan-out cost on keys that actually exceed the
+    * target, so the plan lists exactly those, with the factor
+    * `ceil(n/t)` and the resulting per-salt bound — the two numbers a
+    * skew config needs. Run against the `source` dimension of the
+    * corpus, the low-cardinality key every per-source rollup groups
+    * by (at 100 TB EVERY source is a hot key — which is why q80/q98
+    * salt unconditionally).
+    *
+    * Scale shape: one lowCard partial aggregate, a 1-row target cross
+    * join, pure arithmetic. The plan itself is ≤ |sources| rows.
+    */
+  def q233_salt_plan(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.load(spark, dir, "documents")
+      .groupBy("source")
+      .agg(count(lit(1)).cast("long").as("n_rows"))
+    val t = counts.agg(sum(col("n_rows")).cast("long").as("tot"))
+      .select(greatest(expr("tot DIV 256"), lit(saltTargetFloor))
+        .cast("long").as("target_rows"))
+    counts.crossJoin(broadcast(t))
+      .filter(col("n_rows") > col("target_rows"))
+      .withColumn("salt_factor",
+        expr("(n_rows + target_rows - 1) DIV target_rows"))
+      .withColumn("max_per_salt",
+        expr("(n_rows + salt_factor - 1) DIV salt_factor"))
+      .select("source", "n_rows", "target_rows", "salt_factor", "max_per_salt")
+      .orderBy("source")
+  }
+
+  val q233_oracle: String =
+    s"""WITH counts AS (
+       |  SELECT source, CAST(count(*) AS BIGINT) AS n_rows
+       |  FROM documents GROUP BY source),
+       |t AS (
+       |  SELECT CAST(greatest(sum(n_rows) // 256, $saltTargetFloor) AS BIGINT)
+       |    AS target_rows
+       |  FROM counts)
+       |SELECT source, n_rows, target_rows,
+       |  CAST((n_rows + target_rows - 1) // target_rows AS BIGINT)
+       |    AS salt_factor,
+       |  CAST((n_rows + (n_rows + target_rows - 1) // target_rows - 1)
+       |    // ((n_rows + target_rows - 1) // target_rows) AS BIGINT)
+       |    AS max_per_salt
+       |FROM counts CROSS JOIN t
+       |WHERE n_rows > target_rows
+       |ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q233_salt_plan" -> (q233_salt_plan _),
     "q53_grouping_sets" -> (q53_grouping_sets _),
     "q54_set_ops" -> (q54_set_ops _),
     "q55_scd2" -> (q55_scd2 _),
@@ -200,6 +257,7 @@ object ExtendedAnalytics {
     "q98_salted_join" -> (q98_salted_join _))
 
   val oracles: Map[String, String] = Map(
+    "q233_salt_plan" -> q233_oracle,
     "q53_grouping_sets" -> q53_oracle,
     "q54_set_ops" -> q54_oracle,
     "q55_scd2" -> q55_oracle,

@@ -573,4 +573,54 @@ class Round12OpsSpec extends SparkSpec {
     assert(got === truth)
     assert(got.nonEmpty)
   }
+
+  // ---------- q233 ----------
+
+  test("q233: hot keys, salt factors and per-salt bounds match the fixture") {
+    val dir = tmp("saltplan")
+    // 300 'a' docs + 50 'b' + 10 'c': tot 360 -> target max(1,20)=20;
+    // a: salt ceil(300/20)=15, per-salt ceil(300/15)=20
+    // b: salt ceil(50/20)=3,  per-salt ceil(50/3)=17; c stays unsalted
+    writeDocs(dir, (1L to 300L).map(i => (i, "a", s"t$i")) ++
+      (301L to 350L).map(i => (i, "b", s"t$i")) ++
+      (351L to 360L).map(i => (i, "c", s"t$i")))
+    val got = ExtendedAnalytics.q233_salt_plan(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))))
+    assert(got.toSeq === Seq("a" -> ((300L, 20L, 15L, 20L)),
+      "b" -> ((50L, 20L, 3L, 17L))))
+  }
+
+  // ---------- q234 ----------
+
+  test("q234: folds are exact-size over groups and match the replica") {
+    val dir = sf()
+    val members = GraphQueries.q47_dup_clusters(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val docs = graft.Tables.load(spark, dir, "documents")
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.size(
+          graft.functions.TextFunctions.tokens(
+            org.apache.spark.sql.functions.col("text"))).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val gkeyOf = docs.map { case (id, _) => id -> members.getOrElse(id, id) }.toMap
+    val keys = gkeyOf.values.toSeq.distinct
+    val ranked = keys.sortBy(k => (md5hex(s"cv|$k").take(8), k))
+    val n = ranked.length.toLong
+    val foldOf = ranked.zipWithIndex
+      .map { case (k, i) => k -> i.toLong * CurationQueries.cvFolds / n }.toMap
+    val truth = docs.groupBy { case (id, _) => foldOf(gkeyOf(id)) }
+      .map { case (f, ds) =>
+        f -> ((ds.length.toLong, ds.map(_._2).sum,
+          ds.map(d => gkeyOf(d._1)).distinct.length.toLong))
+      }
+    val got = CurationQueries.q234_crossval_folds(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got === truth)
+    // exact-size guarantee: group counts per fold differ by at most 1
+    val sizes = got.values.map(_._3)
+    assert(sizes.max - sizes.min <= 1)
+    assert(got.keySet === (0L until CurationQueries.cvFolds.toLong).toSet)
+  }
 }
