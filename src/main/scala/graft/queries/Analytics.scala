@@ -687,8 +687,79 @@ object Analytics {
        |FROM sh WHERE share_ppm >= $excessSharePpm
        |GROUP BY l_suppkey ORDER BY l_suppkey""".stripMargin
 
+  // ---------- q235: waiting suppliers (TPC-H Q21 shape, SLA form) ----------
+
+  /** Shipping-SLA window: a line is LATE when it ships more than this
+    * many days after the order date. */
+  val waitSlaDays = 90
+
+  /** The TPC-H Q21 composition ("suppliers who kept orders waiting")
+    * re-keyed to this schema's columns: on completed ('F')
+    * multi-supplier orders where EXACTLY ONE supplier shipped past the
+    * [[waitSlaDays]] SLA, charge that supplier — the classic
+    * exists/not-exists pair over lineitem self-joins. Planned
+    * Spark-first as AGGREGATES instead of correlated exists: one
+    * rollup to (order, supplier) grain with a late flag, one
+    * order-grain rollup OF THAT (supplier-grain input, not a second
+    * corpus pass), and the verdict is a filter on the joined pair —
+    * the self-join never materializes lineitem×lineitem. Top-20 by
+    * wait count rides TakeOrdered.
+    *
+    * Scale shape: the orders join and both aggregates shuffle on
+    * l_orderkey (the join's partitioning is reused by the first
+    * rollup); no broadcast hints (both sides are fact tables; AQE
+    * decides); the (order, supplier) table is cut once for its two
+    * readers.
+    */
+  def q235_waiting_suppliers(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.load(spark, dir, "orders")
+      .filter(col("o_orderstatus") === "F")
+      .select(col("o_orderkey"), col("o_orderdate"))
+    val ps = Tables.load(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .withColumn("late",
+        when(col("l_shipdate").cast("date") >
+          date_add(col("o_orderdate").cast("date"), waitSlaDays),
+          lit(1L)).otherwise(lit(0L)))
+      .groupBy("l_orderkey", "l_suppkey")
+      .agg(max(col("late")).as("late"))
+      .transform(graft.Lineage.cut) // two readers below
+    val per = ps.groupBy("l_orderkey")
+      .agg(count(lit(1)).cast("long").as("n_supp"),
+        sum(col("late")).cast("long").as("n_late"))
+    ps.filter(col("late") === 1L)
+      .join(per, "l_orderkey")
+      .filter(col("n_supp") >= 2 && col("n_late") === 1L)
+      .groupBy(col("l_suppkey").as("s_suppkey"))
+      .agg(count(lit(1)).cast("long").as("numwait"))
+      .orderBy(col("numwait").desc, col("s_suppkey"))
+      .limit(20)
+  }
+
+  val q235_oracle: String =
+    s"""WITH o AS (
+       |  SELECT o_orderkey, o_orderdate FROM orders
+       |  WHERE o_orderstatus = 'F'),
+       |ps AS (
+       |  SELECT l_orderkey, l_suppkey,
+       |    max(CASE WHEN CAST(l_shipdate AS DATE) >
+       |      CAST(o_orderdate AS DATE) + INTERVAL $waitSlaDays DAY
+       |      THEN 1 ELSE 0 END) AS late
+       |  FROM lineitem JOIN o ON l_orderkey = o_orderkey
+       |  GROUP BY 1, 2),
+       |per AS (
+       |  SELECT l_orderkey, CAST(count(*) AS BIGINT) AS n_supp,
+       |    CAST(sum(late) AS BIGINT) AS n_late
+       |  FROM ps GROUP BY 1)
+       |SELECT l_suppkey AS s_suppkey, CAST(count(*) AS BIGINT) AS numwait
+       |FROM ps JOIN per USING (l_orderkey)
+       |WHERE late = 1 AND n_supp >= 2 AND n_late = 1
+       |GROUP BY 1 ORDER BY numwait DESC, s_suppkey LIMIT 20""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q217_excess_share" -> (q217_excess_share _),
+    "q235_waiting_suppliers" -> (q235_waiting_suppliers _),
     "q189_session_window" -> (q189_session_window _),
     "q190_streaks" -> (q190_streaks _),
     "q160_large_orders" -> (q160_large_orders _),
@@ -708,6 +779,7 @@ object Analytics {
 
   val oracles: Map[String, String] = Map(
     "q217_excess_share" -> q217_oracle,
+    "q235_waiting_suppliers" -> q235_oracle,
     "q189_session_window" -> q189_oracle,
     "q190_streaks" -> q190_oracle,
     "q160_large_orders" -> q160_oracle,

@@ -623,4 +623,37 @@ class Round12OpsSpec extends SparkSpec {
     assert(sizes.max - sizes.min <= 1)
     assert(got.keySet === (0L until CurationQueries.cvFolds.toLong).toSet)
   }
+
+  // ---------- q235 ----------
+
+  test("q235: the sole-late-supplier verdict matches a driver-side replica") {
+    import org.apache.spark.sql.functions.col
+    val dir = sf()
+    val orders = graft.Tables.load(spark, dir, "orders")
+      .filter(col("o_orderstatus") === "F")
+      .select(col("o_orderkey"), col("o_orderdate").cast("date").cast("string"))
+      .collect().map(r => r.getLong(0) -> java.time.LocalDate.parse(r.getString(1))).toMap
+    val lines = graft.Tables.load(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey"),
+        col("l_shipdate").cast("date").cast("string"))
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        java.time.LocalDate.parse(r.getString(2))))
+      .filter { case (ok, _, _) => orders.contains(ok) }
+    val ps = lines.groupBy(l => (l._1, l._2)).map { case ((ok, sk), ls) =>
+      (ok, sk, ls.exists(_._3.isAfter(
+        orders(ok).plusDays(Analytics.waitSlaDays.toLong))))
+    }.toSeq
+    val per = ps.groupBy(_._1).map { case (ok, ss) =>
+      ok -> ((ss.size.toLong, ss.count(_._3).toLong))
+    }
+    val truth = ps.filter { case (ok, _, late) =>
+      late && per(ok)._1 >= 2 && per(ok)._2 == 1
+    }.groupBy(_._2).map { case (sk, xs) => sk -> xs.size.toLong }
+    val expect = truth.toSeq
+      .sortBy { case (sk, n) => (-n, sk) }.take(20)
+    val got = Analytics.q235_waiting_suppliers(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    assert(got.nonEmpty)
+    assert(got.toSeq === expect)
+  }
 }
