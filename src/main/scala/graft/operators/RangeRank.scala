@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{IntegerType, LongType, NumericType, StructField, StructType}
+import org.apache.spark.sql.types.{ByteType, DataType, DoubleType, FloatType, IntegerType, LongType, NumericType, ShortType, StructField, StructType}
 
 /** Exact distributed rank / ntile without a single-task sort.
   *
@@ -69,6 +69,27 @@ object RangeRank {
       rankCol: String,
       nCol: String,
       weight: Option[Weight] = None)
+
+  /** Largest magnitude below which long → double is injective (2^53).
+    * The tie-skew fallback compares the primary key through its double
+    * cast (`afterPair` tests `pD <=> lit(t)`); two DISTINCT values that
+    * collide in double would be treated as tied and split across
+    * sub-buckets by the secondary key — non-monotonic in the true sort
+    * order, hence wrong ranks. Sub-bucketing is therefore gated to
+    * boundary values whose whole double-neighbourhood is exact:
+    * byte/short/int/float/double primaries always (the cast is
+    * injective on the full domain), long primaries only for |t| < 2^53,
+    * decimals and everything else never (fractional decimals can
+    * collide at any magnitude). A gated-off value keeps the
+    * pre-existing primary-only bucketing, which is order-safe for any
+    * monotone (possibly lossy) cast. */
+  private val LongExactMax = 9007199254740992.0
+  private def tieExactGate(dt: DataType): Double => Boolean = dt match {
+    case ByteType | ShortType | IntegerType | FloatType | DoubleType =>
+      _ => true
+    case LongType => t => math.abs(t) < LongExactMax
+    case _ => _ => false
+  }
 
   private def bName(i: Int) = s"__rr_b$i"
   private def offName(i: Int) = s"__rr_off$i"
@@ -162,7 +183,9 @@ object RangeRank {
       // key → split each heavy value's band on the secondary's global
       // quantiles, one evenly-spaced pick per lost boundary
       val secOpt = secKeys(i)
-      val heavy = mult.filter(_._2 > 1)
+      val tieExact = tieExactGate(
+        base.schema.find(_.name == prim.name).map(_.dataType).orNull)
+      val heavy = mult.filter { case (v, m) => m > 1 && tieExact(v) }
       val subBounds: Map[Double, Array[Double]] =
         if (distinctBounds.length < b / 4 && heavy.nonEmpty && secOpt.isDefined) {
           val secQ = secBounds.getOrElse(i, Array.empty[Double])
@@ -194,6 +217,13 @@ object RangeRank {
       buckets: Int = 0): DataFrame = {
     require(specs.nonEmpty && specs.forall(_.keys.nonEmpty),
       "RangeRank needs at least one spec with at least one sort key")
+    val outNames = specs.flatMap(s =>
+      Seq(s.rankCol, s.nCol) ++ s.weight.toSeq.flatMap(w => Seq(w.cumCol, w.totCol)))
+    require(outNames.distinct.length == outNames.length,
+      s"RangeRank output columns collide across specs: ${outNames.mkString(", ")}")
+    val clash = outNames.filter(df.columns.contains)
+    require(clash.isEmpty,
+      s"RangeRank output columns already exist on the input: ${clash.mkString(", ")}")
     val spark = df.sparkSession
     val b = if (buckets > 0) buckets
       else spark.conf.get("spark.sql.shuffle.partitions", "32").toInt

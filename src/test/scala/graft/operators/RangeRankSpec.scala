@@ -161,6 +161,45 @@ class RangeRankSpec extends SparkSpec {
     }
   }
 
+  test("long primaries beyond 2^53 never sub-bucket: double-colliding keys rank exactly") {
+    import spark.implicits._
+    // 2^53 and 2^53+1 are DISTINCT longs with the SAME double image;
+    // the pre-gate fallback would treat them as tied and split the band
+    // by the secondary key, reordering ranks. The gate must keep the
+    // primary-only bucketing (order-safe under any monotone cast).
+    val v1 = 9007199254740992L // 2^53
+    val v2 = 9007199254740993L // 2^53 + 1: double(v2) == double(v1)
+    val rows = (1 to 100).map { i =>
+      val v = if (i % 10 == 0) v2 else v1 // heavy tie on v1, minority v2
+      ("g", v, (101 - i).toLong, 1L)      // secondary DESCENDS as v2 appears
+    }.toDF("g", "v", "id", "wgt")
+    val got = RangeRank.rank(rows, Nil, Seq(Key("v"), Key("id")), "rnk", "n",
+        buckets = 16)
+      .select("id", "rnk", "n")
+    val w = Window.orderBy(col("v").asc, col("id").asc)
+    val want = rows
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy()).cast("long"))
+      .select("id", "rnk", "n")
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+      "ranks over double-colliding long keys diverged from the window form")
+  }
+
+  test("rankMulti rejects colliding or pre-existing output column names") {
+    val dup = Seq(
+      RangeRank.Spec(Seq(Key("v"), Key("id")), "r1", "shared"),
+      RangeRank.Spec(Seq(Key("wgt"), Key("id")), "r2", "shared"))
+    val e1 = intercept[IllegalArgumentException] {
+      RangeRank.rankMulti(data, Nil, dup, buckets = 4)
+    }
+    assert(e1.getMessage.contains("collide"), e1.getMessage)
+    val onInput = Seq(RangeRank.Spec(Seq(Key("v"), Key("id")), "rnk", "wgt"))
+    val e2 = intercept[IllegalArgumentException] {
+      RangeRank.rankMulti(data, Nil, onInput, buckets = 4)
+    }
+    assert(e2.getMessage.contains("already exist"), e2.getMessage)
+  }
+
   test("rankMulti equals three independent rank calls over the same input") {
     val specs = Seq(
       RangeRank.Spec(Seq(Key("v"), Key("id")), "r1", "n1"),
