@@ -1,0 +1,324 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Round-13 correlated-aggregate relational shapes (SURVEY §2
+  * #236–#240): the classic TPC-H decision-support patterns the suite
+  * had not yet exercised — a correlated per-group average filter
+  * (Q17), a share-of-group-total threshold (Q11), an
+  * above-global-average anti-join (Q22), a global argmax join (Q15),
+  * and a top-K-by-aggregate report (Q10). The reference's pipeline
+  * feeds exactly these consolidation-then-report shapes downstream
+  * (reference: utils/data_transformations.py consolidation +
+  * aggregation steps); here each is expressed as the Spark plan you
+  * would want at 100 TB.
+  *
+  * Determinism policy (SURVEY §4): money/quantity sums run in
+  * DECIMAL(18,2); every threshold COMPARISON is performed on exact
+  * integer cents/e4 units (`decimal * 10^k` cast to long) so the
+  * keep/drop verdict is bit-identical to DuckDB regardless of float
+  * accumulation order; doubles appear only in final output casts.
+  */
+object RelationalQueries {
+  private val dec18 = DecimalType(18, 2)
+  private val dec4 = DecimalType(4, 2)
+
+  private def price = col("l_extendedprice").cast(dec18)
+  private def one = lit(1).cast(dec4)
+  private def disc = col("l_discount").cast(dec4)
+
+  // ---------- q236: small-quantity revenue (TPC-H Q17 shape) ----------
+
+  /** Revenue carried by lineitems whose quantity is below 20% of the
+    * part's average quantity, rolled up per brand. The correlated
+    * scalar subquery becomes: one per-part aggregate (sum of quantity
+    * cents + count — partkey-keyed, map-side partial), joined back to
+    * lineitem ON partkey (both sides corpus-scaled: plain shuffle
+    * join, NO broadcast hint), with the avg comparison rewritten
+    * integer-exact as `5 * qty_cents * n_part < sum_cents` (all
+    * positive, so the division-free form is equivalent). The part
+    * table joins only for the brand rollup — part is a catalog that
+    * scales with the corpus, so it is un-hinted too; AQE broadcasts
+    * it while it measures small.
+    */
+  def q236_small_qty_revenue(spark: SparkSession, dir: String): DataFrame = {
+    val qtyC = (col("l_quantity").cast(dec18) * 100).cast("long")
+    val li = Tables.load(spark, dir, "lineitem")
+      .select(col("l_partkey"), col("l_extendedprice"), qtyC.as("qty_c"))
+    val perPart = li.groupBy("l_partkey")
+      .agg(sum(col("qty_c")).as("sum_c"), count(lit(1)).as("n_part"))
+      .withColumnRenamed("l_partkey", "pp_partkey")
+    val part = Tables.load(spark, dir, "part").select("p_partkey", "p_brand")
+    li.join(perPart, col("l_partkey") === col("pp_partkey"))
+      .filter(lit(5L) * col("qty_c") * col("n_part") < col("sum_c"))
+      .join(part, col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand")
+      .agg(count(lit(1)).cast("long").as("n_small_lines"),
+        sum(price).cast("double").as("small_revenue"))
+      .orderBy("p_brand")
+  }
+
+  val q236_oracle: String =
+    """WITH pp AS (
+      |  SELECT l_partkey AS pp_partkey,
+      |    CAST(sum(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT))
+      |      AS BIGINT) AS sum_c,
+      |    CAST(count(*) AS BIGINT) AS n_part
+      |  FROM lineitem GROUP BY 1)
+      |SELECT p_brand,
+      |  CAST(count(*) AS BIGINT) AS n_small_lines,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+      |    AS small_revenue
+      |FROM lineitem
+      |JOIN pp ON l_partkey = pp_partkey
+      |JOIN part ON l_partkey = p_partkey
+      |WHERE 5 * CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |      * n_part < sum_c
+      |GROUP BY p_brand ORDER BY p_brand""".stripMargin
+
+  // ---------- q237: national value-share parts (TPC-H Q11 shape) ----------
+
+  /** Share threshold: keep (nation, part) groups holding more than
+    * 1/2000 of the nation's traded value. */
+  val valueShareDen = 2000L
+
+  /** Traded value per (supplier nation, part) vs the national total.
+    * lineitem ⋈ supplier is a fact-to-catalog equi-join (supplier
+    * un-hinted — it scales with SF); the per-(nation, part) aggregate
+    * shuffles once on its own key; the 25-row national total is a
+    * bounded-domain aggregate joined back on nationkey (AQE
+    * broadcasts it — no hint needed for a 25-row side). The share
+    * comparison runs on exact e4-unit longs (`value * 10^4`), never
+    * on divided floats.
+    */
+  def q237_value_share(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem")
+      .select(col("l_suppkey"), col("l_partkey"),
+        (price * (one - disc)).as("val_d"),
+        (price * (one - disc) * 10000).cast("long").as("val_e4"))
+    val supplier = Tables.load(spark, dir, "supplier")
+      .select("s_suppkey", "s_nationkey")
+    val np = li.join(supplier, col("l_suppkey") === col("s_suppkey"))
+      .groupBy("s_nationkey", "l_partkey")
+      .agg(sum(col("val_d")).as("value_d"), sum(col("val_e4")).as("value_e4"))
+    val tot = np.groupBy(col("s_nationkey").as("t_nationkey"))
+      .agg(sum(col("value_e4")).as("total_e4"))
+    val nation = Tables.load(spark, dir, "nation")
+    np.join(tot, col("s_nationkey") === col("t_nationkey"))
+      .filter(col("value_e4") * valueShareDen > col("total_e4"))
+      .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+      .select(col("n_name"), col("l_partkey").as("p_partkey"),
+        col("value_d").cast("double").as("value"))
+      .orderBy(col("n_name"), col("p_partkey"))
+  }
+
+  val q237_oracle: String =
+    s"""WITH np AS (
+       |  SELECT s_nationkey, l_partkey,
+       |    sum(CAST(l_extendedprice AS DECIMAL(18,2))
+       |      * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))))
+       |      AS value_d,
+       |    CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+       |      * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))
+       |      * 10000 AS BIGINT)) AS BIGINT) AS value_e4
+       |  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+       |  GROUP BY 1, 2),
+       |tot AS (
+       |  SELECT s_nationkey AS t_nationkey,
+       |    CAST(sum(value_e4) AS BIGINT) AS total_e4
+       |  FROM np GROUP BY 1)
+       |SELECT n_name, l_partkey AS p_partkey, CAST(value_d AS DOUBLE) AS value
+       |FROM np
+       |JOIN tot ON s_nationkey = t_nationkey
+       |JOIN nation ON s_nationkey = n_nationkey
+       |WHERE value_e4 * $valueShareDen > total_e4
+       |ORDER BY n_name, p_partkey""".stripMargin
+
+  // ---------- q238: rich lapsed customers (TPC-H Q22 shape) ----------
+
+  /** Lapse cutoff: a customer counts as lapsed when they placed no
+    * order on/after this date (the synthetic corpus gives every
+    * customer SOME order, so the unfiltered Q22 predicate is
+    * degenerate; recency is the version a retention pipeline asks). */
+  val lapseCutoff = "2000-01-01 00:00:00"
+
+  /** Per nation: customers whose balance exceeds the average positive
+    * balance AND who placed no order since [[lapseCutoff]]. The
+    * global average is a 1-row aggregate cross-joined in (Catalyst
+    * proves maxRows = 1, so the broadcast-scalar pattern is
+    * statically bounded); the lapse test is a left_anti against the
+    * date-pruned orders scan keyed on custkey (both corpus-scaled:
+    * shuffle anti-join, no hint); the comparison
+    * `bal_cents * n_pos > sum_cents` is integer-exact. nation is the
+    * one genuinely bounded dim here (25 rows at any SF) — explicit
+    * broadcast.
+    */
+  def q238_rich_no_orders(spark: SparkSession, dir: String): DataFrame = {
+    val balC = (col("c_acctbal").cast(dec18) * 100).cast("long")
+    val cust = Tables.load(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_nationkey"), col("c_acctbal"),
+        balC.as("bal_c"))
+    val stats = cust.filter(col("bal_c") > 0)
+      .agg(sum(col("bal_c")).as("sum_pos_c"), count(lit(1)).as("n_pos"))
+    val orders = Tables.load(spark, dir, "orders")
+      .filter(col("o_orderdate") >= to_timestamp(lit(lapseCutoff)))
+      .select("o_custkey")
+    val nation = Tables.load(spark, dir, "nation")
+    cust.crossJoin(broadcast(stats))
+      .filter(col("bal_c") * col("n_pos") > col("sum_pos_c"))
+      .join(orders, col("c_custkey") === col("o_custkey"), "left_anti")
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(count(lit(1)).cast("long").as("n_cust"),
+        sum(col("c_acctbal").cast(dec18)).cast("double").as("total_bal"))
+      .orderBy("n_name")
+  }
+
+  val q238_oracle: String =
+    s"""WITH st AS (
+       |  SELECT CAST(sum(CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT))
+       |      AS BIGINT) AS sum_pos_c,
+       |    CAST(count(*) AS BIGINT) AS n_pos
+       |  FROM customer
+       |  WHERE CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) > 0)
+       |SELECT n_name,
+       |  CAST(count(*) AS BIGINT) AS n_cust,
+       |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+       |FROM customer CROSS JOIN st
+       |JOIN nation ON c_nationkey = n_nationkey
+       |WHERE CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) * n_pos
+       |      > sum_pos_c
+       |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+       |    AND o_orderdate >= TIMESTAMP '$lapseCutoff')
+       |GROUP BY n_name ORDER BY n_name""".stripMargin
+
+  // ---------- q239: max-revenue supplier (TPC-H Q15 shape) ----------
+
+  /** Supplier(s) with the maximum shipped revenue in 1997 H1. Revenue
+    * per supplier is one suppkey-keyed aggregate over the date-pruned
+    * lineitem scan (the shipdate filter pushes down to parquet); the
+    * maximum is a 1-row global aggregate joined back by equality on
+    * the exact e4-unit revenue — the classic argmax-without-a-window,
+    * emitting EVERY tied supplier. Supplier joins un-hinted for the
+    * name lookup.
+    */
+  def q239_max_revenue_supplier(spark: SparkSession, dir: String): DataFrame = {
+    val lo = to_timestamp(lit("1997-01-01 00:00:00"))
+    val hi = to_timestamp(lit("1997-07-01 00:00:00"))
+    val rev = Tables.load(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= lo && col("l_shipdate") < hi)
+      .select(col("l_suppkey"),
+        (price * (one - disc)).as("val_d"),
+        (price * (one - disc) * 10000).cast("long").as("val_e4"))
+      .groupBy("l_suppkey")
+      .agg(sum(col("val_d")).as("rev_d"), sum(col("val_e4")).as("rev_e4"))
+    val best = rev.agg(max(col("rev_e4")).as("best_e4"))
+    val supplier = Tables.load(spark, dir, "supplier").select("s_suppkey", "s_name")
+    rev.crossJoin(broadcast(best))
+      .filter(col("rev_e4") === col("best_e4"))
+      .join(supplier, col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"),
+        col("rev_d").cast("double").as("total_revenue"))
+      .orderBy("s_suppkey")
+  }
+
+  val q239_oracle: String =
+    """WITH rev AS (
+      |  SELECT l_suppkey,
+      |    sum(CAST(l_extendedprice AS DECIMAL(18,2))
+      |      * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))))
+      |      AS rev_d,
+      |    CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+      |      * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))
+      |      * 10000 AS BIGINT)) AS BIGINT) AS rev_e4
+      |  FROM lineitem
+      |  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      |    AND l_shipdate < TIMESTAMP '1997-07-01 00:00:00'
+      |  GROUP BY 1)
+      |SELECT s_suppkey, s_name, CAST(rev_d AS DOUBLE) AS total_revenue
+      |FROM rev
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |WHERE rev_e4 = (SELECT max(rev_e4) FROM rev)
+      |ORDER BY s_suppkey""".stripMargin
+
+  // ---------- q240: top returned-revenue customers (TPC-H Q10 shape) ----------
+
+  /** Report size. */
+  val returnedTopK = 20
+
+  /** The 20 customers with the largest returned ('R' flag) revenue on
+    * orders placed in 1996 H2. orders is date-pruned at the scan;
+    * lineitem filters on the return flag; both sides of the
+    * order-customer joins are corpus-scaled and un-hinted; nation
+    * broadcasts. Top-K rides orderBy+limit (TakeOrdered — never a
+    * global window), ordered on the EXACT e4-unit revenue with
+    * custkey as the total tie-break, so the report is deterministic
+    * cross-engine.
+    */
+  def q240_returned_top_customers(spark: SparkSession, dir: String): DataFrame = {
+    val lo = to_timestamp(lit("1996-07-01 00:00:00"))
+    val hi = to_timestamp(lit("1997-01-01 00:00:00"))
+    val orders = Tables.load(spark, dir, "orders")
+      .filter(col("o_orderdate") >= lo && col("o_orderdate") < hi)
+      .select("o_orderkey", "o_custkey")
+    val li = Tables.load(spark, dir, "lineitem")
+      .filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey"),
+        (price * (one - disc)).as("val_d"),
+        (price * (one - disc) * 10000).cast("long").as("val_e4"))
+    val cust = Tables.load(spark, dir, "customer")
+      .select("c_custkey", "c_name", "c_nationkey")
+    val nation = Tables.load(spark, dir, "nation")
+    orders.join(li, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_custkey")
+      .agg(sum(col("val_d")).as("rev_d"), sum(col("val_e4")).as("rev_e4"),
+        count(lit(1)).cast("long").as("n_lines"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .orderBy(col("rev_e4").desc, col("c_custkey"))
+      .limit(returnedTopK)
+      .select(col("c_custkey"), col("c_name"), col("n_name"),
+        col("rev_d").cast("double").as("returned_revenue"), col("n_lines"))
+  }
+
+  val q240_oracle: String =
+    s"""SELECT c_custkey, c_name, n_name,
+       |  CAST(rev_d AS DOUBLE) AS returned_revenue, n_lines
+       |FROM (
+       |  SELECT o_custkey,
+       |    sum(CAST(l_extendedprice AS DECIMAL(18,2))
+       |      * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))))
+       |      AS rev_d,
+       |    CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+       |      * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))
+       |      * 10000 AS BIGINT)) AS BIGINT) AS rev_e4,
+       |    CAST(count(*) AS BIGINT) AS n_lines
+       |  FROM orders
+       |  JOIN lineitem ON l_orderkey = o_orderkey
+       |  WHERE o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+       |    AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+       |    AND l_returnflag = 'R'
+       |  GROUP BY o_custkey) r
+       |JOIN customer ON o_custkey = c_custkey
+       |JOIN nation ON c_nationkey = n_nationkey
+       |ORDER BY rev_e4 DESC, c_custkey LIMIT $returnedTopK""".stripMargin
+
+  // ---------- registry ----------
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q236_small_qty_revenue" -> (q236_small_qty_revenue _),
+    "q237_value_share" -> (q237_value_share _),
+    "q238_rich_no_orders" -> (q238_rich_no_orders _),
+    "q239_max_revenue_supplier" -> (q239_max_revenue_supplier _),
+    "q240_returned_top_customers" -> (q240_returned_top_customers _))
+
+  val oracles: Map[String, String] = Map(
+    "q236_small_qty_revenue" -> q236_oracle,
+    "q237_value_share" -> q237_oracle,
+    "q238_rich_no_orders" -> q238_oracle,
+    "q239_max_revenue_supplier" -> q239_oracle,
+    "q240_returned_top_customers" -> q240_oracle)
+}

@@ -1,0 +1,151 @@
+package graft.queries
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Round-13 operator pins: the correlated-aggregate relational shapes
+  * (q236–q240) against hand-built planted fixtures, so the keep/drop
+  * semantics of each threshold are pinned independently of the DuckDB
+  * oracle (which re-proves them on the synthetic corpus).
+  */
+class Round13OpsSpec extends SparkSpec {
+
+  private def tmp(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s + " 00:00:00")
+
+  private def writeNation(dir: String): Unit = {
+    import spark.implicits._
+    Seq((0, "ALPHA", 0), (1, "BETA", 0))
+      .toDF("n_nationkey", "n_name", "n_regionkey")
+      .write.mode("overwrite").parquet(s"$dir/nation.parquet")
+  }
+
+  private def writeLineitem(
+      dir: String,
+      rows: Seq[(Long, Long, Long, Int, Double, Double, Double, String, String)]): Unit = {
+    import spark.implicits._
+    rows.map { case (ok, pk, sk, ln, q, px, d, rf, ship) =>
+      (ok, pk, sk, ln, q, px, d, 0.0, rf, "O", ts(ship))
+    }.toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+      "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+      "l_returnflag", "l_linestatus", "l_shipdate")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+  }
+
+  // ---------- q236 ----------
+
+  test("q236: only lines strictly under 20% of the part's average quantity count") {
+    val dir = tmp("q236")
+    writeLineitem(dir, Seq(
+      // part 1: quantities 1,10,10,10 -> avg 7.75; 0.2*avg = 1.55 -> only qty 1
+      (1L, 1L, 1L, 1, 1.0, 11.0, 0.0, "N", "1997-02-01"),
+      (1L, 1L, 1L, 2, 10.0, 100.0, 0.0, "N", "1997-02-01"),
+      (2L, 1L, 1L, 1, 10.0, 100.0, 0.0, "N", "1997-02-01"),
+      (2L, 1L, 1L, 2, 10.0, 100.0, 0.0, "N", "1997-02-01"),
+      // part 2: quantities 5,5 -> nothing under 20% of avg (=1)
+      (3L, 2L, 1L, 1, 5.0, 50.0, 0.0, "N", "1997-02-01"),
+      (3L, 2L, 1L, 2, 5.0, 50.0, 0.0, "N", "1997-02-01")))
+    import spark.implicits._
+    Seq((1L, "pA", "B1", "t", 1, 1.0), (2L, "pB", "B2", "t", 1, 1.0))
+      .toDF("p_partkey", "p_name", "p_brand", "p_type", "p_size", "p_retailprice")
+      .write.mode("overwrite").parquet(s"$dir/part.parquet")
+    val got = RelationalQueries.q236_small_qty_revenue(spark, dir).collect()
+    assert(got.length === 1, got.mkString(";"))
+    assert(got.head.getString(0) === "B1")
+    assert(got.head.getLong(1) === 1L)
+    assert(got.head.getDouble(2) === 11.0)
+  }
+
+  // ---------- q237 ----------
+
+  test("q237: share threshold keeps a dominant part, drops a trace part") {
+    val dir = tmp("q237")
+    writeNation(dir)
+    import spark.implicits._
+    Seq((1L, "s1", 0, 0.0))
+      .toDF("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+      .write.mode("overwrite").parquet(s"$dir/supplier.parquet")
+    // nation total $10004; keep iff value * 2000 > total:
+    //   part 1 = $10000 (kept), part 2 = $4 (4*2000 = 8000 < 10004, dropped)
+    writeLineitem(dir, Seq(
+      (1L, 1L, 1L, 1, 1.0, 10000.0, 0.0, "N", "1997-02-01"),
+      (2L, 2L, 1L, 1, 1.0, 4.0, 0.0, "N", "1997-02-01")))
+    val got = RelationalQueries.q237_value_share(spark, dir).collect()
+    assert(got.length === 1, got.mkString(";"))
+    assert(got.head.getString(0) === "ALPHA")
+    assert(got.head.getLong(1) === 1L)
+    assert(got.head.getDouble(2) === 10000.0)
+  }
+
+  // ---------- q238 ----------
+
+  test("q238: rich AND lapsed only — above avg positive balance, no recent order") {
+    val dir = tmp("q238")
+    writeNation(dir)
+    import spark.implicits._
+    // positive balances 100,10,100 -> avg 70; rich = c1,c3; lapsed = c1,c2,c4
+    Seq((1L, "c1", 0, 100.0, "M"), (2L, "c2", 0, 10.0, "M"),
+      (3L, "c3", 1, 100.0, "M"), (4L, "c4", 1, -5.0, "M"))
+      .toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+      .write.mode("overwrite").parquet(s"$dir/customer.parquet")
+    Seq((10L, 1L, "O", 1.0, ts("1999-05-01"), "1-URGENT"),
+      (11L, 2L, "O", 1.0, ts("1998-05-01"), "1-URGENT"),
+      (12L, 3L, "O", 1.0, ts("2001-02-01"), "1-URGENT"))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val got = RelationalQueries.q238_rich_no_orders(spark, dir).collect()
+    assert(got.length === 1, got.mkString(";"))
+    assert(got.head.getString(0) === "ALPHA") // c1 only
+    assert(got.head.getLong(1) === 1L)
+    assert(got.head.getDouble(2) === 100.0)
+  }
+
+  // ---------- q239 ----------
+
+  test("q239: window-scoped argmax emits every tied supplier, ignores out-of-window revenue") {
+    val dir = tmp("q239")
+    import spark.implicits._
+    Seq((1L, "s1", 0, 0.0), (2L, "s2", 0, 0.0), (3L, "s3", 0, 0.0))
+      .toDF("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+      .write.mode("overwrite").parquet(s"$dir/supplier.parquet")
+    writeLineitem(dir, Seq(
+      // s1: $100 inside the 1997 H1 window, $999 outside (must not count)
+      (1L, 1L, 1L, 1, 1.0, 100.0, 0.0, "N", "1997-03-01"),
+      (2L, 1L, 1L, 1, 1.0, 999.0, 0.0, "N", "1998-03-01"),
+      // s2: $90 inside
+      (3L, 1L, 2L, 1, 1.0, 90.0, 0.0, "N", "1997-04-01"),
+      // s3: $100 inside -> ties s1
+      (4L, 1L, 3L, 1, 1.0, 100.0, 0.0, "N", "1997-05-01")))
+    val got = RelationalQueries.q239_max_revenue_supplier(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getDouble(2)))
+    assert(got.toSeq === Seq((1L, 100.0), (3L, 100.0)), got.mkString(";"))
+  }
+
+  // ---------- q240 ----------
+
+  test("q240: returned revenue ranks only R-flag lines on in-window orders") {
+    val dir = tmp("q240")
+    writeNation(dir)
+    import spark.implicits._
+    Seq((1L, "c1", 0, 0.0, "M"), (2L, "c2", 0, 0.0, "M"))
+      .toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+      .write.mode("overwrite").parquet(s"$dir/customer.parquet")
+    Seq((10L, 1L, "O", 1.0, ts("1996-08-01"), "1-URGENT"),   // in window
+      (11L, 2L, "O", 1.0, ts("1996-09-01"), "1-URGENT"),     // in window
+      (12L, 1L, "O", 1.0, ts("1997-03-01"), "1-URGENT"))     // out of window
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    writeLineitem(dir, Seq(
+      (10L, 1L, 1L, 1, 1.0, 50.0, 0.0, "R", "1996-08-10"),  // counts: c1 +50
+      (10L, 1L, 1L, 2, 1.0, 70.0, 0.0, "A", "1996-08-10"),  // wrong flag
+      (11L, 1L, 1L, 1, 1.0, 80.0, 0.0, "R", "1996-09-10"),  // counts: c2 +80
+      (12L, 1L, 1L, 1, 1.0, 500.0, 0.0, "R", "1997-03-10"))) // out-of-window order
+    val got = RelationalQueries.q240_returned_top_customers(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getDouble(3)))
+    assert(got.toSeq === Seq((2L, 80.0), (1L, 50.0)), got.mkString(";"))
+  }
+}
