@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.multimodal.Multimodal
-import graft.queries.{Analytics, BpeTrain, ChangeCapture, ChunkingQueries, CorpusQueries, CurationQueries, DistributionQueries, EventQueries, ExtendedAnalytics, GovernanceQueries, GraphQueries, LanguageModel, MiningQueries, PipelineQueries, RelationalQueries, RetrievalQueries, RichnessQueries, ScrubQueries, StreamingParity, TextQueries, VectorQueries}
+import graft.queries.{Analytics, BpeTrain, ChangeCapture, ChunkingQueries, ConsistencyQueries, CorpusQueries, CurationQueries, DistributionQueries, EventQueries, ExtendedAnalytics, GovernanceQueries, GraphQueries, LanguageModel, MiningQueries, PipelineQueries, RelationalQueries, RetrievalQueries, RichnessQueries, ScrubQueries, StreamingParity, TextQueries, VectorQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 + §7. */
 object SparkEntry {
@@ -20,7 +20,8 @@ object SparkEntry {
       RetrievalQueries.queries ++ ChangeCapture.queries ++
       BpeTrain.queries ++ Multimodal.queries ++ GovernanceQueries.queries ++
       LanguageModel.queries ++ MiningQueries.queries ++ RichnessQueries.queries ++
-      ChunkingQueries.queries ++ RelationalQueries.queries
+      ChunkingQueries.queries ++ RelationalQueries.queries ++
+      ConsistencyQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -33,5 +34,6 @@ object SparkEntry {
       RetrievalQueries.oracles ++ ChangeCapture.oracles ++
       BpeTrain.oracles ++ Multimodal.oracles ++ GovernanceQueries.oracles ++
       LanguageModel.oracles ++ MiningQueries.oracles ++ RichnessQueries.oracles ++
-      ChunkingQueries.oracles ++ RelationalQueries.oracles
+      ChunkingQueries.oracles ++ RelationalQueries.oracles ++
+      ConsistencyQueries.oracles
 }

@@ -696,6 +696,70 @@ object CurationQueries {
        |    * 1000000) // sum(n_toks) AS BIGINT) AS savings_ppm
        |FROM d GROUP BY source ORDER BY source""".stripMargin
 
+  // ---------- q244: duplication-vs-quality rank correlation ----------
+
+  /** Does duplication correlate with (low) quality? The Spearman
+    * rank correlation between a document's EXACT-dup cluster size
+    * (q23's md5 groups) and its quality score — the number that
+    * decides whether dedup doubles as a quality filter on this
+    * corpus, or the two screens are independent. Both rankings use
+    * the total order (value, doc_id), so every rank is deterministic
+    * cross-engine; the output carries the exact integer components
+    * (n, Σd²) plus the standard ρ = 1 − 6Σd²/(n(n²−1)) evaluated with
+    * the same operand order in both engines.
+    *
+    * Scale shape: cluster sizes are one hash-keyed aggregate joined
+    * back on the 16-byte hash (corpus-scaled: no hint); BOTH global
+    * rankings ride ONE [[graft.operators.RangeRank.rankMulti]] pass —
+    * shared boundary probe, shared offset stats, two bucket-local
+    * windows — never a single-task corpus sort. The final reduce is a
+    * 1-row aggregate.
+    */
+  def q244_dup_quality_corr(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.RangeRank
+    import graft.operators.RangeRank.{Key, Spec}
+    val base = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), md5(col("text")).as("h"),
+        T.qualityScore(col("text")).as("q"))
+    val sizes = base.groupBy("h").agg(count(lit(1)).as("dup_size"))
+    val joined = base.join(sizes, Seq("h"))
+      .select(col("doc_id"), col("dup_size"), col("q"))
+    val ranked = RangeRank.rankMulti(joined, Nil, Seq(
+      Spec(Seq(Key("dup_size"), Key("doc_id")), "ra", "na"),
+      Spec(Seq(Key("q"), Key("doc_id")), "rb", "nb")))
+    ranked
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum((col("ra") - col("rb")) * (col("ra") - col("rb")))
+          .cast("long").as("sum_d2"))
+      .select(col("n"), col("sum_d2"),
+        when(col("n") > 1,
+          lit(1.0) - (lit(6.0) * col("sum_d2").cast("double"))
+            / (col("n") * (col("n") * col("n") - 1)).cast("double"))
+          .otherwise(lit(0.0)).as("spearman"))
+  }
+
+  val q244_oracle: String =
+    s"""WITH b AS (
+       |  SELECT doc_id, md5(text) AS h, ${T.qualityScoreSql("text")} AS q
+       |  FROM documents),
+       |s AS (SELECT h, CAST(count(*) AS BIGINT) AS dup_size FROM b GROUP BY h),
+       |j AS (SELECT doc_id, dup_size, q FROM b JOIN s USING (h)),
+       |r AS (
+       |  SELECT
+       |    CAST(row_number() OVER (ORDER BY dup_size, doc_id) AS BIGINT) AS ra,
+       |    CAST(row_number() OVER (ORDER BY q, doc_id) AS BIGINT) AS rb
+       |  FROM j),
+       |agg AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum((ra - rb) * (ra - rb)) AS BIGINT) AS sum_d2
+       |  FROM r)
+       |SELECT n, sum_d2,
+       |  CASE WHEN n > 1 THEN
+       |    1.0 - (6.0 * CAST(sum_d2 AS DOUBLE))
+       |      / CAST(n * (n * n - 1) AS DOUBLE)
+       |  ELSE 0.0 END AS spearman
+       |FROM agg""".stripMargin
+
   // ---------- registry ----------
 
   // ---------- q148: deterministic weighted interleave (training order) ----------
@@ -1467,6 +1531,7 @@ object CurationQueries {
     "q221_mixture_feasibility" -> (q221_mixture_feasibility _),
     "q175_quota_sample" -> (q175_quota_sample _),
     "q212_dedup_token_budget" -> (q212_dedup_token_budget _),
+    "q244_dup_quality_corr" -> (q244_dup_quality_corr _),
     "q148_interleave" -> (q148_interleave _),
     "q132_dsir" -> (q132_dsir _),
     "q86_curation_e2e" -> (q86_curation_e2e _),
@@ -1480,6 +1545,7 @@ object CurationQueries {
     "q111_weighted_sample" -> (q111_weighted_sample _))
 
   val oracles: Map[String, String] = Map(
+    "q244_dup_quality_corr" -> q244_oracle,
     "q225_packing_sweep" -> q225_oracle,
     "q228_shard_apportion" -> q228_oracle,
     "q232_release_manifest" -> q232_oracle,

@@ -713,9 +713,64 @@ object EventQueries {
       |  CAST(sum(monetary_cents) // count(*) AS BIGINT) AS mean_cents
       |FROM t GROUP BY 1 ORDER BY rfm""".stripMargin
 
+  // ---------- q243: user-lifetime survival table ----------
+
+  /** Discrete survival (life-table) over user lifetimes: per observed
+    * lifetime d (whole HOURS between a user's first and last event —
+    * elapsed-seconds DIV 3600, identical truncation in both engines),
+    * the number of users whose activity span ended AT d (churned),
+    * the number still "at risk" (span ≥ d), and the exact survival /
+    * hazard fractions in ppm — the retention curve a cohort report
+    * reads off.
+    *
+    * Scale shape: one user-keyed aggregate (first/last event — the
+    * same shuffle q66/q168 pay), then [[graft.operators.ValueAxis]]
+    * over the lifetime axis: a hash aggregation to the DISTINCT
+    * lifetime values plus a cumulative window bounded by the HOUR
+    * DOMAIN (calendar span of the corpus — grows with time, never
+    * with row count). All arithmetic integer-exact; no corpus-scale
+    * window anywhere.
+    */
+  def q243_survival(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.ValueAxis
+    val life = Tables.load(spark, dir, "events")
+      .groupBy("user_id")
+      .agg(expr("(unix_timestamp(max(ts)) - unix_timestamp(min(ts))) DIV 3600")
+        .cast("long").as("lifetime_hours"))
+    ValueAxis.axis(life, Nil, "lifetime_hours")
+      .select(col("lifetime_hours"),
+        col("cnt").as("n_churned"),
+        (col("n") - col("lo")).as("n_at_risk"),
+        expr("((n - hi) * 1000000) DIV n").as("survival_ppm"),
+        expr("(cnt * 1000000) DIV (n - lo)").as("hazard_ppm"))
+      .orderBy("lifetime_hours")
+  }
+
+  val q243_oracle: String =
+    """WITH life AS (
+      |  SELECT user_id,
+      |    CAST((CAST(floor(epoch(max(ts))) AS BIGINT)
+      |      - CAST(floor(epoch(min(ts))) AS BIGINT)) // 3600 AS BIGINT)
+      |      AS lifetime_hours
+      |  FROM events GROUP BY user_id),
+      |ax AS (SELECT lifetime_hours, CAST(count(*) AS BIGINT) AS cnt
+      |  FROM life GROUP BY lifetime_hours),
+      |c AS (
+      |  SELECT lifetime_hours, cnt,
+      |    CAST(sum(cnt) OVER (ORDER BY lifetime_hours) AS BIGINT) AS hi,
+      |    CAST(sum(cnt) OVER (ORDER BY lifetime_hours) - cnt AS BIGINT) AS lo,
+      |    CAST(sum(cnt) OVER () AS BIGINT) AS n
+      |  FROM ax)
+      |SELECT lifetime_hours, cnt AS n_churned,
+      |  n - lo AS n_at_risk,
+      |  CAST(((n - hi) * 1000000) // n AS BIGINT) AS survival_ppm,
+      |  CAST((cnt * 1000000) // (n - lo) AS BIGINT) AS hazard_ppm
+      |FROM c ORDER BY lifetime_hours""".stripMargin
+
   // ---------- registry ----------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q243_survival" -> (q243_survival _),
     "q157_wow_change" -> (q157_wow_change _),
     "q162_abtest" -> (q162_abtest _),
     "q164_funnel_time" -> (q164_funnel_time _),
@@ -730,6 +785,7 @@ object EventQueries {
     "q135_decay_score" -> (q135_decay_score _))
 
   val oracles: Map[String, String] = Map(
+    "q243_survival" -> q243_oracle,
     "q65_funnel" -> q65_oracle,
     "q66_retention" -> q66_oracle,
     "q128_transitions" -> q128_oracle,

@@ -44,7 +44,9 @@ class PlanContractsSpec extends SparkSpec {
     "q172_pareto" -> ((2, "windows run over the 10-row decile report")),
     "q165_novelty_curve" -> ((1, "cumsum over the 10-row decile report")),
     "q228_shard_apportion" -> ((1,
-      "largest-remainder rank over the <= |declared sources| (5) allocation rows")))
+      "largest-remainder rank over the <= |declared sources| (5) allocation rows")),
+    "q243_survival" -> ((2,
+      "ValueAxis cum/tot windows over the distinct-lifetime axis — bounded by the corpus DAY span (calendar domain), not row count")))
 
   private val lowCard = Set("event_type", "source", "lang", "l_returnflag")
 

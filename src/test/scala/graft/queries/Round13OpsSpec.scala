@@ -124,6 +124,135 @@ class Round13OpsSpec extends SparkSpec {
     assert(got.toSeq === Seq((1L, 100.0), (3L, 100.0)), got.mkString(";"))
   }
 
+  // ---------- q241 / q242 fixture: a full tiny star schema ----------
+
+  /** Writes every table q241/q242 read, planting ONE orphan lineitem
+    * (order 99 does not exist) and ONE duplicated order key. */
+  private def writeStar(dir: String): Unit = {
+    import spark.implicits._
+    Seq((0, "ALPHA", 0)).toDF("n_nationkey", "n_name", "n_regionkey")
+      .write.mode("overwrite").parquet(s"$dir/nation.parquet")
+    Seq((0, "R0")).toDF("r_regionkey", "r_name")
+      .write.mode("overwrite").parquet(s"$dir/region.parquet")
+    Seq((1L, "c1", 0, 1.0, "M")).toDF(
+      "c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+      .write.mode("overwrite").parquet(s"$dir/customer.parquet")
+    Seq((1L, "s1", 0, 0.0)).toDF("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+      .write.mode("overwrite").parquet(s"$dir/supplier.parquet")
+    Seq((1L, "pA", "B1", "t", 1, 1.0)).toDF(
+      "p_partkey", "p_name", "p_brand", "p_type", "p_size", "p_retailprice")
+      .write.mode("overwrite").parquet(s"$dir/part.parquet")
+    // order key 10 DUPLICATED (double load); both reference customer 1
+    Seq((10L, 1L, "O", 1.0, ts("1997-01-01"), "1-URGENT"),
+      (10L, 1L, "O", 1.0, ts("1997-01-01"), "1-URGENT"))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    // line 2 references order 99 -> orphan in lineitem->orders
+    writeLineitem(dir, Seq(
+      (10L, 1L, 1L, 1, 1.0, 1.0, 0.0, "N", "1997-01-02"),
+      (99L, 1L, 1L, 1, 1.0, 1.0, 0.0, "N", "1997-01-02")))
+    Seq((1L, "2024-01-01 00:00:00", 1L, "view", 1.0, "{}")).map { case (i, t, u, e, v, p) =>
+      (i, java.sql.Timestamp.valueOf(t), u, e, v, p)
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    Seq((1L, "hello world", "en", "web", 11L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    Seq((1L, Array(1.0f), 0)).toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+  }
+
+  test("q241: the planted orphan is found; intact relations report zero") {
+    val dir = tmp("q241")
+    writeStar(dir)
+    val got = ConsistencyQueries.q241_referential_integrity(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got("lineitem->orders") === ((2L, 1L, 1L)))
+    assert(got("orders->customer") === ((2L, 0L, 0L)))
+    assert(got("customer->nation") === ((1L, 0L, 0L)))
+    assert(got.size === 7)
+    assert(got.values.map(_._2).sum === 1L, "exactly one orphan planted")
+  }
+
+  test("q242: the planted duplicate key is found; composite lineitem key is clean") {
+    val dir = tmp("q242")
+    writeStar(dir)
+    val got = ConsistencyQueries.q242_pk_violations(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))).toMap
+    assert(got("orders") === ((2L, 1L, 1L, 2L)))
+    // the two lineitem rows share a linenumber but not an orderkey
+    assert(got("lineitem") === ((2L, 2L, 0L, 1L)))
+    assert(got.size === 7)
+  }
+
+  // ---------- q243 ----------
+
+  test("q243: life-table counts match the hand-computed survival curve") {
+    val dir = tmp("q243")
+    import spark.implicits._
+    // users: lifetimes 0h (single event), 2h, 2h, 5h
+    val rows = Seq(
+      (1L, "2024-01-01 00:00:00", 1L), // u1: one event -> 0h
+      (2L, "2024-01-01 00:00:00", 2L), (3L, "2024-01-01 02:30:00", 2L), // 2h
+      (4L, "2024-01-01 01:00:00", 3L), (5L, "2024-01-01 03:10:00", 3L), // 2h
+      (6L, "2024-01-01 00:00:00", 4L), (7L, "2024-01-01 05:59:00", 4L)) // 5h
+    rows.map { case (i, t, u) =>
+      (i, java.sql.Timestamp.valueOf(t), u, "view", 1.0, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = EventQueries.q243_survival(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))).toMap
+    // d=0: churn 1 of 4 at risk; survival past 0 = 3/4
+    assert(got(0L) === ((1L, 4L, 750000L, 250000L)))
+    // d=2: churn 2 of 3 at risk; survival past 2 = 1/4
+    assert(got(2L) === ((2L, 3L, 250000L, 666666L)))
+    // d=5: churn 1 of 1; survival past 5 = 0
+    assert(got(5L) === ((1L, 1L, 0L, 1000000L)))
+    assert(got.size === 3)
+  }
+
+  // ---------- q244 ----------
+
+  test("q244: Spearman components match a driver-side rank replica") {
+    val dir = tmp("q244")
+    import spark.implicits._
+    // 3 copies of a short text, 2 of a long one, 1 unique
+    val docs = Seq(
+      (1L, "dup dup dup"), (2L, "dup dup dup"), (3L, "dup dup dup"),
+      (4L, "the quick brown fox jumps over the lazy dog " * 3),
+      (5L, "the quick brown fox jumps over the lazy dog " * 3),
+      (6L, "a singleton document with its own text entirely"))
+    docs.map { case (id, t) => (id, t, "en", "web", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = CurationQueries.q244_dup_quality_corr(spark, dir).collect().head
+    // driver replica: dup sizes and quality from the engine's own
+    // per-doc outputs (quality is pinned elsewhere; here we pin the
+    // RANK arithmetic)
+    val per = {
+      val base = graft.Tables.load(spark, dir, "documents")
+        .select(col("doc_id"), md5(col("text")).as("h"),
+          graft.functions.TextFunctions.qualityScore(col("text")).as("q"))
+      val sizes = base.groupBy("h").agg(count(lit(1)).as("ds"))
+      base.join(sizes, Seq("h")).select("doc_id", "ds", "q").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    }
+    val n = per.length.toLong
+    val ra = per.sortBy(p => (p._2, p._1)).map(_._1).zipWithIndex
+      .map { case (id, i) => id -> (i + 1L) }.toMap
+    val rb = per.sortBy(p => (p._3, p._1)).map(_._1).zipWithIndex
+      .map { case (id, i) => id -> (i + 1L) }.toMap
+    val sumD2 = per.map(p => { val d = ra(p._1) - rb(p._1); d * d }).sum
+    assert(got.getLong(0) === n)
+    assert(got.getLong(1) === sumD2)
+    val rho = 1.0 - (6.0 * sumD2.toDouble) / (n * (n * n - 1)).toDouble
+    assert(got.getDouble(2) === rho)
+  }
+
   // ---------- q240 ----------
 
   test("q240: returned revenue ranks only R-flag lines on in-window orders") {
