@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.multimodal.Multimodal
-import graft.queries.{Analytics, BpeTrain, ChangeCapture, ChunkingQueries, ConsistencyQueries, CorpusQueries, CurationQueries, DistributionQueries, EventQueries, ExtendedAnalytics, GovernanceQueries, GraphQueries, LanguageModel, MiningQueries, PipelineQueries, RelationalQueries, RetrievalQueries, RichnessQueries, ScrubQueries, StreamingParity, TextQueries, VectorQueries}
+import graft.queries.{Analytics, BpeTrain, ChangeCapture, ChunkingQueries, ConsistencyQueries, CorpusProfileQueries, CorpusQueries, CurationQueries, DistributionQueries, EventQueries, ExtendedAnalytics, GovernanceQueries, GraphQueries, LanguageModel, MiningQueries, PipelineQueries, RelationalQueries, RetrievalQueries, RichnessQueries, ScrubQueries, StreamingParity, TextQueries, VectorQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 + §7. */
 object SparkEntry {
@@ -21,7 +21,7 @@ object SparkEntry {
       BpeTrain.queries ++ Multimodal.queries ++ GovernanceQueries.queries ++
       LanguageModel.queries ++ MiningQueries.queries ++ RichnessQueries.queries ++
       ChunkingQueries.queries ++ RelationalQueries.queries ++
-      ConsistencyQueries.queries
+      ConsistencyQueries.queries ++ CorpusProfileQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -35,5 +35,5 @@ object SparkEntry {
       BpeTrain.oracles ++ Multimodal.oracles ++ GovernanceQueries.oracles ++
       LanguageModel.oracles ++ MiningQueries.oracles ++ RichnessQueries.oracles ++
       ChunkingQueries.oracles ++ RelationalQueries.oracles ++
-      ConsistencyQueries.oracles
+      ConsistencyQueries.oracles ++ CorpusProfileQueries.oracles
 }

@@ -1,0 +1,260 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.{TextFunctions => T}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Round-13 corpus-profiling additions (SURVEY §2 #245–#248): the
+  * remaining text screens a training-data pipeline runs before
+  * mixing — exact-prefix dedup (shared boilerplate headers), the
+  * Zipf head report (rank×frequency — the log-free fit check), the
+  * type-token-ratio curve (lexical diversity at fixed prefix sizes),
+  * and the suffix→prefix boundary join (document concatenation /
+  * split artifacts).
+  *
+  * Determinism policy (SURVEY §4): md5 everywhere, integer DIV
+  * ratios, ties broken by token/doc_id — bit-identical to DuckDB.
+  */
+object CorpusProfileQueries {
+
+  // ---------- q245: exact-prefix dedup ----------
+
+  /** Prefix length in tokens. */
+  val prefixP = 8
+
+  /** Documents opening with the SAME first [[prefixP]] tokens —
+    * boilerplate headers (licence blocks, scraped nav bars) that
+    * exact whole-text dedup misses because the bodies differ. Per
+    * shared prefix: the cluster size, representative (min doc_id),
+    * distinct sources, and the total tokens behind it.
+    *
+    * Scale shape: the prefix hash is a narrow per-row projection (no
+    * explode); one hash-keyed partial aggregation; the ≥2 filter
+    * happens in the aggregate (HAVING). Nothing pairwise.
+    */
+  def q245_prefix_dedup(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("source"), T.tokens(col("text")).as("tk"))
+      .filter(size(col("tk")) >= prefixP)
+      .select(col("doc_id"), col("source"), size(col("tk")).cast("long").as("n_toks"),
+        md5(concat_ws(" ", slice(col("tk"), 1, prefixP))).as("prefix_h"))
+      .groupBy("prefix_h")
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        min(col("doc_id")).as("rep_doc_id"),
+        count_distinct(col("source")).as("n_sources"),
+        sum(col("n_toks")).cast("long").as("total_tokens"))
+      .filter(col("n_docs") >= 2)
+      .orderBy("rep_doc_id")
+
+  val q245_oracle: String = {
+    val tk = T.tokensSql("text")
+    s"""WITH t AS (
+       |  SELECT doc_id, source, $tk AS tk FROM documents),
+       |p AS (
+       |  SELECT doc_id, source, CAST(len(tk) AS BIGINT) AS n_toks,
+       |    md5(array_to_string(tk[1:$prefixP], ' ')) AS prefix_h
+       |  FROM t WHERE len(tk) >= $prefixP)
+       |SELECT prefix_h, CAST(count(*) AS BIGINT) AS n_docs,
+       |  min(doc_id) AS rep_doc_id,
+       |  count(DISTINCT source) AS n_sources,
+       |  CAST(sum(n_toks) AS BIGINT) AS total_tokens
+       |FROM p GROUP BY prefix_h HAVING count(*) >= 2
+       |ORDER BY rep_doc_id""".stripMargin
+  }
+
+  // ---------- q246: Zipf head report ----------
+
+  /** Head size. */
+  val zipfK = 50
+
+  /** The top-[[zipfK]] corpus tokens with the log-free Zipf fit
+    * check: under Zipf's law rank × frequency is ~constant, so the
+    * report carries the exact `rank_freq` product and each token's
+    * frequency as ppm of the top token — integers a drift monitor
+    * can diff across corpus versions without a float log anywhere.
+    *
+    * Scale shape: one token-keyed partial aggregation (the q35
+    * vocabulary shuffle), then TakeOrdered for the top-K (never a
+    * global sort); the rank window runs over the 50-row LIMIT result
+    * (statically bounded input).
+    */
+  def q246_zipf_head(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val vocab = Tables.load(spark, dir, "documents")
+      .select(explode(T.tokens(col("text"))).as("token"))
+      .groupBy("token")
+      .agg(count(lit(1)).cast("long").as("freq"))
+    val top = vocab.orderBy(col("freq").desc, col("token")).limit(zipfK)
+    top
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("freq").desc, col("token")))
+          .cast("long"))
+      .withColumn("top_freq", max(col("freq")).over(Window.partitionBy()))
+      .select(col("rank"), col("token"), col("freq"),
+        (col("rank") * col("freq")).as("rank_freq"),
+        expr("(freq * 1000000) DIV top_freq").as("ppm_of_top"))
+      .orderBy("rank")
+  }
+
+  val q246_oracle: String = {
+    val tk = T.tokensSql("text")
+    s"""WITH v AS (
+       |  SELECT t.token, CAST(count(*) AS BIGINT) AS freq
+       |  FROM documents, unnest($tk) AS t(token)
+       |  GROUP BY t.token),
+       |top AS (
+       |  SELECT token, freq FROM v ORDER BY freq DESC, token LIMIT $zipfK),
+       |r AS (
+       |  SELECT CAST(row_number() OVER (ORDER BY freq DESC, token) AS BIGINT)
+       |      AS rank,
+       |    token, freq, CAST(max(freq) OVER () AS BIGINT) AS top_freq
+       |  FROM top)
+       |SELECT rank, token, freq,
+       |  CAST(rank * freq AS BIGINT) AS rank_freq,
+       |  CAST((freq * 1000000) // top_freq AS BIGINT) AS ppm_of_top
+       |FROM r ORDER BY rank""".stripMargin
+  }
+
+  // ---------- q247: type-token-ratio curve ----------
+
+  /** Prefix sizes for the TTR curve. */
+  val ttrNs: Seq[Int] = Seq(50, 100, 200)
+
+  /** Lexical diversity per source at fixed prefix sizes: for each
+    * N in [[ttrNs]], over documents with ≥ N tokens, the summed
+    * distinct-token count of each document's first N tokens, and the
+    * exact pooled TTR in ppm (Σ distinct / (N · docs)). Fixed-N
+    * prefixes make TTR comparable across documents of different
+    * lengths — the standard correction for TTR's length bias.
+    *
+    * Scale shape: all three N are computed in ONE scan as narrow
+    * array expressions (slice + array_distinct — no explode), one
+    * per-source partial aggregation, then a 3-way bounded unpivot of
+    * the aggregate row (|sources| × 3 output rows).
+    */
+  def q247_ttr_curve(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.load(spark, dir, "documents")
+      .select(col("source"), T.tokens(col("text")).as("tk"))
+    val withN = ttrNs.foldLeft(base) { (d, n) =>
+      d.withColumn(s"d$n",
+        when(size(col("tk")) >= n,
+          size(array_distinct(slice(col("tk"), 1, n))).cast("long")))
+    }
+    val agg = withN.groupBy("source")
+      .agg(
+        ttrNs.flatMap(n => Seq(
+          count(col(s"d$n")).cast("long").as(s"n$n"),
+          coalesce(sum(col(s"d$n")), lit(0L)).cast("long").as(s"s$n"))).head,
+        ttrNs.flatMap(n => Seq(
+          count(col(s"d$n")).cast("long").as(s"n$n"),
+          coalesce(sum(col(s"d$n")), lit(0L)).cast("long").as(s"s$n"))).tail: _*)
+    val legs = ttrNs.map(n =>
+      agg.select(col("source"), lit(n).cast("long").as("prefix_n"),
+        col(s"n$n").as("n_docs"), col(s"s$n").as("distinct_sum"),
+        when(col(s"n$n") > 0,
+          expr(s"(s$n * 1000000) DIV (${n}L * n$n)")).otherwise(lit(0L))
+          .as("ttr_ppm")))
+    legs.reduce(_ unionAll _).orderBy("source", "prefix_n")
+  }
+
+  val q247_oracle: String = {
+    val tk = T.tokensSql("text")
+    val legs = ttrNs.map { n =>
+      s"""SELECT source, CAST($n AS BIGINT) AS prefix_n,
+         |  CAST(count(d) AS BIGINT) AS n_docs,
+         |  CAST(coalesce(sum(d), 0) AS BIGINT) AS distinct_sum,
+         |  CASE WHEN count(d) > 0 THEN
+         |    CAST((sum(d) * 1000000) // ($n * count(d))AS BIGINT)
+         |  ELSE 0 END AS ttr_ppm
+         |FROM (
+         |  SELECT source,
+         |    CASE WHEN len(tk) >= $n
+         |      THEN CAST(len(list_distinct(tk[1:$n])) AS BIGINT) END AS d
+         |  FROM (SELECT source, $tk AS tk FROM documents))
+         |GROUP BY source""".stripMargin
+    }
+    legs.mkString("", "\nUNION ALL\n", "\nORDER BY source, prefix_n")
+  }
+
+  // ---------- q248: suffix->prefix boundary join ----------
+
+  /** Boundary shingle width (tokens). */
+  val boundaryB = 4
+
+  /** Hot-boundary cutoff: boundary hashes seen more than this many
+    * times on either side are boilerplate (e.g. a common closing
+    * phrase) and are dropped before the pair join — the q72/q218
+    * rare-first rule that bounds the join fanout. */
+  val boundaryDfCut = 16L
+
+  /** Concatenation/split artifact candidates: document A's LAST
+    * [[boundaryB]] tokens equal document B's FIRST [[boundaryB]]
+    * tokens — the signature a document splitter leaves when it cuts
+    * mid-passage (A's tail continues as B's head). Only documents
+    * with ≥ 2·B tokens participate (head and tail must not overlap).
+    *
+    * Scale shape: head/tail hashes are narrow projections; the join
+    * is hash-keyed tail→head after the hot-boundary cutoff bounds
+    * per-key fanout; output is pair rows only. No broadcast hints.
+    */
+  def q248_boundary_join(spark: SparkSession, dir: String): DataFrame = {
+    val b = boundaryB
+    val base = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), T.tokens(col("text")).as("tk"))
+      .filter(size(col("tk")) >= 2 * b)
+      .select(col("doc_id"),
+        md5(concat_ws(" ", slice(col("tk"), 1, b))).as("head_h"),
+        md5(concat_ws(" ", slice(col("tk"), -b, b))).as("tail_h"))
+    val hotHeads = base.groupBy(col("head_h").as("hh")).count()
+      .filter(col("count") > boundaryDfCut).select("hh")
+    val hotTails = base.groupBy(col("tail_h").as("th")).count()
+      .filter(col("count") > boundaryDfCut).select("th")
+    val heads = base.select(col("doc_id").as("b_id"), col("head_h"))
+      .join(hotHeads, col("head_h") === col("hh"), "left_anti")
+    val tails = base.select(col("doc_id").as("a_id"), col("tail_h"))
+      .join(hotTails, col("tail_h") === col("th"), "left_anti")
+    tails.join(heads, col("tail_h") === col("head_h"))
+      .filter(col("a_id") =!= col("b_id"))
+      .select(col("a_id"), col("b_id"), col("tail_h").as("boundary_h"))
+      .orderBy("a_id", "b_id")
+  }
+
+  val q248_oracle: String = {
+    val tk = T.tokensSql("text")
+    val b = boundaryB
+    s"""WITH t AS (
+       |  SELECT doc_id, $tk AS tk FROM documents),
+       |e AS (
+       |  SELECT doc_id,
+       |    md5(array_to_string(tk[1:$b], ' ')) AS head_h,
+       |    md5(array_to_string(tk[(len(tk)-${b - 1}):len(tk)], ' ')) AS tail_h
+       |  FROM t WHERE len(tk) >= ${2 * b}),
+       |hh AS (SELECT head_h FROM e GROUP BY head_h
+       |  HAVING count(*) > $boundaryDfCut),
+       |ht AS (SELECT tail_h FROM e GROUP BY tail_h
+       |  HAVING count(*) > $boundaryDfCut),
+       |heads AS (SELECT doc_id AS b_id, head_h FROM e
+       |  WHERE head_h NOT IN (SELECT head_h FROM hh)),
+       |tails AS (SELECT doc_id AS a_id, tail_h FROM e
+       |  WHERE tail_h NOT IN (SELECT tail_h FROM ht))
+       |SELECT a_id, b_id, tail_h AS boundary_h
+       |FROM tails JOIN heads ON tail_h = head_h
+       |WHERE a_id <> b_id
+       |ORDER BY a_id, b_id""".stripMargin
+  }
+
+  // ---------- registry ----------
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q245_prefix_dedup" -> (q245_prefix_dedup _),
+    "q246_zipf_head" -> (q246_zipf_head _),
+    "q247_ttr_curve" -> (q247_ttr_curve _),
+    "q248_boundary_join" -> (q248_boundary_join _))
+
+  val oracles: Map[String, String] = Map(
+    "q245_prefix_dedup" -> q245_oracle,
+    "q246_zipf_head" -> q246_oracle,
+    "q247_ttr_curve" -> q247_oracle,
+    "q248_boundary_join" -> q248_oracle)
+}

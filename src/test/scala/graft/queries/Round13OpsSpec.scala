@@ -253,6 +253,77 @@ class Round13OpsSpec extends SparkSpec {
     assert(got.getDouble(2) === rho)
   }
 
+  private def writeDocs(dir: String, docs: Seq[(Long, String, String)]): Unit = {
+    import spark.implicits._
+    docs.map { case (id, src, text) => (id, text, "en", src, text.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+  }
+
+  // ---------- q245 ----------
+
+  test("q245: shared 8-token prefixes cluster; different bodies don't split them") {
+    val dir = tmp("q245")
+    val header = "copyright notice all rights reserved by the corp"  // 8 tokens
+    writeDocs(dir, Seq(
+      (1L, "a", header + " body one has unique content"),
+      (2L, "b", header + " a completely different body follows here"),
+      (3L, "a", "no shared header in this document at all today")))
+    val got = CorpusProfileQueries.q245_prefix_dedup(spark, dir).collect()
+    assert(got.length === 1, got.mkString(";"))
+    val r = got.head
+    assert(r.getLong(1) === 2L && r.getLong(2) === 1L && r.getLong(3) === 2L)
+    assert(r.getLong(4) === 13L + 14L) // token counts of docs 1 and 2
+  }
+
+  // ---------- q246 ----------
+
+  test("q246: rank, rank*freq and ppm-of-top are exact on a known distribution") {
+    val dir = tmp("q246")
+    // freq: aa=4, bb=2, cc=1 (tie-break alphabetical would apply on equals)
+    writeDocs(dir, Seq((1L, "a", "aa aa bb"), (2L, "a", "aa aa bb cc")))
+    val got = CorpusProfileQueries.q246_zipf_head(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.toSeq === Seq(
+      (1L, "aa", 4L, 4L, 1000000L),
+      (2L, "bb", 2L, 4L, 500000L),
+      (3L, "cc", 1L, 3L, 250000L)))
+  }
+
+  // ---------- q247 ----------
+
+  test("q247: pooled TTR counts only docs long enough for each prefix size") {
+    val dir = tmp("q247")
+    // doc 1: 60 tokens, all identical -> d50 = 1; too short for 100/200
+    // doc 2: 120 tokens alternating x y -> d50 = 2, d100 = 2; short for 200
+    writeDocs(dir, Seq(
+      (1L, "a", Seq.fill(60)("same").mkString(" ")),
+      (2L, "a", (1 to 120).map(i => if (i % 2 == 0) "x" else "y").mkString(" "))))
+    val got = CorpusProfileQueries.q247_ttr_curve(spark, dir).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.toSeq === Seq(
+      (50L, 2L, 3L, 3L * 1000000L / 100L),   // N=50: docs 1+2, 1+2 distinct
+      (100L, 1L, 2L, 2L * 1000000L / 100L),  // N=100: doc 2 only
+      (200L, 0L, 0L, 0L)))                   // N=200: none qualify
+  }
+
+  // ---------- q248 ----------
+
+  test("q248: a tail->head boundary match is found; hot boundaries are dropped") {
+    val dir = tmp("q248")
+    val cut = "and so the story continues"
+    // docA ends with the 4-token boundary that docB starts with
+    val a = "once upon a time there was a tale that ends with " + cut.split(" ").drop(1).mkString(" ")
+    val b = cut.split(" ").drop(1).mkString(" ") + " into the next document body here today"
+    // 20 docs sharing one hot head boundary (> dfCut = 16) must be dropped
+    val hot = (10L to 29L).map(i =>
+      (i, "h", "common hot header tokens here " + s"unique tail $i padding words to reach eight tokens"))
+    writeDocs(dir, Seq((1L, "a", a), (2L, "b", b)) ++ hot)
+    val got = CorpusProfileQueries.q248_boundary_join(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq === Seq((1L, 2L)), got.mkString(";"))
+  }
+
   // ---------- q240 ----------
 
   test("q240: returned revenue ranks only R-flag lines on in-window orders") {
