@@ -217,13 +217,89 @@ object Multimodal {
        |HAVING count(*) * 2 >= least(a.n_ext, b.n_ext)
        |ORDER BY a_id, b_id""".stripMargin
 
+  // ---------- q251: image-caption pair construction ----------
+
+  /** Caption length (tokens) and screens. */
+  val captionToks = 12
+  val captionMinToks = 5
+
+  /** Builds the image-caption training-pair table — the multimodal
+    * curation step between raw media and a contrastive trainer: pair
+    * each media payload with its caption (the document's first
+    * [[captionToks]] tokens), screen out captions that are too short,
+    * non-English, or low-quality, and DEDUP identical captions to one
+    * pair (min doc_id representative — a caption shared by thousands
+    * of stock images would otherwise dominate a contrastive batch).
+    * Output carries the payload hash + stub dimensions (the decode
+    * boundary q31 establishes) and exact caption token counts.
+    *
+    * Scale shape: caption/screen columns are narrow per-row
+    * expressions over the media scan; the dedup is one caption-hash
+    * keyed aggregate with min_by carrying the representative's
+    * columns (no join back, no window). Nothing pairwise, no hints.
+    */
+  def q251_caption_pairs(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.{TextFunctions => T}
+    val base = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("text"), col("lang"), col("source"),
+        T.tokens(col("text")).as("tk"))
+      .filter(col("lang") === "en" &&
+        size(col("tk")) >= captionMinToks &&
+        T.qualityScore(col("text")) > 0.4)
+      .select(col("doc_id"), col("source"),
+        md5(col("text").cast("binary")).as("payload_md5"),
+        (lit(64) + pmod(length(col("text")), lit(64))).as("stub_width"),
+        (lit(64) + pmod(floor(length(col("text")) / lit(64)).cast("long"),
+          lit(64))).as("stub_height"),
+        concat_ws(" ", slice(col("tk"), 1, captionToks)).as("caption"),
+        least(size(col("tk")), lit(captionToks)).cast("long").as("n_caption_toks"))
+    base
+      .groupBy(md5(col("caption")).as("caption_h"))
+      .agg(
+        min_by(struct(col("doc_id"), col("source"), col("payload_md5"),
+          col("stub_width"), col("stub_height"), col("n_caption_toks")),
+          col("doc_id")).as("rep"),
+        count(lit(1)).cast("long").as("n_candidates"))
+      .select(col("rep.doc_id").as("doc_id"), col("caption_h"),
+        col("rep.source").as("source"), col("rep.payload_md5").as("payload_md5"),
+        col("rep.stub_width").as("stub_width"),
+        col("rep.stub_height").as("stub_height"),
+        col("rep.n_caption_toks").as("n_caption_toks"), col("n_candidates"))
+      .orderBy("doc_id")
+  }
+
+  val q251_oracle: String = {
+    import graft.functions.{TextFunctions => T}
+    val tk = T.tokensSql("text")
+    s"""WITH b AS (
+       |  SELECT doc_id, source,
+       |    md5(text) AS payload_md5,
+       |    64 + (length(text) % 64) AS stub_width,
+       |    64 + ((length(text) // 64) % 64) AS stub_height,
+       |    array_to_string(($tk)[1:$captionToks], ' ') AS caption,
+       |    CAST(least(len($tk), $captionToks) AS BIGINT) AS n_caption_toks
+       |  FROM documents
+       |  WHERE lang = 'en' AND len($tk) >= $captionMinToks
+       |    AND ${T.qualityScoreSql("text")} > 0.4),
+       |d AS (
+       |  SELECT md5(caption) AS caption_h, min(doc_id) AS doc_id,
+       |    CAST(count(*) AS BIGINT) AS n_candidates
+       |  FROM b GROUP BY md5(caption))
+       |SELECT b.doc_id, d.caption_h, b.source, b.payload_md5,
+       |  b.stub_width, b.stub_height, b.n_caption_toks, d.n_candidates
+       |FROM d JOIN b ON b.doc_id = d.doc_id
+       |ORDER BY b.doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q31_multimodal_extract" -> (q31_multimodal_extract _),
     "q89_frame_sample" -> (q89_frame_sample _),
-    "q195_media_dedup" -> (q195_media_dedup _))
+    "q195_media_dedup" -> (q195_media_dedup _),
+    "q251_caption_pairs" -> (q251_caption_pairs _))
 
   val oracles: Map[String, String] = Map(
     "q31_multimodal_extract" -> q31_oracle,
     "q89_frame_sample" -> q89_oracle,
-    "q195_media_dedup" -> q195_oracle)
+    "q195_media_dedup" -> q195_oracle,
+    "q251_caption_pairs" -> q251_oracle)
 }

@@ -234,6 +234,56 @@ object GovernanceQueries {
       .mkString("", "\nUNION ALL\n", "\nORDER BY column_name")
   }
 
+  // ---------- q249: incremental profile maintenance ----------
+
+  /** q100's profiling report maintained incrementally — the
+    * incremental-≡-rescan family (q107/q110/q113/q209/q224/q227)
+    * extended to data profiling: the pre-1998 orders' per-column
+    * state (counts, extrema, string length sums — all mergeable)
+    * merges with the 1998+ ingest's state; a refresh costs
+    * O(|batch| + |columns|), never a history rescan. Exact distinct
+    * counts are deliberately absent (not algebraic — q110's HLL
+    * story). The oracle is the full-orders recompute verbatim: the
+    * split must be invisible in every output cell.
+    */
+  def q249_incremental_profile(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.IncrementalProfile
+    val numeric = Seq("o_orderkey", "o_custkey", "o_totalprice")
+    val strings = Seq("o_orderstatus", "o_orderpriority")
+    val orders = Tables.load(spark, dir, "orders")
+    val cutoff = to_timestamp(lit("1998-01-01 00:00:00"))
+    val historic = IncrementalProfile.state(
+      orders.filter(col("o_orderdate") < cutoff), numeric, strings)
+    val ingest = IncrementalProfile.state(
+      orders.filter(col("o_orderdate") >= cutoff), numeric, strings)
+    IncrementalProfile.finish(IncrementalProfile.merge(Seq(historic, ingest)))
+      .orderBy("column_name")
+  }
+
+  val q249_oracle: String = {
+    def num(c: String) =
+      s"""SELECT '$c' AS column_name,
+         |  CAST(count($c) AS BIGINT) AS n_values,
+         |  CAST(count(*) FILTER (WHERE $c IS NULL) AS BIGINT) AS n_nulls,
+         |  CAST(min($c) AS DOUBLE) AS min_num,
+         |  CAST(max($c) AS DOUBLE) AS max_num,
+         |  CAST(NULL AS VARCHAR) AS min_str,
+         |  CAST(NULL AS VARCHAR) AS max_str,
+         |  CAST(NULL AS BIGINT) AS avg_len_micro
+         |FROM orders""".stripMargin
+    def str(c: String) =
+      s"""SELECT '$c',
+         |  CAST(count($c) AS BIGINT),
+         |  CAST(count(*) FILTER (WHERE $c IS NULL) AS BIGINT),
+         |  CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+         |  min($c), max($c),
+         |  CAST(floor(sum(CAST(length($c) AS BIGINT)) * 1000000 / count($c)) AS BIGINT)
+         |FROM orders""".stripMargin
+    (Seq("o_orderkey", "o_custkey", "o_totalprice").map(num) ++
+      Seq("o_orderstatus", "o_orderpriority").map(str))
+      .mkString("", "\nUNION ALL\n", "\nORDER BY column_name")
+  }
+
   // ---------- q103: versioned time travel (merge-on-read) ----------
 
   /** Time travel over [[graft.io.Versioned]] driver-gated: commit the
@@ -715,6 +765,7 @@ object GovernanceQueries {
     "q109_masking" -> (q109_masking _),
     "q103_time_travel" -> (q103_time_travel _),
     "q107_incremental_agg" -> (q107_incremental_agg _),
+    "q249_incremental_profile" -> (q249_incremental_profile _),
     "q127_k_anonymity" -> (q127_k_anonymity _))
 
   val oracles: Map[String, String] = Map(
@@ -727,5 +778,6 @@ object GovernanceQueries {
     "q109_masking" -> q109_oracle,
     "q103_time_travel" -> q103_oracle,
     "q107_incremental_agg" -> q107_oracle,
+    "q249_incremental_profile" -> q249_oracle,
     "q127_k_anonymity" -> q127_oracle)
 }

@@ -487,7 +487,66 @@ object StreamingParity {
   /** Shared constant on purpose: incremental ≡ one-shot scan. */
   val q179_oracle: String = DistributionQueries.oracles("q141_ks_drift")
 
+  // ---------- q250: streaming top-K ≡ batch top-K ----------
+
+  /** Report size. */
+  val topkK = 20
+
+  /** Streaming top-K heaviest users, gated by the batch answer: each
+    * micro-batch folds into a persisted per-user count state via
+    * foreachBatch (counts are ALGEBRAIC — the state is entity-sized,
+    * |users| rows, never event-sized; this is the exact-state regime.
+    * Misra–Gries state is the fallback only when even |entities| is
+    * too big — q209's story); the report is TakeOrdered over the
+    * final state with user_id tie-break. The oracle is the one-shot
+    * batch top-K verbatim: replay ≡ rescan.
+    */
+  def q250_stream_topk(spark: SparkSession, dir: String): DataFrame = {
+    val work = graft.io.Scratch.dir(spark, "graft-q250-")
+    val watchDir = s"$work/incoming"
+    val fs = new Path(work).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    try {
+      stageBatches(spark, dir, fs, watchDir, Seq("b0", "b1"))
+      val schema = spark.read.parquet(s"$watchDir/b0.parquet").schema
+      val latest = new java.util.concurrent.atomic.AtomicReference[String](null)
+      withShufflePartitions(spark, 8) {
+        val stream = spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", 1).parquet(watchDir)
+        val query = stream.writeStream
+          .trigger(Trigger.AvailableNow())
+          .foreachBatch { (batch: DataFrame, id: Long) =>
+            val partial = batch.groupBy("user_id")
+              .agg(count(lit(1)).cast("long").as("n_events"))
+            val merged = Option(latest.get()) match {
+              case Some(prev) =>
+                spark.read.parquet(prev).unionByName(partial)
+                  .groupBy("user_id")
+                  .agg(sum(col("n_events")).cast("long").as("n_events"))
+              case None => partial
+            }
+            val out = s"$work/state_b$id"
+            merged.write.mode("overwrite").parquet(out)
+            latest.set(out)
+            ()
+          }
+          .option("checkpointLocation", s"$work/ckpt")
+          .start()
+        query.awaitTermination()
+      }
+      spark.read.parquet(latest.get())
+        .orderBy(col("n_events").desc, col("user_id"))
+        .limit(topkK)
+        .localCheckpoint() // materialize before the work dir is deleted
+    } finally fs.delete(new Path(work), true)
+  }
+
+  val q250_oracle: String =
+    s"""SELECT user_id, CAST(count(*) AS BIGINT) AS n_events
+       |FROM events GROUP BY user_id
+       |ORDER BY n_events DESC, user_id LIMIT $topkK""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q250_stream_topk" -> (q250_stream_topk _),
     "q179_stream_drift" -> (q179_stream_drift _),
     "q161_stream_decay" -> (q161_stream_decay _),
     "q74_stream_tumbling" -> (q74_stream_tumbling _),
@@ -496,6 +555,7 @@ object StreamingParity {
     "q102_stream_join" -> (q102_stream_join _))
 
   val oracles: Map[String, String] = Map(
+    "q250_stream_topk" -> q250_oracle,
     "q179_stream_drift" -> q179_oracle,
     "q161_stream_decay" -> q161_oracle,
     "q74_stream_tumbling" -> q74_oracle,

@@ -412,6 +412,89 @@ object VectorQueries {
     } finally fs.delete(new Path(work), true)
   }
 
+  /** Erasure-set selector shared by [[q252_ivf_erasure]] and its
+    * equivalence spec: ~1/16 of vectors, content-hash chosen. */
+  def ivfErased(idCol: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    substring(md5(concat(lit("er13|"), idCol.cast("string"))), 1, 1) === "0"
+
+  /** GDPR erasure leg for the vector index — the delete that completes
+    * the IVF lifecycle (q96 build / q227 append / q42 probe / THIS
+    * erase), mirroring what q229/q230 prove for the signature and BM25
+    * indexes: an erasure request lands as a TOMBSTONE table; reads
+    * apply it as an anti-join mask over the postings; no posting file
+    * is rewritten (the index stays append-only + tombstones, exactly
+    * how an immutable-file store takes deletes). The quantizer is
+    * frozen — cell assignment never depended on the erased rows'
+    * membership, so masked-read ≡ rebuild-without-erased EXACTLY;
+    * Round13OpsSpec pins that equivalence bit-for-bit. Rows-only at
+    * the driver (k-means floats have no DuckDB twin — q42's family).
+    *
+    * Scale shape: the tombstone anti-join is keyed on vec_id and
+    * request-sized on the right; probe/search is q42's bounded
+    * candidate plan unchanged.
+    */
+  def q252_ivf_erasure(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    import spark.implicits._
+    val work = graft.io.Scratch.dir(spark, "graft-q252-")
+    val fs = new Path(work).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    try {
+      val e = emb(spark, dir)
+      val model = IvfModel.get(spark, dir, k = 16)
+      // the persisted index: full corpus, frozen quantizer
+      e.withColumn("cell", model.cell(col("v")))
+        .select(col("vec_id"), col("cell"), col("v"), V.norm(col("v")).as("n_nrm"))
+        .write.parquet(s"$work/postings")
+      // the erasure request, landed as a tombstone table
+      e.filter(ivfErased(col("vec_id"))).select(col("vec_id").as("t_id"))
+        .write.parquet(s"$work/tombstones")
+      val tombs = spark.read.parquet(s"$work/tombstones")
+      val postings = spark.read.parquet(s"$work/postings")
+        .join(tombs, col("vec_id") === col("t_id"), "left_anti")
+        .select(col("vec_id").as("n_id"), col("v").as("nv"),
+          col("cell"), col("n_nrm"))
+      val queries = e.filter(col("vec_id") < 50 && !ivfErased(col("vec_id")))
+        .withColumn("probe_cells", model.probeCells(col("v"), nProbe = 4))
+        .select(col("vec_id").as("q_id"), col("v").as("qv"),
+          explode(col("probe_cells")).as("cell"), V.norm(col("v")).as("q_nrm"))
+      val cos = V.cosineWithNorms(col("qv"), col("nv"), col("q_nrm"), col("n_nrm"))
+      val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id").asc)
+      queries.join(postings, Seq("cell"))
+        .filter(col("q_id") =!= col("n_id"))
+        .select(col("q_id"), col("n_id"), cos.as("cos"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select("q_id", "rk", "n_id", "cos")
+        .orderBy("q_id", "rk")
+        .localCheckpoint() // materialize before the work dir is deleted
+    } finally fs.delete(new Path(work), true)
+  }
+
+  /** The rebuild-without-erased reference for the equivalence spec:
+    * the SAME frozen quantizer over the corpus minus the erasure set,
+    * searched by the same surviving queries. */
+  private[graft] def ivfRebuiltWithout(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    val model = IvfModel.get(spark, dir, k = 16)
+    val postings = e.filter(!ivfErased(col("vec_id")))
+      .withColumn("cell", model.cell(col("v")))
+      .select(col("vec_id").as("n_id"), col("v").as("nv"), col("cell"),
+        V.norm(col("v")).as("n_nrm"))
+    val queries = e.filter(col("vec_id") < 50 && !ivfErased(col("vec_id")))
+      .withColumn("probe_cells", model.probeCells(col("v"), nProbe = 4))
+      .select(col("vec_id").as("q_id"), col("v").as("qv"),
+        explode(col("probe_cells")).as("cell"), V.norm(col("v")).as("q_nrm"))
+    val cos = V.cosineWithNorms(col("qv"), col("nv"), col("q_nrm"), col("n_nrm"))
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id").asc)
+    queries.join(postings, Seq("cell"))
+      .filter(col("q_id") =!= col("n_id"))
+      .select(col("q_id"), col("n_id"), cos.as("cos"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select("q_id", "rk", "n_id", "cos")
+      .orderBy("q_id", "rk")
+  }
+
   def q96_ivf_index_persist(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.hadoop.fs.Path
     import spark.implicits._
@@ -1085,6 +1168,7 @@ object VectorQueries {
     // stored-index search == fresh-build search row for row
     "q96_ivf_index_persist" -> (q96_ivf_index_persist _),
     "q227_ivf_index_update" -> (q227_ivf_index_update _),
+    "q252_ivf_erasure" -> (q252_ivf_erasure _),
     "q70_knn_lsh_multiprobe" -> (q70_knn_lsh_multiprobe _),
     "q106_semantic_decontam" -> (q106_semantic_decontam _),
     // q112 rows-only like q42/q96: trained floats have no SQL twin;

@@ -324,6 +324,94 @@ class Round13OpsSpec extends SparkSpec {
     assert(got.toSeq === Seq((1L, 2L)), got.mkString(";"))
   }
 
+  // ---------- q249 ----------
+
+  test("q249: merged era states equal the one-shot profile, nulls and all") {
+    import spark.implicits._
+    import graft.operators.IncrementalProfile
+    val rows = Seq(
+      (1L, Some(10.0), Some("aa"), 1),
+      (2L, None, Some("bbbb"), 1),
+      (3L, Some(-4.0), None, 2),
+      (4L, Some(99.0), Some("c"), 2))
+    val df = rows.map { case (k, d, s, era) => (k, d.map(Double.box).orNull, s.orNull, era) }
+      .toDF("k", "x", "s", "era")
+    val numeric = Seq("k", "x"); val strings = Seq("s")
+    val whole = IncrementalProfile.finish(
+      IncrementalProfile.state(df, numeric, strings))
+    val merged = IncrementalProfile.finish(IncrementalProfile.merge(Seq(
+      IncrementalProfile.state(df.filter(col("era") === 1), numeric, strings),
+      IncrementalProfile.state(df.filter(col("era") === 2), numeric, strings))))
+    assert(merged.exceptAll(whole).isEmpty && whole.exceptAll(merged).isEmpty,
+      "incremental profile diverged from the rescan")
+    val got = whole.collect().map(r => r.getString(0) -> r).toMap
+    assert(got("x").getLong(1) === 3L && got("x").getLong(2) === 1L)
+    assert(got("x").getDouble(3) === -4.0 && got("x").getDouble(4) === 99.0)
+    assert(got("s").getString(5) === "aa" && got("s").getString(6) === "c")
+    // avg_len_micro: (2 + 4 + 1) / 3 strings = 2.333... -> 2333333
+    assert(got("s").getLong(7) === 2333333L)
+  }
+
+  // ---------- q250 ----------
+
+  test("q250: streamed per-user counts equal the batch top-K on a fixture corpus") {
+    val dir = tmp("q250")
+    import spark.implicits._
+    // user 1: 3 events, user 2: 2, user 3: 1 — split across the
+    // harness's ts cutoff (2024-01-15) so both micro-batches carry rows
+    val rows = Seq(
+      (1L, "2024-01-10 00:00:00", 1L), (2L, "2024-01-10 01:00:00", 1L),
+      (3L, "2024-01-20 00:00:00", 1L),
+      (4L, "2024-01-10 02:00:00", 2L), (5L, "2024-01-20 01:00:00", 2L),
+      (6L, "2024-01-20 02:00:00", 3L))
+    rows.map { case (i, t, u) =>
+      (i, java.sql.Timestamp.valueOf(t), u, "view", 1.0, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = StreamingParity.q250_stream_topk(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq === Seq((1L, 3L), (2L, 2L), (3L, 1L)), got.mkString(";"))
+  }
+
+  // ---------- q251 ----------
+
+  test("q251: caption screens and caption-level dedup hold on a planted fixture") {
+    val dir = tmp("q251")
+    import spark.implicits._
+    val goodCaption = "the quick brown fox jumps over the lazy dog again and again"
+    val docs = Seq(
+      // two docs sharing the same 12-token caption prefix -> one pair
+      (1L, goodCaption + " trailing body one", "en"),
+      (2L, goodCaption + " other trailing body", "en"),
+      // different caption, passes screens
+      (3L, "a completely different English text that is long enough to pass the screens", "en"),
+      // wrong language -> dropped
+      (4L, goodCaption, "de"),
+      // too short -> dropped
+      (5L, "too short", "en"))
+    docs.map { case (id, t, lang) => (id, t, lang, "web", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = graft.multimodal.Multimodal.q251_caption_pairs(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(6), r.getLong(7)))
+    assert(got.toSeq === Seq((1L, 12L, 2L), (3L, 12L, 1L)), got.mkString(";"))
+  }
+
+  // ---------- q252 ----------
+
+  test("q252: tombstone-masked IVF read is bit-identical to rebuild-without-erased") {
+    val dir = sf("sf0.001")
+    val masked = VectorQueries.q252_ivf_erasure(spark, dir)
+    val rebuilt = VectorQueries.ivfRebuiltWithout(spark, dir)
+    assert(masked.exceptAll(rebuilt).isEmpty && rebuilt.exceptAll(masked).isEmpty,
+      "erasure mask diverged from the rebuild")
+    // and the erased ids are really gone from the neighbor column
+    val erasedNeighbors = masked
+      .filter(VectorQueries.ivfErased(col("n_id"))).count()
+    assert(erasedNeighbors === 0L)
+    assert(masked.count() > 0L)
+  }
+
   // ---------- q240 ----------
 
   test("q240: returned revenue ranks only R-flag lines on in-window orders") {
