@@ -767,9 +767,63 @@ object EventQueries {
       |  CAST((cnt * 1000000) // (n - lo) AS BIGINT) AS hazard_ppm
       |FROM c ORDER BY lifetime_hours""".stripMargin
 
+  // ---------- q256: CUSUM changepoint over daily volume ----------
+
+  /** CUSUM drift detection over the daily ingest-volume series — the
+    * monitor that catches a level shift (a source going dark, a crawl
+    * doubling) that per-day thresholds miss because no single day is
+    * extreme. The classic statistic Σ_{j≤i}(c_j − mean) is kept
+    * EXACT by scaling through the day count: cusum_i = D·cum_i − i·T
+    * (D days, T total — integers, no mean division anywhere; the last
+    * day closes at exactly 0 by construction). `is_peak` marks the
+    * |CUSUM|-maximal day(s) — the standard CUSUM changepoint estimate.
+    *
+    * Scale shape: one partial-agg shuffle to the DAY axis (calendar
+    * domain — grows with time, never with row count; q243's ValueAxis
+    * argument); the cum/index windows and the 1-row totals/peak
+    * crosses all run over that bounded axis.
+    */
+  def q256_cusum(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.load(spark, dir, "events")
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).cast("long").as("n_events"))
+    val tot = daily.agg(
+      count(lit(1)).cast("long").as("n_days"),
+      sum(col("n_events")).cast("long").as("total"))
+    val wCum = Window.orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val c = daily.crossJoin(tot) // 1-row totals: broadcast-scalar
+      .withColumn("cum", sum(col("n_events")).over(wCum).cast("long"))
+      .withColumn("idx", row_number().over(Window.orderBy("day")).cast("long"))
+      .withColumn("cusum_scaled",
+        col("n_days") * col("cum") - col("idx") * col("total"))
+    c.crossJoin(c.agg(max(abs(col("cusum_scaled"))).as("peak_abs")))
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("n_events"), col("cusum_scaled"),
+        (abs(col("cusum_scaled")) === col("peak_abs")).as("is_peak"))
+      .orderBy("day") // yyyy-MM-dd: lexical == chronological
+  }
+
+  val q256_oracle: String =
+    """WITH d AS (
+      |  SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS n_events
+      |  FROM events GROUP BY 1),
+      |t AS (SELECT CAST(count(*) AS BIGINT) AS n_days,
+      |        CAST(sum(n_events) AS BIGINT) AS total FROM d),
+      |c AS (SELECT day, n_events,
+      |    CAST(n_days * CAST(sum(n_events) OVER (ORDER BY day) AS BIGINT)
+      |      - CAST(row_number() OVER (ORDER BY day) AS BIGINT) * total
+      |      AS BIGINT) AS cusum_scaled
+      |  FROM d CROSS JOIN t),
+      |p AS (SELECT max(abs(cusum_scaled)) AS peak_abs FROM c)
+      |SELECT strftime(day, '%Y-%m-%d') AS day, n_events, cusum_scaled,
+      |  abs(cusum_scaled) = peak_abs AS is_peak
+      |FROM c CROSS JOIN p ORDER BY day""".stripMargin
+
   // ---------- registry ----------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q256_cusum" -> (q256_cusum _),
     "q243_survival" -> (q243_survival _),
     "q157_wow_change" -> (q157_wow_change _),
     "q162_abtest" -> (q162_abtest _),
@@ -785,6 +839,7 @@ object EventQueries {
     "q135_decay_score" -> (q135_decay_score _))
 
   val oracles: Map[String, String] = Map(
+    "q256_cusum" -> q256_oracle,
     "q243_survival" -> q243_oracle,
     "q65_funnel" -> q65_oracle,
     "q66_retention" -> q66_oracle,

@@ -1087,7 +1087,82 @@ object GraphQueries {
       |  CAST(sum(id) AS BIGINT) AS id_sum
       |FROM lab GROUP BY component ORDER BY component""".stripMargin
 
+  // ---------- q255: local clustering coefficient ----------
+
+  /** Per-vertex LOCAL CLUSTERING COEFFICIENT over q122's co-supply
+    * graph — the hub-vs-community discriminator link analysis reads
+    * next to raw triangle counts: c(v) = 2·tri(v) / (deg(v)·(deg(v)−1))
+    * in exact ppm (integer DIV — no float division anywhere), emitted
+    * for every vertex with degree ≥ 2 (the coefficient is undefined
+    * below that), zero-triangle vertices included (a star hub scores
+    * 0, not absent — the signal that its neighborhood never closes).
+    *
+    * Scale shape: the same orientation-trick triangle count as q122
+    * (per-order fanout bounded, wedge joins keyed on vertex ids, AQE
+    * re-splits skew); degrees are one partial-agg shuffle over the
+    * edge list; the coefficient is arithmetic on the vertex-sized
+    * join of the two. Nothing is collected.
+    */
+  def q255_clustering_coeff(spark: SparkSession, dir: String): DataFrame = {
+    val lo = to_timestamp(lit("1995-01-01 00:00:00"))
+    val hi = to_timestamp(lit("1995-04-01 00:00:00"))
+    val orders = Tables.load(spark, dir, "orders")
+      .filter(col("o_orderdate") >= lo && col("o_orderdate") < hi)
+      .select(col("o_orderkey").as("ok"))
+    val li = Tables.load(spark, dir, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
+    val os = orders.join(li, "ok").distinct()
+    val e0 = os.as("a").join(os.as("b"),
+        col("a.ok") === col("b.ok") && col("a.sk") < col("b.sk"))
+      .select(col("a.sk").as("u"), col("b.sk").as("v"))
+      .distinct()
+      .localCheckpoint() // feeds degrees AND the triangle pass
+    val deg = e0.select(col("u").as("id"))
+      .unionAll(e0.select(col("v").as("id")))
+      .groupBy("id").agg(count(lit(1)).cast("long").as("degree"))
+    deg.filter(col("degree") >= 2)
+      .join(triangleCounts(e0), Seq("id"), "left")
+      .withColumn("n_triangles", coalesce(col("n_triangles"), lit(0L)))
+      .select(col("id").as("s_suppkey"), col("degree"),
+        col("n_triangles").cast("long").as("n_triangles"),
+        expr("(n_triangles * 2000000) DIV (degree * (degree - 1))")
+          .cast("long").as("coeff_ppm"))
+      .orderBy("s_suppkey")
+  }
+
+  val q255_oracle: String =
+    s"""WITH os AS (
+       |  SELECT DISTINCT l_orderkey AS ok, l_suppkey AS sk
+       |  FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+       |  WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+       |    AND o_orderdate < TIMESTAMP '1995-04-01 00:00:00'),
+       |e0 AS (SELECT DISTINCT a.sk AS u, b.sk AS v
+       |       FROM os a JOIN os b ON a.ok = b.ok AND a.sk < b.sk),
+       |d AS (SELECT id, CAST(count(*) AS BIGINT) AS degree FROM (
+       |        SELECT u AS id FROM e0 UNION ALL SELECT v AS id FROM e0)
+       |      GROUP BY id),
+       |dd AS (SELECT k, count(*) AS dg FROM (
+       |        SELECT u AS k FROM e0 UNION ALL SELECT v AS k FROM e0)
+       |      GROUP BY k),
+       |de AS (SELECT
+       |    CASE WHEN (du.dg, e0.u) < (dv.dg, e0.v) THEN e0.u ELSE e0.v END AS s,
+       |    CASE WHEN (du.dg, e0.u) < (dv.dg, e0.v) THEN e0.v ELSE e0.u END AS t
+       |  FROM e0 JOIN dd du ON du.k = e0.u JOIN dd dv ON dv.k = e0.v),
+       |tri AS (SELECT e1.s AS a, e1.t AS b, e2.t AS c
+       |  FROM de e1 JOIN de e2 ON e1.t = e2.s
+       |  JOIN de e3 ON e3.s = e1.s AND e3.t = e2.t),
+       |tc AS (SELECT id, CAST(count(*) AS BIGINT) AS n_triangles
+       |  FROM (SELECT unnest([a, b, c]) AS id FROM tri) GROUP BY id)
+       |SELECT d.id AS s_suppkey, d.degree,
+       |  CAST(coalesce(tc.n_triangles, 0) AS BIGINT) AS n_triangles,
+       |  CAST((coalesce(tc.n_triangles, 0) * 2000000)
+       |    // (d.degree * (d.degree - 1)) AS BIGINT) AS coeff_ppm
+       |FROM d LEFT JOIN tc ON tc.id = d.id
+       |WHERE d.degree >= 2
+       |ORDER BY s_suppkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q255_clustering_coeff" -> (q255_clustering_coeff _),
     "q186_incremental_cc" -> (q186_incremental_cc _),
     "q173_link_prediction" -> (q173_link_prediction _),
     "q174_assortativity" -> (q174_assortativity _),
@@ -1102,6 +1177,7 @@ object GraphQueries {
     "q125_kcore" -> (q125_kcore _))
 
   val oracles: Map[String, String] = Map(
+    "q255_clustering_coeff" -> q255_oracle,
     "q186_incremental_cc" -> q186_oracle,
     "q173_link_prediction" -> q173_oracle,
     "q174_assortativity" -> q174_oracle,

@@ -448,9 +448,101 @@ object PipelineQueries {
        |WHERE NOT ${anyErrSql(docMetaCols, docValidations)}
        |ORDER BY doc_id""".stripMargin
 
+  // ---------- q253: dead-letter ledger with declared patch retry ----------
+
+  /** The analytics-feed RELEASE profile: q03/q04's rules tightened
+    * with the event-type whitelist (error telemetry does not belong in
+    * the product-analytics feed — and it has no declared patch). */
+  private val dlqValidations = Seq(
+    ValidationDef("user_id", Seq(NotNullRule)),
+    ValidationDef("event_type",
+      Seq(NotNullRule, RegexRule("^(view|click|purchase|signup)$"))),
+    ValidationDef("value", Seq(NotNullRule, MinValueRule(10))),
+    ValidationDef("props", Seq(NotNullRule, NotEmptyRule)))
+
+  /** The DEAD-LETTER leg of the validation pipeline (q03/q04 split the
+    * batch; this is what happens to the KO side): failures against the
+    * [[dlqValidations]] release profile group by their full error
+    * SIGNATURE (field=errors joined across fields — the key an on-call
+    * triages by), the metadata-declared patch policy is applied
+    * (`value` below the floor clamps to it, empty or NULL `props`
+    * defaults to `{}` — the two transient-extract glitches), the
+    * patched rows RE-VALIDATE under the same rules, and the ledger
+    * reports per signature: arrivals, recoveries, and the rows that
+    * stay dead (unpatchable fields — a whitelisted-out event_type or a
+    * NULL user_id has no declared default; a row failing both a
+    * patchable and an unpatchable rule stays dead too). The oracle
+    * re-derives the same ledger from the generated rule SQL: patch +
+    * re-validate, not a hand-copied verdict.
+    *
+    * Scale shape: validation, signature, patch, and re-validation are
+    * all narrow per-row expressions in ONE scan (the Validator's
+    * codegen contract); the only shuffle is the signature-keyed
+    * aggregate, whose output is error-taxonomy-sized, never row-sized.
+    */
+  def q253_dead_letter(spark: SparkSession, dir: String): DataFrame = {
+    val df = Tables.load(spark, dir, "events")
+    val cols = df.columns.toSeq
+    val anyErr = dlqValidations
+      .map(vd => Validator.fieldErrors(cols, vd).isNotNull)
+      .reduce(_ || _)
+    val sigParts = dlqValidations.map { vd =>
+      val e = fieldErrStrCol(cols, vd)
+      when(e.isNotNull, concat(lit(vd.field + "="), e))
+    }
+    val ko = df.filter(coalesce(anyErr, lit(false)))
+      .withColumn("signature", concat_ws(";", sigParts: _*))
+    // the declared patch policy: clamp value to the rule floor,
+    // default empty/NULL props — then re-validate with the SAME rules
+    val patched = ko
+      .withColumn("value",
+        when(col("value").isNull || col("value") < 10.0, lit(10.0))
+          .otherwise(col("value")))
+      .withColumn("props",
+        when(col("props").isNull || trim(col("props")) === "", lit("{}"))
+          .otherwise(col("props")))
+    val stillErr = dlqValidations
+      .map(vd => Validator.fieldErrors(cols, vd).isNotNull)
+      .reduce(_ || _)
+    patched
+      .withColumn("dead", coalesce(stillErr, lit(false)))
+      .groupBy("signature")
+      .agg(
+        count(lit(1)).cast("long").as("n_failed"),
+        count_if(!col("dead")).cast("long").as("n_recovered"),
+        count_if(col("dead")).cast("long").as("n_dead"),
+        min(col("event_id")).as("first_event_id"),
+        max(col("event_id")).as("last_event_id"))
+      .orderBy("signature")
+  }
+
+  def q253OracleSql: String = {
+    val sigParts = dlqValidations.map { v =>
+      val e = fieldErrStrSql(eventCols, v)
+      s"CASE WHEN $e IS NOT NULL THEN '${v.field}=' || $e END"
+    }
+    s"""WITH ko AS (
+       |  SELECT event_id, ts, user_id, event_type,
+       |    concat_ws(';', ${sigParts.mkString(",\n      ")}) AS signature,
+       |    CASE WHEN value IS NULL OR CAST(value AS DOUBLE) < 10
+       |      THEN 10 ELSE value END AS value,
+       |    CASE WHEN props IS NULL OR trim(props) = ''
+       |      THEN '{}' ELSE props END AS props
+       |  FROM events
+       |  WHERE ${anyErrSql(eventCols, dlqValidations)})
+       |SELECT signature,
+       |  CAST(count(*) AS BIGINT) AS n_failed,
+       |  CAST(count(*) FILTER (WHERE NOT ${anyErrSql(eventCols, dlqValidations)}) AS BIGINT) AS n_recovered,
+       |  CAST(count(*) FILTER (WHERE ${anyErrSql(eventCols, dlqValidations)}) AS BIGINT) AS n_dead,
+       |  min(event_id) AS first_event_id,
+       |  max(event_id) AS last_event_id
+       |FROM ko GROUP BY signature ORDER BY signature""".stripMargin
+  }
+
   // ---------- registry ----------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q253_dead_letter" -> (q253_dead_letter _),
     "q01_schema_enforce" -> (q01_schema_enforce _),
     "q02_add_fields" -> (q02_add_fields _),
     "q03_validate_ok" -> (q03_validate_ok _),
@@ -465,6 +557,7 @@ object PipelineQueries {
     "q97_schema_evolution" -> (q97_schema_evolution _))
 
   val oracles: Map[String, String] = Map(
+    "q253_dead_letter" -> q253OracleSql,
     "q01_schema_enforce" -> q01_oracle,
     "q02_add_fields" -> q02_oracle,
     "q03_validate_ok" -> q03OracleSql,

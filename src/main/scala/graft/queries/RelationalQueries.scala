@@ -306,9 +306,86 @@ object RelationalQueries {
        |JOIN nation ON c_nationkey = n_nationkey
        |ORDER BY rev_e4 DESC, c_custkey LIMIT $returnedTopK""".stripMargin
 
+  // ---------- q254: cheapest regional supplier per part (TPC-H Q2 shape) ----------
+
+  /** The procurement region under audit. */
+  val cheapestRegion = "EUROPE"
+
+  /** Per part: the [[cheapestRegion]] supplier whose single cheapest
+    * historical offer (discounted line price, exact e4 units) is the
+    * regional minimum — TPC-H Q2's correlated-min shape re-derived
+    * from lineitem history (this corpus carries no partsupp catalog;
+    * the shipped-offer history IS the price list). The min is one
+    * partkey-keyed aggregate; the winner comes from the q239
+    * argmin-without-a-window recipe — join back by EQUALITY on the
+    * exact minimum, collapse ties to the lowest suppkey (Q2's total
+    * tie-break). part joins only for the brand label.
+    *
+    * Scale shape: supplier/nation/region prune to the region FIRST
+    * (region = 5 rows at any SF — the one genuinely bounded dim);
+    * lineitem ⋈ supplier and the join-back are corpus-scaled on both
+    * sides, so they are UN-hinted (AQE decides); everything keys on
+    * partkey/suppkey — no window, no pairwise work.
+    */
+  def q254_cheapest_supplier(spark: SparkSession, dir: String): DataFrame = {
+    val eu = Tables.load(spark, dir, "supplier")
+      .join(Tables.load(spark, dir, "nation"),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(Tables.load(spark, dir, "region")
+          .filter(col("r_name") === cheapestRegion),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("s_suppkey"), col("s_name"), col("n_name"))
+    val offers = Tables.load(spark, dir, "lineitem")
+      .select(col("l_partkey").as("p_partkey"), col("l_suppkey"),
+        (price * (one - disc) * 10000).cast("long").as("offer_e4"))
+      .join(eu.select(col("s_suppkey")),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("p_partkey"), col("s_suppkey"), col("offer_e4"))
+    val best = offers.groupBy("p_partkey")
+      .agg(min(col("offer_e4")).as("best_e4"))
+    val winner = offers.join(best, Seq("p_partkey"))
+      .filter(col("offer_e4") === col("best_e4"))
+      .groupBy("p_partkey", "best_e4")
+      .agg(min(col("s_suppkey")).as("s_suppkey"))
+    winner
+      .join(Tables.load(spark, dir, "part")
+          .select(col("p_partkey").as("pk"), col("p_brand")),
+        col("p_partkey") === col("pk"))
+      .join(eu, Seq("s_suppkey"))
+      .select(col("p_partkey"), col("p_brand"), col("s_suppkey"),
+        col("s_name"), col("n_name"), col("best_e4"))
+      .orderBy("p_partkey")
+  }
+
+  val q254_oracle: String =
+    s"""WITH eu AS (
+       |  SELECT s_suppkey, s_name, n_name
+       |  FROM supplier
+       |  JOIN nation ON s_nationkey = n_nationkey
+       |  JOIN region ON n_regionkey = r_regionkey
+       |  WHERE r_name = '$cheapestRegion'),
+       |o AS (
+       |  SELECT l_partkey AS p_partkey, s_suppkey,
+       |    CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+       |      * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))
+       |      * 10000 AS BIGINT) AS offer_e4
+       |  FROM lineitem JOIN eu ON l_suppkey = s_suppkey),
+       |b AS (SELECT p_partkey, min(offer_e4) AS best_e4 FROM o GROUP BY 1),
+       |w AS (
+       |  SELECT o.p_partkey, b.best_e4, min(o.s_suppkey) AS s_suppkey
+       |  FROM o JOIN b ON o.p_partkey = b.p_partkey AND o.offer_e4 = b.best_e4
+       |  GROUP BY 1, 2)
+       |SELECT w.p_partkey, p.p_brand, w.s_suppkey, eu.s_name, eu.n_name,
+       |  w.best_e4
+       |FROM w
+       |JOIN part p ON p.p_partkey = w.p_partkey
+       |JOIN eu ON eu.s_suppkey = w.s_suppkey
+       |ORDER BY w.p_partkey""".stripMargin
+
   // ---------- registry ----------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q254_cheapest_supplier" -> (q254_cheapest_supplier _),
     "q236_small_qty_revenue" -> (q236_small_qty_revenue _),
     "q237_value_share" -> (q237_value_share _),
     "q238_rich_no_orders" -> (q238_rich_no_orders _),
@@ -316,6 +393,7 @@ object RelationalQueries {
     "q240_returned_top_customers" -> (q240_returned_top_customers _))
 
   val oracles: Map[String, String] = Map(
+    "q254_cheapest_supplier" -> q254_oracle,
     "q236_small_qty_revenue" -> q236_oracle,
     "q237_value_share" -> q237_oracle,
     "q238_rich_no_orders" -> q238_oracle,

@@ -46,7 +46,9 @@ class PlanContractsSpec extends SparkSpec {
     "q228_shard_apportion" -> ((1,
       "largest-remainder rank over the <= |declared sources| (5) allocation rows")),
     "q243_survival" -> ((2,
-      "ValueAxis cum/tot windows over the distinct-lifetime axis — bounded by the corpus DAY span (calendar domain), not row count")))
+      "ValueAxis cum/tot windows over the distinct-lifetime axis — bounded by the corpus DAY span (calendar domain), not row count")),
+    "q256_cusum" -> ((4,
+      "cum/index windows over the distinct-DAY axis (calendar domain — q243's argument); the axis subtree appears twice because the 1-row |CUSUM| peak crosses back over it")))
 
   private val lowCard = Set("event_type", "source", "lang", "l_returnflag")
 

@@ -436,4 +436,111 @@ class Round13OpsSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getDouble(3)))
     assert(got.toSeq === Seq((2L, 80.0), (1L, 50.0)), got.mkString(";"))
   }
+
+  // ---------- q253 ----------
+
+  test("q253: patchable failures recover, whitelist failures stay dead, mixed stays dead") {
+    val dir = tmp("q253")
+    import spark.implicits._
+    val t = java.sql.Timestamp.valueOf("2024-01-10 00:00:00")
+    Seq(
+      // clean row: not in the ledger at all
+      (1L, t, 1L, "view", 50.0, "{}"),
+      // value below floor only -> patch clamps -> recovered
+      (2L, t, 1L, "click", 5.0, "{\"a\":1}"),
+      // off-whitelist type only -> no patch -> dead
+      (3L, t, 1L, "error", 50.0, "{}"),
+      // both -> value patches but the type failure keeps it dead
+      (4L, t, 1L, "error", 5.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = PipelineQueries.q253_dead_letter(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val re = "event_type=regex: ^(view|click|purchase|signup)$"
+    assert(got.toSeq === Seq(
+      (re, 1L, 0L, 1L),
+      (s"$re;value=minValue: 10", 1L, 0L, 1L),
+      ("value=minValue: 10", 1L, 1L, 0L)), got.mkString(";"))
+  }
+
+  // ---------- q254 ----------
+
+  test("q254: regional argmin picks the cheapest in-region offer, ties to min suppkey") {
+    val dir = tmp("q254")
+    import spark.implicits._
+    Seq((0, "EUNAT", 0), (1, "FARNAT", 1))
+      .toDF("n_nationkey", "n_name", "n_regionkey")
+      .write.mode("overwrite").parquet(s"$dir/nation.parquet")
+    Seq((0, "EUROPE"), (1, "ASIA"))
+      .toDF("r_regionkey", "r_name")
+      .write.mode("overwrite").parquet(s"$dir/region.parquet")
+    Seq((1L, "s1", 0, 0.0), (2L, "s2", 0, 0.0), (3L, "s3", 1, 0.0))
+      .toDF("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+      .write.mode("overwrite").parquet(s"$dir/supplier.parquet")
+    Seq((1L, "p1", "B1", "t", 1, 1.0), (2L, "p2", "B2", "t", 1, 1.0))
+      .toDF("p_partkey", "p_name", "p_brand", "p_type", "p_size", "p_retailprice")
+      .write.mode("overwrite").parquet(s"$dir/part.parquet")
+    writeLineitem(dir, Seq(
+      // part 1: s2 offers 90 (cheapest in-region); s3 offers 10 but is
+      // out of region; s1 offers 100
+      (1L, 1L, 1L, 1, 1.0, 100.0, 0.0, "N", "1997-02-01"),
+      (1L, 1L, 2L, 2, 1.0, 90.0, 0.0, "N", "1997-02-01"),
+      (2L, 1L, 3L, 1, 1.0, 10.0, 0.0, "N", "1997-02-01"),
+      // part 2: s1 and s2 tie at 50 -> min suppkey (s1) wins
+      (3L, 2L, 2L, 1, 1.0, 50.0, 0.0, "N", "1997-02-01"),
+      (3L, 2L, 1L, 2, 1.0, 50.0, 0.0, "N", "1997-02-01")))
+    val got = RelationalQueries.q254_cheapest_supplier(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(5)))
+    assert(got.toSeq === Seq((1L, 2L, 900000L), (2L, 1L, 500000L)),
+      got.mkString(";"))
+  }
+
+  // ---------- q255 ----------
+
+  test("q255: triangle vertices score exact ppm coefficients; degree-1 vertices drop") {
+    val dir = tmp("q255")
+    import spark.implicits._
+    // order 10 co-supplies {1,2,3} (a K3), order 11 adds edge 3-4
+    writeLineitem(dir, Seq(
+      (10L, 1L, 1L, 1, 1.0, 1.0, 0.0, "N", "1995-02-01"),
+      (10L, 1L, 2L, 2, 1.0, 1.0, 0.0, "N", "1995-02-01"),
+      (10L, 1L, 3L, 3, 1.0, 1.0, 0.0, "N", "1995-02-01"),
+      (11L, 1L, 3L, 1, 1.0, 1.0, 0.0, "N", "1995-02-01"),
+      (11L, 1L, 4L, 2, 1.0, 1.0, 0.0, "N", "1995-02-01")))
+    Seq((10L, 1L, "O", 1.0, ts("1995-02-01"), "1-URGENT"),
+      (11L, 1L, "O", 1.0, ts("1995-02-01"), "1-URGENT"))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val got = GraphQueries.q255_clustering_coeff(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // v1: deg 2, tri 1 -> 1.0; v2: same; v3: deg 3, tri 1 -> 1/3; v4 dropped
+    assert(got.toSeq === Seq(
+      (1L, 2L, 1L, 1000000L),
+      (2L, 2L, 1L, 1000000L),
+      (3L, 3L, 1L, 333333L)), got.mkString(";"))
+  }
+
+  // ---------- q256 ----------
+
+  test("q256: exact scaled CUSUM closes at zero and peaks at the level shift") {
+    val dir = tmp("q256")
+    import spark.implicits._
+    // daily counts 1,1,4: T=6, D=3 -> cusum -3, -6, 0; peak on day 2
+    val rows = Seq(
+      (1L, "2024-01-01 10:00:00", 1L),
+      (2L, "2024-01-02 10:00:00", 1L),
+      (3L, "2024-01-03 01:00:00", 1L), (4L, "2024-01-03 02:00:00", 1L),
+      (5L, "2024-01-03 03:00:00", 1L), (6L, "2024-01-03 04:00:00", 1L))
+    rows.map { case (i, t, u) =>
+      (i, java.sql.Timestamp.valueOf(t), u, "view", 50.0, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = EventQueries.q256_cusum(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    assert(got.toSeq === Seq(
+      ("2024-01-01", 1L, -3L, false),
+      ("2024-01-02", 1L, -6L, true),
+      ("2024-01-03", 4L, 0L, false)), got.mkString(";"))
+  }
 }
