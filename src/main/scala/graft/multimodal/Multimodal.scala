@@ -291,13 +291,78 @@ object Multimodal {
        |ORDER BY b.doc_id""".stripMargin
   }
 
+  // ---------- q257: aspect-ratio bucketing ----------
+
+  /** Declared aspect buckets in e2 units (9:16, 3:4, 1:1, 4:3, 16:9)
+    * and the training batch size. */
+  val aspectBuckets: Seq[Long] = Seq(56L, 75L, 100L, 133L, 178L)
+  val aspectBatch = 32L
+
+  /** Aspect-ratio bucketing for image training — the batching step a
+    * resolution-aware vision trainer runs so one batch never mixes
+    * portrait and landscape (resize-to-fit would distort): each
+    * payload's stub dimensions (q31's decode boundary) map to the
+    * NEAREST declared bucket (integer midpoint fences — the midpoints
+    * are non-integral so no ties exist), then docs rank WITHIN their
+    * bucket and pack into fixed-size batches. batch_idx is exact:
+    * (rank−1) DIV batch_size.
+    *
+    * Scale shape: bucket assignment is a narrow per-row CASE over the
+    * media scan; the within-bucket rank rides `RangeRank` (range-
+    * partitioned two-pass — never a single-task per-bucket sort; a
+    * bucket holds ~1/5 of the corpus, far beyond one task at 100 TB).
+    */
+  def q257_aspect_buckets(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.RangeRank
+    val base = mediaTable(spark, dir)
+      .select(col("doc_id"),
+        (lit(64) + pmod(length(col("payload")), lit(64))).as("w"),
+        (lit(64) + pmod(floor(length(col("payload")) / lit(64)).cast("long"),
+          lit(64))).as("h"))
+      .withColumn("ratio_e2", expr("(w * 100) DIV h").cast("long"))
+      .withColumn("bucket_e2",
+        when(col("ratio_e2") <= 65, lit(56L))
+          .when(col("ratio_e2") <= 87, lit(75L))
+          .when(col("ratio_e2") <= 116, lit(100L))
+          .when(col("ratio_e2") <= 155, lit(133L))
+          .otherwise(lit(178L)))
+    RangeRank.rank(base, Seq("bucket_e2"),
+        Seq(RangeRank.Key("doc_id")), "rk", "n_in_bucket")
+      .select(col("doc_id"), col("bucket_e2"), col("ratio_e2"),
+        expr(s"(rk - 1) DIV $aspectBatch").cast("long").as("batch_idx"),
+        col("n_in_bucket").cast("long").as("n_in_bucket"))
+      .orderBy("doc_id")
+  }
+
+  val q257_oracle: String =
+    s"""WITH m AS (
+       |  SELECT doc_id,
+       |    64 + octet_length(CAST(text AS BLOB)) % 64 AS w,
+       |    64 + CAST(floor(octet_length(CAST(text AS BLOB)) / 64) AS BIGINT) % 64 AS h
+       |  FROM documents),
+       |r AS (SELECT doc_id, (w * 100) // h AS ratio_e2 FROM m),
+       |b AS (SELECT doc_id, ratio_e2,
+       |    CASE WHEN ratio_e2 <= 65 THEN 56 WHEN ratio_e2 <= 87 THEN 75
+       |         WHEN ratio_e2 <= 116 THEN 100 WHEN ratio_e2 <= 155 THEN 133
+       |         ELSE 178 END AS bucket_e2 FROM r),
+       |k AS (SELECT doc_id, bucket_e2, ratio_e2,
+       |    row_number() OVER (PARTITION BY bucket_e2 ORDER BY doc_id) AS rk,
+       |    count(*) OVER (PARTITION BY bucket_e2) AS n_in_bucket FROM b)
+       |SELECT doc_id, CAST(bucket_e2 AS BIGINT) AS bucket_e2,
+       |  CAST(ratio_e2 AS BIGINT) AS ratio_e2,
+       |  CAST((rk - 1) // $aspectBatch AS BIGINT) AS batch_idx,
+       |  CAST(n_in_bucket AS BIGINT) AS n_in_bucket
+       |FROM k ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q257_aspect_buckets" -> (q257_aspect_buckets _),
     "q31_multimodal_extract" -> (q31_multimodal_extract _),
     "q89_frame_sample" -> (q89_frame_sample _),
     "q195_media_dedup" -> (q195_media_dedup _),
     "q251_caption_pairs" -> (q251_caption_pairs _))
 
   val oracles: Map[String, String] = Map(
+    "q257_aspect_buckets" -> q257_oracle,
     "q31_multimodal_extract" -> q31_oracle,
     "q89_frame_sample" -> q89_oracle,
     "q195_media_dedup" -> q195_oracle,

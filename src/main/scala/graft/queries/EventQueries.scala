@@ -820,9 +820,80 @@ object EventQueries {
       |  abs(cusum_scaled) = peak_abs AS is_peak
       |FROM c CROSS JOIN p ORDER BY day""".stripMargin
 
+  // ---------- q259: lag autocorrelation of the daily series ----------
+
+  /** Autocorrelation horizon in days. */
+  val acLags = 7
+
+  /** Lag-k autocorrelation of the daily event-volume series, k = 1…7 —
+    * q256's companion: CUSUM finds the level shift, the ACF profile
+    * finds the PERIOD (a day-of-week crawl cadence shows as an r(7)
+    * spike). Mean removal stays integer through q256's scaling trick:
+    * a_i = D·c_i − T is D·(c_i − mean) exactly, and the D² factors
+    * cancel in r = Σa_i·a_{i+k} / Σa_i². Products accumulate in
+    * DECIMAL(38,0) (exact at any corpus size — int64 would overflow at
+    * ~3·10⁹ events/day), and r divides the two exactly-summed
+    * integers once, as doubles, at the very end.
+    *
+    * Scale shape: one partial-agg shuffle to the DAY axis; the lag
+    * pairing is an equi-join of the axis with itself shifted (lags
+    * ride a 7-row literal), all on the calendar-bounded series.
+    */
+  def q259_autocorr(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val dec38 = DecimalType(38, 0)
+    val daily = Tables.load(spark, dir, "events")
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).cast("long").as("n_events"))
+    val tot = daily.agg(
+      count(lit(1)).cast("long").as("n_days"),
+      sum(col("n_events")).cast("long").as("total"))
+    val series = daily.crossJoin(tot) // 1-row scalars
+      .withColumn("idx", row_number().over(Window.orderBy("day")).cast("long"))
+      .select(col("idx"),
+        (col("n_days") * col("n_events") - col("total")).as("a"))
+    val den = series.agg(
+      sum(col("a").cast(dec38) * col("a").cast(dec38)).cast(dec38).as("den"))
+    val lags = (1 to acLags).map(lit(_)).toArray
+    series.select(col("idx"), col("a"),
+        explode(array(lags.toIndexedSeq: _*)).as("lag_i"))
+      .withColumn("lag", col("lag_i").cast("long")).drop("lag_i")
+      .join(series.select(col("idx").as("j_idx"), col("a").as("b")),
+        col("j_idx") === col("idx") + col("lag"))
+      .groupBy("lag")
+      .agg(count(lit(1)).cast("long").as("n_pairs"),
+        sum(col("a").cast(dec38) * col("b").cast(dec38)).cast(dec38).as("num"))
+      .crossJoin(den) // 1-row
+      .select(col("lag"), col("n_pairs"),
+        col("num").cast("double").as("num_d"),
+        col("den").cast("double").as("den_d"),
+        (col("num").cast("double") / col("den").cast("double")).as("r"))
+      .orderBy("lag")
+  }
+
+  val q259_oracle: String =
+    s"""WITH d AS (
+       |  SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS n_events
+       |  FROM events GROUP BY 1),
+       |t AS (SELECT CAST(count(*) AS BIGINT) AS n_days,
+       |        CAST(sum(n_events) AS BIGINT) AS total FROM d),
+       |s AS (SELECT CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS idx,
+       |        CAST(n_days * n_events - total AS BIGINT) AS a
+       |      FROM d CROSS JOIN t),
+       |den AS (SELECT CAST(sum(CAST(a AS DECIMAL(38,0)) * a) AS DOUBLE) AS den_d
+       |        FROM s),
+       |l AS (SELECT CAST(unnest([1,2,3,4,5,6,7]) AS BIGINT) AS lag),
+       |p AS (SELECT l.lag, CAST(count(*) AS BIGINT) AS n_pairs,
+       |        CAST(sum(CAST(s1.a AS DECIMAL(38,0)) * s2.a) AS DOUBLE) AS num_d
+       |      FROM l JOIN s s1 ON true JOIN s s2 ON s2.idx = s1.idx + l.lag
+       |      GROUP BY l.lag)
+       |SELECT lag, n_pairs, num_d, den_d, num_d / den_d AS r
+       |FROM p CROSS JOIN den ORDER BY lag""".stripMargin
+
   // ---------- registry ----------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q259_autocorr" -> (q259_autocorr _),
     "q256_cusum" -> (q256_cusum _),
     "q243_survival" -> (q243_survival _),
     "q157_wow_change" -> (q157_wow_change _),
@@ -839,6 +910,7 @@ object EventQueries {
     "q135_decay_score" -> (q135_decay_score _))
 
   val oracles: Map[String, String] = Map(
+    "q259_autocorr" -> q259_oracle,
     "q256_cusum" -> q256_oracle,
     "q243_survival" -> q243_oracle,
     "q65_funnel" -> q65_oracle,

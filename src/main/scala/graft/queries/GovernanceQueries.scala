@@ -4,6 +4,7 @@ import graft.Tables
 import graft.operators.{Expectations, Masking}
 import graft.operators.Expectations._
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Data-governance operators (round 8): declarative table-level
@@ -283,6 +284,104 @@ object GovernanceQueries {
       Seq("o_orderstatus", "o_orderpriority").map(str))
       .mkString("", "\nUNION ALL\n", "\nORDER BY column_name")
   }
+
+  // ---------- q258: t-closeness ----------
+
+  /** t-closeness acceptance bound in ppm (t = 0.2). */
+  val tCloseBoundPpm = 200000L
+
+  /** The t-CLOSENESS audit completing q127's release gate: k-anonymity
+    * and l-diversity bound class SIZE and VALUE COUNT, but a class can
+    * pass both while its sensitive distribution differs wildly from
+    * the table's (the attacker's gain IS that difference —
+    * Li/Li/Venkatasubramanian 2007). Per equivalence class (q127's
+    * quasi-identifier tuple): the Earth-Mover's Distance between the
+    * class's nation distribution and the global one over the ORDERED
+    * domain — EMD = Σ_d |cum_class(d) − cum_global(d)| / (m−1). Both
+    * cumulative fractions are ppm-quantized FIRST (the q114 DIV
+    * recipe: `cum·10⁶ DIV n` — every term exact in int64 at ANY corpus
+    * size, no n·N cross products), so the statistic is deterministic
+    * cross-engine with quantization error ≤ (m−1) ppm.
+    *
+    * Scale shape: one (class, nation) aggregate + one ≤25-row global
+    * aggregate; the evaluation grid is classes × the bounded sensitive
+    * domain (the cross is |classes|·25 — both sides bounded-domain
+    * aggregates, documented in the cartesian allowlist); cum windows
+    * partition BY CLASS over ≤25 rows each. Output is class-sized.
+    */
+  def q258_t_closeness(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.load(spark, dir, "customer")
+      .select(col("c_mktsegment"),
+        floor(col("c_acctbal") / 1000.0).cast("long").as("bal_band"),
+        col("c_nationkey"))
+    val classes = cust.groupBy("c_mktsegment", "bal_band")
+      .agg(count(lit(1)).cast("long").as("n_rows"))
+    val global = cust.groupBy("c_nationkey")
+      .agg(count(lit(1)).cast("long").as("g_cnt"))
+    val classCnt = cust.groupBy("c_mktsegment", "bal_band", "c_nationkey")
+      .agg(count(lit(1)).cast("long").as("c_cnt"))
+    val tot = cust.agg(
+      count(lit(1)).cast("long").as("n_total"),
+      count_distinct(col("c_nationkey")).cast("long").as("m_dom"))
+    val wc = Window.partitionBy("c_mktsegment", "bal_band")
+      .orderBy("c_nationkey")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    classes.crossJoin(global) // |classes| x <=25-value domain
+      .join(classCnt, Seq("c_mktsegment", "bal_band", "c_nationkey"), "left")
+      .na.fill(0L, Seq("c_cnt"))
+      .crossJoin(tot) // 1-row scalars
+      .withColumn("cumc", sum(col("c_cnt")).over(wc).cast("long"))
+      .withColumn("cumg", sum(col("g_cnt")).over(wc).cast("long"))
+      .withColumn("term_ppm",
+        abs(expr("(cumc * 1000000) DIV n_rows") -
+          expr("(cumg * 1000000) DIV n_total")))
+      .groupBy("c_mktsegment", "bal_band", "n_rows", "m_dom")
+      .agg(sum(col("term_ppm")).cast("long").as("emd_sum"))
+      .select(col("c_mktsegment"), col("bal_band"), col("n_rows"),
+        expr("emd_sum DIV (m_dom - 1)").cast("long").as("emd_ppm"),
+        (expr("emd_sum DIV (m_dom - 1)") <= tCloseBoundPpm).as("t_close"))
+      .orderBy("c_mktsegment", "bal_band")
+  }
+
+  val q258_oracle: String =
+    s"""WITH cust AS (
+       |  SELECT c_mktsegment,
+       |    CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bal_band,
+       |    c_nationkey
+       |  FROM customer),
+       |cls AS (SELECT c_mktsegment, bal_band, CAST(count(*) AS BIGINT) AS n_rows
+       |        FROM cust GROUP BY 1, 2),
+       |gtab AS (SELECT c_nationkey, CAST(count(*) AS BIGINT) AS g_cnt
+       |         FROM cust GROUP BY 1),
+       |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total,
+       |          CAST(count(DISTINCT c_nationkey) AS BIGINT) AS m_dom
+       |        FROM cust),
+       |cc AS (SELECT c_mktsegment, bal_band, c_nationkey,
+       |         CAST(count(*) AS BIGINT) AS c_cnt
+       |       FROM cust GROUP BY 1, 2, 3),
+       |grid AS (
+       |  SELECT cls.c_mktsegment, cls.bal_band, cls.n_rows,
+       |    gtab.c_nationkey, gtab.g_cnt, coalesce(cc.c_cnt, 0) AS c_cnt
+       |  FROM cls CROSS JOIN gtab
+       |  LEFT JOIN cc ON cc.c_mktsegment = cls.c_mktsegment
+       |    AND cc.bal_band = cls.bal_band
+       |    AND cc.c_nationkey = gtab.c_nationkey),
+       |cum AS (
+       |  SELECT c_mktsegment, bal_band, n_rows, n_total, m_dom,
+       |    CAST(sum(c_cnt) OVER w AS BIGINT) AS cumc,
+       |    CAST(sum(g_cnt) OVER w AS BIGINT) AS cumg
+       |  FROM grid CROSS JOIN tot
+       |  WINDOW w AS (PARTITION BY c_mktsegment, bal_band
+       |    ORDER BY c_nationkey ROWS UNBOUNDED PRECEDING)),
+       |emd AS (
+       |  SELECT c_mktsegment, bal_band, n_rows, m_dom,
+       |    CAST(sum(abs((cumc * 1000000) // n_rows
+       |      - (cumg * 1000000) // n_total)) AS BIGINT) AS emd_sum
+       |  FROM cum GROUP BY 1, 2, 3, 4)
+       |SELECT c_mktsegment, bal_band, n_rows,
+       |  CAST(emd_sum // (m_dom - 1) AS BIGINT) AS emd_ppm,
+       |  emd_sum // (m_dom - 1) <= $tCloseBoundPpm AS t_close
+       |FROM emd ORDER BY c_mktsegment, bal_band""".stripMargin
 
   // ---------- q103: versioned time travel (merge-on-read) ----------
 
@@ -766,6 +865,7 @@ object GovernanceQueries {
     "q103_time_travel" -> (q103_time_travel _),
     "q107_incremental_agg" -> (q107_incremental_agg _),
     "q249_incremental_profile" -> (q249_incremental_profile _),
+    "q258_t_closeness" -> (q258_t_closeness _),
     "q127_k_anonymity" -> (q127_k_anonymity _))
 
   val oracles: Map[String, String] = Map(
@@ -779,5 +879,6 @@ object GovernanceQueries {
     "q103_time_travel" -> q103_oracle,
     "q107_incremental_agg" -> q107_oracle,
     "q249_incremental_profile" -> q249_oracle,
+    "q258_t_closeness" -> q258_oracle,
     "q127_k_anonymity" -> q127_oracle)
 }

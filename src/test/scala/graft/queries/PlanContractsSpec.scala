@@ -48,7 +48,9 @@ class PlanContractsSpec extends SparkSpec {
     "q243_survival" -> ((2,
       "ValueAxis cum/tot windows over the distinct-lifetime axis — bounded by the corpus DAY span (calendar domain), not row count")),
     "q256_cusum" -> ((4,
-      "cum/index windows over the distinct-DAY axis (calendar domain — q243's argument); the axis subtree appears twice because the 1-row |CUSUM| peak crosses back over it")))
+      "cum/index windows over the distinct-DAY axis (calendar domain — q243's argument); the axis subtree appears twice because the 1-row |CUSUM| peak crosses back over it")),
+    "q259_autocorr" -> ((3,
+      "the row_number index over the distinct-DAY axis (calendar domain); the series subtree appears three times — both lag-join sides and the 1-row denominator")))
 
   private val lowCard = Set("event_type", "source", "lang", "l_returnflag")
 
@@ -187,7 +189,9 @@ class PlanContractsSpec extends SparkSpec {
     "q155_langid_eval" -> ((1, "langs x langs confusion grid — both sides |langs|-bounded")),
     "q162_abtest" -> ((1, "two 1-row slices of the 2-arm A/B aggregate")),
     "q219_length_drift" ->
-      ((1, "sources x 12 token-length buckets — both sides bounded-domain aggregates")))
+      ((1, "sources x 12 token-length buckets — both sides bounded-domain aggregates")),
+    "q258_t_closeness" ->
+      ((1, "equivalence classes (segments x balance bands — both bounded value domains) x the <=25-value nation domain")))
 
   private def cartesianOffenders(name: String, plan: LogicalPlan): Seq[String] = {
     val bad = plan.collectWithSubqueries {

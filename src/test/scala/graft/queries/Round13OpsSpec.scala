@@ -543,4 +543,73 @@ class Round13OpsSpec extends SparkSpec {
       ("2024-01-02", 1L, -6L, true),
       ("2024-01-03", 4L, 0L, false)), got.mkString(";"))
   }
+
+  // ---------- q257 ----------
+
+  test("q257: bucket fences land on stub ratios; a 34-doc bucket splits into 2 batches") {
+    val dir = tmp("q257")
+    import spark.implicits._
+    // stub dims: w = 64 + len%64, h = 64 + (len DIV 64)%64
+    // len 4096m  -> (64, 64) ratio 100 -> bucket 100
+    // len 63     -> (127, 64) ratio 198 -> bucket 178
+    // len 4032   -> (64, 127) ratio 50 -> bucket 56
+    val docs =
+      (1L to 34L).map(i => (i, "a" * (4096 * i.toInt))) ++
+        Seq((40L, "b" * 63), (41L, "c" * 4032))
+    docs.map { case (id, t) => (id, t, "en", "web", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = graft.multimodal.Multimodal.q257_aspect_buckets(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+    val byDoc = got.map(t => t._1 -> (t._2, t._3)).toMap
+    assert(byDoc(40L) === ((178L, 0L)) && byDoc(41L) === ((56L, 0L)))
+    (1L to 32L).foreach(i => assert(byDoc(i) === ((100L, 0L)), s"doc $i"))
+    assert(byDoc(33L) === ((100L, 1L)) && byDoc(34L) === ((100L, 1L)))
+  }
+
+  // ---------- q258 ----------
+
+  test("q258: a global-matching class passes t-closeness; skewed classes fail") {
+    val dir = tmp("q258")
+    import spark.implicits._
+    // global: nation0 x6, nation1 x2 (cum 750000 at d0)
+    // X {0,1}: cum d0 500000 -> emd 250000 (fail)
+    // Y {0,0}: cum d0 1000000 -> emd 250000 (fail)
+    // Z {0,0,0,1}: cum d0 750000 -> emd 0 (pass)
+    val rows = Seq(
+      ("X", 0), ("X", 1),
+      ("Y", 0), ("Y", 0),
+      ("Z", 0), ("Z", 0), ("Z", 0), ("Z", 1))
+    rows.zipWithIndex.map { case ((seg, nat), i) =>
+      (i.toLong + 1L, s"c$i", nat, 500.0, seg)
+    }.toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+      .write.mode("overwrite").parquet(s"$dir/customer.parquet")
+    val got = GovernanceQueries.q258_t_closeness(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(2), r.getLong(3), r.getBoolean(4)))
+    assert(got.toSeq === Seq(
+      ("X", 2L, 250000L, false),
+      ("Y", 2L, 250000L, false),
+      ("Z", 4L, 0L, true)), got.mkString(";"))
+  }
+
+  // ---------- q259 ----------
+
+  test("q259: ACF matches hand computation on an alternating series; empty lags drop") {
+    val dir = tmp("q259")
+    import spark.implicits._
+    // daily counts 2,1,2,1 -> a = 4c-6 = [2,-2,2,-2], den 16
+    val stamps = Seq(
+      "2024-01-01 01:00:00", "2024-01-01 02:00:00",
+      "2024-01-02 01:00:00",
+      "2024-01-03 01:00:00", "2024-01-03 02:00:00",
+      "2024-01-04 01:00:00")
+    stamps.zipWithIndex.map { case (t, i) =>
+      (i.toLong, java.sql.Timestamp.valueOf(t), 1L, "view", 50.0, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = EventQueries.q259_autocorr(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(4)))
+    assert(got.toSeq === Seq(
+      (1L, 3L, -0.75), (2L, 2L, 0.5), (3L, 1L, -0.25)), got.mkString(";"))
+  }
 }
