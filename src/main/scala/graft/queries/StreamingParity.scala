@@ -545,7 +545,117 @@ object StreamingParity {
        |FROM events GROUP BY user_id
        |ORDER BY n_events DESC, user_id LIMIT $topkK""".stripMargin
 
+  // ---------- q260: streaming CDC apply (upserts + deletes) ≡ batch ----------
+
+  /** CDC stream boundaries: batch-0/batch-1 split, the dormancy rule
+    * that generates deletes, and the tombstone's synthetic timestamp
+    * (later than every real order — a delete always wins keep-newest
+    * against the state it erases). */
+  val cdcSplitTs = "1997-07-01 00:00:00"
+  val cdcDormantTs = "1996-07-01 00:00:00"
+  val cdcTombTs = "1999-01-01 00:00:00"
+
+  /** Streaming CDC APPLY with deletes — the leg q71's upsert-only
+    * parity leaves open: batch 0 is the initial per-customer load,
+    * batch 1 carries the late upserts PLUS the erasure feed (dormant
+    * customers, shipped as TOMBSTONES: null payload, a timestamp past
+    * every real order). Each micro-batch folds into persisted state by
+    * the SAME keep-newest merge the batch pipeline uses (q06's
+    * operator — a tombstone is just a row that wins), and the read
+    * drops tombstone winners. Delete-through-merge means NO separate
+    * delete code path exists to drift from the batch semantics; the
+    * oracle is the declarative "newest order per non-dormant customer"
+    * over the full table.
+    *
+    * Scale shape: state is entity-sized (one row per live customer);
+    * each refresh shuffles |state| + |batch| on the key — q250's
+    * exact-state regime with deletes riding the same merge.
+    */
+  def q260_stream_cdc(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Dedup
+    val work = graft.io.Scratch.dir(spark, "graft-q260-")
+    val watchDir = s"$work/incoming"
+    val fs = new Path(work).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    try {
+      val orders = Tables.load(spark, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"),
+          col("o_orderdate"), col("o_totalprice"))
+      val cut = to_timestamp(lit(cdcSplitTs))
+      fs.mkdirs(new Path(watchDir))
+      // stage each batch as ONE plain file (the file source lists
+      // files, not directories) with strictly increasing mtimes —
+      // StagedSplits' recipe
+      def stage(name: String, df: DataFrame, mtime: Long): Unit = {
+        df.coalesce(1).write.parquet(s"$work/$name")
+        val part = fs.globStatus(new Path(s"$work/$name/part-*.parquet")).head.getPath
+        val target = new Path(s"$watchDir/$name.parquet")
+        require(fs.rename(part, target), s"failed to stage $name")
+        fs.delete(new Path(s"$work/$name"), true)
+        fs.setTimes(target, mtime, -1)
+      }
+      val tombstones = Tables.load(spark, dir, "orders")
+        .groupBy("o_custkey")
+        .agg(max(col("o_orderdate")).as("last_ts"))
+        .filter(col("last_ts") < to_timestamp(lit(cdcDormantTs)))
+        .select(col("o_custkey"),
+          lit(null).cast("long").as("o_orderkey"),
+          to_timestamp(lit(cdcTombTs)).as("o_orderdate"),
+          lit(null).cast("double").as("o_totalprice"))
+      val t0 = System.currentTimeMillis()
+      stage("b0", orders.filter(col("o_orderdate") < cut), t0)
+      stage("b1",
+        orders.filter(col("o_orderdate") >= cut).unionByName(tombstones),
+        t0 + 1000L)
+      val schema = spark.read.parquet(s"$watchDir/b0.parquet").schema
+      val latest = new java.util.concurrent.atomic.AtomicReference[String](null)
+      withShufflePartitions(spark, 8) {
+        val query = spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", 1).parquet(watchDir)
+          .writeStream
+          .trigger(Trigger.AvailableNow())
+          .foreachBatch { (batch: DataFrame, id: Long) =>
+            val merged = Option(latest.get()) match {
+              case Some(prev) =>
+                spark.read.parquet(prev).unionByName(batch)
+              case None => batch
+            }
+            val state = Dedup.keepNewest(merged, key = col("o_custkey"),
+              orderBy = col("o_orderdate"), tieBreaker = col("o_orderkey"))
+            val out = s"$work/state_b$id"
+            state.write.mode("overwrite").parquet(out)
+            latest.set(out)
+            ()
+          }
+          .option("checkpointLocation", s"$work/ckpt")
+          .start()
+        query.awaitTermination()
+      }
+      spark.read.parquet(latest.get())
+        .filter(col("o_orderkey").isNotNull) // tombstone winners = deleted
+        .select(col("o_custkey"), col("o_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("latest_order_date"),
+          col("o_totalprice"))
+        .orderBy("o_custkey")
+        .localCheckpoint() // materialize before the work dir is deleted
+    } finally fs.delete(new Path(work), true)
+  }
+
+  val q260_oracle: String =
+    s"""WITH dormant AS (
+       |  SELECT o_custkey FROM orders GROUP BY 1
+       |  HAVING max(o_orderdate) < TIMESTAMP '$cdcDormantTs'),
+       |win AS (
+       |  SELECT *, ROW_NUMBER() OVER (
+       |    PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+       |  FROM orders)
+       |SELECT o_custkey, o_orderkey,
+       |  strftime(o_orderdate, '%Y-%m-%d') AS latest_order_date, o_totalprice
+       |FROM win
+       |WHERE rn = 1 AND o_custkey NOT IN (SELECT o_custkey FROM dormant)
+       |ORDER BY o_custkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q260_stream_cdc" -> (q260_stream_cdc _),
     "q250_stream_topk" -> (q250_stream_topk _),
     "q179_stream_drift" -> (q179_stream_drift _),
     "q161_stream_decay" -> (q161_stream_decay _),
@@ -555,6 +665,7 @@ object StreamingParity {
     "q102_stream_join" -> (q102_stream_join _))
 
   val oracles: Map[String, String] = Map(
+    "q260_stream_cdc" -> q260_oracle,
     "q250_stream_topk" -> q250_oracle,
     "q179_stream_drift" -> q179_oracle,
     "q161_stream_decay" -> q161_oracle,

@@ -612,4 +612,27 @@ class Round13OpsSpec extends SparkSpec {
     assert(got.toSeq === Seq(
       (1L, 3L, -0.75), (2L, 2L, 0.5), (3L, 1L, -0.25)), got.mkString(";"))
   }
+
+  // ---------- q260 ----------
+
+  test("q260: late upsert replaces state, dormant key deletes, live key survives") {
+    val dir = tmp("q260")
+    import spark.implicits._
+    Seq(
+      // cust 1: batch-0 state replaced by a batch-1 upsert
+      (10L, 1L, "O", 10.0, ts("1995-01-01"), "1-URGENT"),
+      (11L, 1L, "O", 20.0, ts("1997-08-01"), "1-URGENT"),
+      // cust 2: dormant (last order before 1996-07-01) -> tombstoned
+      (20L, 2L, "O", 30.0, ts("1995-06-01"), "1-URGENT"),
+      // cust 3: recent enough to live, no upsert
+      (30L, 3L, "O", 40.0, ts("1996-12-01"), "1-URGENT"))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val got = StreamingParity.q260_stream_cdc(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3)))
+    assert(got.toSeq === Seq(
+      (1L, 11L, "1997-08-01", 20.0),
+      (3L, 30L, "1996-12-01", 40.0)), got.mkString(";"))
+  }
 }
