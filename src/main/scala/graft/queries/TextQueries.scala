@@ -1569,6 +1569,45 @@ object TextQueries {
        |ORDER BY a_id, b_id""".stripMargin
   }
 
+  // ---------- q261: signature-index compaction ----------
+
+  /** COMPACTION — the step that closes the tombstone story q229
+    * opens: masked reads are correct but pay the anti-join forever
+    * and the erased rows still sit on disk (a GDPR erasure isn't
+    * done until the bytes are gone). Compaction rewrites the stored
+    * index WITHOUT the tombstoned rows as a new version on scratch;
+    * a post-compaction read needs no mask and MUST equal the masked
+    * read bit-for-bit (oracle = q229's verbatim; banding is per-doc
+    * stateless, so dropping rows never changes surviving pairs —
+    * the same argument that made the mask correct). The spec
+    * additionally pins that no erased id survives in the compacted
+    * file itself, not just in the pair output.
+    *
+    * Scale shape: ONE anti-join + a linear index rewrite (the only
+    * full pass — exactly what a compaction costs by definition);
+    * every read after it drops the per-query anti-join.
+    */
+  def q261_index_compact(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val work = graft.io.Scratch.dir(spark, "graft-q261-")
+    val fs = new Path(work).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    try {
+      val erased =
+        substring(md5(concat(lit("del|"), col("doc_id").cast("string"))), 1, 1)
+          .isin("0", "1")
+      val tombstones = docs(spark, dir).filter(erased).select("doc_id")
+      spark.read.parquet(SigIndex.path(spark, dir))
+        .join(tombstones, Seq("doc_id"), "left_anti")
+        .write.parquet(s"$work/compacted")
+      pairsFromIndex(spark.read.parquet(s"$work/compacted"))
+        .orderBy("a_id", "b_id")
+        .localCheckpoint() // materialize before the work dir is deleted
+    } finally fs.delete(new Path(work), true)
+  }
+
+  /** Compaction ≡ masked read, by construction and by gate. */
+  val q261_oracle: String = q229_oracle
+
   // ---------- q226: SimHash candidate-precision audit ----------
 
   /** q203's precision audit for the OTHER candidate generator: all
@@ -1703,6 +1742,7 @@ object TextQueries {
     "q203_lsh_precision" -> (q203_lsh_precision _),
     "q226_simhash_precision" -> (q226_simhash_precision _),
     "q229_index_erasure" -> (q229_index_erasure _),
+    "q261_index_compact" -> (q261_index_compact _),
     "q213_shingle_df_profile" -> (q213_shingle_df_profile _),
     "q143_allpairs" -> (q143_allpairs _),
     "q154_dedup_eval" -> (q154_dedup_eval _),
@@ -1734,6 +1774,7 @@ object TextQueries {
     "q203_lsh_precision" -> q203_oracle,
     "q226_simhash_precision" -> q226_oracle,
     "q229_index_erasure" -> q229_oracle,
+    "q261_index_compact" -> q261_oracle,
     "q213_shingle_df_profile" -> q213_oracle,
     "q139_novelty" -> q139_oracle,
     "q143_allpairs" -> q143_oracle,

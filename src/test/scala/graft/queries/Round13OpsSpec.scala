@@ -635,4 +635,18 @@ class Round13OpsSpec extends SparkSpec {
       (1L, 11L, "1997-08-01", 20.0),
       (3L, 30L, "1996-12-01", 40.0)), got.mkString(";"))
   }
+
+  // ---------- q261 ----------
+
+  test("q261: compacted-index pairs equal the tombstone-masked read; erased ids are gone") {
+    val dir = sf("sf0.001")
+    val compacted = TextQueries.q261_index_compact(spark, dir)
+    val masked = TextQueries.q229_index_erasure(spark, dir)
+    assert(compacted.exceptAll(masked).isEmpty && masked.exceptAll(compacted).isEmpty,
+      "compaction diverged from the masked read")
+    val erased = (c: org.apache.spark.sql.Column) =>
+      substring(md5(concat(lit("del|"), c.cast("string"))), 1, 1).isin("0", "1")
+    assert(compacted.filter(erased(col("a_id")) || erased(col("b_id"))).count() === 0L)
+    assert(compacted.count() > 0L)
+  }
 }
