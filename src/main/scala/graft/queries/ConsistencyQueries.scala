@@ -134,11 +134,61 @@ object ConsistencyQueries {
 
   // ---------- registry ----------
 
+  // ---------- q263: temporal cross-table integrity ----------
+
+  /** The TEMPORAL rule q241's structural audit can't see: a lineitem
+    * must not ship before its order is placed. Per ship-month the
+    * line count, violation count (lead < 0 — the PASS certificate is
+    * all-zero, like q241's orphans), and the lead-time profile
+    * (min/max days + exact micro-day mean) — the drift view that
+    * catches a loader writing shifted timestamps even when every
+    * lead stays legal.
+    *
+    * Scale shape: ONE orderkey-keyed join of the two fact tables
+    * (both corpus-scaled — no hint, AQE decides), then a partial-agg
+    * rollup to the MONTH axis (calendar-bounded). The mean divides
+    * once per month row, integer-exact.
+    */
+  def q263_temporal_integrity(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_shipdate"))
+      .join(Tables.load(spark, dir, "orders")
+          .select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(date_format(col("l_shipdate"), "yyyy-MM").as("ship_month"),
+        datediff(col("l_shipdate"), col("o_orderdate")).cast("long").as("lead_days"))
+      .groupBy("ship_month")
+      .agg(
+        count(lit(1)).cast("long").as("n_lines"),
+        count_if(col("lead_days") < 0).cast("long").as("n_violations"),
+        min(col("lead_days")).as("min_lead_days"),
+        max(col("lead_days")).as("max_lead_days"),
+        floor(sum(col("lead_days")) * 1000000L / count(lit(1)))
+          .cast("long").as("avg_lead_micro"))
+      .orderBy("ship_month")
+
+  val q263_oracle: String =
+    """SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
+      |  CAST(count(*) AS BIGINT) AS n_lines,
+      |  CAST(count(*) FILTER (
+      |    WHERE date_diff('day', o_orderdate, l_shipdate) < 0) AS BIGINT)
+      |    AS n_violations,
+      |  CAST(min(date_diff('day', o_orderdate, l_shipdate)) AS BIGINT)
+      |    AS min_lead_days,
+      |  CAST(max(date_diff('day', o_orderdate, l_shipdate)) AS BIGINT)
+      |    AS max_lead_days,
+      |  CAST(floor(sum(CAST(date_diff('day', o_orderdate, l_shipdate) AS BIGINT))
+      |    * 1000000 / count(*)) AS BIGINT) AS avg_lead_micro
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY 1 ORDER BY ship_month""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q263_temporal_integrity" -> (q263_temporal_integrity _),
     "q241_referential_integrity" -> (q241_referential_integrity _),
     "q242_pk_violations" -> (q242_pk_violations _))
 
   val oracles: Map[String, String] = Map(
+    "q263_temporal_integrity" -> q263_oracle,
     "q241_referential_integrity" -> q241_oracle,
     "q242_pk_violations" -> q242_oracle)
 }

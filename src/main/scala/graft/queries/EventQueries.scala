@@ -820,6 +820,69 @@ object EventQueries {
       |  abs(cusum_scaled) = peak_abs AS is_peak
       |FROM c CROSS JOIN p ORDER BY day""".stripMargin
 
+  // ---------- q262: cohort lifetime-value matrix ----------
+
+  /** The LTV companion to q66's retention matrix: per (signup-week
+    * cohort, weeks since signup) the buying users, exact purchase
+    * cents, and the cohort's CUMULATIVE revenue — the table a payback
+    * model reads off ("week-N revenue per week-0 user"). Same cohort
+    * definition as q66 (first observed week), value in q176's exact
+    * cents recipe (`round(value·100)` per event, summed as longs).
+    *
+    * Scale shape: one user-keyed min (the q66 shuffle), one
+    * (cohort, week)-keyed aggregate; the cumulative window partitions
+    * by cohort over the WEEKS-SINCE axis — calendar-bounded, never
+    * row-scaled.
+    */
+  def q262_cohort_ltv(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(spark, dir, "events")
+      .select(col("user_id"),
+        date_trunc("week", col("ts")).cast("date").as("week"),
+        col("event_type"), col("value"))
+    val cohorts = ev.groupBy("user_id").agg(min(col("week")).as("cohort_week"))
+    val cells = ev.join(cohorts, "user_id")
+      .withColumn("weeks_since",
+        (datediff(col("week"), col("cohort_week")) / 7).cast("int"))
+      .groupBy("cohort_week", "weeks_since")
+      .agg(
+        count_distinct(when(col("event_type") === "purchase", col("user_id")))
+          .cast("long").as("n_buyers"),
+        coalesce(sum(when(col("event_type") === "purchase",
+          round(col("value") * 100).cast("long"))), lit(0L))
+          .cast("long").as("purchase_cents"))
+    val wCum = Window.partitionBy("cohort_week").orderBy("weeks_since")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cells
+      .withColumn("cum_cents", sum(col("purchase_cents")).over(wCum).cast("long"))
+      .select(date_format(col("cohort_week"), "yyyy-MM-dd").as("cohort_week"),
+        col("weeks_since"), col("n_buyers"), col("purchase_cents"),
+        col("cum_cents"))
+      .orderBy("cohort_week", "weeks_since")
+  }
+
+  val q262_oracle: String =
+    """WITH ev AS (
+      |  SELECT user_id, CAST(date_trunc('week', ts) AS DATE) AS week,
+      |    event_type, value
+      |  FROM events),
+      |cohorts AS (
+      |  SELECT user_id, min(week) AS cohort_week FROM ev GROUP BY user_id),
+      |cells AS (
+      |  SELECT cohort_week,
+      |    CAST(date_diff('day', cohort_week, week) / 7 AS INT) AS weeks_since,
+      |    CAST(count(DISTINCT CASE WHEN event_type = 'purchase'
+      |      THEN user_id END) AS BIGINT) AS n_buyers,
+      |    CAST(coalesce(sum(CASE WHEN event_type = 'purchase'
+      |      THEN CAST(round(value * 100) AS BIGINT) END), 0) AS BIGINT)
+      |      AS purchase_cents
+      |  FROM ev JOIN cohorts USING (user_id)
+      |  GROUP BY 1, 2)
+      |SELECT strftime(cohort_week, '%Y-%m-%d') AS cohort_week, weeks_since,
+      |  n_buyers, purchase_cents,
+      |  CAST(sum(purchase_cents) OVER (PARTITION BY cohort_week
+      |    ORDER BY weeks_since ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_cents
+      |FROM cells ORDER BY cohort_week, weeks_since""".stripMargin
+
   // ---------- q259: lag autocorrelation of the daily series ----------
 
   /** Autocorrelation horizon in days. */
@@ -894,6 +957,7 @@ object EventQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q259_autocorr" -> (q259_autocorr _),
+    "q262_cohort_ltv" -> (q262_cohort_ltv _),
     "q256_cusum" -> (q256_cusum _),
     "q243_survival" -> (q243_survival _),
     "q157_wow_change" -> (q157_wow_change _),
@@ -911,6 +975,7 @@ object EventQueries {
 
   val oracles: Map[String, String] = Map(
     "q259_autocorr" -> q259_oracle,
+    "q262_cohort_ltv" -> q262_oracle,
     "q256_cusum" -> q256_oracle,
     "q243_survival" -> q243_oracle,
     "q65_funnel" -> q65_oracle,

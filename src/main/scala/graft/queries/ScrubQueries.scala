@@ -321,7 +321,75 @@ object ScrubQueries {
        |FROM c GROUP BY source ORDER BY source""".stripMargin
   }
 
+  // ---------- q264: scrub idempotence certificate ----------
+
+  /** The CERTIFICATE leg of q50's redaction: re-scan the REDACTED text
+    * with the same detectors and report, per source, the before/after
+    * counts of every PII type. All-zero `after` columns are the
+    * release gate ("one pass cleans") — and if a replacement ever
+    * created a new match (placeholder juxtaposition forming an
+    * IP-like string), this is the query that catches it, because the
+    * after-counts re-derive from the redacted text rather than
+    * assuming zero. Same planted-PII text as q50, so the detectors
+    * have non-trivial work at every SF.
+    *
+    * Scale shape: detection, redaction, and re-detection are narrow
+    * per-row regex expressions in ONE scan (q50's codegen argument);
+    * the only shuffle is the |sources|-row rollup.
+    */
+  def q264_scrub_idempotence(spark: SparkSession, dir: String): DataFrame = {
+    def nn(c: Column): Column = coalesce(c, lit(""))
+    val piiText = concat(nn(col("text")),
+      lit(" contact user"), nn(col("doc_id").cast("string")),
+      lit("@mail-"), nn(col("source")), lit(".com or +1-555-0"),
+      nn(col("doc_id").cast("string")),
+      lit(" from 10.0."), nn((col("doc_id") % 256).cast("string")),
+      lit("."), nn((col("doc_id") % 100).cast("string")))
+    def nMatches(c: Column, re: String): Column =
+      size(regexp_extract_all(c, lit(re), lit(0))).cast("long")
+    val redacted =
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(piiText, emailRe, "<EMAIL>"),
+          phoneRe, "<PHONE>"),
+        ipRe, "<IP>")
+    docs(spark, dir)
+      .select(col("source"),
+        nMatches(piiText, emailRe).as("e0"),
+        nMatches(piiText, phoneRe).as("p0"),
+        nMatches(piiText, ipRe).as("i0"),
+        nMatches(redacted, emailRe).as("e1"),
+        nMatches(redacted, phoneRe).as("p1"),
+        nMatches(redacted, ipRe).as("i1"))
+      .groupBy("source")
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        sum(col("e0")).cast("long").as("emails_before"),
+        sum(col("p0")).cast("long").as("phones_before"),
+        sum(col("i0")).cast("long").as("ips_before"),
+        sum(col("e1")).cast("long").as("emails_after"),
+        sum(col("p1")).cast("long").as("phones_after"),
+        sum(col("i1")).cast("long").as("ips_after"))
+      .orderBy("source")
+  }
+
+  val q264_oracle: String = {
+    val pii = "concat(coalesce(text, ''), ' contact user', coalesce(CAST(doc_id AS VARCHAR), ''), " +
+      "'@mail-', coalesce(source, ''), '.com or +1-555-0', coalesce(CAST(doc_id AS VARCHAR), ''), " +
+      "' from 10.0.', coalesce(CAST(doc_id % 256 AS VARCHAR), ''), '.', coalesce(CAST(doc_id % 100 AS VARCHAR), ''))"
+    val red = s"regexp_replace(regexp_replace(regexp_replace($pii, " +
+      s"'$emailRe', '<EMAIL>', 'g'), '$phoneRe', '<PHONE>', 'g'), '$ipRe', '<IP>', 'g')"
+    s"""SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(len(regexp_extract_all($pii, '$emailRe'))) AS BIGINT) AS emails_before,
+       |  CAST(sum(len(regexp_extract_all($pii, '$phoneRe'))) AS BIGINT) AS phones_before,
+       |  CAST(sum(len(regexp_extract_all($pii, '$ipRe'))) AS BIGINT) AS ips_before,
+       |  CAST(sum(len(regexp_extract_all($red, '$emailRe'))) AS BIGINT) AS emails_after,
+       |  CAST(sum(len(regexp_extract_all($red, '$phoneRe'))) AS BIGINT) AS phones_after,
+       |  CAST(sum(len(regexp_extract_all($red, '$ipRe'))) AS BIGINT) AS ips_after
+       |FROM documents GROUP BY source ORDER BY source""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q264_scrub_idempotence" -> (q264_scrub_idempotence _),
     "q204_url_canonical" -> (q204_url_canonical _),
     "q137_domain_policy" -> (q137_domain_policy _),
     "q50_pii_redact" -> (q50_pii_redact _),
@@ -329,6 +397,7 @@ object ScrubQueries {
     "q52_repetition" -> (q52_repetition _))
 
   val oracles: Map[String, String] = Map(
+    "q264_scrub_idempotence" -> q264_oracle,
     "q204_url_canonical" -> q204_oracle,
     "q137_domain_policy" -> q137_oracle,
     "q50_pii_redact" -> q50_oracle,

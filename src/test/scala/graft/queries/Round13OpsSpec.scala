@@ -649,4 +649,67 @@ class Round13OpsSpec extends SparkSpec {
     assert(compacted.filter(erased(col("a_id")) || erased(col("b_id"))).count() === 0L)
     assert(compacted.count() > 0L)
   }
+
+  // ---------- q262 ----------
+
+  test("q262: LTV cells count buyers, exact cents, and cumulate per cohort") {
+    val dir = tmp("q262")
+    import spark.implicits._
+    // 2024-01-01 and 2024-01-08 are Mondays (clean week truncation)
+    val rows = Seq(
+      (1L, "2024-01-01 10:00:00", 1L, "view", 999.0),
+      (2L, "2024-01-02 10:00:00", 1L, "purchase", 10.0),
+      (3L, "2024-01-08 10:00:00", 1L, "purchase", 20.0),
+      (4L, "2024-01-08 11:00:00", 2L, "purchase", 5.5))
+    rows.map { case (i, t, u, et, v) =>
+      (i, java.sql.Timestamp.valueOf(t), u, et, v, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = EventQueries.q262_cohort_ltv(spark, dir).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.toSeq === Seq(
+      ("2024-01-01", 0, 1L, 1000L, 1000L),
+      ("2024-01-01", 1, 1L, 2000L, 3000L),
+      ("2024-01-08", 0, 1L, 550L, 550L)), got.mkString(";"))
+  }
+
+  // ---------- q263 ----------
+
+  test("q263: the planted early shipment is the one violation; lead stats are exact") {
+    val dir = tmp("q263")
+    import spark.implicits._
+    Seq((1L, 1L, "O", 1.0, ts("1997-01-10"), "1-URGENT"),
+      (2L, 2L, "O", 1.0, ts("1997-01-20"), "1-URGENT"))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    writeLineitem(dir, Seq(
+      (1L, 1L, 1L, 1, 1.0, 1.0, 0.0, "N", "1997-01-15"),
+      (1L, 1L, 1L, 2, 1.0, 1.0, 0.0, "N", "1997-02-01"),
+      (2L, 1L, 1L, 1, 1.0, 1.0, 0.0, "N", "1997-01-18")))
+    val got = ConsistencyQueries.q263_temporal_integrity(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(got.toSeq === Seq(
+      ("1997-01", 2L, 1L, -2L, 5L, 1500000L),
+      ("1997-02", 1L, 0L, 22L, 22L, 22000000L)), got.mkString(";"))
+  }
+
+  // ---------- q264 ----------
+
+  test("q264: organic + planted PII all detected; the redacted rescan is all-zero") {
+    val dir = tmp("q264")
+    import spark.implicits._
+    Seq(
+      (1L, "reach me at foo@bar.com now", "en", "weba", 27L),
+      (2L, "no organic pii here at all", "en", "webb", 26L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = ScrubQueries.q264_scrub_idempotence(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)))
+    assert(got.toSeq === Seq(
+      ("weba", 1L, 2L, 1L, 1L, 0L, 0L, 0L),
+      ("webb", 1L, 1L, 1L, 1L, 0L, 0L, 0L)), got.mkString(";"))
+  }
 }
