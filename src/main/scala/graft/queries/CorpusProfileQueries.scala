@@ -244,15 +244,96 @@ object CorpusProfileQueries {
        |ORDER BY a_id, b_id""".stripMargin
   }
 
+  // ---------- q268: Heaps-law vocabulary-growth curve ----------
+
+  /** Vocabulary growth vs corpus growth at decile grain (Heaps' law
+    * V ≈ K·n^β — the curve that predicts tokenizer-vocab coverage of
+    * a LARGER crawl from a prefix): walking the corpus in doc_id
+    * order, after each 10% of documents the cumulative token
+    * occurrences and cumulative DISTINCT vocabulary. The key identity
+    * that keeps this one-pass: vocabulary at prefix p counts tokens
+    * whose FIRST-occurrence rank ≤ p — so one token-keyed min over an
+    * exploded scan replaces ten distinct-counts over growing prefixes.
+    *
+    * Scale shape: the global doc rank rides `RangeRank` (never a
+    * single-task sort); each doc and each token maps to its FIRST
+    * decile by pure arithmetic (`(10r + D − 1) DIV D` — no 10×
+    * range-join blowup); the report is a 10-row axis with cumulative
+    * windows over it (decile domain, allowlisted).
+    */
+  def q268_heaps_curve(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.RangeRank
+    import org.apache.spark.sql.expressions.Window
+    val base = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), T.tokens(col("text")).as("tk"))
+      .select(col("doc_id"), col("tk"), size(col("tk")).cast("long").as("n_toks"))
+    val ranked = RangeRank.rank(base, Nil,
+      Seq(RangeRank.Key("doc_id")), "r", "__n")
+    val d1 = ranked.select(col("r"), col("tk"), col("n_toks"), col("__n").as("n_docs_total"))
+    // first decile each doc belongs to: smallest d with (d*D) DIV 10 >= r
+    val docDecile = d1.withColumn("decile",
+      least(expr("(10 * r + n_docs_total - 1) DIV n_docs_total"), lit(10L)))
+    val occ = docDecile.groupBy("decile")
+      .agg(sum(col("n_toks")).cast("long").as("occ_delta"),
+        max(col("n_docs_total")).as("n_docs_total"))
+    val vocab = docDecile
+      .select(col("decile"), explode(col("tk")).as("tok"))
+      .groupBy("tok").agg(min(col("decile")).as("decile"))
+      .groupBy("decile").agg(count(lit(1)).cast("long").as("vocab_delta"))
+    val wCum = Window.orderBy("decile")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    occ.join(vocab, Seq("decile"), "left")
+      .na.fill(0L, Seq("vocab_delta"))
+      .withColumn("n_occurrences", sum(col("occ_delta")).over(wCum).cast("long"))
+      .withColumn("vocabulary", sum(col("vocab_delta")).over(wCum).cast("long"))
+      .select(col("decile"),
+        expr("(decile * n_docs_total) DIV 10").cast("long").as("n_docs"),
+        col("n_occurrences"), col("vocabulary"))
+      .orderBy("decile")
+  }
+
+  val q268_oracle: String = {
+    val tk = T.tokensSql("text")
+    s"""WITH dr AS (
+       |  SELECT CAST(row_number() OVER (ORDER BY doc_id) AS BIGINT) AS r,
+       |    $tk AS tk
+       |  FROM documents),
+       |dd AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+       |docb AS (
+       |  SELECT least((10 * r + n - 1) // n, 10) AS decile,
+       |    CAST(len(tk) AS BIGINT) AS n_toks, n
+       |  FROM dr CROSS JOIN dd),
+       |occ AS (SELECT decile, CAST(sum(n_toks) AS BIGINT) AS occ_delta,
+       |          max(n) AS n_docs_total
+       |        FROM docb GROUP BY decile),
+       |tok AS (
+       |  SELECT tok, min(decile) AS decile FROM (
+       |    SELECT least((10 * r + n - 1) // n, 10) AS decile, unnest(tk) AS tok
+       |    FROM dr CROSS JOIN dd)
+       |  GROUP BY tok),
+       |vb AS (SELECT decile, CAST(count(*) AS BIGINT) AS vocab_delta
+       |       FROM tok GROUP BY decile)
+       |SELECT occ.decile,
+       |  CAST((occ.decile * n_docs_total) // 10 AS BIGINT) AS n_docs,
+       |  CAST(sum(occ_delta) OVER (ORDER BY occ.decile
+       |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_occurrences,
+       |  CAST(sum(coalesce(vocab_delta, 0)) OVER (ORDER BY occ.decile
+       |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS vocabulary
+       |FROM occ LEFT JOIN vb ON vb.decile = occ.decile
+       |ORDER BY occ.decile""".stripMargin
+  }
+
   // ---------- registry ----------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q268_heaps_curve" -> (q268_heaps_curve _),
     "q245_prefix_dedup" -> (q245_prefix_dedup _),
     "q246_zipf_head" -> (q246_zipf_head _),
     "q247_ttr_curve" -> (q247_ttr_curve _),
     "q248_boundary_join" -> (q248_boundary_join _))
 
   val oracles: Map[String, String] = Map(
+    "q268_heaps_curve" -> q268_oracle,
     "q245_prefix_dedup" -> q245_oracle,
     "q246_zipf_head" -> q246_oracle,
     "q247_ttr_curve" -> q247_oracle,

@@ -820,6 +820,86 @@ object EventQueries {
       |  abs(cusum_scaled) = peak_abs AS is_peak
       |FROM c CROSS JOIN p ORDER BY day""".stripMargin
 
+  // ---------- q265: position-based (U-shaped) attribution ----------
+
+  /** q150's credit model is LINEAR (equal split); this is the
+    * POSITION-BASED (U-shaped 40/20/40) model the two are always
+    * compared under: within each purchase's touch window (same
+    * interval join, same [[attributionDays]]), the FIRST touch gets
+    * 40%, the LAST 40%, the middles split the remaining 20% —
+    * k=1 takes all, k=2 splits 50/50. Credit stays integer micro-
+    * shares (`DIV` on the middle split; the truncation loss is
+    * documented, deterministic, and identical in both engines), and
+    * positions are total-ordered by (ts, event_id) so first/last are
+    * unambiguous under timestamp ties.
+    *
+    * Scale shape: q150's user-keyed interval join verbatim; position
+    * and touch count ride ONE window partitioned by purchase id
+    * (per-purchase touch lists are attribution-window-bounded, never
+    * corpus-scaled); the report is one (user, touch_type) rollup with
+    * decimal(38,0) credit sums.
+    */
+  def q265_position_attribution(spark: SparkSession, dir: String): DataFrame = {
+    val dec38 = "decimal(38,0)"
+    val ev = Tables.load(spark, dir, "events")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("p_id"), col("ts").as("pts"),
+        round(col("value") * 100).cast("long").as("cents"))
+    val touches = ev.filter(col("event_type").isin("view", "click"))
+      .select(col("user_id"), col("event_id").as("t_id"),
+        col("event_type").as("touch_type"), col("ts").as("tts"))
+    val attributed = touches.join(purchases, Seq("user_id"))
+      .filter(col("tts") < col("pts") &&
+        col("pts") <= col("tts") + expr(s"INTERVAL $attributionDays DAYS"))
+    val wPos = Window.partitionBy("p_id").orderBy(col("tts"), col("t_id"))
+    val wCnt = Window.partitionBy("p_id")
+    attributed
+      .withColumn("pos", row_number().over(wPos).cast("long"))
+      .withColumn("k", count(lit(1)).over(wCnt).cast("long"))
+      .withColumn("share_micro",
+        when(col("k") === 1, lit(1000000L))
+          .when(col("k") === 2, lit(500000L))
+          .when(col("pos") === 1 || col("pos") === col("k"), lit(400000L))
+          .otherwise(expr("200000 DIV (k - 2)")))
+      .withColumn("credit_micro", expr("cents * share_micro"))
+      .groupBy("user_id", "touch_type")
+      .agg(count(lit(1)).cast("long").as("n_attributions"),
+        sum(col("credit_micro").cast(dec38)).cast("long").as("credit_micro_sum"))
+      .orderBy("user_id", "touch_type")
+  }
+
+  val q265_oracle: String =
+    s"""WITH p AS (
+       |  SELECT user_id, event_id AS p_id, ts AS pts,
+       |    CAST(round(value * 100) AS BIGINT) AS cents
+       |  FROM events WHERE event_type = 'purchase'),
+       |t AS (
+       |  SELECT user_id, event_id AS t_id, event_type AS touch_type, ts AS tts
+       |  FROM events WHERE event_type IN ('view', 'click')),
+       |a AS (
+       |  SELECT t.user_id, t.touch_type, t.t_id, t.tts, p.p_id, p.cents
+       |  FROM t JOIN p ON t.user_id = p.user_id
+       |  WHERE t.tts < p.pts
+       |    AND p.pts <= t.tts + INTERVAL $attributionDays DAYS),
+       |pos AS (
+       |  SELECT *,
+       |    CAST(row_number() OVER (PARTITION BY p_id ORDER BY tts, t_id) AS BIGINT) AS pos,
+       |    CAST(count(*) OVER (PARTITION BY p_id) AS BIGINT) AS k
+       |  FROM a),
+       |sh AS (
+       |  SELECT user_id, touch_type, cents,
+       |    CASE WHEN k = 1 THEN 1000000
+       |         WHEN k = 2 THEN 500000
+       |         WHEN pos = 1 OR pos = k THEN 400000
+       |         ELSE 200000 // (k - 2) END AS share_micro
+       |  FROM pos)
+       |SELECT user_id, touch_type,
+       |  CAST(count(*) AS BIGINT) AS n_attributions,
+       |  CAST(sum(CAST(cents * share_micro AS DECIMAL(38,0))) AS BIGINT)
+       |    AS credit_micro_sum
+       |FROM sh GROUP BY user_id, touch_type
+       |ORDER BY user_id, touch_type""".stripMargin
+
   // ---------- q262: cohort lifetime-value matrix ----------
 
   /** The LTV companion to q66's retention matrix: per (signup-week
@@ -958,6 +1038,7 @@ object EventQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q259_autocorr" -> (q259_autocorr _),
     "q262_cohort_ltv" -> (q262_cohort_ltv _),
+    "q265_position_attribution" -> (q265_position_attribution _),
     "q256_cusum" -> (q256_cusum _),
     "q243_survival" -> (q243_survival _),
     "q157_wow_change" -> (q157_wow_change _),
@@ -976,6 +1057,7 @@ object EventQueries {
   val oracles: Map[String, String] = Map(
     "q259_autocorr" -> q259_oracle,
     "q262_cohort_ltv" -> q262_oracle,
+    "q265_position_attribution" -> q265_oracle,
     "q256_cusum" -> q256_oracle,
     "q243_survival" -> q243_oracle,
     "q65_funnel" -> q65_oracle,

@@ -1161,7 +1161,69 @@ object GraphQueries {
        |WHERE d.degree >= 2
        |ORDER BY s_suppkey""".stripMargin
 
+  // ---------- q267: degree-distribution profile ----------
+
+  /** The DEGREE PROFILE of q122's co-supply graph — the first plot a
+    * graph analyst draws and the distribution every other graph query
+    * here implicitly assumes (q117's convergence, q125's peel depth,
+    * q233's skew plan all behave differently on power-law vs flat
+    * degrees): per distinct degree value, the node count and the
+    * exact CCDF in ppm (share of nodes with degree ≥ d — the
+    * log-free power-law check, same DIV recipe as q246's Zipf head).
+    *
+    * Scale shape: degrees are one partial-agg shuffle over the edge
+    * list; the profile rides [[graft.operators.ValueAxis]] over the
+    * DISTINCT-degree axis (bounded by the degree domain, not node
+    * count). Nothing pairwise beyond the q122 edge derivation.
+    */
+  def q267_degree_profile(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.ValueAxis
+    val lo = to_timestamp(lit("1995-01-01 00:00:00"))
+    val hi = to_timestamp(lit("1995-04-01 00:00:00"))
+    val orders = Tables.load(spark, dir, "orders")
+      .filter(col("o_orderdate") >= lo && col("o_orderdate") < hi)
+      .select(col("o_orderkey").as("ok"))
+    val li = Tables.load(spark, dir, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
+    val os = orders.join(li, "ok").distinct()
+    val e0 = os.as("a").join(os.as("b"),
+        col("a.ok") === col("b.ok") && col("a.sk") < col("b.sk"))
+      .select(col("a.sk").as("u"), col("b.sk").as("v"))
+      .distinct()
+    val deg = e0.select(col("u").as("id"))
+      .unionAll(e0.select(col("v").as("id")))
+      .groupBy("id").agg(count(lit(1)).cast("long").as("degree"))
+    ValueAxis.axis(deg, Nil, "degree")
+      .select(col("degree"),
+        col("cnt").as("n_nodes"),
+        expr("((n - lo) * 1000000) DIV n").as("ccdf_ppm"))
+      .orderBy("degree")
+  }
+
+  val q267_oracle: String =
+    """WITH os AS (
+      |  SELECT DISTINCT l_orderkey AS ok, l_suppkey AS sk
+      |  FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+      |  WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+      |    AND o_orderdate < TIMESTAMP '1995-04-01 00:00:00'),
+      |e0 AS (SELECT DISTINCT a.sk AS u, b.sk AS v
+      |       FROM os a JOIN os b ON a.ok = b.ok AND a.sk < b.sk),
+      |d AS (SELECT id, CAST(count(*) AS BIGINT) AS degree FROM (
+      |        SELECT u AS id FROM e0 UNION ALL SELECT v AS id FROM e0)
+      |      GROUP BY id),
+      |ax AS (SELECT degree, CAST(count(*) AS BIGINT) AS n_nodes FROM d
+      |       GROUP BY degree),
+      |c AS (SELECT degree, n_nodes,
+      |    CAST(sum(n_nodes) OVER (ORDER BY degree ROWS UNBOUNDED PRECEDING)
+      |      AS BIGINT) AS hi,
+      |    CAST(sum(n_nodes) OVER () AS BIGINT) AS n
+      |  FROM ax)
+      |SELECT degree, n_nodes,
+      |  CAST(((n - (hi - n_nodes)) * 1000000) // n AS BIGINT) AS ccdf_ppm
+      |FROM c ORDER BY degree""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q267_degree_profile" -> (q267_degree_profile _),
     "q255_clustering_coeff" -> (q255_clustering_coeff _),
     "q186_incremental_cc" -> (q186_incremental_cc _),
     "q173_link_prediction" -> (q173_link_prediction _),
@@ -1177,6 +1239,7 @@ object GraphQueries {
     "q125_kcore" -> (q125_kcore _))
 
   val oracles: Map[String, String] = Map(
+    "q267_degree_profile" -> q267_oracle,
     "q255_clustering_coeff" -> q255_oracle,
     "q186_incremental_cc" -> q186_oracle,
     "q173_link_prediction" -> q173_oracle,

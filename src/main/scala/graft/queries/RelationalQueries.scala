@@ -382,9 +382,56 @@ object RelationalQueries {
        |JOIN eu ON eu.s_suppkey = w.s_suppkey
        |ORDER BY w.p_partkey""".stripMargin
 
+  // ---------- q266: late-order priority count (TPC-H Q4 shape) ----------
+
+  /** Lateness threshold (days past the order date). */
+  val lateDays = 60
+
+  /** Per order priority, the 1997-Q1 orders with AT LEAST ONE line
+    * shipped more than [[lateDays]] days after the order was placed —
+    * TPC-H Q4's EXISTS shape on the columns this corpus carries
+    * (shipdate vs orderdate instead of commit vs receipt). The EXISTS
+    * is a LEFT SEMI join with the correlated lateness predicate IN the
+    * join condition, so an order is counted once no matter how many
+    * of its lines are late — never a count-then-dedup.
+    *
+    * Scale shape: orders date-prune at the scan (quarter predicate
+    * pushes to parquet); the semi-join shuffles both fact tables on
+    * orderkey, un-hinted (AQE decides); the report is a ≤5-row
+    * priority rollup.
+    */
+  def q266_late_order_priorities(spark: SparkSession, dir: String): DataFrame = {
+    val lo = to_timestamp(lit("1997-01-01 00:00:00"))
+    val hi = to_timestamp(lit("1997-04-01 00:00:00"))
+    val orders = Tables.load(spark, dir, "orders")
+      .filter(col("o_orderdate") >= lo && col("o_orderdate") < hi)
+      .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+    val li = Tables.load(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_shipdate"))
+    orders.join(li,
+        col("l_orderkey") === col("o_orderkey") &&
+          col("l_shipdate") > col("o_orderdate") + expr(s"INTERVAL $lateDays DAYS"),
+        "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).cast("long").as("n_late_orders"))
+      .orderBy("o_orderpriority")
+  }
+
+  val q266_oracle: String =
+    s"""SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_late_orders
+       |FROM orders o
+       |WHERE o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+       |  AND o.o_orderdate < TIMESTAMP '1997-04-01 00:00:00'
+       |  AND EXISTS (
+       |    SELECT 1 FROM lineitem l
+       |    WHERE l.l_orderkey = o.o_orderkey
+       |      AND l.l_shipdate > o.o_orderdate + INTERVAL $lateDays DAYS)
+       |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
   // ---------- registry ----------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q266_late_order_priorities" -> (q266_late_order_priorities _),
     "q254_cheapest_supplier" -> (q254_cheapest_supplier _),
     "q236_small_qty_revenue" -> (q236_small_qty_revenue _),
     "q237_value_share" -> (q237_value_share _),
@@ -393,6 +440,7 @@ object RelationalQueries {
     "q240_returned_top_customers" -> (q240_returned_top_customers _))
 
   val oracles: Map[String, String] = Map(
+    "q266_late_order_priorities" -> q266_oracle,
     "q254_cheapest_supplier" -> q254_oracle,
     "q236_small_qty_revenue" -> q236_oracle,
     "q237_value_share" -> q237_oracle,

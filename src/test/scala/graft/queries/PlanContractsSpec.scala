@@ -50,7 +50,11 @@ class PlanContractsSpec extends SparkSpec {
     "q256_cusum" -> ((4,
       "cum/index windows over the distinct-DAY axis (calendar domain — q243's argument); the axis subtree appears twice because the 1-row |CUSUM| peak crosses back over it")),
     "q259_autocorr" -> ((3,
-      "the row_number index over the distinct-DAY axis (calendar domain); the series subtree appears three times — both lag-join sides and the 1-row denominator")))
+      "the row_number index over the distinct-DAY axis (calendar domain); the series subtree appears three times — both lag-join sides and the 1-row denominator")),
+    "q267_degree_profile" -> ((2,
+      "ValueAxis cum/tot windows over the distinct-DEGREE axis — bounded by the degree domain, not node count")),
+    "q268_heaps_curve" -> ((2,
+      "cumulative occurrence/vocabulary windows over the 10-row decile axis")))
 
   private val lowCard = Set("event_type", "source", "lang", "l_returnflag")
 

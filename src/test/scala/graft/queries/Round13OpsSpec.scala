@@ -712,4 +712,95 @@ class Round13OpsSpec extends SparkSpec {
       ("weba", 1L, 2L, 1L, 1L, 0L, 0L, 0L),
       ("webb", 1L, 1L, 1L, 1L, 0L, 0L, 0L)), got.mkString(";"))
   }
+
+  // ---------- q265 ----------
+
+  test("q265: U-shaped credit — 40/20/40 on a 3-touch path, all on a single touch") {
+    val dir = tmp("q265")
+    import spark.implicits._
+    val rows = Seq(
+      // user 1: view, click, view -> purchase 10.00 (k=3)
+      (1L, "2024-01-10 01:00:00", 1L, "view", 0.0),
+      (2L, "2024-01-10 02:00:00", 1L, "click", 0.0),
+      (3L, "2024-01-10 03:00:00", 1L, "view", 0.0),
+      (4L, "2024-01-10 04:00:00", 1L, "purchase", 10.0),
+      // user 3: one view -> purchase 5.00 (k=1)
+      (5L, "2024-01-10 01:00:00", 3L, "view", 0.0),
+      (6L, "2024-01-10 02:00:00", 3L, "purchase", 5.0))
+    rows.map { case (i, t, u, et, v) =>
+      (i, java.sql.Timestamp.valueOf(t), u, et, v, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = EventQueries.q265_position_attribution(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq === Seq(
+      (1L, "click", 1L, 1000L * 200000L),
+      (1L, "view", 2L, 1000L * 800000L),
+      (3L, "view", 1L, 500L * 1000000L)), got.mkString(";"))
+  }
+
+  // ---------- q266 ----------
+
+  test("q266: an order counts once however many late lines; out-of-quarter never") {
+    val dir = tmp("q266")
+    import spark.implicits._
+    Seq((1L, 1L, "O", 1.0, ts("1997-01-10"), "1-URGENT"),
+      (2L, 2L, "O", 1.0, ts("1997-02-10"), "2-HIGH"),
+      (3L, 3L, "O", 1.0, ts("1996-06-01"), "1-URGENT"))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    writeLineitem(dir, Seq(
+      // order 1: two late lines + one on-time -> counts ONCE
+      (1L, 1L, 1L, 1, 1.0, 1.0, 0.0, "N", "1997-03-15"),
+      (1L, 1L, 1L, 2, 1.0, 1.0, 0.0, "N", "1997-03-20"),
+      (1L, 1L, 1L, 3, 1.0, 1.0, 0.0, "N", "1997-01-20"),
+      // order 2: on-time only
+      (2L, 1L, 1L, 1, 1.0, 1.0, 0.0, "N", "1997-02-20"),
+      // order 3: late but out of quarter
+      (3L, 1L, 1L, 1, 1.0, 1.0, 0.0, "N", "1996-09-01")))
+    val got = RelationalQueries.q266_late_order_priorities(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(got.toSeq === Seq(("1-URGENT", 1L)), got.mkString(";"))
+  }
+
+  // ---------- q267 ----------
+
+  test("q267: K3-plus-pendant degree axis carries exact CCDF ppm") {
+    val dir = tmp("q267")
+    import spark.implicits._
+    writeLineitem(dir, Seq(
+      (10L, 1L, 1L, 1, 1.0, 1.0, 0.0, "N", "1995-02-01"),
+      (10L, 1L, 2L, 2, 1.0, 1.0, 0.0, "N", "1995-02-01"),
+      (10L, 1L, 3L, 3, 1.0, 1.0, 0.0, "N", "1995-02-01"),
+      (11L, 1L, 3L, 1, 1.0, 1.0, 0.0, "N", "1995-02-01"),
+      (11L, 1L, 4L, 2, 1.0, 1.0, 0.0, "N", "1995-02-01")))
+    Seq((10L, 1L, "O", 1.0, ts("1995-02-01"), "1-URGENT"),
+      (11L, 1L, "O", 1.0, ts("1995-02-01"), "1-URGENT"))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val got = GraphQueries.q267_degree_profile(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // degrees: v4=1, v1=v2=2, v3=3 -> ccdf 4/4, 3/4, 1/4
+    assert(got.toSeq === Seq(
+      (1L, 1L, 1000000L), (2L, 2L, 750000L), (3L, 1L, 250000L)),
+      got.mkString(";"))
+  }
+
+  // ---------- q268 ----------
+
+  test("q268: vocabulary counts each token at its FIRST decile only") {
+    val dir = tmp("q268")
+    import spark.implicits._
+    // 10 docs; doc d introduces token td; 'common' appears everywhere
+    val docs = (1 to 10).map(d => (d.toLong, s"t$d common"))
+    docs.map { case (id, t) => (id, t, "en", "web", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = CorpusProfileQueries.q268_heaps_curve(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val want = (1 to 10).map(d => (d.toLong, d.toLong, 2L * d, d + 1L))
+    assert(got.toSeq === want, got.mkString(";"))
+  }
 }
