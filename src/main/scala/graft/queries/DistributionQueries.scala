@@ -1091,7 +1091,85 @@ object DistributionQueries {
        |GROUP BY source ORDER BY source""".stripMargin
   }
 
+
+  // ---------- q269: MAD (robust) outlier screen ----------
+
+  /** Outlier fence in 1e4 units of MAD: 3 x 1.4826 = 4.4478. */
+  val madFenceE4 = 44478L
+
+  /** The ROBUST member of the outlier family — q105 flags by z-score
+    * (moments a heavy tail drags), q183 by Tukey IQR fences; this is
+    * the median/MAD screen (|x - median| > 3 sigma-hat with
+    * sigma-hat = 1.4826 MAD) that a heavy-tailed value column needs.
+    * Everything stays integer-exact: values in cents, both medians
+    * from [[graft.operators.ValueAxis]] lower-median rank geometry,
+    * and the fence comparison cross-multiplied through e4 units
+    * (`|x-m|*10^4 > MAD*44478`) -- no float anywhere, bit-identical
+    * verdicts cross-engine.
+    *
+    * Scale shape: both medians ride the DISTINCT-cents axis per
+    * event_type (value domain-bounded, never row-scaled); the flag
+    * pass is one more scan with the 5-row median/MAD table joined
+    * back (AQE broadcasts it); output is |event types| rows.
+    */
+  def q269_mad_outliers(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.ValueAxis
+    val base = Tables.load(spark, dir, "events")
+      .select(col("event_type"), round(col("value") * 100).cast("long").as("cents"))
+    val med = ValueAxis.axis(base, Seq("event_type"), "cents")
+      .groupBy("event_type")
+      .agg(ValueAxis.valueAtRank("cents", expr("(n + 1) DIV 2")).as("median_cents"))
+    val dev = base.join(med, "event_type")
+      .select(col("event_type"), abs(col("cents") - col("median_cents")).as("adev"))
+    val mad = ValueAxis.axis(dev, Seq("event_type"), "adev")
+      .groupBy("event_type")
+      .agg(ValueAxis.valueAtRank("adev", expr("(n + 1) DIV 2")).as("mad_cents"))
+    base.join(med, "event_type").join(mad, "event_type")
+      .groupBy("event_type", "median_cents", "mad_cents")
+      .agg(count(lit(1)).cast("long").as("n_events"),
+        count_if(abs(col("cents") - col("median_cents")) * 10000 >
+          col("mad_cents") * madFenceE4).cast("long").as("n_outliers"))
+      .select(col("event_type"), col("n_events"), col("median_cents"),
+        col("mad_cents"), col("n_outliers"),
+        expr("(n_outliers * 1000000) DIV n_events").as("outlier_ppm"))
+      .orderBy("event_type")
+  }
+
+  val q269_oracle: String =
+    s"""WITH b AS (
+       |  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents
+       |  FROM events),
+       |m AS (
+       |  SELECT event_type, cents AS median_cents FROM (
+       |    SELECT event_type, cents,
+       |      row_number() OVER (PARTITION BY event_type ORDER BY cents) AS rn,
+       |      count(*) OVER (PARTITION BY event_type) AS n
+       |    FROM b)
+       |  WHERE rn = (n + 1) // 2),
+       |d AS (
+       |  SELECT b.event_type, abs(b.cents - m.median_cents) AS adev
+       |  FROM b JOIN m USING (event_type)),
+       |md AS (
+       |  SELECT event_type, adev AS mad_cents FROM (
+       |    SELECT event_type, adev,
+       |      row_number() OVER (PARTITION BY event_type ORDER BY adev) AS rn,
+       |      count(*) OVER (PARTITION BY event_type) AS n
+       |    FROM d)
+       |  WHERE rn = (n + 1) // 2)
+       |SELECT b.event_type,
+       |  CAST(count(*) AS BIGINT) AS n_events,
+       |  m.median_cents, md.mad_cents,
+       |  CAST(count(*) FILTER (WHERE abs(b.cents - m.median_cents) * 10000
+       |    > md.mad_cents * $madFenceE4) AS BIGINT) AS n_outliers,
+       |  CAST((count(*) FILTER (WHERE abs(b.cents - m.median_cents) * 10000
+       |    > md.mad_cents * $madFenceE4) * 1000000) // count(*) AS BIGINT)
+       |    AS outlier_ppm
+       |FROM b JOIN m USING (event_type) JOIN md USING (event_type)
+       |GROUP BY b.event_type, m.median_cents, md.mad_cents
+       |ORDER BY b.event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q269_mad_outliers" -> (q269_mad_outliers _),
     "q219_length_drift" -> (q219_length_drift _),
     "q194_weighted_median" -> (q194_weighted_median _),
     "q187_interp_quantiles" -> (q187_interp_quantiles _),
@@ -1112,6 +1190,7 @@ object DistributionQueries {
     "q130_locf" -> (q130_locf _))
 
   val oracles: Map[String, String] = Map(
+    "q269_mad_outliers" -> q269_oracle,
     "q219_length_drift" -> q219_oracle,
     "q172_pareto" -> q172_oracle,
     "q183_iqr_outliers" -> q183_oracle,

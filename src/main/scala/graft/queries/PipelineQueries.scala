@@ -539,9 +539,72 @@ object PipelineQueries {
        |FROM ko GROUP BY signature ORDER BY signature""".stripMargin
   }
 
+  // ---------- q271: metadata-driven multi-sink routing ----------
+
+  /** The SINK layer end-to-end, driver-gated: one declared flow routes
+    * the validation split to TWO physical sinks — the OK leg
+    * partitioned by lang (hive layout, the pruning contract
+    * SourceSinkSpec pins), the KO leg flat — then both sinks are read
+    * BACK from disk and labeled. What the oracle certifies is the
+    * whole declared path: rule evaluation, the ok/ko catalog split,
+    * sink path templating, save mode, partitioning, and the parquet
+    * round-trip — not a DataFrame that never left the session.
+    * (q09 proves the transformation chain with sinks dry-run; this is
+    * the missing write leg.)
+    *
+    * Scale shape: one scan through codegen'd validation, two sink
+    * writes (the partitioned leg shuffles only into its partition
+    * dirs), one labeled union on read-back.
+    */
+  def q271_multi_sink(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val work = graft.io.Scratch.dir(spark, "graft-q271-")
+    val fs = new Path(work).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    try {
+      val meta = Metadata.parse(
+        s"""{
+           |"dataflows": [{
+           |  "name": "doc-routing",
+           |  "sources": [{
+           |    "name": "docs", "path": "$dir/documents.parquet",
+           |    "format": "parquet", "required": true}],
+           |  "transformations": [
+           |    {"name": "validation", "type": "validate_fields", "params": {
+           |      "input": "docs",
+           |      "validations": [
+           |        {"field": "text", "rules": ["notNull", "notEmpty"]},
+           |        {"field": "n_chars", "rules": ["notNull", {"name": "minValue", "params": 100}]},
+           |        {"field": "lang", "rules": ["notNull", {"name": "regex", "params": "^(en|de|fr)$$"}]}]}}
+           |  ],
+           |  "sinks": [
+           |    {"input": "validation_ok", "name": "ok_sink", "path": "$work/ok",
+           |     "format": "parquet", "saveMode": "overwrite", "partitionBy": ["lang"]},
+           |    {"input": "validation_ko", "name": "ko_sink", "path": "$work/ko",
+           |     "format": "parquet", "saveMode": "overwrite"}]
+           |}]}""".stripMargin)
+      Runner.runFlow(spark, meta.dataflows.head,
+        Runner.RunContext(None, None, Map.empty), writeSinks = true)
+      val ok = spark.read.parquet(s"$work/ok")
+        .select(col("doc_id"), col("lang").cast("string").as("lang"),
+          lit("ok").as("leg"))
+      val ko = spark.read.parquet(s"$work/ko")
+        .select(col("doc_id"), col("lang").cast("string").as("lang"),
+          lit("ko").as("leg"))
+      ok.unionByName(ko).orderBy("doc_id")
+        .localCheckpoint() // materialize before the work dir is deleted
+    } finally fs.delete(new Path(work), true)
+  }
+
+  def q271OracleSql: String =
+    s"""SELECT doc_id, lang,
+       |  CASE WHEN ${anyErrSql(docCols, docValidations)}
+       |    THEN 'ko' ELSE 'ok' END AS leg
+       |FROM documents ORDER BY doc_id""".stripMargin
+
   // ---------- registry ----------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q271_multi_sink" -> (q271_multi_sink _),
     "q253_dead_letter" -> (q253_dead_letter _),
     "q01_schema_enforce" -> (q01_schema_enforce _),
     "q02_add_fields" -> (q02_add_fields _),
@@ -558,6 +621,7 @@ object PipelineQueries {
 
   val oracles: Map[String, String] = Map(
     "q253_dead_letter" -> q253OracleSql,
+    "q271_multi_sink" -> q271OracleSql,
     "q01_schema_enforce" -> q01_oracle,
     "q02_add_fields" -> q02_oracle,
     "q03_validate_ok" -> q03OracleSql,

@@ -286,6 +286,52 @@ object TextQueries {
 
   val q25_oracle: String = s"$lshPairsSql\nORDER BY a_id, b_id"
 
+  // ---------- q270: near-dup source matrix ----------
+
+  /** WHO COPIES WHOM: q25's verified near-dup pairs rolled up to the
+    * (source, source) matrix — the diagonal is within-source
+    * boilerplate (a dedup problem), the off-diagonal is cross-source
+    * syndication (a provenance/licensing problem); the two demand
+    * different curation responses, which is why the matrix is the
+    * report curation reviews, not the raw pair list. Source pairs are
+    * canonicalized (least/greatest) so a pair lands in one cell
+    * regardless of doc_id orientation; min/max jaccard bound each
+    * cell's similarity range (exact ratios — no averaging of floats).
+    *
+    * Scale shape: q25's bucket-bounded pair machinery verbatim, then
+    * two doc-keyed joins for the source labels (corpus-scaled:
+    * un-hinted) and a ≤\|sources\|²-row rollup.
+    */
+  def q270_neardup_source_matrix(spark: SparkSession, dir: String): DataFrame = {
+    val src = docs(spark, dir).select(col("doc_id"), col("source"))
+    q25_minhash_lsh_pairs(spark, dir)
+      .join(src.select(col("doc_id").as("a_id"), col("source").as("sa")), "a_id")
+      .join(src.select(col("doc_id").as("b_id"), col("source").as("sb")), "b_id")
+      .select(least(col("sa"), col("sb")).as("source_lo"),
+        greatest(col("sa"), col("sb")).as("source_hi"),
+        col("jaccard"))
+      .groupBy("source_lo", "source_hi")
+      .agg(count(lit(1)).cast("long").as("n_pairs"),
+        min(col("jaccard")).as("min_jaccard"),
+        max(col("jaccard")).as("max_jaccard"))
+      .orderBy("source_lo", "source_hi")
+  }
+
+  val q270_oracle: String =
+    s"""WITH pairs AS (
+       |$lshPairsSql
+       |),
+       |lab AS (
+       |  SELECT least(da.source, db.source) AS source_lo,
+       |    greatest(da.source, db.source) AS source_hi, p.jaccard
+       |  FROM pairs p
+       |  JOIN documents da ON da.doc_id = p.a_id
+       |  JOIN documents db ON db.doc_id = p.b_id)
+       |SELECT source_lo, source_hi,
+       |  CAST(count(*) AS BIGINT) AS n_pairs,
+       |  min(jaccard) AS min_jaccard, max(jaccard) AS max_jaccard
+       |FROM lab GROUP BY 1, 2 ORDER BY source_lo, source_hi""".stripMargin
+
   // ---------- q26: n-gram Jaccard similarity ----------
 
   /** True pairwise bigram-Jaccard on a bounded slice (doc_id < 500 ⇒
@@ -1743,6 +1789,7 @@ object TextQueries {
     "q226_simhash_precision" -> (q226_simhash_precision _),
     "q229_index_erasure" -> (q229_index_erasure _),
     "q261_index_compact" -> (q261_index_compact _),
+    "q270_neardup_source_matrix" -> (q270_neardup_source_matrix _),
     "q213_shingle_df_profile" -> (q213_shingle_df_profile _),
     "q143_allpairs" -> (q143_allpairs _),
     "q154_dedup_eval" -> (q154_dedup_eval _),
@@ -1775,6 +1822,7 @@ object TextQueries {
     "q226_simhash_precision" -> q226_oracle,
     "q229_index_erasure" -> q229_oracle,
     "q261_index_compact" -> q261_oracle,
+    "q270_neardup_source_matrix" -> q270_oracle,
     "q213_shingle_df_profile" -> q213_oracle,
     "q139_novelty" -> q139_oracle,
     "q143_allpairs" -> q143_oracle,

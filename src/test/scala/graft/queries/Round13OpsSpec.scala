@@ -803,4 +803,64 @@ class Round13OpsSpec extends SparkSpec {
     val want = (1 to 10).map(d => (d.toLong, d.toLong, 2L * d, d + 1L))
     assert(got.toSeq === want, got.mkString(";"))
   }
+
+  // ---------- q269 ----------
+
+  test("q269: MAD fence flags the spike; a zero-MAD group flags every deviation") {
+    val dir = tmp("q269")
+    import spark.implicits._
+    val t = java.sql.Timestamp.valueOf("2024-01-10 00:00:00")
+    val rows =
+      // 'flat': 4x 10.00 and one 100.00 -> median 1000c, MAD 0 -> spike flagged
+      Seq(10.0, 10.0, 10.0, 10.0, 100.0).map(("flat", _)) ++
+        // 'spread': cents 1000,1200,1400,1600,10000 -> median 1400, MAD 200
+        Seq(10.0, 12.0, 14.0, 16.0, 100.0).map(("spread", _))
+    rows.zipWithIndex.map { case ((et, v), i) =>
+      (i.toLong, t, 1L, et, v, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = DistributionQueries.q269_mad_outliers(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.toSeq === Seq(
+      ("flat", 1000L, 0L, 1L),
+      ("spread", 1400L, 200L, 1L)), got.mkString(";"))
+  }
+
+  // ---------- q270 ----------
+
+  test("q270: the source matrix is exactly q25's pairs re-aggregated by source") {
+    val dir = sf("sf0.001")
+    import spark.implicits._
+    val got = TextQueries.q270_neardup_source_matrix(spark, dir)
+    val src = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("source"))
+    val replica = TextQueries.q25_minhash_lsh_pairs(spark, dir)
+      .join(src.select(col("doc_id").as("a_id"), col("source").as("sa")), "a_id")
+      .join(src.select(col("doc_id").as("b_id"), col("source").as("sb")), "b_id")
+      .select(least(col("sa"), col("sb")).as("source_lo"),
+        greatest(col("sa"), col("sb")).as("source_hi"), col("jaccard"))
+      .groupBy("source_lo", "source_hi")
+      .agg(count(lit(1)).cast("long").as("n_pairs"),
+        min(col("jaccard")).as("min_jaccard"),
+        max(col("jaccard")).as("max_jaccard"))
+    assert(got.exceptAll(replica).isEmpty && replica.exceptAll(got).isEmpty)
+    assert(got.count() > 0L)
+  }
+
+  // ---------- q271 ----------
+
+  test("q271: both sinks land on disk and route exactly by the declared rules") {
+    val dir = tmp("q271")
+    import spark.implicits._
+    Seq(
+      (1L, "x" * 200, "en", "web", 200L),  // passes all rules
+      (2L, "y" * 200, "xx", "web", 200L),  // lang off-whitelist -> ko
+      (3L, "z" * 200, "de", "web", 50L))   // too short -> ko
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = PipelineQueries.q271_multi_sink(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    assert(got.toSeq === Seq(
+      (1L, "en", "ok"), (2L, "xx", "ko"), (3L, "de", "ko")), got.mkString(";"))
+  }
 }
