@@ -288,23 +288,25 @@ object TextQueries {
 
   // ---------- q270: near-dup source matrix ----------
 
-  /** WHO COPIES WHOM: q25's verified near-dup pairs rolled up to the
-    * (source, source) matrix — the diagonal is within-source
-    * boilerplate (a dedup problem), the off-diagonal is cross-source
-    * syndication (a provenance/licensing problem); the two demand
-    * different curation responses, which is why the matrix is the
-    * report curation reviews, not the raw pair list. Source pairs are
-    * canonicalized (least/greatest) so a pair lands in one cell
-    * regardless of doc_id orientation; min/max jaccard bound each
-    * cell's similarity range (exact ratios — no averaging of floats).
+  /** The size-NORMALIZED companion to q68's raw dup-pair counts: a
+    * big source pair shows more near-dup pairs than a small one even
+    * at the same underlying copy rate, so the review-grade number is
+    * pairs per MILLION OPPORTUNITIES — n_pairs·10⁶ ∕ (nₐ·n_b)
+    * off-diagonal, ∕ C(n,2) on the diagonal — plus the min/max
+    * jaccard bounding each cell's similarity range (exact ratios —
+    * never averaged floats). The opportunity denominator is a
+    * DECIMAL(38,0) product with an integral `div`: nₐ·n_b overflows
+    * int64 past ~3·10⁹ docs/source, and floor division on positive
+    * decimals is bit-identical to DuckDB's hugeint `//`.
     *
-    * Scale shape: q25's bucket-bounded pair machinery verbatim, then
-    * two doc-keyed joins for the source labels (corpus-scaled:
-    * un-hinted) and a ≤\|sources\|²-row rollup.
+    * Scale shape: q25's bucket-bounded pair machinery verbatim, two
+    * un-hinted doc-keyed label joins, a ≤\|sources\|²-row rollup, and
+    * a \|sources\|-row count table joined twice onto that rollup.
     */
   def q270_neardup_source_matrix(spark: SparkSession, dir: String): DataFrame = {
     val src = docs(spark, dir).select(col("doc_id"), col("source"))
-    q25_minhash_lsh_pairs(spark, dir)
+    val sizes = src.groupBy("source").agg(count(lit(1)).cast("long").as("n_docs"))
+    val cells = q25_minhash_lsh_pairs(spark, dir)
       .join(src.select(col("doc_id").as("a_id"), col("source").as("sa")), "a_id")
       .join(src.select(col("doc_id").as("b_id"), col("source").as("sb")), "b_id")
       .select(least(col("sa"), col("sb")).as("source_lo"),
@@ -314,6 +316,19 @@ object TextQueries {
       .agg(count(lit(1)).cast("long").as("n_pairs"),
         min(col("jaccard")).as("min_jaccard"),
         max(col("jaccard")).as("max_jaccard"))
+    cells
+      .join(sizes.select(col("source").as("source_lo"), col("n_docs").as("n_lo")),
+        "source_lo")
+      .join(sizes.select(col("source").as("source_hi"), col("n_docs").as("n_hi")),
+        "source_hi")
+      .withColumn("opportunity",
+        when(col("source_lo") === col("source_hi"),
+          expr("CAST(n_lo AS DECIMAL(38,0)) * (n_lo - 1) / 2"))
+          .otherwise(expr("CAST(n_lo AS DECIMAL(38,0)) * n_hi")))
+      .select(col("source_lo"), col("source_hi"), col("n_pairs"),
+        expr("CAST(n_pairs AS DECIMAL(38,0)) * 1000000 div opportunity")
+          .cast("long").as("rate_ppm"),
+        col("min_jaccard"), col("max_jaccard"))
       .orderBy("source_lo", "source_hi")
   }
 
@@ -321,16 +336,30 @@ object TextQueries {
     s"""WITH pairs AS (
        |$lshPairsSql
        |),
+       |sizes AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+       |          FROM documents GROUP BY source),
        |lab AS (
        |  SELECT least(da.source, db.source) AS source_lo,
        |    greatest(da.source, db.source) AS source_hi, p.jaccard
        |  FROM pairs p
        |  JOIN documents da ON da.doc_id = p.a_id
-       |  JOIN documents db ON db.doc_id = p.b_id)
-       |SELECT source_lo, source_hi,
-       |  CAST(count(*) AS BIGINT) AS n_pairs,
-       |  min(jaccard) AS min_jaccard, max(jaccard) AS max_jaccard
-       |FROM lab GROUP BY 1, 2 ORDER BY source_lo, source_hi""".stripMargin
+       |  JOIN documents db ON db.doc_id = p.b_id),
+       |cells AS (
+       |  SELECT source_lo, source_hi,
+       |    CAST(count(*) AS BIGINT) AS n_pairs,
+       |    min(jaccard) AS min_jaccard, max(jaccard) AS max_jaccard
+       |  FROM lab GROUP BY 1, 2)
+       |SELECT source_lo, source_hi, n_pairs,
+       |  CAST(CAST(n_pairs AS HUGEINT) * 1000000 // (CASE
+       |    WHEN source_lo = source_hi
+       |      THEN CAST(slo.n_docs AS HUGEINT) * (slo.n_docs - 1) // 2
+       |    ELSE CAST(slo.n_docs AS HUGEINT) * shi.n_docs END) AS BIGINT)
+       |    AS rate_ppm,
+       |  min_jaccard, max_jaccard
+       |FROM cells
+       |JOIN sizes slo ON slo.source = source_lo
+       |JOIN sizes shi ON shi.source = source_hi
+       |ORDER BY source_lo, source_hi""".stripMargin
 
   // ---------- q26: n-gram Jaccard similarity ----------
 

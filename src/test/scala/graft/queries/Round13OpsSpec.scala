@@ -828,23 +828,27 @@ class Round13OpsSpec extends SparkSpec {
 
   // ---------- q270 ----------
 
-  test("q270: the source matrix is exactly q25's pairs re-aggregated by source") {
+  test("q270: rate matrix equals a BigInt driver replica over q25's pairs") {
     val dir = sf("sf0.001")
-    import spark.implicits._
-    val got = TextQueries.q270_neardup_source_matrix(spark, dir)
     val src = spark.read.parquet(s"$dir/documents.parquet")
-      .select(col("doc_id"), col("source"))
-    val replica = TextQueries.q25_minhash_lsh_pairs(spark, dir)
-      .join(src.select(col("doc_id").as("a_id"), col("source").as("sa")), "a_id")
-      .join(src.select(col("doc_id").as("b_id"), col("source").as("sb")), "b_id")
-      .select(least(col("sa"), col("sb")).as("source_lo"),
-        greatest(col("sa"), col("sb")).as("source_hi"), col("jaccard"))
-      .groupBy("source_lo", "source_hi")
-      .agg(count(lit(1)).cast("long").as("n_pairs"),
-        min(col("jaccard")).as("min_jaccard"),
-        max(col("jaccard")).as("max_jaccard"))
-    assert(got.exceptAll(replica).isEmpty && replica.exceptAll(got).isEmpty)
-    assert(got.count() > 0L)
+      .select(col("doc_id"), col("source")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val sizes = src.values.groupBy(identity).map { case (s, v) => s -> v.size }
+    val pairs = TextQueries.q25_minhash_lsh_pairs(spark, dir).collect()
+      .map(r => (src(r.getLong(0)), src(r.getLong(1)), r.getDouble(2)))
+      .map { case (a, b, j) => (Seq(a, b).min, Seq(a, b).max, j) }
+    val want = pairs.groupBy(p => (p._1, p._2)).map { case ((lo, hi), ps) =>
+      val opp =
+        if (lo == hi) BigInt(sizes(lo)) * (sizes(lo) - 1) / 2
+        else BigInt(sizes(lo)) * sizes(hi)
+      val rate = (BigInt(ps.length) * 1000000 / opp).toLong
+      (lo, hi, ps.length.toLong, rate, ps.map(_._3).min, ps.map(_._3).max)
+    }.toSeq.sortBy(t => (t._1, t._2))
+    val got = TextQueries.q270_neardup_source_matrix(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5))).toSeq
+    assert(got === want, s"got=${got.take(3)} want=${want.take(3)}")
+    assert(got.nonEmpty)
   }
 
   // ---------- q271 ----------
