@@ -323,10 +323,70 @@ object CorpusProfileQueries {
        |ORDER BY occ.decile""".stripMargin
   }
 
+  // ---------- q273: cross-source vocabulary overlap ----------
+
+  /** VOCABULARY Jaccard between every source pair — the lexical
+    * cousin of q68/q270's document-level overlap (two sources can
+    * share no documents yet write in the same register, or share
+    * boilerplate docs while their vocabularies barely touch; mixture
+    * design reads both). Exact set algebra throughout: per-source
+    * vocabulary sizes, pairwise intersection via ONE token-keyed
+    * self-join of the distinct (source, token) table, union by
+    * inclusion–exclusion, jaccard in ppm by the DIV recipe.
+    *
+    * Scale shape: the (source, token) table is vocabulary-sized (one
+    * explode + distinct); the self-join's per-token fanout is bounded
+    * by \|sources\|² — never corpus-pairwise; the report is
+    * ≤\|sources\|²/2 rows. Zero-overlap pairs stay absent (sparse
+    * matrix — same contract as the oracle).
+    */
+  def q273_vocab_overlap(spark: SparkSession, dir: String): DataFrame = {
+    val st = Tables.load(spark, dir, "documents")
+      .select(col("source"), explode(T.tokens(col("text"))).as("tok"))
+      .distinct()
+    val sizes = st.groupBy("source")
+      .agg(count(lit(1)).cast("long").as("vocab"))
+    val inter = st.as("a").join(st.as("b"),
+        col("a.tok") === col("b.tok") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+      .agg(count(lit(1)).cast("long").as("n_common"))
+    inter
+      .join(sizes.select(col("source").as("source_a"), col("vocab").as("vocab_a")),
+        "source_a")
+      .join(sizes.select(col("source").as("source_b"), col("vocab").as("vocab_b")),
+        "source_b")
+      .select(col("source_a"), col("source_b"), col("vocab_a"), col("vocab_b"),
+        col("n_common"),
+        expr("(n_common * 1000000) DIV (vocab_a + vocab_b - n_common)")
+          .as("jaccard_ppm"))
+      .orderBy("source_a", "source_b")
+  }
+
+  val q273_oracle: String = {
+    val tk = T.tokensSql("text")
+    s"""WITH st AS (
+       |  SELECT DISTINCT source, unnest($tk) AS tok FROM documents),
+       |sizes AS (
+       |  SELECT source, CAST(count(*) AS BIGINT) AS vocab FROM st GROUP BY source),
+       |inter AS (
+       |  SELECT a.source AS source_a, b.source AS source_b,
+       |    CAST(count(*) AS BIGINT) AS n_common
+       |  FROM st a JOIN st b ON a.tok = b.tok AND a.source < b.source
+       |  GROUP BY 1, 2)
+       |SELECT source_a, source_b, sa.vocab AS vocab_a, sb.vocab AS vocab_b,
+       |  n_common,
+       |  (n_common * 1000000) // (sa.vocab + sb.vocab - n_common) AS jaccard_ppm
+       |FROM inter
+       |JOIN sizes sa ON sa.source = source_a
+       |JOIN sizes sb ON sb.source = source_b
+       |ORDER BY source_a, source_b""".stripMargin
+  }
+
   // ---------- registry ----------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q268_heaps_curve" -> (q268_heaps_curve _),
+    "q273_vocab_overlap" -> (q273_vocab_overlap _),
     "q245_prefix_dedup" -> (q245_prefix_dedup _),
     "q246_zipf_head" -> (q246_zipf_head _),
     "q247_ttr_curve" -> (q247_ttr_curve _),
@@ -334,6 +394,7 @@ object CorpusProfileQueries {
 
   val oracles: Map[String, String] = Map(
     "q268_heaps_curve" -> q268_oracle,
+    "q273_vocab_overlap" -> q273_oracle,
     "q245_prefix_dedup" -> q245_oracle,
     "q246_zipf_head" -> q246_oracle,
     "q247_ttr_curve" -> q247_oracle,

@@ -820,6 +820,68 @@ object EventQueries {
       |  abs(cusum_scaled) = peak_abs AS is_peak
       |FROM c CROSS JOIN p ORDER BY day""".stripMargin
 
+  // ---------- q272: top session paths ----------
+
+  /** Path prefix length and report size. */
+  val pathLen = 5
+  val topPathsK = 20
+
+  /** The TOP SESSION PATHS report — the "what do sessions actually
+    * look like" table funnel design starts from (q65 assumes
+    * view→click→purchase; this measures which orderings really
+    * happen): sessions are q18's 30-minute-gap windows, a session's
+    * path is its first [[pathLen]] event types joined in time order
+    * (ties broken by event_id — the path string is total-ordered),
+    * and the report is the [[topPathsK]] most frequent paths with
+    * path as the tie-break.
+    *
+    * Scale shape: ONE user-partitioned window pass (q18's shuffle)
+    * for session ids; the per-session path is an array_sort over the
+    * SESSION's own events (session-bounded, never corpus-sorted);
+    * path counts are one partial-agg rollup and the report rides
+    * TakeOrdered.
+    */
+  def q272_session_paths(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val sess = Tables.load(spark, dir, "events")
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("is_break",
+        when(col("prev_ts").isNull ||
+          unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts")) > 30 * 60L, 1L)
+          .otherwise(0L))
+      .withColumn("session_id", sum(col("is_break")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    sess.groupBy("user_id", "session_id")
+      .agg(expr(
+        s"""concat_ws('>', slice(transform(
+           |  array_sort(collect_list(struct(ts, event_id, event_type))),
+           |  x -> x.event_type), 1, $pathLen))""".stripMargin).as("path"))
+      .groupBy("path")
+      .agg(count(lit(1)).cast("long").as("n_sessions"))
+      .orderBy(col("n_sessions").desc, col("path"))
+      .limit(topPathsK)
+  }
+
+  val q272_oracle: String =
+    s"""WITH s AS (
+       |  SELECT user_id, ts, event_id, event_type,
+       |    sum(CASE WHEN prev_ts IS NULL
+       |          OR epoch(ts) - epoch(prev_ts) > 1800 THEN 1 ELSE 0 END)
+       |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+       |            ROWS UNBOUNDED PRECEDING) AS session_id
+       |  FROM (
+       |    SELECT *, lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+       |      AS prev_ts
+       |    FROM events)),
+       |p AS (
+       |  SELECT user_id, session_id,
+       |    array_to_string(
+       |      (list(event_type ORDER BY ts, event_id))[1:$pathLen], '>') AS path
+       |  FROM s GROUP BY user_id, session_id)
+       |SELECT path, CAST(count(*) AS BIGINT) AS n_sessions
+       |FROM p GROUP BY path
+       |ORDER BY n_sessions DESC, path LIMIT $topPathsK""".stripMargin
+
   // ---------- q265: position-based (U-shaped) attribution ----------
 
   /** q150's credit model is LINEAR (equal split); this is the
@@ -1039,6 +1101,7 @@ object EventQueries {
     "q259_autocorr" -> (q259_autocorr _),
     "q262_cohort_ltv" -> (q262_cohort_ltv _),
     "q265_position_attribution" -> (q265_position_attribution _),
+    "q272_session_paths" -> (q272_session_paths _),
     "q256_cusum" -> (q256_cusum _),
     "q243_survival" -> (q243_survival _),
     "q157_wow_change" -> (q157_wow_change _),
@@ -1058,6 +1121,7 @@ object EventQueries {
     "q259_autocorr" -> q259_oracle,
     "q262_cohort_ltv" -> q262_oracle,
     "q265_position_attribution" -> q265_oracle,
+    "q272_session_paths" -> q272_oracle,
     "q256_cusum" -> q256_oracle,
     "q243_survival" -> q243_oracle,
     "q65_funnel" -> q65_oracle,

@@ -867,4 +867,48 @@ class Round13OpsSpec extends SparkSpec {
     assert(got.toSeq === Seq(
       (1L, "en", "ok"), (2L, "xx", "ko"), (3L, "de", "ko")), got.mkString(";"))
   }
+
+  // ---------- q272 ----------
+
+  test("q272: paths truncate at 5, sessions split on the 30-minute gap, counts merge") {
+    val dir = tmp("q272")
+    import spark.implicits._
+    def t(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-10 ${10 + m / 60}%02d:${m % 60}%02d:00")
+    val rows = Seq(
+      // user 1, session 1: six events -> path = first five types
+      (1L, t(0), 1L, "view"), (2L, t(5), 1L, "click"), (3L, t(10), 1L, "purchase"),
+      (4L, t(15), 1L, "view"), (5L, t(20), 1L, "click"), (6L, t(25), 1L, "view"),
+      // user 1, session 2 after a 40-minute gap
+      (7L, t(65), 1L, "view"),
+      // users 2 and 3: the same two-event path
+      (8L, t(0), 2L, "view"), (9L, t(5), 2L, "click"),
+      (10L, t(0), 3L, "view"), (11L, t(5), 3L, "click"))
+    rows.map { case (i, ts, u, et) => (i, ts, u, et, 50.0, "{}") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = EventQueries.q272_session_paths(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(got.toSeq === Seq(
+      ("view>click", 2L),
+      ("view", 1L),
+      ("view>click>purchase>view>click", 1L)), got.mkString(";"))
+  }
+
+  // ---------- q273 ----------
+
+  test("q273: vocabulary jaccard is exact; zero-overlap pairs stay absent") {
+    val dir = tmp("q273")
+    import spark.implicits._
+    Seq(
+      (1L, "a b c", "srcA"), (2L, "b c d", "srcB"), (3L, "x", "srcC"))
+      .map { case (id, t, s) => (id, t, "en", s, t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = CorpusProfileQueries.q273_vocab_overlap(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    // A{a,b,c} vs B{b,c,d}: common 2, union 4 -> 500000 ppm; C never appears
+    assert(got.toSeq === Seq(("srcA", "srcB", 3L, 3L, 2L, 500000L)),
+      got.mkString(";"))
+  }
 }
