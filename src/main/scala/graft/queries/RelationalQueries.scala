@@ -428,9 +428,109 @@ object RelationalQueries {
        |      AND l.l_shipdate > o.o_orderdate + INTERVAL $lateDays DAYS)
        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
+  // ---------- q274: discount-band revenue effect (TPC-H Q6 shape) ----------
+
+  /** The pure-scan aggregate of the TPC-H set — Q6's "what would
+    * dropping these discounts have earned": one year of lineitem,
+    * a discount band, a quantity cap, revenue = Σ extendedprice ×
+    * discount, exact in e4 units with the double only in the final
+    * cast. THE pushdown witness: every predicate is a scan-level
+    * filter (shipdate/discount/quantity all reach parquet), there is
+    * no join and no shuffle beyond the 1-row aggregate — at 100 TB
+    * this runs at IO speed or the plan is wrong.
+    */
+  def q274_discount_revenue(spark: SparkSession, dir: String): DataFrame = {
+    val lo = to_timestamp(lit("1996-01-01 00:00:00"))
+    val hi = to_timestamp(lit("1997-01-01 00:00:00"))
+    Tables.load(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= lo && col("l_shipdate") < hi &&
+        col("l_discount").cast(dec4) >= lit(0.05).cast(dec4) &&
+        col("l_discount").cast(dec4) <= lit(0.07).cast(dec4) &&
+        col("l_quantity") < 24)
+      .agg(
+        count(lit(1)).cast("long").as("n_lines"),
+        sum((price * disc * 10000).cast("long")).cast("long").as("revenue_e4"))
+      .select(col("n_lines"), col("revenue_e4"),
+        (col("revenue_e4").cast("double") / 10000.0).as("revenue"))
+  }
+
+  val q274_oracle: String =
+    """SELECT CAST(count(*) AS BIGINT) AS n_lines,
+      |  CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+      |    * CAST(l_discount AS DECIMAL(4,2)) * 10000 AS BIGINT)) AS BIGINT)
+      |    AS revenue_e4,
+      |  CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+      |    * CAST(l_discount AS DECIMAL(4,2)) * 10000 AS BIGINT)) AS DOUBLE)
+      |    / 10000.0 AS revenue
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      |  AND CAST(l_discount AS DECIMAL(4,2)) BETWEEN 0.05 AND 0.07
+      |  AND l_quantity < 24""".stripMargin
+
+  // ---------- q275: shipping-priority top orders (TPC-H Q3 shape) ----------
+
+  /** Report size and the Q3 date fence. */
+  val shipPriorityK = 10
+  val shipPriorityCut = "1996-07-01 00:00:00"
+
+  /** The Q3 composition on this corpus's columns: for BUILDING-segment
+    * customers, orders placed BEFORE the cut whose lines shipped
+    * AFTER it (the in-flight backlog on the cut date), ranked by
+    * line revenue — the top-[[shipPriorityK]] unshipped-value orders.
+    * Revenue sums exact e4 units; the report orders by (revenue_e4
+    * DESC, o_orderkey) — a total order, so TakeOrdered is
+    * deterministic cross-engine.
+    *
+    * Scale shape: both fact joins shuffle on their keys un-hinted
+    * (customer scales with the corpus — AQE decides); orders
+    * date-prune at the scan; top-K rides orderBy+limit, never a
+    * global window.
+    */
+  def q275_ship_priority(spark: SparkSession, dir: String): DataFrame = {
+    val cut = to_timestamp(lit(shipPriorityCut))
+    val cust = Tables.load(spark, dir, "customer")
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey"))
+    val orders = Tables.load(spark, dir, "orders")
+      .filter(col("o_orderdate") < cut)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+    Tables.load(spark, dir, "lineitem")
+      .filter(col("l_shipdate") > cut)
+      .select(col("l_orderkey"),
+        (price * (one - disc) * 10000).cast("long").as("rev_e4"))
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderkey")
+      .agg(
+        max(date_format(col("o_orderdate"), "yyyy-MM-dd")).as("o_orderdate"),
+        sum(col("rev_e4")).cast("long").as("revenue_e4"),
+        count(lit(1)).cast("long").as("n_lines"))
+      .orderBy(col("revenue_e4").desc, col("o_orderkey"))
+      .limit(shipPriorityK)
+  }
+
+  val q275_oracle: String =
+    s"""SELECT o_orderkey,
+       |  strftime(max(o_orderdate), '%Y-%m-%d') AS o_orderdate,
+       |  CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+       |    * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))
+       |    * 10000 AS BIGINT)) AS BIGINT) AS revenue_e4,
+       |  CAST(count(*) AS BIGINT) AS n_lines
+       |FROM lineitem
+       |JOIN orders ON o_orderkey = l_orderkey
+       |JOIN customer ON c_custkey = o_custkey
+       |WHERE c_mktsegment = 'BUILDING'
+       |  AND o_orderdate < TIMESTAMP '$shipPriorityCut'
+       |  AND l_shipdate > TIMESTAMP '$shipPriorityCut'
+       |GROUP BY o_orderkey
+       |ORDER BY revenue_e4 DESC, o_orderkey LIMIT $shipPriorityK""".stripMargin
+
   // ---------- registry ----------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q274_discount_revenue" -> (q274_discount_revenue _),
+    "q275_ship_priority" -> (q275_ship_priority _),
     "q266_late_order_priorities" -> (q266_late_order_priorities _),
     "q254_cheapest_supplier" -> (q254_cheapest_supplier _),
     "q236_small_qty_revenue" -> (q236_small_qty_revenue _),
@@ -441,6 +541,8 @@ object RelationalQueries {
 
   val oracles: Map[String, String] = Map(
     "q266_late_order_priorities" -> q266_oracle,
+    "q274_discount_revenue" -> q274_oracle,
+    "q275_ship_priority" -> q275_oracle,
     "q254_cheapest_supplier" -> q254_oracle,
     "q236_small_qty_revenue" -> q236_oracle,
     "q237_value_share" -> q237_oracle,

@@ -911,4 +911,53 @@ class Round13OpsSpec extends SparkSpec {
     assert(got.toSeq === Seq(("srcA", "srcB", 3L, 3L, 2L, 500000L)),
       got.mkString(";"))
   }
+
+  // ---------- q274 ----------
+
+  test("q274: only in-band, in-year, under-quantity lines earn; revenue is exact e4") {
+    val dir = tmp("q274")
+    writeLineitem(dir, Seq(
+      // counted: 100.00 * 0.05 = 5.00 -> 50000 e4
+      (1L, 1L, 1L, 1, 10.0, 100.0, 0.05, "N", "1996-03-01"),
+      // counted: 200.00 * 0.07 = 14.00 -> 140000 e4
+      (2L, 1L, 1L, 1, 23.0, 200.0, 0.07, "N", "1996-11-30"),
+      // discount out of band
+      (3L, 1L, 1L, 1, 10.0, 100.0, 0.04, "N", "1996-03-01"),
+      // quantity at the cap (24 is NOT < 24)
+      (4L, 1L, 1L, 1, 24.0, 100.0, 0.06, "N", "1996-03-01"),
+      // shipped outside the year
+      (5L, 1L, 1L, 1, 10.0, 100.0, 0.06, "N", "1997-03-01")))
+    val got = RelationalQueries.q274_discount_revenue(spark, dir).collect()
+    assert(got.length === 1)
+    assert(got.head.getLong(0) === 2L)
+    assert(got.head.getLong(1) === 190000L)
+    assert(got.head.getDouble(2) === 19.0)
+  }
+
+  // ---------- q275 ----------
+
+  test("q275: only BUILDING backlog lines count; pre-cut shipments drop out") {
+    val dir = tmp("q275")
+    import spark.implicits._
+    Seq((1L, "c1", 0, 0.0, "BUILDING"), (2L, "c2", 0, 0.0, "MACHINERY"))
+      .toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+      .write.mode("overwrite").parquet(s"$dir/customer.parquet")
+    Seq((10L, 1L, "O", 1.0, ts("1996-05-01"), "1-URGENT"),
+      (20L, 2L, "O", 1.0, ts("1996-05-01"), "1-URGENT"),
+      (30L, 1L, "O", 1.0, ts("1996-08-01"), "1-URGENT")) // placed after cut
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    writeLineitem(dir, Seq(
+      // order 10: one line after the cut (counts: 100 * 0.9 = 90.00), one before
+      (10L, 1L, 1L, 1, 1.0, 100.0, 0.1, "N", "1996-08-01"),
+      (10L, 1L, 1L, 2, 1.0, 50.0, 0.0, "N", "1996-06-01"),
+      // order 20: wrong segment
+      (20L, 1L, 1L, 1, 1.0, 100.0, 0.0, "N", "1996-08-01"),
+      // order 30: placed after the cut
+      (30L, 1L, 1L, 1, 1.0, 100.0, 0.0, "N", "1996-09-01")))
+    val got = RelationalQueries.q275_ship_priority(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq === Seq((10L, "1996-05-01", 900000L, 1L)), got.mkString(";"))
+  }
 }
