@@ -248,8 +248,8 @@ object Multimodal {
         T.qualityScore(col("text")) > 0.4)
       .select(col("doc_id"), col("source"),
         md5(col("text").cast("binary")).as("payload_md5"),
-        (lit(64) + pmod(length(col("text")), lit(64))).as("stub_width"),
-        (lit(64) + pmod(floor(length(col("text")) / lit(64)).cast("long"),
+        (lit(64) + pmod(length(col("text").cast("binary")), lit(64))).as("stub_width"),
+        (lit(64) + pmod(floor(length(col("text").cast("binary")) / lit(64)).cast("long"),
           lit(64))).as("stub_height"),
         concat_ws(" ", slice(col("tk"), 1, captionToks)).as("caption"),
         least(size(col("tk")), lit(captionToks)).cast("long").as("n_caption_toks"))
@@ -274,8 +274,8 @@ object Multimodal {
     s"""WITH b AS (
        |  SELECT doc_id, source,
        |    md5(text) AS payload_md5,
-       |    64 + (length(text) % 64) AS stub_width,
-       |    64 + ((length(text) // 64) % 64) AS stub_height,
+       |    64 + (octet_length(CAST(text AS BLOB)) % 64) AS stub_width,
+       |    64 + ((octet_length(CAST(text AS BLOB)) // 64) % 64) AS stub_height,
        |    array_to_string(($tk)[1:$captionToks], ' ') AS caption,
        |    CAST(least(len($tk), $captionToks) AS BIGINT) AS n_caption_toks
        |  FROM documents

@@ -72,12 +72,14 @@ object IncrementalProfile {
 
   /** Render state as the profile report row (q100's columns minus
     * n_distinct). The avg-length ratio divides FINAL values once, so
-    * engines agree bit-for-bit. */
+    * engines agree bit-for-bit. sum_len*1e6 runs in DECIMAL(38,0) —
+    * a long product overflows once a column's total string bytes pass
+    * ~9.2e12 (~9 TB), i.e. exactly at the design scale. */
   def finish(state: DataFrame): DataFrame =
     state.select(
       col("column_name"), col("n_values"), col("n_nulls"),
       col("min_num"), col("max_num"), col("min_str"), col("max_str"),
       when(col("sum_len").isNotNull && col("n_values") > 0,
-        floor(col("sum_len") * 1000000L / col("n_values")))
+        floor(col("sum_len").cast("decimal(38,0)") * 1000000L / col("n_values")))
         .cast("long").as("avg_len_micro"))
 }

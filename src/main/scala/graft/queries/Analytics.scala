@@ -285,7 +285,7 @@ object Analytics {
       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
       |  FROM (
       |    SELECT *, CASE WHEN prev_ts IS NULL
-      |        OR epoch(ts) - epoch(prev_ts) > 1800 THEN 1 ELSE 0 END AS is_break
+      |        OR floor(epoch(ts)) - floor(epoch(prev_ts)) > 1800 THEN 1 ELSE 0 END AS is_break
       |    FROM (
       |      SELECT *, lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
       |      FROM events)))

@@ -9,7 +9,7 @@ import org.apache.spark.sql.functions._
   * before trusting a batch — referential integrity over every declared
   * foreign key, and primary-key uniqueness over every declared key.
   * The reference validates rows one table at a time
-  * (utils/data_validation.py); these are the corpus-level
+  * (pipeline/validator.py); these are the corpus-level
   * counterparts that catch BROKEN JOINS (orphans) and DOUBLE LOADS
   * (duplicate keys) before they silently corrupt downstream
   * consolidation.
@@ -46,14 +46,24 @@ object ConsistencyQueries {
 
   /** Referential-integrity audit over the star schema's seven declared
     * FK edges. All-zero orphan columns are the PASS certificate; any
-    * non-zero row names the relation a load broke. */
+    * non-zero row names the relation a load broke.
+    *
+    * The three lineitem edges share ONE fact scan: the three FK
+    * columns are projected together and materialized once
+    * (Lineage.cut — a pure performance cut, so the plan audit still
+    * sees through it), and every lineitem audit (anti-join AND row
+    * count) reads the narrow cached projection. At 100 TB the fact
+    * scan dominates this audit's cost — one scan, not six. */
   def q241_referential_integrity(spark: SparkSession, dir: String): DataFrame = {
     def t(n: String) = Tables.load(spark, dir, n)
+    val liKeys = graft.Lineage.cut(
+      t("lineitem")
+        .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey")))
     val audits = Seq(
       fkAudit("customer->nation", t("customer"), "c_nationkey", t("nation"), "n_nationkey"),
-      fkAudit("lineitem->orders", t("lineitem"), "l_orderkey", t("orders"), "o_orderkey"),
-      fkAudit("lineitem->part", t("lineitem"), "l_partkey", t("part"), "p_partkey"),
-      fkAudit("lineitem->supplier", t("lineitem"), "l_suppkey", t("supplier"), "s_suppkey"),
+      fkAudit("lineitem->orders", liKeys, "l_orderkey", t("orders"), "o_orderkey"),
+      fkAudit("lineitem->part", liKeys, "l_partkey", t("part"), "p_partkey"),
+      fkAudit("lineitem->supplier", liKeys, "l_suppkey", t("supplier"), "s_suppkey"),
       fkAudit("nation->region", t("nation"), "n_regionkey", t("region"), "r_regionkey"),
       fkAudit("orders->customer", t("orders"), "o_custkey", t("customer"), "c_custkey"),
       fkAudit("supplier->nation", t("supplier"), "s_nationkey", t("nation"), "n_nationkey"))
@@ -163,7 +173,9 @@ object ConsistencyQueries {
         count_if(col("lead_days") < 0).cast("long").as("n_violations"),
         min(col("lead_days")).as("min_lead_days"),
         max(col("lead_days")).as("max_lead_days"),
-        floor(sum(col("lead_days")) * 1000000L / count(lit(1)))
+        // DECIMAL(38,0) product: a long sum*1e6 overflows past ~9.2e12
+        // total lead-days — reachable at the 100 TB fact scale.
+        floor(sum(col("lead_days")).cast("decimal(38,0)") * 1000000L / count(lit(1)))
           .cast("long").as("avg_lead_micro"))
       .orderBy("ship_month")
 

@@ -866,7 +866,7 @@ object EventQueries {
     s"""WITH s AS (
        |  SELECT user_id, ts, event_id, event_type,
        |    sum(CASE WHEN prev_ts IS NULL
-       |          OR epoch(ts) - epoch(prev_ts) > 1800 THEN 1 ELSE 0 END)
+       |          OR floor(epoch(ts)) - floor(epoch(prev_ts)) > 1800 THEN 1 ELSE 0 END)
        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
        |            ROWS UNBOUNDED PRECEDING) AS session_id
        |  FROM (

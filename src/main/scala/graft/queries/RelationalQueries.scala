@@ -12,7 +12,7 @@ import org.apache.spark.sql.types.DecimalType
   * above-global-average anti-join (Q22), a global argmax join (Q15),
   * and a top-K-by-aggregate report (Q10). The reference's pipeline
   * feeds exactly these consolidation-then-report shapes downstream
-  * (reference: utils/data_transformations.py consolidation +
+  * (reference: pipeline/consolidator.py consolidation +
   * aggregation steps); here each is expressed as the Spark plan you
   * would want at 100 TB.
   *
@@ -142,8 +142,15 @@ object RelationalQueries {
   /** Lapse cutoff: a customer counts as lapsed when they placed no
     * order on/after this date (the synthetic corpus gives every
     * customer SOME order, so the unfiltered Q22 predicate is
-    * degenerate; recency is the version a retention pipeline asks). */
-  val lapseCutoff = "2000-01-01 00:00:00"
+    * degenerate; recency is the version a retention pipeline asks).
+    * The cutoff sits INSIDE the corpus's order-date range (this
+    * corpus's orders span 1995-01 .. 2001-08) so at every SF the
+    * date-pruned orders side is non-empty AND some above-average
+    * customers are genuinely lapsed (measured: 13/67 rich customers
+    * at sf0.001, 135/662 at sf0.01, 1331/6894 at sf0.1) — the
+    * correctness gate exercises the anti-join on a live branch in
+    * both directions, never the everything-passes degenerate one. */
+  val lapseCutoff = "2000-07-01 00:00:00"
 
   /** Per nation: customers whose balance exceeds the average positive
     * balance AND who placed no order since [[lapseCutoff]]. The

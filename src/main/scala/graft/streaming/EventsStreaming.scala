@@ -73,10 +73,15 @@ object EventsStreaming {
 
   private def splitSessions(events: List[Event], gapMs: Long): (List[List[Event]], List[Event]) = {
     if (events.isEmpty) return (Nil, Nil)
+    // Gap test on WHOLE-SECOND truncated epochs — identical to batch
+    // q18's unix_timestamp() difference, so stream sessions are exactly
+    // the batch sessions even under sub-second event timestamps.
+    def esec(e: Event): Long = Math.floorDiv(e.ts.getTime, 1000L)
+    val gapSec = gapMs / 1000L
     val sessions = events.tail.foldLeft(List(List(events.head))) { (acc, e) =>
       val cur = acc.head
       // gap-based sessions: break only on >gap since the previous event
-      if (e.ts.getTime - cur.last.ts.getTime > gapMs) List(e) :: acc
+      if (esec(e) - esec(cur.last) > gapSec) List(e) :: acc
       else (cur :+ e) :: acc.tail
     }.reverse
     (sessions.init, sessions.last)

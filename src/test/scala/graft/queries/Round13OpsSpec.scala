@@ -90,7 +90,9 @@ class Round13OpsSpec extends SparkSpec {
       (3L, "c3", 1, 100.0, "M"), (4L, "c4", 1, -5.0, "M"))
       .toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
       .write.mode("overwrite").parquet(s"$dir/customer.parquet")
-    Seq((10L, 1L, "O", 1.0, ts("1999-05-01"), "1-URGENT"),
+    // cutoff is 2000-07-01: c1's and c2's orders predate it (lapsed),
+    // c3's is on/after it (recent -> excluded by the anti-join)
+    Seq((10L, 1L, "O", 1.0, ts("1996-05-01"), "1-URGENT"),
       (11L, 2L, "O", 1.0, ts("1998-05-01"), "1-URGENT"),
       (12L, 3L, "O", 1.0, ts("2001-02-01"), "1-URGENT"))
       .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
