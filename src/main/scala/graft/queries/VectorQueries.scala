@@ -618,19 +618,58 @@ object VectorQueries {
     * so total pair work stays ~N·target/2, linear in the corpus. The
     * row count() feeding k is parquet-metadata-cheap, the same cost
     * class as the training sample.
+    *
+    * Because k grows with N, the quantizer is the TWO-LEVEL model
+    * ([[graft.similarity.IvfIndex.TwoLevelModel]]): a flat quantizer
+    * pays O(k·dim) per row to assign and O(sample·k·dim) to train —
+    * both ~N²/500 below the sample cap (the measured 9.1× wall at 10×
+    * data in round 13) and 2M dots per row at the 100 TB point —
+    * while two levels pay O(2√k·dim) for the same data-adaptive
+    * cells. The assigned+normed corpus is materialized once
+    * (Lineage.cut) so the self-join's two sides share ONE assignment
+    * pass instead of recomputing it per side.
     */
   val semDedupCells = 8
   val semDedupTargetCell = 500L
 
-  def q87_semdedup(spark: SparkSession, dir: String): DataFrame = {
+  /** q87's corpus-adaptive cell count at this corpus size. */
+  private[graft] def semDedupK(n: Long): Int =
+    math.max(semDedupCells, (n / semDedupTargetCell).toInt)
+
+  /** The session's two-level SemDeDup quantizer, memoized per
+    * (corpus dir, k) like [[IvfModel]] — deterministic training, so
+    * the memo cannot change answers. */
+  private[graft] object SemDedupModel {
+    private val built = new java.util.concurrent.ConcurrentHashMap[
+      String, graft.similarity.IvfIndex.TwoLevelModel]()
+    def get(spark: SparkSession, dir: String, k: Int)
+        : graft.similarity.IvfIndex.TwoLevelModel =
+      built.computeIfAbsent(s"$dir|$k", _ =>
+        graft.similarity.IvfIndex.trainTwoLevel(emb(spark, dir), "v", k = k,
+          sampleIdCol = Some("vec_id")))
+  }
+
+  /** The corpus with its global cell id and norm — ONE assignment
+    * pass, shared by both sides of q87's candidate self-join (and by
+    * SemDedupSpec's candidate-bound audit). topcell is its own column
+    * so the top argmin runs once per row, then the fine CASE touches
+    * only the matched top cell's codebook. */
+  private[graft] def semDedupAssigned(spark: SparkSession, dir: String): DataFrame = {
     val e = emb(spark, dir)
-    val k = math.max(semDedupCells, (e.count() / semDedupTargetCell).toInt)
-    val model = IvfModel.get(spark, dir, k)
-    val cells = e.withColumn("cell", model.cell(col("v")))
+    val k = semDedupK(e.count())
+    val model = SemDedupModel.get(spark, dir, k)
+    graft.Lineage.cut(
+      e.withColumn("topcell", model.topCell(col("v")))
+        .withColumn("cell", model.cell(col("topcell"), col("v")))
+        .select(col("vec_id"), col("cell"), col("v"), V.norm(col("v")).as("nrm")))
+  }
+
+  def q87_semdedup(spark: SparkSession, dir: String): DataFrame = {
+    val cells = semDedupAssigned(spark, dir)
     val a = cells.select(col("cell"), col("vec_id").as("a_id"),
-      col("v").as("qv"), V.norm(col("v")).as("q_nrm"))
+      col("v").as("qv"), col("nrm").as("q_nrm"))
     val b = cells.select(col("cell"), col("vec_id").as("b_id"),
-      col("v").as("nv"), V.norm(col("v")).as("n_nrm"))
+      col("v").as("nv"), col("nrm").as("n_nrm"))
     val cos = V.cosineWithNorms(col("qv"), col("nv"), col("q_nrm"), col("n_nrm"))
     // shuffle_hash hint: the candidate join must be a SHUFFLED join on
     // cell, not a broadcast — the corpus side grows with N, and the

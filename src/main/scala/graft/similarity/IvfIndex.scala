@@ -58,6 +58,90 @@ object IvfIndex {
       }.sortBy(identity).take(nProbe).map(_._2)
   }
 
+  /** Two-level (coarse → fine) quantizer for corpus-adaptive cell
+    * counts: ~√k top-level centroids, then ~√k fine centroids trained
+    * WITHIN each top cell; a vector's cell id is
+    * `offset(top) + fineArgmin`. This is the standard scalable answer
+    * (FAISS's IMI family) to a k that GROWS with the corpus
+    * (SemDeDup's k = N/500): a flat quantizer pays O(k·dim) per row
+    * to assign and O(sample·k·dim) to train — both quadratic-ish in N
+    * while the sample cap hasn't kicked in, and 2M dot products per
+    * row at the 100 TB point (N=10⁹, k=2M). Two levels pay
+    * O(2√k·dim) per row (top argmin, then ONLY the matched top
+    * cell's fine argmin via a lazily-evaluated CASE) and
+    * O(sample·2√k·dim) to train — ~1.4k dots per row at the same
+    * 100 TB point.
+    *
+    * Same determinism story as [[Model]]: content-hash sample,
+    * spaced-rank init, fixed iterations, no RNG anywhere; an empty
+    * top cell keeps its top centroid as its only fine centroid so
+    * every top id still maps to ≥1 global cell.
+    */
+  final case class TwoLevelModel(
+      top: Seq[Seq[Double]], fine: Seq[Seq[Seq[Double]]]) {
+    require(top.length == fine.length, "one fine codebook per top cell")
+
+    private val offsets: Seq[Int] = fine.scanLeft(0)(_ + _.length).init
+    val numCells: Int = fine.map(_.length).sum
+
+    /** Top-level cell id — O(|top|·dim) per row. */
+    def topCell(v: Column): Column = Model(top).cell(v)
+
+    /** Global cell id from a precomputed top id — the CASE evaluates
+      * only the matched top cell's fine argmin, so the per-row cost
+      * is O(|fine(top)|·dim), not O(k·dim). Compute [[topCell]] into
+      * its own column first so the top argmin runs once. */
+    def cell(topId: Column, v: Column): Column = {
+      val first = when(topId === 0, lit(offsets(0)) + Model(fine(0)).cell(v))
+      fine.indices.drop(1).foldLeft(first) { (acc, i) =>
+        acc.when(topId === i, lit(offsets(i)) + Model(fine(i)).cell(v))
+      }.otherwise(lit(-1))
+    }
+  }
+
+  /** Train the two-level quantizer: k1 = ⌈√k⌉ top centroids on the
+    * bounded sample, then ⌈k/k1⌉ fine centroids on each top cell's
+    * own sample members (adaptive where the data is dense — the
+    * SemDeDup property the flat quantizer had, kept at √k cost).
+    */
+  def trainTwoLevel(
+      vectors: DataFrame,
+      vCol: String,
+      k: Int,
+      sampleIdCol: Option[String] = None,
+      maxIter: Int = 10): TwoLevelModel = {
+    val sample = collectSample(vectors, vCol, sampleIdCol)
+    val k1 = math.max(1, math.sqrt(k.toDouble).toInt)
+    val top = lloyd(sample, k1, maxIter)
+    val k2 = math.max(1, math.ceil(k.toDouble / top.length).toInt)
+    val groups = Array.fill(top.length)(
+      scala.collection.mutable.ArrayBuffer.empty[Array[Double]])
+    sample.foreach { x => groups(nearestLocal(top, x)) += x }
+    val fine = top.indices.map { i =>
+      if (groups(i).isEmpty) Seq(top(i).toSeq)
+      else lloyd(groups(i).toArray, k2, maxIter).map(_.toSeq).toSeq
+    }
+    TwoLevelModel(top.map(_.toSeq).toSeq, fine)
+  }
+
+  /** Index of the nearest centroid by squared distance, first index
+    * winning ties — the assignment rule Lloyd's itself uses. */
+  private def nearestLocal(
+      centroids: Array[Array[Double]], x: Array[Double]): Int = {
+    var best = 0
+    var bestD = Double.MaxValue
+    var j = 0
+    while (j < centroids.length) {
+      val c = centroids(j)
+      var d = 0.0
+      var t = 0
+      while (t < x.length) { val diff = x(t) - c(t); d += diff * diff; t += 1 }
+      if (d < bestD) { bestD = d; best = j }
+      j += 1
+    }
+    best
+  }
+
   /** Hard cap on the driver-collected training sample. A coarse
     * quantizer needs cell-shaped centroids, not the corpus: FAISS
     * practice is tens-to-hundreds of sample points per centroid, and

@@ -50,14 +50,9 @@ class SemDedupSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSet
     assert(recall > lshIds.size.toDouble / truth.size)
     // candidate-bound invariant: sum of within-cell pair counts is a
-    // small fraction of all-pairs (the reason this scales at all)
-    val e = graft.Tables.load(spark, dir, "embeddings")
-      .select(col("vec_id"), V.asDouble(col("embedding")).as("v"))
-    val k = math.max(VectorQueries.semDedupCells,
-      (e.count() / VectorQueries.semDedupTargetCell).toInt)
-    val model = graft.similarity.IvfIndex.train(e, "v", k = k,
-      sampleIdCol = Some("vec_id"))
-    val cells = e.withColumn("cell", model.cell(col("v")))
+    // small fraction of all-pairs (the reason this scales at all) —
+    // measured on q87's OWN two-level assignment
+    val cells = VectorQueries.semDedupAssigned(spark, dir)
       .groupBy("cell").agg(count(lit(1)).as("n"))
       .collect().map(_.getLong(1))
     val n = cells.sum

@@ -22,6 +22,33 @@ class IvfIndexSpec extends SparkSpec {
     assert(probes.forall(p => p.length == 3 && p.distinct.length == 3))
   }
 
+  test("two-level quantizer: deterministic, √k-shaped, total and bounded cell ids") {
+    val e = graft.Tables.load(spark, sf(), "embeddings")
+      .select(col("vec_id"),
+        graft.functions.VectorFunctions.asDouble(col("embedding")).as("v"))
+    val k = 9
+    val m1 = IvfIndex.trainTwoLevel(e, "v", k, sampleIdCol = Some("vec_id"))
+    val m2 = IvfIndex.trainTwoLevel(e, "v", k, sampleIdCol = Some("vec_id"))
+    // train-twice equality: no RNG anywhere
+    assert(m1 == m2)
+    // √k shape: 3 top cells, each with <= 3 fine centroids, >= k total
+    assert(m1.top.length == 3)
+    assert(m1.fine.forall(f => f.nonEmpty && f.length <= 3))
+    assert(m1.numCells >= k || m1.numCells == m1.fine.map(_.length).sum)
+    // assignment is total and in-range: every vector lands in exactly
+    // one global cell id within [0, numCells)
+    val assigned = e
+      .withColumn("topcell", m1.topCell(col("v")))
+      .withColumn("cell", m1.cell(col("topcell"), col("v")))
+    assert(assigned.count() == e.count())
+    val range = assigned.agg(min("cell"), max("cell")).collect().head
+    assert(range.getInt(0) >= 0 && range.getInt(1) < m1.numCells)
+    // fine refinement is real: more distinct global cells than top cells
+    val nTop = assigned.select("topcell").distinct().count()
+    val nCell = assigned.select("cell").distinct().count()
+    assert(nCell >= nTop)
+  }
+
   test("IVF 4-probe recall@3 beats random-scan expectations vs brute force") {
     val ivf = VectorQueries.q42_knn_ivf(spark, sf())
       .collect().groupBy(_.getLong(0)).view
