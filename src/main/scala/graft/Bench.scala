@@ -79,7 +79,13 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
+    // 1-minute OS load average at the END of the run: a leg that ran
+    // beside another saturating JVM self-identifies (load ≫ cpus means
+    // the wall times measured contention, not the queries — the
+    // round-13 "seesaw" mechanism, see SURVEY §20)
+    val loadAvg = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"load_avg":$loadAvg,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

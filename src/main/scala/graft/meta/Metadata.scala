@@ -84,6 +84,37 @@ final case class DataflowDef(
     transformations: Seq[TransformDef],
     sinks: Seq[SinkDef])
 
+/** Declarative LLM-curation chain — the reference's metadata pattern
+  * (`validate_fields`-style JSON) applied to the training-data
+  * operators: exact dedup, LSH near-dedup, quality filtering, and
+  * benchmark decontamination declared as data, so q86's hand-composed
+  * funnel is expressible as pure config
+  * ([[graft.queries.CurationFlow]] interprets it). Parsing is strict
+  * like every other block: unknown stage types, unknown metrics/ops,
+  * type-mismatched rule values, duplicate stage names all fail at
+  * load time.
+  */
+sealed trait CurationStageDef { def name: String }
+final case class DedupExactStageDef(name: String) extends CurationStageDef
+final case class DedupNearStageDef(name: String) extends CurationStageDef
+final case class QualityRuleDef(
+    reason: String,
+    metric: String, // n_toks | quality (numeric), lang_det (string)
+    op: String,     // lt | gt (numeric), eq (string)
+    numValue: Option[BigDecimal],
+    strValue: Option[String])
+final case class QualityStageDef(
+    name: String, rules: Seq[QualityRuleDef]) extends CurationStageDef
+final case class DecontaminateStageDef(
+    name: String, shingles: Seq[String]) extends CurationStageDef
+
+final case class CurationDef(
+    table: String,
+    idColumn: String,
+    textColumn: String,
+    reportBy: String,
+    stages: Seq[CurationStageDef])
+
 final case class PipelineMeta(
     processingMode: String,
     dataflows: Seq[DataflowDef],
@@ -191,6 +222,91 @@ object Metadata {
     val dup = defs.map(_.id).groupBy(identity).collectFirst { case (id, ids) if ids.size > 1 => id }
     dup.foreach(id => fail(s"duplicate expectation id '$id'"))
     defs
+  }
+
+  /** Parse a standalone curation document:
+    * `{"curation": {table, id_column, text_column, report_by,
+    * stages: [...]}}`. Strict: every knob the interpreter uses must
+    * be declared and well-typed, or the load fails before any cluster
+    * resources are spent.
+    */
+  def parseCuration(json: String): CurationDef = {
+    val r = obj(JsonMethods.parse(json), "curation root")
+    val c = field(r, "curation").map(v => obj(v, "curation"))
+      .getOrElse(fail("curation document missing 'curation'"))
+    val table = optStr(c, "table").getOrElse(fail("curation missing 'table'"))
+    val stages = field(c, "stages")
+      .map(v => arr(v, "curation stages").map(s => parseCurationStage(obj(s, "stage"))))
+      .getOrElse(fail("curation missing 'stages'"))
+    if (stages.isEmpty) fail("curation declares no stages")
+    val dup = stages.map(_.name).groupBy(identity)
+      .collectFirst { case (n, ns) if ns.size > 1 => n }
+    dup.foreach(n => fail(s"duplicate curation stage name '$n'"))
+    stages.map(_.name).foreach { n =>
+      if (!n.matches("[a-z][a-z0-9_]*"))
+        fail(s"curation stage name '$n' must match [a-z][a-z0-9_]* " +
+          "(it becomes the report's n_<name> column)")
+    }
+    if (stages.exists(_.isInstanceOf[DedupNearStageDef]) && table != "documents")
+      fail("dedup_near is defined over the documents LSH signature " +
+        s"family; table '$table' has no signature index")
+    CurationDef(
+      table = table,
+      idColumn = optStr(c, "id_column").getOrElse(fail("curation missing 'id_column'")),
+      textColumn = optStr(c, "text_column").getOrElse(fail("curation missing 'text_column'")),
+      reportBy = optStr(c, "report_by").getOrElse(fail("curation missing 'report_by'")),
+      stages = stages)
+  }
+
+  private val numericMetrics = Set("n_toks", "quality")
+  private val stringMetrics = Set("lang_det")
+
+  private def parseCurationStage(o: JObject): CurationStageDef = {
+    val name = optStr(o, "name").getOrElse(fail("curation stage missing 'name'"))
+    optStr(o, "type").getOrElse(fail(s"curation stage '$name' missing 'type'")) match {
+      case "dedup_exact" => DedupExactStageDef(name)
+      case "dedup_near"  => DedupNearStageDef(name)
+      case "quality_filter" =>
+        val rules = field(o, "rules")
+          .map(v => arr(v, s"quality stage '$name' rules"))
+          .getOrElse(fail(s"quality stage '$name' missing 'rules'"))
+        if (rules.isEmpty) fail(s"quality stage '$name' declares no rules")
+        QualityStageDef(name, rules.map(r => parseQualityRule(obj(r, "quality rule"))))
+      case "decontaminate" =>
+        val shingles = field(o, "shingles")
+          .map(v => arr(v, s"decontaminate stage '$name' shingles")
+            .map(s => str(s, "shingle")))
+          .getOrElse(fail(s"decontaminate stage '$name' missing 'shingles'"))
+        if (shingles.isEmpty) fail(s"decontaminate stage '$name' declares an empty benchmark list")
+        DecontaminateStageDef(name, shingles)
+      case other =>
+        fail(s"Unsupported curation stage type '$other' for '$name'. Supported " +
+          "types: [decontaminate, dedup_exact, dedup_near, quality_filter]")
+    }
+  }
+
+  private def parseQualityRule(o: JObject): QualityRuleDef = {
+    val reason = optStr(o, "reason").getOrElse(fail("quality rule missing 'reason'"))
+    val metric = optStr(o, "metric").getOrElse(fail(s"quality rule '$reason' missing 'metric'"))
+    val op = optStr(o, "op").getOrElse(fail(s"quality rule '$reason' missing 'op'"))
+    val value = field(o, "value").getOrElse(fail(s"quality rule '$reason' missing 'value'"))
+    (op, value) match {
+      case ("lt" | "gt", JInt(i)) if numericMetrics(metric) =>
+        QualityRuleDef(reason, metric, op, Some(BigDecimal(i)), None)
+      case ("lt" | "gt", JLong(l)) if numericMetrics(metric) =>
+        QualityRuleDef(reason, metric, op, Some(BigDecimal(l)), None)
+      case ("lt" | "gt", JDouble(d)) if numericMetrics(metric) =>
+        QualityRuleDef(reason, metric, op, Some(BigDecimal(d)), None)
+      case ("lt" | "gt", JDecimal(d)) if numericMetrics(metric) =>
+        QualityRuleDef(reason, metric, op, Some(d), None)
+      case ("eq", JString(s)) if stringMetrics(metric) =>
+        QualityRuleDef(reason, metric, op, None, Some(s))
+      case _ =>
+        fail(s"quality rule '$reason': op '$op' on metric '$metric' with value " +
+          s"$value is not supported (lt/gt need a numeric value on " +
+          s"${numericMetrics.mkString("/")}; eq needs a string value on " +
+          s"${stringMetrics.mkString("/")})")
+    }
   }
 
   private def parseDataflow(o: JObject): DataflowDef = DataflowDef(

@@ -1535,6 +1535,7 @@ object CurationQueries {
     "q148_interleave" -> (q148_interleave _),
     "q132_dsir" -> (q132_dsir _),
     "q86_curation_e2e" -> (q86_curation_e2e _),
+    "q276_declared_curation" -> (CurationFlow.q276_declared_curation _),
     "q77_sequence_pack" -> (q77_sequence_pack _),
     "q60_dedup_apply" -> (q60_dedup_apply _),
     "q61_quality_filter" -> (q61_quality_filter _),
@@ -1559,6 +1560,7 @@ object CurationQueries {
     "q148_interleave" -> q148_oracle,
     "q132_dsir" -> q132_oracle,
     "q86_curation_e2e" -> q86_oracle,
+    "q276_declared_curation" -> CurationFlow.q276_oracle,
     "q77_sequence_pack" -> q77_oracle,
     "q60_dedup_apply" -> q60_oracle,
     "q61_quality_filter" -> q61_oracle,
