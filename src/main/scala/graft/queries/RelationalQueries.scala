@@ -533,9 +533,366 @@ object RelationalQueries {
        |GROUP BY o_orderkey
        |ORDER BY revenue_e4 DESC, o_orderkey LIMIT $shipPriorityK""".stripMargin
 
+  // ---------- q277: nation-pair trade volume (TPC-H Q7 shape) ----------
+
+  /** The two trading nations (Q7 fixes FRANCE/GERMANY; the synthetic
+    * corpus's domain is NATION_i). The pair is chosen live in BOTH
+    * directions at every SF (measured 13/14 lines at sf0.001) so the
+    * correctness gate never passes on an empty result. */
+  val tradePair: (String, String) = ("NATION_13", "NATION_19")
+
+  /** Shipped revenue between two nations per direction per year: a
+    * supplier in one nation shipping to a customer in the other,
+    * 1996–1997. The Q7 chain — lineitem→supplier and
+    * lineitem→orders→customer — with BOTH endpoint nations fixed, so
+    * the nation filters prune supplier and customer to ~2/25 of the
+    * corpus BEFORE the fact joins.
+    *
+    * Scale shape: two fact-to-fact joins shuffled on their keys
+    * (supplier and customer scale with the corpus — un-hinted; the
+    * nation lookup itself is the broadcast, 25 rows at any SF); the
+    * ship-year fence prunes the lineitem scan; the report is a
+    * (2 directions × 2 years)-row rollup. Revenue exact in e4 units.
+    */
+  def q277_nation_trade(spark: SparkSession, dir: String): DataFrame = {
+    val lo = to_timestamp(lit("1996-01-01 00:00:00"))
+    val hi = to_timestamp(lit("1998-01-01 00:00:00"))
+    val pair = Seq(tradePair._1, tradePair._2)
+    val nation = Tables.load(spark, dir, "nation")
+      .filter(col("n_name").isin(pair: _*))
+    val supp = Tables.load(spark, dir, "supplier")
+      .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    val cust = Tables.load(spark, dir, "customer")
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_name").as("cust_nation"))
+    val ord = Tables.load(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+    Tables.load(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= lo && col("l_shipdate") < hi)
+      .select(col("l_orderkey"), col("l_suppkey"),
+        date_format(col("l_shipdate"), "yyyy").as("l_year"),
+        (price * (one - disc) * 10000).cast("long").as("rev_e4"))
+      .join(supp, col("l_suppkey") === col("s_suppkey"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .filter(col("supp_nation") =!= col("cust_nation"))
+      .groupBy("supp_nation", "cust_nation", "l_year")
+      .agg(
+        count(lit(1)).cast("long").as("n_lines"),
+        sum(col("rev_e4")).cast("long").as("revenue_e4"))
+      .withColumn("revenue", col("revenue_e4").cast("double") / 10000.0)
+      .orderBy("supp_nation", "cust_nation", "l_year")
+  }
+
+  val q277_oracle: String =
+    s"""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       |  strftime(l_shipdate, '%Y') AS l_year,
+       |  CAST(count(*) AS BIGINT) AS n_lines,
+       |  CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+       |    * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))
+       |    * 10000 AS BIGINT)) AS BIGINT) AS revenue_e4,
+       |  CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+       |    * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))
+       |    * 10000 AS BIGINT)) AS DOUBLE) / 10000.0 AS revenue
+       |FROM lineitem
+       |JOIN supplier ON l_suppkey = s_suppkey
+       |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+       |JOIN orders ON l_orderkey = o_orderkey
+       |JOIN customer ON o_custkey = c_custkey
+       |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+       |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+       |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+       |  AND n1.n_name IN ('${tradePair._1}', '${tradePair._2}')
+       |  AND n2.n_name IN ('${tradePair._1}', '${tradePair._2}')
+       |  AND n1.n_name <> n2.n_name
+       |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
+
+  // ---------- q278: market share (TPC-H Q8 shape) ----------
+
+  /** The Q8 knobs: the market (customer region), the nation whose
+    * share is asked, and the product slice. */
+  val marketRegion = "ASIA"
+  val shareNation = "NATION_5"
+  val sharePartType = "PROMO"
+
+  /** [[shareNation]]'s supplier share of the [[marketRegion]] market
+    * for [[sharePartType]] parts, per order year: the numerator and
+    * denominator are the SAME volume sum split by supplier nation, so
+    * share is computed from one joined pass. The share itself is an
+    * exact ppm integer: numerator·10⁶ DIV denominator with the product
+    * in DECIMAL(38,0) (int64 would overflow past ~9.2e12 e4-units,
+    * reachable at the 100 TB fact scale).
+    *
+    * Scale shape: part/orders prune at their scans; the fact joins
+    * shuffle un-hinted; the only explicit broadcasts are nation and
+    * the 25-row nation⋈region market lookup — bounded domains at any
+    * SF. The report is |years| rows.
+    */
+  def q278_market_share(spark: SparkSession, dir: String): DataFrame = {
+    val lo = to_timestamp(lit("1996-01-01 00:00:00"))
+    val hi = to_timestamp(lit("1998-01-01 00:00:00"))
+    val nation = Tables.load(spark, dir, "nation")
+    val market = nation
+      .join(Tables.load(spark, dir, "region"),
+        col("n_regionkey") === col("r_regionkey"))
+      .filter(col("r_name") === marketRegion)
+      .select(col("n_nationkey").as("mkt_nationkey"))
+    val cust = Tables.load(spark, dir, "customer")
+      .join(broadcast(market), col("c_nationkey") === col("mkt_nationkey"))
+      .select(col("c_custkey"))
+    val ord = Tables.load(spark, dir, "orders")
+      .filter(col("o_orderdate") >= lo && col("o_orderdate") < hi)
+      .select(col("o_orderkey"), col("o_custkey"),
+        date_format(col("o_orderdate"), "yyyy").as("o_year"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+    val prt = Tables.load(spark, dir, "part")
+      .filter(col("p_type") === sharePartType)
+      .select(col("p_partkey"))
+    val supp = Tables.load(spark, dir, "supplier")
+      .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), (col("n_name") === shareNation).as("is_target"))
+    Tables.load(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+        (price * (one - disc) * 10000).cast("long").as("rev_e4"))
+      .join(prt, col("l_partkey") === col("p_partkey"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(supp, col("l_suppkey") === col("s_suppkey"))
+      .groupBy("o_year")
+      .agg(
+        sum(col("rev_e4")).cast("long").as("total_e4"),
+        sum(when(col("is_target"), col("rev_e4")).otherwise(0L))
+          .cast("long").as("nation_e4"))
+      .withColumn("share_ppm",
+        floor(col("nation_e4").cast(DecimalType(38, 0)) * 1000000
+          / col("total_e4")).cast("long"))
+      .orderBy("o_year")
+  }
+
+  val q278_oracle: String = {
+    val e4 = """CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+       |    * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))
+       |    * 10000 AS BIGINT)""".stripMargin
+    s"""SELECT strftime(o_orderdate, '%Y') AS o_year,
+       |  CAST(sum($e4) AS BIGINT) AS total_e4,
+       |  CAST(sum(CASE WHEN n1.n_name = '$shareNation' THEN $e4
+       |    ELSE 0 END) AS BIGINT) AS nation_e4,
+       |  CAST(floor(CAST(sum(CASE WHEN n1.n_name = '$shareNation' THEN $e4
+       |      ELSE 0 END) AS DECIMAL(38,0)) * 1000000
+       |    / sum($e4)) AS BIGINT) AS share_ppm
+       |FROM lineitem
+       |JOIN part ON l_partkey = p_partkey
+       |JOIN supplier ON l_suppkey = s_suppkey
+       |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+       |JOIN orders ON l_orderkey = o_orderkey
+       |JOIN customer ON o_custkey = c_custkey
+       |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+       |JOIN region ON n2.n_regionkey = r_regionkey
+       |WHERE p_type = '$sharePartType'
+       |  AND r_name = '$marketRegion'
+       |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+       |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+       |GROUP BY 1 ORDER BY o_year""".stripMargin
+  }
+
+  // ---------- q279: retail-margin profit (TPC-H Q9 shape) ----------
+
+  /** Q9's product-profit rollup on this corpus's columns: the schema
+    * has no partsupp/ps_supplycost, so "cost" is the part's LIST price
+    * — margin = Σ(extendedprice·(1−discount) − quantity·retailprice),
+    * the realized-vs-list margin per supplier nation per ship year
+    * (negative where discounting sold below list). Exact e4 units
+    * throughout; the part-name slice is Q9's '%green%' pattern on this
+    * corpus's vocabulary.
+    *
+    * Scale shape: the name LIKE prunes part at its scan; lineitem
+    * joins part and supplier on their keys un-hinted (both
+    * corpus-scaled); nation broadcasts; the report is ≤ 25·|years|
+    * rows.
+    */
+  def q279_retail_margin(spark: SparkSession, dir: String): DataFrame = {
+    val prt = Tables.load(spark, dir, "part")
+      .filter(col("p_name").like("%widget%"))
+      .select(col("p_partkey"), col("p_retailprice"))
+    val supp = Tables.load(spark, dir, "supplier")
+      .join(broadcast(Tables.load(spark, dir, "nation")),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name"))
+    Tables.load(spark, dir, "lineitem")
+      .select(col("l_partkey"), col("l_suppkey"),
+        date_format(col("l_shipdate"), "yyyy").as("l_year"),
+        (price * (one - disc) * 10000).cast("long").as("rev_e4"),
+        col("l_quantity"))
+      .join(prt, col("l_partkey") === col("p_partkey"))
+      .withColumn("cost_e4",
+        (col("l_quantity").cast(dec18) * col("p_retailprice").cast(dec18)
+          * 10000).cast("long"))
+      .join(supp, col("l_suppkey") === col("s_suppkey"))
+      .groupBy("n_name", "l_year")
+      .agg(
+        count(lit(1)).cast("long").as("n_lines"),
+        sum(col("rev_e4") - col("cost_e4")).cast("long").as("margin_e4"))
+      .withColumn("margin", col("margin_e4").cast("double") / 10000.0)
+      .orderBy("n_name", "l_year")
+  }
+
+  val q279_oracle: String =
+    """SELECT n_name, strftime(l_shipdate, '%Y') AS l_year,
+      |  CAST(count(*) AS BIGINT) AS n_lines,
+      |  CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+      |      * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))
+      |      * 10000 AS BIGINT)
+      |    - CAST(CAST(l_quantity AS DECIMAL(18,2))
+      |      * CAST(p_retailprice AS DECIMAL(18,2)) * 10000 AS BIGINT))
+      |    AS BIGINT) AS margin_e4,
+      |  CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+      |      * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))
+      |      * 10000 AS BIGINT)
+      |    - CAST(CAST(l_quantity AS DECIMAL(18,2))
+      |      * CAST(p_retailprice AS DECIMAL(18,2)) * 10000 AS BIGINT))
+      |    AS DOUBLE) / 10000.0 AS margin
+      |FROM lineitem
+      |JOIN part ON l_partkey = p_partkey
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |WHERE p_name LIKE '%widget%'
+      |GROUP BY 1, 2 ORDER BY n_name, l_year""".stripMargin
+
+  // ---------- q280: bracket revenue (TPC-H Q19 shape) ----------
+
+  /** Q19's OR-of-ANDs bracket predicate: three (brand, size range,
+    * quantity range) brackets, revenue over the lines matching ANY —
+    * the disjunctive-pushdown witness. The brand/size legs are
+    * part-side (prune the part scan: Catalyst extracts the common
+    * disjunction `p_size BETWEEN 1 AND 15` and the brand IN-list);
+    * the quantity legs are lineitem-side; the cross-side conjunction
+    * rides the join condition so non-matching pairs die IN the join,
+    * never materializing. Output is ONE exact row.
+    */
+  def q280_bracket_revenue(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem")
+    val prt = Tables.load(spark, dir, "part")
+    val bracket =
+      (col("p_brand") === "Brand#12" && col("p_size").between(1, 5) &&
+        col("l_quantity").between(1, 11)) ||
+      (col("p_brand") === "Brand#23" && col("p_size").between(1, 10) &&
+        col("l_quantity").between(10, 20)) ||
+      (col("p_brand") === "Brand#34" && col("p_size").between(1, 15) &&
+        col("l_quantity").between(20, 30))
+    li.join(prt, col("l_partkey") === col("p_partkey") && bracket)
+      .agg(
+        count(lit(1)).cast("long").as("n_lines"),
+        sum((price * (one - disc) * 10000).cast("long"))
+          .cast("long").as("revenue_e4"))
+      .select(col("n_lines"), col("revenue_e4"),
+        (col("revenue_e4").cast("double") / 10000.0).as("revenue"))
+  }
+
+  val q280_oracle: String =
+    """SELECT CAST(count(*) AS BIGINT) AS n_lines,
+      |  CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+      |    * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))
+      |    * 10000 AS BIGINT)) AS BIGINT) AS revenue_e4,
+      |  CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+      |    * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))
+      |    * 10000 AS BIGINT)) AS DOUBLE) / 10000.0 AS revenue
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+      |       AND l_quantity BETWEEN 1 AND 11)
+      |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+      |       AND l_quantity BETWEEN 10 AND 20)
+      |   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+      |       AND l_quantity BETWEEN 20 AND 30)""".stripMargin
+
+  // ---------- q281: promo revenue share per month (TPC-H Q14 shape) ----------
+
+  /** Per ship month, the exact ppm of revenue carried by PROMO-type
+    * parts — Q14's promo_revenue with the division done ONCE per month
+    * row on exact integers (numerator·10⁶ in DECIMAL(38,0) — the
+    * overflow-safe rule every ppm in the suite follows).
+    *
+    * Scale shape: one partkey-keyed join (both sides corpus-scaled,
+    * un-hinted — part carries only (key, is-promo)), then a
+    * partial-agg rollup to the MONTH axis (calendar-bounded).
+    */
+  def q281_promo_share(spark: SparkSession, dir: String): DataFrame = {
+    val prt = Tables.load(spark, dir, "part")
+      .select(col("p_partkey"), (col("p_type") === sharePartType).as("is_promo"))
+    Tables.load(spark, dir, "lineitem")
+      .select(col("l_partkey"),
+        date_format(col("l_shipdate"), "yyyy-MM").as("ship_month"),
+        (price * (one - disc) * 10000).cast("long").as("rev_e4"))
+      .join(prt, col("l_partkey") === col("p_partkey"))
+      .groupBy("ship_month")
+      .agg(
+        sum(col("rev_e4")).cast("long").as("total_e4"),
+        sum(when(col("is_promo"), col("rev_e4")).otherwise(0L))
+          .cast("long").as("promo_e4"))
+      .withColumn("promo_ppm",
+        floor(col("promo_e4").cast(DecimalType(38, 0)) * 1000000
+          / col("total_e4")).cast("long"))
+      .orderBy("ship_month")
+  }
+
+  val q281_oracle: String = {
+    val e4 = """CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+       |    * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))
+       |    * 10000 AS BIGINT)""".stripMargin
+    s"""SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
+       |  CAST(sum($e4) AS BIGINT) AS total_e4,
+       |  CAST(sum(CASE WHEN p_type = '$sharePartType' THEN $e4 ELSE 0 END)
+       |    AS BIGINT) AS promo_e4,
+       |  CAST(floor(CAST(sum(CASE WHEN p_type = '$sharePartType' THEN $e4
+       |      ELSE 0 END) AS DECIMAL(38,0)) * 1000000 / sum($e4)) AS BIGINT)
+       |    AS promo_ppm
+       |FROM lineitem JOIN part ON l_partkey = p_partkey
+       |GROUP BY 1 ORDER BY ship_month""".stripMargin
+  }
+
+  // ---------- q282: supplier diversity (TPC-H Q16 shape) ----------
+
+  /** How many distinct suppliers actually shipped each (brand, type,
+    * size) slice — Q16's supplier_cnt computed from the FACT table
+    * (the schema has no partsupp; shipped lines are the realized
+    * catalog). One excluded brand, Q16's shape. The report axis is
+    * the bounded part-attribute domain (|brands|·|types|·|sizes|),
+    * never row-scaled.
+    *
+    * Scale shape: one partkey join (un-hinted), then a two-level
+    * distinct aggregate — partial by (brand, type, size, suppkey),
+    * final count per (brand, type, size). Ordered by diversity for
+    * the report.
+    */
+  def q282_supplier_diversity(spark: SparkSession, dir: String): DataFrame = {
+    val prt = Tables.load(spark, dir, "part")
+      .filter(col("p_brand") =!= "Brand#1")
+      .select(col("p_partkey"), col("p_brand"), col("p_type"), col("p_size"))
+    Tables.load(spark, dir, "lineitem")
+      .select(col("l_partkey"), col("l_suppkey"))
+      .join(prt, col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand", "p_type", "p_size")
+      .agg(count_distinct(col("l_suppkey")).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
+        col("p_size"))
+  }
+
+  val q282_oracle: String =
+    """SELECT p_brand, p_type, p_size,
+      |  CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE p_brand <> 'Brand#1'
+      |GROUP BY 1, 2, 3
+      |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin
+
   // ---------- registry ----------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q277_nation_trade" -> (q277_nation_trade _),
+    "q278_market_share" -> (q278_market_share _),
+    "q279_retail_margin" -> (q279_retail_margin _),
+    "q280_bracket_revenue" -> (q280_bracket_revenue _),
+    "q281_promo_share" -> (q281_promo_share _),
+    "q282_supplier_diversity" -> (q282_supplier_diversity _),
     "q274_discount_revenue" -> (q274_discount_revenue _),
     "q275_ship_priority" -> (q275_ship_priority _),
     "q266_late_order_priorities" -> (q266_late_order_priorities _),
@@ -547,6 +904,12 @@ object RelationalQueries {
     "q240_returned_top_customers" -> (q240_returned_top_customers _))
 
   val oracles: Map[String, String] = Map(
+    "q277_nation_trade" -> q277_oracle,
+    "q278_market_share" -> q278_oracle,
+    "q279_retail_margin" -> q279_oracle,
+    "q280_bracket_revenue" -> q280_oracle,
+    "q281_promo_share" -> q281_oracle,
+    "q282_supplier_diversity" -> q282_oracle,
     "q266_late_order_priorities" -> q266_oracle,
     "q274_discount_revenue" -> q274_oracle,
     "q275_ship_priority" -> q275_oracle,
