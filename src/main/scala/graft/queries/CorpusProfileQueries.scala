@@ -382,9 +382,158 @@ object CorpusProfileQueries {
        |ORDER BY source_a, source_b""".stripMargin
   }
 
+  // ---------- q283: per-source language-metadata trust ----------
+
+  /** Which source's declared language metadata can be TRUSTED — the
+    * per-source audit behind q20/q155 (q155 evaluates the DETECTOR
+    * against declared truth corpus-wide; this flips the lens and
+    * profiles each source's declared labels against the detector): per
+    * source the match / abstention ('und') / active-mismatch split and
+    * the mismatch rate in exact ppm. A source whose rate spikes is a
+    * scraper writing wrong metadata — exclude or re-tag before
+    * mixing (the q36/q131 mixture weights key on these labels).
+    *
+    * Scale shape: ONE narrow detector scan (q20's native expression)
+    * into a |sources|-bounded rollup; no join, no explode survives the
+    * aggregate.
+    */
+  def q283_lang_trust(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "documents")
+      .select(col("source"), col("lang"),
+        T.langId(T.tokens(col("text"))).as("det"))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).cast("long").as("n_docs"),
+        count_if(col("det") === col("lang")).cast("long").as("n_match"),
+        count_if(col("det") === "und").cast("long").as("n_und"),
+        count_if(col("det") =!= col("lang") && col("det") =!= "und")
+          .cast("long").as("n_mismatch"))
+      .withColumn("mismatch_ppm", expr("(n_mismatch * 1000000) DIV n_docs"))
+      .orderBy("source")
+
+  val q283_oracle: String = {
+    val det = T.langIdSql(T.tokensSql("text"))
+    s"""SELECT source,
+       |  CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(count(*) FILTER (WHERE det = lang) AS BIGINT) AS n_match,
+       |  CAST(count(*) FILTER (WHERE det = 'und') AS BIGINT) AS n_und,
+       |  CAST(count(*) FILTER (WHERE det <> lang AND det <> 'und') AS BIGINT)
+       |    AS n_mismatch,
+       |  CAST((count(*) FILTER (WHERE det <> lang AND det <> 'und'))
+       |    * 1000000 // count(*) AS BIGINT) AS mismatch_ppm
+       |FROM (SELECT source, lang, $det AS det FROM documents)
+       |GROUP BY source ORDER BY source""".stripMargin
+  }
+
+  // ---------- q284: per-source stopword-density profile ----------
+
+  /** Per-source function-word density — the corpus-level register
+    * profile (running text sits near ~40% English stopwords; tables,
+    * code, and keyword-stuffed spam sit far below): total tokens,
+    * English-stopword tokens, and the density in exact ppm. The
+    * per-DOC version is one term inside q21's composite score; the
+    * per-SOURCE aggregate is what mixture design actually reads
+    * (source register, not document quality).
+    *
+    * Scale shape: stopword counting is a per-row array filter inside
+    * the token scan (NO explode — the corpus never becomes one row
+    * per token), then a |sources|-bounded partial-agg rollup. The ·10⁶
+    * product rides the sums after aggregation, DIV once per source
+    * row.
+    */
+  def q284_stopword_profile(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "documents")
+      .select(col("source"), T.tokens(lower(col("text"))).as("tk"))
+      .select(col("source"), size(col("tk")).cast("long").as("n_toks"),
+        T.stopwordCount(col("tk"), T.stopwords.head._2).cast("long").as("n_stop"))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).cast("long").as("n_docs"),
+        sum(col("n_toks")).cast("long").as("n_toks"),
+        sum(col("n_stop")).cast("long").as("n_stop"))
+      .withColumn("stop_ppm",
+        when(col("n_toks") > 0, expr("(n_stop * 1000000) DIV n_toks"))
+          .otherwise(0L))
+      .orderBy("source")
+
+  val q284_oracle: String = {
+    val tk = T.tokensSql("lower(text)")
+    val stop = T.stopwordCountSql("tk", T.stopwords.head._2)
+    s"""SELECT source,
+       |  CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(len(tk)) AS BIGINT) AS n_toks,
+       |  CAST(sum($stop) AS BIGINT) AS n_stop,
+       |  CAST(CASE WHEN sum(len(tk)) > 0
+       |    THEN sum($stop) * 1000000 // sum(len(tk)) ELSE 0 END AS BIGINT)
+       |    AS stop_ppm
+       |FROM (SELECT source, $tk AS tk FROM documents)
+       |GROUP BY source ORDER BY source""".stripMargin
+  }
+
+  // ---------- q285: per-source top bigrams ----------
+
+  /** Report size per source. */
+  val sourceBigramK = 5
+
+  /** The [[sourceBigramK]] most frequent bigrams PER SOURCE — the
+    * grouped-top-k twin of q114's global collocation table: what each
+    * source actually sounds like (boilerplate phrases surface
+    * instantly), the report a mixture designer scans before trusting
+    * a new source. Ties break on the bigram string, so the report is
+    * total-ordered cross-engine.
+    *
+    * Scale shape: one exploded-corpus partial-agg shuffle to the
+    * (source, bigram) count table (vocab-bounded), then the rank
+    * window runs OVER THE AGGREGATE keyed by source — the
+    * distinct-value-axis contract (PlanContractsSpec's window rule):
+    * the window input is the vocab-sized count table, never raw
+    * corpus rows.
+    */
+  def q285_source_bigrams(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bg = Tables.load(spark, dir, "documents")
+      .select(col("source"), T.tokens(lower(col("text"))).as("t"))
+      .filter(size(col("t")) >= 2)
+      .select(col("source"),
+        explode(zip_with(
+          slice(col("t"), lit(1), size(col("t")) - 1),
+          slice(col("t"), lit(2), size(col("t")) - 1),
+          (a, b) => concat(a, lit(" "), b))).as("bigram"))
+    val w = Window.partitionBy("source")
+      .orderBy(col("c").desc, col("bigram"))
+    bg.groupBy("source", "bigram")
+      .agg(count(lit(1)).cast("long").as("c"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= sourceBigramK)
+      .select("source", "rk", "bigram", "c")
+      .orderBy("source", "rk")
+  }
+
+  val q285_oracle: String = {
+    val tk = T.tokensSql("lower(text)")
+    s"""WITH bg AS (
+       |  SELECT source,
+       |    unnest([t[i] || ' ' || t[i + 1] for i in range(1, len(t))]) AS bigram
+       |  FROM (SELECT source, $tk AS t FROM documents)
+       |  WHERE len(t) >= 2),
+       |counts AS (
+       |  SELECT source, bigram, CAST(count(*) AS BIGINT) AS c
+       |  FROM bg GROUP BY 1, 2)
+       |SELECT source, rk, bigram, c FROM (
+       |  SELECT source, bigram, c,
+       |    CAST(row_number() OVER (
+       |      PARTITION BY source ORDER BY c DESC, bigram) AS BIGINT) AS rk
+       |  FROM counts)
+       |WHERE rk <= $sourceBigramK
+       |ORDER BY source, rk""".stripMargin
+  }
+
   // ---------- registry ----------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q283_lang_trust" -> (q283_lang_trust _),
+    "q284_stopword_profile" -> (q284_stopword_profile _),
+    "q285_source_bigrams" -> (q285_source_bigrams _),
     "q268_heaps_curve" -> (q268_heaps_curve _),
     "q273_vocab_overlap" -> (q273_vocab_overlap _),
     "q245_prefix_dedup" -> (q245_prefix_dedup _),
@@ -393,6 +542,9 @@ object CorpusProfileQueries {
     "q248_boundary_join" -> (q248_boundary_join _))
 
   val oracles: Map[String, String] = Map(
+    "q283_lang_trust" -> q283_oracle,
+    "q284_stopword_profile" -> q284_oracle,
+    "q285_source_bigrams" -> q285_oracle,
     "q268_heaps_curve" -> q268_oracle,
     "q273_vocab_overlap" -> q273_oracle,
     "q245_prefix_dedup" -> q245_oracle,
