@@ -247,13 +247,26 @@ object Metadata {
         fail(s"curation stage name '$n' must match [a-z][a-z0-9_]* " +
           "(it becomes the report's n_<name> column)")
     }
-    if (stages.exists(_.isInstanceOf[DedupNearStageDef]) && table != "documents")
-      fail("dedup_near is defined over the documents LSH signature " +
-        s"family; table '$table' has no signature index")
+    val idColumn = optStr(c, "id_column").getOrElse(fail("curation missing 'id_column'"))
+    val textColumn = optStr(c, "text_column").getOrElse(fail("curation missing 'text_column'"))
+    if (stages.exists(_.isInstanceOf[DedupNearStageDef])) {
+      // the LSH signature family is built over documents(doc_id, text);
+      // a config declaring other columns would silently near-dedup
+      // against the wrong column IDENTICALLY in both engines (the
+      // generated oracle speaks the same config), so the mismatch must
+      // die at parse time, not pass the gate
+      if (table != "documents")
+        fail("dedup_near is defined over the documents LSH signature " +
+          s"family; table '$table' has no signature index")
+      if (idColumn != "doc_id" || textColumn != "text")
+        fail("dedup_near requires id_column='doc_id' and " +
+          s"text_column='text' (the signature family's key/text); got " +
+          s"id_column='$idColumn', text_column='$textColumn'")
+    }
     CurationDef(
       table = table,
-      idColumn = optStr(c, "id_column").getOrElse(fail("curation missing 'id_column'")),
-      textColumn = optStr(c, "text_column").getOrElse(fail("curation missing 'text_column'")),
+      idColumn = idColumn,
+      textColumn = textColumn,
       reportBy = optStr(c, "report_by").getOrElse(fail("curation missing 'report_by'")),
       stages = stages)
   }

@@ -438,8 +438,10 @@ object CorpusProfileQueries {
     * Scale shape: stopword counting is a per-row array filter inside
     * the token scan (NO explode — the corpus never becomes one row
     * per token), then a |sources|-bounded partial-agg rollup. The ·10⁶
-    * product rides the sums after aggregation, DIV once per source
-    * row.
+    * product rides the sums after aggregation in DECIMAL(38,0) —
+    * n_stop is a TOKEN-scale per-source sum, so an int64 ·10⁶ product
+    * would wrap past ~9.2e12 stopword tokens, inside the design scale
+    * (the q278/q281 micro-ratio convention).
     */
   def q284_stopword_profile(spark: SparkSession, dir: String): DataFrame =
     Tables.load(spark, dir, "documents")
@@ -452,7 +454,9 @@ object CorpusProfileQueries {
         sum(col("n_toks")).cast("long").as("n_toks"),
         sum(col("n_stop")).cast("long").as("n_stop"))
       .withColumn("stop_ppm",
-        when(col("n_toks") > 0, expr("(n_stop * 1000000) DIV n_toks"))
+        when(col("n_toks") > 0,
+          floor(col("n_stop").cast("decimal(38,0)") * 1000000 / col("n_toks"))
+            .cast("long"))
           .otherwise(0L))
       .orderBy("source")
 
@@ -464,7 +468,8 @@ object CorpusProfileQueries {
        |  CAST(sum(len(tk)) AS BIGINT) AS n_toks,
        |  CAST(sum($stop) AS BIGINT) AS n_stop,
        |  CAST(CASE WHEN sum(len(tk)) > 0
-       |    THEN sum($stop) * 1000000 // sum(len(tk)) ELSE 0 END AS BIGINT)
+       |    THEN floor(CAST(sum($stop) AS DECIMAL(38,0)) * 1000000
+       |      / sum(len(tk))) ELSE 0 END AS BIGINT)
        |    AS stop_ppm
        |FROM (SELECT source, $tk AS tk FROM documents)
        |GROUP BY source ORDER BY source""".stripMargin

@@ -28,8 +28,34 @@ object IvfIndex {
       V.dot(v, cLit) * -2.0 + lit(c2)
     }
 
-    /** Cell id of each vector: argmin over centroids. */
-    def cell(v: Column): Column =
+    /** ||c||² per centroid, driver-computed with the same left-to-right
+      * double fold [[negScore]] embeds as a literal — the data-literal
+      * [[cell]] and the expanded form stay bit-identical. */
+    private lazy val norms: Seq[Double] = centroids.map(_.map(x => x * x).sum)
+
+    /** Cell id of each vector: argmin over centroids.
+      *
+      * The codebook travels as ONE nested-array Literal (a single plan
+      * node CARRYING k·dim doubles as data) scored by a higher-order
+      * transform — expression-tree size is O(1) in k, where the naive
+      * `array(struct(...k entries...))` spelling is O(k·dim) literal
+      * NODES and stops compiling long before SemDeDup's k = N/500
+      * design point (k ≈ 2M at 100 TB). Same FLOPs, same strict
+      * left-to-right fold, same (s, j) tie-break — IvfIndexSpec pins
+      * bit-equality against [[cellExpanded]] and plan-node count
+      * independence of k.
+      */
+    def cell(v: Column): Column = {
+      val book = typedLit(centroids)
+      val ns = typedLit(norms)
+      array_min(transform(book, (c, j) =>
+        struct((V.dot(v, c) * -2.0 + element_at(ns, j + 1)).as("s"),
+          j.as("j")))).getField("j")
+    }
+
+    /** The O(k·dim)-node spelling [[cell]] replaces — kept as the
+      * spec's bit-equality ground truth (small k only). */
+    private[similarity] def cellExpanded(v: Column): Column =
       array_min(array(centroids.zipWithIndex.map { case (c, j) =>
         struct(negScore(v, c).as("s"), lit(j).as("j"))
       }: _*)).getField("j")
@@ -68,7 +94,8 @@ object IvfIndex {
     * while the sample cap hasn't kicked in, and 2M dot products per
     * row at the 100 TB point (N=10⁹, k=2M). Two levels pay
     * O(2√k·dim) per row (top argmin, then ONLY the matched top
-    * cell's fine argmin via a lazily-evaluated CASE) and
+    * cell's fine argmin — the codebooks ride in one nested-array
+    * Literal indexed by the top id, so the PLAN is O(1) in k too) and
     * O(sample·2√k·dim) to train — ~1.4k dots per row at the same
     * 100 TB point.
     *
@@ -84,17 +111,45 @@ object IvfIndex {
     private val offsets: Seq[Int] = fine.scanLeft(0)(_ + _.length).init
     val numCells: Int = fine.map(_.length).sum
 
-    /** Top-level cell id — O(|top|·dim) per row. */
+    /** Top-level cell id — O(|top|·dim) per row, O(1) plan nodes
+      * (the data-literal [[Model.cell]]). */
     def topCell(v: Column): Column = Model(top).cell(v)
 
-    /** Global cell id from a precomputed top id — the CASE evaluates
-      * only the matched top cell's fine argmin, so the per-row cost
-      * is O(|fine(top)|·dim), not O(k·dim). Compute [[topCell]] into
-      * its own column first so the top argmin runs once. */
+    /** ||c||² per fine centroid, same driver-side fold as
+      * [[Model.norms]] so both cell forms stay bit-identical. */
+    private lazy val fineNorms: Seq[Seq[Double]] =
+      fine.map(_.map(_.map(x => x * x).sum))
+
+    /** Global cell id from a precomputed top id. The fine codebooks
+      * travel as ONE nested-array Literal (array<array<array<double>>>
+      * — a single plan node carrying the data) indexed by the top id,
+      * so only the matched top cell's ~√k fine centroids are scored:
+      * per-row cost O(|fine(top)|·dim) AND plan size O(1) in k — the
+      * previous CASE chain had the same per-row cost but O(k·dim)
+      * literal NODES, which stops compiling at SemDeDup's own
+      * k = N/500 design point (k ≈ 2M cells at 100 TB). Compute
+      * [[topCell]] into its own column first so the top argmin runs
+      * once. IvfIndexSpec pins bit-equality with [[cellCaseChain]]
+      * and plan-node-count independence of k.
+      */
     def cell(topId: Column, v: Column): Column = {
-      val first = when(topId === 0, lit(offsets(0)) + Model(fine(0)).cell(v))
+      val books = typedLit(fine)
+      val ns = typedLit(fineNorms)
+      val offs = typedLit(offsets)
+      val bookNs = element_at(ns, topId + 1)
+      val scored = transform(element_at(books, topId + 1), (c, j) =>
+        struct((V.dot(v, c) * -2.0 + element_at(bookNs, j + 1)).as("s"),
+          j.as("j")))
+      element_at(offs, topId + 1) + array_min(scored).getField("j")
+    }
+
+    /** The O(k·dim)-node CASE-chain spelling [[cell]] replaces — kept
+      * as the spec's bit-equality ground truth (small k only). */
+    private[similarity] def cellCaseChain(topId: Column, v: Column): Column = {
+      val first = when(topId === 0,
+        lit(offsets(0)) + Model(fine(0)).cellExpanded(v))
       fine.indices.drop(1).foldLeft(first) { (acc, i) =>
-        acc.when(topId === i, lit(offsets(i)) + Model(fine(i)).cell(v))
+        acc.when(topId === i, lit(offsets(i)) + Model(fine(i)).cellExpanded(v))
       }.otherwise(lit(-1))
     }
   }
@@ -116,7 +171,7 @@ object IvfIndex {
     val k2 = math.max(1, math.ceil(k.toDouble / top.length).toInt)
     val groups = Array.fill(top.length)(
       scala.collection.mutable.ArrayBuffer.empty[Array[Double]])
-    sample.foreach { x => groups(nearestLocal(top, x)) += x }
+    sample.foreach { x => groups(nearestByScore(top, x)) += x }
     val fine = top.indices.map { i =>
       if (groups(i).isEmpty) Seq(top(i).toSeq)
       else lloyd(groups(i).toArray, k2, maxIter).map(_.toSeq).toSeq
@@ -124,19 +179,26 @@ object IvfIndex {
     TwoLevelModel(top.map(_.toSeq).toSeq, fine)
   }
 
-  /** Index of the nearest centroid by squared distance, first index
-    * winning ties — the assignment rule Lloyd's itself uses. */
-  private def nearestLocal(
+  /** Index of the nearest centroid by the SAME -2<v,c>+||c||² ranking
+    * (strict left-to-right double fold, strict-less first-index-wins)
+    * the Column-side [[Model.cell]] and [[Model.probeCellsLocal]] use —
+    * training-time top-cell grouping and assignment-time routing agree
+    * bit-for-bit, so a vector near a cell boundary is refined by the
+    * fine codebook that was trained on ITS neighborhood. (The exact
+    * ||v-c||² form ranks identically in exact arithmetic but rounds
+    * differently near ties.) */
+  private def nearestByScore(
       centroids: Array[Array[Double]], x: Array[Double]): Int = {
     var best = 0
-    var bestD = Double.MaxValue
+    var bestS = Double.MaxValue
     var j = 0
     while (j < centroids.length) {
       val c = centroids(j)
-      var d = 0.0
+      var dot = 0.0
       var t = 0
-      while (t < x.length) { val diff = x(t) - c(t); d += diff * diff; t += 1 }
-      if (d < bestD) { bestD = d; best = j }
+      while (t < x.length) { dot += x(t) * c(t); t += 1 }
+      val s = dot * -2.0 + c.map(v => v * v).sum
+      if (s < bestS) { bestS = s; best = j }
       j += 1
     }
     best

@@ -49,6 +49,52 @@ class IvfIndexSpec extends SparkSpec {
     assert(nCell >= nTop)
   }
 
+  test("data-literal cell forms are bit-equal to the expanded/CASE-chain forms") {
+    val e = graft.Tables.load(spark, sf(), "embeddings")
+      .select(col("vec_id"),
+        graft.functions.VectorFunctions.asDouble(col("embedding")).as("v"))
+    // flat model: literal form vs O(k·dim)-node expanded form
+    val flat = IvfIndex.train(e, "v", k = 16, sampleIdCol = Some("vec_id"))
+    val flatDiff = e
+      .select(flat.cell(col("v")).as("a"), flat.cellExpanded(col("v")).as("b"))
+      .filter(col("a") =!= col("b")).count()
+    assert(flatDiff == 0, s"flat cell() diverged on $flatDiff rows")
+    // two-level model: literal form vs CASE-chain form, on the
+    // precomputed-topcell contract both use
+    val two = IvfIndex.trainTwoLevel(e, "v", k = 9, sampleIdCol = Some("vec_id"))
+    val assigned = e.withColumn("topcell", two.topCell(col("v")))
+    val twoDiff = assigned
+      .select(two.cell(col("topcell"), col("v")).as("a"),
+        two.cellCaseChain(col("topcell"), col("v")).as("b"))
+      .filter(col("a") =!= col("b")).count()
+    assert(twoDiff == 0, s"two-level cell() diverged on $twoDiff rows")
+  }
+
+  test("cell-assignment plan size is independent of k") {
+    val e = graft.Tables.load(spark, sf(), "embeddings")
+      .select(col("vec_id"),
+        graft.functions.VectorFunctions.asDouble(col("embedding")).as("v"))
+    def nodes(frame: org.apache.spark.sql.DataFrame,
+        c: org.apache.spark.sql.Column): Int =
+      frame.select(c.as("x")).queryExecution.analyzed.expressions
+        .map(_.collect { case x => x }.size).sum
+    // flat quantizer: same expression-tree size at k=4 and k=25
+    val f1 = IvfIndex.train(e, "v", k = 4, sampleIdCol = Some("vec_id"))
+    val f2 = IvfIndex.train(e, "v", k = 25, sampleIdCol = Some("vec_id"))
+    assert(nodes(e, f1.cell(col("v"))) == nodes(e, f2.cell(col("v"))))
+    // two-level quantizer likewise (k=4 → 2 top cells, k=25 → 5)
+    val t1 = IvfIndex.trainTwoLevel(e, "v", 4, sampleIdCol = Some("vec_id"))
+    val t2 = IvfIndex.trainTwoLevel(e, "v", 25, sampleIdCol = Some("vec_id"))
+    val a1 = e.withColumn("topcell", t1.topCell(col("v")))
+    val a2 = e.withColumn("topcell", t2.topCell(col("v")))
+    val n1 = nodes(a1, t1.cell(col("topcell"), col("v")))
+    val n2 = nodes(a2, t2.cell(col("topcell"), col("v")))
+    assert(n1 == n2, s"two-level plan grew with k: $n1 vs $n2")
+    assert(n2 < 120, s"two-level assignment plan unexpectedly large: $n2 nodes")
+    // and the top-level assignment stays constant-size too
+    assert(nodes(e, t1.topCell(col("v"))) == nodes(e, t2.topCell(col("v"))))
+  }
+
   test("IVF 4-probe recall@3 beats random-scan expectations vs brute force") {
     val ivf = VectorQueries.q42_knn_ivf(spark, sf())
       .collect().groupBy(_.getLong(0)).view
