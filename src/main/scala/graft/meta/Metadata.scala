@@ -108,6 +108,26 @@ final case class QualityStageDef(
 final case class DecontaminateStageDef(
     name: String, shingles: Seq[String]) extends CurationStageDef
 
+/** Mixture-weighted sampling as a declared stage (q36's operator): a
+  * row survives iff the first hex digit of md5(salt|id) falls below
+  * its group's keep16 sixteenths; groups key on the `by` column.
+  * Undeclared groups keep 0/16 — an explicit, auditable drop.
+  */
+final case class MixtureStageDef(
+    name: String, salt: String, by: String,
+    weights: Seq[(String, Int)]) extends CurationStageDef
+
+/** Deterministic split assignment as a declared stage (q78/q223's
+  * operator): bucket = the first two hex digits of md5(salt|key) as an
+  * integer in [0, 256); the row survives iff its bucket's split equals
+  * `keep`. With `leakageFree` the key is the near-dup cluster
+  * representative (q223's rule — a whole duplicate cluster lands in
+  * ONE split), else the row id (q78's rule).
+  */
+final case class SplitStageDef(
+    name: String, salt: String, buckets: Seq[(String, Int)],
+    keep: String, leakageFree: Boolean) extends CurationStageDef
+
 final case class CurationDef(
     table: String,
     idColumn: String,
@@ -249,18 +269,24 @@ object Metadata {
     }
     val idColumn = optStr(c, "id_column").getOrElse(fail("curation missing 'id_column'"))
     val textColumn = optStr(c, "text_column").getOrElse(fail("curation missing 'text_column'"))
-    if (stages.exists(_.isInstanceOf[DedupNearStageDef])) {
+    val needsSignatures = stages.exists {
+      case _: DedupNearStageDef => true
+      case s: SplitStageDef     => s.leakageFree
+      case _                    => false
+    }
+    if (needsSignatures) {
       // the LSH signature family is built over documents(doc_id, text);
       // a config declaring other columns would silently near-dedup
       // against the wrong column IDENTICALLY in both engines (the
       // generated oracle speaks the same config), so the mismatch must
       // die at parse time, not pass the gate
       if (table != "documents")
-        fail("dedup_near is defined over the documents LSH signature " +
-          s"family; table '$table' has no signature index")
+        fail("dedup_near / leakage-free split are defined over the " +
+          s"documents LSH signature family; table '$table' has no " +
+          "signature index")
       if (idColumn != "doc_id" || textColumn != "text")
-        fail("dedup_near requires id_column='doc_id' and " +
-          s"text_column='text' (the signature family's key/text); got " +
+        fail("dedup_near / leakage-free split require id_column='doc_id' " +
+          "and text_column='text' (the signature family's key/text); got " +
           s"id_column='$idColumn', text_column='$textColumn'")
     }
     CurationDef(
@@ -274,11 +300,83 @@ object Metadata {
   private val numericMetrics = Set("n_toks", "quality")
   private val stringMetrics = Set("lang_det")
 
+  /** Salts/columns land inside generated SQL — pin them to identifier-
+    * safe shapes at parse time so a config can never smuggle SQL. */
+  private val saltPattern = "[A-Za-z0-9_-]+"
+  private val identPattern = "[a-z][a-z0-9_]*"
+
+  private def intOf(v: JValue, what: String): Int = v match {
+    case JInt(i)  => i.toInt
+    case JLong(l) => l.toInt
+    case other    => fail(s"$what must be an integer, got $other")
+  }
+
   private def parseCurationStage(o: JObject): CurationStageDef = {
     val name = optStr(o, "name").getOrElse(fail("curation stage missing 'name'"))
+    def salt: String = {
+      val s = optStr(o, "salt").getOrElse(fail(s"stage '$name' missing 'salt'"))
+      if (!s.matches(saltPattern))
+        fail(s"stage '$name' salt '$s' must match $saltPattern")
+      s
+    }
     optStr(o, "type").getOrElse(fail(s"curation stage '$name' missing 'type'")) match {
       case "dedup_exact" => DedupExactStageDef(name)
       case "dedup_near"  => DedupNearStageDef(name)
+      case "mixture_sample" =>
+        val by = optStr(o, "by").getOrElse(fail(s"mixture stage '$name' missing 'by'"))
+        if (!by.matches(identPattern))
+          fail(s"mixture stage '$name' by-column '$by' must match $identPattern")
+        val weights = field(o, "weights")
+          .map(v => arr(v, s"mixture stage '$name' weights").map { w =>
+            val wo = obj(w, "mixture weight")
+            val grp = optStr(wo, "group")
+              .getOrElse(fail(s"mixture stage '$name' weight missing 'group'"))
+            val k = intOf(field(wo, "keep16")
+              .getOrElse(fail(s"mixture stage '$name' weight '$grp' missing 'keep16'")),
+              s"mixture stage '$name' keep16")
+            if (k < 0 || k > 16)
+              fail(s"mixture stage '$name' keep16 for '$grp' must be in [0, 16], got $k")
+            (grp, k)
+          })
+          .getOrElse(fail(s"mixture stage '$name' missing 'weights'"))
+        if (weights.isEmpty) fail(s"mixture stage '$name' declares no weights")
+        weights.map(_._1).groupBy(identity)
+          .collectFirst { case (g, gs) if gs.size > 1 => g }
+          .foreach(g => fail(s"mixture stage '$name' declares group '$g' twice"))
+        MixtureStageDef(name, salt, by, weights)
+      case "split" =>
+        val buckets = field(o, "buckets")
+          .map(v => arr(v, s"split stage '$name' buckets").map { b =>
+            val bo = obj(b, "split bucket")
+            val bn = optStr(bo, "name")
+              .getOrElse(fail(s"split stage '$name' bucket missing 'name'"))
+            if (!bn.matches(saltPattern))
+              fail(s"split stage '$name' bucket name '$bn' must match $saltPattern")
+            (bn, intOf(field(bo, "upper")
+              .getOrElse(fail(s"split stage '$name' bucket '$bn' missing 'upper'")),
+              s"split stage '$name' upper"))
+          })
+          .getOrElse(fail(s"split stage '$name' missing 'buckets'"))
+        if (buckets.isEmpty) fail(s"split stage '$name' declares no buckets")
+        buckets.map(_._2).foldLeft(0) { (prev, ub) =>
+          if (ub <= prev)
+            fail(s"split stage '$name' bucket uppers must be strictly " +
+              s"increasing in (0, 256], got $ub after $prev")
+          ub
+        }
+        if (buckets.last._2 != 256)
+          fail(s"split stage '$name' buckets must cover [0, 256): last " +
+            s"upper is ${buckets.last._2}, expected 256")
+        val keep = optStr(o, "keep").getOrElse(fail(s"split stage '$name' missing 'keep'"))
+        if (!buckets.exists(_._1 == keep))
+          fail(s"split stage '$name' keeps unknown bucket '$keep' " +
+            s"(declared: ${buckets.map(_._1).mkString(", ")})")
+        val leakFree = field(o, "leakage_free") match {
+          case Some(JBool(b)) => b
+          case Some(other)    => fail(s"split stage '$name' leakage_free must be boolean, got $other")
+          case None           => false
+        }
+        SplitStageDef(name, salt, buckets, keep, leakFree)
       case "quality_filter" =>
         val rules = field(o, "rules")
           .map(v => arr(v, s"quality stage '$name' rules"))
@@ -294,7 +392,8 @@ object Metadata {
         DecontaminateStageDef(name, shingles)
       case other =>
         fail(s"Unsupported curation stage type '$other' for '$name'. Supported " +
-          "types: [decontaminate, dedup_exact, dedup_near, quality_filter]")
+          "types: [decontaminate, dedup_exact, dedup_near, mixture_sample, " +
+          "quality_filter, split]")
     }
   }
 

@@ -21,7 +21,20 @@ import org.apache.spark.sql.functions._
   *  - `quality_filter`: q61's narrow per-row predicate, with the rule
   *    table coming from the config;
   *  - `decontaminate`: q67's broadcast shingle posting join, with the
-  *    benchmark list coming from the config.
+  *    benchmark list coming from the config;
+  *  - `mixture_sample`: q36's sixteenths-of-a-content-hash mixture
+  *    weighting, with the group weights coming from the config;
+  *  - `split`: q78's deterministic hash-bucket split — with
+  *    `leakage_free` it keys on the near-dup cluster representative
+  *    (q223's rule), so a whole duplicate cluster lands in one split.
+  *
+  * Two hand-composed curation operators deliberately stay OUT of the
+  * stage vocabulary: span_scrub (q123) REWRITES text rather than
+  * keeping/dropping rows — it composes as a pre-pass producing a new
+  * corpus, not as a funnel membership; and semantic decontamination
+  * (q106) is keyed on the embeddings table, which has no declared
+  * doc↔vector mapping in this corpus (counts diverge at sf0.1), so a
+  * document-keyed membership would silently exempt unembedded rows.
   *
   * Scale shape is q86's, independent of what the config declares:
   * stage memberships are bounded keep/drop sets LEFT-JOINED onto ONE
@@ -95,6 +108,37 @@ object CurationFlow {
           .withColumn(s"m_$name", lit(1L))
         base = base.join(contaminated, Seq(cur.idColumn), "left")
         col(s"m_$name").isNull
+      case MixtureStageDef(_, salt, by, weights) =>
+        // q36's rule: first hex digit of the salted content hash vs the
+        // group's keep16 sixteenths — a narrow per-row predicate, no join
+        val digitVal = instr(lit("0123456789abcdef"),
+          substring(md5(concat(lit(s"$salt|"), col(cur.idColumn).cast("string"))),
+            1, 1)) - 1
+        val keep = weights.foldLeft(lit(0)) { case (acc, (grp, k)) =>
+          when(col(by) === grp, lit(k)).otherwise(acc)
+        }
+        digitVal < keep
+      case SplitStageDef(name, salt, buckets, keepName, leakFree) =>
+        // q78's two-hex-digit bucket; with leakage_free the key is
+        // q223's cluster representative (bounded label left-join)
+        val key: Column =
+          if (leakFree) {
+            val pairs = TextQueries.lshPairs(spark, dir)
+              .select("a_id", "b_id").transform(graft.Lineage.cut)
+            val reps = ConnectedComponents.run(pairs, "a_id", "b_id")
+              .select(col("id").as(cur.idColumn),
+                col("component").as(s"rep_$name"))
+            base = base.join(reps, Seq(cur.idColumn), "left")
+            coalesce(col(s"rep_$name"), col(cur.idColumn))
+          } else col(cur.idColumn)
+        val h2 = substring(md5(concat(lit(s"$salt|"), key.cast("string"))), 1, 2)
+        val bucket =
+          (instr(lit("0123456789abcdef"), substring(h2, 1, 1)) - 1) * 16 +
+            (instr(lit("0123456789abcdef"), substring(h2, 2, 1)) - 1)
+        val split = buckets.reverse.foldLeft(lit(null).cast("string")) {
+          case (acc, (bn, ub)) => when(bucket < ub, lit(bn)).otherwise(acc)
+        }
+        split === keepName
     }
     // conjunctions in declared order: stage i survives iff stages 1..i do
     val sCols = members.scanLeft(lit(true))(_ && _).tail
@@ -129,56 +173,108 @@ object CurationFlow {
     if (v.isWhole) v.toLong.toString else v.bigDecimal.toPlainString
   }
 
+  /** Renders the parsed config as the DuckDB twin. Every stage owns
+    * its OWN CTE / column, keyed by its (unique, parser-enforced)
+    * stage name — so a legal config with repeated stage TYPES (two
+    * quality gates at different funnel points, two decontamination
+    * lists) renders each stage's actual semantics instead of
+    * collapsing them onto the first stage of that type, and never
+    * emits duplicate SQL aliases. The shared near-dup label table
+    * (`lab`) is emitted once and serves every consumer (dedup_near
+    * stages, leakage-free splits).
+    */
   def oracleSql(cur: CurationDef): String = {
     val tk = T.tokensSql(cur.textColumn)
-    val hasNear = cur.stages.exists(_.isInstanceOf[DedupNearStageDef])
-    val quality = cur.stages.collectFirst { case q: QualityStageDef => q }
+    val needLab = cur.stages.exists {
+      case _: DedupNearStageDef => true
+      case s: SplitStageDef     => s.leakageFree
+      case _                    => false
+    }
+    val needRep = cur.stages.exists {
+      case s: SplitStageDef => s.leakageFree
+      case _                => false
+    }
+    val hasQuality = cur.stages.exists(_.isInstanceOf[QualityStageDef])
     val ctes = scala.collection.mutable.ArrayBuffer[String]()
-    if (hasNear) {
+    if (needLab) {
       ctes += s"pairs AS (${TextQueries.lshPairsSql})"
       ctes += "edges AS (SELECT a_id AS u, b_id AS v FROM pairs" +
         "\n          UNION SELECT b_id, a_id FROM pairs)"
       ctes += "reach AS (\n  SELECT u AS id, u AS r FROM (SELECT DISTINCT u FROM edges)" +
         "\n  UNION\n  SELECT e.u AS id, reach.r FROM edges e JOIN reach ON e.v = reach.id)"
       ctes += "lab AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id)"
-      ctes += "neardrop AS (SELECT id AS did FROM lab WHERE id <> cluster_id)"
     }
-    if (cur.stages.exists(_.isInstanceOf[DedupExactStageDef]))
-      ctes += s"exact AS (SELECT min(${cur.idColumn}) AS did FROM ${cur.table} " +
-        s"GROUP BY md5(${cur.textColumn}))"
-    cur.stages.collectFirst { case d: DecontaminateStageDef => d }.foreach { d =>
-      val sh = H.shinglesSql(tk)
-      val list = d.shingles.map(s => s"'${sq(s)}'").mkString("[", ", ", "]")
-      ctes += s"contam AS (\n  SELECT did FROM (SELECT ${cur.idColumn} AS did, $sh AS sh " +
-        s"FROM ${cur.table})\n  WHERE len(list_intersect(list_distinct(sh), $list)) > 0)"
+    cur.stages.foreach {
+      case DedupExactStageDef(name) =>
+        ctes += s"ex_$name AS (SELECT min(${cur.idColumn}) AS did FROM ${cur.table} " +
+          s"GROUP BY md5(${cur.textColumn}))"
+      case DedupNearStageDef(name) =>
+        ctes += s"nd_$name AS (SELECT id AS did FROM lab WHERE id <> cluster_id)"
+      case DecontaminateStageDef(name, shingles) =>
+        val sh = H.shinglesSql(tk)
+        val list = shingles.map(s => s"'${sq(s)}'").mkString("[", ", ", "]")
+        ctes += s"ct_$name AS (\n  SELECT did FROM (SELECT ${cur.idColumn} AS did, $sh AS sh " +
+          s"FROM ${cur.table})\n  WHERE len(list_intersect(list_distinct(sh), $list)) > 0)"
+      case _ => ()
     }
-    val qualityCols = quality.map(_ =>
+    val qualityCols = if (hasQuality)
       s",\n      ${T.langIdSql(tk)} AS lang_det," +
-        s"\n      ${T.qualityScoreSql(cur.textColumn)} AS quality").getOrElse("")
-    val keepCol = quality.map(q =>
-      ",\n    " + q.rules.map(ruleSql).mkString("NOT (", " OR ", ")") + " AS q_keep")
-      .getOrElse("")
+        s"\n      ${T.qualityScoreSql(cur.textColumn)} AS quality"
+    else ""
+    // per-stage derived columns in d: the mixture by-column (forwarded
+    // from the scan), one keep flag per quality stage, the shared
+    // cluster representative for leakage-free splits
+    val mixInner = cur.stages.collect { case m: MixtureStageDef =>
+      s",\n      ${m.by} AS by_${m.name}"
+    }.mkString
+    val mixOuter = cur.stages.collect { case m: MixtureStageDef =>
+      s", by_${m.name}"
+    }.mkString
+    val keepCols = cur.stages.collect { case q: QualityStageDef =>
+      ",\n    " + q.rules.map(ruleSql).mkString("NOT (", " OR ", ")") +
+        s" AS q_${q.name}"
+    }.mkString
+    val repCol = if (needRep) ",\n    coalesce(lab.cluster_id, did) AS rep" else ""
+    val labJoin = if (needRep) "\n  LEFT JOIN lab ON did = lab.id" else ""
     ctes +=
       s"""d AS (
-         |  SELECT did, grp, n_toks$keepCol
+         |  SELECT did, grp, n_toks$mixOuter$keepCols$repCol
          |  FROM (
          |    SELECT ${cur.idColumn} AS did, ${cur.reportBy} AS grp,
-         |      len($tk) AS n_toks$qualityCols
-         |    FROM ${cur.table}))""".stripMargin
+         |      len($tk) AS n_toks$qualityCols$mixInner
+         |    FROM ${cur.table})$labJoin)""".stripMargin
+    def hexVal(arg: String): String =
+      s"(strpos('0123456789abcdef', $arg) - 1)"
     val memberSql = cur.stages.map {
-      case _: DedupExactStageDef    => "exact.did IS NOT NULL"
-      case _: DedupNearStageDef     => "neardrop.did IS NULL"
-      case _: QualityStageDef       => "q_keep"
-      case _: DecontaminateStageDef => "contam.did IS NULL"
+      case DedupExactStageDef(n)       => s"ex_$n.did IS NOT NULL"
+      case DedupNearStageDef(n)        => s"nd_$n.did IS NULL"
+      case q: QualityStageDef          => s"q_${q.name}"
+      case DecontaminateStageDef(n, _) => s"ct_$n.did IS NULL"
+      case m: MixtureStageDef =>
+        val digit = hexVal(
+          s"substring(md5(concat('${m.salt}|', CAST(did AS VARCHAR))), 1, 1)")
+        val keep = m.weights
+          .map { case (g, k) => s"WHEN by_${m.name} = '${sq(g)}' THEN $k" }
+          .mkString("CASE ", " ", " ELSE 0 END")
+        s"($digit < ($keep))"
+      case s: SplitStageDef =>
+        val key = if (s.leakageFree) "rep" else "did"
+        def digitAt(i: Int): String = hexVal(
+          s"substring(md5(concat('${s.salt}|', CAST($key AS VARCHAR))), $i, 1)")
+        val bucket = s"(${digitAt(1)} * 16 + ${digitAt(2)})"
+        val cases = s.buckets
+          .map { case (bn, ub) => s"WHEN $bucket < $ub THEN '${sq(bn)}'" }
+          .mkString("CASE ", " ", " END")
+        s"(($cases) = '${sq(s.keep)}')"
     }
     val sDefs = cur.stages.indices.map { i =>
       s"    (${memberSql.take(i + 1).mkString(" AND ")}) AS s${i + 1}"
     }.mkString(",\n")
     val joins = cur.stages.flatMap {
-      case _: DedupExactStageDef    => Some("  LEFT JOIN exact ON d.did = exact.did")
-      case _: DedupNearStageDef     => Some("  LEFT JOIN neardrop ON d.did = neardrop.did")
-      case _: DecontaminateStageDef => Some("  LEFT JOIN contam ON d.did = contam.did")
-      case _                        => None
+      case DedupExactStageDef(n)       => Some(s"  LEFT JOIN ex_$n ON d.did = ex_$n.did")
+      case DedupNearStageDef(n)        => Some(s"  LEFT JOIN nd_$n ON d.did = nd_$n.did")
+      case DecontaminateStageDef(n, _) => Some(s"  LEFT JOIN ct_$n ON d.did = ct_$n.did")
+      case _                           => None
     }.mkString("\n")
     ctes +=
       s"""s AS (
@@ -189,7 +285,7 @@ object CurationFlow {
     val stageCounts = cur.stages.zipWithIndex.map { case (st, i) =>
       s"  count(CASE WHEN s${i + 1} THEN 1 END) AS n_${st.name},"
     }.mkString("\n")
-    val prefix = if (hasNear) "WITH RECURSIVE " else "WITH "
+    val prefix = if (needLab) "WITH RECURSIVE " else "WITH "
     s"""$prefix${ctes.mkString(",\n")}
        |SELECT grp AS ${cur.reportBy}, count(*) AS n_raw,
        |$stageCounts
@@ -234,4 +330,81 @@ object CurationFlow {
 
   val q276_oracle: String =
     oracleSql(Metadata.parseCuration(declaredCurationJson))
+
+  // ---------- q288: repeated stage types, gated end-to-end ----------
+
+  /** A LEGAL config the first oracle generator mis-rendered: two
+    * quality gates at different funnel points (cheap length fence
+    * first, detector-backed fence after dedup — the real-pipeline
+    * ordering, cheap predicates before expensive membership joins) and
+    * two decontamination stages with DIFFERENT benchmark lists. Each
+    * stage now owns its name-keyed CTE/column, and this config keeps
+    * it that way: collapsing either pair onto its first stage splits
+    * the generated oracle's hashes at the driver.
+    */
+  val multiStageCurationJson: String =
+    """{
+      |  "curation": {
+      |    "table": "documents",
+      |    "id_column": "doc_id",
+      |    "text_column": "text",
+      |    "report_by": "source",
+      |    "stages": [
+      |      {"type": "quality_filter", "name": "length_gate", "rules": [
+      |        {"reason": "too_short", "metric": "n_toks", "op": "lt", "value": 10},
+      |        {"reason": "too_long", "metric": "n_toks", "op": "gt", "value": 1000}]},
+      |      {"type": "dedup_exact", "name": "exact"},
+      |      {"type": "decontaminate", "name": "bench_a", "shingles": [
+      |        "the fast key", "spark group query"]},
+      |      {"type": "quality_filter", "name": "lang_gate", "rules": [
+      |        {"reason": "unknown_lang", "metric": "lang_det", "op": "eq", "value": "und"},
+      |        {"reason": "low_quality", "metric": "quality", "op": "lt", "value": 0.4}]},
+      |      {"type": "decontaminate", "name": "bench_b", "shingles": [
+      |        "join a filter", "window big merge", "hash value window"]}
+      |    ]
+      |  }
+      |}""".stripMargin
+
+  def q288_declared_curation_multi(spark: SparkSession, dir: String): DataFrame =
+    run(spark, dir, Metadata.parseCuration(multiStageCurationJson))
+
+  val q288_oracle: String =
+    oracleSql(Metadata.parseCuration(multiStageCurationJson))
+
+  // ---------- q289: the sampling vocabulary, gated end-to-end ----------
+
+  /** Mixture design and split assignment as DECLARED stages — q36's
+    * source weights and q223's leakage-free train split as config, the
+    * back half of a real curation funnel (what survives cleaning is
+    * weighted, then split). The report axis is `lang`, exercising a
+    * report_by different from the mixture's by-column.
+    */
+  val samplingCurationJson: String =
+    """{
+      |  "curation": {
+      |    "table": "documents",
+      |    "id_column": "doc_id",
+      |    "text_column": "text",
+      |    "report_by": "lang",
+      |    "stages": [
+      |      {"type": "mixture_sample", "name": "mix", "salt": "mix-1",
+      |       "by": "source", "weights": [
+      |        {"group": "src0", "keep16": 8}, {"group": "src1", "keep16": 4},
+      |        {"group": "src2", "keep16": 2}, {"group": "src3", "keep16": 1}]},
+      |      {"type": "quality_filter", "name": "min_len", "rules": [
+      |        {"reason": "too_short", "metric": "n_toks", "op": "lt", "value": 5}]},
+      |      {"type": "split", "name": "train_only", "salt": "split-1",
+      |       "buckets": [
+      |        {"name": "1_train", "upper": 204}, {"name": "2_val", "upper": 230},
+      |        {"name": "3_test", "upper": 256}],
+      |       "keep": "1_train", "leakage_free": true}
+      |    ]
+      |  }
+      |}""".stripMargin
+
+  def q289_declared_curation_sampling(spark: SparkSession, dir: String): DataFrame =
+    run(spark, dir, Metadata.parseCuration(samplingCurationJson))
+
+  val q289_oracle: String =
+    oracleSql(Metadata.parseCuration(samplingCurationJson))
 }

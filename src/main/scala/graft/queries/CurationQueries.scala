@@ -1536,6 +1536,8 @@ object CurationQueries {
     "q132_dsir" -> (q132_dsir _),
     "q86_curation_e2e" -> (q86_curation_e2e _),
     "q276_declared_curation" -> (CurationFlow.q276_declared_curation _),
+    "q288_declared_curation_multi" -> (CurationFlow.q288_declared_curation_multi _),
+    "q289_declared_curation_sampling" -> (CurationFlow.q289_declared_curation_sampling _),
     "q77_sequence_pack" -> (q77_sequence_pack _),
     "q60_dedup_apply" -> (q60_dedup_apply _),
     "q61_quality_filter" -> (q61_quality_filter _),
@@ -1561,6 +1563,8 @@ object CurationQueries {
     "q132_dsir" -> q132_oracle,
     "q86_curation_e2e" -> q86_oracle,
     "q276_declared_curation" -> CurationFlow.q276_oracle,
+    "q288_declared_curation_multi" -> CurationFlow.q288_oracle,
+    "q289_declared_curation_sampling" -> CurationFlow.q289_oracle,
     "q77_sequence_pack" -> q77_oracle,
     "q60_dedup_apply" -> q60_oracle,
     "q61_quality_filter" -> q61_oracle,

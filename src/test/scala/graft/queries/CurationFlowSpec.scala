@@ -52,6 +52,102 @@ class CurationFlowSpec extends SparkSpec {
     assert(!sql.startsWith("WITH RECURSIVE"))
   }
 
+  test("declared mixture_sample == q36 hand-composed mixture, source for source") {
+    val json =
+      """{"curation": {"table": "documents", "id_column": "doc_id",
+        |  "text_column": "text", "report_by": "source", "stages": [
+        |  {"type": "mixture_sample", "name": "mix", "salt": "mix-1",
+        |   "by": "source", "weights": [
+        |    {"group": "src0", "keep16": 8}, {"group": "src1", "keep16": 4},
+        |    {"group": "src2", "keep16": 2}, {"group": "src3", "keep16": 1}]}
+        |]}}""".stripMargin
+    val declared = CurationFlow.run(spark, sf(), Metadata.parseCuration(json))
+      .select("source", "n_mix").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val hand = CorpusQueries.q36_mixture_sample(spark, sf())
+      .select("source", "n_kept").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // q36 reports only sources that keep >0 docs; the declared funnel
+    // reports every source — the kept counts must agree where both speak
+    hand.foreach { case (src, n) =>
+      assert(declared.get(src).contains(n), s"$src: ${declared.get(src)} vs $n")
+    }
+    declared.filterNot { case (s, _) => hand.contains(s) }
+      .foreach { case (_, n) => assert(n == 0L) }
+  }
+
+  test("declared leakage-free split == q223's train membership in total") {
+    val json =
+      """{"curation": {"table": "documents", "id_column": "doc_id",
+        |  "text_column": "text", "report_by": "source", "stages": [
+        |  {"type": "split", "name": "train_only", "salt": "split-1",
+        |   "buckets": [
+        |    {"name": "1_train", "upper": 204}, {"name": "2_val", "upper": 230},
+        |    {"name": "3_test", "upper": 256}],
+        |   "keep": "1_train", "leakage_free": true}
+        |]}}""".stripMargin
+    val kept = CurationFlow.run(spark, sf(), Metadata.parseCuration(json))
+      .selectExpr("sum(n_train_only)").collect().head.getLong(0)
+    val q223Train = CurationQueries.q223_leakage_free_split(spark, sf())
+      .filter(org.apache.spark.sql.functions.col("split") === "1_train")
+      .select("n_docs").collect().head.getLong(0)
+    assert(kept == q223Train, s"declared split kept $kept, q223 train $q223Train")
+  }
+
+  test("repeated stage types render per-stage oracle names, no collapsing") {
+    val cur = Metadata.parseCuration(CurationFlow.multiStageCurationJson)
+    val sql = CurationFlow.oracleSql(cur)
+    // each stage owns its name-keyed CTE/column
+    Seq("q_length_gate", "q_lang_gate", "ex_exact", "ct_bench_a", "ct_bench_b")
+      .foreach(n => assert(sql.contains(n), s"oracle lost stage artifact $n"))
+    // the two decontamination stages keep their OWN lists
+    assert(sql.contains("'the fast key'") && sql.contains("'window big merge'"))
+    // no duplicate LEFT JOIN alias anywhere
+    val joins = sql.linesIterator.filter(_.contains("LEFT JOIN")).toSeq
+    assert(joins.distinct.size == joins.size, s"duplicate joins in:\n$sql")
+    // and the run() side agrees with itself: both quality gates bind
+    val out = CurationFlow.q288_declared_curation_multi(spark, sf()).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val Seq(raw, s1, s2, s3, s4, s5) = (1 to 6).map(r.getLong)
+      assert(s1 <= raw && s2 <= s1 && s3 <= s2 && s4 <= s3 && s5 <= s4)
+    }
+  }
+
+  test("parser fails fast on malformed sampling declarations") {
+    def bad(json: String, hint: String): Unit = {
+      val e = intercept[MetadataError](Metadata.parseCuration(json))
+      assert(e.getMessage.toLowerCase.contains(hint),
+        s"message '${e.getMessage}' does not mention '$hint'")
+    }
+    def stage(body: String): String =
+      s"""{"curation": {"table": "documents", "id_column": "doc_id",
+         |  "text_column": "text", "report_by": "source",
+         |  "stages": [$body]}}""".stripMargin
+    bad(stage("""{"type": "mixture_sample", "name": "m", "salt": "x",
+                | "by": "source", "weights": [{"group": "a", "keep16": 17}]}""".stripMargin),
+      "[0, 16]")
+    bad(stage("""{"type": "mixture_sample", "name": "m", "salt": "x",
+                | "by": "source", "weights": []}""".stripMargin), "no weights")
+    bad(stage("""{"type": "mixture_sample", "name": "m", "salt": "a|b",
+                | "by": "source", "weights": [{"group": "a", "keep16": 8}]}""".stripMargin),
+      "salt")
+    bad(stage("""{"type": "split", "name": "s", "salt": "x", "keep": "t",
+                | "buckets": [{"name": "t", "upper": 200}]}""".stripMargin), "256")
+    bad(stage("""{"type": "split", "name": "s", "salt": "x", "keep": "zz",
+                | "buckets": [{"name": "t", "upper": 256}]}""".stripMargin), "unknown bucket")
+    bad(stage("""{"type": "split", "name": "s", "salt": "x", "keep": "t",
+                | "buckets": [{"name": "t", "upper": 200},
+                |             {"name": "u", "upper": 100}]}""".stripMargin),
+      "strictly increasing")
+    // leakage-free split needs the signature family's columns
+    bad("""{"curation": {"table": "documents", "id_column": "other_id",
+          | "text_column": "text", "report_by": "source", "stages": [
+          | {"type": "split", "name": "s", "salt": "x", "keep": "t",
+          |  "leakage_free": true,
+          |  "buckets": [{"name": "t", "upper": 256}]}]}}""".stripMargin, "signature")
+  }
+
   test("parser fails fast on malformed declarations") {
     def bad(json: String, hint: String): Unit = {
       val e = intercept[MetadataError](Metadata.parseCuration(json))
