@@ -884,9 +884,58 @@ object RelationalQueries {
       |GROUP BY 1, 2, 3
       |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin
 
+  // ---------- q290: priority-split line counts (TPC-H Q12 shape) ----------
+
+  /** Q12's essence over this schema — "are critical-priority orders
+    * actually shipping" as a two-way conditional count per category:
+    * one shipping year of lineitem, each line attributed to its
+    * order's priority class (1-URGENT/2-HIGH vs the rest), restricted
+    * to lines shipped strictly AFTER their order date (the temporal-
+    * sanity fence this schema can express; Q12's commit/receipt-date
+    * chain has no columns here). Counted per l_returnflag in place of
+    * l_shipmode, which the schema also lacks.
+    *
+    * Scale shape: the ship-year fence prunes the lineitem scan at the
+    * parquet reader; the orders join is fact-to-fact shuffled on
+    * orderkey (both sides corpus-scaled — un-hinted, AQE decides) with
+    * the cross-side date comparison riding the join condition; the
+    * priority split is a CASE inside ONE partial agg — the report is
+    * |returnflag| rows.
+    */
+  def q290_priority_lines(spark: SparkSession, dir: String): DataFrame = {
+    val lo = to_timestamp(lit("1996-01-01 00:00:00"))
+    val hi = to_timestamp(lit("1997-01-01 00:00:00"))
+    val li = Tables.load(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= lo && col("l_shipdate") < hi)
+      .select(col("l_orderkey"), col("l_returnflag"), col("l_shipdate"))
+    val orders = Tables.load(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+    val isHigh = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    li.join(orders, col("l_orderkey") === col("o_orderkey") &&
+        col("l_shipdate") > col("o_orderdate"))
+      .groupBy("l_returnflag")
+      .agg(
+        count(when(isHigh, 1)).cast("long").as("high_line_count"),
+        count(when(!isHigh, 1)).cast("long").as("low_line_count"))
+      .orderBy("l_returnflag")
+  }
+
+  val q290_oracle: String =
+    s"""SELECT l_returnflag,
+       |  CAST(count(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+       |    THEN 1 END) AS BIGINT) AS high_line_count,
+       |  CAST(count(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+       |    THEN 1 END) AS BIGINT) AS low_line_count
+       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |  AND l_shipdate > o_orderdate
+       |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+       |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+       |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   // ---------- registry ----------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q290_priority_lines" -> (q290_priority_lines _),
     "q277_nation_trade" -> (q277_nation_trade _),
     "q278_market_share" -> (q278_market_share _),
     "q279_retail_margin" -> (q279_retail_margin _),
@@ -904,6 +953,7 @@ object RelationalQueries {
     "q240_returned_top_customers" -> (q240_returned_top_customers _))
 
   val oracles: Map[String, String] = Map(
+    "q290_priority_lines" -> q290_oracle,
     "q277_nation_trade" -> q277_oracle,
     "q278_market_share" -> q278_oracle,
     "q279_retail_margin" -> q279_oracle,

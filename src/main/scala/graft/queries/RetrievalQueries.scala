@@ -1054,9 +1054,108 @@ object RetrievalQueries {
       " ORDER BY query_id, rnk"
   }
 
+  // ---------- q286: BM25 index compaction ----------
+
+  /** COMPACTION for the retrieval index — q261's closing step applied
+    * to BM25, finishing what q230 leaves open: the masked read is
+    * correct but pays the tombstone anti-join on every query forever,
+    * and the erased postings still sit on disk (a GDPR erasure is not
+    * done until the bytes are gone). Compaction rewrites the postings
+    * WITHOUT the tombstoned rows as a new version beside the already-
+    * decremented df/stats (q230's deltas ARE the compacted statistics
+    * — nothing about them changes, the rewrite only drops rows the
+    * scoring state already stopped counting); a post-compaction read
+    * needs NO mask and MUST equal the masked read bit-for-bit. The
+    * oracle is q230's verbatim (compacted ≡ masked ≡ rebuild-without,
+    * q261's rule), and Round15OpsSpec pins that no erased doc survives
+    * in the compacted read path.
+    *
+    * Scale shape: ONE doc-keyed anti-join + a linear postings rewrite
+    * (the only full pass — a compaction's cost by definition, amortized
+    * over every subsequent query dropping its anti-join); the df/stats
+    * versions are vocab-sized / 1-row and carry over unchanged.
+    */
+  def q286_bm25_compact(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val work = graft.io.Scratch.dir(spark, "graft-q286-")
+    val fs = new Path(work).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    try {
+      // build (q84's artifact) + erase (q230's tombstones and deltas)
+      val docs = Tables.load(spark, dir, "documents")
+      val terms = docs
+        .select(col("doc_id"), T.tokens(col("text")).as("tk"))
+        .select(col("doc_id"), size(col("tk")).cast("long").as("dl"),
+          explode(col("tk")).as("term"))
+      terms.groupBy("term", "doc_id")
+        .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
+        .write.parquet(s"$work/postings")
+      spark.read.parquet(s"$work/postings")
+        .groupBy("term").agg(count(lit(1)).as("df"))
+        .write.parquet(s"$work/df_v0")
+      docs.agg(count(lit(1)).as("n"))
+        .crossJoin(terms.agg(count(lit(1)).as("l")))
+        .write.parquet(s"$work/stats_v0")
+      val erased =
+        substring(md5(concat(lit("del|"), col("doc_id").cast("string"))), 1, 1)
+          .isin("0", "1")
+      val tombstones = docs.filter(erased).select("doc_id")
+      val stored = spark.read.parquet(s"$work/postings")
+      val erasedPost = stored.join(tombstones, Seq("doc_id"), "left_semi")
+        .localCheckpoint()
+      spark.read.parquet(s"$work/df_v0")
+        .join(erasedPost.groupBy("term").agg(count(lit(1)).as("df_e")),
+          Seq("term"), "left")
+        .select(col("term"),
+          (col("df") - coalesce(col("df_e"), lit(0L))).as("df"))
+        .filter(col("df") > 0)
+        .write.parquet(s"$work/df_v1")
+      spark.read.parquet(s"$work/stats_v0")
+        .crossJoin(tombstones.agg(count(lit(1)).as("n_e")))
+        .crossJoin(erasedPost.agg(coalesce(sum(col("tf")), lit(0L)).as("l_e")))
+        .select((col("n") - col("n_e")).as("n"), (col("l") - col("l_e")).as("l"))
+        .write.parquet(s"$work/stats_v1")
+
+      // COMPACT: the postings rewrite without the tombstoned rows —
+      // the one full pass; df_v1/stats_v1 carry over unchanged
+      stored.join(tombstones, Seq("doc_id"), "left_anti")
+        .write.parquet(s"$work/postings_v1")
+
+      // score q83's query set from the compacted artifact, NO mask
+      val tf = spark.read.parquet(s"$work/postings_v1")
+      val dft = spark.read.parquet(s"$work/df_v1")
+      val stats = spark.read.parquet(s"$work/stats_v1")
+        .withColumn("adl", expr("l div n"))
+      val queryTerms = bm25Queries
+        .flatMap { case (qid, ts) => ts.map(t => (qid, t)) }
+        .toDF("query_id", "term")
+      broadcast(queryTerms)
+        .join(tf, "term")
+        .join(dft, "term")
+        .crossJoin(broadcast(stats))
+        .withColumn("contrib",
+          expr(s"($bm25Scale * (2*n - 2*df + 1) * 22 * adl * tf) div " +
+            s"((2*df + 1) * (10 * adl * tf + 3 * adl + 9 * dl))"))
+        .groupBy("query_id", "doc_id")
+        .agg(sum(col("contrib")).as("score"))
+        .withColumn("rnk", row_number().over(
+          Window.partitionBy("query_id").orderBy(col("score").desc, col("doc_id"))))
+        .filter(col("rnk") <= bm25TopK)
+        .select("query_id", "doc_id", "score", "rnk")
+        .orderBy("query_id", "rnk")
+        .localCheckpoint() // materialize before the work dir is deleted
+    } finally fs.delete(new Path(work), true)
+  }
+
+  /** Compaction ≡ masked read, by construction and by gate (q261's
+    * rule applied to BM25). */
+  val q286_oracle: String = q230_oracle
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q224_bm25_index_update" -> (q224_bm25_index_update _),
     "q230_bm25_erasure" -> (q230_bm25_erasure _),
+    "q286_bm25_compact" -> (q286_bm25_compact _),
     "q202_rrf_fusion" -> (q202_rrf_fusion _),
     "q178_mmr" -> (q178_mmr _),
     "q188_bm25_prf" -> (q188_bm25_prf _),
@@ -1071,6 +1170,7 @@ object RetrievalQueries {
   val oracles: Map[String, String] = Map(
     "q224_bm25_index_update" -> q224_oracle,
     "q230_bm25_erasure" -> q230_oracle,
+    "q286_bm25_compact" -> q286_oracle,
     "q202_rrf_fusion" -> q202_oracle,
     "q178_mmr" -> q178_oracle,
     "q188_bm25_prf" -> q188_oracle,

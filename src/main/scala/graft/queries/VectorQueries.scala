@@ -470,6 +470,62 @@ object VectorQueries {
     } finally fs.delete(new Path(work), true)
   }
 
+  /** COMPACTION for the vector index — q261's closing step applied to
+    * IVF, finishing what q252 leaves open: the tombstone anti-join is
+    * correct but rides every probe forever, and the erased vectors
+    * (the actual PII in an embedding index) still sit on disk.
+    * Compaction rewrites the postings WITHOUT the tombstoned rows as a
+    * new version; the quantizer stays frozen (cell assignment never
+    * depended on the erased rows' membership), so the post-compaction
+    * probe needs NO mask and equals the masked read bit-for-bit —
+    * Round15OpsSpec pins compacted ≡ q252-masked row-for-row and that
+    * no erased id survives. Rows-only at the driver (k-means floats,
+    * q42's family).
+    *
+    * Scale shape: ONE vec_id-keyed anti-join + a linear postings
+    * rewrite — cell ids are STORED, so the rewrite never re-runs the
+    * quantizer; the probe is q42's bounded candidate plan unchanged.
+    */
+  def q287_ivf_compact(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    import spark.implicits._
+    val work = graft.io.Scratch.dir(spark, "graft-q287-")
+    val fs = new Path(work).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    try {
+      val e = emb(spark, dir)
+      val model = IvfModel.get(spark, dir, k = 16)
+      // the persisted index (q252's), then the erasure lands
+      e.withColumn("cell", model.cell(col("v")))
+        .select(col("vec_id"), col("cell"), col("v"), V.norm(col("v")).as("n_nrm"))
+        .write.parquet(s"$work/postings")
+      e.filter(ivfErased(col("vec_id"))).select(col("vec_id").as("t_id"))
+        .write.parquet(s"$work/tombstones")
+      val tombs = spark.read.parquet(s"$work/tombstones")
+      // COMPACT: rewrite without the tombstoned rows — stored cell ids
+      // are reused verbatim, no quantizer re-run, no mask ever again
+      spark.read.parquet(s"$work/postings")
+        .join(tombs, col("vec_id") === col("t_id"), "left_anti")
+        .write.parquet(s"$work/postings_v1")
+      val postings = spark.read.parquet(s"$work/postings_v1")
+        .select(col("vec_id").as("n_id"), col("v").as("nv"),
+          col("cell"), col("n_nrm"))
+      val queries = e.filter(col("vec_id") < 50 && !ivfErased(col("vec_id")))
+        .withColumn("probe_cells", model.probeCells(col("v"), nProbe = 4))
+        .select(col("vec_id").as("q_id"), col("v").as("qv"),
+          explode(col("probe_cells")).as("cell"), V.norm(col("v")).as("q_nrm"))
+      val cos = V.cosineWithNorms(col("qv"), col("nv"), col("q_nrm"), col("n_nrm"))
+      val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id").asc)
+      queries.join(postings, Seq("cell"))
+        .filter(col("q_id") =!= col("n_id"))
+        .select(col("q_id"), col("n_id"), cos.as("cos"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select("q_id", "rk", "n_id", "cos")
+        .orderBy("q_id", "rk")
+        .localCheckpoint() // materialize before the work dir is deleted
+    } finally fs.delete(new Path(work), true)
+  }
+
   /** The rebuild-without-erased reference for the equivalence spec:
     * the SAME frozen quantizer over the corpus minus the erasure set,
     * searched by the same surviving queries. */
@@ -1208,6 +1264,7 @@ object VectorQueries {
     "q96_ivf_index_persist" -> (q96_ivf_index_persist _),
     "q227_ivf_index_update" -> (q227_ivf_index_update _),
     "q252_ivf_erasure" -> (q252_ivf_erasure _),
+    "q287_ivf_compact" -> (q287_ivf_compact _),
     "q70_knn_lsh_multiprobe" -> (q70_knn_lsh_multiprobe _),
     "q106_semantic_decontam" -> (q106_semantic_decontam _),
     // q112 rows-only like q42/q96: trained floats have no SQL twin;
