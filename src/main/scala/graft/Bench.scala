@@ -85,7 +85,23 @@ object Bench {
     // round-13 "seesaw" mechanism, see SURVEY §20)
     val loadAvg = java.lang.management.ManagementFactory
       .getOperatingSystemMXBean.getSystemLoadAverage
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"load_avg":$loadAvg,"sf":"$sfDir"}""")
+    // contamination self-label: end-of-run load beyond what this
+    // bench's own threads can produce (1.25× its core budget) means
+    // ANOTHER process competed for the cpus and the wall times above
+    // measured contention, not the queries — the artifact says so
+    // itself, so a contaminated leg can never enter the committed
+    // perf record looking normal (SURVEY §20's r11–r13 seesaw class)
+    val contaminated = loadAvg > cpus.toInt * 1.25
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"load_avg":$loadAvg,"contaminated":$contaminated,"sf":"$sfDir"}"""
+    println(line)
+    // SPARK_GRAFT_BENCH_OUT: also write the line ATOMICALLY to a file.
+    // The committed r14 artifacts were lost to stdout-capture
+    // truncation (a 0-byte redirect and a tail cut mid-JSON); a direct
+    // file write cannot be cut by whatever buffers/trims the console.
+    sys.env.get("SPARK_GRAFT_BENCH_OUT").foreach { p =>
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(p), line + "\n")
+    }
     spark.stop()
   }
 }
