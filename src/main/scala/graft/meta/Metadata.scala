@@ -128,6 +128,18 @@ final case class SplitStageDef(
     name: String, salt: String, buckets: Seq[(String, Int)],
     keep: String, leakageFree: Boolean) extends CurationStageDef
 
+/** Survivor-aware token budget as a declared stage — q63's capped
+  * hash-ordered stream made HONEST the way q212 argues: within each
+  * `by` group, rows are ordered by a salted content hash and kept
+  * while the cumulative token count of rows that SURVIVED all earlier
+  * declared stages stays under `budget`. Upstream-dropped rows spend
+  * nothing, so the cap buys exactly what curation keeps; declared
+  * first, it is q63's raw-corpus budget verbatim.
+  */
+final case class TokenBudgetStageDef(
+    name: String, salt: String, by: String,
+    budget: Long) extends CurationStageDef
+
 final case class CurationDef(
     table: String,
     idColumn: String,
@@ -322,6 +334,18 @@ object Metadata {
     optStr(o, "type").getOrElse(fail(s"curation stage '$name' missing 'type'")) match {
       case "dedup_exact" => DedupExactStageDef(name)
       case "dedup_near"  => DedupNearStageDef(name)
+      case "token_budget" =>
+        val by = optStr(o, "by").getOrElse(fail(s"budget stage '$name' missing 'by'"))
+        if (!by.matches(identPattern))
+          fail(s"budget stage '$name' by-column '$by' must match $identPattern")
+        val budget = field(o, "budget") match {
+          case Some(JInt(i))  => i.toLong
+          case Some(JLong(l)) => l
+          case Some(other)    => fail(s"budget stage '$name' budget must be an integer, got $other")
+          case None           => fail(s"budget stage '$name' missing 'budget'")
+        }
+        if (budget <= 0) fail(s"budget stage '$name' budget must be positive, got $budget")
+        TokenBudgetStageDef(name, salt, by, budget)
       case "mixture_sample" =>
         val by = optStr(o, "by").getOrElse(fail(s"mixture stage '$name' missing 'by'"))
         if (!by.matches(identPattern))
@@ -393,7 +417,7 @@ object Metadata {
       case other =>
         fail(s"Unsupported curation stage type '$other' for '$name'. Supported " +
           "types: [decontaminate, dedup_exact, dedup_near, mixture_sample, " +
-          "quality_filter, split]")
+          "quality_filter, split, token_budget]")
     }
   }
 

@@ -3,7 +3,7 @@ package graft.queries
 import graft.Tables
 import graft.functions.{HashFunctions => H, TextFunctions => T}
 import graft.meta._
-import graft.operators.ConnectedComponents
+import graft.operators.{ConnectedComponents, RangeRank}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -26,7 +26,11 @@ import org.apache.spark.sql.functions._
   *    weighting, with the group weights coming from the config;
   *  - `split`: q78's deterministic hash-bucket split — with
   *    `leakage_free` it keys on the near-dup cluster representative
-  *    (q223's rule), so a whole duplicate cluster lands in one split.
+  *    (q223's rule), so a whole duplicate cluster lands in one split;
+  *  - `token_budget`: q63's capped hash-ordered stream, SURVIVOR-AWARE
+  *    (q212's honesty rule): rows dropped by earlier declared stages
+  *    spend none of the budget, so the cap buys exactly what curation
+  *    keeps — declared first it is q63's raw-corpus budget verbatim.
   *
   * Two hand-composed curation operators deliberately stay OUT of the
   * stage vocabulary: span_scrub (q123) REWRITES text rather than
@@ -79,8 +83,11 @@ object CurationFlow {
       .withColumn("lang_det", T.langId(col("toks")))
       .withColumn("quality", T.qualityScore(col(cur.textColumn)))
     // one membership column/predicate per declared stage, each the
-    // operator's own bounded-set shape
-    val members: Seq[Column] = cur.stages.map {
+    // operator's own bounded-set shape; built sequentially because the
+    // survivor-aware token_budget stage folds over the memberships
+    // declared before it
+    val members = scala.collection.mutable.ArrayBuffer[Column]()
+    cur.stages.foreach { st => members += (st match {
       case DedupExactStageDef(name) =>
         val keep = docs
           .groupBy(md5(col(cur.textColumn)).as("h"))
@@ -139,9 +146,28 @@ object CurationFlow {
           case (acc, (bn, ub)) => when(bucket < ub, lit(bn)).otherwise(acc)
         }
         split === keepName
-    }
+      case TokenBudgetStageDef(name, salt, by, budget) =>
+        // the survivor-aware running sum: upstream-dropped rows weigh
+        // zero, so the cap buys exactly what the earlier stages kept.
+        // Ranking is RangeRank on q63's key chain (15-hex numeric
+        // prefix drives bucketing; full hash + id complete the total
+        // order) — no raw-corpus single-task window
+        val prior = members.foldLeft(lit(true))(_ && _)
+        base = base
+          .withColumn(s"h_$name",
+            md5(concat(lit(s"$salt|"), col(cur.idColumn).cast("string"))))
+          .withColumn(s"h15_$name",
+            conv(substring(col(s"h_$name"), 1, 15), 16, 10).cast("long"))
+          .withColumn(s"w_$name", when(prior, col("n_toks")).otherwise(0L))
+        base = RangeRank.rank(base, Seq(by),
+          Seq(RangeRank.Key(s"h15_$name"), RangeRank.Key(s"h_$name"),
+            RangeRank.Key(cur.idColumn)),
+          s"rk_$name", s"nn_$name",
+          weight = Some(RangeRank.Weight(s"w_$name", s"cum_$name", s"wtot_$name")))
+        prior && (col(s"cum_$name") - col("n_toks") < budget)
+    })}
     // conjunctions in declared order: stage i survives iff stages 1..i do
-    val sCols = members.scanLeft(lit(true))(_ && _).tail
+    val sCols = members.toSeq.scanLeft(lit(true))(_ && _).tail
     val staged = base.select(
       col(cur.reportBy) +: col("n_toks") +:
         sCols.zipWithIndex.map { case (c, i) => c.as(s"s${i + 1}") }: _*)
@@ -221,14 +247,16 @@ object CurationFlow {
       s",\n      ${T.langIdSql(tk)} AS lang_det," +
         s"\n      ${T.qualityScoreSql(cur.textColumn)} AS quality"
     else ""
-    // per-stage derived columns in d: the mixture by-column (forwarded
-    // from the scan), one keep flag per quality stage, the shared
-    // cluster representative for leakage-free splits
-    val mixInner = cur.stages.collect { case m: MixtureStageDef =>
-      s",\n      ${m.by} AS by_${m.name}"
+    // per-stage derived columns in d: the mixture/budget by-columns
+    // (forwarded from the scan), one keep flag per quality stage, the
+    // shared cluster representative for leakage-free splits
+    val mixInner = cur.stages.collect {
+      case m: MixtureStageDef     => s",\n      ${m.by} AS by_${m.name}"
+      case b: TokenBudgetStageDef => s",\n      ${b.by} AS by_${b.name}"
     }.mkString
-    val mixOuter = cur.stages.collect { case m: MixtureStageDef =>
-      s", by_${m.name}"
+    val mixOuter = cur.stages.collect {
+      case m: MixtureStageDef     => s", by_${m.name}"
+      case b: TokenBudgetStageDef => s", by_${b.name}"
     }.mkString
     val keepCols = cur.stages.collect { case q: QualityStageDef =>
       ",\n    " + q.rules.map(ruleSql).mkString("NOT (", " OR ", ")") +
@@ -245,11 +273,30 @@ object CurationFlow {
          |    FROM ${cur.table})$labJoin)""".stripMargin
     def hexVal(arg: String): String =
       s"(strpos('0123456789abcdef', $arg) - 1)"
-    val memberSql = cur.stages.map {
-      case DedupExactStageDef(n)       => s"ex_$n.did IS NOT NULL"
-      case DedupNearStageDef(n)        => s"nd_$n.did IS NULL"
+    // j: ONE join pass normalizing every table-backed membership into
+    // a boolean m_<stage> column; self-contained stage predicates read
+    // d's columns straight through SELECT *
+    val mCols = cur.stages.collect {
+      case DedupExactStageDef(n)       => s",\n    (ex_$n.did IS NOT NULL) AS m_$n"
+      case DedupNearStageDef(n)        => s",\n    (nd_$n.did IS NULL) AS m_$n"
+      case DecontaminateStageDef(n, _) => s",\n    (ct_$n.did IS NULL) AS m_$n"
+    }.mkString
+    val joins = cur.stages.flatMap {
+      case DedupExactStageDef(n)       => Some(s"  LEFT JOIN ex_$n ON d.did = ex_$n.did")
+      case DedupNearStageDef(n)        => Some(s"  LEFT JOIN nd_$n ON d.did = nd_$n.did")
+      case DecontaminateStageDef(n, _) => Some(s"  LEFT JOIN ct_$n ON d.did = ct_$n.did")
+      case _                           => None
+    }
+    ctes += (s"j AS (\n  SELECT d.*$mCols\n  FROM d" +
+      (if (joins.isEmpty) ")" else joins.mkString("\n", "\n", ")")))
+    // member expressions, built sequentially so a budget stage can
+    // guard on everything declared before it
+    val memberSql = scala.collection.mutable.ArrayBuffer[String]()
+    cur.stages.foreach { st => memberSql += (st match {
+      case DedupExactStageDef(n)       => s"m_$n"
+      case DedupNearStageDef(n)        => s"m_$n"
+      case DecontaminateStageDef(n, _) => s"m_$n"
       case q: QualityStageDef          => s"q_${q.name}"
-      case DecontaminateStageDef(n, _) => s"ct_$n.did IS NULL"
       case m: MixtureStageDef =>
         val digit = hexVal(
           s"substring(md5(concat('${m.salt}|', CAST(did AS VARCHAR))), 1, 1)")
@@ -266,22 +313,39 @@ object CurationFlow {
           .map { case (bn, ub) => s"WHEN $bucket < $ub THEN '${sq(bn)}'" }
           .mkString("CASE ", " ", " END")
         s"(($cases) = '${sq(s.keep)}')"
+      case b: TokenBudgetStageDef =>
+        val prior = memberSql.toSeq
+        val guard =
+          if (prior.isEmpty) "" else prior.mkString("(", " AND ", ") AND ")
+        s"($guard(cum_${b.name} - n_toks < ${b.budget}))"
+    })}
+    // one chained CTE per budget stage: the survivor-aware running sum
+    // (upstream-dropped rows weigh zero) over the salted-hash order —
+    // q63's window, weights guarded by the prior stages' members
+    var prev = "j"
+    cur.stages.zipWithIndex.foreach {
+      case (b: TokenBudgetStageDef, i) =>
+        val prior = memberSql.take(i)
+        val w = if (prior.isEmpty) "n_toks"
+          else s"CASE WHEN ${prior.mkString("(", " AND ", ")")} THEN n_toks ELSE 0 END"
+        ctes +=
+          s"""bd_${b.name} AS (
+             |  SELECT *, CAST(sum($w) OVER (PARTITION BY by_${b.name}
+             |    ORDER BY md5(concat('${b.salt}|', CAST(did AS VARCHAR))) ASC, did ASC
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             |    AS cum_${b.name}
+             |  FROM $prev)""".stripMargin
+        prev = s"bd_${b.name}"
+      case _ => ()
     }
     val sDefs = cur.stages.indices.map { i =>
       s"    (${memberSql.take(i + 1).mkString(" AND ")}) AS s${i + 1}"
     }.mkString(",\n")
-    val joins = cur.stages.flatMap {
-      case DedupExactStageDef(n)       => Some(s"  LEFT JOIN ex_$n ON d.did = ex_$n.did")
-      case DedupNearStageDef(n)        => Some(s"  LEFT JOIN nd_$n ON d.did = nd_$n.did")
-      case DecontaminateStageDef(n, _) => Some(s"  LEFT JOIN ct_$n ON d.did = ct_$n.did")
-      case _                           => None
-    }.mkString("\n")
     ctes +=
       s"""s AS (
-         |  SELECT d.*,
+         |  SELECT *,
          |$sDefs
-         |  FROM d
-         |$joins)""".stripMargin
+         |  FROM $prev)""".stripMargin
     val stageCounts = cur.stages.zipWithIndex.map { case (st, i) =>
       s"  count(CASE WHEN s${i + 1} THEN 1 END) AS n_${st.name},"
     }.mkString("\n")
@@ -407,4 +471,38 @@ object CurationFlow {
 
   val q289_oracle: String =
     oracleSql(Metadata.parseCuration(samplingCurationJson))
+
+  // ---------- q291: the honest declared budget, gated end-to-end ----------
+
+  /** Cleaning then capping — the funnel a mixture designer actually
+    * runs: exact dedup and a length/quality gate FIRST, then a
+    * per-source token budget over what SURVIVED (q212's honesty rule
+    * as config: a duplicate or junk doc spends none of its source's
+    * budget). The budget stage's running sum is driver-gated through
+    * the generated window oracle, so the survivor-aware guard itself
+    * is hash-checked, not just spec-checked.
+    */
+  val budgetCurationJson: String =
+    """{
+      |  "curation": {
+      |    "table": "documents",
+      |    "id_column": "doc_id",
+      |    "text_column": "text",
+      |    "report_by": "source",
+      |    "stages": [
+      |      {"type": "dedup_exact", "name": "exact"},
+      |      {"type": "quality_filter", "name": "quality", "rules": [
+      |        {"reason": "too_short", "metric": "n_toks", "op": "lt", "value": 10},
+      |        {"reason": "low_quality", "metric": "quality", "op": "lt", "value": 0.4}]},
+      |      {"type": "token_budget", "name": "budget", "salt": "budget-1",
+      |       "by": "source", "budget": 2000}
+      |    ]
+      |  }
+      |}""".stripMargin
+
+  def q291_declared_curation_budget(spark: SparkSession, dir: String): DataFrame =
+    run(spark, dir, Metadata.parseCuration(budgetCurationJson))
+
+  val q291_oracle: String =
+    oracleSql(Metadata.parseCuration(budgetCurationJson))
 }

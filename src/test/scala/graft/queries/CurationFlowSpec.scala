@@ -114,6 +114,58 @@ class CurationFlowSpec extends SparkSpec {
     }
   }
 
+  test("declared token_budget first == q63 hand-composed budget, source for source") {
+    val json =
+      """{"curation": {"table": "documents", "id_column": "doc_id",
+        |  "text_column": "text", "report_by": "source", "stages": [
+        |  {"type": "token_budget", "name": "cap", "salt": "budget",
+        |   "by": "source", "budget": 2000}
+        |]}}""".stripMargin
+    val declared = CurationFlow.run(spark, sf(), Metadata.parseCuration(json))
+      .select("source", "n_cap").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val hand = CurationQueries.q63_token_budget(spark, sf())
+      .groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(declared === hand, s"$declared vs $hand")
+  }
+
+  test("token_budget is survivor-aware: budget AFTER a filter keeps a superset") {
+    // [budget, quality]: junk spends budget it never earns;
+    // [quality, budget]: the cap buys only what survived — every doc
+    // the naive order keeps, the honest order must keep too
+    def cfg(stages: String) =
+      s"""{"curation": {"table": "documents", "id_column": "doc_id",
+         |  "text_column": "text", "report_by": "source",
+         |  "stages": [$stages]}}""".stripMargin
+    val budget =
+      """{"type": "token_budget", "name": "cap", "salt": "budget",
+        | "by": "source", "budget": 2000}""".stripMargin
+    val quality =
+      """{"type": "quality_filter", "name": "q", "rules": [
+        |  {"reason": "short", "metric": "n_toks", "op": "lt", "value": 40}]}""".stripMargin
+    def finals(json: String): (Long, Long) = {
+      val r = CurationFlow.run(spark, sf(), Metadata.parseCuration(json))
+        .selectExpr("sum(n_cap)", "sum(tokens_final)").collect().head
+      (r.getLong(0), r.getLong(1))
+    }
+    val naiveQ = CurationFlow.run(spark, sf(),
+      Metadata.parseCuration(cfg(s"$budget, $quality")))
+      .selectExpr("sum(n_q)", "sum(tokens_final)").collect().head
+    val (honestDocs, honestToks) = finals(cfg(s"$quality, $budget"))
+    assert(honestDocs >= naiveQ.getLong(0) && honestToks >= naiveQ.getLong(1),
+      s"honest ($honestDocs docs/$honestToks toks) < naive " +
+        s"(${naiveQ.getLong(0)}/${naiveQ.getLong(1)})")
+    assert(honestToks > 0)
+  }
+
+  test("q291 oracle renders the guarded budget window") {
+    val sql = CurationFlow.q291_oracle
+    assert(sql.contains("bd_budget AS ("))
+    assert(sql.contains("CASE WHEN (m_exact AND q_quality) THEN n_toks ELSE 0 END"))
+    assert(sql.contains("cum_budget - n_toks < 2000"))
+  }
+
   test("parser fails fast on malformed sampling declarations") {
     def bad(json: String, hint: String): Unit = {
       val e = intercept[MetadataError](Metadata.parseCuration(json))
@@ -140,6 +192,10 @@ class CurationFlowSpec extends SparkSpec {
                 | "buckets": [{"name": "t", "upper": 200},
                 |             {"name": "u", "upper": 100}]}""".stripMargin),
       "strictly increasing")
+    bad(stage("""{"type": "token_budget", "name": "b", "salt": "x",
+                | "by": "source", "budget": 0}""".stripMargin), "positive")
+    bad(stage("""{"type": "token_budget", "name": "b", "salt": "x",
+                | "budget": 100}""".stripMargin), "missing 'by'")
     // leakage-free split needs the signature family's columns
     bad("""{"curation": {"table": "documents", "id_column": "other_id",
           | "text_column": "text", "report_by": "source", "stages": [
