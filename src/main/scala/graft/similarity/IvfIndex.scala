@@ -60,8 +60,22 @@ object IvfIndex {
         struct(negScore(v, c).as("s"), lit(j).as("j"))
       }: _*)).getField("j")
 
-    /** The nProbe nearest cell ids for a query vector. */
-    def probeCells(v: Column, nProbe: Int): Column =
+    /** The nProbe nearest cell ids for a query vector — the same
+      * data-literal spelling as [[cell]] (O(1) plan nodes in k), same
+      * (s, j) sort as the expanded form bit-for-bit. */
+    def probeCells(v: Column, nProbe: Int): Column = {
+      val book = typedLit(centroids)
+      val ns = typedLit(norms)
+      transform(
+        slice(array_sort(transform(book, (c, j) =>
+          struct((V.dot(v, c) * -2.0 + element_at(ns, j + 1)).as("s"),
+            j.as("j")))), 1, nProbe),
+        x => x.getField("j"))
+    }
+
+    /** The O(k·dim)-node spelling [[probeCells]] replaces — the spec's
+      * bit-equality ground truth (small k only). */
+    private[similarity] def probeCellsExpanded(v: Column, nProbe: Int): Column =
       transform(
         slice(array_sort(array(centroids.zipWithIndex.map { case (c, j) =>
           struct(negScore(v, c).as("s"), lit(j).as("j"))

@@ -68,6 +68,12 @@ class IvfIndexSpec extends SparkSpec {
         two.cellCaseChain(col("topcell"), col("v")).as("b"))
       .filter(col("a") =!= col("b")).count()
     assert(twoDiff == 0, s"two-level cell() diverged on $twoDiff rows")
+    // probe lists: literal form vs expanded form, element for element
+    val probeDiff = e
+      .select(flat.probeCells(col("v"), 4).as("a"),
+        flat.probeCellsExpanded(col("v"), 4).as("b"))
+      .filter(col("a") =!= col("b")).count()
+    assert(probeDiff == 0, s"probeCells() diverged on $probeDiff rows")
   }
 
   test("cell-assignment plan size is independent of k") {
@@ -91,8 +97,9 @@ class IvfIndexSpec extends SparkSpec {
     val n2 = nodes(a2, t2.cell(col("topcell"), col("v")))
     assert(n1 == n2, s"two-level plan grew with k: $n1 vs $n2")
     assert(n2 < 120, s"two-level assignment plan unexpectedly large: $n2 nodes")
-    // and the top-level assignment stays constant-size too
+    // and the top-level assignment and probe lists stay constant-size too
     assert(nodes(e, t1.topCell(col("v"))) == nodes(e, t2.topCell(col("v"))))
+    assert(nodes(e, f1.probeCells(col("v"), 3)) == nodes(e, f2.probeCells(col("v"), 3)))
   }
 
   test("IVF 4-probe recall@3 beats random-scan expectations vs brute force") {
