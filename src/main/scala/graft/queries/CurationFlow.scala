@@ -72,6 +72,44 @@ object CurationFlow {
     if (v.isWhole) lit(v.toLong) else lit(v.toDouble)
   }
 
+  /** Per-row (stateless) membership for the stages a STREAM can run —
+    * quality rules, mixture sampling, and id-keyed (non-leakage-free)
+    * splits. [[run]] and [[runStream]] share these exact Columns, so
+    * batch and stream can never disagree on a stateless stage.
+    */
+  private def rowMember(cur: CurationDef, st: CurationStageDef): Option[Column] =
+    st match {
+      case QualityStageDef(_, rules) =>
+        Some(!rules.map(ruleCol).reduce(_ || _))
+      case MixtureStageDef(_, salt, by, weights) =>
+        // q36's rule: first hex digit of the salted content hash vs the
+        // group's keep16 sixteenths — a narrow per-row predicate, no join
+        val digitVal = instr(lit("0123456789abcdef"),
+          substring(md5(concat(lit(s"$salt|"), col(cur.idColumn).cast("string"))),
+            1, 1)) - 1
+        val keep = weights.foldLeft(lit(0)) { case (acc, (grp, k)) =>
+          when(col(by) === grp, lit(k)).otherwise(acc)
+        }
+        Some(digitVal < keep)
+      case SplitStageDef(_, salt, buckets, keepName, false) =>
+        Some(splitMember(col(cur.idColumn), salt, buckets, keepName))
+      case _ => None
+    }
+
+  /** q78's two-hex-digit bucket split over an arbitrary key column. */
+  private def splitMember(
+      key: Column, salt: String, buckets: Seq[(String, Int)],
+      keepName: String): Column = {
+    val h2 = substring(md5(concat(lit(s"$salt|"), key.cast("string"))), 1, 2)
+    val bucket =
+      (instr(lit("0123456789abcdef"), substring(h2, 1, 1)) - 1) * 16 +
+        (instr(lit("0123456789abcdef"), substring(h2, 2, 1)) - 1)
+    val split = buckets.reverse.foldLeft(lit(null).cast("string")) {
+      case (acc, (bn, ub)) => when(bucket < ub, lit(bn)).otherwise(acc)
+    }
+    split === keepName
+  }
+
   def run(spark: SparkSession, dir: String, cur: CurationDef): DataFrame = {
     import spark.implicits._
     val docs = Tables.load(spark, dir, cur.table)
@@ -103,8 +141,8 @@ object CurationFlow {
           .select(col("id").as(cur.idColumn), lit(1L).as(s"m_$name"))
         base = base.join(dropSet, Seq(cur.idColumn), "left")
         col(s"m_$name").isNull
-      case QualityStageDef(_, rules) =>
-        !rules.map(ruleCol).reduce(_ || _)
+      case q: QualityStageDef =>
+        rowMember(cur, q).get
       case DecontaminateStageDef(name, shingles) =>
         val bench = shingles.toDF("s")
         val contaminated = docs
@@ -115,37 +153,22 @@ object CurationFlow {
           .withColumn(s"m_$name", lit(1L))
         base = base.join(contaminated, Seq(cur.idColumn), "left")
         col(s"m_$name").isNull
-      case MixtureStageDef(_, salt, by, weights) =>
-        // q36's rule: first hex digit of the salted content hash vs the
-        // group's keep16 sixteenths — a narrow per-row predicate, no join
-        val digitVal = instr(lit("0123456789abcdef"),
-          substring(md5(concat(lit(s"$salt|"), col(cur.idColumn).cast("string"))),
-            1, 1)) - 1
-        val keep = weights.foldLeft(lit(0)) { case (acc, (grp, k)) =>
-          when(col(by) === grp, lit(k)).otherwise(acc)
-        }
-        digitVal < keep
-      case SplitStageDef(name, salt, buckets, keepName, leakFree) =>
+      case m: MixtureStageDef =>
+        rowMember(cur, m).get
+      case s @ SplitStageDef(name, salt, buckets, keepName, leakFree) =>
         // q78's two-hex-digit bucket; with leakage_free the key is
         // q223's cluster representative (bounded label left-join)
-        val key: Column =
-          if (leakFree) {
-            val pairs = TextQueries.lshPairs(spark, dir)
-              .select("a_id", "b_id").transform(graft.Lineage.cut)
-            val reps = ConnectedComponents.run(pairs, "a_id", "b_id")
-              .select(col("id").as(cur.idColumn),
-                col("component").as(s"rep_$name"))
-            base = base.join(reps, Seq(cur.idColumn), "left")
-            coalesce(col(s"rep_$name"), col(cur.idColumn))
-          } else col(cur.idColumn)
-        val h2 = substring(md5(concat(lit(s"$salt|"), key.cast("string"))), 1, 2)
-        val bucket =
-          (instr(lit("0123456789abcdef"), substring(h2, 1, 1)) - 1) * 16 +
-            (instr(lit("0123456789abcdef"), substring(h2, 2, 1)) - 1)
-        val split = buckets.reverse.foldLeft(lit(null).cast("string")) {
-          case (acc, (bn, ub)) => when(bucket < ub, lit(bn)).otherwise(acc)
+        if (!leakFree) rowMember(cur, s).get
+        else {
+          val pairs = TextQueries.lshPairs(spark, dir)
+            .select("a_id", "b_id").transform(graft.Lineage.cut)
+          val reps = ConnectedComponents.run(pairs, "a_id", "b_id")
+            .select(col("id").as(cur.idColumn),
+              col("component").as(s"rep_$name"))
+          base = base.join(reps, Seq(cur.idColumn), "left")
+          splitMember(coalesce(col(s"rep_$name"), col(cur.idColumn)),
+            salt, buckets, keepName)
         }
-        split === keepName
       case TokenBudgetStageDef(name, salt, by, budget) =>
         // the survivor-aware running sum: upstream-dropped rows weigh
         // zero, so the cap buys exactly what the earlier stages kept.
@@ -182,6 +205,59 @@ object CurationFlow {
           sum(when(col(s"s${cur.stages.size}"), col("n_toks")).otherwise(0L))
             .as("tokens_final"): _*)
       .orderBy(cur.reportBy)
+  }
+
+  private def stageType(st: CurationStageDef): String = st match {
+    case _: DedupExactStageDef  => "dedup_exact"
+    case _: DedupNearStageDef   => "dedup_near"
+    case _: QualityStageDef     => "quality_filter"
+    case _: DecontaminateStageDef => "decontaminate"
+    case _: MixtureStageDef     => "mixture_sample"
+    case s: SplitStageDef       => if (s.leakageFree) "split (leakage_free)" else "split"
+    case _: TokenBudgetStageDef => "token_budget"
+  }
+
+  /** The SAME declared funnel over a STREAM — the reference's
+    * metadata-driven pattern extended to Structured Streaming: every
+    * per-row stage (quality rules, mixture sampling, id-keyed splits)
+    * is applied as the stateless predicate [[run]] uses verbatim, and
+    * the report is a streaming aggregation on the declared axis
+    * (Complete mode — the group axis is domain-bounded, so the state
+    * is |groups| rows at any corpus size). Stages needing corpus-wide
+    * membership (dedup, decontamination lists are fine but exact/near
+    * dedup and budgets are not) fail FAST at submission, before any
+    * stream starts — the config contract, not a runtime surprise.
+    */
+  def runStream(cur: CurationDef, docs: DataFrame): DataFrame = {
+    cur.stages.foreach { st =>
+      if (rowMember(cur, st).isEmpty)
+        throw new MetadataError(s"stage '${st.name}' (${stageType(st)}) is " +
+          "not streamable: only per-row stages (quality_filter, " +
+          "mixture_sample, id-keyed split) can run over a stream — " +
+          "corpus-membership stages need a batch pass")
+    }
+    val needQuality = cur.stages.exists(_.isInstanceOf[QualityStageDef])
+    var base = docs
+      .withColumn("toks", T.tokens(col(cur.textColumn)))
+      .withColumn("n_toks", size(col("toks")).cast("long"))
+    if (needQuality) base = base
+      .withColumn("lang_det", T.langId(col("toks")))
+      .withColumn("quality", T.qualityScore(col(cur.textColumn)))
+    val members = cur.stages.map(st => rowMember(cur, st).get)
+    val sCols = members.scanLeft(lit(true))(_ && _).tail
+    val staged = base.select(
+      col(cur.reportBy) +: col("n_toks") +:
+        sCols.zipWithIndex.map { case (c, i) => c.as(s"s${i + 1}") }: _*)
+    val stageCounts = cur.stages.zipWithIndex.map { case (st, i) =>
+      count(when(col(s"s${i + 1}"), 1)).as(s"n_${st.name}")
+    }
+    staged
+      .groupBy(cur.reportBy)
+      .agg(
+        count(lit(1)).as("n_raw"),
+        stageCounts :+
+          sum(when(col(s"s${cur.stages.size}"), col("n_toks")).otherwise(0L))
+            .as("tokens_final"): _*)
   }
 
   // ---------- generated DuckDB twin ----------
@@ -505,4 +581,99 @@ object CurationFlow {
 
   val q291_oracle: String =
     oracleSql(Metadata.parseCuration(budgetCurationJson))
+
+  // ---------- q292: the declared funnel over a STREAM ----------
+
+  /** A per-row-only config: quality rules, mixture weights, and an
+    * id-keyed split — exactly the stage subset [[runStream]] accepts,
+    * so one JSON document drives BOTH the batch interpreter and the
+    * streaming one, and the driver gates the stream against the
+    * oracle GENERATED from that same document.
+    */
+  val streamCurationJson: String =
+    """{
+      |  "curation": {
+      |    "table": "documents",
+      |    "id_column": "doc_id",
+      |    "text_column": "text",
+      |    "report_by": "source",
+      |    "stages": [
+      |      {"type": "quality_filter", "name": "quality", "rules": [
+      |        {"reason": "too_short", "metric": "n_toks", "op": "lt", "value": 10},
+      |        {"reason": "unknown_lang", "metric": "lang_det", "op": "eq", "value": "und"}]},
+      |      {"type": "mixture_sample", "name": "mix", "salt": "mix-1",
+      |       "by": "source", "weights": [
+      |        {"group": "src0", "keep16": 8}, {"group": "src1", "keep16": 4},
+      |        {"group": "src2", "keep16": 2}, {"group": "src3", "keep16": 1}]},
+      |      {"type": "split", "name": "train_only", "salt": "split-1",
+      |       "buckets": [
+      |        {"name": "1_train", "upper": 204}, {"name": "2_val", "upper": 230},
+      |        {"name": "3_test", "upper": 256}],
+      |       "keep": "1_train"}
+      |    ]
+      |  }
+      |}""".stripMargin
+
+  /** Streaming drive (q74's harness shape applied to documents): the
+    * corpus lands as two content-hash-split micro-batch files; the
+    * declared funnel runs as a real Structured Streaming query
+    * (stateless per-row predicates + Complete-mode aggregation whose
+    * state is |report groups| rows at ANY corpus size); foreachBatch
+    * overwrites the bounded report each trigger, so the final file is
+    * the final state. The oracle is [[oracleSql]] of the same config —
+    * stream ≡ batch ≡ generated SQL, all from one JSON document.
+    */
+  def q292_declared_curation_stream(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    val cur = Metadata.parseCuration(streamCurationJson)
+    val work = graft.io.Scratch.dir(spark, "graft-q292-")
+    val fs = new Path(work).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    try {
+      val docs = Tables.load(spark, dir, cur.table)
+      // two micro-batches split on a content hash; arrival order is
+      // deterministic (mtimes) but semantically irrelevant — every
+      // stage is per-row and the report aggregate is commutative
+      fs.mkdirs(new Path(s"$work/incoming"))
+      val half =
+        substring(md5(concat(lit("sb|"), col(cur.idColumn).cast("string"))), 1, 1) < "8"
+      val t0 = System.currentTimeMillis()
+      Seq(("b0", docs.filter(half)), ("b1", docs.filter(!half)))
+        .zipWithIndex.foreach { case ((name, df), i) =>
+          df.coalesce(1).write.parquet(s"$work/stage_$name")
+          val part = fs.globStatus(new Path(s"$work/stage_$name/part-*.parquet")).head.getPath
+          val target = new Path(s"$work/incoming/$name.parquet")
+          require(fs.rename(part, target), s"failed to stage $name")
+          fs.setTimes(target, t0 + i * 1000L, -1)
+          fs.delete(new Path(s"$work/stage_$name"), true)
+        }
+      // streaming-aggregation state commits one delta per shuffle
+      // partition per micro-batch; pin to a few partitions for the
+      // |groups|-row state and restore after (q74's rule)
+      val key = "spark.sql.shuffle.partitions"
+      val oldParts = spark.conf.get(key)
+      spark.conf.set(key, "8")
+      try {
+        val stream = spark.readStream.schema(docs.schema)
+          .option("maxFilesPerTrigger", 1).parquet(s"$work/incoming")
+        val query = runStream(cur, stream)
+          .writeStream
+          .trigger(Trigger.AvailableNow())
+          .outputMode(OutputMode.Complete())
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            batch.write.mode("overwrite").parquet(s"$work/out")
+            ()
+          }
+          .option("checkpointLocation", s"$work/ckpt")
+          .start()
+        query.awaitTermination()
+      } finally spark.conf.set(key, oldParts)
+      spark.read.parquet(s"$work/out")
+        .orderBy(cur.reportBy)
+        .localCheckpoint() // materialize before the work dir is deleted
+    } finally fs.delete(new Path(work), true)
+  }
+
+  val q292_oracle: String =
+    oracleSql(Metadata.parseCuration(streamCurationJson))
 }

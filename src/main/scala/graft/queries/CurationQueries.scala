@@ -1539,6 +1539,7 @@ object CurationQueries {
     "q288_declared_curation_multi" -> (CurationFlow.q288_declared_curation_multi _),
     "q289_declared_curation_sampling" -> (CurationFlow.q289_declared_curation_sampling _),
     "q291_declared_curation_budget" -> (CurationFlow.q291_declared_curation_budget _),
+    "q292_declared_curation_stream" -> (CurationFlow.q292_declared_curation_stream _),
     "q77_sequence_pack" -> (q77_sequence_pack _),
     "q60_dedup_apply" -> (q60_dedup_apply _),
     "q61_quality_filter" -> (q61_quality_filter _),
@@ -1567,6 +1568,7 @@ object CurationQueries {
     "q288_declared_curation_multi" -> CurationFlow.q288_oracle,
     "q289_declared_curation_sampling" -> CurationFlow.q289_oracle,
     "q291_declared_curation_budget" -> CurationFlow.q291_oracle,
+    "q292_declared_curation_stream" -> CurationFlow.q292_oracle,
     "q77_sequence_pack" -> q77_oracle,
     "q60_dedup_apply" -> q60_oracle,
     "q61_quality_filter" -> q61_oracle,

@@ -166,6 +166,25 @@ class CurationFlowSpec extends SparkSpec {
     assert(sql.contains("cum_budget - n_toks < 2000"))
   }
 
+  test("q292 stream == batch run of the same config, row for row") {
+    val cur = Metadata.parseCuration(CurationFlow.streamCurationJson)
+    val streamed = CurationFlow.q292_declared_curation_stream(spark, sf())
+    val batch = CurationFlow.run(spark, sf(), cur)
+    assert(streamed.columns.toSeq === batch.columns.toSeq)
+    val s = streamed.collect().map(_.toSeq)
+    val b = batch.collect().map(_.toSeq)
+    assert(s.length === b.length && s.nonEmpty)
+    s.zip(b).foreach { case (a, e) => assert(a === e) }
+  }
+
+  test("runStream fails fast on corpus-membership stages") {
+    val cur = Metadata.parseCuration(CurationFlow.declaredCurationJson)
+    val docs = graft.Tables.load(spark, sf(), "documents")
+    val e = intercept[MetadataError](CurationFlow.runStream(cur, docs))
+    assert(e.getMessage.contains("not streamable") &&
+      e.getMessage.contains("dedup_exact"))
+  }
+
   test("parser fails fast on malformed sampling declarations") {
     def bad(json: String, hint: String): Unit = {
       val e = intercept[MetadataError](Metadata.parseCuration(json))

@@ -102,6 +102,30 @@ class IvfIndexSpec extends SparkSpec {
     assert(nodes(e, f1.probeCells(col("v"), 3)) == nodes(e, f2.probeCells(col("v"), 3)))
   }
 
+  test("two-level assignment plans and runs at a large synthetic k") {
+    // k = 10,000 cells (100 top × 100 fine), built directly — training
+    // is irrelevant to PLAN size. The retired CASE-chain spelling was
+    // O(k·dim) ≈ 80k literal NODES at this k and could not plan at the
+    // real design point (k = N/500 ≈ 2M cells at 100 TB); the
+    // data-literal form carries the same doubles in three Literal
+    // nodes and must both analyze and execute.
+    val dim = 8
+    def c(seed: Int): Seq[Double] =
+      (0 until dim).map(i => ((seed * 31 + i * 7) % 97).toDouble)
+    val top = (0 until 100).map(t => c(t))
+    val fine = (0 until 100).map(t => (0 until 100).map(f => c(100 + t * 100 + f)))
+    val m = IvfIndex.TwoLevelModel(top, fine)
+    assert(m.numCells == 10000)
+    val e = graft.Tables.load(spark, sf(), "embeddings")
+      .select(slice(
+        graft.functions.VectorFunctions.asDouble(col("embedding")), 1, dim).as("v"))
+    val assigned = e
+      .withColumn("topcell", m.topCell(col("v")))
+      .withColumn("cell", m.cell(col("topcell"), col("v")))
+    val r = assigned.agg(min("cell"), max("cell"), count(lit(1))).collect().head
+    assert(r.getInt(0) >= 0 && r.getInt(1) < m.numCells && r.getLong(2) > 0)
+  }
+
   test("IVF 4-probe recall@3 beats random-scan expectations vs brute force") {
     val ivf = VectorQueries.q42_knn_ivf(spark, sf())
       .collect().groupBy(_.getLong(0)).view
