@@ -708,8 +708,9 @@ object VectorQueries {
   /** The corpus with its global cell id and norm — ONE assignment
     * pass, shared by both sides of q87's candidate self-join (and by
     * SemDedupSpec's candidate-bound audit). topcell is its own column
-    * so the top argmin runs once per row, then the fine CASE touches
-    * only the matched top cell's codebook. */
+    * so the top argmin runs once per row, then the fine argmin touches
+    * only the matched top cell's codebook (indexed out of the single
+    * nested-array literal — O(1) plan nodes in k). */
   private[graft] def semDedupAssigned(spark: SparkSession, dir: String): DataFrame = {
     val e = emb(spark, dir)
     val k = semDedupK(e.count())
