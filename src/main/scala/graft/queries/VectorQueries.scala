@@ -775,29 +775,37 @@ object VectorQueries {
     * Returns (q_id, n_id): the PQ top-50 per query among probed-cell
     * candidates.
     */
-  private[graft] def pqAdcCandidates(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
+  /** The encoded corpus — the PQ index's row payload: (n_id, coarse
+    * cell, m one-byte-scale codes). Shared by the fresh-train q112
+    * path and the stored-artifact lifecycle legs (q293–q295). */
+  private[graft] def pqEncodedCorpus(spark: SparkSession, dir: String): DataFrame = {
     val e = emb(spark, dir)
     val model = PqModel.get(spark, dir)
     val ivf = IvfModel.get(spark, dir, k = 16)
-    // the repartition is load-bearing twice over: (1) the exchange
-    // MATERIALIZES the code arrays, so the ADC join's inner loop
-    // reads a 4-byte-code attribute instead of re-evaluating the
-    // m·ksub argmin encode per (query, vector) pair — whole-stage
-    // codegen defers a stream-side projection into the loop body
-    // (measured 16 s → 1.8 s at sf1); (2) it fans the scoring loop
-    // across cores instead of the scan's file-count parallelism
-    val codes = model.encodeFrom(
+    model.encodeFrom(
       e.select(col("vec_id").as("n_id"), col("v")), "v", "codes")
       .withColumn("cell", ivf.cell(col("v")))
       .select("n_id", "cell", "codes")
-      .repartition(spark.sparkContext.defaultParallelism)
+  }
+
+  /** ADC shortlist over a GIVEN codes table and models — the
+    * lifecycle legs pass reopened-from-storage models and
+    * masked/compacted codes through the identical probe. */
+  private[graft] def pqAdcCandidatesFrom(
+      spark: SparkSession, dir: String,
+      model: graft.similarity.PqIndex.Model,
+      ivf: graft.similarity.IvfIndex.Model,
+      codes: DataFrame,
+      queryPred: org.apache.spark.sql.Column): DataFrame = {
+    import spark.implicits._
     // queries are collected for LUT construction anyway, so probe
     // cells are computed locally with the bit-identical twin of the
     // distributed cell argmin; the probe fan-out (|Q|·nProbe rows,
     // each carrying its m×ksub LUT) broadcasts — the corpus side
     // joins on cell and never moves
-    val qProbe = e.filter(col("vec_id") < 50).select("vec_id", "v").collect()
+    val qProbe = emb(spark, dir)
+      .filter(col("vec_id") < 50 && queryPred)
+      .select("vec_id", "v").collect()
       .toSeq.flatMap { r =>
         val q = r.getSeq[Double](1).toArray
         val lut = model.lut(q).map(_.toSeq).toSeq
@@ -812,6 +820,20 @@ object VectorQueries {
       .filter(col("rk0") <= 50)
       .select("q_id", "n_id")
   }
+
+  private[graft] def pqAdcCandidates(spark: SparkSession, dir: String): DataFrame =
+    pqAdcCandidatesFrom(spark, dir,
+      PqModel.get(spark, dir), IvfModel.get(spark, dir, k = 16),
+      // the repartition is load-bearing twice over: (1) the exchange
+      // MATERIALIZES the code arrays, so the ADC join's inner loop
+      // reads a 4-byte-code attribute instead of re-evaluating the
+      // m·ksub argmin encode per (query, vector) pair — whole-stage
+      // codegen defers a stream-side projection into the loop body
+      // (measured 16 s → 1.8 s at sf1); (2) it fans the scoring loop
+      // across cores instead of the scan's file-count parallelism
+      pqEncodedCorpus(spark, dir)
+        .repartition(spark.sparkContext.defaultParallelism),
+      lit(true))
 
   /** IVF-PQ ANN (Jégou et al. 2011, the composed structure): the
     * corpus is reduced to 8 codebook ids per vector
@@ -830,10 +852,14 @@ object VectorQueries {
     * twin); PqIndexSpec bounds end-to-end recall@5 against q28's
     * exact ranking and pins the probed-cell candidate bound.
     */
-  def q112_knn_ivfpq(spark: SparkSession, dir: String): DataFrame = {
+  /** Exact-cosine rerank of a PQ shortlist — shared by q112 and the
+    * lifecycle legs. The candidate set already restricts n_id, so the
+    * nv side never needs its own mask. */
+  private def pqRerank(
+      spark: SparkSession, dir: String, cand: DataFrame,
+      queryPred: org.apache.spark.sql.Column): DataFrame = {
     val e = emb(spark, dir)
-    val cand = pqAdcCandidates(spark, dir)
-    val qv = e.filter(col("vec_id") < 50)
+    val qv = e.filter(col("vec_id") < 50 && queryPred)
       .select(col("vec_id").as("q_id"), col("v").as("qv"), V.norm(col("v")).as("q_nrm"))
     val nv = e.select(col("vec_id").as("n_id"), col("v").as("nv"), V.norm(col("v")).as("n_nrm"))
     val cos = V.cosineWithNorms(col("qv"), col("nv"), col("q_nrm"), col("n_nrm"))
@@ -844,6 +870,142 @@ object VectorQueries {
       .filter(col("rk") <= 5)
       .select("q_id", "rk", "n_id", "cos")
       .orderBy("q_id", "rk")
+  }
+
+  def q112_knn_ivfpq(spark: SparkSession, dir: String): DataFrame =
+    pqRerank(spark, dir, pqAdcCandidates(spark, dir), lit(true))
+
+  // ---------- q293–q295: PQ index lifecycle ----------
+
+  /** Reopen the stored PQ artifact's model halves. */
+  private def reopenPq(spark: SparkSession, work: String)
+      : (graft.similarity.PqIndex.Model, graft.similarity.IvfIndex.Model) = {
+    val bookRows = spark.read.parquet(s"$work/codebooks")
+      .orderBy("sub", "j").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toSeq))
+    val books = bookRows.groupBy(_._1).toSeq.sortBy(_._1)
+      .map(_._2.sortBy(_._2).map(_._3).toSeq)
+    val cents = spark.read.parquet(s"$work/centroids")
+      .orderBy("cell_id").collect().map(_.getSeq[Double](1).toSeq).toSeq
+    (graft.similarity.PqIndex.Model(books), graft.similarity.IvfIndex.Model(cents))
+  }
+
+  /** Write the full PQ artifact (codebooks + coarse centroids +
+    * encoded corpus) to `work`. */
+  private def persistPq(spark: SparkSession, dir: String, work: String): Unit = {
+    import spark.implicits._
+    val model = PqModel.get(spark, dir)
+    val ivf = IvfModel.get(spark, dir, k = 16)
+    model.codebooks.zipWithIndex.flatMap { case (book, sub) =>
+      book.zipWithIndex.map { case (c, j) => (sub, j, c) }
+    }.toDF("sub", "j", "centroid").write.parquet(s"$work/codebooks")
+    ivf.centroids.zipWithIndex.map { case (c, j) => (j, c) }
+      .toDF("cell_id", "centroid").write.parquet(s"$work/centroids")
+    pqEncodedCorpus(spark, dir).write.parquet(s"$work/codes")
+  }
+
+  /** PQ index PERSIST — the lifecycle leg that makes q112's composed
+    * structure a stored artifact like its three siblings (signatures
+    * q76, BM25 q84, IVF q96): codebooks (m·ksub tiny centroids),
+    * coarse centroids, and the encoded corpus (n_id, cell, 8 codes —
+    * 64× smaller than the float embeddings, THE point of PQ at
+    * 100 TB) all land in parquet; search reopens EVERYTHING from
+    * storage and must equal the fresh-train q112 row for row
+    * (training is deterministic — Round15OpsSpec pins it). Rows-only
+    * at the driver (k-means floats, q42's family).
+    */
+  def q293_pq_index_persist(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val work = graft.io.Scratch.dir(spark, "graft-q293-")
+    val fs = new Path(work).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    try {
+      persistPq(spark, dir, work)
+      val (model, ivf) = reopenPq(spark, work)
+      val codes = spark.read.parquet(s"$work/codes")
+        .repartition(spark.sparkContext.defaultParallelism)
+      pqRerank(spark, dir,
+        pqAdcCandidatesFrom(spark, dir, model, ivf, codes, lit(true)),
+        lit(true))
+        .localCheckpoint() // materialize before the work dir is deleted
+    } finally fs.delete(new Path(work), true)
+  }
+
+  /** PQ index ERASURE — q252's tombstone discipline on the code
+    * table: the request lands as a tombstone table, reads mask the
+    * codes with ONE vec_id-keyed anti-join, no code file is
+    * rewritten. The codebooks and coarse quantizer are FROZEN (like
+    * q252's quantizer, they never depended on the erased rows'
+    * membership), so masked ≡ rebuild-without EXACTLY —
+    * Round15OpsSpec pins that equivalence. The `er13|` eighth plays
+    * the request, matching q252.
+    */
+  def q294_pq_erasure(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val work = graft.io.Scratch.dir(spark, "graft-q294-")
+    val fs = new Path(work).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    try {
+      persistPq(spark, dir, work)
+      emb(spark, dir).filter(ivfErased(col("vec_id")))
+        .select(col("vec_id").as("t_id"))
+        .write.parquet(s"$work/tombstones")
+      val (model, ivf) = reopenPq(spark, work)
+      val tombs = spark.read.parquet(s"$work/tombstones")
+      val masked = spark.read.parquet(s"$work/codes")
+        .join(tombs, col("n_id") === col("t_id"), "left_anti")
+        .repartition(spark.sparkContext.defaultParallelism)
+      val alive = !ivfErased(col("vec_id"))
+      pqRerank(spark, dir,
+        pqAdcCandidatesFrom(spark, dir, model, ivf, masked, alive), alive)
+        .localCheckpoint() // materialize before the work dir is deleted
+    } finally fs.delete(new Path(work), true)
+  }
+
+  /** PQ index COMPACTION — q287's closing step for the code table:
+    * rewrite the codes WITHOUT the tombstoned rows (stored cell ids
+    * and codes are reused verbatim — no re-encoding, no quantizer
+    * re-run) and probe with NO mask; must equal the masked read
+    * bit-for-bit and carry no erased id (Round15OpsSpec pins both).
+    * This completes the build/append-or-persist/erase/compact matrix
+    * for ALL FOUR index families.
+    */
+  def q295_pq_compact(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val work = graft.io.Scratch.dir(spark, "graft-q295-")
+    val fs = new Path(work).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    try {
+      persistPq(spark, dir, work)
+      emb(spark, dir).filter(ivfErased(col("vec_id")))
+        .select(col("vec_id").as("t_id"))
+        .write.parquet(s"$work/tombstones")
+      val tombs = spark.read.parquet(s"$work/tombstones")
+      spark.read.parquet(s"$work/codes")
+        .join(tombs, col("n_id") === col("t_id"), "left_anti")
+        .write.parquet(s"$work/codes_v1")
+      val (model, ivf) = reopenPq(spark, work)
+      val compacted = spark.read.parquet(s"$work/codes_v1")
+        .repartition(spark.sparkContext.defaultParallelism)
+      val alive = !ivfErased(col("vec_id"))
+      pqRerank(spark, dir,
+        pqAdcCandidatesFrom(spark, dir, model, ivf, compacted, alive), alive)
+        .localCheckpoint() // materialize before the work dir is deleted
+    } finally fs.delete(new Path(work), true)
+  }
+
+  /** Rebuild-without-erased reference for q294's equivalence spec:
+    * codes re-encoded from the surviving vectors with the SAME frozen
+    * models, searched by the same surviving queries. */
+  private[graft] def pqRebuiltWithout(spark: SparkSession, dir: String): DataFrame = {
+    val model = PqModel.get(spark, dir)
+    val ivf = IvfModel.get(spark, dir, k = 16)
+    val alive = !ivfErased(col("vec_id"))
+    val codes = model.encodeFrom(
+      emb(spark, dir).filter(alive).select(col("vec_id").as("n_id"), col("v")),
+      "v", "codes")
+      .withColumn("cell", ivf.cell(col("v")))
+      .select("n_id", "cell", "codes")
+      .repartition(spark.sparkContext.defaultParallelism)
+    pqRerank(spark, dir,
+      pqAdcCandidatesFrom(spark, dir, model, ivf, codes, alive), alive)
   }
 
   // ---------- q138: hard-negative mining ----------
@@ -1266,6 +1428,9 @@ object VectorQueries {
     "q227_ivf_index_update" -> (q227_ivf_index_update _),
     "q252_ivf_erasure" -> (q252_ivf_erasure _),
     "q287_ivf_compact" -> (q287_ivf_compact _),
+    "q293_pq_index_persist" -> (q293_pq_index_persist _),
+    "q294_pq_erasure" -> (q294_pq_erasure _),
+    "q295_pq_compact" -> (q295_pq_compact _),
     "q70_knn_lsh_multiprobe" -> (q70_knn_lsh_multiprobe _),
     "q106_semantic_decontam" -> (q106_semantic_decontam _),
     // q112 rows-only like q42/q96: trained floats have no SQL twin;

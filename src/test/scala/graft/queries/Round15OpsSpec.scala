@@ -39,6 +39,31 @@ class Round15OpsSpec extends SparkSpec {
     assert(compacted.count() > 0L)
   }
 
+  // ---------- q293–q295: PQ lifecycle ----------
+
+  test("q293: stored-PQ search equals the fresh-train q112, row for row") {
+    val dir = sf("sf0.001")
+    val stored = VectorQueries.q293_pq_index_persist(spark, dir)
+    val fresh = VectorQueries.q112_knn_ivfpq(spark, dir)
+    assert(stored.exceptAll(fresh).isEmpty && fresh.exceptAll(stored).isEmpty,
+      "stored-artifact PQ search diverged from fresh train-and-search")
+    assert(stored.count() > 0L)
+  }
+
+  test("q294: PQ tombstone mask equals rebuild-without-erased; q295 compaction equals the mask") {
+    val dir = sf("sf0.001")
+    val masked = VectorQueries.q294_pq_erasure(spark, dir)
+    val rebuilt = VectorQueries.pqRebuiltWithout(spark, dir)
+    assert(masked.exceptAll(rebuilt).isEmpty && rebuilt.exceptAll(masked).isEmpty,
+      "PQ erasure mask diverged from the rebuild without the erased rows")
+    val compacted = VectorQueries.q295_pq_compact(spark, dir)
+    assert(compacted.exceptAll(masked).isEmpty && masked.exceptAll(compacted).isEmpty,
+      "PQ compaction diverged from the masked read")
+    assert(compacted.filter(VectorQueries.ivfErased(col("n_id"))).count() === 0L)
+    assert(compacted.filter(VectorQueries.ivfErased(col("q_id"))).count() === 0L)
+    assert(compacted.count() > 0L)
+  }
+
   // ---------- q277 ----------
 
   test("q277: both trade directions are live at the gated SF") {
