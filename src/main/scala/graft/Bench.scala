@@ -90,8 +90,12 @@ object Bench {
     // ANOTHER process competed for the cpus and the wall times above
     // measured contention, not the queries — the artifact says so
     // itself, so a contaminated leg can never enter the committed
-    // perf record looking normal (SURVEY §20's r11–r13 seesaw class)
-    val contaminated = loadAvg > cpus.toInt * 1.25
+    // perf record looking normal (SURVEY §20's r11–r13 seesaw class).
+    // The core budget comes from the RESOLVED session, not the raw
+    // env default — a SPARK_GRAFT_CONF-built session can carry a
+    // different master than local[$cpus]
+    val coreBudget = spark.sparkContext.defaultParallelism
+    val contaminated = loadAvg > coreBudget * 1.25
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"load_avg":$loadAvg,"contaminated":$contaminated,"sf":"$sfDir"}"""
     println(line)
@@ -99,8 +103,15 @@ object Bench {
     // The committed r14 artifacts were lost to stdout-capture
     // truncation (a 0-byte redirect and a tail cut mid-JSON); a direct
     // file write cannot be cut by whatever buffers/trims the console.
+    // write-then-rename so a crash mid-write can never leave a
+    // truncated artifact in place of the old one
     sys.env.get("SPARK_GRAFT_BENCH_OUT").foreach { p =>
-      java.nio.file.Files.writeString(java.nio.file.Paths.get(p), line + "\n")
+      val target = java.nio.file.Paths.get(p)
+      val tmp = target.resolveSibling(target.getFileName.toString + ".tmp")
+      java.nio.file.Files.writeString(tmp, line + "\n")
+      java.nio.file.Files.move(tmp, target,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     }
     spark.stop()
   }

@@ -454,9 +454,14 @@ object CorpusProfileQueries {
         sum(col("n_toks")).cast("long").as("n_toks"),
         sum(col("n_stop")).cast("long").as("n_stop"))
       .withColumn("stop_ppm",
+        // DIV on the decimal product: Decimal.quot is an EXACT integer
+        // quotient (no intermediate rounding), where `floor(a / b)`
+        // divides in DECIMAL rounded HALF_UP at scale 6 first and can
+        // land on the wrong side of an integer for quotients within
+        // ~5e-7 of one. The oracle's HUGEINT `//` is the same exact
+        // integer arithmetic — both engines stay integral end to end.
         when(col("n_toks") > 0,
-          floor(col("n_stop").cast("decimal(38,0)") * 1000000 / col("n_toks"))
-            .cast("long"))
+          expr("(CAST(n_stop AS DECIMAL(38,0)) * 1000000) DIV n_toks"))
           .otherwise(0L))
       .orderBy("source")
 
@@ -468,8 +473,8 @@ object CorpusProfileQueries {
        |  CAST(sum(len(tk)) AS BIGINT) AS n_toks,
        |  CAST(sum($stop) AS BIGINT) AS n_stop,
        |  CAST(CASE WHEN sum(len(tk)) > 0
-       |    THEN floor(CAST(sum($stop) AS DECIMAL(38,0)) * 1000000
-       |      / sum(len(tk))) ELSE 0 END AS BIGINT)
+       |    THEN (CAST(sum($stop) AS HUGEINT) * 1000000)
+       |      // sum(len(tk)) ELSE 0 END AS BIGINT)
        |    AS stop_ppm
        |FROM (SELECT source, $tk AS tk FROM documents)
        |GROUP BY source ORDER BY source""".stripMargin

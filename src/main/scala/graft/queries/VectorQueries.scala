@@ -709,15 +709,18 @@ object VectorQueries {
     * pass, shared by both sides of q87's candidate self-join (and by
     * SemDedupSpec's candidate-bound audit). topcell is its own column
     * so the top argmin runs once per row, then the fine argmin touches
-    * only the matched top cell's codebook (indexed out of the single
-    * nested-array literal — O(1) plan nodes in k). */
+    * only the matched top cell's codebook through
+    * [[graft.similarity.IvfIndex.TwoLevelModel.assignCells]] — a plan
+    * literal below the shipping cap, a broadcast (topcell → codebook)
+    * table above it, so at the k = N/500 design point neither the
+    * expression TREE nor the plan PAYLOAD scales with k. */
   private[graft] def semDedupAssigned(spark: SparkSession, dir: String): DataFrame = {
     val e = emb(spark, dir)
     val k = semDedupK(e.count())
     val model = SemDedupModel.get(spark, dir, k)
     graft.Lineage.cut(
-      e.withColumn("topcell", model.topCell(col("v")))
-        .withColumn("cell", model.cell(col("topcell"), col("v")))
+      model.assignCells(
+        e.withColumn("topcell", model.topCell(col("v"))), "topcell", "v", "cell")
         .select(col("vec_id"), col("cell"), col("v"), V.norm(col("v")).as("nrm")))
   }
 
@@ -775,18 +778,24 @@ object VectorQueries {
     * Returns (q_id, n_id): the PQ top-50 per query among probed-cell
     * candidates.
     */
-  /** The encoded corpus — the PQ index's row payload: (n_id, coarse
-    * cell, m one-byte-scale codes). Shared by the fresh-train q112
-    * path and the stored-artifact lifecycle legs (q293–q295). */
-  private[graft] def pqEncodedCorpus(spark: SparkSession, dir: String): DataFrame = {
-    val e = emb(spark, dir)
-    val model = PqModel.get(spark, dir)
-    val ivf = IvfModel.get(spark, dir, k = 16)
+  /** PQ-encode a vector set under GIVEN frozen models: (n_id, coarse
+    * cell, m one-byte-scale codes) — the index's row payload. Shared
+    * by the full-corpus build, the lifecycle rebuild references, and
+    * q296's batch-ingest leg. */
+  private def pqEncode(
+      model: graft.similarity.PqIndex.Model,
+      ivf: graft.similarity.IvfIndex.Model,
+      vectors: DataFrame): DataFrame =
     model.encodeFrom(
-      e.select(col("vec_id").as("n_id"), col("v")), "v", "codes")
+      vectors.select(col("vec_id").as("n_id"), col("v")), "v", "codes")
       .withColumn("cell", ivf.cell(col("v")))
       .select("n_id", "cell", "codes")
-  }
+
+  /** The encoded corpus — shared by the fresh-train q112 path and the
+    * stored-artifact lifecycle legs (q293–q295). */
+  private[graft] def pqEncodedCorpus(spark: SparkSession, dir: String): DataFrame =
+    pqEncode(PqModel.get(spark, dir), IvfModel.get(spark, dir, k = 16),
+      emb(spark, dir))
 
   /** ADC shortlist over a GIVEN codes table and models — the
     * lifecycle legs pass reopened-from-storage models and
@@ -998,14 +1007,100 @@ object VectorQueries {
     val model = PqModel.get(spark, dir)
     val ivf = IvfModel.get(spark, dir, k = 16)
     val alive = !ivfErased(col("vec_id"))
-    val codes = model.encodeFrom(
-      emb(spark, dir).filter(alive).select(col("vec_id").as("n_id"), col("v")),
-      "v", "codes")
-      .withColumn("cell", ivf.cell(col("v")))
-      .select("n_id", "cell", "codes")
+    val codes = pqEncode(model, ivf, emb(spark, dir).filter(alive))
       .repartition(spark.sparkContext.defaultParallelism)
     pqRerank(spark, dir,
       pqAdcCandidatesFrom(spark, dir, model, ivf, codes, alive), alive)
+  }
+
+  // ---------- q296: incremental PQ index update ----------
+
+  /** The arriving-batch selector shared with the equivalence spec:
+    * ~2/16 of vectors, content-hash chosen (q227's `b73|` split, so
+    * the IVF and PQ append legs exercise the same ingest shape). */
+  private[graft] def pqIsBatch(idCol: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    substring(md5(concat(lit("b73|"), idCol.cast("string"))), 1, 1)
+      .isin("0", "1")
+
+  /** q296's flow against a caller-owned work dir — factored so
+    * Round16OpsSpec can inspect the stored code table (base AND
+    * appended partitions non-empty) before cleanup. */
+  private[graft] def pqUpdateFlow(
+      spark: SparkSession, dir: String, work: String): DataFrame = {
+    import spark.implicits._
+    val e = emb(spark, dir)
+    val existing = e.filter(!pqIsBatch(col("vec_id")))
+    // build: BOTH model halves (codebooks + coarse quantizer) train on
+    // the EXISTING corpus only and are frozen — retraining per ingest
+    // would re-encode every stored row, the thing a 100 TB code table
+    // can never afford (q227's rule, applied to the second half too)
+    val model = graft.similarity.PqIndex.train(existing, "v", m = 8, ksub = 16,
+      sampleIdCol = Some("vec_id"))
+    val ivf = graft.similarity.IvfIndex.train(existing, "v", k = 16,
+      sampleIdCol = Some("vec_id"))
+    model.codebooks.zipWithIndex.flatMap { case (book, sub) =>
+      book.zipWithIndex.map { case (c, j) => (sub, j, c) }
+    }.toDF("sub", "j", "centroid").write.parquet(s"$work/codebooks")
+    ivf.centroids.zipWithIndex.map { case (c, j) => (j, c) }
+      .toDF("cell_id", "centroid").write.parquet(s"$work/centroids")
+    pqEncode(model, ivf, existing).write.parquet(s"$work/codes")
+    // ingest: the batch encodes with the REOPENED frozen models
+    // (never the in-memory ones) and APPENDS as new files — no stored
+    // code is read or rewritten
+    val (stored, storedIvf) = reopenPq(spark, work)
+    pqEncode(stored, storedIvf, e.filter(pqIsBatch(col("vec_id"))))
+      .write.mode("append").parquet(s"$work/codes")
+    // search: q112's ADC probe + exact rerank against the MERGED table
+    val codes = spark.read.parquet(s"$work/codes")
+      .repartition(spark.sparkContext.defaultParallelism)
+    pqRerank(spark, dir,
+      pqAdcCandidatesFrom(spark, dir, stored, storedIvf, codes, lit(true)),
+      lit(true))
+  }
+
+  /** Index MAINTENANCE for the PQ artifact — the leg that closes the
+    * 4-family × 4-operation lifecycle matrix (signatures q94, BM25
+    * q224, IVF q227 all had incremental update; PQ had persist/erase/
+    * compact only): an arriving batch is encoded with the FROZEN,
+    * reopened codebooks + coarse quantizer and its codes APPEND as new
+    * files; search runs against the merged code table. Because
+    * neither model half depends on the new rows' membership, append
+    * IS the correct merge — Round16OpsSpec pins the merged search
+    * equal row-for-row (exceptAll both ways) to a single-shot encode
+    * of the whole corpus under the same models, and that both code
+    * partitions are non-empty. Rows-only at the driver (k-means
+    * floats, q42's family).
+    *
+    * Scale shape: train-once on the existing side (bounded sample
+    * collect), one batch-sized encode scan, file append; the ADC
+    * probe is q112's bucket-bounded plan unchanged. Codebook drift
+    * under sustained ingest triggers a new index GENERATION (version
+    * bump), never an in-place retrain — q227's operational rule.
+    */
+  def q296_pq_index_update(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val work = graft.io.Scratch.dir(spark, "graft-q296-")
+    val fs = new Path(work).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    try pqUpdateFlow(spark, dir, work)
+      .localCheckpoint() // materialize before the work dir is deleted
+    finally fs.delete(new Path(work), true)
+  }
+
+  /** Single-shot rebuild reference for q296's equivalence spec: the
+    * SAME existing-trained frozen models encode the WHOLE corpus in
+    * one pass (training is deterministic, so retraining on the same
+    * existing subset reproduces the stored models exactly). */
+  private[graft] def pqUpdateRebuilt(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    val existing = e.filter(!pqIsBatch(col("vec_id")))
+    val model = graft.similarity.PqIndex.train(existing, "v", m = 8, ksub = 16,
+      sampleIdCol = Some("vec_id"))
+    val ivf = graft.similarity.IvfIndex.train(existing, "v", k = 16,
+      sampleIdCol = Some("vec_id"))
+    val codes = pqEncode(model, ivf, e)
+      .repartition(spark.sparkContext.defaultParallelism)
+    pqRerank(spark, dir,
+      pqAdcCandidatesFrom(spark, dir, model, ivf, codes, lit(true)), lit(true))
   }
 
   // ---------- q138: hard-negative mining ----------
@@ -1431,6 +1526,7 @@ object VectorQueries {
     "q293_pq_index_persist" -> (q293_pq_index_persist _),
     "q294_pq_erasure" -> (q294_pq_erasure _),
     "q295_pq_compact" -> (q295_pq_compact _),
+    "q296_pq_index_update" -> (q296_pq_index_update _),
     "q70_knn_lsh_multiprobe" -> (q70_knn_lsh_multiprobe _),
     "q106_semantic_decontam" -> (q106_semantic_decontam _),
     // q112 rows-only like q42/q96: trained floats have no SQL twin;

@@ -166,6 +166,52 @@ object IvfIndex {
         acc.when(topId === i, lit(offsets(i)) + Model(fine(i)).cellExpanded(v))
       }.otherwise(lit(-1))
     }
+
+    /** Doubles the fine codebooks carry — the PAYLOAD size of [[cell]]'s
+      * nested-array literal (its node count is already O(1) in k; the
+      * bytes are what still scale as k·dim). */
+    private[similarity] lazy val fineDoubles: Long =
+      fine.iterator.map(b => b.iterator.map(_.length.toLong).sum).sum
+
+    /** Payload cap for the literal spelling: past ~128k doubles (1 MB)
+      * the codebook stops riding the serialized plan into every task
+      * and ships ONCE per executor as a broadcast table instead. At
+      * SemDeDup's k = N/500 design point (k ≈ 2M cells, dim 64 at
+      * 100 TB) the literal would carry ~1 GB per task closure. */
+    val literalDoubleCap: Long = 128L * 1024
+
+    /** Global cell ids for a whole DataFrame — the operator-facing
+      * form of [[cell]] with a size-thresholded shipping strategy:
+      *
+      *   - payload ≤ `maxLiteralDoubles`: [[cell]]'s single
+      *     nested-array literal (zero joins, stays in one projection);
+      *   - payload above it: the fine codebooks become a BROADCAST
+      *     (topcell → codebook, norms, offset) table joined on the
+      *     precomputed top id — identical doubles, identical
+      *     transform/array_min arithmetic and (s, j) tie-break, so the
+      *     two paths agree bit-for-bit (IvfIndexSpec pins equality and
+      *     that each path takes the plan shape it claims).
+      *
+      * The join is always a broadcast-hash on a |top|-row build side —
+      * the corpus side never shuffles. */
+    def assignCells(
+        df: DataFrame, topIdCol: String, vCol: String, as: String,
+        maxLiteralDoubles: Long = literalDoubleCap): DataFrame =
+      if (fineDoubles <= maxLiteralDoubles)
+        df.withColumn(as, cell(col(topIdCol), col(vCol)))
+      else {
+        val spark = df.sparkSession
+        import spark.implicits._
+        val bookTable = broadcast(
+          fine.indices.map(i => (i, offsets(i), fine(i), fineNorms(i)))
+            .toDF("__g_top", "__g_off", "__g_book", "__g_ns"))
+        val scored = transform(col("__g_book"), (c, j) =>
+          struct((V.dot(col(vCol), c) * -2.0 +
+            element_at(col("__g_ns"), j + 1)).as("s"), j.as("j")))
+        df.join(bookTable, col(topIdCol) === col("__g_top"))
+          .withColumn(as, col("__g_off") + array_min(scored).getField("j"))
+          .drop("__g_top", "__g_off", "__g_book", "__g_ns")
+      }
   }
 
   /** Train the two-level quantizer: k1 = ⌈√k⌉ top centroids on the
@@ -185,7 +231,10 @@ object IvfIndex {
     val k2 = math.max(1, math.ceil(k.toDouble / top.length).toInt)
     val groups = Array.fill(top.length)(
       scala.collection.mutable.ArrayBuffer.empty[Array[Double]])
-    sample.foreach { x => groups(nearestByScore(top, x)) += x }
+    // per-centroid ||c||² computed ONCE (same left-to-right fold as
+    // Model.norms), not per (sample, centroid) pair inside the loop
+    val topNorms = top.map(_.map(v => v * v).sum)
+    sample.foreach { x => groups(nearestByScore(top, topNorms, x)) += x }
     val fine = top.indices.map { i =>
       if (groups(i).isEmpty) Seq(top(i).toSeq)
       else lloyd(groups(i).toArray, k2, maxIter).map(_.toSeq).toSeq
@@ -202,7 +251,8 @@ object IvfIndex {
     * ||v-c||² form ranks identically in exact arithmetic but rounds
     * differently near ties.) */
   private def nearestByScore(
-      centroids: Array[Array[Double]], x: Array[Double]): Int = {
+      centroids: Array[Array[Double]], norms: Array[Double],
+      x: Array[Double]): Int = {
     var best = 0
     var bestS = Double.MaxValue
     var j = 0
@@ -211,7 +261,7 @@ object IvfIndex {
       var dot = 0.0
       var t = 0
       while (t < x.length) { dot += x(t) * c(t); t += 1 }
-      val s = dot * -2.0 + c.map(v => v * v).sum
+      val s = dot * -2.0 + norms(j)
       if (s < bestS) { bestS = s; best = j }
       j += 1
     }

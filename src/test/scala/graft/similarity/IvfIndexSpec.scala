@@ -126,6 +126,44 @@ class IvfIndexSpec extends SparkSpec {
     assert(r.getInt(0) >= 0 && r.getInt(1) < m.numCells && r.getLong(2) > 0)
   }
 
+  test("assignCells: broadcast-codebook form is value-equal to the literal form; both paths exercised") {
+    val e = graft.Tables.load(spark, sf(), "embeddings")
+      .select(col("vec_id"),
+        graft.functions.VectorFunctions.asDouble(col("embedding")).as("v"))
+    val m = IvfIndex.trainTwoLevel(e, "v", k = 9, sampleIdCol = Some("vec_id"))
+    val assigned = e.withColumn("topcell", m.topCell(col("v")))
+    // the real corpus sits below the cap → the default picks the
+    // literal path (no join anywhere in the plan)
+    assert(m.fineDoubles <= m.literalDoubleCap)
+    val viaLit = m.assignCells(assigned, "topcell", "v", "cell")
+    assert(!viaLit.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"),
+      "literal path unexpectedly planned a join")
+    // forcing the cap to 0 takes the broadcast-table path
+    val viaBc = m.assignCells(assigned, "topcell", "v", "cell", maxLiteralDoubles = 0L)
+    assert(viaBc.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"),
+      "broadcast path did not plan a broadcast-hash join")
+    val a = viaLit.select("vec_id", "cell")
+    val b = viaBc.select("vec_id", "cell")
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
+      "broadcast-codebook assignment diverged from the literal form")
+    // at a synthetic k past the cap the DEFAULT picks broadcast and
+    // still executes: 100 top × 200 fine × dim 8 = 160k doubles > cap
+    val dim = 8
+    def c(seed: Int): Seq[Double] =
+      (0 until dim).map(i => ((seed * 31 + i * 7) % 97).toDouble)
+    val big = IvfIndex.TwoLevelModel(
+      (0 until 100).map(c),
+      (0 until 100).map(t => (0 until 200).map(f => c(100 + t * 200 + f))))
+    assert(big.fineDoubles > big.literalDoubleCap)
+    val eSmall = e.select(col("vec_id"), slice(col("v"), 1, dim).as("v"))
+      .withColumn("topcell", big.topCell(col("v")))
+    val bigAssigned = big.assignCells(eSmall, "topcell", "v", "cell")
+    assert(bigAssigned.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"),
+      "past-cap model did not take the broadcast path by default")
+    val r = bigAssigned.agg(min("cell"), max("cell"), count(lit(1))).collect().head
+    assert(r.getInt(0) >= 0 && r.getInt(1) < big.numCells && r.getLong(2) === e.count())
+  }
+
   test("IVF 4-probe recall@3 beats random-scan expectations vs brute force") {
     val ivf = VectorQueries.q42_knn_ivf(spark, sf())
       .collect().groupBy(_.getLong(0)).view
