@@ -145,7 +145,16 @@ final case class CurationDef(
     idColumn: String,
     textColumn: String,
     reportBy: String,
-    stages: Seq[CurationStageDef])
+    stages: Seq[CurationStageDef],
+    // the funnel's WRITE side, speaking the exact sink/consolidation
+    // grammar of the dataflow block (reference
+    // config/metadata_motor.json `sinks[]` + `consolidation`): declared
+    // sinks receive the survivors (partitioned, compacted, appended per
+    // batch); declared consolidation collapses the appended batches
+    // keep-latest by key. Paths may carry an {out} placeholder the
+    // runner substitutes
+    sinks: Seq[SinkDef] = Seq.empty,
+    consolidation: Option[ConsolidationDef] = None)
 
 final case class PipelineMeta(
     processingMode: String,
@@ -301,12 +310,31 @@ object Metadata {
           "and text_column='text' (the signature family's key/text); got " +
           s"id_column='$idColumn', text_column='$textColumn'")
     }
+    val sinks = field(c, "sinks")
+      .map(v => arr(v, "curation sinks").map(s => parseSink(obj(s, "sink"))))
+      .getOrElse(Seq.empty)
+    val consolidation = field(c, "consolidation")
+      .map(v => parseConsolidation(obj(v, "consolidation")))
+    consolidation.filter(_.enabled).foreach { cons =>
+      if (sinks.isEmpty)
+        fail("curation declares consolidation but no sinks — there is " +
+          "nothing to consolidate")
+      if (cons.inputPattern.isEmpty || cons.outputPath.isEmpty)
+        fail("curation consolidation needs ok_records.input_pattern and " +
+          "ok_records.output_path")
+      if (cons.dedup.enabled && cons.dedup.keyColumn != idColumn)
+        fail(s"curation consolidation dedups on '${cons.dedup.keyColumn}' " +
+          s"but the funnel's row identity is '$idColumn' — keep-latest on " +
+          "any other key would silently merge distinct documents")
+    }
     CurationDef(
       table = table,
       idColumn = idColumn,
       textColumn = textColumn,
       reportBy = optStr(c, "report_by").getOrElse(fail("curation missing 'report_by'")),
-      stages = stages)
+      stages = stages,
+      sinks = sinks,
+      consolidation = consolidation)
   }
 
   private val numericMetrics = Set("n_toks", "quality")

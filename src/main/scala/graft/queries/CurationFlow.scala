@@ -110,7 +110,14 @@ object CurationFlow {
     split === keepName
   }
 
-  def run(spark: SparkSession, dir: String, cur: CurationDef): DataFrame = {
+  /** The funnel's row level: the corpus with one membership Column per
+    * declared stage (plus whatever join/window columns the stages
+    * needed), shared by the report aggregate ([[run]]) and the sink
+    * writer ([[runSinks]]) so both read the SAME interpretation.
+    */
+  private def funnel(
+      spark: SparkSession, dir: String,
+      cur: CurationDef): (DataFrame, Seq[Column]) = {
     import spark.implicits._
     val docs = Tables.load(spark, dir, cur.table)
     val needQuality = cur.stages.exists(_.isInstanceOf[QualityStageDef])
@@ -189,8 +196,13 @@ object CurationFlow {
           weight = Some(RangeRank.Weight(s"w_$name", s"cum_$name", s"wtot_$name")))
         prior && (col(s"cum_$name") - col("n_toks") < budget)
     })}
+    (base, members.toSeq)
+  }
+
+  def run(spark: SparkSession, dir: String, cur: CurationDef): DataFrame = {
+    val (base, members) = funnel(spark, dir, cur)
     // conjunctions in declared order: stage i survives iff stages 1..i do
-    val sCols = members.toSeq.scanLeft(lit(true))(_ && _).tail
+    val sCols = members.scanLeft(lit(true))(_ && _).tail
     val staged = base.select(
       col(cur.reportBy) +: col("n_toks") +:
         sCols.zipWithIndex.map { case (c, i) => c.as(s"s${i + 1}") }: _*)
@@ -205,6 +217,77 @@ object CurationFlow {
           sum(when(col(s"s${cur.stages.size}"), col("n_toks")).otherwise(0L))
             .as("tokens_final"): _*)
       .orderBy(cur.reportBy)
+  }
+
+  /** Config-to-BYTES: run the declared funnel, WRITE the survivors
+    * through the declared sinks (one append per batch stamp, each
+    * through [[graft.io.SinkWriter]]'s partitioned + bin-packed
+    * layout), run the declared consolidation (keep-latest by the
+    * funnel's id, the reference's `consolidation` block lowered onto
+    * [[graft.operators.Consolidator]]), then read the consolidated
+    * output BACK from disk and report on it — the
+    * `pipeline/runner.py:97` source→transform→sink loop applied to
+    * curation. The returned report carries two invariants only the
+    * written bytes can prove: `n_batches` (1 iff consolidation
+    * actually collapsed the appends) and `newest_batch` (the latest
+    * stamp iff keep-LATEST won, not keep-arbitrary).
+    *
+    * Scale shape: the funnel is [[run]]'s (bounded memberships,
+    * one corpus pass); each sink write shuffles only into its
+    * partition/bin layout; consolidation's dedup shuffles one row per
+    * key per map task (partial max_by). Nothing here collects.
+    */
+  def runSinks(
+      spark: SparkSession, dir: String, cur: CurationDef,
+      batchStamps: Seq[String]): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val work = graft.io.Scratch.dir(spark, "graft-cursink-")
+    val fs = new Path(work).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    try runSinksAt(spark, dir, cur, batchStamps, work)
+    finally fs.delete(new Path(work), true)
+  }
+
+  /** [[runSinks]] against a caller-owned work dir (no cleanup) — the
+    * spec drives this form so the written layout can be audited. */
+  private[queries] def runSinksAt(
+      spark: SparkSession, dir: String, cur: CurationDef,
+      batchStamps: Seq[String], work: String): DataFrame = {
+    require(cur.sinks.nonEmpty, "runSinks needs a sink-bearing config")
+    require(batchStamps.nonEmpty, "runSinks needs at least one batch stamp")
+    locally {
+      val subs = graft.io.SourceReader.Substitutions(Map("out" -> work))
+      val (base, members) = funnel(spark, dir, cur)
+      val survCols = ((Seq(cur.idColumn, cur.reportBy) ++
+        cur.sinks.flatMap(_.partitionBy)).distinct.map(col)) :+ col("n_toks")
+      val surv = base.filter(members.reduce(_ && _)).select(survCols: _*)
+      batchStamps.foreach { stamp =>
+        val batch = surv.withColumn("batch_date", lit(stamp))
+        cur.sinks.foreach(s => graft.io.SinkWriter.write(batch, s, subs))
+      }
+      val (finalPath, fmt) = cur.consolidation.filter(_.enabled) match {
+        case Some(cons) =>
+          val inPath = subs(cons.inputPattern)
+          val format = cur.sinks.find(s => subs(s.path) == inPath)
+            .map(_.format).getOrElse("parquet")
+          val batches = spark.read.format(format).load(inPath)
+          val res = graft.operators.Consolidator
+            .consolidate(batches, None, cons, tieBreaker = cur.idColumn)
+          val outPath = subs(cons.outputPath)
+          res.df.write.format(format).mode("overwrite").save(outPath)
+          (outPath, format)
+        case None =>
+          (subs(cur.sinks.head.path), cur.sinks.head.format)
+      }
+      spark.read.format(fmt).load(finalPath)
+        .groupBy(cur.reportBy)
+        .agg(
+          count(lit(1)).as("n_docs"),
+          countDistinct(col("batch_date")).as("n_batches"),
+          max(col("batch_date")).as("newest_batch"),
+          sum(col("n_toks")).as("tokens"))
+        .orderBy(cur.reportBy)
+        .localCheckpoint() // materialize before the work dir is deleted
+    }
   }
 
   private def stageType(st: CurationStageDef): String = st match {
@@ -285,7 +368,13 @@ object CurationFlow {
     * (`lab`) is emitted once and serves every consumer (dedup_near
     * stages, leakage-free splits).
     */
-  def oracleSql(cur: CurationDef): String = {
+  /** The config-derived CTE chain shared by every oracle renderer:
+    * everything up to and including the `s` CTE (per-row stage
+    * survivorship flags s1..sN). [[oracleSql]] appends the per-stage
+    * report; [[survivorsOracleSql]] appends the post-sink read-back
+    * report.
+    */
+  private def oracleCtes(cur: CurationDef): String = {
     val tk = T.tokensSql(cur.textColumn)
     val needLab = cur.stages.exists {
       case _: DedupNearStageDef => true
@@ -422,17 +511,38 @@ object CurationFlow {
          |  SELECT *,
          |$sDefs
          |  FROM $prev)""".stripMargin
+    val prefix = if (needLab) "WITH RECURSIVE " else "WITH "
+    s"$prefix${ctes.mkString(",\n")}"
+  }
+
+  def oracleSql(cur: CurationDef): String = {
     val stageCounts = cur.stages.zipWithIndex.map { case (st, i) =>
       s"  count(CASE WHEN s${i + 1} THEN 1 END) AS n_${st.name},"
     }.mkString("\n")
-    val prefix = if (needLab) "WITH RECURSIVE " else "WITH "
-    s"""$prefix${ctes.mkString(",\n")}
+    s"""${oracleCtes(cur)}
        |SELECT grp AS ${cur.reportBy}, count(*) AS n_raw,
        |$stageCounts
        |  CAST(sum(CASE WHEN s${cur.stages.size} THEN n_toks ELSE 0 END) AS BIGINT)
        |    AS tokens_final
        |FROM s GROUP BY grp ORDER BY grp""".stripMargin
   }
+
+  /** The read-back twin for a sink-bearing config: what the
+    * consolidated sink must contain is exactly the funnel's survivors,
+    * so the oracle is the same config-derived CTE chain reduced to the
+    * final survivor set — plus the two consolidation invariants the
+    * Spark side computes FROM THE WRITTEN BYTES: one surviving batch
+    * per document (`n_batches`) and the keep-latest winner
+    * (`newest_batch` = the last appended batch's stamp, passed in by
+    * the runner that chose it).
+    */
+  def survivorsOracleSql(cur: CurationDef, newestBatch: String): String =
+    s"""${oracleCtes(cur)}
+       |SELECT grp AS ${cur.reportBy}, count(*) AS n_docs,
+       |  CAST(1 AS BIGINT) AS n_batches,
+       |  '${sq(newestBatch)}' AS newest_batch,
+       |  CAST(sum(n_toks) AS BIGINT) AS tokens
+       |FROM s WHERE s${cur.stages.size} GROUP BY grp ORDER BY grp""".stripMargin
 
   // ---------- q276: the declared funnel, gated end-to-end ----------
 
@@ -676,4 +786,57 @@ object CurationFlow {
 
   val q292_oracle: String =
     oracleSql(Metadata.parseCuration(streamCurationJson))
+
+  // ---------- q297: declared sinks + consolidation, gated end-to-end ----------
+
+  /** The LAST block of the reference's config the curation grammar
+    * didn't speak: `sinks[]` (format / saveMode / partitionBy /
+    * targetFileMB) and `consolidation` — here as ONE JSON document
+    * whose survivors are WRITTEN (partitioned by source, bin-packed,
+    * appended twice as a re-run would) and then consolidated
+    * keep-latest by doc_id. The driver's oracle is generated from the
+    * same document over the RAW corpus, so the gate certifies the
+    * entire write path: a lost partition directory, a dropped append,
+    * a keep-oldest bug, or a double-kept row all split the hashes.
+    */
+  val sinkCurationJson: String =
+    """{
+      |  "curation": {
+      |    "table": "documents",
+      |    "id_column": "doc_id",
+      |    "text_column": "text",
+      |    "report_by": "source",
+      |    "stages": [
+      |      {"type": "dedup_exact", "name": "exact"},
+      |      {"type": "quality_filter", "name": "quality", "rules": [
+      |        {"reason": "too_short", "metric": "n_toks", "op": "lt", "value": 10},
+      |        {"reason": "low_quality", "metric": "quality", "op": "lt", "value": 0.4}]}
+      |    ],
+      |    "sinks": [
+      |      {"input": "survivors", "name": "curated", "path": "{out}/curated",
+      |       "format": "parquet", "saveMode": "append",
+      |       "partitionBy": ["source"], "targetFileMB": 4}
+      |    ],
+      |    "consolidation": {
+      |      "enabled": true,
+      |      "ok_records": {
+      |        "input_pattern": "{out}/curated",
+      |        "output_path": "{out}/consolidated",
+      |        "deduplication": {"enabled": true, "key_column": "doc_id",
+      |          "order_by": "batch_date", "order_direction": "DESC",
+      |          "tie_breaker": "doc_id"}
+      |      }
+      |    }
+      |  }
+      |}""".stripMargin
+
+  /** The two batch stamps the harness appends (a run and its re-run);
+    * consolidation must keep the SECOND. */
+  private val q297Stamps = Seq("2026-08-01", "2026-08-02")
+
+  def q297_declared_curation_sinks(spark: SparkSession, dir: String): DataFrame =
+    runSinks(spark, dir, Metadata.parseCuration(sinkCurationJson), q297Stamps)
+
+  val q297_oracle: String =
+    survivorsOracleSql(Metadata.parseCuration(sinkCurationJson), q297Stamps.last)
 }

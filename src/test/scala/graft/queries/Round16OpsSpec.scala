@@ -7,7 +7,11 @@ import org.apache.spark.sql.functions._
   * merge (frozen-model batch encode + file append ≡ single-shot
   * rebuild under the same models, exceptAll both ways, with both code
   * partitions genuinely populated) — the last open cell in the
-  * 4-family × 4-operation index-lifecycle matrix.
+  * 4-family × 4-operation index-lifecycle matrix — and the declared
+  * sink/consolidation path (q297) must produce the bytes its config
+  * promises: hive partition dirs, the bin-pack file bound, keep-LATEST
+  * across appends, and a read-back equal to the batch interpreter's
+  * survivors.
   */
 class Round16OpsSpec extends SparkSpec {
 
@@ -35,5 +39,74 @@ class Round16OpsSpec extends SparkSpec {
         s"degenerate ingest split: base=$nBase batch=$nBatch")
       assert(codes.count() === nBase + nBatch)
     } finally fs.delete(new Path(work), true)
+  }
+
+  // ---------- q297: declared sinks + consolidation ----------
+
+  test("q297: written layout is partitioned + appended, consolidation keeps latest, read-back equals the batch funnel") {
+    import org.apache.hadoop.fs.Path
+    import graft.meta.Metadata
+    val dir = sf("sf0.001")
+    val cur = Metadata.parseCuration(CurationFlow.sinkCurationJson)
+    val stamps = Seq("2026-08-01", "2026-08-02")
+    val work = graft.io.Scratch.dir(spark, "graft-q297spec-")
+    val fs = new Path(work).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    try {
+      val report = CurationFlow.runSinksAt(spark, dir, cur, stamps, work)
+      // 1. the sink really is hive-partitioned by the declared column
+      val partDirs = fs.globStatus(new Path(s"$work/curated/source=*"))
+        .filter(_.isDirectory).map(_.getPath.getName)
+      assert(partDirs.nonEmpty, "no source=* partition directories written")
+      // 2. appends accumulated: the raw sink holds BOTH batch stamps
+      val raw = spark.read.parquet(s"$work/curated")
+      assert(raw.select("batch_date").distinct().count() === 2L,
+        "saveMode=append must accumulate both batch stamps")
+      // 3. consolidation kept exactly the LATEST batch, one row per doc
+      val cons = spark.read.parquet(s"$work/consolidated")
+      assert(cons.count() === raw.count() / 2)
+      assert(cons.filter(col("batch_date") =!= stamps.last).count() === 0L,
+        "keep-latest must retain only the newest stamp")
+      assert(cons.groupBy(cur.idColumn).count().filter(col("count") > 1).count() === 0L)
+      // 4. read-back report equals the batch interpreter's survivors:
+      //    the same config through run() — final-stage count and token
+      //    sum per group (n_<laststage> and tokens_final)
+      val lastStage = s"n_${cur.stages.last.name}"
+      val batch = CurationFlow.run(spark, dir, cur)
+        .select(col(cur.reportBy), col(lastStage).as("n_docs"), col("tokens_final").as("tokens"))
+        .filter(col("n_docs") > 0)
+      val got = report.select(col(cur.reportBy), col("n_docs"), col("tokens"))
+      assert(got.exceptAll(batch).isEmpty && batch.exceptAll(got).isEmpty,
+        "sink read-back diverged from the batch interpreter's survivors")
+      // 5. the report's consolidation invariants
+      assert(report.filter(col("n_batches") =!= 1L).count() === 0L)
+      assert(report.filter(col("newest_batch") =!= stamps.last).count() === 0L)
+      // 6. the bin-pack bound: files per partition dir <= that
+      //    partition's ceil(bytes/target) bins PER APPEND is hard to
+      //    recompute post-hoc; what the layout must never show is the
+      //    blowup it exists to prevent — more files in a directory
+      //    than (appends x upstream shuffle width)
+      val maxFiles = partDirs.map { d =>
+        fs.globStatus(new Path(s"$work/curated/source=${d.stripPrefix("source=")}/*.parquet")).length
+      }.max
+      val width = spark.conf.get("spark.sql.shuffle.partitions").toInt
+      assert(maxFiles <= 2 * width,
+        s"$maxFiles files in one partition dir — compaction not applied?")
+    } finally fs.delete(new Path(work), true)
+  }
+
+  test("q297 grammar: consolidation without sinks, and a foreign dedup key, fail at parse time") {
+    import graft.meta.{Metadata, MetadataError}
+    val noSinks = CurationFlow.sinkCurationJson.replace(
+      """"sinks": [
+        |      {"input": "survivors", "name": "curated", "path": "{out}/curated",
+        |       "format": "parquet", "saveMode": "append",
+        |       "partitionBy": ["source"], "targetFileMB": 4}
+        |    ],""".stripMargin, "")
+    val e1 = intercept[MetadataError](Metadata.parseCuration(noSinks))
+    assert(e1.getMessage.contains("no sinks"))
+    val wrongKey = CurationFlow.sinkCurationJson
+      .replace("\"key_column\": \"doc_id\"", "\"key_column\": \"source\"")
+    val e2 = intercept[MetadataError](Metadata.parseCuration(wrongKey))
+    assert(e2.getMessage.contains("row identity"))
   }
 }
