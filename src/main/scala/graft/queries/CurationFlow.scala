@@ -306,18 +306,57 @@ object CurationFlow {
     * is applied as the stateless predicate [[run]] uses verbatim, and
     * the report is a streaming aggregation on the declared axis
     * (Complete mode — the group axis is domain-bounded, so the state
-    * is |groups| rows at any corpus size). Stages needing corpus-wide
-    * membership (dedup, decontamination lists are fine but exact/near
-    * dedup and budgets are not) fail FAST at submission, before any
-    * stream starts — the config contract, not a runtime surprise.
+    * is |groups| rows at any corpus size).
+    *
+    * With `index` (the session's stored LSH signature family — q73's
+    * artifact), the two CLUSTER-membership stages stream too: the
+    * near-dup label table is materialized ONCE from the stored index
+    * before the stream starts, and each micro-batch probes it as a
+    * stream-static left join — `dedup_near` drops
+    * non-representatives, a leakage-free `split` keys on the cluster
+    * representative. `decontaminate` streams unconditionally (its
+    * benchmark list is config data; the per-row predicate is the
+    * batch join's equivalent). Stages whose semantics are ORDER- or
+    * corpus-count-dependent (dedup_exact's min-id winner,
+    * token_budget's survivor-ordered running sum) fail FAST at
+    * submission, before any stream starts — the config contract, not
+    * a runtime surprise.
     */
-  def runStream(cur: CurationDef, docs: DataFrame): DataFrame = {
+  def runStream(
+      cur: CurationDef, docs: DataFrame,
+      index: Option[(SparkSession, String)] = None): DataFrame = {
     cur.stages.foreach { st =>
-      if (rowMember(cur, st).isEmpty)
+      val streamable = st match {
+        case _: DecontaminateStageDef => true
+        case _: DedupNearStageDef     => index.isDefined
+        case s: SplitStageDef         => !s.leakageFree || index.isDefined
+        case other                    => rowMember(cur, other).isDefined
+      }
+      if (!streamable) {
+        val hint = st match {
+          case _: DedupNearStageDef | _: SplitStageDef =>
+            " (cluster membership streams against the stored signature " +
+              "index — pass one)"
+          case _ => ""
+        }
         throw new MetadataError(s"stage '${st.name}' (${stageType(st)}) is " +
           "not streamable: only per-row stages (quality_filter, " +
-          "mixture_sample, id-keyed split) can run over a stream — " +
-          "corpus-membership stages need a batch pass")
+          "mixture_sample, id-keyed split, decontaminate) and " +
+          "index-backed cluster stages can run over a stream — " +
+          s"corpus-scan stages need a batch pass$hint")
+      }
+    }
+    // the shared near-dup label table, built ONCE from the stored
+    // signature index and materialized before the stream starts
+    // (bounded — only documents inside a near-dup cluster appear);
+    // every cluster-membership stage probes these labels per
+    // micro-batch as a stream-static left join, q73's
+    // batch×occupancy cost with the corpus side precomputed
+    lazy val labels: DataFrame = {
+      val (spark, dir) = index.get
+      val pairs = TextQueries.lshPairs(spark, dir)
+        .select("a_id", "b_id").transform(graft.Lineage.cut)
+      ConnectedComponents.run(pairs, "a_id", "b_id").localCheckpoint()
     }
     val needQuality = cur.stages.exists(_.isInstanceOf[QualityStageDef])
     var base = docs
@@ -326,7 +365,26 @@ object CurationFlow {
     if (needQuality) base = base
       .withColumn("lang_det", T.langId(col("toks")))
       .withColumn("quality", T.qualityScore(col(cur.textColumn)))
-    val members = cur.stages.map(st => rowMember(cur, st).get)
+    val members = cur.stages.map {
+      case DedupNearStageDef(name) =>
+        val dropSet = labels
+          .filter(col("id") =!= col("component"))
+          .select(col("id").as(cur.idColumn), lit(1L).as(s"m_$name"))
+        base = base.join(dropSet, Seq(cur.idColumn), "left")
+        col(s"m_$name").isNull
+      case DecontaminateStageDef(_, shingles) =>
+        // the batch join's per-row equivalent: contaminated iff any
+        // 3-shingle of the text appears in the benchmark list
+        !arrays_overlap(call_function("shingles3", col(cur.textColumn)),
+          typedLit(shingles))
+      case SplitStageDef(name, salt, buckets, keepName, true) =>
+        val reps = labels.select(col("id").as(cur.idColumn),
+          col("component").as(s"rep_$name"))
+        base = base.join(reps, Seq(cur.idColumn), "left")
+        splitMember(coalesce(col(s"rep_$name"), col(cur.idColumn)),
+          salt, buckets, keepName)
+      case st => rowMember(cur, st).get
+    }
     val sCols = members.scanLeft(lit(true))(_ && _).tail
     val staged = base.select(
       col(cur.reportBy) +: col("n_toks") +:
@@ -733,11 +791,20 @@ object CurationFlow {
     * the final state. The oracle is [[oracleSql]] of the same config —
     * stream ≡ batch ≡ generated SQL, all from one JSON document.
     */
-  def q292_declared_curation_stream(spark: SparkSession, dir: String): DataFrame = {
+  def q292_declared_curation_stream(spark: SparkSession, dir: String): DataFrame =
+    driveStream(spark, dir, Metadata.parseCuration(streamCurationJson), index = None)
+
+  /** The shared micro-batch drive (q74's harness shape): stage the
+    * corpus as two content-hash-split files, run the declared funnel
+    * as a real Structured Streaming query, return the final
+    * Complete-mode report read back from the foreachBatch sink.
+    */
+  private def driveStream(
+      spark: SparkSession, dir: String, cur: CurationDef,
+      index: Option[(SparkSession, String)]): DataFrame = {
     import org.apache.hadoop.fs.Path
     import org.apache.spark.sql.streaming.{OutputMode, Trigger}
-    val cur = Metadata.parseCuration(streamCurationJson)
-    val work = graft.io.Scratch.dir(spark, "graft-q292-")
+    val work = graft.io.Scratch.dir(spark, "graft-curstream-")
     val fs = new Path(work).getFileSystem(spark.sparkContext.hadoopConfiguration)
     try {
       val docs = Tables.load(spark, dir, cur.table)
@@ -766,7 +833,7 @@ object CurationFlow {
       try {
         val stream = spark.readStream.schema(docs.schema)
           .option("maxFilesPerTrigger", 1).parquet(s"$work/incoming")
-        val query = runStream(cur, stream)
+        val query = runStream(cur, stream, index)
           .writeStream
           .trigger(Trigger.AvailableNow())
           .outputMode(OutputMode.Complete())
@@ -839,4 +906,44 @@ object CurationFlow {
 
   val q297_oracle: String =
     survivorsOracleSql(Metadata.parseCuration(sinkCurationJson), q297Stamps.last)
+
+  // ---------- q298: declared STREAMING near-dedup via the stored index ----------
+
+  /** The funnel q292 could not run: `dedup_near` over a STREAM. The
+    * stored signature index (q73's artifact) makes it streamable —
+    * the bounded near-dup label table is materialized once before the
+    * stream starts and each arriving micro-batch probes it as a
+    * stream-static join, so a duplicate is dropped the moment it
+    * arrives, at batch×occupancy cost, with NO corpus re-scan. The
+    * config also declares a decontamination list (now a per-row
+    * streaming predicate) and a quality gate, making this the full
+    * cleaning funnel in flight; the driver gates the stream's report
+    * against the oracle GENERATED from this same JSON — stream ≡
+    * batch ≡ generated SQL (CurationFlowSpec pins stream ≡ batch row
+    * for row).
+    */
+  val streamNearDupCurationJson: String =
+    """{
+      |  "curation": {
+      |    "table": "documents",
+      |    "id_column": "doc_id",
+      |    "text_column": "text",
+      |    "report_by": "source",
+      |    "stages": [
+      |      {"type": "dedup_near", "name": "neardup"},
+      |      {"type": "quality_filter", "name": "quality", "rules": [
+      |        {"reason": "too_short", "metric": "n_toks", "op": "lt", "value": 10},
+      |        {"reason": "low_quality", "metric": "quality", "op": "lt", "value": 0.4}]},
+      |      {"type": "decontaminate", "name": "bench", "shingles": [
+      |        "the fast key", "spark group query", "join a filter"]}
+      |    ]
+      |  }
+      |}""".stripMargin
+
+  def q298_declared_stream_neardup(spark: SparkSession, dir: String): DataFrame =
+    driveStream(spark, dir, Metadata.parseCuration(streamNearDupCurationJson),
+      index = Some((spark, dir)))
+
+  val q298_oracle: String =
+    oracleSql(Metadata.parseCuration(streamNearDupCurationJson))
 }

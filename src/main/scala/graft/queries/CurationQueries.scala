@@ -1541,6 +1541,7 @@ object CurationQueries {
     "q291_declared_curation_budget" -> (CurationFlow.q291_declared_curation_budget _),
     "q292_declared_curation_stream" -> (CurationFlow.q292_declared_curation_stream _),
     "q297_declared_curation_sinks" -> (CurationFlow.q297_declared_curation_sinks _),
+    "q298_declared_stream_neardup" -> (CurationFlow.q298_declared_stream_neardup _),
     "q77_sequence_pack" -> (q77_sequence_pack _),
     "q60_dedup_apply" -> (q60_dedup_apply _),
     "q61_quality_filter" -> (q61_quality_filter _),
@@ -1571,6 +1572,7 @@ object CurationQueries {
     "q291_declared_curation_budget" -> CurationFlow.q291_oracle,
     "q292_declared_curation_stream" -> CurationFlow.q292_oracle,
     "q297_declared_curation_sinks" -> CurationFlow.q297_oracle,
+    "q298_declared_stream_neardup" -> CurationFlow.q298_oracle,
     "q77_sequence_pack" -> q77_oracle,
     "q60_dedup_apply" -> q60_oracle,
     "q61_quality_filter" -> q61_oracle,

@@ -177,6 +177,31 @@ class CurationFlowSpec extends SparkSpec {
     s.zip(b).foreach { case (a, e) => assert(a === e) }
   }
 
+  test("q298 stream (index-backed near-dedup) == batch run of the same config, row for row") {
+    val cur = Metadata.parseCuration(CurationFlow.streamNearDupCurationJson)
+    val streamed = CurationFlow.q298_declared_stream_neardup(spark, sf())
+    val batch = CurationFlow.run(spark, sf(), cur)
+    assert(streamed.columns.toSeq === batch.columns.toSeq)
+    val s = streamed.collect().map(_.toSeq)
+    val b = batch.collect().map(_.toSeq)
+    assert(s.length === b.length && s.nonEmpty)
+    s.zip(b).foreach { case (a, e) => assert(a === e) }
+    // the near-dup stage genuinely dropped rows in flight (the config
+    // isn't vacuous on this corpus)
+    val report = streamed.collect()
+    val raw = report.map(r => r.getLong(r.fieldIndex("n_raw"))).sum
+    val kept = report.map(r => r.getLong(r.fieldIndex("n_neardup"))).sum
+    assert(kept < raw, "dedup_near dropped nothing — fixture corpus has near-dups")
+  }
+
+  test("runStream without an index still fails fast on dedup_near; with one it submits") {
+    val cur = Metadata.parseCuration(CurationFlow.streamNearDupCurationJson)
+    val docs = graft.Tables.load(spark, sf(), "documents")
+    val e = intercept[MetadataError](CurationFlow.runStream(cur, docs))
+    assert(e.getMessage.contains("not streamable") &&
+      e.getMessage.contains("neardup") && e.getMessage.contains("index"))
+  }
+
   test("runStream fails fast on corpus-membership stages") {
     val cur = Metadata.parseCuration(CurationFlow.declaredCurationJson)
     val docs = graft.Tables.load(spark, sf(), "documents")
