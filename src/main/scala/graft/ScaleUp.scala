@@ -92,3 +92,55 @@ object ScaleUp {
     spark.stop()
   }
 }
+
+/** ANN-family scale-up: replicates ONLY the embeddings table, at
+  * factors far beyond [[ScaleUp]]'s 26× document-cipher cap —
+  * `AnnScaleUp <srcDir> <dstDir> [factor]` (default 100). Each
+  * replica is decorrelated by its own md5-seeded ±1 diagonal (an
+  * isometry — within-replica cosines, norms and cell geometry are
+  * preserved exactly; cross-replica cosines are random-sign sums that
+  * concentrate near 0), and keys interleave so the bounded query sets
+  * (vec_id < 50) keep their size while the corpus grows under them.
+  *
+  * Purpose (round-15 VERDICT watch): SemDeDup's k = N/500 design
+  * point means the quantizer's codebook PAYLOAD grows with the
+  * corpus. The plan-node fix made the expression tree O(1) in k; the
+  * shipping fix swaps the data literal for a broadcast table past
+  * 128k doubles. This harness produces corpora big enough that q87
+  * actually crosses that cap on REAL replica data (sf0.1 × 1000 →
+  * 2M vectors, k = 4000, 256k doubles → broadcast path), so the
+  * remaining watch — shipped bytes at design-point k — is retired by
+  * measurement, not argument: point Bench at the output dir and run
+  * the ANN/PQ rows.
+  */
+object AnnScaleUp {
+
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 2, "usage: AnnScaleUp <srcDir> <dstDir> [factor]")
+    val (src, dst) = (args(0), args(1))
+    val factor = if (args.length > 2) args(2).toInt else 100
+    require(factor >= 1, s"factor must be positive, got $factor")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", false)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def flips(k: Int): Seq[Double] =
+      (0 until 64).map(i => graft.functions.VectorFunctions.signFromMd5(s"flip-$k|$i"))
+    val b = Tables.load(spark, src, "embeddings")
+    (0 until factor).map { k =>
+      b.withColumn("vec_id", col("vec_id") * factor + k)
+        .withColumn("embedding",
+          zip_with(col("embedding"), array(flips(k).map(lit): _*),
+            (x, s) => x * s).cast("array<float>"))
+    }.reduce(_ unionByName _)
+      .repartition(cpus.toInt)
+      .write.mode("overwrite").parquet(s"$dst/embeddings.parquet")
+    println(s"scaled embeddings x$factor")
+    spark.stop()
+  }
+}

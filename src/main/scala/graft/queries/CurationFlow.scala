@@ -946,4 +946,61 @@ object CurationFlow {
 
   val q298_oracle: String =
     oracleSql(Metadata.parseCuration(streamNearDupCurationJson))
+
+  // ---------- q299: a second sink permutation (q288's recipe for sinks) ----------
+
+  /** The sink interpreter gated on a config it was NOT tuned on
+    * (q288's repeated-stage recipe applied to the write side): TWO
+    * sinks from one funnel — a flat `overwrite` snapshot (each append
+    * stamp replaces the last, so the final bytes are the newest run
+    * alone) and a lang-partitioned `append` history — with
+    * consolidation reading the HISTORY sink (the input_pattern →
+    * sink match), three batch stamps instead of two, a sampling-stage
+    * funnel instead of a cleaning one, and a report axis different
+    * from the mixture's by-column AND equal to the partition column.
+    * Any hard-coding of q297's shape (single sink, append-only,
+    * partition col ≠ report axis, two stamps) splits this oracle.
+    */
+  val multiSinkCurationJson: String =
+    """{
+      |  "curation": {
+      |    "table": "documents",
+      |    "id_column": "doc_id",
+      |    "text_column": "text",
+      |    "report_by": "lang",
+      |    "stages": [
+      |      {"type": "mixture_sample", "name": "mix", "salt": "mix-9",
+      |       "by": "source", "weights": [
+      |        {"group": "src0", "keep16": 12}, {"group": "src1", "keep16": 6},
+      |        {"group": "src2", "keep16": 3}, {"group": "src3", "keep16": 1}]},
+      |      {"type": "quality_filter", "name": "min_len", "rules": [
+      |        {"reason": "too_short", "metric": "n_toks", "op": "lt", "value": 5}]}
+      |    ],
+      |    "sinks": [
+      |      {"input": "survivors", "name": "latest_snapshot",
+      |       "path": "{out}/latest", "format": "parquet", "saveMode": "overwrite"},
+      |      {"input": "survivors", "name": "history", "path": "{out}/history",
+      |       "format": "parquet", "saveMode": "append",
+      |       "partitionBy": ["lang"], "targetFileMB": 2}
+      |    ],
+      |    "consolidation": {
+      |      "enabled": true,
+      |      "ok_records": {
+      |        "input_pattern": "{out}/history",
+      |        "output_path": "{out}/consolidated",
+      |        "deduplication": {"enabled": true, "key_column": "doc_id",
+      |          "order_by": "batch_date", "order_direction": "DESC",
+      |          "tie_breaker": "doc_id"}
+      |      }
+      |    }
+      |  }
+      |}""".stripMargin
+
+  private val q299Stamps = Seq("2026-08-01", "2026-08-08", "2026-08-15")
+
+  def q299_declared_sinks_multi(spark: SparkSession, dir: String): DataFrame =
+    runSinks(spark, dir, Metadata.parseCuration(multiSinkCurationJson), q299Stamps)
+
+  val q299_oracle: String =
+    survivorsOracleSql(Metadata.parseCuration(multiSinkCurationJson), q299Stamps.last)
 }

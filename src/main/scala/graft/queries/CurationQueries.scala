@@ -1542,6 +1542,7 @@ object CurationQueries {
     "q292_declared_curation_stream" -> (CurationFlow.q292_declared_curation_stream _),
     "q297_declared_curation_sinks" -> (CurationFlow.q297_declared_curation_sinks _),
     "q298_declared_stream_neardup" -> (CurationFlow.q298_declared_stream_neardup _),
+    "q299_declared_sinks_multi" -> (CurationFlow.q299_declared_sinks_multi _),
     "q77_sequence_pack" -> (q77_sequence_pack _),
     "q60_dedup_apply" -> (q60_dedup_apply _),
     "q61_quality_filter" -> (q61_quality_filter _),
@@ -1573,6 +1574,7 @@ object CurationQueries {
     "q292_declared_curation_stream" -> CurationFlow.q292_oracle,
     "q297_declared_curation_sinks" -> CurationFlow.q297_oracle,
     "q298_declared_stream_neardup" -> CurationFlow.q298_oracle,
+    "q299_declared_sinks_multi" -> CurationFlow.q299_oracle,
     "q77_sequence_pack" -> q77_oracle,
     "q60_dedup_apply" -> q60_oracle,
     "q61_quality_filter" -> q61_oracle,

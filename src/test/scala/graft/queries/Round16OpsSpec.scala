@@ -94,6 +94,37 @@ class Round16OpsSpec extends SparkSpec {
     } finally fs.delete(new Path(work), true)
   }
 
+  test("q299: overwrite snapshot keeps only the newest stamp while the append history keeps all three") {
+    import org.apache.hadoop.fs.Path
+    import graft.meta.Metadata
+    val dir = sf("sf0.001")
+    val cur = Metadata.parseCuration(CurationFlow.multiSinkCurationJson)
+    val stamps = Seq("2026-08-01", "2026-08-08", "2026-08-15")
+    val work = graft.io.Scratch.dir(spark, "graft-q299spec-")
+    val fs = new Path(work).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    try {
+      val report = CurationFlow.runSinksAt(spark, dir, cur, stamps, work)
+      // saveMode semantics per sink: the flat snapshot was overwritten
+      // by every batch (newest stamp only, survivor-count rows); the
+      // partitioned history accumulated all three appends
+      val latest = spark.read.parquet(s"$work/latest")
+      assert(latest.select("batch_date").distinct().collect()
+        .map(_.getString(0)).toSeq === Seq(stamps.last))
+      val history = spark.read.parquet(s"$work/history")
+      assert(history.select("batch_date").distinct().count() === 3L)
+      assert(history.count() === latest.count() * 3)
+      // consolidation read the HISTORY sink and collapsed it to the
+      // newest stamp — equal to the snapshot, row for row
+      val cons = spark.read.parquet(s"$work/consolidated")
+        .select(latest.columns.map(col): _*)
+      assert(cons.exceptAll(latest).isEmpty && latest.exceptAll(cons).isEmpty,
+        "consolidated history must equal the overwrite snapshot")
+      // partitioned-by-lang layout on the history sink
+      assert(fs.globStatus(new Path(s"$work/history/lang=*")).nonEmpty)
+      assert(report.count() > 0)
+    } finally fs.delete(new Path(work), true)
+  }
+
   test("q297 grammar: consolidation without sinks, and a foreign dedup key, fail at parse time") {
     import graft.meta.{Metadata, MetadataError}
     val noSinks = CurationFlow.sinkCurationJson.replace(
