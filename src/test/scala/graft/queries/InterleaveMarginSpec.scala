@@ -46,12 +46,15 @@ class InterleaveMarginSpec extends SparkSpec {
 
   // ---------- q149 ----------
 
-  test("q149: recovers the size-quintile-straddling match q116 blocking drops") {
+  test("q149: emits the size-quintile-straddling match; q116's shifted pass now recovers it too") {
     import spark.implicits._
     val dir = tmp("sn")
-    // sizes 4 vs 6: |delta| <= 2 (agree, +20) but quintiles 0 vs 1 —
-    // q116's equi-join blocking can never pair them; identical
-    // adj/ptype and close price push the score to 40+30+20+10 = 100
+    // sizes 4 vs 6: |delta| <= 2 (agree, +20) but BASE quintiles 0 vs
+    // 1 — a single-grid equi-join can never pair them; identical
+    // adj/ptype and close price push the score to 40+30+20+10 = 100.
+    // SN finds it through sort adjacency; q116 finds it since round
+    // 16 through the 2-shifted second grid — both linkage families
+    // now agree on this fixture
     val parts = Seq(
       (1L, "azure rose polished", "B1", "tin", 4, 100.00),
       (2L, "azure rose polished", "B1", "tin", 6, 102.00),
@@ -62,7 +65,9 @@ class InterleaveMarginSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getInt(3)))
     assert(sn.toSeq === Seq((1L, 2L, 100)))
     val blocked = MiningQueries.q116_record_linkage(spark, dir).collect()
-    assert(blocked.isEmpty) // the documented recall trade, now measured
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(blocked.toSeq === Seq((1L, 2L, 100)),
+      "the shifted-grid union must emit the straddling match")
   }
 
   // ---------- q150 ----------
