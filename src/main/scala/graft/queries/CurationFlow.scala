@@ -325,6 +325,29 @@ object CurationFlow {
   def runStream(
       cur: CurationDef, docs: DataFrame,
       index: Option[(SparkSession, String)] = None): DataFrame = {
+    val (base, members) = streamFunnel(cur, docs, index)
+    val sCols = members.scanLeft(lit(true))(_ && _).tail
+    val staged = base.select(
+      col(cur.reportBy) +: col("n_toks") +:
+        sCols.zipWithIndex.map { case (c, i) => c.as(s"s${i + 1}") }: _*)
+    val stageCounts = cur.stages.zipWithIndex.map { case (st, i) =>
+      count(when(col(s"s${i + 1}"), 1)).as(s"n_${st.name}")
+    }
+    staged
+      .groupBy(cur.reportBy)
+      .agg(
+        count(lit(1)).as("n_raw"),
+        stageCounts :+
+          sum(when(col(s"s${cur.stages.size}"), col("n_toks")).otherwise(0L))
+            .as("tokens_final"): _*)
+  }
+
+  /** The STREAM funnel's row level — [[runStream]]'s validation and
+    * per-stage membership Columns without the report, shared with the
+    * sink-landing form ([[runStreamSinks]]). */
+  private def streamFunnel(
+      cur: CurationDef, docs: DataFrame,
+      index: Option[(SparkSession, String)]): (DataFrame, Seq[Column]) = {
     cur.stages.foreach { st =>
       val streamable = st match {
         case _: DecontaminateStageDef => true
@@ -385,20 +408,7 @@ object CurationFlow {
           salt, buckets, keepName)
       case st => rowMember(cur, st).get
     }
-    val sCols = members.scanLeft(lit(true))(_ && _).tail
-    val staged = base.select(
-      col(cur.reportBy) +: col("n_toks") +:
-        sCols.zipWithIndex.map { case (c, i) => c.as(s"s${i + 1}") }: _*)
-    val stageCounts = cur.stages.zipWithIndex.map { case (st, i) =>
-      count(when(col(s"s${i + 1}"), 1)).as(s"n_${st.name}")
-    }
-    staged
-      .groupBy(cur.reportBy)
-      .agg(
-        count(lit(1)).as("n_raw"),
-        stageCounts :+
-          sum(when(col(s"s${cur.stages.size}"), col("n_toks")).otherwise(0L))
-            .as("tokens_final"): _*)
+    (base, members)
   }
 
   // ---------- generated DuckDB twin ----------
@@ -808,22 +818,7 @@ object CurationFlow {
     val fs = new Path(work).getFileSystem(spark.sparkContext.hadoopConfiguration)
     try {
       val docs = Tables.load(spark, dir, cur.table)
-      // two micro-batches split on a content hash; arrival order is
-      // deterministic (mtimes) but semantically irrelevant — every
-      // stage is per-row and the report aggregate is commutative
-      fs.mkdirs(new Path(s"$work/incoming"))
-      val half =
-        substring(md5(concat(lit("sb|"), col(cur.idColumn).cast("string"))), 1, 1) < "8"
-      val t0 = System.currentTimeMillis()
-      Seq(("b0", docs.filter(half)), ("b1", docs.filter(!half)))
-        .zipWithIndex.foreach { case ((name, df), i) =>
-          df.coalesce(1).write.parquet(s"$work/stage_$name")
-          val part = fs.globStatus(new Path(s"$work/stage_$name/part-*.parquet")).head.getPath
-          val target = new Path(s"$work/incoming/$name.parquet")
-          require(fs.rename(part, target), s"failed to stage $name")
-          fs.setTimes(target, t0 + i * 1000L, -1)
-          fs.delete(new Path(s"$work/stage_$name"), true)
-        }
+      stageTwoBatches(spark, work, docs, cur.idColumn)
       // streaming-aggregation state commits one delta per shuffle
       // partition per micro-batch; pin to a few partitions for the
       // |groups|-row state and restore after (q74's rule)
@@ -849,6 +844,99 @@ object CurationFlow {
         .orderBy(cur.reportBy)
         .localCheckpoint() // materialize before the work dir is deleted
     } finally fs.delete(new Path(work), true)
+  }
+
+  /** Stage the corpus as two content-hash-split micro-batch files
+    * under `work/incoming` — arrival order is deterministic (mtimes)
+    * but semantically irrelevant: every streamable stage is per-row
+    * or static-membership and the downstream aggregates/sink appends
+    * are commutative. */
+  private def stageTwoBatches(
+      spark: SparkSession, work: String, docs: DataFrame,
+      idColumn: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(work).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new Path(s"$work/incoming"))
+    val half =
+      substring(md5(concat(lit("sb|"), col(idColumn).cast("string"))), 1, 1) < "8"
+    val t0 = System.currentTimeMillis()
+    Seq(("b0", docs.filter(half)), ("b1", docs.filter(!half)))
+      .zipWithIndex.foreach { case ((name, df), i) =>
+        df.coalesce(1).write.parquet(s"$work/stage_$name")
+        val part = fs.globStatus(new Path(s"$work/stage_$name/part-*.parquet")).head.getPath
+        val target = new Path(s"$work/incoming/$name.parquet")
+        require(fs.rename(part, target), s"failed to stage $name")
+        fs.setTimes(target, t0 + i * 1000L, -1)
+        fs.delete(new Path(s"$work/stage_$name"), true)
+      }
+  }
+
+  /** Stream-to-BYTES: the declared funnel over a stream whose
+    * SURVIVORS land through the declared sinks — the training-data
+    * flow a streaming ingest actually runs (documents arrive, curation
+    * decides in flight, curated bytes accumulate partitioned on
+    * storage), with the REPORT computed from the bytes read back, so
+    * the driver's oracle gates ingest → funnel → sink layout → parquet
+    * round-trip end to end. Every sink must declare `saveMode:
+    * "append"` — an overwrite sink under a stream would silently keep
+    * only the last micro-batch, so the contract fails fast at
+    * submission. Each micro-batch pays its own bin-packed partitioned
+    * write ([[graft.io.SinkWriter]]); each row arrives in exactly one
+    * micro-batch, so appends accumulate every survivor exactly once.
+    */
+  def runStreamSinks(
+      spark: SparkSession, dir: String, cur: CurationDef,
+      index: Option[(SparkSession, String)] = None): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val work = graft.io.Scratch.dir(spark, "graft-curstreamsink-")
+    val fs = new Path(work).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    try runStreamSinksAt(spark, dir, cur, index, work)
+    finally fs.delete(new Path(work), true)
+  }
+
+  /** [[runStreamSinks]] against a caller-owned work dir (no cleanup) —
+    * the spec drives this form so the landed layout can be audited. */
+  private[queries] def runStreamSinksAt(
+      spark: SparkSession, dir: String, cur: CurationDef,
+      index: Option[(SparkSession, String)], work: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    require(cur.sinks.nonEmpty, "runStreamSinks needs a sink-bearing config")
+    cur.sinks.foreach { s =>
+      if (s.saveMode != "append")
+        throw new MetadataError(s"sink '${s.name}' declares saveMode " +
+          s"'${s.saveMode}': a stream sink must append — overwrite would " +
+          "keep only the last micro-batch")
+    }
+    cur.consolidation.filter(_.enabled).foreach { _ =>
+      throw new MetadataError("consolidation under a stream is not " +
+        "defined (no batch stamps); run it as a batch pass over the sink")
+    }
+    locally {
+      val subs = graft.io.SourceReader.Substitutions(Map("out" -> work))
+      val docs = Tables.load(spark, dir, cur.table)
+      stageTwoBatches(spark, work, docs, cur.idColumn)
+      val stream = spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$work/incoming")
+      val (base, members) = streamFunnel(cur, stream, index)
+      val survCols = ((Seq(cur.idColumn, cur.reportBy) ++
+        cur.sinks.flatMap(_.partitionBy)).distinct.map(col)) :+ col("n_toks")
+      val surv = base.filter(members.reduce(_ && _)).select(survCols: _*)
+      val query = surv.writeStream
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          cur.sinks.foreach(s => graft.io.SinkWriter.write(batch, s, subs))
+          ()
+        }
+        .option("checkpointLocation", s"$work/ckpt")
+        .start()
+      query.awaitTermination()
+      val sink = cur.sinks.head
+      spark.read.format(sink.format).load(subs(sink.path))
+        .groupBy(cur.reportBy)
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("tokens"))
+        .orderBy(cur.reportBy)
+        .localCheckpoint() // materialize before the work dir is deleted
+    }
   }
 
   val q292_oracle: String =
@@ -1003,4 +1091,52 @@ object CurationFlow {
 
   val q299_oracle: String =
     survivorsOracleSql(Metadata.parseCuration(multiSinkCurationJson), q299Stamps.last)
+
+  // ---------- q300: the streaming funnel LANDING through declared sinks ----------
+
+  /** Read-back twin for a stream-to-sink config: the accumulated sink
+    * must hold exactly the funnel's survivors, once each. */
+  def streamSinkOracleSql(cur: CurationDef): String =
+    s"""${oracleCtes(cur)}
+       |SELECT grp AS ${cur.reportBy}, count(*) AS n_docs,
+       |  CAST(sum(n_toks) AS BIGINT) AS tokens
+       |FROM s WHERE s${cur.stages.size} GROUP BY grp ORDER BY grp""".stripMargin
+
+  /** One JSON document driving ingest-to-bytes: per-row cleaning
+    * stages decide IN FLIGHT, survivors append through the declared
+    * lang-partitioned bin-packed sink micro-batch by micro-batch, and
+    * the gated report is computed from the accumulated bytes read
+    * back — q292 proved the streaming INTERPRETER, q297 the batch
+    * WRITE path; this is their composition, the flow a streaming
+    * training-data ingest actually runs.
+    */
+  val streamSinkCurationJson: String =
+    """{
+      |  "curation": {
+      |    "table": "documents",
+      |    "id_column": "doc_id",
+      |    "text_column": "text",
+      |    "report_by": "source",
+      |    "stages": [
+      |      {"type": "quality_filter", "name": "quality", "rules": [
+      |        {"reason": "too_short", "metric": "n_toks", "op": "lt", "value": 10},
+      |        {"reason": "unknown_lang", "metric": "lang_det", "op": "eq", "value": "und"}]},
+      |      {"type": "mixture_sample", "name": "mix", "salt": "mix-1",
+      |       "by": "source", "weights": [
+      |        {"group": "src0", "keep16": 8}, {"group": "src1", "keep16": 4},
+      |        {"group": "src2", "keep16": 2}, {"group": "src3", "keep16": 1}]}
+      |    ],
+      |    "sinks": [
+      |      {"input": "survivors", "name": "curated_stream",
+      |       "path": "{out}/curated_stream", "format": "parquet",
+      |       "saveMode": "append", "partitionBy": ["lang"], "targetFileMB": 2}
+      |    ]
+      |  }
+      |}""".stripMargin
+
+  def q300_declared_stream_sinks(spark: SparkSession, dir: String): DataFrame =
+    runStreamSinks(spark, dir, Metadata.parseCuration(streamSinkCurationJson))
+
+  val q300_oracle: String =
+    streamSinkOracleSql(Metadata.parseCuration(streamSinkCurationJson))
 }

@@ -1543,6 +1543,7 @@ object CurationQueries {
     "q297_declared_curation_sinks" -> (CurationFlow.q297_declared_curation_sinks _),
     "q298_declared_stream_neardup" -> (CurationFlow.q298_declared_stream_neardup _),
     "q299_declared_sinks_multi" -> (CurationFlow.q299_declared_sinks_multi _),
+    "q300_declared_stream_sinks" -> (CurationFlow.q300_declared_stream_sinks _),
     "q77_sequence_pack" -> (q77_sequence_pack _),
     "q60_dedup_apply" -> (q60_dedup_apply _),
     "q61_quality_filter" -> (q61_quality_filter _),
@@ -1575,6 +1576,7 @@ object CurationQueries {
     "q297_declared_curation_sinks" -> CurationFlow.q297_oracle,
     "q298_declared_stream_neardup" -> CurationFlow.q298_oracle,
     "q299_declared_sinks_multi" -> CurationFlow.q299_oracle,
+    "q300_declared_stream_sinks" -> CurationFlow.q300_oracle,
     "q77_sequence_pack" -> q77_oracle,
     "q60_dedup_apply" -> q60_oracle,
     "q61_quality_filter" -> q61_oracle,

@@ -15,7 +15,7 @@ object VectorQueries {
   val dim = 64
   lazy val planes: Seq[Seq[Double]] = V.planes(nPlanes, dim)
 
-  private def emb(spark: SparkSession, dir: String): DataFrame =
+  private[queries] def emb(spark: SparkSession, dir: String): DataFrame =
     Tables.load(spark, dir, "embeddings")
       .select(col("vec_id"), col("label"), V.asDouble(col("embedding")).as("v"))
 

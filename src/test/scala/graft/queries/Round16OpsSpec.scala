@@ -125,6 +125,48 @@ class Round16OpsSpec extends SparkSpec {
     } finally fs.delete(new Path(work), true)
   }
 
+  test("q300: streamed survivors land partitioned, once each, equal to the batch funnel's keep set") {
+    import org.apache.hadoop.fs.Path
+    import graft.meta.{Metadata, MetadataError}
+    val dir = sf("sf0.001")
+    val cur = Metadata.parseCuration(CurationFlow.streamSinkCurationJson)
+    val work = graft.io.Scratch.dir(spark, "graft-q300spec-")
+    val fs = new Path(work).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    try {
+      val report = CurationFlow.runStreamSinksAt(spark, dir, cur, None, work)
+      val landed = spark.read.parquet(s"$work/curated_stream")
+      // exactly once: every landed doc_id unique (each row arrives in
+      // one micro-batch and appends once)
+      assert(landed.groupBy(cur.idColumn).count().filter(col("count") > 1).count() === 0L)
+      // the landed set IS the batch interpreter's survivor set
+      val batch = CurationFlow.run(spark, dir, cur)
+        .select(col(cur.reportBy),
+          col(s"n_${cur.stages.last.name}").as("n_docs"),
+          col("tokens_final").as("tokens"))
+        .filter(col("n_docs") > 0)
+      val got = report.select(col(cur.reportBy), col("n_docs"), col("tokens"))
+      assert(got.exceptAll(batch).isEmpty && batch.exceptAll(got).isEmpty,
+        "stream-landed read-back diverged from the batch survivors")
+      // declared hive layout on the landed bytes
+      assert(fs.globStatus(new Path(s"$work/curated_stream/lang=*")).nonEmpty)
+    } finally fs.delete(new Path(work), true)
+    // contract failures: overwrite sinks and consolidation are refused
+    // BEFORE any stream starts
+    val ow = Metadata.parseCuration(CurationFlow.streamSinkCurationJson
+      .replace("\"saveMode\": \"append\"", "\"saveMode\": \"overwrite\""))
+    val e1 = intercept[MetadataError](CurationFlow.runStreamSinks(spark, dir, ow))
+    assert(e1.getMessage.contains("must append"))
+    val cons = Metadata.parseCuration(CurationFlow.streamSinkCurationJson.replace(
+      "    \"sinks\": [",
+      """    "consolidation": {"enabled": true, "ok_records": {
+        |      "input_pattern": "{out}/curated_stream", "output_path": "{out}/c",
+        |      "deduplication": {"enabled": true, "key_column": "doc_id",
+        |        "order_by": "batch_date", "order_direction": "DESC"}}},
+        |    "sinks": [""".stripMargin))
+    val e2 = intercept[MetadataError](CurationFlow.runStreamSinks(spark, dir, cons))
+    assert(e2.getMessage.contains("batch pass over the sink"))
+  }
+
   test("q297 grammar: consolidation without sinks, and a foreign dedup key, fail at parse time") {
     import graft.meta.{Metadata, MetadataError}
     val noSinks = CurationFlow.sinkCurationJson.replace(
