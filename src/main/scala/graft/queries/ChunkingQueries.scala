@@ -264,13 +264,106 @@ object ChunkingQueries {
 
   // ---------- registry ----------
 
+  // ---------- q306: maximal repeated token runs ----------
+
+  /** Run-gram width: a repeated substring of ≥ this many tokens is
+    * guaranteed to contain a shared gram; shorter repeats are noise
+    * by definition (the Lee et al. 2021 length floor). */
+  val runLen = 8
+
+  /** EXACT maximal repeated-run detection — the full suffix-array
+    * dedup semantic at fixed granularity, where q81 chunks (stride-
+    * aligned, boundary ±spanLen) and q214 re-synchronizes (boundary
+    * at the next cut point): every SLIDING [[runLen]]-gram position
+    * is tested for cross-document repetition, and per document the
+    * shared positions merge into maximal intervals. Output per
+    * affected document: exact tokens covered by text repeated
+    * elsewhere, the longest single shared run, and the run count —
+    * precisely the spans a remove-the-duplicate-span pass (Lee et
+    * al.'s actual operation) would cut, with exact boundaries.
+    *
+    * Scale shape: the gram stream is a narrow (doc_id, 16-byte md5,
+    * pos) explode — n rows per n-token doc, q82's shingle class; the
+    * shared set is ONE partial-agg shuffle on the hash with df ≥ 2 (a
+    * small set on a mostly-unique corpus) joined back hash-keyed;
+    * interval merging is a per-document window — bounded by doc
+    * length, fully parallel. Integer positions end to end.
+    */
+  def q306_repeated_runs(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+    val pos = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), T.tokens(col("text")).as("tk"))
+      .filter(size(col("tk")) >= runLen)
+      .select(col("doc_id"), size(col("tk")).cast("long").as("n_tokens"),
+        posexplode(transform(sequence(lit(0), size(col("tk")) - runLen),
+          i => md5(concat_ws(" ", slice(col("tk"), i + 1, lit(runLen)))))))
+      .withColumnRenamed("pos", "p")
+      .withColumnRenamed("col", "h")
+      .withColumn("pos", col("p").cast("long")).drop("p")
+    val shared = pos.groupBy("h")
+      .agg(count_distinct(col("doc_id")).as("df"))
+      .filter(col("df") >= 2)
+      .select("h")
+    pos.join(shared, Seq("h"))
+      .withColumn("ni",
+        when(col("pos") - lag("pos", 1).over(w) > runLen, 1).otherwise(0))
+      .withColumn("island", sum(col("ni")).over(w))
+      .groupBy(col("doc_id"), col("n_tokens"), col("island"))
+      .agg(min(col("pos")).as("s"), max(col("pos")).as("e"),
+        count(lit(1)).as("np"))
+      .groupBy(col("doc_id"), col("n_tokens"))
+      .agg(
+        sum(col("e") - col("s") + runLen).cast("long").as("covered_tokens"),
+        max(col("e") - col("s") + runLen).cast("long").as("longest_run"),
+        count(lit(1)).cast("long").as("n_runs"),
+        sum(col("np")).cast("long").as("n_shared_positions"))
+      .orderBy("doc_id")
+  }
+
+  val q306_oracle: String = {
+    val tk = T.tokensSql("text")
+    s"""WITH t AS (SELECT doc_id, $tk AS tk FROM documents),
+       |p AS (
+       |  SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens,
+       |    unnest([md5(array_to_string(tk[i+1:i+$runLen], ' '))
+       |            for i in range(0, len(tk) - $runLen + 1)]) AS h,
+       |    unnest([CAST(i AS BIGINT)
+       |            for i in range(0, len(tk) - $runLen + 1)]) AS pos
+       |  FROM t WHERE len(tk) >= $runLen),
+       |sh AS (SELECT h FROM p GROUP BY h
+       |  HAVING count(DISTINCT doc_id) >= 2),
+       |sp AS (
+       |  SELECT doc_id, n_tokens, pos,
+       |    CASE WHEN pos - lag(pos) OVER
+       |        (PARTITION BY doc_id ORDER BY pos) > $runLen
+       |      THEN 1 ELSE 0 END AS ni
+       |  FROM p JOIN sh USING (h)),
+       |isl AS (
+       |  SELECT doc_id, n_tokens, pos,
+       |    sum(ni) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+       |  FROM sp),
+       |g AS (
+       |  SELECT doc_id, n_tokens, island,
+       |    min(pos) AS s, max(pos) AS e, count(*) AS np
+       |  FROM isl GROUP BY 1, 2, 3)
+       |SELECT doc_id, n_tokens,
+       |  CAST(sum(e - s + $runLen) AS BIGINT) AS covered_tokens,
+       |  CAST(max(e - s + $runLen) AS BIGINT) AS longest_run,
+       |  CAST(count(*) AS BIGINT) AS n_runs,
+       |  CAST(sum(np) AS BIGINT) AS n_shared_positions
+       |FROM g GROUP BY doc_id, n_tokens ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q214_cdc_spans" -> (q214_cdc_spans _),
     "q218_winnowing" -> (q218_winnowing _),
-    "q222_winnow_recall" -> (q222_winnow_recall _))
+    "q222_winnow_recall" -> (q222_winnow_recall _),
+    "q306_repeated_runs" -> (q306_repeated_runs _))
 
   val oracles: Map[String, String] = Map(
     "q214_cdc_spans" -> q214_oracle,
     "q218_winnowing" -> q218_oracle,
-    "q222_winnow_recall" -> q222_oracle)
+    "q222_winnow_recall" -> q222_oracle,
+    "q306_repeated_runs" -> q306_oracle)
 }

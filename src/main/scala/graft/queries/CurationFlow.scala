@@ -219,6 +219,50 @@ object CurationFlow {
       .orderBy(cur.reportBy)
   }
 
+  /** Corpus-loss LINEAGE from the same declared document: attribute
+    * every dropped row to the FIRST stage that dropped it (stages are
+    * conjunctive in declared order, so "first failing" is the
+    * well-defined cause), and report (group × removed_by) document
+    * and token mass. [[run]] answers "how much survived each gate";
+    * this answers the operational follow-up — "WHICH gate is eating
+    * source X" — without re-running anything: same funnel, same
+    * memberships, one extra CASE.
+    *
+    * Scale shape: identical to [[run]] — the attribution CASE is a
+    * per-row projection over the already-computed stage columns; the
+    * report is (groups × stages+1) rows.
+    */
+  def runAttrition(spark: SparkSession, dir: String, cur: CurationDef): DataFrame = {
+    val (base, members) = funnel(spark, dir, cur)
+    val sCols = members.scanLeft(lit(true))(_ && _).tail
+    val removedBy = cur.stages.zip(sCols).foldRight(lit("survived")) {
+      case ((st, s), acc) => when(!s, lit(st.name)).otherwise(acc)
+    }
+    base
+      .select(col(cur.reportBy), col("n_toks"), removedBy.as("removed_by"))
+      .groupBy(cur.reportBy, "removed_by")
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        sum(col("n_toks")).cast("long").as("n_tokens"))
+      .orderBy(cur.reportBy, "removed_by")
+  }
+
+  /** The attribution twin of [[oracleSql]], generated from the SAME
+    * config: first-failing-stage CASE over the s1..sN survivor
+    * columns the shared CTE chain already defines.
+    */
+  def attritionOracleSql(cur: CurationDef): String = {
+    val cases = cur.stages.zipWithIndex
+      .map { case (st, i) => s"WHEN NOT s${i + 1} THEN '${sq(st.name)}'" }
+      .mkString(" ")
+    s"""${oracleCtes(cur)}
+       |SELECT grp AS ${cur.reportBy}, removed_by,
+       |  CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(n_toks) AS BIGINT) AS n_tokens
+       |FROM (SELECT grp, n_toks,
+       |  CASE $cases ELSE 'survived' END AS removed_by FROM s)
+       |GROUP BY grp, removed_by ORDER BY grp, removed_by""".stripMargin
+  }
+
   /** Config-to-BYTES: run the declared funnel, WRITE the survivors
     * through the declared sinks (one append per batch stamp, each
     * through [[graft.io.SinkWriter]]'s partitioned + bin-packed
@@ -688,6 +732,21 @@ object CurationFlow {
 
   val q288_oracle: String =
     oracleSql(Metadata.parseCuration(multiStageCurationJson))
+
+  // ---------- q307: loss attribution over the declared funnel ----------
+
+  /** q288's five-stage config read for LINEAGE: which declared stage
+    * first drops each document, as (source × removed_by) doc and
+    * token mass. The repeated-stage-type config is deliberately
+    * reused — attribution must name the two decontaminate and two
+    * quality stages apart, exactly the class q288's per-stage oracle
+    * naming was added to gate.
+    */
+  def q307_declared_attrition(spark: SparkSession, dir: String): DataFrame =
+    runAttrition(spark, dir, Metadata.parseCuration(multiStageCurationJson))
+
+  val q307_oracle: String =
+    attritionOracleSql(Metadata.parseCuration(multiStageCurationJson))
 
   // ---------- q289: the sampling vocabulary, gated end-to-end ----------
 

@@ -39,21 +39,31 @@ object LanguageModel {
           slice(col("t"), lit(2), size(col("t")) - 1),
           (a, b) => concat(a, lit(" "), b))).as("bigram"))
 
-  /** Train-and-score core over any (doc_id, source, text) frame —
-    * factored out so LanguageModelSpec can pin the exact rational
-    * arithmetic on hand-computed fixtures.
+  /** The LM's trained state: bigram → count, one partial-agg shuffle
+    * over the exploded corpus to a vocabulary-bounded table. This IS
+    * the persistable index artifact of q302–q305 — counts are
+    * ADDITIVE over document batches, so index maintenance never needs
+    * the corpus back: append delta rows to ingest, append negated
+    * rows to erase, sum on read.
     */
-  private[queries] def scoreDocs(docs: DataFrame): DataFrame = {
-    val bg = bigrams(docs)
-    val counts = bg.groupBy("bigram")
+  private[queries] def countsOf(docs: DataFrame): DataFrame =
+    bigrams(docs).groupBy("bigram")
       .agg(count(lit(1)).cast("long").as("c_bigram"))
+
+  /** Score every document of `docs` against a trained count table:
+    * prefix totals c(w1·) are derived from the counts themselves
+    * (vocab-sized work), then one shuffle join of the exploded corpus
+    * against the stats keyed by bigram.
+    */
+  private[queries] def scoreWithCounts(
+      docs: DataFrame, counts: DataFrame): DataFrame = {
     val stats = counts
       .withColumn("w1", split(col("bigram"), " ").getItem(0))
       .withColumn("c_prefix",
         sum(col("c_bigram")).over(
           org.apache.spark.sql.expressions.Window.partitionBy("w1")))
       .select("bigram", "c_bigram", "c_prefix")
-    bg.join(stats, Seq("bigram"))
+    bigrams(docs).join(stats, Seq("bigram"))
       .withColumn("contrib", expr(s"(c_bigram * $scale) DIV c_prefix"))
       .groupBy("doc_id", "source")
       .agg(count(lit(1)).cast("long").as("n_bigrams"),
@@ -61,6 +71,13 @@ object LanguageModel {
       .withColumn("fluency_micro", expr("contrib_sum DIV n_bigrams"))
       .select("doc_id", "source", "n_bigrams", "fluency_micro")
   }
+
+  /** Train-and-score core over any (doc_id, source, text) frame —
+    * factored out so LanguageModelSpec can pin the exact rational
+    * arithmetic on hand-computed fixtures.
+    */
+  private[queries] def scoreDocs(docs: DataFrame): DataFrame =
+    scoreWithCounts(docs, countsOf(docs))
 
   /** q104: train bigram counts + prefix totals on the corpus, then
     * score every document.
@@ -79,10 +96,17 @@ object LanguageModel {
   def q104_bigram_lm(spark: SparkSession, dir: String): DataFrame =
     scoreDocs(Tables.load(spark, dir, "documents")).orderBy("doc_id")
 
-  val q104_oracle: String = {
+  val q104_oracle: String = lmOracleSql("")
+
+  /** q104's oracle with an optional document-set restriction — the
+    * erasure legs (q304/q305) recompute the SAME statement over the
+    * retained corpus only: a maintained index must be
+    * indistinguishable from a from-scratch rebuild on what remains.
+    */
+  private def lmOracleSql(docWhere: String): String = {
     val toks = T.tokensSql("lower(text)")
     s"""WITH tk AS (
-       |  SELECT doc_id, source, $toks AS t FROM documents),
+       |  SELECT doc_id, source, $toks AS t FROM documents$docWhere),
        |bg AS (
        |  SELECT doc_id, source,
        |    unnest([t[i] || ' ' || t[i + 1] for i in range(1, len(t))]) AS bigram
@@ -103,6 +127,137 @@ object LanguageModel {
        |GROUP BY doc_id, source
        |ORDER BY doc_id""".stripMargin
   }
+
+  // ---------- q302–q305: LM count-index lifecycle ----------
+
+  /** The erased eighth for q304/q305 (content-hash, like q229's
+    * `del|` salt): erasure must be addressable by a stable key, never
+    * by position.
+    */
+  private def lmErased =
+    substring(md5(concat(lit("lm304|"), col("doc_id").cast("string"))), 1, 1)
+      .isin("0", "1")
+
+  private val lmErasedSql =
+    "substring(md5(concat('lm304|', CAST(doc_id AS VARCHAR))), 1, 1) " +
+      "IN ('0', '1')"
+
+  /** Merge-on-read over the delta log: the stored index is an
+    * APPEND-ONLY sequence of (bigram, c_bigram) delta rows — positive
+    * from ingest, negative from erasure — and a reader materializes
+    * current counts by summing per bigram and dropping non-positive
+    * survivors. Exactly the LSM/merge-on-read contract a 100 TB
+    * corpus needs: no ingest or erasure ever rewrites an existing
+    * file; compaction (q305) amortizes read cost when the log grows.
+    */
+  private def mergedCounts(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+      .groupBy("bigram")
+      .agg(sum(col("c_bigram")).cast("long").as("c_bigram"))
+      .filter(col("c_bigram") > 0)
+
+  /** q302: PERSIST the trained bigram counts and score from the
+    * stored artifact — everything after the write sees only the
+    * reopened index schema. Oracle: q104 verbatim (a persisted model
+    * must reproduce the in-session one bit-identically).
+    */
+  def q302_lm_index_persist(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val work = graft.io.Scratch.dir(spark, "graft-q302-")
+    val fs = new Path(work).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    try {
+      val docs = Tables.load(spark, dir, "documents")
+      countsOf(docs).write.parquet(s"$work/lm_index")
+      scoreWithCounts(docs, mergedCounts(spark, s"$work/lm_index"))
+        .orderBy("doc_id")
+        .localCheckpoint()
+    } finally fs.delete(new Path(work), true)
+  }
+
+  val q302_oracle: String = q104_oracle
+
+  /** q303: INGEST — the index is built from the existing
+    * seven-eighths only, then the arriving batch's counts are
+    * appended as DELTA rows (mode=append; a bigram seen by both
+    * sides simply has two rows, summed on read). Scoring the full
+    * corpus from the merged log must be indistinguishable from a
+    * from-scratch build: q104's oracle verbatim. Counts are additive,
+    * so append IS the correct merge — no read-modify-write.
+    */
+  def q303_lm_index_update(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val work = graft.io.Scratch.dir(spark, "graft-q303-")
+    val fs = new Path(work).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    try {
+      val docs = Tables.load(spark, dir, "documents")
+      val isBatch =
+        substring(md5(concat(lit("lm303|"), col("doc_id").cast("string"))), 1, 1)
+          .isin("0", "1")
+      countsOf(docs.filter(!isBatch)).write.parquet(s"$work/lm_index")
+      countsOf(docs.filter(isBatch))
+        .write.mode("append").parquet(s"$work/lm_index")
+      scoreWithCounts(docs, mergedCounts(spark, s"$work/lm_index"))
+        .orderBy("doc_id")
+        .localCheckpoint()
+    } finally fs.delete(new Path(work), true)
+  }
+
+  val q303_oracle: String = q104_oracle
+
+  /** q304: ERASURE — the erased eighth's counts are appended NEGATED
+    * (tombstone deltas); merge-on-read sums them away, and a bigram
+    * whose whole support was erased nets to zero and is dropped by
+    * the `> 0` floor. Scoring the retained docs from the maintained
+    * log must equal a from-scratch rebuild on the retained corpus —
+    * the oracle recomputes exactly that.
+    */
+  def q304_lm_index_erasure(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val work = graft.io.Scratch.dir(spark, "graft-q304-")
+    val fs = new Path(work).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    try {
+      val docs = Tables.load(spark, dir, "documents")
+      countsOf(docs).write.parquet(s"$work/lm_index")
+      countsOf(docs.filter(lmErased))
+        .withColumn("c_bigram", -col("c_bigram"))
+        .write.mode("append").parquet(s"$work/lm_index")
+      scoreWithCounts(docs.filter(!lmErased),
+          mergedCounts(spark, s"$work/lm_index"))
+        .orderBy("doc_id")
+        .localCheckpoint()
+    } finally fs.delete(new Path(work), true)
+  }
+
+  val q304_oracle: String = lmOracleSql(s" WHERE NOT ($lmErasedSql)")
+
+  /** q305: COMPACT — after q304's erasure the log holds tombstones;
+    * compaction materializes the merged counts ONCE into a fresh
+    * artifact (one positive row per bigram), and later readers score
+    * from it directly with no merge-on-read aggregation. Same oracle
+    * as q304: compaction must be a pure representation change.
+    * Round16OpsSpec additionally pins compacted ≡ delta-form row for
+    * row and that the compacted artifact carries no tombstones.
+    */
+  def q305_lm_index_compact(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val work = graft.io.Scratch.dir(spark, "graft-q305-")
+    val fs = new Path(work).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    try {
+      val docs = Tables.load(spark, dir, "documents")
+      countsOf(docs).write.parquet(s"$work/lm_index")
+      countsOf(docs.filter(lmErased))
+        .withColumn("c_bigram", -col("c_bigram"))
+        .write.mode("append").parquet(s"$work/lm_index")
+      mergedCounts(spark, s"$work/lm_index")
+        .write.parquet(s"$work/lm_index_compact")
+      scoreWithCounts(docs.filter(!lmErased),
+          spark.read.parquet(s"$work/lm_index_compact"))
+        .orderBy("doc_id")
+        .localCheckpoint()
+    } finally fs.delete(new Path(work), true)
+  }
+
+  val q305_oracle: String = q304_oracle
 
   // ---------- q114: collocation mining (integer-exact lift) ----------
 
@@ -458,12 +613,20 @@ object LanguageModel {
     "q104_bigram_lm" -> (q104_bigram_lm _),
     "q114_collocations" -> (q114_collocations _),
     "q126_skipgram" -> (q126_skipgram _),
-    "q215_kneser_ney" -> (q215_kneser_ney _))
+    "q215_kneser_ney" -> (q215_kneser_ney _),
+    "q302_lm_index_persist" -> (q302_lm_index_persist _),
+    "q303_lm_index_update" -> (q303_lm_index_update _),
+    "q304_lm_index_erasure" -> (q304_lm_index_erasure _),
+    "q305_lm_index_compact" -> (q305_lm_index_compact _))
 
   val oracles: Map[String, String] = Map(
     "q134_perplexity_buckets" -> q134_oracle,
     "q104_bigram_lm" -> q104_oracle,
     "q114_collocations" -> q114_oracle,
     "q126_skipgram" -> q126_oracle,
-    "q215_kneser_ney" -> q215_oracle)
+    "q215_kneser_ney" -> q215_oracle,
+    "q302_lm_index_persist" -> q302_oracle,
+    "q303_lm_index_update" -> q303_oracle,
+    "q304_lm_index_erasure" -> q304_oracle,
+    "q305_lm_index_compact" -> q305_oracle)
 }

@@ -932,9 +932,81 @@ object RelationalQueries {
        |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  // ---------- q301: dominant promo suppliers (TPC-H Q20 shape) ----------
+
+  /** Q20's essence over this schema — "which suppliers carry an
+    * outsized share of the promo-part supply" as a nested-aggregate
+    * semi-join: within one shipping year, a supplier DOMINATES a
+    * PROMO part when its shipped quantity strictly exceeds half the
+    * part's total across all suppliers (Q20's `availqty > 0.5 ×
+    * sum(l_quantity)` excess-stock test, re-read against lineitem
+    * because this schema has no partsupp). The report rolls dominated
+    * parts up per supplier with nation attached — the supply-risk
+    * list a buyer actually acts on.
+    *
+    * Scale shape: the ship-year fence prunes the lineitem scan at the
+    * parquet reader; the promo filter rides the part join (un-hinted
+    * fact-to-catalog, AQE broadcasts while small). The per-(part,
+    * supplier) aggregate is ONE partial-agg shuffle, the per-part
+    * total is derived FROM that aggregate (pair-table-sized work,
+    * never a second corpus pass), and the dominance join is
+    * co-partitioned on partkey. Quantities are integral: the
+    * `2·sq > tq` test runs on exact longs, division-free.
+    */
+  def q301_dominant_suppliers(spark: SparkSession, dir: String): DataFrame = {
+    val lo = to_timestamp(lit("1998-01-01 00:00:00"))
+    val hi = to_timestamp(lit("1999-01-01 00:00:00"))
+    val promo = Tables.load(spark, dir, "part")
+      .filter(col("p_type") === "PROMO")
+      .select(col("p_partkey"))
+    val li = Tables.load(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= lo && col("l_shipdate") < hi)
+      .select(col("l_partkey"), col("l_suppkey"),
+        col("l_quantity").cast("long").as("q"))
+      .join(promo, col("l_partkey") === col("p_partkey"))
+    val perSupp = li.groupBy("l_partkey", "l_suppkey")
+      .agg(sum(col("q")).as("sq"))
+    val perPart = perSupp.groupBy("l_partkey")
+      .agg(sum(col("sq")).as("tq"))
+    val supp = Tables.load(spark, dir, "supplier")
+      .join(Tables.load(spark, dir, "nation"),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("s_name"), col("n_name"))
+    perSupp.join(perPart, Seq("l_partkey"))
+      .filter(col("sq") * 2 > col("tq"))
+      .groupBy("l_suppkey")
+      .agg(count(lit(1)).cast("long").as("n_parts_dominated"),
+        sum(col("sq")).cast("long").as("qty_dominated"))
+      .join(supp, col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("n_name"),
+        col("n_parts_dominated"), col("qty_dominated"))
+      .orderBy(col("n_parts_dominated").desc, col("s_suppkey"))
+  }
+
+  val q301_oracle: String =
+    """WITH li AS (
+      |  SELECT l_partkey, l_suppkey, CAST(l_quantity AS BIGINT) AS q
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey
+      |  WHERE p_type = 'PROMO'
+      |    AND l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
+      |    AND l_shipdate < TIMESTAMP '1999-01-01 00:00:00'),
+      |ps AS (SELECT l_partkey, l_suppkey, sum(q) AS sq
+      |  FROM li GROUP BY 1, 2),
+      |pt AS (SELECT l_partkey, sum(sq) AS tq FROM ps GROUP BY 1)
+      |SELECT s_suppkey, s_name, n_name,
+      |  CAST(count(*) AS BIGINT) AS n_parts_dominated,
+      |  CAST(sum(sq) AS BIGINT) AS qty_dominated
+      |FROM ps JOIN pt USING (l_partkey)
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |WHERE 2 * sq > tq
+      |GROUP BY s_suppkey, s_name, n_name
+      |ORDER BY n_parts_dominated DESC, s_suppkey""".stripMargin
+
   // ---------- registry ----------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q301_dominant_suppliers" -> (q301_dominant_suppliers _),
     "q290_priority_lines" -> (q290_priority_lines _),
     "q277_nation_trade" -> (q277_nation_trade _),
     "q278_market_share" -> (q278_market_share _),
@@ -953,6 +1025,7 @@ object RelationalQueries {
     "q240_returned_top_customers" -> (q240_returned_top_customers _))
 
   val oracles: Map[String, String] = Map(
+    "q301_dominant_suppliers" -> q301_oracle,
     "q290_priority_lines" -> q290_oracle,
     "q277_nation_trade" -> q277_oracle,
     "q278_market_share" -> q278_oracle,

@@ -1500,9 +1500,76 @@ object VectorQueries {
        |  min_micro, max_micro
        |FROM m ORDER BY dim""".stripMargin
 
+  // ---------- q308: farthest-point diversity sample ----------
+
+  /** Diversity-sample size. */
+  val fpsK = 16
+
+  /** Farthest-point (greedy k-center) selection over any (id, v)
+    * frame — the diversity-aware data-selection primitive (pick the
+    * k most MUTUALLY DISTANT examples, Gonzalez 1985): seed with the
+    * smallest id, then repeatedly take the point farthest from
+    * everything chosen so far (squared euclidean; ties broken by
+    * smallest id, so the result is deterministic). Greedy k-center
+    * carries the classic 2-approximation guarantee on the coverage
+    * radius — Round16OpsSpec pins it against the brute-force optimum
+    * on a fixture, plus one-center-per-cluster on planted clusters.
+    *
+    * Scale shape: k passes, each ONE narrow map over the corpus (the
+    * running min-distance folds the new center in via `least` — never
+    * a k-wide rescan) and a 1-row argmax collect; the chosen set
+    * lives in the PLAN as a dim-length literal per round (k·dim
+    * doubles total, k bounded small by the operator's purpose —
+    * diversity seeds, prototype picks, eval probes). Lineage is
+    * truncated per round so round r's plan does not replay rounds
+    * 1..r-1.
+    */
+  private[queries] def farthestPoints(
+      points: DataFrame, idCol: String, vCol: String, k: Int): Seq[(Long, Double)] = {
+    val first = points.orderBy(col(idCol)).select(col(idCol)).head().getLong(0)
+    val chosen = scala.collection.mutable.ArrayBuffer[(Long, Double)]((first, 0.0))
+    def vecOf(id: Long): Seq[Double] =
+      points.filter(col(idCol) === id).select(col(vCol)).head()
+        .getSeq[Double](0)
+    var cur = points
+      .withColumn("__fps_d", V.dot(col(vCol), col(vCol)) -
+        V.dot(col(vCol), typedLit(vecOf(first))) * 2.0 +
+        lit(vecOf(first).map(x => x * x).sum))
+      .localCheckpoint()
+    while (chosen.size < k) {
+      val far = cur.orderBy(col("__fps_d").desc, col(idCol))
+        .select(col(idCol), col("__fps_d")).head()
+      val (id, d) = (far.getLong(0), far.getDouble(1))
+      chosen += ((id, d))
+      if (chosen.size < k) {
+        val c = vecOf(id)
+        cur = cur
+          .withColumn("__fps_d", least(col("__fps_d"),
+            V.dot(col(vCol), col(vCol)) -
+              V.dot(col(vCol), typedLit(c)) * 2.0 +
+              lit(c.map(x => x * x).sum)))
+          .localCheckpoint()
+      }
+    }
+    chosen.toSeq
+  }
+
+  /** q308: the [[fpsK]]-point diversity sample of the embeddings
+    * table, with selection rank and the (double, engine-specific —
+    * rows-only by design) distance-to-chosen-set at selection time.
+    */
+  def q308_diversity_sample(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val picks = farthestPoints(emb(spark, dir), "vec_id", "v", fpsK)
+    picks.zipWithIndex
+      .map { case ((id, d), r) => (r.toLong, id, d) }
+      .toDF("rank", "vec_id", "dist_sq")
+  }
+
   // ---------- registry ----------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q308_diversity_sample" -> (q308_diversity_sample _),
     "q156_embedding_profile" -> (q156_embedding_profile _),
     "q167_embedding_outliers" -> (q167_embedding_outliers _),
     "q180_knn_classifier" -> (q180_knn_classifier _),
