@@ -289,10 +289,11 @@ object ChunkingQueries {
     * interval merging is a per-document window — bounded by doc
     * length, fully parallel. Integer positions end to end.
     */
-  def q306_repeated_runs(spark: SparkSession, dir: String): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("doc_id").orderBy("pos")
-    val pos = Tables.load(spark, dir, "documents")
+  /** The sliding-gram position stream both run queries share:
+    * (doc_id, n_tokens, pos, h) — one row per [[runLen]]-gram start.
+    */
+  private[queries] def gramPositions(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "documents")
       .select(col("doc_id"), T.tokens(col("text")).as("tk"))
       .filter(size(col("tk")) >= runLen)
       .select(col("doc_id"), size(col("tk")).cast("long").as("n_tokens"),
@@ -301,17 +302,29 @@ object ChunkingQueries {
       .withColumnRenamed("pos", "p")
       .withColumnRenamed("col", "h")
       .withColumn("pos", col("p").cast("long")).drop("p")
-    val shared = pos.groupBy("h")
-      .agg(count_distinct(col("doc_id")).as("df"))
-      .filter(col("df") >= 2)
-      .select("h")
-    pos.join(shared, Seq("h"))
+
+  /** Per-doc maximal intervals over a set of gram positions: islands
+    * split where the start-position gap exceeds [[runLen]] (intervals
+    * of width runLen overlap or adjoin up to that gap). */
+  private def islands(posSet: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+    posSet
       .withColumn("ni",
         when(col("pos") - lag("pos", 1).over(w) > runLen, 1).otherwise(0))
       .withColumn("island", sum(col("ni")).over(w))
       .groupBy(col("doc_id"), col("n_tokens"), col("island"))
       .agg(min(col("pos")).as("s"), max(col("pos")).as("e"),
         count(lit(1)).as("np"))
+  }
+
+  def q306_repeated_runs(spark: SparkSession, dir: String): DataFrame = {
+    val pos = gramPositions(spark, dir)
+    val shared = pos.groupBy("h")
+      .agg(count_distinct(col("doc_id")).as("df"))
+      .filter(col("df") >= 2)
+      .select("h")
+    islands(pos.join(shared, Seq("h")))
       .groupBy(col("doc_id"), col("n_tokens"))
       .agg(
         sum(col("e") - col("s") + runLen).cast("long").as("covered_tokens"),
@@ -355,15 +368,97 @@ object ChunkingQueries {
        |FROM g GROUP BY doc_id, n_tokens ORDER BY doc_id""".stripMargin
   }
 
+  // ---------- q311: owner-aware repeated-run scrub ----------
+
+  /** The TRANSFORM q306's report feeds (Lee et al.'s actual
+    * operation): remove every duplicated occurrence, keep exactly
+    * one. Ownership is deterministic and local to each gram — the
+    * globally first occurrence by (doc_id, pos) survives; every other
+    * occurrence of that gram (in other docs AND later in the owner
+    * doc itself, so within-doc repetition is scrubbed too) is
+    * duplicate mass, merged per doc into maximal intervals and
+    * counted as removed tokens. Output per document: token count,
+    * tokens removed, tokens kept — the corpus-size ledger a dedup
+    * pass must publish before a tokenizer consumes the result.
+    *
+    * Scale shape: q306's stream plus one (min over a 2-field struct)
+    * per gram riding the SAME partial-agg shuffle that computes df —
+    * no extra corpus pass; the non-owner filter is a per-row struct
+    * comparison after the hash-keyed join-back.
+    */
+  def q311_run_scrub(spark: SparkSession, dir: String): DataFrame = {
+    val pos = gramPositions(spark, dir)
+    val owners = pos.groupBy("h")
+      .agg(count_distinct(col("doc_id")).as("df"),
+        min(struct(col("doc_id"), col("pos"))).as("o"))
+      .filter(col("df") >= 2)
+      .select(col("h"), col("o.doc_id").as("o_doc"), col("o.pos").as("o_pos"))
+    val removedPos = pos.join(owners, Seq("h"))
+      .filter(!(col("doc_id") === col("o_doc") && col("pos") === col("o_pos")))
+      .select("doc_id", "n_tokens", "pos")
+    val removed = islands(removedPos)
+      .groupBy(col("doc_id"))
+      .agg(sum(col("e") - col("s") + runLen).cast("long").as("n_removed"))
+    Tables.load(spark, dir, "documents")
+      .select(col("doc_id"),
+        size(T.tokens(col("text"))).cast("long").as("n_tokens"))
+      .join(removed, Seq("doc_id"), "left")
+      .withColumn("n_removed", coalesce(col("n_removed"), lit(0L)))
+      .withColumn("n_kept", col("n_tokens") - col("n_removed"))
+      .orderBy("doc_id")
+  }
+
+  val q311_oracle: String = {
+    val tk = T.tokensSql("text")
+    s"""WITH t AS (SELECT doc_id, $tk AS tk FROM documents),
+       |p AS (
+       |  SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens,
+       |    unnest([md5(array_to_string(tk[i+1:i+$runLen], ' '))
+       |            for i in range(0, len(tk) - $runLen + 1)]) AS h,
+       |    unnest([CAST(i AS BIGINT)
+       |            for i in range(0, len(tk) - $runLen + 1)]) AS pos
+       |  FROM t WHERE len(tk) >= $runLen),
+       |own AS (
+       |  SELECT h, min(struct_pack(d := doc_id, p := pos)) AS o
+       |  FROM p GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+       |rp AS (
+       |  SELECT doc_id, pos
+       |  FROM p JOIN own USING (h)
+       |  WHERE NOT (doc_id = o.d AND pos = o.p)),
+       |sp AS (
+       |  SELECT doc_id, pos,
+       |    CASE WHEN pos - lag(pos) OVER
+       |        (PARTITION BY doc_id ORDER BY pos) > $runLen
+       |      THEN 1 ELSE 0 END AS ni
+       |  FROM rp),
+       |isl AS (
+       |  SELECT doc_id, pos,
+       |    sum(ni) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+       |  FROM sp),
+       |g AS (
+       |  SELECT doc_id, island, min(pos) AS s, max(pos) AS e
+       |  FROM isl GROUP BY 1, 2),
+       |rm AS (
+       |  SELECT doc_id, CAST(sum(e - s + $runLen) AS BIGINT) AS n_removed
+       |  FROM g GROUP BY doc_id)
+       |SELECT t.doc_id, CAST(len(tk) AS BIGINT) AS n_tokens,
+       |  coalesce(rm.n_removed, 0) AS n_removed,
+       |  CAST(len(tk) AS BIGINT) - coalesce(rm.n_removed, 0) AS n_kept
+       |FROM t LEFT JOIN rm ON t.doc_id = rm.doc_id
+       |ORDER BY t.doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q214_cdc_spans" -> (q214_cdc_spans _),
     "q218_winnowing" -> (q218_winnowing _),
     "q222_winnow_recall" -> (q222_winnow_recall _),
-    "q306_repeated_runs" -> (q306_repeated_runs _))
+    "q306_repeated_runs" -> (q306_repeated_runs _),
+    "q311_run_scrub" -> (q311_run_scrub _))
 
   val oracles: Map[String, String] = Map(
     "q214_cdc_spans" -> q214_oracle,
     "q218_winnowing" -> q218_oracle,
     "q222_winnow_recall" -> q222_oracle,
-    "q306_repeated_runs" -> q306_oracle)
+    "q306_repeated_runs" -> q306_oracle,
+    "q311_run_scrub" -> q311_oracle)
 }

@@ -819,6 +819,22 @@ object CurationFlow {
   val q291_oracle: String =
     oracleSql(Metadata.parseCuration(budgetCurationJson))
 
+  // ---------- q310: attrition over the window-bearing config ----------
+
+  /** The attrition generator gated on a config class it was NOT tuned
+    * on (q288's recipe applied to lineage): q291's budget-bearing
+    * funnel, whose last member is the RangeRank running-sum guard —
+    * so the first-failing CASE must compose with the chained bd_
+    * window CTE, not just the join-backed memberships q307 exercises.
+    * A doc can fail the budget while passing everything earlier; its
+    * loss must be attributed to `budget`, never to an upstream stage.
+    */
+  def q310_declared_attrition_budget(spark: SparkSession, dir: String): DataFrame =
+    runAttrition(spark, dir, Metadata.parseCuration(budgetCurationJson))
+
+  val q310_oracle: String =
+    attritionOracleSql(Metadata.parseCuration(budgetCurationJson))
+
   // ---------- q292: the declared funnel over a STREAM ----------
 
   /** A per-row-only config: quality rules, mixture weights, and an
@@ -910,7 +926,7 @@ object CurationFlow {
     * but semantically irrelevant: every streamable stage is per-row
     * or static-membership and the downstream aggregates/sink appends
     * are commutative. */
-  private def stageTwoBatches(
+  private[queries] def stageTwoBatches(
       spark: SparkSession, work: String, docs: DataFrame,
       idColumn: String): Unit = {
     import org.apache.hadoop.fs.Path

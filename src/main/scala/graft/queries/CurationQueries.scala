@@ -1545,6 +1545,7 @@ object CurationQueries {
     "q299_declared_sinks_multi" -> (CurationFlow.q299_declared_sinks_multi _),
     "q300_declared_stream_sinks" -> (CurationFlow.q300_declared_stream_sinks _),
     "q307_declared_attrition" -> (CurationFlow.q307_declared_attrition _),
+    "q310_declared_attrition_budget" -> (CurationFlow.q310_declared_attrition_budget _),
     "q77_sequence_pack" -> (q77_sequence_pack _),
     "q60_dedup_apply" -> (q60_dedup_apply _),
     "q61_quality_filter" -> (q61_quality_filter _),
@@ -1579,6 +1580,7 @@ object CurationQueries {
     "q299_declared_sinks_multi" -> CurationFlow.q299_oracle,
     "q300_declared_stream_sinks" -> CurationFlow.q300_oracle,
     "q307_declared_attrition" -> CurationFlow.q307_oracle,
+    "q310_declared_attrition_budget" -> CurationFlow.q310_oracle,
     "q77_sequence_pack" -> q77_oracle,
     "q60_dedup_apply" -> q60_oracle,
     "q61_quality_filter" -> q61_oracle,

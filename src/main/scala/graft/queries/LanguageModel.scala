@@ -235,8 +235,8 @@ object LanguageModel {
     * artifact (one positive row per bigram), and later readers score
     * from it directly with no merge-on-read aggregation. Same oracle
     * as q304: compaction must be a pure representation change.
-    * Round16OpsSpec additionally pins compacted ≡ delta-form row for
-    * row and that the compacted artifact carries no tombstones.
+    * Round16bOpsSpec additionally pins compacted ≡ delta-form row
+    * for row and that the erased eighth is genuinely gone.
     */
   def q305_lm_index_compact(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.hadoop.fs.Path
@@ -258,6 +258,45 @@ object LanguageModel {
   }
 
   val q305_oracle: String = q304_oracle
+
+  /** q309: the ingest leg run as a STREAM — documents arrive in
+    * micro-batches and each batch's bigram counts land as delta rows
+    * appended to the stored log (foreachBatch; counts are additive,
+    * so per-batch append IS the correct merge and no state store is
+    * needed at all). After the stream drains, scoring the corpus from
+    * the merged log must be indistinguishable from a from-scratch
+    * build: q104's oracle verbatim. This makes the LM family the
+    * first index with all four lifecycle legs PLUS streaming ingest —
+    * the maintenance mode a 100 TB corpus actually runs (the log
+    * grows one bounded delta per micro-batch; q305's compaction
+    * amortizes the read).
+    */
+  def q309_stream_lm_ingest(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    import org.apache.spark.sql.streaming.Trigger
+    val work = graft.io.Scratch.dir(spark, "graft-q309-")
+    val fs = new Path(work).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    try {
+      val docs = Tables.load(spark, dir, "documents")
+      CurationFlow.stageTwoBatches(spark, work, docs, "doc_id")
+      val stream = spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$work/incoming")
+      val query = stream.writeStream
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          countsOf(batch).write.mode("append").parquet(s"$work/lm_index")
+          ()
+        }
+        .option("checkpointLocation", s"$work/ckpt")
+        .start()
+      query.awaitTermination()
+      scoreWithCounts(docs, mergedCounts(spark, s"$work/lm_index"))
+        .orderBy("doc_id")
+        .localCheckpoint()
+    } finally fs.delete(new Path(work), true)
+  }
+
+  val q309_oracle: String = q104_oracle
 
   // ---------- q114: collocation mining (integer-exact lift) ----------
 
@@ -617,7 +656,8 @@ object LanguageModel {
     "q302_lm_index_persist" -> (q302_lm_index_persist _),
     "q303_lm_index_update" -> (q303_lm_index_update _),
     "q304_lm_index_erasure" -> (q304_lm_index_erasure _),
-    "q305_lm_index_compact" -> (q305_lm_index_compact _))
+    "q305_lm_index_compact" -> (q305_lm_index_compact _),
+    "q309_stream_lm_ingest" -> (q309_stream_lm_ingest _))
 
   val oracles: Map[String, String] = Map(
     "q134_perplexity_buckets" -> q134_oracle,
@@ -628,5 +668,6 @@ object LanguageModel {
     "q302_lm_index_persist" -> q302_oracle,
     "q303_lm_index_update" -> q303_oracle,
     "q304_lm_index_erasure" -> q304_oracle,
-    "q305_lm_index_compact" -> q305_oracle)
+    "q305_lm_index_compact" -> q305_oracle,
+    "q309_stream_lm_ingest" -> q309_oracle)
 }

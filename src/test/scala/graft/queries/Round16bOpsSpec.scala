@@ -48,6 +48,13 @@ class Round16bOpsSpec extends SparkSpec {
     assert(erasedIds.forall(!scored.contains(_)), "an erased doc was scored")
   }
 
+  test("q309: streaming delta-append ingest scores like the in-session model") {
+    val dir = sf("sf0.001")
+    assert(sameRows(LanguageModel.q309_stream_lm_ingest(spark, dir),
+      LanguageModel.q104_bigram_lm(spark, dir)),
+      "stream-ingested index diverged from a from-scratch build")
+  }
+
   // ---------- q306: maximal repeated runs ----------
 
   test("q306 equals an independent driver-side reference on the real corpus") {
@@ -100,6 +107,45 @@ class Round16bOpsSpec extends SparkSpec {
       assert(att.getOrElse((src, "survived"), 0L) === nLast,
         s"$src: survived attribution != final-stage survivor count")
     }
+  }
+
+  test("q310 attribution reconciles with the budget funnel under a binding budget") {
+    val dir = sf("sf0.001")
+    // q291's config with the budget tightened so the window member
+    // actually FIRES at fixture scale (the committed 2000-token budget
+    // binds only from sf0.1 up — the driver's oracle gates that)
+    val cur = graft.meta.Metadata.parseCuration(
+      CurationFlow.budgetCurationJson.replace("\"budget\": 2000", "\"budget\": 120"))
+    val att = CurationFlow.runAttrition(spark, dir, cur)
+      .collect().map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    assert(att.keys.exists(_._2 == "budget"),
+      "no document attributed to the budget stage — the window member is untested")
+    CurationFlow.run(spark, dir, cur).collect().foreach { r =>
+      val src = r.getString(0)
+      val attTotal = att.collect { case ((s, _), n) if s == src => n }.sum
+      assert(attTotal === r.getLong(r.fieldIndex("n_raw")))
+      assert(att.getOrElse((src, "survived"), 0L) ===
+        r.getLong(r.fieldIndex("n_budget")))
+    }
+  }
+
+  test("q311 scrub ledger is consistent with q306's coverage report") {
+    val dir = sf("sf0.001")
+    val covered = ChunkingQueries.q306_repeated_runs(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    val rows = ChunkingQueries.q311_run_scrub(spark, dir).collect()
+    assert(rows.exists(_.getLong(2) > 0L), "degenerate corpus: nothing scrubbed")
+    rows.foreach { r =>
+      val (id, nTok, nRem, nKept) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(nKept === nTok - nRem)
+      assert(nRem <= covered.getOrElse(id, 0L),
+        s"doc $id: removed $nRem exceeds covered ${covered.getOrElse(id, 0L)}")
+    }
+    // at least one shared gram's owner keeps its copy: some doc has
+    // coverage but strictly fewer removed tokens
+    assert(rows.exists(r => covered.getOrElse(r.getLong(0), 0L) > r.getLong(2)),
+      "every covered token was removed — ownership kept nothing")
   }
 
   // ---------- q308: farthest-point diversity sample ----------
