@@ -835,6 +835,55 @@ object CurationFlow {
   val q310_oracle: String =
     attritionOracleSql(Metadata.parseCuration(budgetCurationJson))
 
+  // ---------- q313: the full grammar in ONE config ----------
+
+  /** Every stage type the grammar speaks, composed in one document —
+    * the realistic order a curation run actually declares (dedup
+    * before quality before decontamination before sampling before
+    * splitting before budgeting). Each production has its own gate
+    * (q276/q288/q289/q291); this gates their COMPOSITION: the near-dup
+    * label table and the leakage-free split share one cluster CTE, the
+    * mixture's hex-digit draw rides survivors of four earlier stages,
+    * and the budget's running sum must weigh exactly the rows that
+    * survived all six — any interaction bug between productions splits
+    * this oracle even if every single-stage config stays green.
+    */
+  val fullGrammarCurationJson: String =
+    """{
+      |  "curation": {
+      |    "table": "documents",
+      |    "id_column": "doc_id",
+      |    "text_column": "text",
+      |    "report_by": "source",
+      |    "stages": [
+      |      {"type": "dedup_exact", "name": "exact"},
+      |      {"type": "dedup_near", "name": "neardup"},
+      |      {"type": "quality_filter", "name": "quality", "rules": [
+      |        {"reason": "too_short", "metric": "n_toks", "op": "lt", "value": 10},
+      |        {"reason": "low_quality", "metric": "quality", "op": "lt", "value": 0.4}]},
+      |      {"type": "decontaminate", "name": "bench", "shingles": [
+      |        "the fast key", "spark group query", "join a filter"]},
+      |      {"type": "mixture_sample", "name": "mix", "salt": "mix-13",
+      |       "by": "source", "weights": [
+      |        {"group": "src0", "keep16": 16}, {"group": "src1", "keep16": 12},
+      |        {"group": "src2", "keep16": 10}, {"group": "src3", "keep16": 8},
+      |        {"group": "src4", "keep16": 6}, {"group": "src5", "keep16": 4}]},
+      |      {"type": "split", "name": "train", "salt": "split-13",
+      |       "buckets": [
+      |        {"name": "1_train", "upper": 230}, {"name": "2_test", "upper": 256}],
+      |       "keep": "1_train", "leakage_free": true},
+      |      {"type": "token_budget", "name": "budget", "salt": "budget-13",
+      |       "by": "source", "budget": 1500}
+      |    ]
+      |  }
+      |}""".stripMargin
+
+  def q313_declared_full_grammar(spark: SparkSession, dir: String): DataFrame =
+    run(spark, dir, Metadata.parseCuration(fullGrammarCurationJson))
+
+  val q313_oracle: String =
+    oracleSql(Metadata.parseCuration(fullGrammarCurationJson))
+
   // ---------- q292: the declared funnel over a STREAM ----------
 
   /** A per-row-only config: quality rules, mixture weights, and an

@@ -1566,9 +1566,51 @@ object VectorQueries {
       .toDF("rank", "vec_id", "dist_sq")
   }
 
+  // ---------- q312: diversity-sample assignment / coverage audit ----------
+
+  /** The USE of q308's picks: assign every vector to its nearest
+    * chosen center and report per center the assigned population and
+    * the coverage radius (max squared distance) — the audit that says
+    * whether k diversity seeds actually cover the corpus (the k-center
+    * objective itself) and how the mass splits across them (the
+    * stratification a diversity-balanced sampler draws from).
+    *
+    * Scale shape: ONE corpus pass — the k centers ship as a single
+    * nested-array literal scored by a transform + array_min (the
+    * q87 quantizer's k-independent plan spelling; k·dim doubles of
+    * payload, k bounded small by the operator's purpose), and the
+    * report is ONE partial-agg shuffle to k rows. Argmin ties break
+    * to the lower selection rank on exact score equality.
+    */
+  def q312_diversity_assign(spark: SparkSession, dir: String): DataFrame = {
+    val pts = emb(spark, dir)
+    val picks = farthestPoints(pts, "vec_id", "v", fpsK)
+    val ids = picks.map(_._1)
+    val byId = pts.filter(col("vec_id").isin(ids: _*))
+      .select(col("vec_id"), col("v")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val centers: Seq[Seq[Double]] = ids.map(byId)
+    val norms: Seq[Double] = centers.map(_.map(x => x * x).sum)
+    val scored = transform(typedLit(centers), (c, j) =>
+      struct((V.dot(col("v"), c) * -2.0 +
+        element_at(typedLit(norms), j + 1)).as("s"), j.as("j")))
+    val best = array_min(scored)
+    pts
+      .withColumn("rank", best.getField("j").cast("long"))
+      .withColumn("d2", best.getField("s") + V.dot(col("v"), col("v")))
+      .groupBy("rank")
+      .agg(count(lit(1)).cast("long").as("n_assigned"),
+        max(col("d2")).as("radius_sq"))
+      .withColumn("center_id",
+        element_at(typedLit(ids), col("rank").cast("int") + 1))
+      .select("rank", "center_id", "n_assigned", "radius_sq")
+      .orderBy("rank")
+  }
+
   // ---------- registry ----------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q312_diversity_assign" -> (q312_diversity_assign _),
     "q308_diversity_sample" -> (q308_diversity_sample _),
     "q156_embedding_profile" -> (q156_embedding_profile _),
     "q167_embedding_outliers" -> (q167_embedding_outliers _),

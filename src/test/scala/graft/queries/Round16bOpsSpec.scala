@@ -186,6 +186,31 @@ class Round16bOpsSpec extends SparkSpec {
       s"greedy radius^2 ${radius(picks)} exceeds 4x optimal $opt")
   }
 
+  test("q313: the full-grammar config is a monotone funnel and honors its declared budget") {
+    val dir = sf("sf0.01")
+    val stages = Seq("exact", "neardup", "quality", "bench", "mix", "train", "budget")
+    CurationFlow.q313_declared_full_grammar(spark, dir).collect().foreach { r =>
+      val counts = r.getLong(r.fieldIndex("n_raw")) +:
+        stages.map(s => r.getLong(r.fieldIndex(s"n_$s")))
+      assert(counts.zip(counts.tail).forall { case (a, b) => b <= a },
+        s"${r.getString(0)}: stage survivor counts not monotone: $counts")
+      assert(r.getLong(r.fieldIndex("tokens_final")) <= 1500L,
+        s"${r.getString(0)}: declared 1500-token budget violated")
+    }
+  }
+
+  test("q312: every vector assigned, all centers self-covered, radius bounded by the last pick distance") {
+    val dir = sf("sf0.001")
+    val rows = VectorQueries.q312_diversity_assign(spark, dir).collect()
+    assert(rows.length === VectorQueries.fpsK, "a center covers nothing — not even itself")
+    assert(rows.map(_.getLong(2)).sum === 500L, "assignment is not a partition of the corpus")
+    val lastPickD = VectorQueries.q308_diversity_sample(spark, dir)
+      .collect().map(_.getDouble(2)).last
+    val maxRadius = rows.map(_.getDouble(3)).max
+    assert(maxRadius <= lastPickD + 1e-6,
+      s"coverage radius $maxRadius exceeds the final selection distance $lastPickD")
+  }
+
   test("q308 on the real corpus: k distinct picks, first is min id, distances non-increasing") {
     val out = VectorQueries.q308_diversity_sample(spark, sf("sf0.001")).collect()
     assert(out.length === VectorQueries.fpsK)
