@@ -127,6 +127,16 @@ object CurationFlow {
     if (needQuality) base = base
       .withColumn("lang_det", T.langId(col("toks")))
       .withColumn("quality", T.qualityScore(col(cur.textColumn)))
+    // the near-dup cluster labels are shared by EVERY stage that needs
+    // them (dedup_near, leakage-free split) — computed once per funnel
+    // and materialized by ConnectedComponents' own localCheckpoint, so
+    // a config declaring both (q313) pays ONE banding + CC run, like
+    // the generated oracle's single `lab` CTE
+    lazy val ccLabels = {
+      val pairs = TextQueries.lshPairs(spark, dir)
+        .select("a_id", "b_id").transform(graft.Lineage.cut)
+      ConnectedComponents.run(pairs, "a_id", "b_id")
+    }
     // one membership column/predicate per declared stage, each the
     // operator's own bounded-set shape; built sequentially because the
     // survivor-aware token_budget stage folds over the memberships
@@ -141,9 +151,7 @@ object CurationFlow {
         base = base.join(keep, Seq(cur.idColumn), "left")
         col(s"m_$name").isNotNull
       case DedupNearStageDef(name) =>
-        val pairs = TextQueries.lshPairs(spark, dir)
-          .select("a_id", "b_id").transform(graft.Lineage.cut)
-        val dropSet = ConnectedComponents.run(pairs, "a_id", "b_id")
+        val dropSet = ccLabels
           .filter(col("id") =!= col("component"))
           .select(col("id").as(cur.idColumn), lit(1L).as(s"m_$name"))
         base = base.join(dropSet, Seq(cur.idColumn), "left")
@@ -167,9 +175,7 @@ object CurationFlow {
         // q223's cluster representative (bounded label left-join)
         if (!leakFree) rowMember(cur, s).get
         else {
-          val pairs = TextQueries.lshPairs(spark, dir)
-            .select("a_id", "b_id").transform(graft.Lineage.cut)
-          val reps = ConnectedComponents.run(pairs, "a_id", "b_id")
+          val reps = ccLabels
             .select(col("id").as(cur.idColumn),
               col("component").as(s"rep_$name"))
           base = base.join(reps, Seq(cur.idColumn), "left")
