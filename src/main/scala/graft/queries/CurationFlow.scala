@@ -939,9 +939,32 @@ object CurationFlow {
     * as a real Structured Streaming query, return the final
     * Complete-mode report read back from the foreachBatch sink.
     */
+  /** [[runStream]]'s report shape for corpus-loss lineage — the
+    * attrition CASE is a per-row projection over the same streamed
+    * memberships, so lineage streams wherever the funnel does;
+    * Complete-mode state is (groups × stages+1) rows at any corpus
+    * size.
+    */
+  def runStreamAttrition(
+      cur: CurationDef, docs: DataFrame,
+      index: Option[(SparkSession, String)] = None): DataFrame = {
+    val (base, members) = streamFunnel(cur, docs, index)
+    val sCols = members.scanLeft(lit(true))(_ && _).tail
+    val removedBy = cur.stages.zip(sCols).foldRight(lit("survived")) {
+      case ((st, s), acc) => when(!s, lit(st.name)).otherwise(acc)
+    }
+    base
+      .select(col(cur.reportBy), col("n_toks"), removedBy.as("removed_by"))
+      .groupBy(cur.reportBy, "removed_by")
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        sum(col("n_toks")).cast("long").as("n_tokens"))
+  }
+
   private def driveStream(
       spark: SparkSession, dir: String, cur: CurationDef,
-      index: Option[(SparkSession, String)]): DataFrame = {
+      index: Option[(SparkSession, String)],
+      report: (CurationDef, DataFrame,
+        Option[(SparkSession, String)]) => DataFrame = runStream(_, _, _)): DataFrame = {
     import org.apache.hadoop.fs.Path
     import org.apache.spark.sql.streaming.{OutputMode, Trigger}
     val work = graft.io.Scratch.dir(spark, "graft-curstream-")
@@ -958,7 +981,7 @@ object CurationFlow {
       try {
         val stream = spark.readStream.schema(docs.schema)
           .option("maxFilesPerTrigger", 1).parquet(s"$work/incoming")
-        val query = runStream(cur, stream, index)
+        val query = report(cur, stream, index)
           .writeStream
           .trigger(Trigger.AvailableNow())
           .outputMode(OutputMode.Complete())
@@ -1164,6 +1187,25 @@ object CurationFlow {
 
   val q298_oracle: String =
     oracleSql(Metadata.parseCuration(streamNearDupCurationJson))
+
+  // ---------- q314: loss attribution over the STREAM ----------
+
+  /** Lineage in FLIGHT: q298's index-backed streaming funnel read for
+    * attribution — each arriving document is attributed to the first
+    * declared gate that drops it (near-dup via the stored-index
+    * labels, quality, decontamination) the moment it arrives, and the
+    * (source × removed_by) ledger accumulates in Complete-mode state
+    * that is report-sized at any corpus size. The oracle is the
+    * attrition SQL generated from the SAME JSON over the raw corpus:
+    * stream ≡ batch ≡ generated SQL, for the lineage report exactly
+    * as q292 proved it for the survivor report.
+    */
+  def q314_declared_stream_attrition(spark: SparkSession, dir: String): DataFrame =
+    driveStream(spark, dir, Metadata.parseCuration(streamNearDupCurationJson),
+      index = Some((spark, dir)), report = runStreamAttrition(_, _, _))
+
+  val q314_oracle: String =
+    attritionOracleSql(Metadata.parseCuration(streamNearDupCurationJson))
 
   // ---------- q299: a second sink permutation (q288's recipe for sinks) ----------
 

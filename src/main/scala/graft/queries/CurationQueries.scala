@@ -1547,6 +1547,7 @@ object CurationQueries {
     "q307_declared_attrition" -> (CurationFlow.q307_declared_attrition _),
     "q310_declared_attrition_budget" -> (CurationFlow.q310_declared_attrition_budget _),
     "q313_declared_full_grammar" -> (CurationFlow.q313_declared_full_grammar _),
+    "q314_declared_stream_attrition" -> (CurationFlow.q314_declared_stream_attrition _),
     "q77_sequence_pack" -> (q77_sequence_pack _),
     "q60_dedup_apply" -> (q60_dedup_apply _),
     "q61_quality_filter" -> (q61_quality_filter _),
@@ -1583,6 +1584,7 @@ object CurationQueries {
     "q307_declared_attrition" -> CurationFlow.q307_oracle,
     "q310_declared_attrition_budget" -> CurationFlow.q310_oracle,
     "q313_declared_full_grammar" -> CurationFlow.q313_oracle,
+    "q314_declared_stream_attrition" -> CurationFlow.q314_oracle,
     "q77_sequence_pack" -> q77_oracle,
     "q60_dedup_apply" -> q60_oracle,
     "q61_quality_filter" -> q61_oracle,

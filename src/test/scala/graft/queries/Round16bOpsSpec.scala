@@ -148,6 +148,16 @@ class Round16bOpsSpec extends SparkSpec {
       "every covered token was removed — ownership kept nothing")
   }
 
+  test("q314: streamed attrition equals the batch attrition of the same config row for row") {
+    import graft.meta.Metadata
+    val dir = sf("sf0.001")
+    val cur = Metadata.parseCuration(CurationFlow.streamNearDupCurationJson)
+    val streamed = CurationFlow.q314_declared_stream_attrition(spark, dir)
+    val batch = CurationFlow.runAttrition(spark, dir, cur)
+    assert(sameRows(streamed, batch),
+      "in-flight lineage diverged from the batch interpreter")
+  }
+
   // ---------- q308: farthest-point diversity sample ----------
 
   private def cluster(cx: Double, ids: Seq[Long]): Seq[(Long, Seq[Double])] =
