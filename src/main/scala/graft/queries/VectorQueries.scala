@@ -1566,6 +1566,88 @@ object VectorQueries {
       .toDF("rank", "vec_id", "dist_sq")
   }
 
+  // ---------- q315: embedding centroid drift (integer-exact) ----------
+
+  /** Embedding-space DRIFT between two corpus halves — the vector
+    * twin of q141/q142's numeric drift checks, and one of the few
+    * embedding queries that can be ORACLE-gated: per label, split the
+    * vectors by content hash and compare the two half-centroids
+    * coordinate-wise. Exactness comes from q156's micro-int recipe
+    * (floor(c·10⁶) per coordinate, integer sums) plus the
+    * denominator-clearing rewrite |sa/nₐ − sb/n_b| =
+    * |sa·n_b − sb·nₐ|/(nₐ·n_b): every comparison is an integer
+    * product in DECIMAL(38,0)/HUGEINT, summed order-independently,
+    * with ONE final exact DIV. Reported per label: half sizes, total
+    * L1 centroid shift and the worst single coordinate (micro
+    * units) — on a stable corpus the halves are exchangeable, so any
+    * label whose drift stands out marks a non-random embedding
+    * artifact (a batch effect, a re-embedded shard).
+    *
+    * Scale shape: ONE narrow explode (vec → 64 micro ints) into a
+    * (label × dim)-bounded partial agg; the label rollup is
+    * dims-sized work. No joins, no floats past the per-coordinate
+    * floor.
+    */
+  def q315_embedding_drift(spark: SparkSession, dir: String): DataFrame = {
+    val dec38 = "decimal(38,0)"
+    val half =
+      substring(md5(concat(lit("dr15|"), col("vec_id").cast("string"))), 1, 1) < "8"
+    val perDim = Tables.load(spark, dir, "embeddings")
+      .select(col("label"), half.as("a"),
+        posexplode(V.asDouble(col("embedding"))).as(Seq("dim", "c")))
+      .select(col("label"), col("a"), col("dim"),
+        floor(col("c") * 1000000L).cast("long").as("cm"))
+      .groupBy("label", "dim")
+      .agg(
+        sum(when(col("a"), col("cm")).otherwise(0L)).cast(dec38).as("sa"),
+        sum(when(!col("a"), col("cm")).otherwise(0L)).cast(dec38).as("sb"),
+        count(when(col("a"), 1)).cast("long").as("ca"),
+        count(when(!col("a"), 1)).cast("long").as("cb"))
+    perDim
+      .withColumn("dd",
+        abs(col("sa") * col("cb").cast(dec38) - col("sb") * col("ca").cast(dec38)))
+      .groupBy("label")
+      .agg(max(col("ca")).as("n_a"), max(col("cb")).as("n_b"),
+        sum(col("dd")).as("l1"), max(col("dd")).as("dmax"))
+      .filter(col("n_a") > 0 && col("n_b") > 0)
+      .select(col("label"), col("n_a"), col("n_b"),
+        expr("CAST(l1 DIV (CAST(n_a AS decimal(38,0)) * n_b) AS BIGINT)")
+          .as("l1_drift_micro"),
+        expr("CAST(dmax DIV (CAST(n_a AS decimal(38,0)) * n_b) AS BIGINT)")
+          .as("max_dim_drift_micro"))
+      .orderBy("label")
+  }
+
+  val q315_oracle: String =
+    s"""WITH c AS (
+       |  SELECT label,
+       |    substring(md5(concat('dr15|', CAST(vec_id AS VARCHAR))), 1, 1) < '8'
+       |      AS a,
+       |    g.i - 1 AS dim,
+       |    CAST(floor(CAST(embedding[g.i] AS DOUBLE) * 1000000) AS BIGINT) AS cm
+       |  FROM embeddings CROSS JOIN generate_series(1, ${dim}) AS g(i)
+       |  WHERE g.i <= len(embedding)),
+       |pd AS (
+       |  SELECT label, dim,
+       |    CAST(sum(CASE WHEN a THEN cm ELSE 0 END) AS HUGEINT) AS sa,
+       |    CAST(sum(CASE WHEN NOT a THEN cm ELSE 0 END) AS HUGEINT) AS sb,
+       |    CAST(count(CASE WHEN a THEN 1 END) AS BIGINT) AS ca,
+       |    CAST(count(CASE WHEN NOT a THEN 1 END) AS BIGINT) AS cb
+       |  FROM c GROUP BY label, dim),
+       |d AS (
+       |  SELECT label, ca, cb, abs(sa * cb - sb * ca) AS dd FROM pd),
+       |l AS (
+       |  SELECT label, max(ca) AS n_a, max(cb) AS n_b,
+       |    CAST(sum(dd) AS HUGEINT) AS l1, CAST(max(dd) AS HUGEINT) AS dmax
+       |  FROM d GROUP BY label)
+       |SELECT label, n_a, n_b,
+       |  CAST(l1 // (CAST(n_a AS HUGEINT) * n_b) AS BIGINT)
+       |    AS l1_drift_micro,
+       |  CAST(dmax // (CAST(n_a AS HUGEINT) * n_b) AS BIGINT)
+       |    AS max_dim_drift_micro
+       |FROM l WHERE n_a > 0 AND n_b > 0
+       |ORDER BY label""".stripMargin
+
   // ---------- q312: diversity-sample assignment / coverage audit ----------
 
   /** The USE of q308's picks: assign every vector to its nearest
@@ -1611,6 +1693,7 @@ object VectorQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q312_diversity_assign" -> (q312_diversity_assign _),
+    "q315_embedding_drift" -> (q315_embedding_drift _),
     "q308_diversity_sample" -> (q308_diversity_sample _),
     "q156_embedding_profile" -> (q156_embedding_profile _),
     "q167_embedding_outliers" -> (q167_embedding_outliers _),
@@ -1644,6 +1727,7 @@ object VectorQueries {
 
   val oracles: Map[String, String] = Map(
     "q156_embedding_profile" -> q156_oracle,
+    "q315_embedding_drift" -> q315_oracle,
     "q167_embedding_outliers" -> q167_oracle,
     "q180_knn_classifier" -> q180_oracle,
     "q181_centroid_classifier" -> q181_oracle,

@@ -158,6 +158,43 @@ class Round16bOpsSpec extends SparkSpec {
       "in-flight lineage diverged from the batch interpreter")
   }
 
+  test("q315: planted fixture — identical halves read zero, a planted shift reads its exact micro value") {
+    import org.apache.hadoop.fs.Path
+    import spark.implicits._
+    val work = graft.io.Scratch.dir(spark, "graft-q315spec-")
+    val fs = new Path(work).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    try {
+      // vec_ids 0..39: find which side of the dr15| hash split each id
+      // lands on, then plant label 0 with THE SAME vector in both
+      // halves (drift exactly 0) and label 1 with +u in half A, -u in
+      // half B (per-coordinate drift exactly |floor(u·1e6)−floor(−u·1e6)|)
+      val u = 0.25f
+      val rows = (0L until 40L).map { id =>
+        val a = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"dr15|$id".getBytes("UTF-8"))
+        val firstHex = String.format("%02x", Byte.box(a(0))).charAt(0)
+        val inA = firstHex < '8'
+        val label = (id % 2).toInt
+        val v: Seq[Float] =
+          if (label == 0) Seq.fill(4)(0.5f)
+          else Seq.fill(4)(if (inA) u else -u)
+        (id, label, v)
+      }
+      rows.toDF("vec_id", "label", "embedding")
+        .write.parquet(s"$work/embeddings.parquet")
+      val out = VectorQueries.q315_embedding_drift(spark, work).collect()
+        .map(r => r.getInt(1 - 1) -> r).toMap // label -> row
+      assert(out(0).getLong(3) === 0L && out(0).getLong(4) === 0L,
+        "identical halves must read zero drift")
+      // +u half vs -u half: per-coordinate |floor(.25e6) - floor(-.25e6)|
+      // = 500000 micro; L1 over 4 dims = 2,000,000
+      assert(out(1).getLong(4) === 500000L,
+        s"planted per-dim drift ${out(1).getLong(4)} != 500000")
+      assert(out(1).getLong(3) === 2000000L,
+        s"planted L1 drift ${out(1).getLong(3)} != 2000000")
+    } finally fs.delete(new Path(work), true)
+  }
+
   // ---------- q308: farthest-point diversity sample ----------
 
   private def cluster(cx: Double, ids: Seq[Long]): Seq[(Long, Seq[Double])] =
