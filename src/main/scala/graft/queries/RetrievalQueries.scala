@@ -944,6 +944,83 @@ object RetrievalQueries {
   /** q83's oracle verbatim — see [[q224_bm25_index_update]]. */
   val q224_oracle: String = q83_oracle
 
+  // ---------- q316: BM25 ingest as a STREAM ----------
+
+  /** q224's ingest leg as a STREAM, in delta-log form: each arriving
+    * micro-batch appends its postings AND a 1-row (n, l) stats delta
+    * (foreachBatch — no state store, no version swap); the reader
+    * derives df from the merged postings (each (term, doc) pair
+    * arrives in exactly one batch, so the posting count per term IS
+    * df) and sums the stats deltas. Where q224 maintains df/stats by
+    * versioned merge, the stream form uses the same merge-on-read
+    * discipline as the LM log (q309) — both are valid maintenance
+    * disciplines, and the scoring from the drained log must be
+    * indistinguishable from a from-scratch build: q83's oracle
+    * verbatim. Three index families now prove streaming ingest
+    * against generated SQL (signature q317, LM q309, BM25 here).
+    */
+  def q316_stream_bm25_ingest(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.streaming.Trigger
+    import spark.implicits._
+    val work = graft.io.Scratch.dir(spark, "graft-q316-")
+    val fs = new Path(work).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    try {
+      val docs = Tables.load(spark, dir, "documents")
+      CurationFlow.stageTwoBatches(spark, work, docs, "doc_id")
+      val stream = spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$work/incoming")
+      val query = stream.writeStream
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val t = batch
+            .select(col("doc_id"), T.tokens(col("text")).as("tk"))
+            .select(col("doc_id"), size(col("tk")).cast("long").as("dl"),
+              explode(col("tk")).as("term"))
+            .localCheckpoint()
+          t.groupBy("term", "doc_id")
+            .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
+            .write.mode("append").parquet(s"$work/postings")
+          batch.agg(count(lit(1)).as("n"))
+            .crossJoin(t.agg(count(lit(1)).as("l")))
+            .write.mode("append").parquet(s"$work/stats")
+          ()
+        }
+        .option("checkpointLocation", s"$work/ckpt")
+        .start()
+      query.awaitTermination()
+      // merge-on-read: df derived from the merged postings, stats
+      // deltas summed — then q84's probe verbatim
+      val tf = spark.read.parquet(s"$work/postings")
+      val dft = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      val stats = spark.read.parquet(s"$work/stats")
+        .agg(sum(col("n")).as("n"), sum(col("l")).as("l"))
+        .withColumn("adl", expr("l div n"))
+      val queryTerms = bm25Queries
+        .flatMap { case (qid, ts) => ts.map(t => (qid, t)) }
+        .toDF("query_id", "term")
+      broadcast(queryTerms)
+        .join(tf, "term")
+        .join(dft, "term")
+        .crossJoin(broadcast(stats))
+        .withColumn("contrib",
+          expr(s"($bm25Scale * (2*n - 2*df + 1) * 22 * adl * tf) div " +
+            s"((2*df + 1) * (10 * adl * tf + 3 * adl + 9 * dl))"))
+        .groupBy("query_id", "doc_id")
+        .agg(sum(col("contrib")).as("score"))
+        .withColumn("rnk", row_number().over(
+          Window.partitionBy("query_id").orderBy(col("score").desc, col("doc_id"))))
+        .filter(col("rnk") <= bm25TopK)
+        .select("query_id", "doc_id", "score", "rnk")
+        .orderBy("query_id", "rnk")
+        .localCheckpoint() // materialize before the work dir is deleted
+    } finally fs.delete(new Path(work), true)
+  }
+
+  /** q83's oracle verbatim — see [[q316_stream_bm25_ingest]]. */
+  val q316_oracle: String = q83_oracle
+
   // ---------- q230: BM25 index erasure ----------
 
   /** The DELETE leg for the RETRIEVAL index — q229's story where the
@@ -1154,6 +1231,7 @@ object RetrievalQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q224_bm25_index_update" -> (q224_bm25_index_update _),
+    "q316_stream_bm25_ingest" -> (q316_stream_bm25_ingest _),
     "q230_bm25_erasure" -> (q230_bm25_erasure _),
     "q286_bm25_compact" -> (q286_bm25_compact _),
     "q202_rrf_fusion" -> (q202_rrf_fusion _),
@@ -1169,6 +1247,7 @@ object RetrievalQueries {
 
   val oracles: Map[String, String] = Map(
     "q224_bm25_index_update" -> q224_oracle,
+    "q316_stream_bm25_ingest" -> q316_oracle,
     "q230_bm25_erasure" -> q230_oracle,
     "q286_bm25_compact" -> q286_oracle,
     "q202_rrf_fusion" -> q202_oracle,

@@ -117,12 +117,18 @@ object TextQueries {
     * multi-referenced alias must stay its own column or Catalyst
     * would re-evaluate it per reference.
     */
-  private def sigTable(spark: SparkSession, dir: String): DataFrame = {
+  private def sigTable(spark: SparkSession, dir: String): DataFrame =
+    sigTableOf(docs(spark, dir))
+
+  /** [[sigTable]] over any (doc_id, text) frame — the per-batch form
+    * the streaming ingest leg (q317) runs on each arriving
+    * micro-batch. */
+  private[queries] def sigTableOf(d: DataFrame): DataFrame = {
     // shingles3 fuses tokenize+shingle (non-empty shingles ⟺ ≥3
     // tokens, so the degenerate-doc filter moves onto sh); with
     // minhash_sig also native, the whole signature stage runs inside
     // whole-stage codegen — no token array, no lambda interpretation
-    val base = docs(spark, dir)
+    val base = d
       .select(col("doc_id"), call_function("shingles3", col("text")).as("sh"))
       .filter(size(col("sh")) > 0)
       .withColumn("sig", call_function("minhash_sig", col("sh")))
@@ -885,6 +891,47 @@ object TextQueries {
         .localCheckpoint() // materialize before the work dir is deleted
     } finally fs.delete(new Path(work), true)
   }
+
+  /** q317: q94's ingest leg as a STREAM — each arriving micro-batch's
+    * signatures land as appended parquet files (foreachBatch; a
+    * document's signature rows are self-contained and the banding is
+    * stateless, so per-batch append IS the correct merge — q94's
+    * argument, now per micro-batch), and the near-dup pairs
+    * recomputed from the drained index must be indistinguishable from
+    * a from-scratch build: q25's oracle verbatim. With the LM family
+    * (q309), TWO index families now prove streaming ingest
+    * end-to-end against generated SQL.
+    */
+  def q317_stream_sig_ingest(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    import org.apache.spark.sql.streaming.Trigger
+    val work = graft.io.Scratch.dir(spark, "graft-q317-")
+    val fs = new Path(work).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    try {
+      val d = docs(spark, dir)
+      CurationFlow.stageTwoBatches(spark, work, d, "doc_id")
+      val stream = spark.readStream.schema(d.schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$work/incoming")
+      val query = stream.writeStream
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          sigTableOf(batch)
+            .withColumn("skd", array_distinct(H.shingleKeys(col("sh"))))
+            .drop("sh")
+            .write.mode("append").parquet(s"$work/sig_index")
+          ()
+        }
+        .option("checkpointLocation", s"$work/ckpt")
+        .start()
+      query.awaitTermination()
+      pairsFromIndex(spark.read.parquet(s"$work/sig_index"))
+        .orderBy("a_id", "b_id")
+        .localCheckpoint()
+    } finally fs.delete(new Path(work), true)
+  }
+
+  /** q25's oracle — see [[q317_stream_sig_ingest]]. */
+  val q317_oracle: String = s"$lshPairsSql\nORDER BY a_id, b_id"
 
   /** q25's oracle again — see [[q94_sig_index_update]]. */
   val q94_oracle: String = s"$lshPairsSql\nORDER BY a_id, b_id"
@@ -1843,6 +1890,7 @@ object TextQueries {
     "q73_incremental_neardup" -> (q73_incremental_neardup _),
     "q76_sig_index_persist" -> (q76_sig_index_persist _),
     "q94_sig_index_update" -> (q94_sig_index_update _),
+    "q317_stream_sig_ingest" -> (q317_stream_sig_ingest _),
     "q95_content_chunks" -> (q95_content_chunks _),
     "q108_containment" -> (q108_containment _))
 
@@ -1876,6 +1924,7 @@ object TextQueries {
     "q73_incremental_neardup" -> q73_oracle,
     "q76_sig_index_persist" -> q76_oracle,
     "q94_sig_index_update" -> q94_oracle,
+    "q317_stream_sig_ingest" -> q317_oracle,
     "q95_content_chunks" -> q95_oracle,
     "q108_containment" -> q108_oracle)
 }

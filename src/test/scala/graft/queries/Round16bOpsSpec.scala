@@ -148,6 +148,16 @@ class Round16bOpsSpec extends SparkSpec {
       "every covered token was removed — ownership kept nothing")
   }
 
+  test("q316/q317: streamed index ingest equals the stored-artifact build row for row") {
+    val dir = sf("sf0.001")
+    assert(sameRows(RetrievalQueries.q316_stream_bm25_ingest(spark, dir),
+      RetrievalQueries.q84_bm25_index_persist(spark, dir)),
+      "stream-ingested BM25 log diverged from the persisted build")
+    assert(sameRows(TextQueries.q317_stream_sig_ingest(spark, dir),
+      TextQueries.q76_sig_index_persist(spark, dir)),
+      "stream-ingested signature index diverged from the persisted build")
+  }
+
   test("q314: streamed attrition equals the batch attrition of the same config row for row") {
     import graft.meta.Metadata
     val dir = sf("sf0.001")
