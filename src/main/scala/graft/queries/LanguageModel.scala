@@ -298,6 +298,53 @@ object LanguageModel {
 
   val q309_oracle: String = q104_oracle
 
+  /** q318: ERASURE requests arriving as a STREAM — the
+    * right-to-be-forgotten feed a governed corpus actually receives
+    * (q121's delete-feed shape applied to index maintenance): the
+    * full index is built once, then each micro-batch of requests
+    * appends the NEGATED counts of its erased documents
+    * (foreachBatch; tombstone deltas are additive, so per-batch
+    * append is the correct merge — no rebuild is ever scheduled).
+    * Scoring the retained corpus from the drained log must equal a
+    * from-scratch rebuild on what remains: q304's oracle verbatim.
+    * With q309/q316/q317 this closes the streaming-maintenance
+    * story: both INGEST and ERASURE run as streams against the same
+    * stored artifact.
+    */
+  def q318_stream_lm_erasure(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    import org.apache.spark.sql.streaming.Trigger
+    val work = graft.io.Scratch.dir(spark, "graft-q318-")
+    val fs = new Path(work).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    try {
+      val docs = Tables.load(spark, dir, "documents")
+      countsOf(docs).write.parquet(s"$work/lm_index")
+      // the erased eighth plays the request FEED, arriving in two
+      // micro-batches (the same split harness the ingest legs drive)
+      CurationFlow.stageTwoBatches(spark, work, docs.filter(lmErased), "doc_id")
+      val stream = spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$work/incoming")
+      val query = stream.writeStream
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          countsOf(batch)
+            .withColumn("c_bigram", -col("c_bigram"))
+            .write.mode("append").parquet(s"$work/lm_index")
+          ()
+        }
+        .option("checkpointLocation", s"$work/ckpt")
+        .start()
+      query.awaitTermination()
+      scoreWithCounts(docs.filter(!lmErased),
+          mergedCounts(spark, s"$work/lm_index"))
+        .orderBy("doc_id")
+        .localCheckpoint()
+    } finally fs.delete(new Path(work), true)
+  }
+
+  /** q304's oracle verbatim — see [[q318_stream_lm_erasure]]. */
+  val q318_oracle: String = q304_oracle
+
   // ---------- q114: collocation mining (integer-exact lift) ----------
 
   /** Collocation extraction — the corpus-analysis twin of q104's
@@ -657,7 +704,8 @@ object LanguageModel {
     "q303_lm_index_update" -> (q303_lm_index_update _),
     "q304_lm_index_erasure" -> (q304_lm_index_erasure _),
     "q305_lm_index_compact" -> (q305_lm_index_compact _),
-    "q309_stream_lm_ingest" -> (q309_stream_lm_ingest _))
+    "q309_stream_lm_ingest" -> (q309_stream_lm_ingest _),
+    "q318_stream_lm_erasure" -> (q318_stream_lm_erasure _))
 
   val oracles: Map[String, String] = Map(
     "q134_perplexity_buckets" -> q134_oracle,
@@ -669,5 +717,6 @@ object LanguageModel {
     "q303_lm_index_update" -> q303_oracle,
     "q304_lm_index_erasure" -> q304_oracle,
     "q305_lm_index_compact" -> q305_oracle,
-    "q309_stream_lm_ingest" -> q309_oracle)
+    "q309_stream_lm_ingest" -> q309_oracle,
+    "q318_stream_lm_erasure" -> q318_oracle)
 }

@@ -48,6 +48,13 @@ class Round16bOpsSpec extends SparkSpec {
     assert(erasedIds.forall(!scored.contains(_)), "an erased doc was scored")
   }
 
+  test("q318: a streamed erasure feed equals the batch tombstone erasure row for row") {
+    val dir = sf("sf0.001")
+    assert(sameRows(LanguageModel.q318_stream_lm_erasure(spark, dir),
+      LanguageModel.q304_lm_index_erasure(spark, dir)),
+      "streamed erasure feed diverged from the batch tombstone leg")
+  }
+
   test("q309: streaming delta-append ingest scores like the in-session model") {
     val dir = sf("sf0.001")
     assert(sameRows(LanguageModel.q309_stream_lm_ingest(spark, dir),
