@@ -345,6 +345,66 @@ object LanguageModel {
   /** q304's oracle verbatim — see [[q318_stream_lm_erasure]]. */
   val q318_oracle: String = q304_oracle
 
+  /** q319: the LOG-HEALTH report a compaction POLICY reads — the
+    * operational half of q305: after an erasure lands (q304's
+    * artifact), how much of the stored log is dead weight? Reported
+    * from the log itself: physical delta rows, tombstone rows, live
+    * vs fully-erased bigrams, and the dead fraction in ppm — the
+    * number an auto-compaction rule thresholds on ("fold the log when
+    * dead_ppm > X") instead of compacting on a timer. One log scan +
+    * one vocab-sized aggregate; all integers, so the report
+    * hash-matches the oracle recomputing the same ledger from the
+    * raw corpus.
+    */
+  def q319_lm_log_health(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val work = graft.io.Scratch.dir(spark, "graft-q319-")
+    val fs = new Path(work).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    try {
+      val docs = Tables.load(spark, dir, "documents")
+      countsOf(docs).write.parquet(s"$work/lm_index")
+      countsOf(docs.filter(lmErased))
+        .withColumn("c_bigram", -col("c_bigram"))
+        .write.mode("append").parquet(s"$work/lm_index")
+      val log = spark.read.parquet(s"$work/lm_index")
+      val rows = log.agg(
+        count(lit(1)).cast("long").as("n_rows"),
+        count(when(col("c_bigram") < 0, 1)).cast("long").as("n_tombstones"))
+      val net = log.groupBy("bigram")
+        .agg(sum(col("c_bigram")).as("net"))
+        .agg(
+          count(when(col("net") > 0, 1)).cast("long").as("n_live"),
+          count(when(col("net") <= 0, 1)).cast("long").as("n_dead"))
+      rows.crossJoin(net)
+        .withColumn("dead_ppm",
+          expr("(n_dead * 1000000) DIV (n_live + n_dead)"))
+        .localCheckpoint() // materialize before the work dir is deleted
+    } finally fs.delete(new Path(work), true)
+  }
+
+  val q319_oracle: String = {
+    val toks = T.tokensSql("lower(text)")
+    s"""WITH tk AS (
+       |  SELECT doc_id, $toks AS t, $lmErasedSql AS er FROM documents),
+       |bg AS (
+       |  SELECT er,
+       |    unnest([t[i] || ' ' || t[i + 1] for i in range(1, len(t))]) AS bigram
+       |  FROM tk WHERE len(t) >= 2),
+       |f AS (SELECT bigram, CAST(count(*) AS BIGINT) AS cf FROM bg GROUP BY bigram),
+       |e AS (SELECT bigram, CAST(count(*) AS BIGINT) AS ce
+       |  FROM bg WHERE er GROUP BY bigram),
+       |j AS (SELECT f.bigram, cf, coalesce(ce, 0) AS ce
+       |  FROM f LEFT JOIN e USING (bigram))
+       |SELECT
+       |  (SELECT count(*) FROM f) + (SELECT count(*) FROM e) AS n_rows,
+       |  (SELECT count(*) FROM e) AS n_tombstones,
+       |  CAST(count(CASE WHEN cf > ce THEN 1 END) AS BIGINT) AS n_live,
+       |  CAST(count(CASE WHEN cf <= ce THEN 1 END) AS BIGINT) AS n_dead,
+       |  CAST(count(CASE WHEN cf <= ce THEN 1 END) * 1000000
+       |    // count(*) AS BIGINT) AS dead_ppm
+       |FROM j""".stripMargin
+  }
+
   // ---------- q114: collocation mining (integer-exact lift) ----------
 
   /** Collocation extraction — the corpus-analysis twin of q104's
@@ -705,7 +765,8 @@ object LanguageModel {
     "q304_lm_index_erasure" -> (q304_lm_index_erasure _),
     "q305_lm_index_compact" -> (q305_lm_index_compact _),
     "q309_stream_lm_ingest" -> (q309_stream_lm_ingest _),
-    "q318_stream_lm_erasure" -> (q318_stream_lm_erasure _))
+    "q318_stream_lm_erasure" -> (q318_stream_lm_erasure _),
+    "q319_lm_log_health" -> (q319_lm_log_health _))
 
   val oracles: Map[String, String] = Map(
     "q134_perplexity_buckets" -> q134_oracle,
@@ -718,5 +779,6 @@ object LanguageModel {
     "q304_lm_index_erasure" -> q304_oracle,
     "q305_lm_index_compact" -> q305_oracle,
     "q309_stream_lm_ingest" -> q309_oracle,
-    "q318_stream_lm_erasure" -> q318_oracle)
+    "q318_stream_lm_erasure" -> q318_oracle,
+    "q319_lm_log_health" -> q319_oracle)
 }
