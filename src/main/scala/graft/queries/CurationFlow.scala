@@ -309,7 +309,11 @@ object CurationFlow {
       val (base, members) = funnel(spark, dir, cur)
       val survCols = ((Seq(cur.idColumn, cur.reportBy) ++
         cur.sinks.flatMap(_.partitionBy)).distinct.map(col)) :+ col("n_toks")
+      // the funnel is evaluated ONCE — every (stamp × sink) write and
+      // the bin-pack compaction replay the materialized survivor set,
+      // not the full stage-join plan over the corpus
       val surv = base.filter(members.reduce(_ && _)).select(survCols: _*)
+        .localCheckpoint()
       batchStamps.foreach { stamp =>
         val batch = surv.withColumn("batch_date", lit(stamp))
         cur.sinks.foreach(s => graft.io.SinkWriter.write(batch, s, subs))
@@ -934,11 +938,6 @@ object CurationFlow {
   def q292_declared_curation_stream(spark: SparkSession, dir: String): DataFrame =
     driveStream(spark, dir, Metadata.parseCuration(streamCurationJson), index = None)
 
-  /** The shared micro-batch drive (q74's harness shape): stage the
-    * corpus as two content-hash-split files, run the declared funnel
-    * as a real Structured Streaming query, return the final
-    * Complete-mode report read back from the foreachBatch sink.
-    */
   /** [[runStream]]'s report shape for corpus-loss lineage — the
     * attrition CASE is a per-row projection over the same streamed
     * memberships, so lineage streams wherever the funnel does;
@@ -960,6 +959,12 @@ object CurationFlow {
         sum(col("n_toks")).cast("long").as("n_tokens"))
   }
 
+  /** The shared micro-batch drive (q74's harness shape): stage the
+    * corpus as two content-hash-split files, run `report`'s streaming
+    * query over them (the survivor funnel by default, the attrition
+    * ledger for q314), return the final Complete-mode report read
+    * back from the foreachBatch sink.
+    */
   private def driveStream(
       spark: SparkSession, dir: String, cur: CurationDef,
       index: Option[(SparkSession, String)],

@@ -156,6 +156,18 @@ object LanguageModel {
       .agg(sum(col("c_bigram")).cast("long").as("c_bigram"))
       .filter(col("c_bigram") > 0)
 
+  /** Build the erasure-bearing delta log ONCE for q304/q305/q319:
+    * full-corpus counts, then the erased eighth's counts appended
+    * NEGATED — the three legs must provably run the same log, so the
+    * two-write sequence lives here and nowhere else.
+    */
+  private def buildErasedLog(docs: DataFrame, path: String): Unit = {
+    countsOf(docs).write.parquet(path)
+    countsOf(docs.filter(lmErased))
+      .withColumn("c_bigram", -col("c_bigram"))
+      .write.mode("append").parquet(path)
+  }
+
   /** q302: PERSIST the trained bigram counts and score from the
     * stored artifact — everything after the write sees only the
     * reopened index schema. Oracle: q104 verbatim (a persisted model
@@ -217,10 +229,7 @@ object LanguageModel {
     val fs = new Path(work).getFileSystem(spark.sparkContext.hadoopConfiguration)
     try {
       val docs = Tables.load(spark, dir, "documents")
-      countsOf(docs).write.parquet(s"$work/lm_index")
-      countsOf(docs.filter(lmErased))
-        .withColumn("c_bigram", -col("c_bigram"))
-        .write.mode("append").parquet(s"$work/lm_index")
+      buildErasedLog(docs, s"$work/lm_index")
       scoreWithCounts(docs.filter(!lmErased),
           mergedCounts(spark, s"$work/lm_index"))
         .orderBy("doc_id")
@@ -244,10 +253,7 @@ object LanguageModel {
     val fs = new Path(work).getFileSystem(spark.sparkContext.hadoopConfiguration)
     try {
       val docs = Tables.load(spark, dir, "documents")
-      countsOf(docs).write.parquet(s"$work/lm_index")
-      countsOf(docs.filter(lmErased))
-        .withColumn("c_bigram", -col("c_bigram"))
-        .write.mode("append").parquet(s"$work/lm_index")
+      buildErasedLog(docs, s"$work/lm_index")
       mergedCounts(spark, s"$work/lm_index")
         .write.parquet(s"$work/lm_index_compact")
       scoreWithCounts(docs.filter(!lmErased),
@@ -362,10 +368,7 @@ object LanguageModel {
     val fs = new Path(work).getFileSystem(spark.sparkContext.hadoopConfiguration)
     try {
       val docs = Tables.load(spark, dir, "documents")
-      countsOf(docs).write.parquet(s"$work/lm_index")
-      countsOf(docs.filter(lmErased))
-        .withColumn("c_bigram", -col("c_bigram"))
-        .write.mode("append").parquet(s"$work/lm_index")
+      buildErasedLog(docs, s"$work/lm_index")
       val log = spark.read.parquet(s"$work/lm_index")
       val rows = log.agg(
         count(lit(1)).cast("long").as("n_rows"),

@@ -1515,41 +1515,32 @@ object VectorQueries {
     * radius — Round16OpsSpec pins it against the brute-force optimum
     * on a fixture, plus one-center-per-cluster on planted clusters.
     *
-    * Scale shape: k passes, each ONE narrow map over the corpus (the
-    * running min-distance folds the new center in via `least` — never
-    * a k-wide rescan) and a 1-row argmax collect; the chosen set
-    * lives in the PLAN as a dim-length literal per round (k·dim
-    * doubles total, k bounded small by the operator's purpose —
-    * diversity seeds, prototype picks, eval probes). Lineage is
-    * truncated per round so round r's plan does not replay rounds
-    * 1..r-1.
+    * Scale shape: k passes, each ONE narrow map over the corpus and
+    * a 1-row argmax collect that CARRIES the winner's vector (no
+    * lookup scan per round). The min-distance is a k-deep `least`
+    * fold built incrementally — per-row arithmetic only (≤ k dot
+    * products at round k, k bounded small by the operator's purpose:
+    * diversity seeds, prototype picks, eval probes), so no round
+    * caches or checkpoints a corpus-sized copy.
     */
   private[queries] def farthestPoints(
       points: DataFrame, idCol: String, vCol: String, k: Int): Seq[(Long, Double)] = {
-    val first = points.orderBy(col(idCol)).select(col(idCol)).head().getLong(0)
-    val chosen = scala.collection.mutable.ArrayBuffer[(Long, Double)]((first, 0.0))
-    def vecOf(id: Long): Seq[Double] =
-      points.filter(col(idCol) === id).select(col(vCol)).head()
-        .getSeq[Double](0)
-    var cur = points
-      .withColumn("__fps_d", V.dot(col(vCol), col(vCol)) -
-        V.dot(col(vCol), typedLit(vecOf(first))) * 2.0 +
-        lit(vecOf(first).map(x => x * x).sum))
-      .localCheckpoint()
+    val seed = points.orderBy(col(idCol)).select(col(idCol), col(vCol)).head()
+    val chosen = scala.collection.mutable.ArrayBuffer[(Long, Double)](
+      (seed.getLong(0), 0.0))
+    def distTo(c: Seq[Double]) =
+      V.dot(col(vCol), col(vCol)) -
+        V.dot(col(vCol), typedLit(c)) * 2.0 +
+        lit(c.map(x => x * x).sum)
+    var minD = distTo(seed.getSeq[Double](1))
     while (chosen.size < k) {
-      val far = cur.orderBy(col("__fps_d").desc, col(idCol))
-        .select(col(idCol), col("__fps_d")).head()
-      val (id, d) = (far.getLong(0), far.getDouble(1))
-      chosen += ((id, d))
-      if (chosen.size < k) {
-        val c = vecOf(id)
-        cur = cur
-          .withColumn("__fps_d", least(col("__fps_d"),
-            V.dot(col(vCol), col(vCol)) -
-              V.dot(col(vCol), typedLit(c)) * 2.0 +
-              lit(c.map(x => x * x).sum)))
-          .localCheckpoint()
-      }
+      val far = points
+        .select(col(idCol), minD.as("__fps_d"), col(vCol))
+        .orderBy(col("__fps_d").desc, col(idCol))
+        .head()
+      chosen += ((far.getLong(0), far.getDouble(1)))
+      if (chosen.size < k)
+        minD = least(minD, distTo(far.getSeq[Double](2)))
     }
     chosen.toSeq
   }

@@ -208,8 +208,14 @@ object IvfIndex {
         val scored = transform(col("__g_book"), (c, j) =>
           struct((V.dot(col(vCol), c) * -2.0 +
             element_at(col("__g_ns"), j + 1)).as("s"), j.as("j")))
-        df.join(bookTable, col(topIdCol) === col("__g_top"))
-          .withColumn(as, col("__g_off") + array_min(scored).getField("j"))
+        // LEFT join + coalesce(-1): the literal path's `cell` ends in
+        // .otherwise(lit(-1)) for an out-of-range/null top id, and an
+        // inner join here would silently DROP such rows instead —
+        // splitting the bit-for-bit parity the doc above promises
+        df.join(bookTable, col(topIdCol) === col("__g_top"), "left")
+          .withColumn(as,
+            coalesce(col("__g_off") + array_min(scored).getField("j"),
+              lit(-1)))
           .drop("__g_top", "__g_off", "__g_book", "__g_ns")
       }
   }
