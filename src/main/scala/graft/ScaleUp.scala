@@ -132,11 +132,20 @@ object AnnScaleUp {
     def flips(k: Int): Seq[Double] =
       (0 until 64).map(i => graft.functions.VectorFunctions.signFromMd5(s"flip-$k|$i"))
     val b = Tables.load(spark, src, "embeddings")
+    // Replica 0 is the SOURCE DATA VERBATIM and later replicas stack
+    // ABOVE the original id range (vec_id + k·N, not vec_id·factor+k):
+    // the interleaved encoding would make the bounded query set
+    // (vec_id < 50) collapse at factor ≥ 50 to sign-flip variants of
+    // source vector 0 alone — a degenerate single-source workload.
+    // With block encoding the probes are the 50 original, mutually
+    // diverse query vectors at EVERY factor.
+    val maxId = b.agg(max(col("vec_id"))).head().getLong(0) + 1
     (0 until factor).map { k =>
-      b.withColumn("vec_id", col("vec_id") * factor + k)
-        .withColumn("embedding",
-          zip_with(col("embedding"), array(flips(k).map(lit): _*),
-            (x, s) => x * s).cast("array<float>"))
+      val shifted = b.withColumn("vec_id", col("vec_id") + lit(k * maxId))
+      if (k == 0) shifted
+      else shifted.withColumn("embedding",
+        zip_with(col("embedding"), array(flips(k).map(lit): _*),
+          (x, s) => x * s).cast("array<float>"))
     }.reduce(_ unionByName _)
       .repartition(cpus.toInt)
       .write.mode("overwrite").parquet(s"$dst/embeddings.parquet")
