@@ -329,7 +329,25 @@ object IvfIndex {
         vectors.select(
           md5(to_json(struct(col(vCol)))).as("h"), col(vCol).as("v"))
     }
+    // Two-phase selection of the trainSampleCap SMALLEST hashes.
+    // A single orderBy+limit+collect would plan as
+    // TakeOrderedAndProject, which ships cap×rowSize from EVERY scan
+    // task to the driver — driver result volume grows with partition
+    // count (measured: a 5M-vector corpus over 29 tasks ships ~1 GB
+    // of 64-dim rows and trips spark.driver.maxResultSize; at 100 TB
+    // partition counts it is unrunnable). Phase 1 finds the cap-th
+    // hash with an executor-side shuffle (1 row to the driver);
+    // phase 2 collects only the ≈cap winning rows. The selected
+    // sample is bit-identical to the single-phase spelling.
+    val kthRow = tagged.select("h")
+      .orderBy("h")
+      .limit(trainSampleCap)
+      .agg(max(col("h")))
+      .head()
+    require(!kthRow.isNullAt(0), "cannot train on an empty corpus")
+    val kth = kthRow.getString(0)
     val sample: Array[Array[Double]] = tagged
+      .filter(col("h") <= kth)
       .orderBy("h")
       .limit(trainSampleCap)
       .select("v")
