@@ -139,7 +139,13 @@ object AnnScaleUp {
     // source vector 0 alone — a degenerate single-source workload.
     // With block encoding the probes are the 50 original, mutually
     // diverse query vectors at EVERY factor.
-    val maxId = b.agg(max(col("vec_id"))).head().getLong(0) + 1
+    val idStats = b.agg(max(col("vec_id")), min(col("vec_id"))).head()
+    // max over an empty source is NULL (opaque NPE from getLong), and
+    // a negative vec_id would make replica id ranges overlap
+    require(!idStats.isNullAt(0), "empty embeddings source")
+    require(idStats.getLong(1) >= 0,
+      s"negative vec_id ${idStats.getLong(1)} would overlap replica ranges")
+    val maxId = idStats.getLong(0) + 1
     (0 until factor).map { k =>
       val shifted = b.withColumn("vec_id", col("vec_id") + lit(k * maxId))
       if (k == 0) shifted

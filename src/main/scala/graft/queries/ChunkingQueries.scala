@@ -275,8 +275,10 @@ object ChunkingQueries {
     * dedup semantic at fixed granularity, where q81 chunks (stride-
     * aligned, boundary ±spanLen) and q214 re-synchronizes (boundary
     * at the next cut point): every SLIDING [[runLen]]-gram position
-    * is tested for cross-document repetition, and per document the
-    * shared positions merge into maximal intervals. Output per
+    * is tested for repetition by TOTAL occurrence count ≥ 2 (Lee et
+    * al.'s predicate — a run repeated within a single document counts
+    * too, not just cross-document), and per document the shared
+    * positions merge into maximal intervals. Output per
     * affected document: exact tokens covered by text repeated
     * elsewhere, the longest single shared run, and the run count —
     * precisely the spans a remove-the-duplicate-span pass (Lee et
@@ -321,8 +323,8 @@ object ChunkingQueries {
   def q306_repeated_runs(spark: SparkSession, dir: String): DataFrame = {
     val pos = gramPositions(spark, dir)
     val shared = pos.groupBy("h")
-      .agg(count_distinct(col("doc_id")).as("df"))
-      .filter(col("df") >= 2)
+      .agg(count(lit(1)).as("tot"))
+      .filter(col("tot") >= 2)
       .select("h")
     islands(pos.join(shared, Seq("h")))
       .groupBy(col("doc_id"), col("n_tokens"))
@@ -345,7 +347,7 @@ object ChunkingQueries {
        |            for i in range(0, len(tk) - $runLen + 1)]) AS pos
        |  FROM t WHERE len(tk) >= $runLen),
        |sh AS (SELECT h FROM p GROUP BY h
-       |  HAVING count(DISTINCT doc_id) >= 2),
+       |  HAVING count(*) >= 2),
        |sp AS (
        |  SELECT doc_id, n_tokens, pos,
        |    CASE WHEN pos - lag(pos) OVER
@@ -389,9 +391,9 @@ object ChunkingQueries {
   def q311_run_scrub(spark: SparkSession, dir: String): DataFrame = {
     val pos = gramPositions(spark, dir)
     val owners = pos.groupBy("h")
-      .agg(count_distinct(col("doc_id")).as("df"),
+      .agg(count(lit(1)).as("tot"),
         min(struct(col("doc_id"), col("pos"))).as("o"))
-      .filter(col("df") >= 2)
+      .filter(col("tot") >= 2)
       .select(col("h"), col("o.doc_id").as("o_doc"), col("o.pos").as("o_pos"))
     val removedPos = pos.join(owners, Seq("h"))
       .filter(!(col("doc_id") === col("o_doc") && col("pos") === col("o_pos")))
@@ -420,7 +422,7 @@ object ChunkingQueries {
        |  FROM t WHERE len(tk) >= $runLen),
        |own AS (
        |  SELECT h, min(struct_pack(d := doc_id, p := pos)) AS o
-       |  FROM p GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+       |  FROM p GROUP BY h HAVING count(*) >= 2),
        |rp AS (
        |  SELECT doc_id, pos
        |  FROM p JOIN own USING (h)

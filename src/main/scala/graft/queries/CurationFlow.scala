@@ -202,7 +202,13 @@ object CurationFlow {
           weight = Some(RangeRank.Weight(s"w_$name", s"cum_$name", s"wtot_$name")))
         prior && (col(s"cum_$name") - col("n_toks") < budget)
     })}
-    (base, members.toSeq)
+    // memberships are normalized to DEFINITE booleans: a stage whose
+    // predicate evaluates NULL (e.g. a split whose declared buckets
+    // don't cover 0-255) must read as dropped EVERYWHERE — without
+    // this, run()'s counts treat NULL as false but runAttrition's
+    // when(!s, name) skips NULL under three-valued logic and
+    // mislabels the row 'survived'
+    (base, members.toSeq.map(m => coalesce(m, lit(false))))
   }
 
   def run(spark: SparkSession, dir: String, cur: CurationDef): DataFrame = {
@@ -257,8 +263,11 @@ object CurationFlow {
     * columns the shared CTE chain already defines.
     */
   def attritionOracleSql(cur: CurationDef): String = {
+    // IS NOT TRUE, not NOT sN: a NULL survivor column (possible when a
+    // declared split doesn't cover every bucket) must attribute to the
+    // stage, matching the Scala side's coalesce-to-false normalization
     val cases = cur.stages.zipWithIndex
-      .map { case (st, i) => s"WHEN NOT s${i + 1} THEN '${sq(st.name)}'" }
+      .map { case (st, i) => s"WHEN s${i + 1} IS NOT TRUE THEN '${sq(st.name)}'" }
       .mkString(" ")
     s"""${oracleCtes(cur)}
        |SELECT grp AS ${cur.reportBy}, removed_by,
@@ -462,7 +471,10 @@ object CurationFlow {
           salt, buckets, keepName)
       case st => rowMember(cur, st).get
     }
-    (base, members)
+    // same definite-boolean normalization as [[funnel]] — stream and
+    // batch must agree that a NULL-membership row is dropped, not
+    // 'survived', in the attrition ledger
+    (base, members.map(m => coalesce(m, lit(false))))
   }
 
   // ---------- generated DuckDB twin ----------

@@ -1525,6 +1525,13 @@ object VectorQueries {
     */
   private[queries] def farthestPoints(
       points: DataFrame, idCol: String, vCol: String, k: Int): Seq[(Long, Double)] = {
+    require(k >= 1, s"farthestPoints needs k >= 1, got $k")
+    // fewer than k points would silently re-pick already-chosen ids
+    // (duplicate ranks, dist_sq 0); an empty frame would throw a bare
+    // NoSuchElementException from head() — fail with the real reason
+    val n = points.count()
+    require(n >= k,
+      s"farthestPoints needs at least k=$k points, input has $n")
     val seed = points.orderBy(col(idCol)).select(col(idCol), col(vCol)).head()
     val chosen = scala.collection.mutable.ArrayBuffer[(Long, Double)](
       (seed.getLong(0), 0.0))
