@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.functions.{VectorFunctions => V}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -14,6 +14,49 @@ object VectorQueries {
   val nPlanes = 8
   val dim = 64
   lazy val planes: Seq[Seq[Double]] = V.planes(nPlanes, dim)
+
+  /** Widest plane set the corpus-adaptive bucket can draw on. Plane j
+    * is a pure function of (j, i) — [[planes]] IS the prefix of this
+    * set — so masking the 24-plane code to its low `base` bits
+    * reproduces the fixed-width bucket bit for bit. 2^24 buckets at
+    * the 500-row occupancy target covers ~8·10^9 vectors before
+    * occupancy starts growing again.
+    */
+  val maxPlanes = 24
+  lazy val planesWide: Seq[Seq[Double]] = V.planes(maxPlanes, dim)
+
+  /** Expected LSH bucket occupancy the adaptive code width targets —
+    * the same "bounded cell" constant family as q87's k = N/500.
+    */
+  val bucketOccupancyTarget = 500L
+
+  /** Corpus-adaptive plane count: the smallest np in [base, maxPlanes]
+    * with N ≤ [[bucketOccupancyTarget]]·2^np, i.e. expected occupancy
+    * ≤ 500 at every corpus size. Spelled as an integer sum of
+    * threshold comparisons — no float log2 whose rounding could ever
+    * differ between engines — so the DuckDB oracle computes the SAME
+    * width from its own count(*). Below the first threshold
+    * (N ≤ 500·2^base) nothing changes versus the fixed-width code.
+    */
+  def adaptiveNp(n: Column, base: Int): Column =
+    (base until maxPlanes).map(j =>
+      when(n > lit(bucketOccupancyTarget << j), 1).otherwise(0))
+      .foldLeft(lit(base))(_ + _)
+
+  /** [[adaptiveNp]]'s DuckDB twin over a count column. */
+  def adaptiveNpSql(nSql: String, base: Int): String =
+    (base until maxPlanes)
+      .map(j => s"(CASE WHEN $nSql > ${bucketOccupancyTarget << j} THEN 1 ELSE 0 END)")
+      .mkString(s"($base + ", " + ", ")")
+
+  /** One-row (np, np_mask) frame for a corpus — broadcast-cross-joined
+    * so the adaptive width rides the plan as a plain attribute (the
+    * 1-row stat-table pattern; no driver-side count action).
+    */
+  private def npStats(e: DataFrame, base: Int): DataFrame =
+    e.agg(count(lit(1)).as("n"))
+      .select(adaptiveNp(col("n"), base).as("np"))
+      .select(col("np"), (expr("shiftleft(1, np)") - lit(1)).as("np_mask"))
 
   private[queries] def emb(spark: SparkSession, dir: String): DataFrame =
     Tables.load(spark, dir, "embeddings")
@@ -60,13 +103,17 @@ object VectorQueries {
 
   /** Approximate NN via hyperplane-LSH buckets: vectors only compare
     * within their bucket, so the join is bucket-equi (shuffle by
-    * bucket id) instead of all-pairs. With 8 planes the corpus splits
-    * into ≤256 buckets; at 100 TB you'd raise nPlanes so bucket size
-    * stays bounded and add multi-probe for recall.
+    * bucket id) instead of all-pairs. The code width is
+    * CORPUS-ADAPTIVE ([[adaptiveNp]] from base 8): expected occupancy
+    * stays ≤ [[bucketOccupancyTarget]] at every corpus size, so a
+    * query's bucket scan is bounded — at sf test scales (N ≤ 128k)
+    * the bucket is bit-identical to the fixed 8-plane code.
     */
   def q29_knn_lsh(spark: SparkSession, dir: String): DataFrame = {
-    val e = emb(spark, dir)
-      .withColumn("bucket", V.lshBucket(col("v"), planes))
+    val e0 = emb(spark, dir)
+    val e = e0.crossJoin(broadcast(npStats(e0, nPlanes)))
+      .withColumn("bucket",
+        V.lshBucket(col("v"), planesWide).bitwiseAND(col("np_mask")))
     val q = e.filter(col("vec_id") < 50)
       .select(col("vec_id").as("q_id"), col("v").as("qv"), col("bucket"),
         V.norm(col("v")).as("q_nrm"))
@@ -85,10 +132,13 @@ object VectorQueries {
 
   val q29_oracle: String = {
     val cos = V.cosineSql("qv", "nv")
-    val bucket = V.lshBucketSql("v", planes)
-    s"""WITH e AS (
+    val bucket = V.lshBucketSql("v", planesWide)
+    s"""WITH np AS (SELECT ${adaptiveNpSql("count(*)", nPlanes)} AS np
+       |  FROM embeddings),
+       |e AS (
        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
-       |b AS (SELECT vec_id, v, $bucket AS bucket FROM e),
+       |b AS (SELECT vec_id, v, ($bucket & ((1 << np) - 1)) AS bucket
+       |  FROM e, np),
        |scored AS (
        |  SELECT q.vec_id AS q_id, q.bucket, c.vec_id AS n_id, $cos AS cos
        |  FROM (SELECT vec_id, v AS qv, bucket FROM b WHERE vec_id < 50) q
@@ -106,13 +156,20 @@ object VectorQueries {
   /** Near-duplicate pairs: same LSH bucket AND cosine above threshold;
     * each duplicate group keeps its minimum vec_id as representative.
     * The bucket pre-filter is what makes this near-linear — the
-    * threshold filter alone would still need all pairs.
+    * threshold filter alone would still need all pairs — and the code
+    * width is CORPUS-ADAPTIVE ([[adaptiveNp]]): a fixed width would
+    * send bucket occupancy to N/2^np and the self-join quadratic
+    * (measured in round 16: 39× wall for 10× data at 5M vectors);
+    * with occupancy pinned ≤ [[bucketOccupancyTarget]] the candidate
+    * volume grows linearly in N.
     */
   val nearDupThreshold = 0.35
 
   def q30_embedding_dedup(spark: SparkSession, dir: String): DataFrame = {
-    val e = emb(spark, dir)
-      .withColumn("bucket", V.lshBucket(col("v"), planes))
+    val e0 = emb(spark, dir)
+    val e = e0.crossJoin(broadcast(npStats(e0, nPlanes)))
+      .withColumn("bucket",
+        V.lshBucket(col("v"), planesWide).bitwiseAND(col("np_mask")))
     val a = e.select(col("vec_id").as("a_id"), col("v").as("qv"), col("bucket"),
       V.norm(col("v")).as("q_nrm"))
     val b = e.select(col("vec_id").as("b_id"), col("v").as("nv"), col("bucket"),
@@ -131,9 +188,12 @@ object VectorQueries {
 
   val q30_oracle: String = {
     val cos = V.cosineSql("qv", "nv")
-    val bucket = V.lshBucketSql("v", planes)
-    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
-       |b AS (SELECT vec_id, v, $bucket AS bucket FROM e),
+    val bucket = V.lshBucketSql("v", planesWide)
+    s"""WITH np AS (SELECT ${adaptiveNpSql("count(*)", nPlanes)} AS np
+       |  FROM embeddings),
+       |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+       |b AS (SELECT vec_id, v, ($bucket & ((1 << np) - 1)) AS bucket
+       |  FROM e, np),
        |pairs AS (
        |  SELECT a.vec_id AS a_id, c.vec_id AS b_id, $cos AS cos
        |  FROM (SELECT vec_id, v AS qv, bucket FROM b) a
@@ -169,14 +229,25 @@ object VectorQueries {
   val nPlanesMulti = 12
   lazy val planesMulti: Seq[Seq[Double]] = V.planes(nPlanesMulti, dim)
 
+  /** The np+1 probe buckets of a code under the adaptive width: the
+    * bucket itself plus each one-plane flip. Dynamic length (np rides
+    * the 1-row stat join), so a wider corpus probes more buckets of a
+    * proportionally finer partition — scan fraction (np+1)/2^np keeps
+    * FALLING as the corpus grows.
+    */
+  private def probesOf(bucket: Column): Column =
+    concat(array(bucket),
+      transform(sequence(lit(0), col("np") - 1),
+        j => bucket.bitwiseXOR(call_function("shiftleft", lit(1), j))))
+
   def q70_knn_lsh_multiprobe(spark: SparkSession, dir: String): DataFrame = {
-    val e = emb(spark, dir)
-      .withColumn("bucket", V.lshBucket(col("v"), planesMulti))
+    val e0 = emb(spark, dir)
+    val e = e0.crossJoin(broadcast(npStats(e0, nPlanesMulti)))
+      .withColumn("bucket",
+        V.lshBucket(col("v"), planesWide).bitwiseAND(col("np_mask")))
     val q = e.filter(col("vec_id") < 50)
       .select(col("vec_id").as("q_id"), col("v").as("qv"), V.norm(col("v")).as("q_nrm"),
-        explode(array(col("bucket") +:
-          (0 until nPlanesMulti).map(j => col("bucket").bitwiseXOR(lit(1 << j))): _*))
-          .as("probe"))
+        explode(probesOf(col("bucket"))).as("probe"))
     val c = e.select(col("vec_id").as("n_id"), col("v").as("nv"),
       col("bucket").as("probe"), V.norm(col("v")).as("n_nrm"))
     val cos = V.cosineWithNorms(col("qv"), col("nv"), col("q_nrm"), col("n_nrm"))
@@ -192,14 +263,17 @@ object VectorQueries {
 
   val q70_oracle: String = {
     val cos = V.cosineSql("qv", "nv")
-    val bucket = V.lshBucketSql("v", planesMulti)
-    s"""WITH e AS (
+    val bucket = V.lshBucketSql("v", planesWide)
+    s"""WITH np AS (SELECT ${adaptiveNpSql("count(*)", nPlanesMulti)} AS np
+       |  FROM embeddings),
+       |e AS (
        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
-       |b AS (SELECT vec_id, v, $bucket AS bucket FROM e),
+       |b AS (SELECT vec_id, v, ($bucket & ((1 << np) - 1)) AS bucket
+       |  FROM e, np),
        |probes AS (
        |  SELECT vec_id, v, unnest([bucket] ||
-       |    [xor(bucket, 1 << j) for j in range(0, $nPlanesMulti)]) AS probe
-       |  FROM b WHERE vec_id < 50),
+       |    [xor(bucket, (1 << CAST(j AS INTEGER))) for j in range(0, np)]) AS probe
+       |  FROM b, np WHERE vec_id < 50),
        |scored AS (
        |  SELECT q.vec_id AS q_id, c.vec_id AS n_id, $cos AS cos
        |  FROM (SELECT vec_id, v AS qv, probe FROM probes) q
@@ -232,17 +306,17 @@ object VectorQueries {
     * probes are distinct, so no pair is scored twice.
     */
   def q106_semantic_decontam(spark: SparkSession, dir: String): DataFrame = {
-    val e = emb(spark, dir)
-      .withColumn("bucket", V.lshBucket(col("v"), planesMulti))
+    val e0 = emb(spark, dir)
+    val e = e0.crossJoin(broadcast(npStats(e0, nPlanesMulti)))
+      .withColumn("bucket",
+        V.lshBucket(col("v"), planesWide).bitwiseAND(col("np_mask")))
     val isBench =
       substring(md5(concat(lit("dc|"), col("vec_id").cast("string"))), 1, 1)
         .isin("0", "1")
     val bench = e.filter(isBench)
       .select(col("vec_id").as("b_id"), col("v").as("qv"),
         V.norm(col("v")).as("q_nrm"),
-        explode(array(col("bucket") +:
-          (0 until nPlanesMulti).map(j => col("bucket").bitwiseXOR(lit(1 << j))): _*))
-          .as("probe"))
+        explode(probesOf(col("bucket"))).as("probe"))
     val corpus = e.filter(!isBench)
       .select(col("vec_id"), col("v").as("nv"), col("bucket").as("probe"),
         V.norm(col("v")).as("n_nrm"))
@@ -259,17 +333,20 @@ object VectorQueries {
 
   val q106_oracle: String = {
     val cos = V.cosineSql("qv", "nv")
-    val bucket = V.lshBucketSql("v", planesMulti)
-    s"""WITH e AS (
+    val bucket = V.lshBucketSql("v", planesWide)
+    s"""WITH np AS (SELECT ${adaptiveNpSql("count(*)", nPlanesMulti)} AS np
+       |  FROM embeddings),
+       |e AS (
        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) v,
        |    substring(md5(concat('dc|', CAST(vec_id AS VARCHAR))), 1, 1)
        |      IN ('0', '1') AS is_bench
        |  FROM embeddings),
-       |b AS (SELECT vec_id, v, is_bench, $bucket AS bucket FROM e),
+       |b AS (SELECT vec_id, v, is_bench, ($bucket & ((1 << np) - 1)) AS bucket
+       |  FROM e, np),
        |probes AS (
        |  SELECT vec_id, v, unnest([bucket] ||
-       |    [xor(bucket, 1 << j) for j in range(0, $nPlanesMulti)]) AS probe
-       |  FROM b WHERE is_bench),
+       |    [xor(bucket, (1 << CAST(j AS INTEGER))) for j in range(0, np)]) AS probe
+       |  FROM b, np WHERE is_bench),
        |scored AS (
        |  SELECT c.vec_id, q.vec_id AS b_id, $cos AS cos
        |  FROM (SELECT vec_id, v AS nv, bucket AS probe FROM b WHERE NOT is_bench) c
