@@ -489,6 +489,82 @@ object VectorQueries {
     } finally fs.delete(new Path(work), true)
   }
 
+  /** q320: IVF ingest as a STREAM — q227's frozen-quantizer append
+    * lowered into foreachBatch (q309's harness shape): the arriving
+    * eighth lands in micro-batches, each assigned with the REOPENED
+    * stored centroids and appended to the inverted file as new
+    * parquet files — because the quantizer is frozen, per-batch
+    * append IS the correct merge and no state store is needed. After
+    * the stream drains, searching the merged file must equal q227's
+    * batch append row for row (Round17OpsSpec pins it, exceptAll both
+    * ways). With q309/q316/q317 this brings streamed ingest to FOUR
+    * of the five index families. Rows-only at the driver (k-means
+    * floats, q42's family).
+    *
+    * Scale shape: per micro-batch, one batch-sized assignment scan +
+    * a file append — no stored posting is read, no corpus re-pass;
+    * the search is q42's bounded probe unchanged.
+    */
+  def q320_stream_ivf_ingest(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    import org.apache.spark.sql.streaming.Trigger
+    import spark.implicits._
+    val work = graft.io.Scratch.dir(spark, "graft-q320-")
+    val fs = new Path(work).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    try {
+      val e = emb(spark, dir)
+      val existing = e.filter(!pqIsBatch(col("vec_id")))
+      // build: quantizer trained on the EXISTING corpus only, frozen
+      val model = graft.similarity.IvfIndex.train(existing, "v", k = 16,
+        sampleIdCol = Some("vec_id"))
+      model.centroids.zipWithIndex.map { case (c, j) => (j, c) }
+        .toDF("cell_id", "centroid").write.parquet(s"$work/centroids")
+      existing.withColumn("cell", model.cell(col("v")))
+        .select(col("vec_id"), col("cell"), col("v"), V.norm(col("v")).as("n_nrm"))
+        .write.parquet(s"$work/postings")
+      // the stored quantizer reopens ONCE, before the stream starts
+      val stored = graft.similarity.IvfIndex.Model(
+        spark.read.parquet(s"$work/centroids")
+          .orderBy("cell_id").collect().map(_.getSeq[Double](1).toSeq).toSeq)
+      val feed = Tables.load(spark, dir, "embeddings")
+        .filter(pqIsBatch(col("vec_id")))
+      CurationFlow.stageTwoBatches(spark, work, feed, "vec_id")
+      val stream = spark.readStream.schema(feed.schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$work/incoming")
+      val query = stream.writeStream
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          batch.select(col("vec_id"), V.asDouble(col("embedding")).as("v"))
+            .withColumn("cell", stored.cell(col("v")))
+            .select(col("vec_id"), col("cell"), col("v"),
+              V.norm(col("v")).as("n_nrm"))
+            .write.mode("append").parquet(s"$work/postings")
+          ()
+        }
+        .option("checkpointLocation", s"$work/ckpt")
+        .start()
+      query.awaitTermination()
+      // search: q227's probe against the drained merged inverted file
+      val postings = spark.read.parquet(s"$work/postings")
+        .select(col("vec_id").as("n_id"), col("v").as("nv"),
+          col("cell"), col("n_nrm"))
+      val queries = e.filter(col("vec_id") < 50)
+        .withColumn("probe_cells", stored.probeCells(col("v"), nProbe = 4))
+        .select(col("vec_id").as("q_id"), col("v").as("qv"),
+          explode(col("probe_cells")).as("cell"), V.norm(col("v")).as("q_nrm"))
+      val cos = V.cosineWithNorms(col("qv"), col("nv"), col("q_nrm"), col("n_nrm"))
+      val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id").asc)
+      queries.join(postings, Seq("cell"))
+        .filter(col("q_id") =!= col("n_id"))
+        .select(col("q_id"), col("n_id"), cos.as("cos"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select("q_id", "rk", "n_id", "cos")
+        .orderBy("q_id", "rk")
+        .localCheckpoint() // materialize before the work dir is deleted
+    } finally fs.delete(new Path(work), true)
+  }
+
   /** Erasure-set selector shared by [[q252_ivf_erasure]] and its
     * equivalence spec: ~1/16 of vectors, content-hash chosen. */
   def ivfErased(idCol: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
@@ -1163,6 +1239,70 @@ object VectorQueries {
     finally fs.delete(new Path(work), true)
   }
 
+  /** q321: PQ ingest as a STREAM — the last of the five index
+    * families to stream (LM q309, BM25 q316, signatures q317, IVF
+    * q320): each micro-batch of arriving vectors is ENCODED with the
+    * reopened frozen codebooks + coarse quantizer and its codes
+    * append as new files; neither model half depends on the new rows'
+    * membership, so per-batch append is the correct merge. After the
+    * drain, the ADC probe + exact rerank over the merged code table
+    * must equal q296's batch append row for row (Round17OpsSpec,
+    * exceptAll both ways). This completes the 5-family streaming-
+    * ingest matrix. Rows-only at the driver (k-means floats, q42's
+    * family).
+    *
+    * Scale shape: per micro-batch, one batch-sized encode scan + a
+    * file append; search is q112's bucket-bounded ADC plan unchanged.
+    */
+  def q321_stream_pq_ingest(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    import org.apache.spark.sql.streaming.Trigger
+    import spark.implicits._
+    val work = graft.io.Scratch.dir(spark, "graft-q321-")
+    val fs = new Path(work).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    try {
+      val e = emb(spark, dir)
+      val existing = e.filter(!pqIsBatch(col("vec_id")))
+      // build: BOTH model halves train on the EXISTING corpus, frozen
+      // (q296's rule)
+      val model = graft.similarity.PqIndex.train(existing, "v", m = 8, ksub = 16,
+        sampleIdCol = Some("vec_id"))
+      val ivf = graft.similarity.IvfIndex.train(existing, "v", k = 16,
+        sampleIdCol = Some("vec_id"))
+      model.codebooks.zipWithIndex.flatMap { case (book, sub) =>
+        book.zipWithIndex.map { case (c, j) => (sub, j, c) }
+      }.toDF("sub", "j", "centroid").write.parquet(s"$work/codebooks")
+      ivf.centroids.zipWithIndex.map { case (c, j) => (j, c) }
+        .toDF("cell_id", "centroid").write.parquet(s"$work/centroids")
+      pqEncode(model, ivf, existing).write.parquet(s"$work/codes")
+      // both stored model halves reopen ONCE, before the stream starts
+      val (stored, storedIvf) = reopenPq(spark, work)
+      val feed = Tables.load(spark, dir, "embeddings")
+        .filter(pqIsBatch(col("vec_id")))
+      CurationFlow.stageTwoBatches(spark, work, feed, "vec_id")
+      val stream = spark.readStream.schema(feed.schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$work/incoming")
+      val query = stream.writeStream
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          pqEncode(stored, storedIvf,
+            batch.select(col("vec_id"), V.asDouble(col("embedding")).as("v")))
+            .write.mode("append").parquet(s"$work/codes")
+          ()
+        }
+        .option("checkpointLocation", s"$work/ckpt")
+        .start()
+      query.awaitTermination()
+      // search: q112's ADC probe + exact rerank against the merged table
+      val codes = spark.read.parquet(s"$work/codes")
+        .repartition(spark.sparkContext.defaultParallelism)
+      pqRerank(spark, dir,
+        pqAdcCandidatesFrom(spark, dir, stored, storedIvf, codes, lit(true)),
+        lit(true))
+        .localCheckpoint() // materialize before the work dir is deleted
+    } finally fs.delete(new Path(work), true)
+  }
+
   /** Single-shot rebuild reference for q296's equivalence spec: the
     * SAME existing-trained frozen models encode the WHOLE corpus in
     * one pass (training is deterministic, so retraining on the same
@@ -1788,6 +1928,10 @@ object VectorQueries {
     // stored-index search == fresh-build search row for row
     "q96_ivf_index_persist" -> (q96_ivf_index_persist _),
     "q227_ivf_index_update" -> (q227_ivf_index_update _),
+    // q320/q321 rows-only like q227/q296 (same frozen trained floats);
+    // Round17OpsSpec pins streamed ingest == batch append row for row
+    "q320_stream_ivf_ingest" -> (q320_stream_ivf_ingest _),
+    "q321_stream_pq_ingest" -> (q321_stream_pq_ingest _),
     "q252_ivf_erasure" -> (q252_ivf_erasure _),
     "q287_ivf_compact" -> (q287_ivf_compact _),
     "q293_pq_index_persist" -> (q293_pq_index_persist _),
