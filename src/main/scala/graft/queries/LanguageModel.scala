@@ -408,6 +408,141 @@ object LanguageModel {
        |FROM j""".stripMargin
   }
 
+  // ---------- q322: threshold-driven auto-compaction ----------
+
+  /** Compact when more than this fraction (ppm) of the log's physical
+    * rows are dead weight — rows merge-on-read discards (tombstones,
+    * the positives they cancel, net-zero bigrams). q319's fully-dead
+    * vocab fraction measures SEMANTIC death and sits near zero on a
+    * mostly-live corpus; the COST a reader pays is physical rows
+    * scanned vs live rows materialized, so that is what the policy
+    * thresholds on (the classic LSM space-amplification rule).
+    */
+  val autoCompactThresholdPpm = 250000L
+
+  /** The maintenance entry point q319's report was waiting for: fold
+    * the delta log IFF its waste fraction exceeds the threshold,
+    * else leave it untouched (compacting a healthy log is pure write
+    * amplification). Returns (waste_ppm read from the log, whether
+    * compaction ran, the path readers should now use). The decision
+    * is ONE 1-row aggregate collect — the driver-side policy act, not
+    * a data move.
+    */
+  private[queries] def maintainLog(
+      spark: SparkSession, logPath: String, thresholdPpm: Long): (Long, Boolean, String) = {
+    val log = spark.read.parquet(logPath)
+    val wastePpm = log
+      .agg(count(lit(1)).cast("long").as("n_rows"))
+      .crossJoin(mergedCounts(spark, logPath)
+        .agg(count(lit(1)).cast("long").as("n_live")))
+      .select(expr("((n_rows - n_live) * 1000000) DIV n_rows"))
+      .head().getLong(0)
+    if (wastePpm > thresholdPpm) {
+      mergedCounts(spark, logPath).write.parquet(s"${logPath}_v1")
+      (wastePpm, true, s"${logPath}_v1")
+    } else (wastePpm, false, logPath)
+  }
+
+  /** q322: AUTO-COMPACTION — the operator that ACTS on the log-health
+    * ledger (round-16 verdict #3: "q319 reports dead_ppm but nothing
+    * consumes it"). Two logs drive BOTH policy branches in one
+    * oracle-gated report: the erasure-bearing log (q304's fixture —
+    * ~half its physical rows are tombstones or their cancelled
+    * positives, far past the threshold) gets folded; a clean
+    * freshly-built log (zero waste) is left byte-for-byte alone. Per
+    * leg the report carries the before-ledger, the decision, and the
+    * after-state read back from whichever artifact the policy chose —
+    * all exact integers, so the DuckDB oracle recomputes the whole
+    * policy from the raw corpus and the hash splits if the engine
+    * ever compacts the wrong branch (or reports a state it didn't
+    * produce).
+    *
+    * Scale shape: the decision is a 1-row aggregate; compaction is
+    * q305's one vocab-bounded fold; nothing touches the corpus.
+    */
+  def q322_lm_auto_compact(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val work = graft.io.Scratch.dir(spark, "graft-q322-")
+    val fs = new Path(work).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    try {
+      val docs = Tables.load(spark, dir, "documents")
+      buildErasedLog(docs, s"$work/log_erased")
+      countsOf(docs).write.parquet(s"$work/log_clean")
+      Seq("erased" -> s"$work/log_erased", "clean" -> s"$work/log_clean")
+        .map { case (leg, path) =>
+          val before = spark.read.parquet(path).agg(
+            count(lit(1)).cast("long").as("n_rows_before"),
+            count(when(col("c_bigram") < 0, 1)).cast("long")
+              .as("n_tombstones"))
+          val (wastePpm, compacted, readPath) = maintainLog(
+            spark, path, autoCompactThresholdPpm)
+          val after = spark.read.parquet(readPath).agg(
+            count(lit(1)).cast("long").as("n_rows_after"))
+          val merged = mergedCounts(spark, readPath).agg(
+            count(lit(1)).cast("long").as("n_live"),
+            coalesce(sum(col("c_bigram")), lit(0L)).cast("long").as("c_total"))
+          before
+            .withColumn("leg", lit(leg))
+            .withColumn("waste_ppm", lit(wastePpm))
+            .withColumn("compacted", lit(if (compacted) 1L else 0L))
+            .crossJoin(after).crossJoin(merged)
+            .select("leg", "n_rows_before", "n_tombstones", "waste_ppm",
+              "compacted", "n_rows_after", "n_live", "c_total")
+        }
+        .reduce(_ unionByName _)
+        .orderBy("leg")
+        .localCheckpoint() // materialize before the work dir is deleted
+    } finally fs.delete(new Path(work), true)
+  }
+
+  /** The policy recomputed from the raw corpus: per leg, the ledger
+    * q319 derives, the threshold decision, and the after-state the
+    * decision implies. */
+  val q322_oracle: String = {
+    val toks = T.tokensSql("lower(text)")
+    s"""WITH tk AS (
+       |  SELECT doc_id, $toks AS t, $lmErasedSql AS er FROM documents),
+       |bg AS (
+       |  SELECT er,
+       |    unnest([t[i] || ' ' || t[i + 1] for i in range(1, len(t))]) AS bigram
+       |  FROM tk WHERE len(t) >= 2),
+       |f AS (SELECT bigram, CAST(count(*) AS BIGINT) AS cf FROM bg GROUP BY bigram),
+       |e AS (SELECT bigram, CAST(count(*) AS BIGINT) AS ce
+       |  FROM bg WHERE er GROUP BY bigram),
+       |j AS (SELECT f.bigram, cf, coalesce(ce, 0) AS ce
+       |  FROM f LEFT JOIN e USING (bigram)),
+       |er_stats AS (
+       |  SELECT
+       |    (SELECT count(*) FROM f) + (SELECT count(*) FROM e) AS n_rows_before,
+       |    (SELECT count(*) FROM e) AS n_tombstones,
+       |    CAST(count(CASE WHEN cf > ce THEN 1 END) AS BIGINT) AS n_live,
+       |    CAST(coalesce(sum(CASE WHEN cf > ce THEN cf - ce END), 0) AS BIGINT)
+       |      AS c_total
+       |  FROM j),
+       |cl_stats AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_rows_before,
+       |    CAST(0 AS BIGINT) AS n_tombstones,
+       |    CAST(count(*) AS BIGINT) AS n_live,
+       |    CAST(coalesce(sum(cf), 0) AS BIGINT) AS c_total
+       |  FROM f),
+       |legs AS (
+       |  SELECT 'erased' AS leg, * FROM er_stats
+       |  UNION ALL SELECT 'clean' AS leg, * FROM cl_stats),
+       |decided AS (
+       |  SELECT leg, n_rows_before, n_tombstones,
+       |    ((n_rows_before - n_live) * 1000000) // n_rows_before AS waste_ppm,
+       |    CASE WHEN ((n_rows_before - n_live) * 1000000) // n_rows_before
+       |      > $autoCompactThresholdPpm THEN 1 ELSE 0 END AS compacted,
+       |    n_live, c_total
+       |  FROM legs)
+       |SELECT leg, n_rows_before, n_tombstones, waste_ppm,
+       |  CAST(compacted AS BIGINT) AS compacted,
+       |  CASE WHEN compacted = 1 THEN n_live ELSE n_rows_before END
+       |    AS n_rows_after,
+       |  n_live, c_total
+       |FROM decided ORDER BY leg""".stripMargin
+  }
+
   // ---------- q114: collocation mining (integer-exact lift) ----------
 
   /** Collocation extraction — the corpus-analysis twin of q104's
@@ -769,7 +904,8 @@ object LanguageModel {
     "q305_lm_index_compact" -> (q305_lm_index_compact _),
     "q309_stream_lm_ingest" -> (q309_stream_lm_ingest _),
     "q318_stream_lm_erasure" -> (q318_stream_lm_erasure _),
-    "q319_lm_log_health" -> (q319_lm_log_health _))
+    "q319_lm_log_health" -> (q319_lm_log_health _),
+    "q322_lm_auto_compact" -> (q322_lm_auto_compact _))
 
   val oracles: Map[String, String] = Map(
     "q134_perplexity_buckets" -> q134_oracle,
@@ -783,5 +919,6 @@ object LanguageModel {
     "q305_lm_index_compact" -> q305_oracle,
     "q309_stream_lm_ingest" -> q309_oracle,
     "q318_stream_lm_erasure" -> q318_oracle,
-    "q319_lm_log_health" -> q319_oracle)
+    "q319_lm_log_health" -> q319_oracle,
+    "q322_lm_auto_compact" -> q322_oracle)
 }
