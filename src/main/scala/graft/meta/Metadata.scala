@@ -108,6 +108,20 @@ final case class QualityStageDef(
 final case class DecontaminateStageDef(
     name: String, shingles: Seq[String]) extends CurationStageDef
 
+/** Embedding-space near-dedup as a declared stage (q87's SemDeDup
+  * membership): a row is dropped iff its id appears as a
+  * NON-REPRESENTATIVE member of a trained-cluster duplicate pair —
+  * the paraphrase-robust complement of `dedup_near`'s shingle LSH.
+  * `missing` declares what happens to rows WITHOUT an embedding
+  * ("keep" passes them through, the safe default; "drop" excludes
+  * them) — declared, never silent, because the corpus carries no
+  * doc↔vector contract. Trained k-means floats have no SQL twin, so
+  * a config declaring this stage is spec-gated rows-only (oracleSql
+  * refuses to render it).
+  */
+final case class DedupSemanticStageDef(
+    name: String, missing: String) extends CurationStageDef
+
 /** Mixture-weighted sampling as a declared stage (q36's operator): a
   * row survives iff the first hex digit of md5(salt|id) falls below
   * its group's keep16 sixteenths; groups key on the `by` column.
@@ -295,6 +309,16 @@ object Metadata {
       case s: SplitStageDef     => s.leakageFree
       case _                    => false
     }
+    val needsEmbeddings = stages.exists(_.isInstanceOf[DedupSemanticStageDef])
+    if (needsEmbeddings) {
+      // the SemDeDup clusters are trained over embeddings(vec_id) and
+      // the membership joins doc_id = vec_id; any other table/key would
+      // silently semantic-dedup nothing
+      if (table != "documents" || idColumn != "doc_id")
+        fail("dedup_semantic joins the embeddings table on doc_id = " +
+          s"vec_id; it requires table='documents' and id_column='doc_id', " +
+          s"got table='$table', id_column='$idColumn'")
+    }
     if (needsSignatures) {
       // the LSH signature family is built over documents(doc_id, text);
       // a config declaring other columns would silently near-dedup
@@ -362,6 +386,12 @@ object Metadata {
     optStr(o, "type").getOrElse(fail(s"curation stage '$name' missing 'type'")) match {
       case "dedup_exact" => DedupExactStageDef(name)
       case "dedup_near"  => DedupNearStageDef(name)
+      case "dedup_semantic" =>
+        val missing = optStr(o, "missing").getOrElse("keep")
+        if (missing != "keep" && missing != "drop")
+          fail(s"semantic stage '$name' missing-policy must be 'keep' or " +
+            s"'drop', got '$missing'")
+        DedupSemanticStageDef(name, missing)
       case "token_budget" =>
         val by = optStr(o, "by").getOrElse(fail(s"budget stage '$name' missing 'by'"))
         if (!by.matches(identPattern))

@@ -156,6 +156,23 @@ object CurationFlow {
           .select(col("id").as(cur.idColumn), lit(1L).as(s"m_$name"))
         base = base.join(dropSet, Seq(cur.idColumn), "left")
         col(s"m_$name").isNull
+      case DedupSemanticStageDef(name, missing) =>
+        // q87's SemDeDup verdicts as a bounded drop set (non-
+        // representative cluster duplicates), joined doc_id = vec_id.
+        // The quantizer is memoized per corpus, so a funnel declaring
+        // this stage pays ONE training run however often it replans —
+        // the shared-cluster rule ccLabels applies to MinHash stages
+        val dropSet = VectorQueries.q87_semdedup(spark, dir)
+          .select(col("dup_id").as(cur.idColumn), lit(1L).as(s"m_$name"))
+        base = base.join(dropSet, Seq(cur.idColumn), "left")
+        if (missing == "keep") col(s"m_$name").isNull
+        else {
+          // missing='drop': only EMBEDDED non-duplicates survive
+          val embedded = Tables.load(spark, dir, "embeddings")
+            .select(col("vec_id").as(cur.idColumn), lit(1L).as(s"e_$name"))
+          base = base.join(embedded, Seq(cur.idColumn), "left")
+          col(s"m_$name").isNull && col(s"e_$name").isNotNull
+        }
       case q: QualityStageDef =>
         rowMember(cur, q).get
       case DecontaminateStageDef(name, shingles) =>
@@ -509,6 +526,12 @@ object CurationFlow {
     * report.
     */
   private def oracleCtes(cur: CurationDef): String = {
+    cur.stages.collectFirst { case s: DedupSemanticStageDef => s }.foreach { s =>
+      throw new MetadataError(s"stage '${s.name}' (dedup_semantic) has no " +
+        "SQL twin: the SemDeDup cluster memberships are trained k-means " +
+        "floats (q87's family) — a config declaring it is spec-gated " +
+        "rows-only, never oracle-rendered")
+    }
     val tk = T.tokensSql(cur.textColumn)
     val needLab = cur.stages.exists {
       case _: DedupNearStageDef => true
@@ -905,6 +928,41 @@ object CurationFlow {
 
   val q313_oracle: String =
     oracleSql(Metadata.parseCuration(fullGrammarCurationJson))
+
+  // ---------- q323: dedup_near + dedup_semantic in one config ----------
+
+  /** The round-16 verdict's declared-embedding-space item: the
+    * grammar's `dedup_near` is MinHash-only, and q87's SemDeDup
+    * membership is the paraphrase-robust complement a 100 TB pipeline
+    * wants DECLARABLE. This config mixes both dedup families with the
+    * quality gate — shingle LSH drops verbatim copies, the trained
+    * clusters drop embedding-space duplicates (joined doc_id =
+    * vec_id, unembedded rows declared 'keep'), each paying its one
+    * shared model run per funnel. No SQL twin (the cluster floats are
+    * q87's rows-only family — oracleSql REFUSES the render);
+    * Round17OpsSpec pins the funnel against an independently
+    * hand-composed stage stack and the keep/drop missing-policy
+    * arithmetic.
+    */
+  val semanticCurationJson: String =
+    """{
+      |  "curation": {
+      |    "table": "documents",
+      |    "id_column": "doc_id",
+      |    "text_column": "text",
+      |    "report_by": "source",
+      |    "stages": [
+      |      {"type": "dedup_exact", "name": "exact"},
+      |      {"type": "dedup_near", "name": "neardup"},
+      |      {"type": "dedup_semantic", "name": "semdup", "missing": "keep"},
+      |      {"type": "quality_filter", "name": "quality", "rules": [
+      |        {"reason": "too_short", "metric": "n_toks", "op": "lt", "value": 10}]}
+      |    ]
+      |  }
+      |}""".stripMargin
+
+  def q323_declared_semantic(spark: SparkSession, dir: String): DataFrame =
+    run(spark, dir, Metadata.parseCuration(semanticCurationJson))
 
   // ---------- q292: the declared funnel over a STREAM ----------
 

@@ -1548,6 +1548,10 @@ object CurationQueries {
     "q310_declared_attrition_budget" -> (CurationFlow.q310_declared_attrition_budget _),
     "q313_declared_full_grammar" -> (CurationFlow.q313_declared_full_grammar _),
     "q314_declared_stream_attrition" -> (CurationFlow.q314_declared_stream_attrition _),
+    // q323 rows-only: the semantic memberships are q87's trained
+    // floats (oracleSql refuses the render); Round17OpsSpec pins the
+    // funnel against an independent hand-composed stack
+    "q323_declared_semantic" -> (CurationFlow.q323_declared_semantic _),
     "q77_sequence_pack" -> (q77_sequence_pack _),
     "q60_dedup_apply" -> (q60_dedup_apply _),
     "q61_quality_filter" -> (q61_quality_filter _),
