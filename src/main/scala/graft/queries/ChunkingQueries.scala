@@ -293,6 +293,10 @@ object ChunkingQueries {
     */
   /** The sliding-gram position stream both run queries share:
     * (doc_id, n_tokens, pos, h) — one row per [[runLen]]-gram start.
+    * The gram id is the FULL 128-bit md5 carried as 16 raw bytes
+    * (unhex), not the 32-char hex string: identical exactness, half
+    * the shuffle bytes on the stream's two hash-keyed exchanges —
+    * the dominant cost at 26× (gram volume is corpus-linear).
     */
   private[queries] def gramPositions(spark: SparkSession, dir: String): DataFrame =
     Tables.load(spark, dir, "documents")
@@ -300,7 +304,7 @@ object ChunkingQueries {
       .filter(size(col("tk")) >= runLen)
       .select(col("doc_id"), size(col("tk")).cast("long").as("n_tokens"),
         posexplode(transform(sequence(lit(0), size(col("tk")) - runLen),
-          i => md5(concat_ws(" ", slice(col("tk"), i + 1, lit(runLen)))))))
+          i => unhex(md5(concat_ws(" ", slice(col("tk"), i + 1, lit(runLen))))))))
       .withColumnRenamed("pos", "p")
       .withColumnRenamed("col", "h")
       .withColumn("pos", col("p").cast("long")).drop("p")

@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.functions.{HashFunctions => H, TextFunctions => T}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Round-6 corpus operators: span-granular exact dedup, corpus-level
@@ -1229,7 +1229,125 @@ object RetrievalQueries {
     * rule applied to BM25). */
   val q286_oracle: String = q230_oracle
 
+  // ---------- q324: threshold-driven BM25 auto-compaction ----------
+
+  /** The accumulated-erasure feed for the policy leg: 6/16 of docs —
+    * the operational point (many requests landed, none compacted yet)
+    * where a rewrite genuinely pays. */
+  private[queries] def bm25AcErased(idCol: Column): Column =
+    substring(md5(concat(lit("bmac|"), idCol.cast("string"))), 1, 1)
+      .isin("0", "1", "2", "3", "4", "5")
+
+  /** q322's threshold policy applied to the SECOND artifact shape:
+    * the BM25 postings are tombstone-MASKED (q230's discipline), not
+    * a +/- delta log, so the waste a reader pays is the tombstoned
+    * posting rows the anti-join filters on EVERY query. The policy
+    * reads only stored state (postings + tombstone table), folds iff
+    * tombstoned-row fraction exceeds the shared
+    * [[graft.queries.LanguageModel.autoCompactThresholdPpm]], and
+    * leaves a healthy index untouched. Both branches drive in one
+    * oracle-gated report (the 6/16 accumulated feed = 375000 ppm >
+    * threshold → folds; an empty tombstone table = 0 → byte-identical
+    * no-op), integers end to end so DuckDB recomputes the whole
+    * policy from the raw corpus.
+    *
+    * Scale shape: the decision is two counts over stored columns; the
+    * fold is q286's one anti-join rewrite; nothing re-reads text.
+    */
+  private[queries] def q324Flow(
+      spark: SparkSession, dir: String, work: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    docs.select(col("doc_id"), T.tokens(col("text")).as("tk"))
+      .select(col("doc_id"), size(col("tk")).cast("long").as("dl"),
+        explode(col("tk")).as("term"))
+      .groupBy("term", "doc_id")
+      .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
+      .write.parquet(s"$work/postings")
+    docs.filter(bm25AcErased(col("doc_id"))).select("doc_id")
+      .write.parquet(s"$work/tombs_erased")
+    docs.filter(lit(false)).select("doc_id")
+      .write.parquet(s"$work/tombs_clean")
+    val threshold = LanguageModel.autoCompactThresholdPpm
+    Seq("clean" -> s"$work/tombs_clean", "erased" -> s"$work/tombs_erased")
+      .map { case (leg, tombPath) =>
+        val post = spark.read.parquet(s"$work/postings")
+        val tombs = spark.read.parquet(tombPath)
+        val decision = post
+          .agg(count(lit(1)).cast("long").as("n_postings"))
+          .crossJoin(post.join(tombs, Seq("doc_id"), "left_semi")
+            .agg(count(lit(1)).cast("long").as("n_tomb_rows")))
+          .withColumn("waste_ppm",
+            expr("(n_tomb_rows * 1000000) DIV n_postings"))
+          .head()
+        val (nPost, nTomb, waste) =
+          (decision.getLong(0), decision.getLong(1), decision.getLong(2))
+        val compacted = waste > threshold
+        if (compacted)
+          post.join(tombs, Seq("doc_id"), "left_anti")
+            .write.parquet(s"$work/postings_${leg}_v1")
+        val readPath =
+          if (compacted) s"$work/postings_${leg}_v1" else s"$work/postings"
+        val after = spark.read.parquet(readPath)
+          .agg(count(lit(1)).cast("long").as("n_postings_after"))
+        after
+          .withColumn("leg", lit(leg))
+          .withColumn("n_postings", lit(nPost))
+          .withColumn("n_tomb_rows", lit(nTomb))
+          .withColumn("waste_ppm", lit(waste))
+          .withColumn("compacted", lit(if (compacted) 1L else 0L))
+          .select("leg", "n_postings", "n_tomb_rows", "waste_ppm",
+            "compacted", "n_postings_after")
+      }
+      .reduce(_ unionByName _)
+      .orderBy("leg")
+  }
+
+  def q324_bm25_auto_compact(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val work = graft.io.Scratch.dir(spark, "graft-q324-")
+    val fs = new Path(work).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    try q324Flow(spark, dir, work)
+      .localCheckpoint() // materialize before the work dir is deleted
+    finally fs.delete(new Path(work), true)
+  }
+
+  /** The policy recomputed from the raw corpus: posting rows are the
+    * distinct (term, doc_id) pairs, tombstoned rows those of the
+    * bmac| six-sixteenths, the branch decision and after-count pure
+    * arithmetic on them. */
+  val q324_oracle: String = {
+    val tk = T.tokensSql("text")
+    val erased =
+      "substring(md5(concat('bmac|', CAST(doc_id AS VARCHAR))), 1, 1) " +
+        "IN ('0', '1', '2', '3', '4', '5')"
+    s"""WITH t AS (SELECT doc_id, $erased AS er, $tk AS tk FROM documents),
+       |p AS (
+       |  SELECT DISTINCT doc_id, er, unnest(tk) AS term FROM t),
+       |c AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_postings,
+       |    CAST(count(CASE WHEN er THEN 1 END) AS BIGINT) AS n_tomb_rows
+       |  FROM p),
+       |legs AS (
+       |  SELECT 'clean' AS leg, n_postings, CAST(0 AS BIGINT) AS n_tomb_rows
+       |  FROM c
+       |  UNION ALL SELECT 'erased', n_postings, n_tomb_rows FROM c),
+       |decided AS (
+       |  SELECT leg, n_postings, n_tomb_rows,
+       |    (n_tomb_rows * 1000000) // n_postings AS waste_ppm,
+       |    CASE WHEN (n_tomb_rows * 1000000) // n_postings
+       |      > ${LanguageModel.autoCompactThresholdPpm} THEN 1 ELSE 0 END
+       |      AS compacted
+       |  FROM legs)
+       |SELECT leg, n_postings, n_tomb_rows,
+       |  CAST(waste_ppm AS BIGINT) AS waste_ppm,
+       |  CAST(compacted AS BIGINT) AS compacted,
+       |  CASE WHEN compacted = 1 THEN n_postings - n_tomb_rows
+       |    ELSE n_postings END AS n_postings_after
+       |FROM decided ORDER BY leg""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q324_bm25_auto_compact" -> (q324_bm25_auto_compact _),
     "q224_bm25_index_update" -> (q224_bm25_index_update _),
     "q316_stream_bm25_ingest" -> (q316_stream_bm25_ingest _),
     "q230_bm25_erasure" -> (q230_bm25_erasure _),
@@ -1246,6 +1364,7 @@ object RetrievalQueries {
     "q123_span_scrub" -> (q123_span_scrub _))
 
   val oracles: Map[String, String] = Map(
+    "q324_bm25_auto_compact" -> q324_oracle,
     "q224_bm25_index_update" -> q224_oracle,
     "q316_stream_bm25_ingest" -> q316_oracle,
     "q230_bm25_erasure" -> q230_oracle,

@@ -111,6 +111,33 @@ class Round17OpsSpec extends SparkSpec {
       "oracleSql rendered a config it cannot express")
   }
 
+  test("q324: the BM25 policy folds under the accumulated feed, leaves the clean index, and the folded bytes hold no erased doc") {
+    import org.apache.hadoop.fs.Path
+    import org.apache.spark.sql.functions._
+    val dir = sf("sf0.001")
+    val work = graft.io.Scratch.dir(spark, "graft-q324spec-")
+    val fs = new Path(work).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    try {
+      val rows = RetrievalQueries.q324Flow(spark, dir, work)
+        .collect().map(r => r.getString(0) -> r).toMap
+      val er = rows("erased"); val cl = rows("clean")
+      assert(er.getLong(er.fieldIndex("compacted")) === 1L &&
+        cl.getLong(cl.fieldIndex("compacted")) === 0L,
+        "policy picked the wrong branch")
+      assert(cl.getLong(cl.fieldIndex("n_postings_after")) ===
+        cl.getLong(cl.fieldIndex("n_postings")))
+      assert(er.getLong(er.fieldIndex("n_postings_after")) ===
+        er.getLong(er.fieldIndex("n_postings")) -
+          er.getLong(er.fieldIndex("n_tomb_rows")))
+      // the erased docs are genuinely gone from the folded bytes
+      assert(!fs.exists(new Path(s"$work/postings_clean_v1")),
+        "the clean branch wrote a new version anyway")
+      val survivors = spark.read.parquet(s"$work/postings_erased_v1")
+        .filter(RetrievalQueries.bm25AcErased(col("doc_id")))
+      assert(survivors.isEmpty, "a tombstoned doc survived compaction")
+    } finally fs.delete(new Path(work), true)
+  }
+
   test("maintainLog: the chosen artifact always scores like the always-compact leg; below threshold nothing is written") {
     import org.apache.hadoop.fs.Path
     val dir = sf("sf0.001")
