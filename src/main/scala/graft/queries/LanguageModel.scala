@@ -543,6 +543,115 @@ object LanguageModel {
        |FROM decided ORDER BY leg""".stripMargin
   }
 
+  /** In-place fold for an ONGOING log: materialize the merged counts
+    * as a new generation, then swap it under the log path so
+    * subsequent appends land on the compacted artifact — the rename
+    * discipline an LSM store uses between write generations. Returns
+    * whether the policy fired.
+    */
+  private[queries] def maintainLogInPlace(
+      spark: SparkSession, logPath: String, thresholdPpm: Long): Boolean = {
+    import org.apache.hadoop.fs.Path
+    val (_, folded, v1) = maintainLog(spark, logPath, thresholdPpm)
+    if (folded) {
+      val fs = new Path(logPath)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      require(fs.delete(new Path(logPath), true), s"could not drop $logPath")
+      require(fs.rename(new Path(v1), new Path(logPath)),
+        s"could not swap $v1 into place")
+    }
+    folded
+  }
+
+  /** Stage `parts` as single-file micro-batches in arrival order
+    * (file mtimes force the order, the q74-family staging shape). */
+  private def stageBatches(
+      spark: SparkSession, work: String, parts: Seq[DataFrame]): Unit = {
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(work).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new Path(s"$work/incoming"))
+    val t0 = System.currentTimeMillis()
+    parts.zipWithIndex.foreach { case (df, i) =>
+      df.coalesce(1).write.parquet(s"$work/stage_$i")
+      val part = fs.globStatus(new Path(s"$work/stage_$i/part-*.parquet"))
+        .head.getPath
+      val target = new Path(s"$work/incoming/b$i.parquet")
+      require(fs.rename(part, target), s"failed to stage batch $i")
+      fs.setTimes(target, t0 + i * 1000L, -1)
+      fs.delete(new Path(s"$work/stage_$i"), true)
+    }
+  }
+
+  /** q325's flow against a caller-owned work dir, returning the final
+    * retained-corpus scoring AND how many times the policy folded the
+    * log mid-stream (the spec pins ≥ 1 — the composition claim is
+    * empty if the threshold never fires).
+    */
+  private[queries] def q325Flow(
+      spark: SparkSession, dir: String, work: String): (DataFrame, Int) = {
+    import org.apache.spark.sql.streaming.Trigger
+    val docs = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("source"), col("text"))
+    val half =
+      substring(md5(concat(lit("sb|"), col("doc_id").cast("string"))), 1, 1) < "8"
+    val erasedHalf =
+      substring(md5(concat(lit("sb2|"), col("doc_id").cast("string"))), 1, 1) < "8"
+    stageBatches(spark, work, Seq(
+      docs.filter(half).withColumn("feed", lit("ingest")),
+      docs.filter(!half).withColumn("feed", lit("ingest")),
+      docs.filter(lmErased && erasedHalf).withColumn("feed", lit("erase")),
+      docs.filter(lmErased && !erasedHalf).withColumn("feed", lit("erase"))))
+    var folds = 0
+    val stream = spark.readStream
+      .schema(docs.withColumn("feed", lit("")).schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$work/incoming")
+    val query = stream.writeStream
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val ing = countsOf(batch.filter(col("feed") === "ingest"))
+        val era = countsOf(batch.filter(col("feed") === "erase"))
+          .withColumn("c_bigram", -col("c_bigram"))
+        ing.unionByName(era)
+          .write.mode("append").parquet(s"$work/lm_index")
+        if (maintainLogInPlace(spark, s"$work/lm_index",
+          autoCompactThresholdPpm)) folds += 1
+        ()
+      }
+      .option("checkpointLocation", s"$work/ckpt")
+      .start()
+    query.awaitTermination()
+    (scoreWithCounts(docs.filter(!lmErased),
+      mergedCounts(spark, s"$work/lm_index")).orderBy("doc_id"), folds)
+  }
+
+  /** q325: the FULL LSM loop inside one stream — ingest micro-batches
+    * and right-to-be-forgotten micro-batches interleave against ONE
+    * stored log, and q322's threshold policy runs after EVERY batch,
+    * folding the log in place whenever waste crosses the constant
+    * (the halves share most of the vocabulary, so the second ingest
+    * batch alone pushes waste past it — the fold genuinely fires
+    * mid-stream, more than once). Scoring the retained corpus from
+    * whatever representation the policy left behind must equal a
+    * from-scratch rebuild on the retained docs: q304's oracle
+    * verbatim. This closes the round-16 maintenance story: ingest
+    * (q309), erasure (q318), and now COMPACTION all run inside the
+    * stream, against one artifact, hash-gated end to end.
+    *
+    * Scale shape: per micro-batch, one batch-sized count delta + the
+    * policy's 1-row decision; a fold is one vocab-bounded rewrite —
+    * amortized exactly as an LSM store amortizes it.
+    */
+  def q325_stream_lm_maintain(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val work = graft.io.Scratch.dir(spark, "graft-q325-")
+    val fs = new Path(work).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    try q325Flow(spark, dir, work)._1.localCheckpoint()
+    finally fs.delete(new Path(work), true)
+  }
+
+  /** Rebuild-on-retained, q304's oracle verbatim. */
+  val q325_oracle: String = q304_oracle
+
   // ---------- q114: collocation mining (integer-exact lift) ----------
 
   /** Collocation extraction — the corpus-analysis twin of q104's
@@ -905,7 +1014,8 @@ object LanguageModel {
     "q309_stream_lm_ingest" -> (q309_stream_lm_ingest _),
     "q318_stream_lm_erasure" -> (q318_stream_lm_erasure _),
     "q319_lm_log_health" -> (q319_lm_log_health _),
-    "q322_lm_auto_compact" -> (q322_lm_auto_compact _))
+    "q322_lm_auto_compact" -> (q322_lm_auto_compact _),
+    "q325_stream_lm_maintain" -> (q325_stream_lm_maintain _))
 
   val oracles: Map[String, String] = Map(
     "q134_perplexity_buckets" -> q134_oracle,
@@ -920,5 +1030,6 @@ object LanguageModel {
     "q309_stream_lm_ingest" -> q309_oracle,
     "q318_stream_lm_erasure" -> q318_oracle,
     "q319_lm_log_health" -> q319_oracle,
-    "q322_lm_auto_compact" -> q322_oracle)
+    "q322_lm_auto_compact" -> q322_oracle,
+    "q325_stream_lm_maintain" -> q325_oracle)
 }

@@ -138,6 +138,20 @@ class Round17OpsSpec extends SparkSpec {
     } finally fs.delete(new Path(work), true)
   }
 
+  test("q325: ingest + erasure + in-stream compaction equals rebuild-on-retained, and the fold genuinely fires") {
+    import org.apache.hadoop.fs.Path
+    val dir = sf("sf0.001")
+    val work = graft.io.Scratch.dir(spark, "graft-q325spec-")
+    val fs = new Path(work).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    try {
+      val (scored, folds) = LanguageModel.q325Flow(spark, dir, work)
+      assert(folds >= 1,
+        "the threshold policy never folded the log — the composition is untested")
+      assert(sameRows(scored, LanguageModel.q304_lm_index_erasure(spark, dir)),
+        "the maintained log scored differently from the batch erasure leg")
+    } finally fs.delete(new Path(work), true)
+  }
+
   test("maintainLog: the chosen artifact always scores like the always-compact leg; below threshold nothing is written") {
     import org.apache.hadoop.fs.Path
     val dir = sf("sf0.001")
