@@ -1481,8 +1481,10 @@ object VectorQueries {
   /** Embedding-space density outliers — the data-cleaning sweep that
     * catches mis-embedded / out-of-distribution vectors BEFORE they
     * poison ANN training: density ≈ the population of a vector's
-    * 8-plane LSH bucket (the q29 partition of the space into 256
-    * deterministic cells), and a vector nearly alone in its cell is
+    * 8-plane LSH bucket (a fixed 256-cell deterministic partition —
+    * deliberately NOT the adaptive width q29/q30 use, because the
+    * report's density semantics are defined at a fixed resolution),
+    * and a vector nearly alone in its cell is
     * isolated at the bucket granularity. One bucket projection + one
     * bucket-sized count + a broadcast join back — NO pairwise work at
     * any corpus size, which is what makes a density sweep feasible
