@@ -430,16 +430,20 @@ object CurationFlow {
       index: Option[(SparkSession, String)]): (DataFrame, Seq[Column]) = {
     cur.stages.foreach { st =>
       val streamable = st match {
-        case _: DecontaminateStageDef => true
-        case _: DedupNearStageDef     => index.isDefined
-        case s: SplitStageDef         => !s.leakageFree || index.isDefined
-        case other                    => rowMember(cur, other).isDefined
+        case _: DecontaminateStageDef  => true
+        case _: DedupNearStageDef      => index.isDefined
+        case _: DedupSemanticStageDef  => index.isDefined
+        case s: SplitStageDef          => !s.leakageFree || index.isDefined
+        case other                     => rowMember(cur, other).isDefined
       }
       if (!streamable) {
         val hint = st match {
           case _: DedupNearStageDef | _: SplitStageDef =>
             " (cluster membership streams against the stored signature " +
               "index — pass one)"
+          case _: DedupSemanticStageDef =>
+            " (semantic membership streams against the stored SemDeDup " +
+              "verdict table — pass the index)"
           case _ => ""
         }
         throw new MetadataError(s"stage '${st.name}' (${stageType(st)}) is " +
@@ -486,6 +490,25 @@ object CurationFlow {
         base = base.join(reps, Seq(cur.idColumn), "left")
         splitMember(coalesce(col(s"rep_$name"), col(cur.idColumn)),
           salt, buckets, keepName)
+      case DedupSemanticStageDef(name, missing) =>
+        // q87's SemDeDup verdicts are a STATIC table a stream can
+        // probe per micro-batch (the labels pattern above applied to
+        // the embedding clusters): the quantizer runs once before the
+        // stream starts, the bounded dup set materializes, and each
+        // batch pays one stream-static left join — q73's cost shape
+        val (spark, dir) = index.get
+        val dropSet = VectorQueries.q87_semdedup(spark, dir)
+          .select(col("dup_id").as(cur.idColumn), lit(1L).as(s"m_$name"))
+          .localCheckpoint()
+        base = base.join(dropSet, Seq(cur.idColumn), "left")
+        if (missing == "keep") col(s"m_$name").isNull
+        else {
+          val embedded = Tables.load(spark, dir, "embeddings")
+            .select(col("vec_id").as(cur.idColumn), lit(1L).as(s"e_$name"))
+            .localCheckpoint()
+          base = base.join(embedded, Seq(cur.idColumn), "left")
+          col(s"m_$name").isNull && col(s"e_$name").isNotNull
+        }
       case st => rowMember(cur, st).get
     }
     // same definite-boolean normalization as [[funnel]] — stream and
@@ -1262,6 +1285,37 @@ object CurationFlow {
 
   val q298_oracle: String =
     oracleSql(Metadata.parseCuration(streamNearDupCurationJson))
+
+  // ---------- q326: dedup_semantic over the STREAM ----------
+
+  /** q323's mixed-dedup semantics arriving as a stream: the SemDeDup
+    * verdict table builds ONCE before the stream starts (the
+    * quantizer is the stored-index analogue — q298's labels pattern
+    * applied to embedding clusters) and every micro-batch pays one
+    * stream-static left join against the bounded dup set. No
+    * generated oracle (the k-means stage refuses the render — q323's
+    * rule); Round17OpsSpec pins stream ≡ batch row for row, which
+    * chains through q323's oracle-shaped equality to the independent
+    * hand-composed stack.
+    */
+  val streamSemanticCurationJson: String =
+    """{
+      |  "curation": {
+      |    "table": "documents",
+      |    "id_column": "doc_id",
+      |    "text_column": "text",
+      |    "report_by": "source",
+      |    "stages": [
+      |      {"type": "dedup_semantic", "name": "semdup", "missing": "keep"},
+      |      {"type": "quality_filter", "name": "quality", "rules": [
+      |        {"reason": "too_short", "metric": "n_toks", "op": "lt", "value": 10}]}
+      |    ]
+      |  }
+      |}""".stripMargin
+
+  def q326_declared_stream_semantic(spark: SparkSession, dir: String): DataFrame =
+    driveStream(spark, dir, Metadata.parseCuration(streamSemanticCurationJson),
+      index = Some((spark, dir)))
 
   // ---------- q314: loss attribution over the STREAM ----------
 

@@ -1552,6 +1552,9 @@ object CurationQueries {
     // floats (oracleSql refuses the render); Round17OpsSpec pins the
     // funnel against an independent hand-composed stack
     "q323_declared_semantic" -> (CurationFlow.q323_declared_semantic _),
+    // q326 rows-only like q323 (same refused oracle); spec-pinned
+    // stream == batch
+    "q326_declared_stream_semantic" -> (CurationFlow.q326_declared_stream_semantic _),
     "q77_sequence_pack" -> (q77_sequence_pack _),
     "q60_dedup_apply" -> (q60_dedup_apply _),
     "q61_quality_filter" -> (q61_quality_filter _),
