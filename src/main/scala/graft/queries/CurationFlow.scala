@@ -378,6 +378,7 @@ object CurationFlow {
     case _: MixtureStageDef     => "mixture_sample"
     case s: SplitStageDef       => if (s.leakageFree) "split (leakage_free)" else "split"
     case _: TokenBudgetStageDef => "token_budget"
+    case _: DedupSemanticStageDef => "dedup_semantic"
   }
 
   /** The SAME declared funnel over a STREAM — the reference's

@@ -150,11 +150,19 @@ object LanguageModel {
     * corpus needs: no ingest or erasure ever rewrites an existing
     * file; compaction (q305) amortizes read cost when the log grows.
     */
-  private def mergedCounts(spark: SparkSession, path: String): DataFrame =
-    spark.read.parquet(path)
-      .groupBy("bigram")
+  private def merged(log: DataFrame): DataFrame =
+    log.groupBy("bigram")
       .agg(sum(col("c_bigram")).cast("long").as("c_bigram"))
       .filter(col("c_bigram") > 0)
+
+  private def mergedCounts(spark: SparkSession, path: String): DataFrame =
+    merged(spark.read.parquet(path))
+
+  /** Merge-on-read over a replay-safe [[graft.io.BatchLog]] root —
+    * what the STREAMED maintenance legs score from.
+    */
+  private def mergedLog(spark: SparkSession, root: String): DataFrame =
+    merged(graft.io.BatchLog.read(spark, root))
 
   /** Build the erasure-bearing delta log ONCE for q304/q305/q319:
     * full-corpus counts, then the erased eighth's counts appended
@@ -276,6 +284,11 @@ object LanguageModel {
     * the maintenance mode a 100 TB corpus actually runs (the log
     * grows one bounded delta per micro-batch; q305's compaction
     * amortizes the read).
+    *
+    * Replay safety: `foreachBatch` is at-least-once, so the delta
+    * lands via [[graft.io.BatchLog.append]]'s batchId-keyed overwrite
+    * — a re-delivered micro-batch rewrites identical bytes instead of
+    * double-counting (BatchLogSpec pins it).
     */
   def q309_stream_lm_ingest(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.hadoop.fs.Path
@@ -289,14 +302,14 @@ object LanguageModel {
         .option("maxFilesPerTrigger", 1).parquet(s"$work/incoming")
       val query = stream.writeStream
         .trigger(Trigger.AvailableNow())
-        .foreachBatch { (batch: DataFrame, _: Long) =>
-          countsOf(batch).write.mode("append").parquet(s"$work/lm_index")
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          graft.io.BatchLog.append(countsOf(batch), s"$work/lm_index", batchId)
           ()
         }
         .option("checkpointLocation", s"$work/ckpt")
         .start()
       query.awaitTermination()
-      scoreWithCounts(docs, mergedCounts(spark, s"$work/lm_index"))
+      scoreWithCounts(docs, mergedLog(spark, s"$work/lm_index"))
         .orderBy("doc_id")
         .localCheckpoint()
     } finally fs.delete(new Path(work), true)
@@ -324,7 +337,7 @@ object LanguageModel {
     val fs = new Path(work).getFileSystem(spark.sparkContext.hadoopConfiguration)
     try {
       val docs = Tables.load(spark, dir, "documents")
-      countsOf(docs).write.parquet(s"$work/lm_index")
+      graft.io.BatchLog.base(countsOf(docs), s"$work/lm_index")
       // the erased eighth plays the request FEED, arriving in two
       // micro-batches (the same split harness the ingest legs drive)
       CurationFlow.stageTwoBatches(spark, work, docs.filter(lmErased), "doc_id")
@@ -332,17 +345,17 @@ object LanguageModel {
         .option("maxFilesPerTrigger", 1).parquet(s"$work/incoming")
       val query = stream.writeStream
         .trigger(Trigger.AvailableNow())
-        .foreachBatch { (batch: DataFrame, _: Long) =>
-          countsOf(batch)
-            .withColumn("c_bigram", -col("c_bigram"))
-            .write.mode("append").parquet(s"$work/lm_index")
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          graft.io.BatchLog.append(
+            countsOf(batch).withColumn("c_bigram", -col("c_bigram")),
+            s"$work/lm_index", batchId)
           ()
         }
         .option("checkpointLocation", s"$work/ckpt")
         .start()
       query.awaitTermination()
       scoreWithCounts(docs.filter(!lmErased),
-          mergedCounts(spark, s"$work/lm_index"))
+          mergedLog(spark, s"$work/lm_index"))
         .orderBy("doc_id")
         .localCheckpoint()
     } finally fs.delete(new Path(work), true)
@@ -543,24 +556,26 @@ object LanguageModel {
        |FROM decided ORDER BY leg""".stripMargin
   }
 
-  /** In-place fold for an ONGOING log: materialize the merged counts
-    * as a new generation, then swap it under the log path so
-    * subsequent appends land on the compacted artifact — the rename
-    * discipline an LSM store uses between write generations. Returns
-    * whether the policy fired.
+  /** In-place fold for an ONGOING [[graft.io.BatchLog]]: when waste
+    * crosses the threshold, materialize the merged counts as the
+    * log's next GENERATION and publish it with the marker protocol
+    * ([[graft.io.BatchLog.fold]]) — write-then-publish, never
+    * delete-then-rename, so a crash mid-fold leaves the old
+    * generation intact and a post-fold replay of an absorbed batch is
+    * a no-op. Returns whether the policy fired.
     */
-  private[queries] def maintainLogInPlace(
-      spark: SparkSession, logPath: String, thresholdPpm: Long): Boolean = {
-    import org.apache.hadoop.fs.Path
-    val (_, folded, v1) = maintainLog(spark, logPath, thresholdPpm)
-    if (folded) {
-      val fs = new Path(logPath)
-        .getFileSystem(spark.sparkContext.hadoopConfiguration)
-      require(fs.delete(new Path(logPath), true), s"could not drop $logPath")
-      require(fs.rename(new Path(v1), new Path(logPath)),
-        s"could not swap $v1 into place")
-    }
-    folded
+  private[queries] def maintainLogFold(
+      spark: SparkSession, logRoot: String, thresholdPpm: Long): Boolean = {
+    val log = graft.io.BatchLog.read(spark, logRoot)
+    val wastePpm = log
+      .agg(count(lit(1)).cast("long").as("n_rows"))
+      .crossJoin(merged(log).agg(count(lit(1)).cast("long").as("n_live")))
+      .select(expr("((n_rows - n_live) * 1000000) DIV n_rows"))
+      .head().getLong(0)
+    if (wastePpm > thresholdPpm) {
+      graft.io.BatchLog.fold(spark, logRoot)(merged)
+      true
+    } else false
   }
 
   /** Stage `parts` as single-file micro-batches in arrival order
@@ -601,27 +616,29 @@ object LanguageModel {
       docs.filter(!half).withColumn("feed", lit("ingest")),
       docs.filter(lmErased && erasedHalf).withColumn("feed", lit("erase")),
       docs.filter(lmErased && !erasedHalf).withColumn("feed", lit("erase"))))
-    var folds = 0
+    // incremented on the stream-execution thread, read on the caller
+    // thread after awaitTermination — atomic for a sound happens-before
+    val folds = new java.util.concurrent.atomic.AtomicInteger(0)
     val stream = spark.readStream
       .schema(docs.withColumn("feed", lit("")).schema)
       .option("maxFilesPerTrigger", 1).parquet(s"$work/incoming")
     val query = stream.writeStream
       .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val ing = countsOf(batch.filter(col("feed") === "ingest"))
         val era = countsOf(batch.filter(col("feed") === "erase"))
           .withColumn("c_bigram", -col("c_bigram"))
-        ing.unionByName(era)
-          .write.mode("append").parquet(s"$work/lm_index")
-        if (maintainLogInPlace(spark, s"$work/lm_index",
-          autoCompactThresholdPpm)) folds += 1
+        graft.io.BatchLog.append(
+          ing.unionByName(era), s"$work/lm_index", batchId)
+        if (maintainLogFold(spark, s"$work/lm_index",
+          autoCompactThresholdPpm)) folds.incrementAndGet()
         ()
       }
       .option("checkpointLocation", s"$work/ckpt")
       .start()
     query.awaitTermination()
     (scoreWithCounts(docs.filter(!lmErased),
-      mergedCounts(spark, s"$work/lm_index")).orderBy("doc_id"), folds)
+      mergedLog(spark, s"$work/lm_index")).orderBy("doc_id"), folds.get())
   }
 
   /** q325: the FULL LSM loop inside one stream — ingest micro-batches

@@ -973,18 +973,24 @@ object RetrievalQueries {
         .option("maxFilesPerTrigger", 1).parquet(s"$work/incoming")
       val query = stream.writeStream
         .trigger(Trigger.AvailableNow())
-        .foreachBatch { (batch: DataFrame, _: Long) =>
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
           val t = batch
             .select(col("doc_id"), T.tokens(col("text")).as("tk"))
             .select(col("doc_id"), size(col("tk")).cast("long").as("dl"),
               explode(col("tk")).as("term"))
             .localCheckpoint()
-          t.groupBy("term", "doc_id")
-            .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
-            .write.mode("append").parquet(s"$work/postings")
-          batch.agg(count(lit(1)).as("n"))
-            .crossJoin(t.agg(count(lit(1)).as("l")))
-            .write.mode("append").parquet(s"$work/stats")
+          // batchId-keyed idempotent appends: foreachBatch is
+          // at-least-once, and a replayed blind append would inflate
+          // df/tf AND the (n, l) stats — BatchLog makes both deltas
+          // overwrite-on-replay
+          graft.io.BatchLog.append(
+            t.groupBy("term", "doc_id")
+              .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl")),
+            s"$work/postings", batchId)
+          graft.io.BatchLog.append(
+            batch.agg(count(lit(1)).as("n"))
+              .crossJoin(t.agg(count(lit(1)).as("l"))),
+            s"$work/stats", batchId)
           ()
         }
         .option("checkpointLocation", s"$work/ckpt")
@@ -992,9 +998,9 @@ object RetrievalQueries {
       query.awaitTermination()
       // merge-on-read: df derived from the merged postings, stats
       // deltas summed — then q84's probe verbatim
-      val tf = spark.read.parquet(s"$work/postings")
+      val tf = graft.io.BatchLog.read(spark, s"$work/postings")
       val dft = tf.groupBy("term").agg(count(lit(1)).as("df"))
-      val stats = spark.read.parquet(s"$work/stats")
+      val stats = graft.io.BatchLog.read(spark, s"$work/stats")
         .agg(sum(col("n")).as("n"), sum(col("l")).as("l"))
         .withColumn("adl", expr("l div n"))
       val queryTerms = bm25Queries

@@ -914,17 +914,21 @@ object TextQueries {
         .option("maxFilesPerTrigger", 1).parquet(s"$work/incoming")
       val query = stream.writeStream
         .trigger(Trigger.AvailableNow())
-        .foreachBatch { (batch: DataFrame, _: Long) =>
-          sigTableOf(batch)
-            .withColumn("skd", array_distinct(H.shingleKeys(col("sh"))))
-            .drop("sh")
-            .write.mode("append").parquet(s"$work/sig_index")
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          // batchId-keyed idempotent append (foreachBatch is
+          // at-least-once; a replayed blind append would duplicate
+          // signature rows and surface phantom near-dup pairs)
+          graft.io.BatchLog.append(
+            sigTableOf(batch)
+              .withColumn("skd", array_distinct(H.shingleKeys(col("sh"))))
+              .drop("sh"),
+            s"$work/sig_index", batchId)
           ()
         }
         .option("checkpointLocation", s"$work/ckpt")
         .start()
       query.awaitTermination()
-      pairsFromIndex(spark.read.parquet(s"$work/sig_index"))
+      pairsFromIndex(graft.io.BatchLog.read(spark, s"$work/sig_index"))
         .orderBy("a_id", "b_id")
         .localCheckpoint()
     } finally fs.delete(new Path(work), true)

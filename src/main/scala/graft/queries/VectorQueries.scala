@@ -38,14 +38,17 @@ object VectorQueries {
     * width from its own count(*). Below the first threshold
     * (N ≤ 500·2^base) nothing changes versus the fixed-width code.
     */
-  def adaptiveNp(n: Column, base: Int): Column =
+  def adaptiveNp(n: Column, base: Int): Column = {
+    require(base < maxPlanes, s"adaptive base $base leaves no headroom")
     (base until maxPlanes).map(j =>
       when(n > lit(bucketOccupancyTarget << j), 1).otherwise(0))
       .foldLeft(lit(base))(_ + _)
+  }
 
   /** [[adaptiveNp]]'s DuckDB twin over a count column. */
   def adaptiveNpSql(nSql: String, base: Int): String =
-    (base until maxPlanes)
+    if (base >= maxPlanes) base.toString
+    else (base until maxPlanes)
       .map(j => s"(CASE WHEN $nSql > ${bucketOccupancyTarget << j} THEN 1 ELSE 0 END)")
       .mkString(s"($base + ", " + ", ")")
 
@@ -519,9 +522,11 @@ object VectorQueries {
         sampleIdCol = Some("vec_id"))
       model.centroids.zipWithIndex.map { case (c, j) => (j, c) }
         .toDF("cell_id", "centroid").write.parquet(s"$work/centroids")
-      existing.withColumn("cell", model.cell(col("v")))
-        .select(col("vec_id"), col("cell"), col("v"), V.norm(col("v")).as("n_nrm"))
-        .write.parquet(s"$work/postings")
+      graft.io.BatchLog.base(
+        existing.withColumn("cell", model.cell(col("v")))
+          .select(col("vec_id"), col("cell"), col("v"),
+            V.norm(col("v")).as("n_nrm")),
+        s"$work/postings")
       // the stored quantizer reopens ONCE, before the stream starts
       val stored = graft.similarity.IvfIndex.Model(
         spark.read.parquet(s"$work/centroids")
@@ -533,19 +538,23 @@ object VectorQueries {
         .option("maxFilesPerTrigger", 1).parquet(s"$work/incoming")
       val query = stream.writeStream
         .trigger(Trigger.AvailableNow())
-        .foreachBatch { (batch: DataFrame, _: Long) =>
-          batch.select(col("vec_id"), V.asDouble(col("embedding")).as("v"))
-            .withColumn("cell", stored.cell(col("v")))
-            .select(col("vec_id"), col("cell"), col("v"),
-              V.norm(col("v")).as("n_nrm"))
-            .write.mode("append").parquet(s"$work/postings")
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          // batchId-keyed idempotent append (foreachBatch is
+          // at-least-once; a replayed blind append would duplicate
+          // postings and shift top-k ranks vs rebuild)
+          graft.io.BatchLog.append(
+            batch.select(col("vec_id"), V.asDouble(col("embedding")).as("v"))
+              .withColumn("cell", stored.cell(col("v")))
+              .select(col("vec_id"), col("cell"), col("v"),
+                V.norm(col("v")).as("n_nrm")),
+            s"$work/postings", batchId)
           ()
         }
         .option("checkpointLocation", s"$work/ckpt")
         .start()
       query.awaitTermination()
       // search: q227's probe against the drained merged inverted file
-      val postings = spark.read.parquet(s"$work/postings")
+      val postings = graft.io.BatchLog.read(spark, s"$work/postings")
         .select(col("vec_id").as("n_id"), col("v").as("nv"),
           col("cell"), col("n_nrm"))
       val queries = e.filter(col("vec_id") < 50)
@@ -1274,7 +1283,7 @@ object VectorQueries {
       }.toDF("sub", "j", "centroid").write.parquet(s"$work/codebooks")
       ivf.centroids.zipWithIndex.map { case (c, j) => (j, c) }
         .toDF("cell_id", "centroid").write.parquet(s"$work/centroids")
-      pqEncode(model, ivf, existing).write.parquet(s"$work/codes")
+      graft.io.BatchLog.base(pqEncode(model, ivf, existing), s"$work/codes")
       // both stored model halves reopen ONCE, before the stream starts
       val (stored, storedIvf) = reopenPq(spark, work)
       val feed = Tables.load(spark, dir, "embeddings")
@@ -1284,17 +1293,21 @@ object VectorQueries {
         .option("maxFilesPerTrigger", 1).parquet(s"$work/incoming")
       val query = stream.writeStream
         .trigger(Trigger.AvailableNow())
-        .foreachBatch { (batch: DataFrame, _: Long) =>
-          pqEncode(stored, storedIvf,
-            batch.select(col("vec_id"), V.asDouble(col("embedding")).as("v")))
-            .write.mode("append").parquet(s"$work/codes")
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          // batchId-keyed idempotent append (foreachBatch is
+          // at-least-once; a replayed blind append would duplicate
+          // codes and shift ADC candidate ranks vs rebuild)
+          graft.io.BatchLog.append(
+            pqEncode(stored, storedIvf,
+              batch.select(col("vec_id"), V.asDouble(col("embedding")).as("v"))),
+            s"$work/codes", batchId)
           ()
         }
         .option("checkpointLocation", s"$work/ckpt")
         .start()
       query.awaitTermination()
       // search: q112's ADC probe + exact rerank against the merged table
-      val codes = spark.read.parquet(s"$work/codes")
+      val codes = graft.io.BatchLog.read(spark, s"$work/codes")
         .repartition(spark.sparkContext.defaultParallelism)
       pqRerank(spark, dir,
         pqAdcCandidatesFrom(spark, dir, stored, storedIvf, codes, lit(true)),
