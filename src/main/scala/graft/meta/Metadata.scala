@@ -122,6 +122,33 @@ final case class DecontaminateStageDef(
 final case class DedupSemanticStageDef(
     name: String, missing: String) extends CurationStageDef
 
+/** One masking rule: rewrite every regex match of `pattern` to the
+  * literal `replacement`. The parser pins both to engine-neutral
+  * shapes — patterns to the printable-ASCII subset without quotes or
+  * backslashes (the Java/RE2 common syntax the q50 family already
+  * relies on), replacements to a plain-literal charset with no group
+  * references — so the same rule means the same rewrite in Spark and
+  * in the generated DuckDB oracle, and a config can never smuggle SQL
+  * into the rendered twin.
+  */
+final case class MaskRuleDef(pattern: String, replacement: String)
+
+/** Declared PII/entity masking — governance as grammar stage #9 (the
+  * q50/q109 redaction family made metadata-driven). A mask stage is a
+  * text PRE-PASS, not a membership: it drops no rows, and the masked
+  * text IS the corpus every downstream inline computation reads —
+  * token counts, quality metrics, content-hash dedup, decontamination
+  * shingles, budget weights, and the report's token mass. That is the
+  * scrub-before-hash rule a governed pipeline needs: no unmasked
+  * content ever reaches a derived artifact. The parser therefore
+  * requires mask stages to be declared BEFORE any membership stage.
+  * Stored-index memberships (dedup_near, leakage-free splits) stay
+  * keyed on the prebuilt signature family's ids — the index predates
+  * the scrub by construction.
+  */
+final case class MaskStageDef(
+    name: String, rules: Seq[MaskRuleDef]) extends CurationStageDef
+
 /** Mixture-weighted sampling as a declared stage (q36's operator): a
   * row survives iff the first hex digit of md5(salt|id) falls below
   * its group's keep16 sixteenths; groups key on the `by` column.
@@ -302,6 +329,15 @@ object Metadata {
         fail(s"curation stage name '$n' must match [a-z][a-z0-9_]* " +
           "(it becomes the report's n_<name> column)")
     }
+    // mask is a text pre-pass: everything downstream reads the masked
+    // corpus, so a mask declared AFTER a membership stage would claim
+    // an ordering the interpreter cannot honor — die at parse time
+    val firstMember = stages.indexWhere(!_.isInstanceOf[MaskStageDef])
+    if (firstMember >= 0)
+      stages.drop(firstMember).collectFirst { case m: MaskStageDef => m }
+        .foreach(m => fail(s"mask stage '${m.name}' is declared after a " +
+          "membership stage — mask stages are text pre-passes and must " +
+          "come first"))
     val idColumn = optStr(c, "id_column").getOrElse(fail("curation missing 'id_column'"))
     val textColumn = optStr(c, "text_column").getOrElse(fail("curation missing 'text_column'"))
     val needsSignatures = stages.exists {
@@ -386,6 +422,35 @@ object Metadata {
     optStr(o, "type").getOrElse(fail(s"curation stage '$name' missing 'type'")) match {
       case "dedup_exact" => DedupExactStageDef(name)
       case "dedup_near"  => DedupNearStageDef(name)
+      case "mask" =>
+        val rules = field(o, "rules")
+          .map(v => arr(v, s"mask stage '$name' rules").map { r =>
+            val ro = obj(r, "mask rule")
+            val pattern = optStr(ro, "pattern")
+              .getOrElse(fail(s"mask stage '$name' rule missing 'pattern'"))
+            // printable ASCII minus single-quote (0x27) and backslash
+            // (0x5C): the regex subset Java and RE2 read identically,
+            // and a literal that can never escape its SQL quoting
+            if (pattern.isEmpty || !pattern.matches("[\\x20-\\x26\\x28-\\x5b\\x5d-\\x7e]+"))
+              fail(s"mask stage '$name' pattern '$pattern' must be " +
+                "non-empty printable ASCII without quotes or backslashes")
+            try java.util.regex.Pattern.compile(pattern)
+            catch { case e: java.util.regex.PatternSyntaxException =>
+              fail(s"mask stage '$name' pattern '$pattern' does not " +
+                s"compile: ${e.getDescription}")
+            }
+            val replacement = optStr(ro, "replacement")
+              .getOrElse(fail(s"mask stage '$name' rule missing 'replacement'"))
+            // plain literal only — no $n / \n group references, which
+            // Spark and DuckDB would read differently
+            if (!replacement.matches("[A-Za-z0-9<>_. -]*"))
+              fail(s"mask stage '$name' replacement '$replacement' must " +
+                "be a plain literal ([A-Za-z0-9<>_. -]*, no group refs)")
+            MaskRuleDef(pattern, replacement)
+          })
+          .getOrElse(fail(s"mask stage '$name' missing 'rules'"))
+        if (rules.isEmpty) fail(s"mask stage '$name' declares no rules")
+        MaskStageDef(name, rules)
       case "dedup_semantic" =>
         val missing = optStr(o, "missing").getOrElse("keep")
         if (missing != "keep" && missing != "drop")

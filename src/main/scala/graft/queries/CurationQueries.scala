@@ -1555,6 +1555,8 @@ object CurationQueries {
     // q326 rows-only like q323 (same refused oracle); spec-pinned
     // stream == batch
     "q326_declared_stream_semantic" -> (CurationFlow.q326_declared_stream_semantic _),
+    "q327_declared_mask" -> (CurationFlow.q327_declared_mask _),
+    "q328_declared_stream_mask" -> (CurationFlow.q328_declared_stream_mask _),
     "q77_sequence_pack" -> (q77_sequence_pack _),
     "q60_dedup_apply" -> (q60_dedup_apply _),
     "q61_quality_filter" -> (q61_quality_filter _),
@@ -1592,6 +1594,8 @@ object CurationQueries {
     "q310_declared_attrition_budget" -> CurationFlow.q310_oracle,
     "q313_declared_full_grammar" -> CurationFlow.q313_oracle,
     "q314_declared_stream_attrition" -> CurationFlow.q314_oracle,
+    "q327_declared_mask" -> CurationFlow.q327_oracle,
+    "q328_declared_stream_mask" -> CurationFlow.q328_oracle,
     "q77_sequence_pack" -> q77_oracle,
     "q60_dedup_apply" -> q60_oracle,
     "q61_quality_filter" -> q61_oracle,

@@ -60,6 +60,66 @@ class Round18OpsSpec extends SparkSpec {
       "replayed micro-batch corrupted the merged log vs rebuild")
   }
 
+  test("q327: the mask pre-pass genuinely rewrites what every downstream stage reads") {
+    import graft.meta.{Metadata, MaskStageDef}
+    val dir = sf("sf0.01")
+    val cur = Metadata.parseCuration(CurationFlow.maskedCurationJson)
+    val masked = CurationFlow.run(spark, dir, cur)
+    // same funnel with the scrub removed: content hashes, quality
+    // metrics, shingles and budget weights all shift — if the two
+    // reports agree, the stage is decorative
+    val unmasked = CurationFlow.run(spark, dir,
+      cur.copy(stages = cur.stages.filterNot(_.isInstanceOf[MaskStageDef])))
+    assert(masked.drop("n_scrub_entities", "n_scrub_pairs")
+      .exceptAll(unmasked).count() > 0,
+      "masking changed nothing downstream")
+    // the second mask stage matches the FIRST stage's output
+    // ("<CUST> line") — dropping it must change the report, proving
+    // rewrites compose in declared order
+    val firstOnly = CurationFlow.run(spark, dir,
+      cur.copy(stages = cur.stages.filterNot {
+        case m: MaskStageDef => m.name == "scrub_pairs"
+        case _               => false
+      }))
+    assert(masked.drop("n_scrub_pairs")
+      .exceptAll(firstOnly).count() > 0,
+      "the composed second mask stage was a no-op")
+  }
+
+  test("q328: the streamed mask funnel equals the batch interpreter of the same config") {
+    import graft.meta.Metadata
+    val dir = sf("sf0.001")
+    val cur = Metadata.parseCuration(CurationFlow.streamMaskCurationJson)
+    assert(sameRows(CurationFlow.q328_declared_stream_mask(spark, dir),
+      CurationFlow.run(spark, dir, cur)),
+      "stream and batch disagree on the masked funnel")
+  }
+
+  test("mask grammar: misdeclared configs die at parse time") {
+    import graft.meta.{Metadata, MetadataError}
+    def cfg(stages: String): String =
+      s"""{"curation": {"table": "documents", "id_column": "doc_id",
+         |"text_column": "text", "report_by": "source",
+         |"stages": [$stages]}}""".stripMargin
+    // mask after a membership stage: the pre-pass contract is violated
+    intercept[MetadataError](Metadata.parseCuration(cfg(
+      """{"type": "dedup_exact", "name": "exact"},
+        |{"type": "mask", "name": "late", "rules": [
+        |  {"pattern": "x", "replacement": "y"}]}""".stripMargin)))
+    // group references would mean different things in Spark and DuckDB
+    intercept[MetadataError](Metadata.parseCuration(cfg(
+      """{"type": "mask", "name": "refs", "rules": [
+        |  {"pattern": "(a)b", "replacement": "$1"}]}""".stripMargin)))
+    // a quote could escape the generated SQL literal
+    intercept[MetadataError](Metadata.parseCuration(cfg(
+      """{"type": "mask", "name": "quote", "rules": [
+        |  {"pattern": "a'b", "replacement": "x"}]}""".stripMargin)))
+    // an unparseable regex must not reach the executor
+    intercept[MetadataError](Metadata.parseCuration(cfg(
+      """{"type": "mask", "name": "bad", "rules": [
+        |  {"pattern": "(a", "replacement": "x"}]}""".stripMargin)))
+  }
+
   test("q325 flow after a simulated mid-fold crash: an unpublished generation never corrupts scoring") {
     import org.apache.hadoop.fs.Path
     val dir = sf("sf0.001")
