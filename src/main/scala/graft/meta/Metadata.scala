@@ -149,6 +149,36 @@ final case class MaskRuleDef(pattern: String, replacement: String)
 final case class MaskStageDef(
     name: String, rules: Seq[MaskRuleDef]) extends CurationStageDef
 
+/** Declared span scrubbing (q123's operator as a grammar stage): a
+  * text PRE-PASS like mask, but corpus-keyed — the text is chunked
+  * into consecutive `spanLen`-token spans (the sub-spanLen tail is
+  * exempt), any span duplicated across ≥ 2 documents is removed from
+  * ALL of them, and the survivors rejoin in original order. The
+  * remove-duplicated-substrings dedup of Lee et al. 2021 for
+  * stitched/boilerplate corpora, where repeated passages should be
+  * cut rather than whole documents dropped. Downstream stages read
+  * the scrubbed text (same scrub-before-hash rule as mask); pre-pass
+  * ordering is declared order, so a mask before a span_scrub masks
+  * what the span hashes see.
+  */
+final case class SpanScrubStageDef(
+    name: String, spanLen: Int) extends CurationStageDef
+
+/** Declared containment dedup (q108's operator as a membership
+  * stage): a document whose shingle set is ≥ `minPct` percent
+  * contained in another document's is dropped (both ≥ minPct — the
+  * near-identical case — drops the higher id, keeping the min-id
+  * representative like dedup_exact). Candidate pairs come from q108's
+  * rare-shingle postings (df ≤ dfCut, ≥ minSharedRare shared), so the
+  * pair space stays bounded; the threshold compares
+  * `|A∩B|·100 ≥ minPct·|A|` — pure integers, no float containment
+  * ratio, so the generated oracle is exact. Catches the
+  * asymmetric-overlap class LSH's symmetric Jaccard misses (a short
+  * document embedded in a long one).
+  */
+final case class ContainmentStageDef(
+    name: String, minPct: Int) extends CurationStageDef
+
 /** Mixture-weighted sampling as a declared stage (q36's operator): a
   * row survives iff the first hex digit of md5(salt|id) falls below
   * its group's keep16 sixteenths; groups key on the `by` column.
@@ -329,15 +359,20 @@ object Metadata {
         fail(s"curation stage name '$n' must match [a-z][a-z0-9_]* " +
           "(it becomes the report's n_<name> column)")
     }
-    // mask is a text pre-pass: everything downstream reads the masked
-    // corpus, so a mask declared AFTER a membership stage would claim
-    // an ordering the interpreter cannot honor — die at parse time
-    val firstMember = stages.indexWhere(!_.isInstanceOf[MaskStageDef])
+    // mask / span_scrub are text pre-passes: everything downstream
+    // reads the rewritten corpus, so one declared AFTER a membership
+    // stage would claim an ordering the interpreter cannot honor —
+    // die at parse time
+    def isPrePass(st: CurationStageDef): Boolean = st match {
+      case _: MaskStageDef | _: SpanScrubStageDef => true
+      case _                                      => false
+    }
+    val firstMember = stages.indexWhere(!isPrePass(_))
     if (firstMember >= 0)
-      stages.drop(firstMember).collectFirst { case m: MaskStageDef => m }
-        .foreach(m => fail(s"mask stage '${m.name}' is declared after a " +
-          "membership stage — mask stages are text pre-passes and must " +
-          "come first"))
+      stages.drop(firstMember).find(isPrePass)
+        .foreach(m => fail(s"stage '${m.name}' is a text pre-pass " +
+          "(mask / span_scrub) declared after a membership stage — " +
+          "pre-passes must come first"))
     val idColumn = optStr(c, "id_column").getOrElse(fail("curation missing 'id_column'"))
     val textColumn = optStr(c, "text_column").getOrElse(fail("curation missing 'text_column'"))
     val needsSignatures = stages.exists {
@@ -451,6 +486,22 @@ object Metadata {
           .getOrElse(fail(s"mask stage '$name' missing 'rules'"))
         if (rules.isEmpty) fail(s"mask stage '$name' declares no rules")
         MaskStageDef(name, rules)
+      case "span_scrub" =>
+        val spanLen = intOf(field(o, "span_len")
+          .getOrElse(fail(s"span_scrub stage '$name' missing 'span_len'")),
+          s"span_scrub stage '$name' span_len")
+        if (spanLen < 2 || spanLen > 64)
+          fail(s"span_scrub stage '$name' span_len must be in [2, 64], " +
+            s"got $spanLen")
+        SpanScrubStageDef(name, spanLen)
+      case "containment" =>
+        val minPct = intOf(field(o, "min_pct")
+          .getOrElse(fail(s"containment stage '$name' missing 'min_pct'")),
+          s"containment stage '$name' min_pct")
+        if (minPct < 1 || minPct > 100)
+          fail(s"containment stage '$name' min_pct must be in [1, 100], " +
+            s"got $minPct")
+        ContainmentStageDef(name, minPct)
       case "dedup_semantic" =>
         val missing = optStr(o, "missing").getOrElse("keep")
         if (missing != "keep" && missing != "drop")

@@ -107,6 +107,58 @@ object CurationFlow {
       .flatMap(_.rules)
       .foldLeft(text)((c, r) => regexp_replace(c, r.pattern, r.replacement))
 
+  /** q123's span scrub as a corpus rewrite: chunk into `spanLen`-token
+    * spans (tail exempt), drop every span duplicated across ≥ 2
+    * documents, rejoin survivors in order — the text every downstream
+    * stage then reads. One chunk pass, one 16-byte-hash DF shuffle,
+    * one per-doc reassembly; the duplicated-span set is small by
+    * definition (only cross-document repeats).
+    */
+  private def spanScrub(docs: DataFrame, cur: CurationDef, spanLen: Int): DataFrame = {
+    val pieces = docs
+      .select(col(cur.idColumn).as("sdid"),
+        T.tokens(col(cur.textColumn)).as("sp_tk"))
+      .select(col("sdid"), explode(
+        when(size(col("sp_tk")) > 0,
+          transform(expr(s"sequence(0, (size(sp_tk) + ${spanLen - 1}) div $spanLen - 1)"),
+            i => struct(
+              i.as("i"),
+              concat_ws(" ", slice(col("sp_tk"), i * spanLen + 1, lit(spanLen))).as("txt"),
+              size(slice(col("sp_tk"), i * spanLen + 1, lit(spanLen))).as("ntk"))))
+          .otherwise(array().cast("array<struct<i:int,txt:string,ntk:int>>")))
+        .as("p"))
+      .select(col("sdid"), col("p.i").as("i"), col("p.txt").as("txt"),
+        col("p.ntk").as("ntk"), md5(col("p.txt")).as("h"))
+    val dup = pieces.filter(col("ntk") === spanLen)
+      .groupBy("h").agg(count_distinct(col("sdid")).as("df"))
+      .filter(col("df") >= 2)
+      .select(col("h").as("dup_h"))
+    val kept = pieces.join(dup,
+      pieces("h") === col("dup_h") && pieces("ntk") === spanLen, "left_anti")
+    val rebuilt = kept.groupBy("sdid").agg(
+      concat_ws(" ",
+        transform(array_sort(collect_list(struct(col("i"), col("txt")))),
+          s => s.getField("txt"))).as("sp_newtext"))
+    docs.join(rebuilt, docs(cur.idColumn) === rebuilt("sdid"), "left")
+      .withColumn(cur.textColumn, coalesce(col("sp_newtext"), lit("")))
+      .drop("sdid", "sp_newtext")
+  }
+
+  /** The declared text pre-passes (mask, span_scrub) applied to the
+    * corpus in declaration order — the parser guarantees they form a
+    * prefix of the stage list, so every membership stage reads the
+    * fully rewritten text.
+    */
+  private def applyPrePasses(docs: DataFrame, cur: CurationDef): DataFrame =
+    cur.stages.foldLeft(docs) {
+      case (d, m: MaskStageDef) =>
+        d.withColumn(cur.textColumn,
+          m.rules.foldLeft(col(cur.textColumn))(
+            (c, r) => regexp_replace(c, r.pattern, r.replacement)))
+      case (d, s: SpanScrubStageDef) => spanScrub(d, cur, s.spanLen)
+      case (d, _)                    => d
+    }
+
   /** q78's two-hex-digit bucket split over an arbitrary key column. */
   private def splitMember(
       key: Column, salt: String, buckets: Seq[(String, Int)],
@@ -135,8 +187,16 @@ object CurationFlow {
     // all read the masked text (scrub-before-hash); the stored LSH
     // signature family (ccLabels below) predates the scrub and stays
     // keyed on raw-corpus ids by design
-    val docs = Tables.load(spark, dir, cur.table)
-      .withColumn(cur.textColumn, maskText(cur.stages, col(cur.textColumn)))
+    val pre = applyPrePasses(Tables.load(spark, dir, cur.table), cur)
+    // a span scrub is a corpus-level rewrite (two shuffles); several
+    // membership stages re-scan `docs`, so materialize the scrubbed
+    // corpus ONCE instead of replaying the rewrite per consumer —
+    // exactly what a real pipeline does (write the scrubbed corpus,
+    // curate from it)
+    val docs =
+      if (cur.stages.exists(_.isInstanceOf[SpanScrubStageDef]))
+        pre.localCheckpoint()
+      else pre
     val needQuality = cur.stages.exists(_.isInstanceOf[QualityStageDef])
     var base = docs
       .withColumn("toks", T.tokens(col(cur.textColumn)))
@@ -160,10 +220,49 @@ object CurationFlow {
     // declared before it
     val members = scala.collection.mutable.ArrayBuffer[Column]()
     cur.stages.foreach { st => members += (st match {
-      case _: MaskStageDef =>
-        // a transform, not a gate: every row passes; its effect rides
+      case _: MaskStageDef | _: SpanScrubStageDef =>
+        // transforms, not gates: every row passes; their effect rides
         // the rewritten text every later column reads
         lit(true)
+      case ContainmentStageDef(name, minPct) =>
+        // q108's rare-shingle candidate pairs over the (pre-passed)
+        // corpus, integer containment threshold, drop the contained
+        // side (both contained → drop the higher id): one bounded
+        // self-join on df≤dfCut postings, one verdict set left-join
+        val sk = docs
+          .select(col(cur.idColumn).as("cid"),
+            call_function("shingles3", col(cur.textColumn)).as("csh"))
+          .filter(size(col("csh")) >= 1)
+          .select(col("cid"),
+            array_distinct(H.shingleKeys(col("csh"))).as("skd"))
+        val posting = sk.select(col("cid"), explode(col("skd")).as("s"))
+        val hot = posting.groupBy("s").agg(count(lit(1)).as("df"))
+          .filter(col("df") > TextQueries.dfCut).select("s")
+        val rare = posting.join(hot, Seq("s"), "left_anti")
+        val cand = rare.select(col("cid").as("a_id"), col("s"))
+          .join(rare.select(col("cid").as("b_id"), col("s")), "s")
+          .filter(col("a_id") < col("b_id"))
+          .groupBy("a_id", "b_id")
+          .agg(count(lit(1)).as("nsr"))
+          .filter(col("nsr") >= TextQueries.minSharedRare)
+        val dropSet = cand
+          .join(sk.select(col("cid").as("a_id"), col("skd").as("a_sk")), "a_id")
+          .join(sk.select(col("cid").as("b_id"), col("skd").as("b_sk")), "b_id")
+          .withColumn("inter",
+            call_function("intersect_count", col("a_sk"), col("b_sk")).cast("long"))
+          .withColumn("a_in_b",
+            col("inter") * 100 >= lit(minPct.toLong) * size(col("a_sk")).cast("long"))
+          .withColumn("b_in_a",
+            col("inter") * 100 >= lit(minPct.toLong) * size(col("b_sk")).cast("long"))
+          .filter(col("a_in_b") || col("b_in_a"))
+          .select(
+            when(col("a_in_b") && col("b_in_a"), greatest(col("a_id"), col("b_id")))
+              .when(col("a_in_b"), col("a_id"))
+              .otherwise(col("b_id")).as(cur.idColumn))
+          .distinct()
+          .withColumn(s"m_$name", lit(1L))
+        base = base.join(dropSet, Seq(cur.idColumn), "left")
+        col(s"m_$name").isNull
       case DedupExactStageDef(name) =>
         val keep = docs
           .groupBy(md5(col(cur.textColumn)).as("h"))
@@ -401,6 +500,8 @@ object CurationFlow {
     case _: TokenBudgetStageDef => "token_budget"
     case _: DedupSemanticStageDef => "dedup_semantic"
     case _: MaskStageDef        => "mask"
+    case _: SpanScrubStageDef   => "span_scrub"
+    case _: ContainmentStageDef => "containment"
   }
 
   /** The SAME declared funnel over a STREAM — the reference's
@@ -584,13 +685,19 @@ object CurationFlow {
         "rows-only, never oracle-rendered")
     }
     val tk = T.tokensSql(cur.textColumn)
-    // mask pre-passes rewrite the corpus once, in a leading CTE every
-    // inline reader scans instead of the raw table; the `pairs` CTE
-    // (stored signature family) keeps reading the raw table, exactly
-    // like the Spark side's ccLabels
-    val maskRules = cur.stages.collect { case m: MaskStageDef => m }
-      .flatMap(_.rules)
-    val tbl = if (maskRules.isEmpty) cur.table else "msk"
+    // text pre-passes (mask, span_scrub) rewrite the corpus in
+    // declaration order through a leading CTE chain every inline
+    // reader scans instead of the raw table; the `pairs` CTE (stored
+    // signature family) keeps reading the raw table, exactly like the
+    // Spark side's ccLabels
+    val prePasses = cur.stages.filter {
+      case _: MaskStageDef | _: SpanScrubStageDef => true
+      case _                                      => false
+    }
+    val tbl = prePasses.lastOption.map {
+      case m: MaskStageDef => s"mk_${m.name}"
+      case s               => s"sc_${s.name}"
+    }.getOrElse(cur.table)
     val needLab = cur.stages.exists {
       case _: DedupNearStageDef => true
       case s: SplitStageDef     => s.leakageFree
@@ -602,12 +709,46 @@ object CurationFlow {
     }
     val hasQuality = cur.stages.exists(_.isInstanceOf[QualityStageDef])
     val ctes = scala.collection.mutable.ArrayBuffer[String]()
-    if (maskRules.nonEmpty) {
-      val chain = maskRules.foldLeft(cur.textColumn) { (c, r) =>
-        s"regexp_replace($c, '${sq(r.pattern)}', '${sq(r.replacement)}', 'g')"
+    locally {
+      var src = cur.table
+      prePasses.foreach {
+        case m: MaskStageDef =>
+          val chain = m.rules.foldLeft(cur.textColumn) { (c, r) =>
+            s"regexp_replace($c, '${sq(r.pattern)}', '${sq(r.replacement)}', 'g')"
+          }
+          ctes += s"mk_${m.name} AS (SELECT * REPLACE " +
+            s"($chain AS ${cur.textColumn}) FROM $src)"
+          src = s"mk_${m.name}"
+        case s: SpanScrubStageDef =>
+          // q123's chunk → duplicated-span DF → scrub → reassemble,
+          // rendered over whatever the previous pre-pass produced
+          val n = s.name
+          val L = s.spanLen
+          val nn = s"(len(tk) + ${L - 1}) // $L"
+          ctes +=
+            s"""sp_$n AS (
+               |  SELECT ${cur.idColumn} AS sdid,
+               |    unnest(range(0, $nn)) AS i,
+               |    unnest([array_to_string(tk[(j*$L+1):(j*$L+$L)], ' ')
+               |            for j in range(0, $nn)]) AS txt,
+               |    unnest([len(tk[(j*$L+1):(j*$L+$L)])
+               |            for j in range(0, $nn)]) AS ntk
+               |  FROM (SELECT ${cur.idColumn}, ${T.tokensSql(cur.textColumn)} AS tk
+               |        FROM $src))""".stripMargin
+          ctes += s"spd_$n AS (SELECT md5(txt) AS h FROM sp_$n " +
+            s"WHERE ntk = $L GROUP BY 1 HAVING count(DISTINCT sdid) >= 2)"
+          ctes +=
+            s"""spk_$n AS (
+               |  SELECT sdid, string_agg(txt, ' ' ORDER BY i) AS newtext
+               |  FROM sp_$n LEFT JOIN spd_$n
+               |    ON sp_$n.ntk = $L AND md5(sp_$n.txt) = spd_$n.h
+               |  WHERE spd_$n.h IS NULL GROUP BY sdid)""".stripMargin
+          ctes += s"sc_$n AS (SELECT $src.* REPLACE " +
+            s"(coalesce(spk_$n.newtext, '') AS ${cur.textColumn}) " +
+            s"FROM $src LEFT JOIN spk_$n ON $src.${cur.idColumn} = spk_$n.sdid)"
+          src = s"sc_$n"
+        case _ => ()
       }
-      ctes += s"msk AS (SELECT * REPLACE ($chain AS ${cur.textColumn}) " +
-        s"FROM ${cur.table})"
     }
     if (needLab) {
       ctes += s"pairs AS (${TextQueries.lshPairsSql})"
@@ -628,6 +769,43 @@ object CurationFlow {
         val list = shingles.map(s => s"'${sq(s)}'").mkString("[", ", ", "]")
         ctes += s"ct_$name AS (\n  SELECT did FROM (SELECT ${cur.idColumn} AS did, $sh AS sh " +
           s"FROM $tbl)\n  WHERE len(list_intersect(list_distinct(sh), $list)) > 0)"
+      case ContainmentStageDef(name, minPct) =>
+        // q108's rare-shingle candidates + integer containment verdict
+        // over the pre-passed corpus; the drop side mirrors the Spark
+        // interpreter: contained side drops, mutual containment keeps
+        // the min id
+        val shOf = H.shinglesSql("toks")
+        ctes +=
+          s"""cd_$name AS (
+             |  SELECT ${cur.idColumn} AS cdid,
+             |    list_distinct(${H.shingleKeysSql(shOf)}) AS skd
+             |  FROM (SELECT ${cur.idColumn}, ${T.tokensSql(cur.textColumn)} AS toks
+             |        FROM $tbl)
+             |  WHERE len(toks) >= 3)""".stripMargin
+        ctes +=
+          s"""cp_$name AS (SELECT cdid, s FROM (
+             |  SELECT cdid, s, count(*) OVER (PARTITION BY s) AS df
+             |  FROM (SELECT cdid, unnest(skd) AS s FROM cd_$name))
+             |  WHERE df <= ${TextQueries.dfCut})""".stripMargin
+        ctes +=
+          s"""cc_$name AS (
+             |  SELECT a.cdid AS a_id, b.cdid AS b_id, count(*) AS nsr
+             |  FROM cp_$name a JOIN cp_$name b ON a.s = b.s AND a.cdid < b.cdid
+             |  GROUP BY 1, 2 HAVING count(*) >= ${TextQueries.minSharedRare})""".stripMargin
+        ctes +=
+          s"""cn_$name AS (
+             |  SELECT DISTINCT CASE
+             |    WHEN a_in_b AND b_in_a THEN greatest(a_id, b_id)
+             |    WHEN a_in_b THEN a_id ELSE b_id END AS did
+             |  FROM (SELECT a_id, b_id,
+             |      len(list_intersect(da.skd, db.skd)) * 100
+             |        >= $minPct * len(da.skd) AS a_in_b,
+             |      len(list_intersect(da.skd, db.skd)) * 100
+             |        >= $minPct * len(db.skd) AS b_in_a
+             |    FROM cc_$name
+             |    JOIN cd_$name da ON da.cdid = a_id
+             |    JOIN cd_$name db ON db.cdid = b_id)
+             |  WHERE a_in_b OR b_in_a)""".stripMargin
       case _ => ()
     }
     val qualityCols = if (hasQuality)
@@ -667,11 +845,13 @@ object CurationFlow {
       case DedupExactStageDef(n)       => s",\n    (ex_$n.did IS NOT NULL) AS m_$n"
       case DedupNearStageDef(n)        => s",\n    (nd_$n.did IS NULL) AS m_$n"
       case DecontaminateStageDef(n, _) => s",\n    (ct_$n.did IS NULL) AS m_$n"
+      case ContainmentStageDef(n, _)   => s",\n    (cn_$n.did IS NULL) AS m_$n"
     }.mkString
     val joins = cur.stages.flatMap {
       case DedupExactStageDef(n)       => Some(s"  LEFT JOIN ex_$n ON d.did = ex_$n.did")
       case DedupNearStageDef(n)        => Some(s"  LEFT JOIN nd_$n ON d.did = nd_$n.did")
       case DecontaminateStageDef(n, _) => Some(s"  LEFT JOIN ct_$n ON d.did = ct_$n.did")
+      case ContainmentStageDef(n, _)   => Some(s"  LEFT JOIN cn_$n ON d.did = cn_$n.did")
       case _                           => None
     }
     ctes += (s"j AS (\n  SELECT d.*$mCols\n  FROM d" +
@@ -680,8 +860,10 @@ object CurationFlow {
     // guard on everything declared before it
     val memberSql = scala.collection.mutable.ArrayBuffer[String]()
     cur.stages.foreach { st => memberSql += (st match {
-      case _: MaskStageDef             => "TRUE" // transform, not a gate
+      case _: MaskStageDef | _: SpanScrubStageDef =>
+        "TRUE" // transforms, not gates
       case DedupExactStageDef(n)       => s"m_$n"
+      case ContainmentStageDef(n, _)   => s"m_$n"
       case DedupNearStageDef(n)        => s"m_$n"
       case DecontaminateStageDef(n, _) => s"m_$n"
       case q: QualityStageDef          => s"q_${q.name}"
@@ -706,6 +888,8 @@ object CurationFlow {
         val guard =
           if (prior.isEmpty) "" else prior.mkString("(", " AND ", ") AND ")
         s"($guard(cum_${b.name} - n_toks < ${b.budget}))"
+      case s: DedupSemanticStageDef => // refused at the top of oracleCtes
+        throw new MetadataError(s"unreachable: '${s.name}' has no SQL twin")
     })}
     // one chained CTE per budget stage: the survivor-aware running sum
     // (upstream-dropped rows weigh zero) over the salted-hash order —
@@ -1570,4 +1754,145 @@ object CurationFlow {
 
   val q328_oracle: String =
     oracleSql(Metadata.parseCuration(streamMaskCurationJson))
+
+  // ---------- q329/q330: span_scrub + containment join the grammar ----------
+
+  /** Both text pre-pass types composed IN ORDER ahead of content-
+    * keyed gates: the mask runs first (so the span hashes see masked
+    * text — swap the two and different spans duplicate), the span
+    * scrub then removes cross-document boilerplate, and dedup_exact /
+    * quality score the SCRUBBED corpus — two documents that differed
+    * only in a duplicated passage now hash identically and dedup.
+    * q123's operator semantics verbatim (8-token spans, df ≥ 2, tail
+    * exempt), fully rendered into the generated oracle's CTE chain —
+    * the scrub that round 17 kept out of the grammar as a hand-
+    * composed pre-pass is now declarable and hash-gated.
+    */
+  val scrubCurationJson: String =
+    """{
+      |  "curation": {
+      |    "table": "documents",
+      |    "id_column": "doc_id",
+      |    "text_column": "text",
+      |    "report_by": "source",
+      |    "stages": [
+      |      {"type": "mask", "name": "scrub_entities", "rules": [
+      |        {"pattern": "customer", "replacement": "<CUST>"}]},
+      |      {"type": "span_scrub", "name": "boilerplate", "span_len": 8},
+      |      {"type": "dedup_exact", "name": "exact"},
+      |      {"type": "quality_filter", "name": "quality", "rules": [
+      |        {"reason": "too_short", "metric": "n_toks", "op": "lt", "value": 10}]}
+      |    ]
+      |  }
+      |}""".stripMargin
+
+  def q329_declared_scrub(spark: SparkSession, dir: String): DataFrame =
+    run(spark, dir, Metadata.parseCuration(scrubCurationJson))
+
+  val q329_oracle: String =
+    oracleSql(Metadata.parseCuration(scrubCurationJson))
+
+  /** Containment dedup declared between the exact and sampling gates:
+    * q108's rare-shingle candidate generation with an integer
+    * threshold (|A∩B|·100 ≥ 80·|A|) — the asymmetric-overlap class
+    * (a short document embedded in a longer one) that neither
+    * dedup_exact nor symmetric-Jaccard LSH catches. The report axis
+    * differs from the mixture's by-column, and the budget stage's
+    * survivor-aware weights run AFTER containment — any interpreter
+    * shortcut that reorders the membership conjunction splits the
+    * generated oracle.
+    */
+  val containmentCurationJson: String =
+    """{
+      |  "curation": {
+      |    "table": "documents",
+      |    "id_column": "doc_id",
+      |    "text_column": "text",
+      |    "report_by": "lang",
+      |    "stages": [
+      |      {"type": "dedup_exact", "name": "exact"},
+      |      {"type": "containment", "name": "contained", "min_pct": 80},
+      |      {"type": "mixture_sample", "name": "mix", "salt": "m330",
+      |       "by": "source", "weights": [
+      |        {"group": "src0", "keep16": 12}, {"group": "src1", "keep16": 8},
+      |        {"group": "src2", "keep16": 5}, {"group": "src3", "keep16": 2}]},
+      |      {"type": "token_budget", "name": "budget", "salt": "b330",
+      |       "by": "lang", "budget": 15000}
+      |    ]
+      |  }
+      |}""".stripMargin
+
+  def q330_declared_containment(spark: SparkSession, dir: String): DataFrame =
+    run(spark, dir, Metadata.parseCuration(containmentCurationJson))
+
+  val q330_oracle: String =
+    oracleSql(Metadata.parseCuration(containmentCurationJson))
+
+  // ---------- q331/q332: every oracle-renderable stage type in ONE config ----------
+
+  /** The grammar capstone: all NINE oracle-renderable stage types in
+    * one declared funnel — mask, span_scrub, dedup_exact, dedup_near,
+    * quality_filter, decontaminate, containment, mixture_sample,
+    * leakage-free split, token_budget — in the order a production
+    * pipeline runs them (scrub → dedup → filter → sample → split →
+    * budget). Extends q313 (which predates masking, span scrub and
+    * containment); every interaction the smaller configs gate
+    * composes here: pre-passed text feeds the content-keyed gates,
+    * the stored signature family keeps the raw-corpus labels, and
+    * the budget's survivor-aware weights fold over all eight earlier
+    * memberships. One JSON string; the whole interpretation
+    * hash-gated against the SQL generated from the same string.
+    */
+  val grammarAllCurationJson: String =
+    """{
+      |  "curation": {
+      |    "table": "documents",
+      |    "id_column": "doc_id",
+      |    "text_column": "text",
+      |    "report_by": "source",
+      |    "stages": [
+      |      {"type": "mask", "name": "scrub_entities", "rules": [
+      |        {"pattern": "customer", "replacement": "<CUST>"}]},
+      |      {"type": "span_scrub", "name": "boilerplate", "span_len": 8},
+      |      {"type": "dedup_exact", "name": "exact"},
+      |      {"type": "dedup_near", "name": "neardup"},
+      |      {"type": "quality_filter", "name": "quality", "rules": [
+      |        {"reason": "too_short", "metric": "n_toks", "op": "lt", "value": 10},
+      |        {"reason": "low_quality", "metric": "quality", "op": "lt", "value": 0.4}]},
+      |      {"type": "decontaminate", "name": "bench", "shingles": [
+      |        "<CUST> data group", "spark group query", "join a filter"]},
+      |      {"type": "containment", "name": "contained", "min_pct": 80},
+      |      {"type": "mixture_sample", "name": "mix", "salt": "mix-18",
+      |       "by": "source", "weights": [
+      |        {"group": "src0", "keep16": 16}, {"group": "src1", "keep16": 12},
+      |        {"group": "src2", "keep16": 10}, {"group": "src3", "keep16": 8},
+      |        {"group": "src4", "keep16": 6}, {"group": "src5", "keep16": 4}]},
+      |      {"type": "split", "name": "train", "salt": "split-18",
+      |       "buckets": [
+      |        {"name": "1_train", "upper": 230}, {"name": "2_test", "upper": 256}],
+      |       "keep": "1_train", "leakage_free": true},
+      |      {"type": "token_budget", "name": "budget", "salt": "budget-18",
+      |       "by": "source", "budget": 1500}
+      |    ]
+      |  }
+      |}""".stripMargin
+
+  def q331_declared_grammar_all(spark: SparkSession, dir: String): DataFrame =
+    run(spark, dir, Metadata.parseCuration(grammarAllCurationJson))
+
+  val q331_oracle: String =
+    oracleSql(Metadata.parseCuration(grammarAllCurationJson))
+
+  /** The capstone config read for LINEAGE: first-failing-stage
+    * attribution across all nine stage types. The two pre-passes can
+    * never be a removal cause (they drop nothing — every removal
+    * attributes to a genuine gate), which the generated attrition SQL
+    * must agree on; a renderer that treated a transform as a gate
+    * would surface phantom 'scrub' attributions and split the hash.
+    */
+  def q332_declared_grammar_attrition(spark: SparkSession, dir: String): DataFrame =
+    runAttrition(spark, dir, Metadata.parseCuration(grammarAllCurationJson))
+
+  val q332_oracle: String =
+    attritionOracleSql(Metadata.parseCuration(grammarAllCurationJson))
 }

@@ -1557,6 +1557,10 @@ object CurationQueries {
     "q326_declared_stream_semantic" -> (CurationFlow.q326_declared_stream_semantic _),
     "q327_declared_mask" -> (CurationFlow.q327_declared_mask _),
     "q328_declared_stream_mask" -> (CurationFlow.q328_declared_stream_mask _),
+    "q329_declared_scrub" -> (CurationFlow.q329_declared_scrub _),
+    "q330_declared_containment" -> (CurationFlow.q330_declared_containment _),
+    "q331_declared_grammar_all" -> (CurationFlow.q331_declared_grammar_all _),
+    "q332_declared_grammar_attrition" -> (CurationFlow.q332_declared_grammar_attrition _),
     "q77_sequence_pack" -> (q77_sequence_pack _),
     "q60_dedup_apply" -> (q60_dedup_apply _),
     "q61_quality_filter" -> (q61_quality_filter _),
@@ -1596,6 +1600,10 @@ object CurationQueries {
     "q314_declared_stream_attrition" -> CurationFlow.q314_oracle,
     "q327_declared_mask" -> CurationFlow.q327_oracle,
     "q328_declared_stream_mask" -> CurationFlow.q328_oracle,
+    "q329_declared_scrub" -> CurationFlow.q329_oracle,
+    "q330_declared_containment" -> CurationFlow.q330_oracle,
+    "q331_declared_grammar_all" -> CurationFlow.q331_oracle,
+    "q332_declared_grammar_attrition" -> CurationFlow.q332_oracle,
     "q77_sequence_pack" -> q77_oracle,
     "q60_dedup_apply" -> q60_oracle,
     "q61_quality_filter" -> q61_oracle,
