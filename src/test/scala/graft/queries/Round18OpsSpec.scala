@@ -172,6 +172,15 @@ class Round18OpsSpec extends SparkSpec {
     }
   }
 
+  test("q333: stored-index incremental semantic dedup equals rebuild-on-union, row for row") {
+    val dir = sf("sf0.001")
+    val inc = VectorQueries.q333_incremental_semdedup(spark, dir)
+    val rebuilt = VectorQueries.semDedupIncrementalRebuilt(spark, dir)
+    assert(inc.count() > 0, "the batch eighth produced no semantic dups")
+    assert(sameRows(inc, rebuilt),
+      "the persisted-index probe diverged from a one-pass recomputation")
+  }
+
   test("q325 flow after a simulated mid-fold crash: an unpublished generation never corrupts scoring") {
     import org.apache.hadoop.fs.Path
     val dir = sf("sf0.001")
