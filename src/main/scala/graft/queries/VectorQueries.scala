@@ -360,6 +360,76 @@ object VectorQueries {
        |GROUP BY vec_id ORDER BY vec_id""".stripMargin
   }
 
+  // ---------- q334: semantic decontamination, BOUNDED benchmark ----------
+
+  /** q106 with the benchmark side FIXED at an absolute size: the
+    * first [[boundedBenchSize]] vector ids are the benchmark, however
+    * large the corpus grows. q106's hash-eighth fixture makes the
+    * benchmark grow as N/8 — fine for correctness, but it conflates
+    * fixture growth with operator scaling in the scale legs (the
+    * round-17 verdict's q106 note). A REAL decontamination run has a
+    * bounded benchmark (eval suites don't grow with the training
+    * corpus), and its cost model is: hash the corpus once (linear
+    * scan) + |bench|·(np+1) probe lookups × cell occupancy — so
+    * per-bench-item probe cost should be FLAT as the corpus scales at
+    * pinned occupancy, which the ANN legs measure at 2M and 20M
+    * vectors. Replicas stack above the original id range
+    * (graft.ScaleUp), so the benchmark is the same 200 original
+    * vectors at every factor. Same adaptive plane width, threshold
+    * and verify as q106; the oracle is q106's with the bounded
+    * predicate.
+    */
+  val boundedBenchSize = 200L
+
+  def q334_semantic_decontam_bounded(spark: SparkSession, dir: String): DataFrame = {
+    val e0 = emb(spark, dir)
+    val e = e0.crossJoin(broadcast(npStats(e0, nPlanesMulti)))
+      .withColumn("bucket",
+        V.lshBucket(col("v"), planesWide).bitwiseAND(col("np_mask")))
+    val isBench = col("vec_id") < boundedBenchSize
+    val bench = e.filter(isBench)
+      .select(col("vec_id").as("b_id"), col("v").as("qv"),
+        V.norm(col("v")).as("q_nrm"),
+        explode(probesOf(col("bucket"))).as("probe"))
+    val corpus = e.filter(!isBench)
+      .select(col("vec_id"), col("v").as("nv"), col("bucket").as("probe"),
+        V.norm(col("v")).as("n_nrm"))
+    val cos = V.cosineWithNorms(col("qv"), col("nv"), col("q_nrm"), col("n_nrm"))
+    corpus.join(bench, Seq("probe"))
+      .select(col("vec_id"), col("b_id"), cos.as("cos"))
+      .filter(col("cos") > nearDupThreshold)
+      .groupBy("vec_id")
+      .agg(count(lit(1)).cast("long").as("n_bench_matches"),
+        min(col("b_id")).as("min_bench_id"),
+        max(col("cos")).as("max_cos"))
+      .orderBy("vec_id")
+  }
+
+  val q334_oracle: String = {
+    val cos = V.cosineSql("qv", "nv")
+    val bucket = V.lshBucketSql("v", planesWide)
+    s"""WITH np AS (SELECT ${adaptiveNpSql("count(*)", nPlanesMulti)} AS np
+       |  FROM embeddings),
+       |e AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) v,
+       |    vec_id < $boundedBenchSize AS is_bench
+       |  FROM embeddings),
+       |b AS (SELECT vec_id, v, is_bench, ($bucket & ((1 << np) - 1)) AS bucket
+       |  FROM e, np),
+       |probes AS (
+       |  SELECT vec_id, v, unnest([bucket] ||
+       |    [xor(bucket, (1 << CAST(j AS INTEGER))) for j in range(0, np)]) AS probe
+       |  FROM b, np WHERE is_bench),
+       |scored AS (
+       |  SELECT c.vec_id, q.vec_id AS b_id, $cos AS cos
+       |  FROM (SELECT vec_id, v AS nv, bucket AS probe FROM b WHERE NOT is_bench) c
+       |  JOIN (SELECT vec_id, v AS qv, probe FROM probes) q USING (probe))
+       |SELECT vec_id, CAST(count(*) AS BIGINT) AS n_bench_matches,
+       |  min(b_id) AS min_bench_id, max(cos) AS max_cos
+       |FROM scored WHERE cos > $nearDupThreshold
+       |GROUP BY vec_id ORDER BY vec_id""".stripMargin
+  }
+
   // ---------- q42: IVF ANN ----------
 
   /** The session's coarse quantizers, trained once per (corpus dir,
@@ -2084,7 +2154,8 @@ object VectorQueries {
     "q112_knn_ivfpq" -> (q112_knn_ivfpq _),
     // q333 rows-only (trained floats); Round18OpsSpec pins the
     // stored-index probe == rebuild-on-union, exceptAll both ways
-    "q333_incremental_semdedup" -> (q333_incremental_semdedup _))
+    "q333_incremental_semdedup" -> (q333_incremental_semdedup _),
+    "q334_semantic_decontam_bounded" -> (q334_semantic_decontam_bounded _))
 
   val oracles: Map[String, String] = Map(
     "q156_embedding_profile" -> q156_oracle,
@@ -2099,5 +2170,6 @@ object VectorQueries {
     "q29_knn_lsh" -> q29_oracle,
     "q30_embedding_dedup" -> q30_oracle,
     "q70_knn_lsh_multiprobe" -> q70_oracle,
-    "q106_semantic_decontam" -> q106_oracle)
+    "q106_semantic_decontam" -> q106_oracle,
+    "q334_semantic_decontam_bounded" -> q334_oracle)
 }
