@@ -121,7 +121,18 @@ object Multimodal {
     * at all until the final presentation sort.
     */
   def q89_frame_sample(spark: SparkSession, dir: String): DataFrame =
-    Tables.load(spark, dir, "documents")
+    frameManifestOf(Tables.load(spark, dir, "documents"))
+      .orderBy("doc_id", "frame_idx")
+
+  /** q89's manifest as a function of a documents batch — shared by
+    * the batch query and [[q335_stream_media_manifest]]'s per-micro-
+    * batch ingest. A document's frame rows are a pure per-row
+    * function of its own payload (no cross-document state), so
+    * per-batch append IS the correct merge — q317's self-contained-
+    * rows argument at the media boundary.
+    */
+  def frameManifestOf(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"), col("text"),
         expr(s"(length(text) + ${frameLen - 1}) div $frameLen")
           .cast("long").as("n_frames"))
@@ -132,7 +143,50 @@ object Multimodal {
       .select(col("doc_id"), col("n_frames"), col("frame_idx"),
         md5(expr(s"substring(text, cast(frame_idx * $frameLen + 1 as int), $frameLen)"))
           .as("frame_md5"))
-      .orderBy("doc_id", "frame_idx")
+
+  /** q335: the multimodal decode WORK-LIST as a STREAM — the index-
+    * family ingest pattern (q317/q309/q316/q320/q321) applied to the
+    * media boundary, the first movement of this family since the
+    * decode/manifest split landed. Media arrives as micro-batches
+    * (each staged file is one trigger — the binaryFile-ingest shape
+    * where a landing zone is drained file by file); each batch's
+    * frame-sample manifest (q89's planning half) lands batchId-keyed
+    * through [[graft.io.BatchLog]], so a replayed micro-batch
+    * rewrites identical bytes instead of double-scheduling frames —
+    * at-least-once delivery, exactly-once decode work. The drained
+    * manifest must be indistinguishable from the batch run: q89's
+    * oracle verbatim.
+    *
+    * This is the shape a 100 TB media ingest actually runs: the
+    * decode fleet (the [[decodeImages]] `mapPartitions` boundary)
+    * consumes the manifest log as it grows, and the manifest stays
+    * a bounded per-batch delta — no global recompute per arrival.
+    */
+  def q335_stream_media_manifest(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    import org.apache.spark.sql.streaming.Trigger
+    val work = graft.io.Scratch.dir(spark, "graft-q335-")
+    val fs = new Path(work).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    try {
+      val d = Tables.load(spark, dir, "documents")
+      graft.queries.CurationFlow.stageTwoBatches(spark, work, d, "doc_id")
+      val stream = spark.readStream.schema(d.schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$work/incoming")
+      val query = stream.writeStream
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          graft.io.BatchLog.append(
+            frameManifestOf(batch), s"$work/manifest", batchId)
+          ()
+        }
+        .option("checkpointLocation", s"$work/ckpt")
+        .start()
+      query.awaitTermination()
+      graft.io.BatchLog.read(spark, s"$work/manifest")
+        .orderBy("doc_id", "frame_idx")
+        .localCheckpoint()
+    } finally fs.delete(new Path(work), true)
+  }
 
   val q89_oracle: String =
     s"""SELECT doc_id, n_frames, frame_idx,
@@ -359,12 +413,15 @@ object Multimodal {
     "q31_multimodal_extract" -> (q31_multimodal_extract _),
     "q89_frame_sample" -> (q89_frame_sample _),
     "q195_media_dedup" -> (q195_media_dedup _),
-    "q251_caption_pairs" -> (q251_caption_pairs _))
+    "q251_caption_pairs" -> (q251_caption_pairs _),
+    "q335_stream_media_manifest" -> (q335_stream_media_manifest _))
 
   val oracles: Map[String, String] = Map(
     "q257_aspect_buckets" -> q257_oracle,
     "q31_multimodal_extract" -> q31_oracle,
     "q89_frame_sample" -> q89_oracle,
     "q195_media_dedup" -> q195_oracle,
-    "q251_caption_pairs" -> q251_oracle)
+    "q251_caption_pairs" -> q251_oracle,
+    // q89's oracle verbatim — see q335_stream_media_manifest
+    "q335_stream_media_manifest" -> q89_oracle)
 }

@@ -1329,7 +1329,7 @@ object CurationFlow {
     * but semantically irrelevant: every streamable stage is per-row
     * or static-membership and the downstream aggregates/sink appends
     * are commutative. */
-  private[queries] def stageTwoBatches(
+  private[graft] def stageTwoBatches(
       spark: SparkSession, work: String, docs: DataFrame,
       idColumn: String): Unit = {
     import org.apache.hadoop.fs.Path

@@ -60,6 +60,15 @@ class Round18OpsSpec extends SparkSpec {
       "replayed micro-batch corrupted the merged log vs rebuild")
   }
 
+  test("q335: the streamed media manifest equals the batch q89 run row for row") {
+    val dir = sf("sf0.001")
+    val streamed = graft.multimodal.Multimodal.q335_stream_media_manifest(spark, dir)
+    val batch = graft.multimodal.Multimodal.q89_frame_sample(spark, dir)
+    assert(sameRows(streamed, batch),
+      "streamed manifest diverged from the batch frame-sample run")
+    assert(batch.count() > 0, "empty manifest proves nothing")
+  }
+
   test("q327: the mask pre-pass genuinely rewrites what every downstream stage reads") {
     import graft.meta.{Metadata, MaskStageDef}
     val dir = sf("sf0.01")
