@@ -113,6 +113,76 @@ object ScaleUp {
   * measurement, not argument: point Bench at the output dir and run
   * the ANN/PQ rows.
   */
+/** Text-family scale-up: scales ONLY the documents table, at factors
+  * beyond [[ScaleUp]]'s 26× rotation cap — `TextScaleUp <srcDir>
+  * <dstDir> [factor]` (default 100). The rotation cipher has exactly
+  * 26 keys, so factor 27 would wrap and recreate the exact-duplicate
+  * corpus the harness exists to avoid; each replica here instead gets
+  * its own full substitution cipher — the 26 letters reordered by
+  * their per-replica salted md5 (26! keys; replica 0 is the identity,
+  * so the source corpus rides along verbatim). As with the rotation:
+  * token/shingle structure, lengths and within-replica duplicate
+  * groups are preserved exactly, and two replicas share a shingle only
+  * if their ciphers agree on every letter in it (~26^-m for m distinct
+  * letters — never observed in practice). Keys interleave
+  * (`doc_id·factor + k`) so the bounded query sets keep their SIZE
+  * while the corpus grows under them, matching [[ScaleUp]]'s encoding.
+  *
+  * Purpose (round-17 VERDICT item 7b): measure the text-dedup family
+  * (q143/q72/q306 and the shingle-index rows) at 100×+, past the 26×
+  * point `BENCH_text26x_*.json` records. Every other table is copied
+  * VERBATIM as raw bytes (no Spark round-trip — the events table's
+  * nanos layout survives untouched), so the output dir is a complete
+  * sf dir any query can read.
+  */
+object TextScaleUp {
+
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 2, "usage: TextScaleUp <srcDir> <dstDir> [factor]")
+    val (src, dst) = (args(0), args(1))
+    val factor = if (args.length > 2) args(2).toInt else 100
+    require(factor >= 1, s"factor must be positive, got $factor")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", false)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    import org.apache.hadoop.fs.{FileUtil, Path}
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new Path(dst).getFileSystem(conf)
+    Tables.names.filterNot(_ == "documents").foreach { t =>
+      val s = new Path(s"$src/$t.parquet")
+      val d = new Path(s"$dst/$t.parquet")
+      if (fs.exists(d)) fs.delete(d, true)
+      FileUtil.copy(fs, s, fs, d, false, conf)
+      println(s"copied $t verbatim")
+    }
+
+    val lower = ('a' to 'z').mkString
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def perm(k: Int): String =
+      if (k == 0) lower
+      else lower.sortBy(c => md5hex(s"perm-$k|$c"))
+    val b = Tables.load(spark, src, "documents")
+    (0 until factor).map { k =>
+      val p = perm(k)
+      b.withColumn("doc_id", col("doc_id") * factor + k)
+        .withColumn("text",
+          translate(col("text"), lower + lower.toUpperCase, p + p.toUpperCase))
+    }.reduce(_ unionByName _)
+      .repartition(cpus.toInt)
+      .write.mode("overwrite").parquet(s"$dst/documents.parquet")
+    println(s"scaled documents x$factor")
+    spark.stop()
+  }
+}
+
 object AnnScaleUp {
 
   def main(args: Array[String]): Unit = {

@@ -57,17 +57,23 @@ object CorpusQueries {
     * seed coordination across executors or engines — the sample is a
     * pure function of the data, which is what makes corpus subsampling
     * auditable at 100 TB (and is how dataset ablations stay
-    * reproducible across reruns).
+    * reproducible across reruns). `sampled_chars` sums the sampled
+    * documents' text lengths, pinning the output to the CONTENT the
+    * sample selected (the id-hash decision alone is text-independent,
+    * so without it the gate cannot distinguish two corpora sharing an
+    * id space).
     */
   def q33_deterministic_sample(spark: SparkSession, dir: String): DataFrame =
     Tables.load(spark, dir, "documents")
       .filter(substring(md5(concat(lit("sample-1|"), col("doc_id").cast("string"))), 1, 1) === "0")
       .groupBy("source")
-      .agg(count(lit(1)).as("n_sampled"), min(col("doc_id")).as("first_doc"))
+      .agg(count(lit(1)).as("n_sampled"), min(col("doc_id")).as("first_doc"),
+        sum(length(col("text"))).as("sampled_chars"))
       .orderBy("source")
 
   val q33_oracle: String =
-    """SELECT source, count(*) AS n_sampled, min(doc_id) AS first_doc
+    """SELECT source, count(*) AS n_sampled, min(doc_id) AS first_doc,
+      |  CAST(sum(length(text)) AS BIGINT) AS sampled_chars
       |FROM documents
       |WHERE substring(md5(concat('sample-1|', CAST(doc_id AS VARCHAR))), 1, 1) = '0'
       |GROUP BY source ORDER BY source""".stripMargin
@@ -142,7 +148,10 @@ object CorpusQueries {
     Tables.load(spark, dir, "documents")
       .filter(digitVal < keep)
       .groupBy("source")
-      .agg(count(lit(1)).as("n_kept"), min(col("doc_id")).as("first_doc"))
+      .agg(count(lit(1)).as("n_kept"), min(col("doc_id")).as("first_doc"),
+        // content pin: the kept documents' total text length (the
+        // id-hash keep decision alone is text-independent)
+        sum(length(col("text"))).as("kept_chars"))
       .orderBy("source")
   }
 
@@ -150,7 +159,8 @@ object CorpusQueries {
     val keepCase = mixtureWeights
       .map { case (s, k) => s"WHEN source = '$s' THEN $k" }
       .mkString("CASE ", " ", " ELSE 0 END")
-    s"""SELECT source, count(*) AS n_kept, min(doc_id) AS first_doc
+    s"""SELECT source, count(*) AS n_kept, min(doc_id) AS first_doc,
+       |  CAST(sum(length(text)) AS BIGINT) AS kept_chars
        |FROM documents
        |WHERE (strpos('0123456789abcdef',
        |         substring(md5(concat('mix-1|', CAST(doc_id AS VARCHAR))), 1, 1)) - 1)
@@ -470,7 +480,8 @@ object CorpusQueries {
     * one partial agg. Nothing row-sized ever reaches the driver.
     */
   def q131_temperature_mixture(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.load(spark, dir, "documents").select("doc_id", "source")
+    val docs = Tables.load(spark, dir, "documents")
+      .select("doc_id", "source", "text")
     val counts = docs.groupBy("source").agg(count(lit(1)).as("n_src"))
     val nMin = counts.agg(min(col("n_src")).as("n_min"))
     val bySrc = counts.crossJoin(broadcast(nMin))
@@ -488,7 +499,10 @@ object CorpusQueries {
       .groupBy("source")
       .agg(max(col("n_src")).as("n_src"),
         max(col("keep_ceiling")).as("keep_ceiling"),
-        sum(when(keep, 1L).otherwise(0L)).as("n_kept"))
+        sum(when(keep, 1L).otherwise(0L)).as("n_kept"),
+        // content pin: total text length of the kept documents (the
+        // id-hash keep rule alone is text-independent)
+        sum(when(keep, length(col("text"))).otherwise(0)).as("kept_chars"))
       .orderBy("source")
   }
 
@@ -499,14 +513,15 @@ object CorpusQueries {
       |        CAST(floor(16777216.0 * sqrt(CAST(n_min AS DOUBLE) / CAST(n_src AS DOUBLE)))
       |          AS BIGINT) AS keep_ceiling
       |      FROM c, m),
-      |k AS (SELECT d.source, t.n_src, t.keep_ceiling,
+      |k AS (SELECT d.source, t.n_src, t.keep_ceiling, length(d.text) AS len,
       |        (t.keep_ceiling >= 16777216 OR
       |         substr(md5('temp-1|' || CAST(doc_id AS VARCHAR)), 1, 6)
       |           < printf('%06x', t.keep_ceiling)) AS keep
       |      FROM documents d JOIN t USING (source))
       |SELECT source, CAST(max(n_src) AS BIGINT) AS n_src,
       |  CAST(max(keep_ceiling) AS BIGINT) AS keep_ceiling,
-      |  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+      |  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+      |  CAST(sum(CASE WHEN keep THEN len ELSE 0 END) AS BIGINT) AS kept_chars
       |FROM k GROUP BY source ORDER BY source""".stripMargin
 
   // ---------- q169: cross-source distribution similarity ----------

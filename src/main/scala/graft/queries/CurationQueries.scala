@@ -813,7 +813,11 @@ object CurationQueries {
     RangeRank.rank(ranked, Nil,
         Seq(RangeRank.Key("vtime"), RangeRank.Key("source"),
           RangeRank.Key("src_rank")), "pos", "__np")
-      .select("pos", "doc_id", "source", "src_rank", "vtime")
+      // text_chars pins each emitted row to its document's CONTENT —
+      // the schedule itself is a pure function of ids and would
+      // otherwise be identical over any corpus sharing the id space
+      .select(col("pos"), col("doc_id"), col("source"), col("src_rank"),
+        col("vtime"), length(col("text")).as("text_chars"))
       .orderBy("pos")
   }
 
@@ -823,18 +827,18 @@ object CurationQueries {
       .mkString("CASE ", " ", " ELSE 0 END")
     val srcs = interleaveWeights.map(s => s"'${s._1}'").mkString(", ")
     s"""WITH r AS (
-       |  SELECT doc_id, source, ($wCase) AS wgt,
+       |  SELECT doc_id, source, ($wCase) AS wgt, length(text) AS text_chars,
        |    CAST(row_number() OVER (PARTITION BY source
        |      ORDER BY substring(md5(concat('ord|', CAST(doc_id AS VARCHAR))), 1, 8),
        |        doc_id) AS BIGINT) AS src_rank
        |  FROM documents WHERE source IN ($srcs)),
        |v AS (
-       |  SELECT doc_id, source, src_rank,
+       |  SELECT doc_id, source, src_rank, text_chars,
        |    (src_rank * 16) // wgt AS vtime
        |  FROM r)
        |SELECT CAST(row_number() OVER (ORDER BY vtime, source, src_rank) AS BIGINT)
        |    AS pos,
-       |  doc_id, source, src_rank, CAST(vtime AS BIGINT) AS vtime
+       |  doc_id, source, src_rank, CAST(vtime AS BIGINT) AS vtime, text_chars
        |FROM v ORDER BY pos""".stripMargin
   }
 
@@ -1381,7 +1385,7 @@ object CurationQueries {
       conv(substring(md5(concat(lit(s"ep$e|"), col("doc_id").cast("string"))),
         1, 8), 16, 10).cast("long")
     val base = Tables.load(spark, dir, "documents")
-      .select(col("doc_id"), col("source"))
+      .select(col("doc_id"), col("source"), col("text"))
       .withColumn("h1", hord(1))
       .withColumn("h2", hord(2))
     RangeRank.rankMulti(base, Nil, Seq(
@@ -1390,7 +1394,10 @@ object CurationQueries {
         RangeRank.Spec(Seq(RangeRank.Key("h2"), RangeRank.Key("doc_id")),
           "pos2", "__n2")))
       .withColumn("drift", abs(col("pos1") - col("pos2")))
-      .select("doc_id", "source", "pos1", "pos2", "drift")
+      // text_chars pins each schedule row to its document's CONTENT —
+      // the permutation itself is a pure function of ids
+      .select(col("doc_id"), col("source"), col("pos1"), col("pos2"),
+        col("drift"), length(col("text")).as("text_chars"))
       .orderBy("doc_id")
   }
 
@@ -1407,7 +1414,8 @@ object CurationQueries {
        |      doc_id) AS BIGINT)
        |    - CAST(row_number() OVER (ORDER BY
        |      substring(md5(concat('ep2|', CAST(doc_id AS VARCHAR))), 1, 8),
-       |      doc_id) AS BIGINT)) AS BIGINT) AS drift
+       |      doc_id) AS BIGINT)) AS BIGINT) AS drift,
+       |  length(text) AS text_chars
        |FROM documents ORDER BY doc_id""".stripMargin
 
   // ---------- q225: context-length packing sweep ----------

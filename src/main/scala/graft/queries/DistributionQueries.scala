@@ -832,10 +832,13 @@ object DistributionQueries {
     * events.
     */
   def q184_coverage_gaps(spark: SparkSession, dir: String): DataFrame = {
-    val observed = Tables.load(spark, dir, "events")
+    val ev = Tables.load(spark, dir, "events")
       .select(col("event_type"), col("ts").cast("date").as("day"))
-      .distinct()
-      .localCheckpoint()
+    val observed = ev.distinct().localCheckpoint()
+    // n_events pins the report to the DATA: two event logs covering
+    // the same gap-free calendar are otherwise indistinguishable here
+    val rawCounts = ev.groupBy("event_type")
+      .agg(count(lit(1)).cast("long").as("n_events"))
     val ranges = observed.groupBy("event_type")
       .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
     val calendar = ranges
@@ -848,7 +851,8 @@ object DistributionQueries {
         coalesce(sum(unix_date(col("day"))), lit(0L)).cast("long")
           .as("missing_epoch_sum"))
       .join(ranges.join(observed.groupBy("event_type")
-          .agg(count(lit(1)).cast("long").as("n_observed")), "event_type"),
+          .agg(count(lit(1)).cast("long").as("n_observed")), "event_type")
+          .join(rawCounts, "event_type"),
         Seq("event_type"), "right_outer")
       .select(col("event_type"),
         date_format(col("d0"), "yyyy-MM-dd").as("first_day"),
@@ -856,7 +860,8 @@ object DistributionQueries {
         (datediff(col("d1"), col("d0")) + 1).cast("long").as("n_expected"),
         col("n_observed"),
         coalesce(col("n_missing"), lit(0L)).as("n_missing"),
-        coalesce(col("missing_epoch_sum"), lit(0L)).as("missing_epoch_sum"))
+        coalesce(col("missing_epoch_sum"), lit(0L)).as("missing_epoch_sum"),
+        col("n_events"))
       .orderBy("event_type")
   }
 
@@ -878,15 +883,19 @@ object DistributionQueries {
       |  FROM cal LEFT JOIN obs ON cal.event_type = obs.event_type
       |    AND cal.day = obs.day
       |  WHERE obs.day IS NULL
-      |  GROUP BY cal.event_type)
+      |  GROUP BY cal.event_type),
+      |raw AS (
+      |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_events
+      |  FROM events GROUP BY event_type)
       |SELECT rng.event_type,
       |  strftime(d0, '%Y-%m-%d') AS first_day,
       |  strftime(d1, '%Y-%m-%d') AS last_day,
       |  CAST(date_diff('day', d0, d1) + 1 AS BIGINT) AS n_expected,
       |  n_observed,
       |  coalesce(miss.n_missing, 0) AS n_missing,
-      |  coalesce(miss.missing_epoch_sum, 0) AS missing_epoch_sum
-      |FROM rng LEFT JOIN miss USING (event_type)
+      |  coalesce(miss.missing_epoch_sum, 0) AS missing_epoch_sum,
+      |  n_events
+      |FROM rng LEFT JOIN miss USING (event_type) JOIN raw USING (event_type)
       |ORDER BY event_type""".stripMargin
 
   // ---------- q187: interpolated (type-7) quantiles, exactly ----------

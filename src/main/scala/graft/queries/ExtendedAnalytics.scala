@@ -216,7 +216,10 @@ object ExtendedAnalytics {
   def q233_salt_plan(spark: SparkSession, dir: String): DataFrame = {
     val counts = Tables.load(spark, dir, "documents")
       .groupBy("source")
-      .agg(count(lit(1)).cast("long").as("n_rows"))
+      .agg(count(lit(1)).cast("long").as("n_rows"),
+        // content pin: per-source total text bytes (a salt plan over a
+        // count-only profile is a pure function of the id space)
+        sum(length(col("text"))).as("src_chars"))
     val t = counts.agg(sum(col("n_rows")).cast("long").as("tot"))
       .select(greatest(expr("tot DIV 256"), lit(saltTargetFloor))
         .cast("long").as("target_rows"))
@@ -226,13 +229,15 @@ object ExtendedAnalytics {
         expr("(n_rows + target_rows - 1) DIV target_rows"))
       .withColumn("max_per_salt",
         expr("(n_rows + salt_factor - 1) DIV salt_factor"))
-      .select("source", "n_rows", "target_rows", "salt_factor", "max_per_salt")
+      .select("source", "n_rows", "target_rows", "salt_factor",
+        "max_per_salt", "src_chars")
       .orderBy("source")
   }
 
   val q233_oracle: String =
     s"""WITH counts AS (
-       |  SELECT source, CAST(count(*) AS BIGINT) AS n_rows
+       |  SELECT source, CAST(count(*) AS BIGINT) AS n_rows,
+       |    CAST(sum(length(text)) AS BIGINT) AS src_chars
        |  FROM documents GROUP BY source),
        |t AS (
        |  SELECT CAST(greatest(sum(n_rows) // 256, $saltTargetFloor) AS BIGINT)
@@ -243,7 +248,8 @@ object ExtendedAnalytics {
        |    AS salt_factor,
        |  CAST((n_rows + (n_rows + target_rows - 1) // target_rows - 1)
        |    // ((n_rows + target_rows - 1) // target_rows) AS BIGINT)
-       |    AS max_per_salt
+       |    AS max_per_salt,
+       |  src_chars
        |FROM counts CROSS JOIN t
        |WHERE n_rows > target_rows
        |ORDER BY source""".stripMargin

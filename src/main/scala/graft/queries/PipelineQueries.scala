@@ -156,7 +156,12 @@ object PipelineQueries {
     val v = Validator.validate(df, missingValidation)
     val errCols = missingValidation.map(vd =>
       fieldErrStrCol(df.columns.toSeq, vd).as(s"${vd.field}_errors"))
-    v.ko.select(col("doc_id") +: errCols: _*).orderBy("doc_id")
+    // text_chars pins each KO row to the record's CONTENT — the error
+    // strings alone are rule-derived, identical over any corpus
+    // sharing the id space
+    v.ko.select(col("doc_id") +: errCols :+
+        length(col("text")).as("text_chars"): _*)
+      .orderBy("doc_id")
   }
 
   private val docCols = Seq("doc_id", "text", "lang", "source", "n_chars")
@@ -164,7 +169,8 @@ object PipelineQueries {
   def q05OracleSql: String = {
     val errSelects = missingValidation.map(v =>
       s"${fieldErrStrSql(docCols, v)} AS ${v.field}_errors")
-    s"""SELECT doc_id, ${errSelects.mkString(", ")} FROM documents
+    s"""SELECT doc_id, ${errSelects.mkString(", ")},
+       |  length(text) AS text_chars FROM documents
        |WHERE ${anyErrSql(docCols, missingValidation)}
        |ORDER BY doc_id""".stripMargin
   }

@@ -289,12 +289,16 @@ object ScrubQueries {
       lower(regexp_extract(noUtm, "^([^/]+//[^/]+)", 1)),
       regexp_extract(noUtm, "^[^/]+//[^/]+(.*)$", 1))
     docs(spark, dir)
-      .select(col("source"), canonical.as("canon"))
+      .select(col("source"), canonical.as("canon"), col("text"))
       .groupBy("source")
       .agg(count(lit(1)).cast("long").as("n_urls"),
-        countDistinct(col("canon")).cast("long").as("n_canonical"))
+        countDistinct(col("canon")).cast("long").as("n_canonical"),
+        // content pin: the synthesized-URL grid is a pure function of
+        // the id space; corpus_chars ties the report to the documents
+        sum(length(col("text"))).as("corpus_chars"))
       .withColumn("dup_ppm",
         expr("((n_urls - n_canonical) * 1000000) DIV n_urls"))
+      .select("source", "n_urls", "n_canonical", "dup_ppm", "corpus_chars")
       .orderBy("source")
   }
 
@@ -305,19 +309,21 @@ object ScrubQueries {
       "CAST(doc_id // 4 AS VARCHAR), '?utm_source=feed&id=', " +
       "CAST(doc_id // 4 AS VARCHAR), " +
       "CASE WHEN doc_id % 5 = 0 THEN '#sec' ELSE '' END)"
-    s"""WITH u AS (SELECT source, $raw AS raw FROM documents),
-       |s1 AS (SELECT source, regexp_replace(raw, '#.*$$', '') AS x FROM u),
-       |s2 AS (SELECT source, regexp_replace(
+    s"""WITH u AS (SELECT source, $raw AS raw, length(text) AS len
+       |  FROM documents),
+       |s1 AS (SELECT source, len, regexp_replace(raw, '#.*$$', '') AS x FROM u),
+       |s2 AS (SELECT source, len, regexp_replace(
        |  regexp_replace(x, 'utm_[a-z]+=[^&#]*&?', ''), '[?&]$$', '') AS x
        |  FROM s1),
-       |c AS (SELECT source,
+       |c AS (SELECT source, len,
        |  concat(lower(regexp_extract(x, '^([^/]+//[^/]+)', 1)),
        |    regexp_extract(x, '^[^/]+//[^/]+(.*)$$', 1)) AS canon
        |  FROM s2)
        |SELECT source, CAST(count(*) AS BIGINT) AS n_urls,
        |  CAST(count(DISTINCT canon) AS BIGINT) AS n_canonical,
        |  CAST(((count(*) - count(DISTINCT canon)) * 1000000) // count(*)
-       |    AS BIGINT) AS dup_ppm
+       |    AS BIGINT) AS dup_ppm,
+       |  CAST(sum(len) AS BIGINT) AS corpus_chars
        |FROM c GROUP BY source ORDER BY source""".stripMargin
   }
 
@@ -360,7 +366,8 @@ object ScrubQueries {
         nMatches(piiText, ipRe).as("i0"),
         nMatches(redacted, emailRe).as("e1"),
         nMatches(redacted, phoneRe).as("p1"),
-        nMatches(redacted, ipRe).as("i1"))
+        nMatches(redacted, ipRe).as("i1"),
+        length(piiText).as("scan_chars"))
       .groupBy("source")
       .agg(count(lit(1)).cast("long").as("n_docs"),
         sum(col("e0")).cast("long").as("emails_before"),
@@ -368,7 +375,10 @@ object ScrubQueries {
         sum(col("i0")).cast("long").as("ips_before"),
         sum(col("e1")).cast("long").as("emails_after"),
         sum(col("p1")).cast("long").as("phones_after"),
-        sum(col("i1")).cast("long").as("ips_after"))
+        sum(col("i1")).cast("long").as("ips_after"),
+        // content pin: bytes the scrub scanned — the match counts are
+        // dominated by the synthesized suffix (a pure id function)
+        sum(col("scan_chars")).cast("long").as("chars_scanned"))
       .orderBy("source")
   }
 
@@ -384,7 +394,8 @@ object ScrubQueries {
        |  CAST(sum(len(regexp_extract_all($pii, '$ipRe'))) AS BIGINT) AS ips_before,
        |  CAST(sum(len(regexp_extract_all($red, '$emailRe'))) AS BIGINT) AS emails_after,
        |  CAST(sum(len(regexp_extract_all($red, '$phoneRe'))) AS BIGINT) AS phones_after,
-       |  CAST(sum(len(regexp_extract_all($red, '$ipRe'))) AS BIGINT) AS ips_after
+       |  CAST(sum(len(regexp_extract_all($red, '$ipRe'))) AS BIGINT) AS ips_after,
+       |  CAST(sum(length($pii)) AS BIGINT) AS chars_scanned
        |FROM documents GROUP BY source ORDER BY source""".stripMargin
   }
 
