@@ -3,7 +3,7 @@ package graft.queries
 import graft.Tables
 import graft.functions.{HashFunctions => H, TextFunctions => T}
 import graft.meta._
-import graft.operators.{ConnectedComponents, RangeRank}
+import graft.operators.RangeRank
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -205,15 +205,12 @@ object CurationFlow {
       .withColumn("lang_det", T.langId(col("toks")))
       .withColumn("quality", T.qualityScore(col(cur.textColumn)))
     // the near-dup cluster labels are shared by EVERY stage that needs
-    // them (dedup_near, leakage-free split) — computed once per funnel
-    // and materialized by ConnectedComponents' own localCheckpoint, so
-    // a config declaring both (q313) pays ONE banding + CC run, like
-    // the generated oracle's single `lab` CTE
-    lazy val ccLabels = {
-      val pairs = TextQueries.lshPairs(spark, dir)
-        .select("a_id", "b_id").transform(graft.Lineage.cut)
-      ConnectedComponents.run(pairs, "a_id", "b_id")
-    }
+    // them (dedup_near, leakage-free split) AND by every funnel in the
+    // session: the stored (id, component) label table is resolved once
+    // per corpus (TextQueries.dupClusters — r18 opt), so a config
+    // declaring both (q313) pays ZERO banding/CC runs after the first
+    // consumer, like the generated oracle's single `lab` CTE
+    lazy val ccLabels = TextQueries.dupClusters(spark, dir)
     // one membership column/predicate per declared stage, each the
     // operator's own bounded-set shape; built sequentially because the
     // survivor-aware token_budget stage folds over the memberships
@@ -586,9 +583,10 @@ object CurationFlow {
     // batch×occupancy cost with the corpus side precomputed
     lazy val labels: DataFrame = {
       val (spark, dir) = index.get
-      val pairs = TextQueries.lshPairs(spark, dir)
-        .select("a_id", "b_id").transform(graft.Lineage.cut)
-      ConnectedComponents.run(pairs, "a_id", "b_id").localCheckpoint()
+      // the session's stored label table (parquet-backed, so each
+      // micro-batch's stream-static probe re-reads a tiny file set
+      // instead of holding checkpoint blocks for the stream's life)
+      TextQueries.dupClusters(spark, dir)
     }
     val needQuality = cur.stages.exists(_.isInstanceOf[QualityStageDef])
     // the same scrub-before-derive rule as [[funnel]]: every inline

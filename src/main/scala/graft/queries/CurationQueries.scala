@@ -2,7 +2,6 @@ package graft.queries
 
 import graft.Tables
 import graft.functions.{TextFunctions => T}
-import graft.operators.ConnectedComponents
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -23,9 +22,7 @@ object CurationQueries {
     * side streams exactly once.
     */
   def q60_dedup_apply(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = TextQueries.lshPairs(spark, dir)
-      .select("a_id", "b_id").transform(graft.Lineage.cut)
-    val cc = ConnectedComponents.run(pairs, "a_id", "b_id")
+    val cc = TextQueries.dupClusters(spark, dir)
     val drop = cc.filter(col("id") =!= col("component")).select(col("id"))
     Tables.load(spark, dir, "documents")
       .join(drop, col("doc_id") === col("id"), "left_anti")
@@ -382,9 +379,7 @@ object CurationQueries {
       .agg(min(col("doc_id")).as("doc_id"))
       .select(col("doc_id"), lit(1L).as("s_exact"))
     // stage-2 membership: near-dup cluster non-representatives (q60)
-    val pairs = TextQueries.lshPairs(spark, dir)
-      .select("a_id", "b_id").transform(graft.Lineage.cut)
-    val nearDrop = ConnectedComponents.run(pairs, "a_id", "b_id")
+    val nearDrop = TextQueries.dupClusters(spark, dir)
       .filter(col("id") =!= col("component"))
       .select(col("id").as("doc_id"), lit(1L).as("near_dropped"))
     // stage-4 membership: benchmark-contaminated docs (q67)
@@ -640,10 +635,7 @@ object CurationQueries {
     * codegen'd scan.
     */
   def q212_dedup_token_budget(spark: SparkSession, dir: String): DataFrame = {
-    import graft.operators.ConnectedComponents
-    val pairs = TextQueries.lshPairs(spark, dir)
-      .select("a_id", "b_id").transform(graft.Lineage.cut)
-    val cc = ConnectedComponents.run(pairs, "a_id", "b_id")
+    val cc = TextQueries.dupClusters(spark, dir)
     val reps = cc.groupBy("component").agg(min(col("id")).as("keep"))
       .withColumnRenamed("component", "rep_comp")
     val drops = cc.join(reps, col("component") === col("rep_comp"))
@@ -903,9 +895,7 @@ object CurationQueries {
     * aggregate per cluster — no windows, no collects.
     */
   def q220_canonical_rep(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = TextQueries.lshPairs(spark, dir)
-      .select("a_id", "b_id").transform(graft.Lineage.cut)
-    val cc = ConnectedComponents.run(pairs, "a_id", "b_id")
+    val cc = TextQueries.dupClusters(spark, dir)
     val q = Tables.load(spark, dir, "documents")
       .select(col("doc_id"),
         floor(T.qualityScore(col("text")) * 1000000L).cast("long").as("q_micro"))
@@ -1036,9 +1026,7 @@ object CurationQueries {
     */
   def q234_crossval_folds(spark: SparkSession, dir: String): DataFrame = {
     import graft.operators.RangeRank
-    val pairs = TextQueries.lshPairs(spark, dir)
-      .select("a_id", "b_id").transform(graft.Lineage.cut)
-    val cc = ConnectedComponents.run(pairs, "a_id", "b_id")
+    val cc = TextQueries.dupClusters(spark, dir)
     val docs = Tables.load(spark, dir, "documents")
       .select(col("doc_id"), size(T.tokens(col("text"))).cast("long").as("tok"))
       .join(cc.select(col("id").as("doc_id"), col("component")),
@@ -1120,9 +1108,7 @@ object CurationQueries {
         .foldLeft(lit(null).cast("string")) { case (acc, (name, ub)) =>
           when(b < ub, lit(name)).otherwise(acc)
         }
-    val pairs = TextQueries.lshPairs(spark, dir)
-      .select("a_id", "b_id").transform(graft.Lineage.cut)
-    val cc = ConnectedComponents.run(pairs, "a_id", "b_id")
+    val cc = TextQueries.dupClusters(spark, dir)
     val qm = Tables.load(spark, dir, "documents")
       .select(col("doc_id"),
         floor(T.qualityScore(col("text")) * 1000000L).cast("long").as("qm"))
@@ -1314,9 +1300,7 @@ object CurationQueries {
         .foldLeft(lit(null).cast("string")) { case (acc, (name, ub)) =>
           when(b < ub, lit(name)).otherwise(acc)
         }
-    val pairs = TextQueries.lshPairs(spark, dir)
-      .select("a_id", "b_id").transform(graft.Lineage.cut)
-    val cc = ConnectedComponents.run(pairs, "a_id", "b_id")
+    val cc = TextQueries.dupClusters(spark, dir)
     val docs = Tables.load(spark, dir, "documents")
       .select(col("doc_id"),
         size(T.tokens(col("text"))).cast("long").as("tok"))

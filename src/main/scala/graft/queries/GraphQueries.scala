@@ -26,12 +26,9 @@ object GraphQueries {
     * finish the job at any scale.
     */
   def q47_dup_clusters(spark: SparkSession, dir: String): DataFrame = {
-    // materialize the pair table once: label propagation issues one
-    // action per round, and without this each round would re-run the
-    // whole LSH pipeline (measured 6x the query cost at sf0.1)
-    val pairs = TextQueries.lshPairs(spark, dir)
-      .select("a_id", "b_id").transform(graft.Lineage.cut)
-    val cc = ConnectedComponents.run(pairs, "a_id", "b_id")
+    // the session's stored (id, component) label table — clusters are
+    // resolved once per corpus, not once per consumer (r18 opt)
+    val cc = TextQueries.dupClusters(spark, dir)
     val sizes = cc.groupBy(col("component").as("comp"))
       .agg(count(lit(1)).as("cluster_size"))
     cc.join(sizes, col("component") === col("comp"))
@@ -77,8 +74,7 @@ object GraphQueries {
   def q231_cluster_chaining(spark: SparkSession, dir: String): DataFrame = {
     val pairs = TextQueries.lshPairs(spark, dir)
       .select("a_id", "b_id", "jaccard").transform(graft.Lineage.cut)
-    val cc = ConnectedComponents.run(
-      pairs.select("a_id", "b_id"), "a_id", "b_id")
+    val cc = TextQueries.dupClusters(spark, dir)
     val m = cc.groupBy(col("component").as("cluster_id"))
       .agg(count(lit(1)).cast("long").as("n_members"))
     pairs.join(cc, pairs("a_id") === cc("id"))

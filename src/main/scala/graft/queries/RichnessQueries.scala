@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.functions.{TextFunctions => T}
-import graft.operators.{ConnectedComponents, ValueAxis}
+import graft.operators.ValueAxis
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -223,9 +223,7 @@ object RichnessQueries {
     * (no data movement) broadcast as a 1-row join.
     */
   def q200_cluster_sizes(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = TextQueries.lshPairs(spark, dir)
-      .select("a_id", "b_id").transform(graft.Lineage.cut)
-    val cc = ConnectedComponents.run(pairs, "a_id", "b_id")
+    val cc = TextQueries.dupClusters(spark, dir)
     val perCluster = cc.groupBy("component")
       .agg(count(lit(1)).cast("long").as("cluster_size"))
     val multi = perCluster.groupBy("cluster_size")
