@@ -1185,32 +1185,41 @@ object TextQueries {
       })
   }
 
+  /** The prefix-filter core over an (already persisted) df-ordered
+    * key table — the plan only, no materialization: callers decide
+    * how many thresholds share one `ord` and when to cut lineage
+    * (q185 runs THREE of these as independent subtrees of ONE job, so
+    * the arms' stages schedule concurrently instead of serially).
+    */
+  private def allPairsExactOn(ord: DataFrame, num: Int, den: Int): DataFrame = {
+    val pref = ord.select(col("doc_id"), col("n"),
+      explode(expr(s"slice(ks, 1, n - ($num * n + $den - 1) DIV $den + 1)")).as("k"))
+    val cand = pref.as("a")
+      .join(pref.as("b"),
+        col("a.k") === col("b.k") && col("a.doc_id") < col("b.doc_id") &&
+          col("b.n") * den >= col("a.n") * num &&
+          col("b.n") * num <= col("a.n") * den)
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .distinct()
+    cand
+      .join(ord.select(col("doc_id").as("a_id"), col("ks").as("ka"), col("n").as("n_a")), "a_id")
+      .join(ord.select(col("doc_id").as("b_id"), col("ks").as("kb"), col("n").as("n_b")), "b_id")
+      .withColumn("inter", size(array_intersect(col("ka"), col("kb"))).cast("long"))
+      .withColumn("uni", (col("n_a") + col("n_b")).cast("long") - col("inter"))
+      .filter(col("inter") * den >= col("uni") * num)
+      .select(col("a_id"), col("b_id"), col("n_a"), col("n_b"), col("inter"),
+        col("uni"), expr("(inter * 1000000) DIV uni").as("jac_ppm"))
+  }
+
   private[queries] def allPairsExact(
       spark: SparkSession, dir: String, num: Int, den: Int): DataFrame = {
     // the df-ordered key table comes from the session's stored
     // OrdIndex (built once per dir); persist because it feeds the
     // prefix explode AND both verify joins within this call
     val ord = spark.read.parquet(OrdIndex.path(spark, dir)).persist()
-    try {
-      val pref = ord.select(col("doc_id"), col("n"),
-        explode(expr(s"slice(ks, 1, n - ($num * n + $den - 1) DIV $den + 1)")).as("k"))
-      val cand = pref.as("a")
-        .join(pref.as("b"),
-          col("a.k") === col("b.k") && col("a.doc_id") < col("b.doc_id") &&
-            col("b.n") * den >= col("a.n") * num &&
-            col("b.n") * num <= col("a.n") * den)
-        .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
-        .distinct()
-      cand
-        .join(ord.select(col("doc_id").as("a_id"), col("ks").as("ka"), col("n").as("n_a")), "a_id")
-        .join(ord.select(col("doc_id").as("b_id"), col("ks").as("kb"), col("n").as("n_b")), "b_id")
-        .withColumn("inter", size(array_intersect(col("ka"), col("kb"))).cast("long"))
-        .withColumn("uni", (col("n_a") + col("n_b")).cast("long") - col("inter"))
-        .filter(col("inter") * den >= col("uni") * num)
-        .select(col("a_id"), col("b_id"), col("n_a"), col("n_b"), col("inter"),
-          col("uni"), expr("(inter * 1000000) DIV uni").as("jac_ppm"))
-        .transform(graft.Lineage.cut) // eager: survives the unpersist
-    } finally ord.unpersist()
+    try allPairsExactOn(ord, num, den)
+      .transform(graft.Lineage.cut) // eager: survives the unpersist
+    finally ord.unpersist()
   }
 
   /** The oracle speaks the SAME prefix algorithm (not brute force):
@@ -1534,19 +1543,29 @@ object TextQueries {
     */
   def q185_threshold_sweep(spark: SparkSession, dir: String): DataFrame = {
     val dec38 = "decimal(38,0)"
-    val rows = sweepThresholds.map { case (num, den) =>
-      allPairsExact(spark, dir, num, den)
-        .agg(count(lit(1)).cast("long").as("n_pairs"),
-          count_distinct(col("a_id")).cast("long").as("n_a_docs"),
-          coalesce(min(col("jac_ppm")), lit(0L)).as("min_jac_ppm"),
-          coalesce(expr(s"CAST(sum(CAST(jac_ppm AS $dec38)) DIV count(*) AS BIGINT)"),
-            lit(0L)).as("mean_jac_ppm"))
-        .select(lit(s"$num/$den").as("threshold"),
-          lit(num * 1000000L / den).as("threshold_ppm"),
-          col("n_pairs"), col("n_a_docs"), col("min_jac_ppm"),
-          col("mean_jac_ppm"))
-    }
-    rows.reduce(_ unionByName _).orderBy("threshold_ppm")
+    // ONE persisted ord shared by all three arms, ONE materialization:
+    // before (r18 opt) each arm re-persisted the stored OrdIndex and
+    // eagerly checkpointed alone, so the sweep ran as three strictly
+    // serial jobs; as union branches of a single job the three prefix
+    // joins are independent subtrees whose stages the scheduler
+    // overlaps across the cores (guide §2.6)
+    val ord = spark.read.parquet(OrdIndex.path(spark, dir)).persist()
+    try {
+      val rows = sweepThresholds.map { case (num, den) =>
+        allPairsExactOn(ord, num, den)
+          .agg(count(lit(1)).cast("long").as("n_pairs"),
+            count_distinct(col("a_id")).cast("long").as("n_a_docs"),
+            coalesce(min(col("jac_ppm")), lit(0L)).as("min_jac_ppm"),
+            coalesce(expr(s"CAST(sum(CAST(jac_ppm AS $dec38)) DIV count(*) AS BIGINT)"),
+              lit(0L)).as("mean_jac_ppm"))
+          .select(lit(s"$num/$den").as("threshold"),
+            lit(num * 1000000L / den).as("threshold_ppm"),
+            col("n_pairs"), col("n_a_docs"), col("min_jac_ppm"),
+            col("mean_jac_ppm"))
+      }
+      rows.reduce(_ unionByName _).orderBy("threshold_ppm")
+        .transform(graft.Lineage.cut) // eager: survives the unpersist
+    } finally ord.unpersist()
   }
 
   val q185_oracle: String = {
