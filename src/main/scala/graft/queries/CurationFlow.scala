@@ -279,7 +279,7 @@ object CurationFlow {
         // The quantizer is memoized per corpus, so a funnel declaring
         // this stage pays ONE training run however often it replans —
         // the shared-cluster rule ccLabels applies to MinHash stages
-        val dropSet = VectorQueries.q87_semdedup(spark, dir)
+        val dropSet = VectorQueries.semDedupVerdicts(spark, dir)
           .select(col("dup_id").as(cur.idColumn), lit(1L).as(s"m_$name"))
         base = base.join(dropSet, Seq(cur.idColumn), "left")
         if (missing == "keep") col(s"m_$name").isNull
@@ -624,7 +624,7 @@ object CurationFlow {
         // stream starts, the bounded dup set materializes, and each
         // batch pays one stream-static left join — q73's cost shape
         val (spark, dir) = index.get
-        val dropSet = VectorQueries.q87_semdedup(spark, dir)
+        val dropSet = VectorQueries.semDedupVerdicts(spark, dir)
           .select(col("dup_id").as(cur.idColumn), lit(1L).as(s"m_$name"))
           .localCheckpoint()
         base = base.join(dropSet, Seq(cur.idColumn), "left")

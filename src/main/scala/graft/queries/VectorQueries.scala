@@ -956,7 +956,38 @@ object VectorQueries {
         .select(col("vec_id"), col("cell"), col("v"), V.norm(col("v")).as("nrm")))
   }
 
-  def q87_semdedup(spark: SparkSession, dir: String): DataFrame = {
+  /** Session-lifetime STORED SemDeDup verdict table — the CcLabels
+    * rule applied to the embedding clusters: every `dedup_semantic`
+    * consumer (q323 batch, q326 stream, each declared funnel) re-ran
+    * the quantizer assignment + per-cell cosine self-join. The first
+    * consumer writes the bounded (dup_id, keep_id, n_matches,
+    * max_cos) verdict set to scratch parquet; q87 itself still
+    * computes fresh (it IS the operator under test).
+    */
+  private object SemVerdicts {
+    private val built = new java.util.concurrent.ConcurrentHashMap[String, String]()
+    def path(spark: SparkSession, dir: String): String =
+      built.computeIfAbsent(dir, _ => {
+        val work = graft.io.Scratch.dir(spark, "graft-semv-")
+        semVerdictsOf(spark, dir).write.mode("overwrite").parquet(s"$work/verdicts")
+        sys.addShutdownHook {
+          import org.apache.hadoop.fs.Path
+          val p = new Path(work)
+          try p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+          catch { case _: Throwable => () }
+        }
+        s"$work/verdicts"
+      })
+  }
+
+  /** q87's verdicts served from the session's stored table. */
+  private[queries] def semDedupVerdicts(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(SemVerdicts.path(spark, dir))
+
+  def q87_semdedup(spark: SparkSession, dir: String): DataFrame =
+    semVerdictsOf(spark, dir).orderBy("dup_id")
+
+  private def semVerdictsOf(spark: SparkSession, dir: String): DataFrame = {
     val cells = semDedupAssigned(spark, dir)
     val a = cells.select(col("cell"), col("vec_id").as("a_id"),
       col("v").as("qv"), col("nrm").as("q_nrm"))
@@ -979,7 +1010,6 @@ object VectorQueries {
       .agg(min(col("a_id")).as("keep_id"), count(lit(1)).as("n_matches"),
         max(col("cos")).as("max_cos"))
       .withColumnRenamed("b_id", "dup_id")
-      .orderBy("dup_id")
   }
 
   // ---------- q112: product-quantized ANN (ADC + exact rerank) ----------
